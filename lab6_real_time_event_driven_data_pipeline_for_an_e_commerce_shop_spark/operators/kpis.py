@@ -1,0 +1,79 @@
+"""KPI aggregations — the analytical heart of the reference.
+
+Exact semantics from reference transform.py:346-368, including the
+deliberate quirks (SURVEY.md §2.5 fine print) that tests pin down so
+nobody "fixes" them into divergence:
+
+- ``avg_order_value`` is the mean **item** sale price, not mean order
+  total (transform.py:350).
+- category ``avg_return_rate`` divides by row count; order-level
+  ``return_rate`` divides by **distinct orders** (transform.py:351 vs 363).
+- ``returned`` means ``returned_at IS NOT NULL`` on the **item**
+  (transform.py:351, 363 — item-level returns).
+
+Physical notes for 100 TB:
+- Both KPIs are hash aggregations with map-side partial aggregation —
+  the shuffle carries only (group key → partial state), never raw rows.
+- ``countDistinct`` expands to a two-phase exact distinct; it is the
+  most expensive piece. At serving scale, swap for
+  ``approx_count_distinct`` when ±2% is acceptable (kept exact here to
+  match the reference and the oracle).
+- When both KPI tables are derived from one enriched DataFrame, cache
+  the input (the reference recomputes the 3-way join for every action —
+  SURVEY.md §4 "common-subplan reuse" defect; ``compute_all`` fixes it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Money sums run on DECIMAL, not DOUBLE: double addition is not
+# associative, so a double SUM changes with partitioning — at 1000
+# executors the same query would return run-dependent low bits. Exact
+# decimal accumulation makes every KPI bit-reproducible across cluster
+# sizes (and hash-comparable to any oracle). Outputs are cast back to
+# double: same logical value, friendlier type.
+MONEY = "decimal(30,8)"
+
+
+def _returned() -> F.Column:
+    return F.when(F.col("returned_at").isNotNull(), 1).otherwise(0)
+
+
+def _money_sum(col: str) -> F.Column:
+    return F.sum(F.col(col).cast(MONEY))
+
+
+def category_kpis(enriched: DataFrame) -> DataFrame:
+    """Category-level daily KPIs (reference transform.py:348-352)."""
+    return enriched.groupBy("category", "order_date").agg(
+        _money_sum("sale_price").cast("double").alias("daily_revenue"),
+        (_money_sum("sale_price").cast("double") / F.count("sale_price"))
+        .alias("avg_order_value"),
+        (F.sum(_returned()).cast("double") / F.count("order_id"))
+        .alias("avg_return_rate"),
+    )
+
+
+def order_kpis_daily(enriched: DataFrame) -> DataFrame:
+    """Order-level daily KPIs (reference transform.py:359-365)."""
+    return enriched.groupBy("order_date").agg(
+        F.countDistinct("order_id").alias("total_orders"),
+        _money_sum("sale_price").cast("double").alias("total_revenue"),
+        F.count("product_id").alias("total_items_sold"),
+        (F.sum(_returned()).cast("double") / F.countDistinct("order_id"))
+        .alias("return_rate"),
+        F.countDistinct("user_id").alias("unique_customers"),
+    )
+
+
+def compute_all(enriched: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Both KPI tables off ONE cached enriched DataFrame.
+
+    Fixes the reference's recompute defect (transform.py:331-339 + 376 +
+    390 run the join three times; SURVEY.md §4): cache once, derive both
+    aggregates, let the caller unpersist after materializing.
+    """
+    enriched = enriched.cache()
+    return category_kpis(enriched), order_kpis_daily(enriched)

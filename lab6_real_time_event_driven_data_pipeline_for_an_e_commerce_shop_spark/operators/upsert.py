@@ -1,0 +1,126 @@
+"""Idempotent keyed upsert (MERGE) into a table — reference S7/ST4.
+
+The reference upserts into Delta Lake with
+``DeltaTable.merge(...).whenMatchedUpdateAll().whenNotMatchedInsertAll()``
+keyed on (order_id, product_id) (transform.py:331-336), which makes file
+re-processing idempotent.
+
+This container has no delta-spark package, so the engine provides:
+
+1. :func:`delta_available` + :func:`merge_delta` — the real Delta MERGE,
+   used verbatim when delta-spark is on the classpath (production path).
+2. :func:`merge_parquet` — a pure-Spark fallback with the same
+   semantics: anti-join out matched target rows, union the source,
+   atomically swap the table directory. Partition-aware: when a
+   partition column is given, only partitions present in the source are
+   rewritten (the rest are untouched — at 100 TB you must never rewrite
+   the whole table for a daily increment).
+
+Idempotence contract (FIXTURES.md §3 case 8): running the same source
+batch twice leaves the table byte-identical.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def delta_available() -> bool:
+    try:
+        import delta  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def merge_delta(spark: SparkSession, target_path: str, source: DataFrame, keys: list[str]) -> None:
+    """Real Delta MERGE (reference transform.py:331-336), used when
+    delta-spark is installed."""
+    from delta.tables import DeltaTable
+
+    if not DeltaTable.isDeltaTable(spark, target_path):
+        source.write.format("delta").mode("overwrite").save(target_path)
+        return
+    cond = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+    (
+        DeltaTable.forPath(spark, target_path)
+        .alias("t")
+        .merge(source.alias("s"), cond)
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
+
+
+def merge_parquet(
+    spark: SparkSession,
+    target_path: str,
+    source: DataFrame,
+    keys: list[str],
+    partition_col: str | None = None,
+) -> None:
+    """Pure-Spark keyed MERGE with whenMatchedUpdateAll /
+    whenNotMatchedInsertAll semantics over a parquet directory.
+
+    With ``partition_col``: read ONLY the partitions the source touches,
+    merge, and overwrite just those partitions (dynamic partition
+    overwrite) — incremental cost proportional to the increment, not the
+    table.
+    """
+    source = source.dropDuplicates(keys)  # a MERGE source must be key-unique
+    if not os.path.exists(target_path):
+        writer = source.write.mode("overwrite")
+        if partition_col:
+            writer = writer.partitionBy(partition_col)
+        writer.parquet(target_path)
+        return
+
+    if partition_col:
+        parts = [r[0] for r in source.select(partition_col).distinct().collect()]
+        target = spark.read.parquet(target_path).filter(F.col(partition_col).isin(parts))
+        kept = target.join(source.select(keys), keys, "left_anti")
+        merged = kept.unionByName(source).repartition(partition_col)
+        with _overwrite_conf(spark, "dynamic"):
+            merged.write.mode("overwrite").partitionBy(partition_col).parquet(target_path)
+        return
+
+    target = spark.read.parquet(target_path)
+    kept = target.join(source.select(keys), keys, "left_anti")
+    merged = kept.unionByName(source)
+    # full rewrite via temp dir + atomic-ish swap (non-partitioned fallback)
+    tmp = f"{target_path}__tmp_{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(target_path)
+    os.rename(tmp, target_path)
+
+
+class _overwrite_conf:
+    def __init__(self, spark: SparkSession, mode: str):
+        self.spark, self.mode = spark, mode
+
+    def __enter__(self):
+        self.old = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", self.mode)
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", self.old)
+
+
+def merge(
+    spark: SparkSession,
+    target_path: str,
+    source: DataFrame,
+    keys: list[str],
+    partition_col: str | None = None,
+) -> None:
+    """Dispatch: Delta when available, parquet fallback otherwise."""
+    if delta_available():
+        merge_delta(spark, target_path, source, keys)
+    else:
+        merge_parquet(spark, target_path, source, keys, partition_col)

@@ -1,0 +1,598 @@
+"""The query catalog: every operator from SURVEY.md §2 as a named
+(spark_impl, duckdb_oracle) pair.
+
+Each entry is registered with :func:`query`, which keeps the PySpark
+implementation and the ANSI-SQL oracle adjacent so they cannot drift.
+The driver runs both at sf0.01 and compares row-count + schema +
+order-insensitive value hash (repo __spark_entry__.py docstring).
+
+Determinism rules used throughout (both sides identically):
+- every money/float SUM runs on DECIMAL(30,8) (exact, order-independent)
+  and is then cast to double — double sums differ between engines (and
+  between cluster sizes!) in the last ulp; ROUND is deliberately NOT
+  applied (engine ROUND(double,k) implementations disagree at decimal
+  midpoints, which money averages hit constantly),
+- AVG is computed as exact-decimal-sum ÷ count (a single deterministic
+  IEEE division), never engine AVG,
+- integer aggregates are CAST to BIGINT (DuckDB SUM(int) is HUGEINT),
+- timestamps from the nanos-encoded ``events`` table are handled as
+  epoch microseconds (pure integer arithmetic, timezone-proof),
+- top-k queries rank with explicit tie-breaks.
+
+Table mapping (FIXTURES.md §4): orders→orders, order_items→lineitem,
+products→part; ``returned_at IS NOT NULL`` ⇔ ``l_returnflag = 'R'``.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import kpis, setops
+from ..operators import enrich as enrich_op
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None → non-SQL-expressible, rows-only check
+
+
+_REGISTRY: dict[str, Query] = {}
+
+
+def query(name: str, oracle: str | None):
+    def deco(fn):
+        _REGISTRY[name] = Query(name, fn, oracle)
+        return fn
+
+    return deco
+
+
+def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {q.name: q.fn for q in _REGISTRY.values()}
+
+
+def oracles() -> dict[str, str]:
+    return {q.name: q.oracle for q in _REGISTRY.values() if q.oracle is not None}
+
+
+# ---------------------------------------------------------------------------
+# mapped loaders: testdata star schema → reference e-commerce shape
+# ---------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders mapped (FIXTURES.md §4): o_orderkey→order_id etc."""
+    return _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderdate").alias("created_at"),
+    )
+
+
+def _items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem mapped to order_items; returned_at derives from the
+    R return flag (returned_at IS NOT NULL ⇔ l_returnflag='R')."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey").alias("order_id"),
+        F.col("l_partkey").alias("product_id"),
+        F.col("l_extendedprice").alias("sale_price"),
+        F.when(F.col("l_returnflag") == "R", F.col("l_shipdate")).alias("returned_at"),
+    )
+
+
+def _products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"),
+        F.col("p_type").alias("category"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_retailprice").alias("retail_price"),
+    )
+
+
+def _enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return enrich_op.enrich_orders(
+        _orders(spark, sf_dir), _items(spark, sf_dir), _products(spark, sf_dir)
+    )
+
+
+_ENRICHED_SQL = """
+    SELECT o.o_orderkey                 AS order_id,
+           o.o_custkey                  AS user_id,
+           o.o_orderstatus              AS status,
+           CAST(o.o_orderdate AS DATE)  AS order_date,
+           l.l_extendedprice            AS sale_price,
+           l.l_partkey                  AS product_id,
+           p.p_type                     AS category,
+           CASE WHEN l.l_returnflag = 'R' THEN l.l_shipdate END AS returned_at
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN part p     ON l.l_partkey = p.p_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# q01 — TPC-H Q1-style pricing summary (headline scan+agg benchmark)
+# ---------------------------------------------------------------------------
+
+
+_DEC = "DECIMAL(30,8)"
+
+
+def _dsum(expr: str) -> str:
+    """Oracle-side exact sum, emitted as double."""
+    return f"CAST(SUM(CAST({expr} AS {_DEC})) AS DOUBLE)"
+
+
+def _sdsum(col: F.Column) -> F.Column:
+    """Spark-side exact sum, emitted as double."""
+    return F.sum(col.cast("decimal(30,8)")).cast("double")
+
+
+@query(
+    "q01_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {_dsum('l_quantity')}      AS sum_qty,
+           {_dsum('l_extendedprice')} AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+           {_dsum('l_quantity')} / COUNT(l_quantity)      AS avg_qty,
+           {_dsum('l_extendedprice')} / COUNT(l_extendedprice) AS avg_price,
+           {_dsum('l_discount')} / COUNT(l_discount)      AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan + filter + grouped agg over the fact table (A1-A3, A7, F3-ish).
+
+    Physical: parquet scan with the shipdate predicate pushed to the
+    footer (PushedFilters), map-side partial hash agg, tiny shuffle
+    (6 groups)."""
+    li = _t(spark, sf_dir, "lineitem")
+    # The source data is 2-decimal money: cast to DECIMAL BEFORE the
+    # arithmetic so products are exact (double*double then cast disagrees
+    # with the oracle in the last ulp).
+    price_d = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc_d = F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    tax_d = F.lit(1) + F.col("l_tax").cast("decimal(4,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _sdsum(F.col("l_quantity")).alias("sum_qty"),
+            _sdsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            F.sum(price_d * disc_d).cast("double").alias("sum_disc_price"),
+            F.sum(price_d * disc_d * tax_d).cast("double").alias("sum_charge"),
+            (_sdsum(F.col("l_quantity")) / F.count("l_quantity")).alias("avg_qty"),
+            (_sdsum(F.col("l_extendedprice")) / F.count("l_extendedprice")).alias("avg_price"),
+            (_sdsum(F.col("l_discount")) / F.count("l_discount")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q02-q04 — the reference's data plane: enrichment join + the two KPI tables
+# ---------------------------------------------------------------------------
+
+
+@query("q02_enriched_orders", _ENRICHED_SQL)
+def q02_enriched_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 3-way enrichment join (reference transform.py:311-323;
+    J1+J2+P1+P2). products side is broadcast (operators/enrich.py)."""
+    return _enriched(spark, sf_dir)
+
+
+@query(
+    "q03_category_kpis",
+    f"""
+    SELECT category, order_date,
+           {_dsum('sale_price')}  AS daily_revenue,
+           {_dsum('sale_price')} / COUNT(sale_price)  AS avg_order_value,
+           CAST(SUM(CASE WHEN returned_at IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(order_id) AS avg_return_rate
+    FROM ({_ENRICHED_SQL}) enriched
+    GROUP BY category, order_date
+    """,
+)
+def q03_category_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Category KPIs (reference transform.py:348-352) with the exact
+    quirky semantics: avg_order_value = mean ITEM price; return-rate
+    denominator = row count (SURVEY.md §2.5 fine print)."""
+    return kpis.category_kpis(_enriched(spark, sf_dir))
+
+
+@query(
+    "q04_order_kpis_daily",
+    f"""
+    SELECT order_date,
+           CAST(COUNT(DISTINCT order_id) AS BIGINT) AS total_orders,
+           {_dsum('sale_price')}          AS total_revenue,
+           COUNT(product_id)                        AS total_items_sold,
+           CAST(SUM(CASE WHEN returned_at IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(DISTINCT order_id)     AS return_rate,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT)  AS unique_customers
+    FROM ({_ENRICHED_SQL}) enriched
+    GROUP BY order_date
+    """,
+)
+def q04_order_kpis_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-level daily KPIs (reference transform.py:359-365): exact
+    countDistinct; return-rate denominator = DISTINCT orders."""
+    return kpis.order_kpis_daily(_enriched(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# q05-q08 — validation rules as distributed queries (SURVEY.md §2.3)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q05_null_key_counts",
+    """
+    SELECT 'orders' AS table_name, 'o_orderkey' AS column_name,
+           CAST(COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT) AS null_count FROM orders
+    UNION ALL
+    SELECT 'orders', 'o_custkey',
+           CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) FROM orders
+    UNION ALL
+    SELECT 'lineitem', 'l_orderkey',
+           CAST(COUNT(*) FILTER (WHERE l_orderkey IS NULL) AS BIGINT) FROM lineitem
+    UNION ALL
+    SELECT 'lineitem', 'l_partkey',
+           CAST(COUNT(*) FILTER (WHERE l_partkey IS NULL) AS BIGINT) FROM lineitem
+    UNION ALL
+    SELECT 'part', 'p_partkey',
+           CAST(COUNT(*) FILTER (WHERE p_partkey IS NULL) AS BIGINT) FROM part
+    """,
+)
+def q05_null_key_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N1 null-checks on key columns (reference validate.py:218-222),
+    one conditional-aggregate pass per table — no per-rule rescans."""
+
+    def nulls(table: str, col: str) -> DataFrame:
+        return _t(spark, sf_dir, table).agg(
+            F.lit(table).alias("table_name"),
+            F.lit(col).alias("column_name"),
+            F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)).cast("long").alias("null_count"),
+        )
+
+    parts = [
+        nulls("orders", "o_orderkey"),
+        nulls("orders", "o_custkey"),
+        nulls("lineitem", "l_orderkey"),
+        nulls("lineitem", "l_partkey"),
+        nulls("part", "p_partkey"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@query(
+    "q06_duplicate_order_keys",
+    """
+    SELECT o_orderkey AS key_value, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1
+    """,
+)
+def q06_duplicate_order_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 uniqueness check on the orders PK (reference validate.py:223-224).
+    Clean data ⇒ empty result; the oracle must agree on emptiness."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderkey").alias("key_value"))
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > 1)
+    )
+
+
+@query(
+    "q07_status_domain_offenders",
+    """
+    SELECT DISTINCT o_orderstatus AS offending_status
+    FROM orders WHERE o_orderstatus NOT IN ('O', 'F')
+    """,
+)
+def q07_status_domain_offenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 set-membership + offender collection (reference
+    validate.py:226-230): distinct values outside the valid domain."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(~F.col("o_orderstatus").isin("O", "F"))
+        .select(F.col("o_orderstatus").alias("offending_status"))
+        .distinct()
+    )
+
+
+@query(
+    "q08_negative_price_counts",
+    """
+    SELECT 'lineitem' AS table_name, 'l_extendedprice' AS column_name,
+           CAST(COUNT(*) FILTER (WHERE l_extendedprice < 0) AS BIGINT) AS negative_count
+    FROM lineitem
+    UNION ALL
+    SELECT 'part', 'p_retailprice',
+           CAST(COUNT(*) FILTER (WHERE p_retailprice < 0) AS BIGINT) FROM part
+    """,
+)
+def q08_negative_price_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 range predicates (reference validate.py:231-238)."""
+    li = _t(spark, sf_dir, "lineitem").agg(
+        F.lit("lineitem").alias("table_name"),
+        F.lit("l_extendedprice").alias("column_name"),
+        F.sum(F.when(F.col("l_extendedprice") < 0, 1).otherwise(0)).cast("long")
+        .alias("negative_count"),
+    )
+    pr = _t(spark, sf_dir, "part").agg(
+        F.lit("part").alias("table_name"),
+        F.lit("p_retailprice").alias("column_name"),
+        F.sum(F.when(F.col("p_retailprice") < 0, 1).otherwise(0)).cast("long")
+        .alias("negative_count"),
+    )
+    return li.unionByName(pr)
+
+
+# ---------------------------------------------------------------------------
+# q09-q15 — filters, distincts, set ops, completeness joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q09_single_order_group",
+    """
+    SELECT l_orderkey AS order_id, l_linenumber AS line_number,
+           l_partkey AS product_id, l_extendedprice AS sale_price
+    FROM lineitem WHERE l_orderkey = (SELECT MIN(o_orderkey) FROM orders)
+    """,
+)
+def q09_single_order_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 equality filter restricting to one order group (reference
+    validate.py:212-215), key chosen deterministically (MIN). Expressed
+    as a broadcast join against the 1-row aggregate, not a collect."""
+    li = _t(spark, sf_dir, "lineitem")
+    min_key = _t(spark, sf_dir, "orders").agg(F.min("o_orderkey").alias("order_id"))
+    return (
+        li.join(F.broadcast(min_key), li.l_orderkey == min_key.order_id, "inner")
+        .select(
+            F.col("l_orderkey").alias("order_id"),
+            F.col("l_linenumber").alias("line_number"),
+            F.col("l_partkey").alias("product_id"),
+            F.col("l_extendedprice").alias("sale_price"),
+        )
+    )
+
+
+@query(
+    "q10_distinct_products_sold",
+    "SELECT DISTINCT l_partkey AS product_id FROM lineitem WHERE l_partkey IS NOT NULL",
+)
+def q10_distinct_products_sold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 distinct non-null ids (reference glue_job.py:132-140)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey").isNotNull())
+        .select(F.col("l_partkey").alias("product_id"))
+        .distinct()
+    )
+
+
+@query(
+    "q11_products_per_order",
+    """
+    SELECT l_orderkey AS order_id, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_products
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def q11_products_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 per-order distinct product sets (reference glue_job.py:138) —
+    the pandas groupby-apply lambda becomes a plain distinct-agg; no UDF."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("order_id"))
+        .agg(F.countDistinct("l_partkey").alias("n_products"))
+    )
+
+
+@query(
+    "q12_orders_without_items",
+    """
+    SELECT o_orderkey AS order_id FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+    """,
+)
+def q12_orders_without_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join: incomplete groups missing item rows (half of J3,
+    reference glue_job.py:228-233)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_anti")
+        .select(F.col("o_orderkey").alias("order_id"))
+    )
+
+
+@query(
+    "q13_complete_order_groups",
+    """
+    SELECT o.o_orderkey AS order_id
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+      AND NOT EXISTS (
+            SELECT 1 FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE l.l_orderkey = o.o_orderkey AND p.p_partkey IS NULL)
+    """,
+)
+def q13_complete_order_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 referential-completeness semi-join (reference glue_job.py:228-236):
+    orders whose items AND all referenced products are present."""
+    return setops.complete_order_groups(
+        _orders(spark, sf_dir), _items(spark, sf_dir), _products(spark, sf_dir)
+    )
+
+
+@query(
+    "q14_customers_without_orders",
+    """
+    SELECT c_custkey AS cust_key FROM customer
+    EXCEPT
+    SELECT o_custkey FROM orders
+    """,
+)
+def q14_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SO1 EXCEPT / set difference (reference transform.py:434 semantics:
+    validated − transformed), realized as a left-anti join."""
+    return setops.except_keys(
+        _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("cust_key")),
+        _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("cust_key")),
+        "cust_key",
+    )
+
+
+@query(
+    "q15_all_known_users",
+    """
+    SELECT DISTINCT u AS user_id FROM (
+        SELECT o_custkey AS u FROM orders
+        UNION ALL
+        SELECT c_custkey AS u FROM customer
+    )
+    """,
+)
+def q15_all_known_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SO2 UNION + dedup (reference glue_job.py:190-208 id-set union)."""
+    return setops.union_distinct(
+        [
+            _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("user_id")),
+            _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("user_id")),
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# q16-q18 — extensions: top-k, event-time windows, sessionization
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q16_top_brands_by_revenue",
+    f"""
+    SELECT brand, revenue, rank FROM (
+        SELECT p.p_brand AS brand,
+               {_dsum('l.l_extendedprice')} AS revenue,
+               CAST(ROW_NUMBER() OVER (
+                    ORDER BY SUM(CAST(l.l_extendedprice AS {_DEC})) DESC, p.p_brand
+               ) AS INT) AS rank
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_brand
+    ) WHERE rank <= 10
+    """,
+)
+def q16_top_brands_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k with deterministic tie-break (orderBy+limit class, absent
+    in the reference — SURVEY.md §2.8). Physical: partial agg → single
+    final window over ~25 brand rows (cheap at any scale)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    agg = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(30,8)")).alias("rev_raw"))
+    )
+    w = Window.orderBy(F.col("rev_raw").desc(), F.col("brand"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 10)
+        .select("brand", F.col("rev_raw").cast("double").alias("revenue"), "rank")
+    )
+
+
+def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ts as epoch MICROSECONDS (bigint). The parquet stores
+    nanosecond timestamps, which Spark only reads via the
+    nanosAsLong legacy conf — integer µs arithmetic keeps every derived
+    value timezone-proof and bit-identical to DuckDB's epoch_us()."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events")
+    return ev.withColumn("ts_us", (F.col("ts") / 1000).cast("long")).drop("ts")
+
+
+@query(
+    "q17_events_hourly",
+    f"""
+    SELECT (epoch_us(ts) // 3600000000) AS hour_bucket,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {_dsum('value')} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q17_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window (batch form of the daily
+    order_date bucket, SURVEY.md §2.6 'absent streaming features').
+    hour_bucket = epoch-hours since 1970 — integer, tz-proof."""
+    ev = _events_us(spark, sf_dir)
+    return (
+        ev.withColumn("hour_bucket", F.floor(F.col("ts_us") / 3_600_000_000).cast("long"))
+        .groupBy("hour_bucket", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            _sdsum(F.col("value")).alias("total_value"),
+        )
+    )
+
+
+@query(
+    "q18_user_sessions",
+    """
+    WITH seq AS (
+        SELECT user_id, epoch_us(ts) AS ts_us,
+               LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+        FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+    FROM seq GROUP BY user_id
+    """,
+)
+def q18_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap (session-window
+    class; streaming twin is ``session_window``/``applyInPandasWithState``
+    in streaming/pipeline.py). Lag + conditional sum, one shuffle on
+    user_id shared by the window and the final groupBy."""
+    ev = _events_us(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    sess = ev.withColumn("prev_us", F.lag("ts_us").over(w)).withColumn(
+        "is_new",
+        F.when(
+            F.col("prev_us").isNull() | (F.col("ts_us") - F.col("prev_us") > gap_us), 1
+        ).otherwise(0),
+    )
+    return sess.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum("is_new").cast("long").alias("n_sessions"),
+    )

@@ -1,0 +1,121 @@
+"""Batch sources: schema-enforced CSV / Parquet / JSON readers.
+
+Replaces the reference's hand-rolled ingest (S1-S5, S10-S12 in
+SURVEY.md §2.1): ``pd.read_csv`` over S3 bodies (reference
+glue_job.py:169-170), pyarrow footer reads (validate.py:184-187) and
+boto3 listings (transform.py:86-97) all collapse into Spark's native
+readers, which are distributed, columnar, and predicate-pushdown-aware.
+
+Scale notes:
+- Readers always take an explicit ``StructType`` — dynamic inference
+  reads the data twice and can silently drift (SURVEY.md §1.4).
+- Corrupt CSV rows are quarantined via ``columnNameOfCorruptRecord``
+  (PERMISSIVE mode) instead of failing the job.
+- ``load_table`` for parquet relies on footer metadata for schema; no
+  full scan happens until an action.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str | list[str],
+    schema: T.StructType,
+    header: bool = True,
+    quarantine_corrupt: bool = True,
+) -> DataFrame:
+    """Schema-enforced CSV scan (reference S1, glue_job.py:169-170).
+
+    Extra columns in the file are tolerated (the reference's subset
+    check, glue_job.py:172-174) because the explicit schema simply
+    ignores them. Corrupt rows land in ``_corrupt_record`` instead of
+    aborting.
+    """
+    read_schema = schema
+    if quarantine_corrupt and CORRUPT_COL not in schema.fieldNames():
+        read_schema = T.StructType(
+            list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType(), True)]
+        )
+    return (
+        spark.read.option("header", header)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .schema(read_schema)
+        .csv(path)
+    )
+
+
+def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split a PERMISSIVE read into (clean, corrupt) DataFrames."""
+    if CORRUPT_COL not in df.columns:
+        return df, df.limit(0)
+    clean = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    corrupt = df.filter(F.col(CORRUPT_COL).isNotNull())
+    return clean, corrupt
+
+
+def read_parquet(
+    spark: SparkSession, path: str | list[str], schema: T.StructType | None = None
+) -> DataFrame:
+    """Parquet scan (reference S4/S5, transform.py:286-290).
+
+    Multi-file scans pass a list, mirroring
+    ``spark.read.parquet(*paths)`` in the reference — already idiomatic
+    there; kept identical here.
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if isinstance(path, (list, tuple)):
+        return reader.parquet(*path)
+    return reader.parquet(path)
+
+
+def parquet_schema(spark: SparkSession, path: str) -> T.StructType:
+    """Metadata-only schema resolution (reference S3, validate.py:184-187).
+
+    Spark resolves parquet schema from footers without scanning row
+    groups, so this is the same cheap footer read the reference does
+    with pyarrow — minus the driver-side byte shuffling.
+    """
+    return spark.read.parquet(path).schema
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver testdata table (TESTDATA.md)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def classify_path(path: str) -> str | None:
+    """Path→file-type routing (reference P7, glue_job.py:69-81).
+
+    Substring match on the directory component, exactly the reference's
+    semantics (``orders/`` vs ``order_items/`` vs ``products/``), with
+    the same subtlety that ``order_items`` must be tested before
+    ``orders`` would match as a substring — the reference dodges this by
+    matching ``/orders/`` with slashes; we do the same.
+    """
+    for table in ("order_items", "orders", "products"):
+        if f"/{table}/" in path or path.startswith(f"{table}/"):
+            return table
+    return None
+
+
+def classify_path_col(path_col: F.Column) -> F.Column:
+    """Columnar version of :func:`classify_path` for use with
+    ``input_file_name()`` in distributed scans."""
+    return (
+        F.when(path_col.contains("/order_items/"), F.lit("order_items"))
+        .when(path_col.contains("/orders/"), F.lit("orders"))
+        .when(path_col.contains("/products/"), F.lit("products"))
+        .otherwise(F.lit(None).cast("string"))
+    )
