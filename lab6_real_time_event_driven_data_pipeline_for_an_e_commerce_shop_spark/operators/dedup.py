@@ -1,0 +1,197 @@
+"""Deduplication operators over the ``documents`` table — exact,
+MinHash+LSH, SimHash, and n-gram-Jaccard near-dup detection.
+
+Design for 100 TB:
+- **Exact**: hash-groupBy on a normalized fingerprint. One shuffle on
+  the 16-byte hash; never on the document text.
+- **n-gram Jaccard**: shingle → explode → self-join on shingle →
+  count shared → Jaccard. The join carries (doc_id, shingle-hash)
+  pairs only. A blocking key (same language) bounds the candidate
+  space; at larger scale swap blocking for MinHash-LSH below.
+- **MinHash + LSH**: k min-hashes from ONE pass (k affine transforms of
+  one base hash — no k rescans), banded into b buckets; candidate
+  pairs are generated per-bucket (equi-join on band signature), so the
+  quadratic blow-up is limited to same-bucket groups.
+- **SimHash**: 32-bit sign-aggregated token hashes; near-dups share
+  bands of bits.
+
+Hashing is md5-based (``conv(substr(md5(x),1,12),16,10)``) — portable
+(DuckDB can reproduce it exactly), deterministic across engines,
+runs, and cluster sizes. Spark's murmur ``hash()`` is faster but
+engine-private; swap in production if oracle parity isn't needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import shingles, tokens
+
+# 2^31-1, a Mersenne prime — the classic MinHash modulus.
+MERSENNE = 2_147_483_647
+# Affine coefficients for the k hash functions h_i(x) = (a_i*x + b_i) % P.
+# Fixed constants (NOT runtime-random): reproducible signatures.
+MINHASH_COEF = [
+    (1_203_077, 12_345),
+    (2_038_075, 98_765),
+    (3_014_107, 55_555),
+    (4_000_037, 77_777),
+    (5_014_013, 11_111),
+    (6_029_003, 22_222),
+    (7_036_097, 33_333),
+    (8_038_013, 44_444),
+    (9_043_049, 66_666),
+    (10_061_029, 88_888),
+    (11_071_019, 13_579),
+    (12_082_015, 24_680),
+    (13_093_007, 97_531),
+    (14_104_003, 86_420),
+    (15_115_001, 19_283),
+    (16_126_001, 74_655),
+]
+
+
+def portable_hash(col: F.Column) -> F.Column:
+    """48-bit integer hash of a string via md5 — bit-identical in DuckDB
+    (`CAST('0x'||substr(md5(x),1,12) AS BIGINT)`)."""
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup groups: normalized-text hash → (hash, keep id, copies).
+    Shuffles 16-byte hashes, not documents."""
+    normalized = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    return (
+        df.select(F.md5(normalized).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").cast("long").alias("n_copies"),
+        )
+    )
+
+
+def _doc_shingle_hashes(
+    df: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """(id, shingle_hash) distinct pairs — the common substrate for
+    Jaccard, MinHash and SimHash."""
+    return (
+        df.select(F.col(id_col).alias("_id"), F.explode(shingles(F.col(text_col), k)).alias("_sh"))
+        .select("_id", portable_hash(F.col("_sh")).alias("_h"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by k-word-shingle Jaccard ≥ threshold.
+
+    explode → (optionally blocked) self-equi-join on shingle hash →
+    shared count → |A∪B| = |A|+|B|−shared. Output: (id_a, id_b,
+    jaccard) with id_a < id_b.
+    """
+    pairs_src = df.select(
+        F.col(id_col).alias("_id"),
+        *( [F.col(block_col).alias("_blk")] if block_col else [] ),
+        F.explode(shingles(F.col(text_col), k)).alias("_sh"),
+    ).select("_id", *(["_blk"] if block_col else []), portable_hash(F.col("_sh")).alias("_h")).distinct()
+
+    sizes = pairs_src.groupBy("_id").agg(F.count("*").alias("_n"))
+
+    a = pairs_src.select(F.col("_id").alias("id_a"), *( [F.col("_blk")] if block_col else [] ), "_h")
+    b = pairs_src.select(F.col("_id").alias("id_b"), *( [F.col("_blk").alias("_blk_b")] if block_col else [] ), "_h")
+    join_cond = (a["_h"] == b["_h"]) & (a["id_a"] < b["id_b"])
+    if block_col:
+        join_cond = join_cond & (a["_blk"] == b["_blk_b"])
+    shared = (
+        a.join(b, join_cond)
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("_shared"))
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("_shared").cast("double")
+            / (F.col("_na") + F.col("_nb") - F.col("_shared")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, k: int = 16, shingle_k: int = 3,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """k-wide MinHash signature per document, computed in ONE aggregation
+    pass: min over k affine transforms of the shingle hash. Output:
+    (id, mh_0..mh_{k-1})."""
+    assert k <= len(MINHASH_COEF)
+    sh = _doc_shingle_hashes(df, text_col, id_col, shingle_k)
+    # reduce h mod P BEFORE multiplying: h is 48-bit, h*a would overflow
+    # int64 (ANSI mode errors on overflow; non-ANSI silently wraps)
+    aggs = [
+        F.min(((F.col("_h") % MERSENNE) * a + b) % MERSENNE).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(MINHASH_COEF[:k])
+    ]
+    return sh.groupBy(F.col("_id").alias(id_col)).agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame, bands: int = 4, k: int = 16, shingle_k: int = 3,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH candidate pairs: signature split into ``bands`` bands of
+    k/bands rows; docs sharing ANY band signature are candidates.
+    The band join is an equi-join on (band_idx, band_sig) — fully
+    shuffle-partitionable, no cross join anywhere."""
+    rows = k // bands
+    sig = minhash_signatures(df, k, shingle_k, text_col, id_col)
+    band_cols = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.concat_ws("_", *[F.col(f"mh_{bi * rows + r}") for r in range(rows)]).alias("sig"),
+        )
+        for bi in range(bands)
+    ]
+    banded = sig.select(F.col(id_col).alias("_id"), F.explode(F.array(*band_cols)).alias("b")).select(
+        "_id", F.col("b.band").alias("band"), F.col("b.sig").alias("sig")
+    )
+    a = banded.select(F.col("_id").alias("id_a"), "band", "sig")
+    b = banded.select(F.col("_id").alias("id_b"), "band", "sig")
+    return (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, bits: int = 32, shingle_k: int = 1,
+            text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """SimHash: per-bit sign aggregation of token hashes. bit_j(doc) = 1
+    iff Σ_tokens (bit_j(h) ? +1 : −1) > 0. One explode + one groupBy."""
+    sh = _doc_shingle_hashes(df, text_col, id_col, shingle_k)
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_b{j}")
+        for j in range(bits)
+    ]
+    agg = sh.groupBy(F.col("_id").alias(id_col)).agg(*bit_sums)
+    sim = F.lit(0).cast("long")
+    for j in range(bits):
+        sim = sim + F.when(F.col(f"_b{j}") > 0, F.lit(2**j).cast("long")).otherwise(0)
+    return agg.select(id_col, sim.alias("simhash"))

@@ -1,0 +1,173 @@
+"""Similarity search over embedding columns (``embeddings`` table:
+vec_id bigint, embedding array<float>, label int).
+
+- brute-force cosine top-k: the exactness baseline. The query vector is
+  broadcast (a 1-row dim table); similarity is a JVM-side
+  ``aggregate(zip_with(...))`` expression — no Python in the loop.
+  At 100 TB this is a single scan + per-partition top-k (window or
+  orderBy+limit both reduce map-side before the final single-reducer
+  merge of k rows per partition).
+- LSH-bucketed ANN (random hyperplanes): sign-bit sketch over fixed
+  pseudo-random planes → candidates share a bucket → exact cosine only
+  within buckets. The scale path: the cross product never happens.
+- pairwise near-duplicates: blocked self-join (by LSH bucket) +
+  cosine ≥ threshold.
+
+The hyperplanes are generated from a fixed seed with a splitmix-style
+integer mix of (plane, dim) — deterministic, no stored model artifact,
+reproducible on any engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """JVM-side dot product over two array<float/double> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k of ``query_df`` (1 row: id_col, vec_col)
+    against every row of ``df``. Deterministic tie-break on id.
+
+    Physical plan: broadcast-nested-loop of a 1-row build side (i.e. a
+    map-side constant), then global top-k. The window over a constant
+    partition reduces per-partition before the final merge."""
+    q = F.broadcast(
+        query_df.select(
+            F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qvec")
+        )
+    )
+    scored = (
+        df.crossJoin(q)
+        .filter(F.col(id_col) != F.col("_qid"))
+        .select(
+            F.col("_qid").alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            cosine(F.col(vec_col), F.col("_qvec")).alias("cosine_sim"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
+        .limit(k)
+        .withColumn("rank", F.monotonically_increasing_id().cast("int") + 1)
+        .drop("rank")  # rank via limit order is not stable post-shuffle; keep k rows only
+    )
+
+
+def _mix(i: int, j: int) -> float:
+    """Deterministic pseudo-random in [-1, 1) from integers (i, j) —
+    splitmix64-style finalizer, reproducible anywhere."""
+    x = (i * 0x9E3779B97F4A7C15 + j * 0xBF58476D1CE4E5B9 + 0x94D049BB133111EB) % (1 << 64)
+    x ^= x >> 30
+    x = (x * 0xBF58476D1CE4E5B9) % (1 << 64)
+    x ^= x >> 27
+    x = (x * 0x94D049BB133111EB) % (1 << 64)
+    x ^= x >> 31
+    return (x % (1 << 53)) / float(1 << 52) - 1.0
+
+
+def hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
+    return [[_mix(p, d) for d in range(dim)] for p in range(n_planes)]
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id: bit p set iff vec · plane_p > 0."""
+    bucket = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        d = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(w) for w in plane]),
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(d > 0, F.lit(2**p).cast("long")).otherwise(0)
+    return bucket
+
+
+def ann_lsh_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: candidates = rows in the query's hyperplane bucket
+    (plus Hamming-1 neighbors would be the recall knob; omitted for
+    v1), exact cosine within. At scale the bucket column is computed
+    once at ingest and the probe is a partition-pruned equi-join."""
+    planes = hyperplanes(n_planes, dim)
+    bucketed = df.withColumn("_bkt", lsh_bucket(F.col(vec_col), planes))
+    qb = F.broadcast(
+        query_df.select(
+            F.col(id_col).alias("_qid"),
+            F.col(vec_col).alias("_qvec"),
+            lsh_bucket(F.col(vec_col), planes).alias("_bkt"),
+        )
+    )
+    cand = bucketed.join(qb, "_bkt").filter(F.col(id_col) != F.col("_qid"))
+    scored = cand.select(
+        F.col("_qid").alias("query_id"),
+        F.col(id_col).alias("neighbor_id"),
+        cosine(F.col(vec_col), F.col("_qvec")).alias("cosine_sim"),
+    )
+    return scored.orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id")).limit(k)
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All near-duplicate pairs (cosine ≥ threshold), blocked by LSH
+    bucket so the self-join is bucket-local (near-identical vectors
+    land in the same bucket with high probability)."""
+    planes = hyperplanes(n_planes, dim)
+    b = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        lsh_bucket(F.col(vec_col), planes).alias("_bkt"),
+    )
+    a = b.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "_bkt")
+    c = b.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), "_bkt")
+    return (
+        a.join(c, "_bkt")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )

@@ -1,0 +1,115 @@
+"""Text-analysis operators for the ``documents`` table — the
+training-data-pipeline extension pack (beyond the reference surface).
+
+All operators are pure ``pyspark.sql.functions`` column expressions
+(JVM-side, whole-stage-codegen'd) — no Python UDFs in the hot path.
+Each returns columns deterministic enough to oracle-check in DuckDB.
+
+Operators:
+- token_count      — whitespace tokenization + count
+- quality_score    — length/punct/digit/uppercase ratio features
+- language_id      — stopword-marker n-gram heuristic
+- fingerprint      — md5 over whitespace-normalized text (doc identity)
+- shingles         — k-word shingle array (input to MinHash / Jaccard)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Marker stopwords per language for the n-gram/stopword language-ID
+# heuristic. Deliberately tiny + deterministic (the point is the Spark
+# plumbing and the oracle-checkable argmax, not linguistic accuracy).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "nicht", "ist"],
+    "fr": ["le", "la", "et", "les", "est"],
+    "es": ["el", "la", "que", "los", "es"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization (split on runs of whitespace, trimmed)."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("n_tokens", F.size(tokens(F.col(text_col))).cast("long"))
+
+
+def _ratio(numer: Column, denom: Column) -> Column:
+    return numer.cast("double") / F.when(denom == 0, F.lit(1)).otherwise(denom)
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring features: length, token stats, punct/digit/upper
+    ratios. Everything is computed by regexp_replace-length deltas —
+    one codegen stage, no UDF."""
+    t = F.col(text_col)
+    length = F.length(t)
+    no_punct = F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    no_digit = F.length(F.regexp_replace(t, r"[0-9]", ""))
+    no_upper = F.length(F.regexp_replace(t, r"[A-Z]", ""))
+    n_tok = F.size(tokens(t))
+    return (
+        df.withColumn("n_chars_actual", length.cast("long"))
+        .withColumn("n_tokens", n_tok.cast("long"))
+        .withColumn("avg_token_len", _ratio(length - (n_tok - 1), n_tok))
+        .withColumn("punct_ratio", _ratio(length - no_punct, length))
+        .withColumn("digit_ratio", _ratio(length - no_digit, length))
+        .withColumn("upper_ratio", _ratio(length - no_upper, length))
+    )
+
+
+def language_scores(text: Column) -> dict[str, Column]:
+    """Per-language marker-hit counts: occurrences of each marker word,
+    word-bounded, over the lowercased text."""
+    lowered = F.lower(text)
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        pattern = r"\b(" + "|".join(markers) + r")\b"
+        # occurrences == split-parts - 1 (identical semantics in DuckDB's
+        # string_split_regex, which the oracle uses)
+        out[lang] = F.size(F.split(lowered, pattern)) - 1
+    return out
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Argmax language by marker-word hits; deterministic tie-break by
+    language code ascending; 'und' (undetermined) when all scores are 0."""
+    scores = language_scores(F.col(text_col))
+    langs = sorted(scores)
+    # build argmax as a fold over (score, lang) pairs — pure expressions
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang in reversed(langs):  # reversed so earlier langs win ties
+        s = scores[lang]
+        best_lang = F.when(s >= F.greatest(best_score, F.lit(1)), F.lit(lang)).otherwise(best_lang)
+        best_score = F.greatest(best_score, s)
+    out = df
+    for lang in langs:
+        out = out.withColumn(f"score_{lang}", scores[lang].cast("long"))
+    return out.withColumn("predicted_lang", best_lang)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 of the whitespace-normalized, lowercased
+    text (reference-class doc identity for exact dedup; SURVEY.md §7
+    phase 4). Portable across engines (DuckDB md5 ≡ Spark md5)."""
+    normalized = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    return df.withColumn("fingerprint", F.md5(normalized))
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """k-word shingle array via transform over a sequence — pure SQL
+    expressions, no UDF, no explode until the caller wants one."""
+    toks = tokens(text)
+    n = F.size(toks)
+    return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+    )

@@ -596,3 +596,382 @@ def q18_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.sum("is_new").cast("long").alias("n_sessions"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q19 — JSON property extraction on the event stream
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q19_event_props_sum",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
+    FROM events GROUP BY event_type
+    """,
+)
+def q19_event_props_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON property extraction (the reference's control
+    plane is all JSON docs — SURVEY.md §1.3; here as a data-plane op)."""
+    ev = _events_us(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.get_json_object("props", "$.k").cast("long")).cast("long").alias("k_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q20-q23 — text analysis over documents (training-data pipeline ops)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q20_doc_token_counts",
+    r"""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+    FROM documents
+    """,
+)
+def q20_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting — JVM-side split, no UDF."""
+    from ..operators import text as text_ops
+
+    return text_ops.token_count(_t(spark, sf_dir, "documents")).select("doc_id", "n_tokens")
+
+
+@query(
+    "q21_doc_fingerprints",
+    r"""
+    SELECT doc_id,
+           md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+)
+def q21_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over whitespace-normalized lowercased
+    text (identity key for exact dedup)."""
+    from ..operators import text as text_ops
+
+    return text_ops.fingerprint(_t(spark, sf_dir, "documents")).select("doc_id", "fingerprint")
+
+
+@query(
+    "q22_doc_quality",
+    r"""
+    WITH base AS (
+        SELECT doc_id, text,
+               length(text) AS n_chars_actual,
+               len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+               length(regexp_replace(text, '[^\w\s]', '', 'g')) AS no_punct,
+               length(regexp_replace(text, '[0-9]', '', 'g'))   AS no_digit,
+               length(regexp_replace(text, '[A-Z]', '', 'g'))   AS no_upper
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_chars_actual AS BIGINT) AS n_chars_actual,
+           CAST(n_tokens AS BIGINT)       AS n_tokens,
+           CAST(n_chars_actual - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_token_len,
+           CAST(n_chars_actual - no_punct AS DOUBLE) / n_chars_actual AS punct_ratio,
+           CAST(n_chars_actual - no_digit AS DOUBLE) / n_chars_actual AS digit_ratio,
+           CAST(n_chars_actual - no_upper AS DOUBLE) / n_chars_actual AS upper_ratio
+    FROM base
+    """,
+)
+def q22_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring features (length/token/punct/digit/upper ratios) —
+    regexp-length deltas, one codegen stage."""
+    from ..operators import text as text_ops
+
+    return text_ops.quality_features(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_chars_actual", "n_tokens",
+        "avg_token_len", "punct_ratio", "digit_ratio", "upper_ratio",
+    )
+
+
+def _lang_score_sql(markers: list[str]) -> str:
+    pattern = r"\b(" + "|".join(markers) + r")\b"
+    return rf"len(string_split_regex(lower(text), '{pattern}')) - 1"
+
+
+@query(
+    "q23_language_id",
+    None,  # assembled below (needs the marker table); see _q23_oracle()
+)
+def q23_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-stopword language ID with deterministic argmax (first
+    language in code order wins ties; 'und' when no marker hits)."""
+    from ..operators import text as text_ops
+
+    langs = sorted(text_ops.LANG_MARKERS)
+    return text_ops.language_id(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "predicted_lang", *[f"score_{lang}" for lang in langs]
+    )
+
+
+def _q23_oracle() -> str:
+    from ..operators import text as text_ops
+
+    langs = sorted(text_ops.LANG_MARKERS)
+    score_cols = ",\n           ".join(
+        f"CAST({_lang_score_sql(text_ops.LANG_MARKERS[lang])} AS BIGINT) AS score_{lang}"
+        for lang in langs
+    )
+    greatest = "GREATEST(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    case = " ".join(f"WHEN score_{lang} = _m THEN '{lang}'" for lang in langs)
+    return f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+           {score_cols}
+        FROM documents
+    ), m AS (
+        SELECT *, {greatest} AS _m FROM scored
+    )
+    SELECT doc_id, lang,
+           CASE WHEN _m < 1 THEN 'und' {case} END AS predicted_lang,
+           {", ".join(f"score_{lang}" for lang in langs)}
+    FROM m
+    """
+
+
+_REGISTRY["q23_language_id"] = Query(
+    "q23_language_id", q23_language_id, _q23_oracle()
+)
+
+
+# ---------------------------------------------------------------------------
+# q24-q26 — near-duplicate detection: n-gram Jaccard, MinHash, LSH
+# ---------------------------------------------------------------------------
+
+# portable 48-bit hash (Spark conv(md5) ≡ DuckDB 0x-cast), shared SQL
+_PHASH = "CAST(concat('0x', substr(md5({x}), 1, 12)) AS BIGINT)"
+
+_SHINGLE_SQL = r"""
+        SELECT doc_id,
+               t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+             LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) g
+"""
+
+_DOC_SHINGLE_HASH_SQL = f"""
+        SELECT DISTINCT doc_id, {_PHASH.format(x='shingle')} AS h
+        FROM ({_SHINGLE_SQL})
+"""
+
+
+@query(
+    "q24_ngram_jaccard_pairs",
+    f"""
+    WITH sh AS ({_DOC_SHINGLE_HASH_SQL}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.1
+    """,
+)
+def q24_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by 3-word-shingle Jaccard ≥ 0.1 (low threshold so
+    the synthetic corpus yields a non-trivial result set)."""
+    from ..operators import dedup
+
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.1, k=3
+    )
+
+
+def _minhash_sig_sql(k: int = 16) -> str:
+    from ..operators import dedup
+
+    mins = ",\n               ".join(
+        f"MIN(((h % {dedup.MERSENNE}) * {a} + {b}) % {dedup.MERSENNE}) AS mh_{i}"
+        for i, (a, b) in enumerate(dedup.MINHASH_COEF[:k])
+    )
+    return f"""
+        SELECT doc_id,
+               {mins}
+        FROM ({_DOC_SHINGLE_HASH_SQL})
+        GROUP BY doc_id
+"""
+
+
+@query("q25_minhash_signatures", f"SELECT * FROM ({_minhash_sig_sql(16)})")
+def q25_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-wide MinHash signatures in one aggregation pass (k affine
+    transforms of one md5-based shingle hash — no k rescans)."""
+    from ..operators import dedup
+
+    return dedup.minhash_signatures(_t(spark, sf_dir, "documents"), k=16)
+
+
+def _lsh_bands_sql(bands: int = 4, rows: int = 4) -> str:
+    selects = []
+    for bi in range(bands):
+        sig = " || '_' || ".join(f"CAST(mh_{bi * rows + r} AS VARCHAR)" for r in range(rows))
+        selects.append(
+            f"SELECT doc_id, {bi} AS band, {sig} AS sig FROM sig"
+        )
+    return " UNION ALL ".join(selects)
+
+
+@query(
+    "q26_minhash_lsh_candidates",
+    f"""
+    WITH sig AS ({_minhash_sig_sql(16)}),
+    banded AS ({_lsh_bands_sql(4, 4)})
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    """,
+)
+def q26_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: 4 bands × 4 rows; equi-join on band
+    signature — the scale path that avoids any all-pairs comparison."""
+    from ..operators import dedup
+
+    return dedup.minhash_lsh_candidates(
+        _t(spark, sf_dir, "documents"), bands=4, k=16
+    )
+
+
+# ---------------------------------------------------------------------------
+# q27-q29 — similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_COSINE_PAIR_SQL = """
+        SELECT a_id, b_id, dot / (sqrt(na) * sqrt(nb)) AS cos FROM (
+            SELECT a_id, b_id,
+                   SUM(xa * xb) AS dot, SUM(xa * xa) AS na, SUM(xb * xb) AS nb
+            FROM (
+                SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                       CAST(unnest(a.embedding) AS DOUBLE) AS xa,
+                       CAST(unnest(b.embedding) AS DOUBLE) AS xb
+                FROM embeddings a JOIN embeddings b ON ({cond})
+            ) z GROUP BY a_id, b_id
+        ) s
+"""
+
+
+@query(
+    "q27_cosine_topk",
+    f"""
+    WITH scored AS (
+        {_COSINE_PAIR_SQL.format(cond="a.vec_id = (SELECT MIN(vec_id) FROM embeddings) AND b.vec_id <> a.vec_id")}
+    )
+    SELECT a_id AS query_id, b_id AS neighbor_id, ROUND(cos, 6) AS cosine_sim
+    FROM scored
+    ORDER BY ROUND(cos, 6) DESC, b_id
+    LIMIT 10
+    """,
+)
+def q27_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for the lowest vec_id as query vector.
+    Similarity is rounded to 6dp BEFORE ranking so ordering (and the
+    oracle hash) is ulp-stable; ties break on neighbor_id."""
+    from ..operators import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qrow = emb.join(
+        F.broadcast(emb.agg(F.min("vec_id").alias("vec_id"))), "vec_id", "left_semi"
+    )
+    scored = (
+        emb.crossJoin(
+            F.broadcast(
+                qrow.select(F.col("vec_id").alias("_qid"), F.col("embedding").alias("_qvec"))
+            )
+        )
+        .filter(F.col("vec_id") != F.col("_qid"))
+        .select(
+            F.col("_qid").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(similarity.cosine(F.col("embedding"), F.col("_qvec")), 6).alias("cosine_sim"),
+        )
+    )
+    return scored.orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id")).limit(10)
+
+
+@query(
+    "q28_embedding_near_dups",
+    f"""
+    WITH scored AS (
+        {_COSINE_PAIR_SQL.format(cond="a.vec_id < b.vec_id")}
+    )
+    SELECT a_id AS id_a, b_id AS id_b, ROUND(cos, 6) AS cosine_sim
+    FROM scored WHERE ROUND(cos, 6) >= 0.5
+    """,
+)
+def q28_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs cosine ≥ 0.5 (exactness baseline; the LSH-blocked scale
+    variant is q29/operators.similarity.embedding_near_dups)."""
+    from ..operators import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.round(similarity.cosine(F.col("_va"), F.col("_vb")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= 0.5)
+    )
+
+
+@query("q29_ann_lsh_topk", None)  # LSH recall is probabilistic → rows-only check
+def q29_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via random-hyperplane LSH bucketing (the 100 TB path:
+    bucket equi-join instead of all-pairs). No SQL oracle — bucket
+    membership is model-defined, not relational; correctness is pinned
+    by unit tests against brute force recall instead."""
+    from ..operators import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qrow = emb.join(
+        F.broadcast(emb.agg(F.min("vec_id").alias("vec_id"))), "vec_id", "left_semi"
+    )
+    return similarity.ann_lsh_topk(emb, qrow, k=10, n_planes=6, dim=64)
+
+
+# ---------------------------------------------------------------------------
+# q30 — SimHash fingerprints
+# ---------------------------------------------------------------------------
+
+
+def _simhash_oracle(bits: int = 32) -> str:
+    from ..operators import dedup
+
+    tok_hash = f"""
+        SELECT DISTINCT doc_id, {_PHASH.format(x='tok')} AS h FROM (
+            SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+            FROM documents
+        )
+    """
+    sums = ", ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(bits)
+    )
+    val = " + ".join(f"CASE WHEN b{j} > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END" for j in range(bits))
+    return f"""
+    WITH sh AS ({tok_hash}),
+    agg AS (SELECT doc_id, {sums} FROM sh GROUP BY doc_id)
+    SELECT doc_id, {val} AS simhash FROM agg
+    """
+
+
+@query("q30_simhash", _simhash_oracle(32))
+def q30_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document (near-dup sketch; Hamming-distance
+    banding pairs docs at scale). One explode + one groupBy."""
+    from ..operators import dedup
+
+    return dedup.simhash(_t(spark, sf_dir, "documents"), bits=32, shingle_k=1)
