@@ -1,0 +1,227 @@
+"""Operator unit tests on e-commerce-shaped fixtures — the adversarial
+cases from FIXTURES.md §3 (the reference's validation rules are its
+de-facto correctness spec; SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark import schemas
+from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+    enrich,
+    kpis,
+    setops,
+    validation,
+)
+
+TS = dt.datetime(2024, 3, 1, 10, 0, 0)
+
+
+def _orders(spark, rows):
+    return spark.createDataFrame(rows, schema=schemas.ORDERS_SCHEMA)
+
+
+def _items(spark, rows):
+    return spark.createDataFrame(rows, schema=schemas.ORDER_ITEMS_SCHEMA)
+
+
+def _products(spark, rows):
+    return spark.createDataFrame(rows, schema=schemas.PRODUCTS_SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def fixture_tables(spark):
+    orders = _orders(
+        spark,
+        [
+            ("o1", "u1", "delivered", TS, None, TS, TS, 2),
+            ("o2", "u2", "returned", TS + dt.timedelta(days=1), TS, None, None, 1),
+            ("o3", "u1", "pending", TS + dt.timedelta(days=1), None, None, None, 1),
+        ],
+    )
+    items = _items(
+        spark,
+        [
+            # (id, order_id, user_id, product_id, status, created_at, shipped, delivered, returned, price)
+            ("i1", "o1", "u1", "p1", "delivered", TS, TS, TS, None, 10.0),
+            ("i2", "o1", "u1", "p2", "delivered", TS, TS, TS, None, 30.0),
+            ("i3", "o2", "u2", "p1", "returned", TS, None, None, TS, 20.0),
+            # o3's item references a product that never arrives (p_missing)
+            ("i4", "o3", "u1", "p_missing", "pending", TS, None, None, None, 5.0),
+        ],
+    )
+    products = _products(
+        spark,
+        [
+            ("p1", "sku1", 5.0, "cat_a", "widget", "acme", 12.0, "dept1"),
+            ("p2", "sku2", 9.0, "cat_b", "gadget", "acme", 35.0, "dept1"),
+        ],
+    )
+    return orders, items, products
+
+
+# ---------------------------------------------------------------------------
+# enrichment + KPI semantics (SURVEY.md §2.5 fine print, hand-computed goldens)
+# ---------------------------------------------------------------------------
+
+
+def test_enrich_join_and_projection(fixture_tables):
+    orders, items, products = fixture_tables
+    out = enrich.enrich_orders(orders, items, products)
+    rows = {(r.order_id, r.product_id): r for r in out.collect()}
+    # o3's item drops out (inner join: p_missing not in products)
+    assert set(rows) == {("o1", "p1"), ("o1", "p2"), ("o2", "p1")}
+    assert rows[("o1", "p1")].category == "cat_a"
+    assert rows[("o1", "p1")].order_date == TS.date()
+    assert rows[("o2", "p1")].returned_at is not None
+
+
+def test_category_kpis_quirky_semantics(fixture_tables):
+    """avg_order_value = mean ITEM price; avg_return_rate denominator =
+    row count (reference transform.py:350-351)."""
+    orders, items, products = fixture_tables
+    out = kpis.category_kpis(enrich.enrich_orders(orders, items, products))
+    by_key = {(r.category, r.order_date): r for r in out.collect()}
+    a = by_key[("cat_a", TS.date())]
+    # cat_a on day1: items i1 (10.0, kept) — one row
+    assert a.daily_revenue == pytest.approx(10.0)
+    assert a.avg_order_value == pytest.approx(10.0)
+    assert a.avg_return_rate == pytest.approx(0.0)
+    b = by_key[("cat_a", (TS + dt.timedelta(days=1)).date())]
+    # cat_a on day2: i3 returned (20.0) — return rate 1/1
+    assert b.daily_revenue == pytest.approx(20.0)
+    assert b.avg_return_rate == pytest.approx(1.0)
+
+
+def test_order_kpis_distinct_denominator(fixture_tables):
+    """return_rate divides by DISTINCT orders (reference transform.py:363),
+    NOT by rows — pinned so nobody 'fixes' it."""
+    orders, items, products = fixture_tables
+    out = kpis.order_kpis_daily(enrich.enrich_orders(orders, items, products))
+    by_date = {r.order_date: r for r in out.collect()}
+    d1 = by_date[TS.date()]
+    assert d1.total_orders == 1  # o1 only
+    assert d1.total_revenue == pytest.approx(40.0)
+    assert d1.total_items_sold == 2
+    assert d1.return_rate == pytest.approx(0.0)
+    assert d1.unique_customers == 1
+    d2 = by_date[(TS + dt.timedelta(days=1)).date()]
+    assert d2.total_orders == 1  # o2 (o3 dropped by join)
+    assert d2.return_rate == pytest.approx(1.0)  # 1 returned item / 1 distinct order
+
+
+# ---------------------------------------------------------------------------
+# validation rules (FIXTURES.md §3 cases 1-5)
+# ---------------------------------------------------------------------------
+
+
+def test_validation_catches_all_violations(spark):
+    from pyspark.sql import types as T
+
+    # bad data arrives with nulls, so read it under an all-nullable schema
+    # (exactly what a PERMISSIVE ingest would produce)
+    nullable = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in schemas.ORDERS_SCHEMA.fields]
+    )
+    bad_orders = spark.createDataFrame(
+        [
+            (None, "u1", "delivered", TS, None, None, None, 1),      # null PK
+            ("o1", "u1", "delivered", TS, None, None, None, 1),
+            ("o1", "u2", "bogus_status", TS, None, None, None, 2),   # dup PK + bad domain
+        ],
+        schema=nullable,
+    )
+    rules = validation.rules_for("orders")
+    counts = {r.rule_name: r.violations for r in validation.violation_counts(bad_orders, rules).collect()}
+    assert counts["orders.order_id.not_null"] == 1
+    assert counts["orders.order_id.unique"] == 1  # one extra copy of o1
+    assert counts["orders.status.domain"] == 1
+
+
+def test_validation_split_quarantine(spark):
+    items = _items(
+        spark,
+        [
+            ("i1", "o1", "u1", "p1", "delivered", TS, None, None, None, 10.0),
+            ("i2", "o1", "u1", "p2", "delivered", TS, None, None, None, -4.0),  # negative
+        ],
+    )
+    rules = validation.rules_for("order_items")
+    valid, quarantine = validation.split_valid(items, rules)
+    assert valid.count() == 1
+    q = quarantine.collect()
+    assert len(q) == 1
+    assert q[0]["_violated_rules"] == ["order_items.sale_price.non_negative"]
+
+
+def test_header_check():
+    issues = validation.check_header(
+        ["order_id", "user_id", "user_id"], ["order_id", "user_id", "status"]
+    )
+    assert any("missing" in i for i in issues)
+    assert any("duplicate" in i for i in issues)
+    assert validation.check_header(["a", "b", "extra"], ["a", "b"]) == []
+
+
+def test_integer_dtype_check(spark):
+    df = _orders(spark, [("o1", "u1", "pending", TS, None, None, None, 3)])
+    assert validation.integer_dtype_check(df, "num_of_item")
+    assert not validation.integer_dtype_check(df.withColumn("num_of_item", F.col("num_of_item").cast("double")), "num_of_item")
+
+
+# ---------------------------------------------------------------------------
+# referential completeness (FIXTURES.md §3 case 7)
+# ---------------------------------------------------------------------------
+
+
+def test_complete_groups_hold_back_partial(fixture_tables):
+    orders, items, products = fixture_tables
+    complete = {r.order_id for r in setops.complete_order_groups(orders, items, products).collect()}
+    assert complete == {"o1", "o2"}  # o3 waits: p_missing hasn't arrived
+    incomplete = {r.order_id for r in setops.incomplete_order_groups(orders, items, products).collect()}
+    assert incomplete == {"o3"}
+
+
+def test_group_released_when_product_arrives(spark, fixture_tables):
+    orders, items, products = fixture_tables
+    late_product = _products(spark, [("p_missing", "sku3", 1.0, "cat_c", "late", "acme", 2.0, "d")])
+    complete = {
+        r.order_id
+        for r in setops.complete_order_groups(
+            orders, items, products.unionByName(late_product)
+        ).collect()
+    }
+    assert complete == {"o1", "o2", "o3"}
+
+
+def test_order_without_items_not_complete(spark, fixture_tables):
+    orders, items, products = fixture_tables
+    lonely = _orders(spark, [("o9", "u9", "pending", TS, None, None, None, 1)])
+    complete = {
+        r.order_id
+        for r in setops.complete_order_groups(
+            orders.unionByName(lonely), items, products
+        ).collect()
+    }
+    assert "o9" not in complete
+
+
+def test_files_for_groups(spark):
+    file_ids = spark.createDataFrame(
+        [("f1.parquet", ["o1", "o2"]), ("f2.parquet", ["o3"]), ("f3.parquet", ["o1"])],
+        "path string, order_ids array<string>",
+    )
+    groups = spark.createDataFrame([("o1",)], "order_id string")
+    paths = {r.path for r in setops.files_for_groups(file_ids, groups).collect()}
+    assert paths == {"f1.parquet", "f3.parquet"}
+
+
+def test_except_and_union(spark):
+    a = spark.createDataFrame([(1,), (2,), (3,)], "cust_key bigint")
+    b = spark.createDataFrame([(2,), (3,), (4,)], "cust_key bigint")
+    assert {r.cust_key for r in setops.except_keys(a, b, "cust_key").collect()} == {1}
+    assert setops.union_distinct([a, b]).count() == 4

@@ -1,0 +1,69 @@
+"""Keyed MERGE upsert semantics + idempotence (FIXTURES.md §3 case 8:
+replaying a batch must leave serving tables unchanged)."""
+
+from __future__ import annotations
+
+import pytest
+
+from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+    upsert,
+)
+
+
+def _read_sorted(spark, path):
+    df = spark.read.parquet(path)
+    return sorted(tuple(r) for r in df.select(sorted(df.columns)).collect())
+
+
+@pytest.fixture()
+def target(tmp_path):
+    return str(tmp_path / "enriched")
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows, "order_id string, product_id string, order_date string, sale_price double"
+    )
+
+
+def test_initial_write_then_update_and_insert(spark, target):
+    batch1 = _df(spark, [("o1", "p1", "2024-01-01", 10.0), ("o1", "p2", "2024-01-01", 20.0)])
+    upsert.merge(spark, target, batch1, ["order_id", "product_id"])
+    assert len(_read_sorted(spark, target)) == 2
+
+    # update o1/p1, insert o2/p1
+    batch2 = _df(spark, [("o1", "p1", "2024-01-01", 99.0), ("o2", "p1", "2024-01-02", 5.0)])
+    upsert.merge(spark, target, batch2, ["order_id", "product_id"])
+    rows = {(r[1], r[2]): r[3] for r in _read_sorted(spark, target)}
+    # columns sorted: order_date, order_id, product_id, sale_price
+    assert len(rows) == 3
+    out = {tuple(r[1:3]): r[3] for r in _read_sorted(spark, target)}
+    assert out[("o1", "p1")] == 99.0
+    assert out[("o2", "p1")] == 5.0
+
+
+def test_merge_is_idempotent(spark, target):
+    batch = _df(spark, [("o1", "p1", "2024-01-01", 10.0), ("o2", "p2", "2024-01-02", 7.0)])
+    upsert.merge(spark, target, batch, ["order_id", "product_id"])
+    first = _read_sorted(spark, target)
+    upsert.merge(spark, target, batch, ["order_id", "product_id"])  # replay
+    assert _read_sorted(spark, target) == first
+
+
+def test_partitioned_merge_touches_only_source_partitions(spark, target):
+    day1 = _df(spark, [("o1", "p1", "2024-01-01", 10.0)])
+    day2 = _df(spark, [("o2", "p1", "2024-01-02", 20.0)])
+    upsert.merge(spark, target, day1.unionByName(day2), ["order_id", "product_id"],
+                 partition_col="order_date")
+    # incremental: update only day2
+    day2b = _df(spark, [("o2", "p1", "2024-01-02", 99.0)])
+    upsert.merge(spark, target, day2b, ["order_id", "product_id"], partition_col="order_date")
+    out = {tuple(r[1:3]): r[3] for r in _read_sorted(spark, target)}
+    assert out[("o1", "p1")] == 10.0
+    assert out[("o2", "p1")] == 99.0
+
+
+def test_source_with_duplicate_keys_collapses(spark, target):
+    batch = _df(spark, [("o1", "p1", "2024-01-01", 1.0), ("o1", "p1", "2024-01-01", 2.0)])
+    upsert.merge(spark, target, batch, ["order_id", "product_id"])
+    assert len(_read_sorted(spark, target)) == 1
