@@ -1,0 +1,208 @@
+"""Structured-Streaming host for the reference pipeline (SURVEY.md §3
+"Spark-native restatement"):
+
+    bronze:  readStream(csv, schema) → checkpointed ingest       [EP1]
+    quality: valid / quarantine split per validation rules       [EP2]
+    silver:  referential-completeness gate → enrich → MERGE      [EP3a]
+    gold:    category/order KPIs → MERGE serving tables          [EP3b]
+
+Every hand-rolled boundary in the reference (S3 events → SQS → Lambda →
+Glue → manifest JSON → trigger JSON → Step Functions → ECS, reference
+glue_job.py:146-278, lambda1.py, lambda2.py, stepfunction.json) becomes:
+
+- **file-source checkpointing** → exactly-once per input file
+  (replaces the validated/transformed state-file set difference,
+  reference transform.py:432-434; SURVEY.md §2.6 ST1)
+- **foreachBatch + keyed MERGE** → idempotent re-processing
+  (reference transform.py:331-336; ST4)
+- **staging tables + batch completeness joins** → the manifest's
+  group-buffering semantics (reference glue_job.py:221-278; ST3) with
+  *unbounded wait* preserved: an incomplete group simply stays in
+  staging until its products/orders arrive in a later batch.
+
+Design choice for ST3: rather than a keyed stateful operator
+(completeness spans two different keys — order_id for orders/items,
+product_id for products — so no single applyInPandasWithState key
+works), each micro-batch appends to staging and re-runs the
+completeness semi/anti-joins over staging. Released groups move to
+silver and are deleted from staging; staging holds ONLY incomplete
+groups, so its size is bounded by genuinely-pending data, the same
+bound the reference's manifest has — but distributed, not a single
+JSON document on the driver.
+
+Gold KPIs are recomputed per-batch for the affected order_dates only
+and MERGEd — exact countDistinct under streaming (SURVEY.md §2.5 A4:
+exact distinct is not incrementally composable, so recompute the
+touched daily partitions from silver; at 100 TB this is a
+partition-pruned scan of just those dates).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import schemas
+from ..operators import enrich as enrich_op
+from ..operators import kpis, setops, upsert, validation
+
+
+class MedallionPipeline:
+    """Micro-batch medallion pipeline over a directory layout:
+
+        <root>/landing/{orders,order_items,products}/*.csv   (input)
+        <root>/quarantine/<table>/                           (bad rows)
+        <root>/staging/<table>/                              (pending groups)
+        <root>/silver/enriched/                              (merged)
+        <root>/gold/{category_kpis,order_kpis_daily}/        (serving)
+        <root>/_checkpoints/<table>/                         (exactly-once)
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        for t in schemas.ECOMMERCE_SCHEMAS:
+            os.makedirs(self.landing(t), exist_ok=True)
+
+    # -- paths ------------------------------------------------------------
+    def landing(self, table: str) -> str:
+        return os.path.join(self.root, "landing", table)
+
+    def _path(self, *parts: str) -> str:
+        return os.path.join(self.root, *parts)
+
+    # -- EP1: bronze ingest with quality gate (EP2) ------------------------
+    def start_ingest(self, table: str):
+        """One checkpointed file-source stream per table. Each batch:
+        valid rows append to staging; violating rows append to
+        quarantine with their rule names (ST8 quarantine pattern)."""
+        schema = schemas.ECOMMERCE_SCHEMAS[table]
+        stream = (
+            self.spark.readStream.schema(schema)
+            .option("header", True)
+            .option("maxFilesPerTrigger", 16)
+            .csv(self.landing(table))
+        )
+        rules = validation.rules_for(table)
+
+        def process(batch: DataFrame, batch_id: int) -> None:
+            valid, quarantine = validation.split_valid(batch, rules)
+            valid.write.mode("append").parquet(self._path("staging", table))
+            if quarantine.limit(1).count() > 0:
+                (
+                    quarantine.withColumn("_violated_rules", F.to_json("_violated_rules"))
+                    .withColumn("_batch_id", F.lit(batch_id))
+                    .write.mode("append")
+                    .parquet(self._path("quarantine", table))
+                )
+
+        return (
+            stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", self._path("_checkpoints", table))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def ingest_available(self) -> None:
+        """Drain everything currently in landing/ (Trigger.AvailableNow —
+        the streaming equivalent of the reference's per-event Glue runs)."""
+        queries = [self.start_ingest(t) for t in ("orders", "order_items", "products")]
+        for q in queries:
+            q.awaitTermination()
+
+    # -- staging readers ----------------------------------------------------
+    def _staging(self, table: str) -> DataFrame:
+        path = self._path("staging", table)
+        schema = schemas.ECOMMERCE_SCHEMAS[table]
+        if not os.path.isdir(path):
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(path)
+
+    # -- EP3a: completeness gate → enrich → silver MERGE --------------------
+    def promote_complete_groups(self) -> list[str]:
+        """Release referentially-complete order groups from staging into
+        silver (reference glue_job.py:221-278 semantics), returning the
+        affected order_dates (for the gold refresh).
+
+        Incomplete groups stay in staging untouched — the unbounded-wait
+        contract (groups wait indefinitely; SURVEY.md §7 step 10)."""
+        orders = self._staging("orders")
+        items = self._staging("order_items")
+        products = self._staging("products")
+
+        complete = setops.complete_order_groups(orders, items, products).cache()
+        if complete.limit(1).count() == 0:
+            complete.unpersist()
+            return []
+
+        rel_orders = orders.join(complete, "order_id", "left_semi")
+        rel_items = items.join(complete, "order_id", "left_semi")
+        enriched = enrich_op.enrich_orders(rel_orders, rel_items, products)
+
+        dates = [str(r[0]) for r in enriched.select("order_date").distinct().collect()]
+        upsert.merge(
+            self.spark,
+            self._path("silver", "enriched"),
+            enriched,
+            keys=list(schemas.ENRICHED_MERGE_KEYS),
+            partition_col=schemas.ENRICHED_PARTITION_COLUMN,
+        )
+
+        # drop released groups from staging (orders + items); products are
+        # a dimension and stay (other pending groups may reference them)
+        for table, df in (("orders", orders), ("order_items", items)):
+            remaining = df.join(complete, "order_id", "left_anti").cache()
+            remaining.count()  # materialize before overwrite of its own input
+            remaining.write.mode("overwrite").parquet(self._path("staging", table) + "__next")
+            remaining.unpersist()
+            self._swap(self._path("staging", table))
+        complete.unpersist()
+        return dates
+
+    def _swap(self, path: str) -> None:
+        import shutil
+
+        shutil.rmtree(path)
+        os.rename(path + "__next", path)
+
+    # -- EP3b: gold KPI refresh (exact, partition-pruned) --------------------
+    def refresh_gold(self, dates: list[str]) -> None:
+        """Recompute the two KPI tables for the touched order_dates from
+        silver and MERGE into gold. Exact countDistinct per affected
+        daily partition — correct under replays AND late releases, since
+        the recompute always reads the full (merged) silver partition."""
+        if not dates:
+            return
+        silver = self.spark.read.parquet(self._path("silver", "enriched")).filter(
+            F.col("order_date").isin(dates)
+        )
+        silver = silver.cache()
+        cat, daily = kpis.category_kpis(silver), kpis.order_kpis_daily(silver)
+        upsert.merge(
+            self.spark, self._path("gold", "category_kpis"), cat,
+            keys=["category", "order_date"],
+        )
+        upsert.merge(
+            self.spark, self._path("gold", "order_kpis_daily"), daily,
+            keys=["order_date"],
+        )
+        silver.unpersist()
+
+    # -- one end-to-end cycle ------------------------------------------------
+    def run_cycle(self) -> list[str]:
+        """Ingest every pending file, promote complete groups, refresh
+        gold. Re-running with no new files is a no-op (checkpoint skips
+        seen files; merges are idempotent)."""
+        self.ingest_available()
+        dates = self.promote_complete_groups()
+        self.refresh_gold(dates)
+        return dates
+
+    # -- serving readers -------------------------------------------------------
+    def gold(self, table: str) -> DataFrame:
+        return self.spark.read.parquet(self._path("gold", table))
+
+    def silver(self) -> DataFrame:
+        return self.spark.read.parquet(self._path("silver", "enriched"))

@@ -1,0 +1,173 @@
+"""End-to-end streaming tests (FIXTURES.md §3 cases 7-8): adversarial
+file arrival order, unbounded-wait group release, checkpointed
+exactly-once replay, and watermarked window operators."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+
+from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.pipeline import (
+    MedallionPipeline,
+)
+from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming import (
+    windows,
+)
+
+ORDER_HEADER = "order_id,user_id,status,created_at,returned_at,shipped_at,delivered_at,num_of_item"
+ITEM_HEADER = "id,order_id,user_id,product_id,status,created_at,shipped_at,delivered_at,returned_at,sale_price"
+PRODUCT_HEADER = "id,sku,cost,category,name,brand,retail_price,department"
+
+T0 = "2024-03-01T10:00:00"
+
+
+def _drop(root, table, name, header, lines):
+    d = os.path.join(root, "landing", table)
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, name), "w") as f:
+        f.write(header + "\n" + "\n".join(lines) + "\n")
+
+
+def test_adversarial_arrival_and_replay(spark, tmp_path):
+    root = str(tmp_path)
+    pipe = MedallionPipeline(spark, root)
+
+    # batch 1: ITEMS arrive FIRST (before their order and product) — the
+    # adversarial order the reference's manifest handles (glue_job.py:228-236)
+    _drop(root, "order_items", "items1.csv", ITEM_HEADER,
+          [f"i1,o1,u1,p1,delivered,{T0},,,,10.0",
+           f"i2,o1,u1,p2,delivered,{T0},,,,30.0"])
+    pipe.run_cycle()
+    assert pipe.promote_complete_groups() == []  # nothing released yet
+
+    # batch 2: the order arrives; p2 still missing → STILL held back
+    _drop(root, "orders", "orders1.csv", ORDER_HEADER,
+          [f"o1,u1,delivered,{T0},,,,2"])
+    _drop(root, "products", "products1.csv", PRODUCT_HEADER,
+          ["p1,sku1,5.0,cat_a,widget,acme,12.0,d1"])
+    dates = pipe.run_cycle()
+    assert dates == []
+
+    # batch 3: p2 lands → group o1 releases with BOTH items
+    _drop(root, "products", "products2.csv", PRODUCT_HEADER,
+          ["p2,sku2,9.0,cat_b,gadget,acme,35.0,d1"])
+    dates = pipe.run_cycle()
+    assert dates == ["2024-03-01"]
+
+    silver = {(r.order_id, r.product_id): r for r in pipe.silver().collect()}
+    assert set(silver) == {("o1", "p1"), ("o1", "p2")}
+
+    daily = pipe.gold("order_kpis_daily").collect()
+    assert len(daily) == 1
+    assert daily[0].total_orders == 1
+    assert daily[0].total_revenue == pytest.approx(40.0)
+    assert daily[0].total_items_sold == 2
+
+    # replay: re-running with no new files is a no-op (checkpoint +
+    # idempotent merge) — FIXTURES.md case 8
+    before_silver = sorted(map(tuple, pipe.silver().collect()))
+    before_gold = sorted(map(tuple, pipe.gold("category_kpis").collect()))
+    pipe.run_cycle()
+    assert sorted(map(tuple, pipe.silver().collect())) == before_silver
+    assert sorted(map(tuple, pipe.gold("category_kpis").collect())) == before_gold
+
+
+def test_quarantine_gate(spark, tmp_path):
+    root = str(tmp_path)
+    pipe = MedallionPipeline(spark, root)
+    _drop(root, "order_items", "bad.csv", ITEM_HEADER,
+          [f"i1,o1,u1,p1,delivered,{T0},,,,10.0",
+           f"i2,o1,u1,p1,delivered,{T0},,,,-5.0"])  # negative price
+    pipe.ingest_available()
+    quarantined = spark.read.parquet(os.path.join(root, "quarantine", "order_items"))
+    assert quarantined.count() == 1
+    assert "non_negative" in quarantined.collect()[0]["_violated_rules"]
+    staged = spark.read.parquet(os.path.join(root, "staging", "order_items"))
+    assert staged.count() == 1  # only the clean row advanced
+
+
+def test_late_gold_update_after_second_group(spark, tmp_path):
+    """A later release on the SAME order_date must update (not duplicate)
+    the gold row — the per-date recompute-and-merge contract."""
+    root = str(tmp_path)
+    pipe = MedallionPipeline(spark, root)
+    _drop(root, "orders", "o1.csv", ORDER_HEADER, [f"o1,u1,delivered,{T0},,,,1"])
+    _drop(root, "order_items", "i1.csv", ITEM_HEADER,
+          [f"i1,o1,u1,p1,delivered,{T0},,,,10.0"])
+    _drop(root, "products", "p1.csv", PRODUCT_HEADER,
+          ["p1,sku1,5.0,cat_a,widget,acme,12.0,d1"])
+    pipe.run_cycle()
+
+    _drop(root, "orders", "o2.csv", ORDER_HEADER, [f"o2,u2,returned,{T0},,,,1"])
+    _drop(root, "order_items", "i2.csv", ITEM_HEADER,
+          [f"i2,o2,u2,p1,returned,{T0},,,{T0},20.0"])
+    pipe.run_cycle()
+
+    daily = pipe.gold("order_kpis_daily").collect()
+    assert len(daily) == 1  # same order_date → one merged row
+    assert daily[0].total_orders == 2
+    assert daily[0].total_revenue == pytest.approx(30.0)
+    assert daily[0].unique_customers == 2
+    cat = {r.category: r for r in pipe.gold("category_kpis").collect()}
+    assert cat["cat_a"].daily_revenue == pytest.approx(30.0)
+
+
+def _event_rows(spark):
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, base, 10, "click", 1.0),
+        (2, base + dt.timedelta(minutes=10), 10, "click", 2.0),
+        (3, base + dt.timedelta(minutes=75), 10, "view", 3.0),   # new hour + >30min gap
+        (4, base + dt.timedelta(minutes=80), 20, "click", 4.0),
+        (1, base, 10, "click", 1.0),                              # duplicate event_id
+        # sentinel far in the future: advances the watermark so append-mode
+        # streaming emits the closed hour-0/hour-1 windows
+        (99, base + dt.timedelta(hours=3), 30, "click", 0.0),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+
+
+def test_windows_batch_semantics(spark):
+    ev = _event_rows(spark)
+    hourly = {(r.window_start.hour, r.event_type): r.n_events
+              for r in windows.hourly_event_counts(ev).collect()}
+    assert hourly[(0, "click")] == 3  # dup counted in batch (dedup is a separate op)
+    assert hourly[(1, "view")] == 1
+    sess = windows.sessionized_counts(ev).collect()
+    by_user = {}
+    for r in sess:
+        by_user.setdefault(r.user_id, []).append(r.n_events)
+    assert sorted(by_user[10]) == [1, 3]  # 30-min gap splits user 10
+    assert by_user[20] == [1]
+
+
+def test_streaming_windows_with_watermark(spark, tmp_path):
+    """Run the windowed aggregation as a REAL stream (file source →
+    availableNow → memory sink) to pin the streaming path, not just the
+    batch twin."""
+    src = tmp_path / "events_in"
+    src.mkdir()
+    ev = _event_rows(spark)
+    ev.coalesce(1).write.mode("overwrite").parquet(str(src))
+
+    stream = spark.readStream.schema(ev.schema).parquet(str(src))
+    deduped = windows.dedup_within_watermark(stream, ["event_id"], watermark="1 second")
+    agg = windows.hourly_event_counts(deduped, watermark=None)  # already watermarked
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("hourly_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = {(r.window_start.hour, r.event_type): r.n_events
+           for r in spark.sql("SELECT * FROM hourly_test").collect()}
+    # duplicate event_id collapsed by dropDuplicatesWithinWatermark
+    assert out[(0, "click")] == 2
+    assert out[(1, "view")] == 1
