@@ -1,0 +1,91 @@
+"""Shared column-expression library — every reusable scalar/aggregate
+expression in the engine, all JVM-side (whole-stage-codegen'd), no
+Python UDFs.
+
+Determinism contract (see plans/queries.py docstring): float sums run
+on DECIMAL so results are exact — identical across engines, runs, AND
+cluster sizes (double addition is not associative; a plain double SUM
+changes with partitioning).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Exact-money accumulator type: 22 integer digits, 8 fractional.
+MONEY = "decimal(30,8)"
+
+# 2^31-1 (Mersenne prime) — MinHash modulus.
+MERSENNE = 2_147_483_647
+
+
+def exact_sum(col: Column | str, out_type: str = "double") -> Column:
+    """Order-independent SUM of a float column via exact decimal
+    accumulation, emitted as ``out_type``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(MONEY)).cast(out_type)
+
+
+def exact_avg(col: Column | str) -> Column:
+    """AVG as exact-decimal-sum ÷ count — one deterministic IEEE
+    division instead of an engine-private mean."""
+    c = F.col(col) if isinstance(col, str) else col
+    return exact_sum(c) / F.count(c)
+
+
+def portable_hash(col: Column, hex_chars: int = 12) -> Column:
+    """Integer hash of a string via md5 — engine-portable (DuckDB:
+    ``CAST('0x'||substr(md5(x),1,N) AS BIGINT)``), deterministic
+    everywhere. 12 hex chars = 48 bits (safe headroom under int64)."""
+    return F.conv(F.substring(F.md5(col), 1, hex_chars), 16, 10).cast("long")
+
+
+def affine_minhash(h: Column, a: int, b: int, p: int = MERSENNE) -> Column:
+    """One MinHash transform h_i(x) = (a·(x mod p) + b) mod p. The inner
+    mod keeps a·x inside int64 (ANSI overflow-safe)."""
+    return ((h % p) * a + b) % p
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product over two array<float/double> columns — a codegen'd
+    fold, accumulation strictly in array order (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def returned_flag(col: str = "returned_at") -> Column:
+    """Item-return indicator (reference transform.py:351, 363):
+    ``returned_at IS NOT NULL`` → 1 else 0."""
+    return F.when(F.col(col).isNotNull(), 1).otherwise(0)
+
+
+def coalesce_zero(col: Column | str, out_type: str = "int") -> Column:
+    """Null→0 serving-edge coalesce (reference P6, transform.py:395-399)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.coalesce(c, F.lit(0)).cast(out_type)
+
+
+def to_serving_decimal(col: Column | str, precision: int = 38, scale: int = 6) -> Column:
+    """Numeric→Decimal at the serving boundary (reference P5,
+    transform.py:382-399: DynamoDB rejects float; kept as the generic
+    serving-edge cast)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.coalesce(c, F.lit(0)).cast(f"decimal({precision},{scale})")

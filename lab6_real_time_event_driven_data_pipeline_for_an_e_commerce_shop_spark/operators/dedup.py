@@ -26,10 +26,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .text import shingles, tokens
-
-# 2^31-1, a Mersenne prime — the classic MinHash modulus.
-MERSENNE = 2_147_483_647
+from ..functions.expressions import MERSENNE, affine_minhash
+from ..functions.expressions import portable_hash as _portable_hash
+from .text import shingles
 # Affine coefficients for the k hash functions h_i(x) = (a_i*x + b_i) % P.
 # Fixed constants (NOT runtime-random): reproducible signatures.
 MINHASH_COEF = [
@@ -52,10 +51,7 @@ MINHASH_COEF = [
 ]
 
 
-def portable_hash(col: F.Column) -> F.Column:
-    """48-bit integer hash of a string via md5 — bit-identical in DuckDB
-    (`CAST('0x'||substr(md5(x),1,12) AS BIGINT)`)."""
-    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
+portable_hash = _portable_hash  # re-export (oracle SQL mirrors this)
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -140,10 +136,8 @@ def minhash_signatures(
     (id, mh_0..mh_{k-1})."""
     assert k <= len(MINHASH_COEF)
     sh = _doc_shingle_hashes(df, text_col, id_col, shingle_k)
-    # reduce h mod P BEFORE multiplying: h is 48-bit, h*a would overflow
-    # int64 (ANSI mode errors on overflow; non-ANSI silently wraps)
     aggs = [
-        F.min(((F.col("_h") % MERSENNE) * a + b) % MERSENNE).alias(f"mh_{i}")
+        F.min(affine_minhash(F.col("_h"), a, b)).alias(f"mh_{i}")
         for i, (a, b) in enumerate(MINHASH_COEF[:k])
     ]
     return sh.groupBy(F.col("_id").alias(id_col)).agg(*aggs)

@@ -28,30 +28,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# Money sums run on DECIMAL, not DOUBLE: double addition is not
-# associative, so a double SUM changes with partitioning — at 1000
-# executors the same query would return run-dependent low bits. Exact
-# decimal accumulation makes every KPI bit-reproducible across cluster
-# sizes (and hash-comparable to any oracle). Outputs are cast back to
-# double: same logical value, friendlier type.
-MONEY = "decimal(30,8)"
+from ..functions.expressions import exact_sum, returned_flag
 
-
-def _returned() -> F.Column:
-    return F.when(F.col("returned_at").isNotNull(), 1).otherwise(0)
-
-
-def _money_sum(col: str) -> F.Column:
-    return F.sum(F.col(col).cast(MONEY))
+# Money sums run on DECIMAL, not DOUBLE (functions.expressions.exact_sum):
+# double addition is not associative, so a double SUM changes with
+# partitioning — at 1000 executors the same query would return
+# run-dependent low bits. Exact decimal accumulation makes every KPI
+# bit-reproducible across cluster sizes (and hash-comparable to any
+# oracle). Outputs are cast back to double: same value, friendlier type.
 
 
 def category_kpis(enriched: DataFrame) -> DataFrame:
     """Category-level daily KPIs (reference transform.py:348-352)."""
     return enriched.groupBy("category", "order_date").agg(
-        _money_sum("sale_price").cast("double").alias("daily_revenue"),
-        (_money_sum("sale_price").cast("double") / F.count("sale_price"))
+        exact_sum("sale_price").alias("daily_revenue"),
+        (exact_sum("sale_price") / F.count("sale_price"))
         .alias("avg_order_value"),
-        (F.sum(_returned()).cast("double") / F.count("order_id"))
+        (F.sum(returned_flag()).cast("double") / F.count("order_id"))
         .alias("avg_return_rate"),
     )
 
@@ -60,9 +53,9 @@ def order_kpis_daily(enriched: DataFrame) -> DataFrame:
     """Order-level daily KPIs (reference transform.py:359-365)."""
     return enriched.groupBy("order_date").agg(
         F.countDistinct("order_id").alias("total_orders"),
-        _money_sum("sale_price").cast("double").alias("total_revenue"),
+        exact_sum("sale_price").alias("total_revenue"),
         F.count("product_id").alias("total_items_sold"),
-        (F.sum(_returned()).cast("double") / F.countDistinct("order_id"))
+        (F.sum(returned_flag()).cast("double") / F.countDistinct("order_id"))
         .alias("return_rate"),
         F.countDistinct("user_id").alias("unique_customers"),
     )
