@@ -43,10 +43,19 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
 
+    # Bench tables are single ~1-10 MB parquet files; the default 128 MB
+    # split would give 1-3 tasks per scan. Small maxPartitionBytes restores
+    # parallelism at this SF (a real cluster with many files keeps 128 MB).
     spark = build_session(
         app_name="engine-bench",
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus),
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": os.environ.get(
+                "SPARK_GRAFT_MAX_PARTITION_BYTES", str(1024 * 1024)
+            ),
+            "spark.sql.files.openCostInBytes": "262144",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     catalog = q.catalog()

@@ -50,12 +50,24 @@ def category_kpis(enriched: DataFrame) -> DataFrame:
 
 
 def order_kpis_daily(enriched: DataFrame) -> DataFrame:
-    """Order-level daily KPIs (reference transform.py:359-365)."""
-    return enriched.groupBy("order_date").agg(
+    """Order-level daily KPIs (reference transform.py:359-365).
+
+    Two-level aggregation: pre-aggregate per (order_date, order_id,
+    user_id) — one row per order — then finish per order_date. The
+    exact count-distincts (A4) then run their expand over |orders|
+    rows instead of |items| rows (~4× smaller here, 10-100× smaller in
+    real carts), and the item-level sums compose exactly because the
+    partials are exact decimals. Identical results, cheaper plan."""
+    per_order = enriched.groupBy("order_date", "order_id", "user_id").agg(
+        F.sum(F.col("sale_price").cast("decimal(30,8)")).alias("_rev"),
+        F.count("product_id").alias("_items"),
+        F.sum(returned_flag()).alias("_returned"),
+    )
+    return per_order.groupBy("order_date").agg(
         F.countDistinct("order_id").alias("total_orders"),
-        exact_sum("sale_price").alias("total_revenue"),
-        F.count("product_id").alias("total_items_sold"),
-        (F.sum(returned_flag()).cast("double") / F.countDistinct("order_id"))
+        F.sum("_rev").cast("double").alias("total_revenue"),
+        F.sum("_items").cast("long").alias("total_items_sold"),
+        (F.sum("_returned").cast("double") / F.countDistinct("order_id"))
         .alias("return_rate"),
         F.countDistinct("user_id").alias("unique_customers"),
     )
