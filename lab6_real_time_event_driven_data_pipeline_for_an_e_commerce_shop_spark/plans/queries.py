@@ -975,3 +975,122 @@ def q30_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup
 
     return dedup.simhash(_t(spark, sf_dir, "documents"), bits=32, shingle_k=1)
+
+
+# ---------------------------------------------------------------------------
+# q31-q36 — grouping extensions the reference lacks (SURVEY.md §2.5 "absent":
+# rollup/cube, pivot, percentiles, collect_set, approx distinct, date format)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q31_rollup_revenue",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {_dsum('l_extendedprice')} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q31_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (flag → flag+status → grand total) — one
+    pass, Expand-based, no per-level rescans."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        _sdsum(F.col("l_extendedprice")).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+@query(
+    "q32_cube_order_counts",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q32_cube_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over status × priority — all 4 grouping combinations in one
+    Expand pass."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@query(
+    "q33_pivot_revenue_by_flag",
+    f"""
+    SELECT l_linestatus,
+           {_dsum("CASE WHEN l_returnflag = 'A' THEN l_extendedprice END")} AS rev_A,
+           {_dsum("CASE WHEN l_returnflag = 'N' THEN l_extendedprice END")} AS rev_N,
+           {_dsum("CASE WHEN l_returnflag = 'R' THEN l_extendedprice END")} AS rev_R
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def q33_pivot_revenue_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT on return flag (explicit value list → no extra distinct
+    pass; conditional-agg equivalent in the oracle)."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(_sdsum(F.col("l_extendedprice")))
+    )
+    return out.select(
+        "l_linestatus",
+        F.col("A").alias("rev_A"),
+        F.col("N").alias("rev_N"),
+        F.col("R").alias("rev_R"),
+    )
+
+
+@query(
+    "q34_products_per_order_set",
+    """
+    SELECT l_orderkey AS order_id,
+           list_sort(list(DISTINCT l_partkey)) AS product_ids
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def q34_products_per_order_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 (reference glue_job.py:138): the per-order distinct product
+    LIST itself — pandas groupby-apply lambda becomes collect_set, no
+    UDF; sort_array for deterministic ordering."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("order_id"))
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("product_ids"))
+    )
+
+
+@query("q35_approx_distinct_daily", None)  # HLL sketches are engine-private → rows-only
+def q35_approx_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the streaming-friendly
+    alternative to exact distinct (SURVEY.md §2.5 A4 note). No oracle:
+    HLL estimates are engine-specific; bounds are unit-tested instead."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("order_date"))
+        .agg(F.approx_count_distinct("o_custkey").alias("approx_customers"))
+    )
+
+
+@query(
+    "q36_date_formatting",
+    """
+    SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS order_month
+    FROM orders
+    """,
+)
+def q36_date_formatting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 date formatting (reference transform.py:381, 394 strftime at
+    the serving edge) as a columnar expression."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(F.date_format("o_orderdate", "yyyy-MM").alias("order_month"))
+        .distinct()
+    )

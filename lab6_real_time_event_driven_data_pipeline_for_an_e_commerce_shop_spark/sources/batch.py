@@ -40,24 +40,49 @@ def read_csv(
     ignores them. Corrupt rows land in ``_corrupt_record`` instead of
     aborting.
     """
-    read_schema = schema
-    if quarantine_corrupt and CORRUPT_COL not in schema.fieldNames():
+    # Subset semantics (reference glue_job.py:172-174): extra columns in
+    # the file are tolerated. PERMISSIVE would flag rows with surplus
+    # tokens as corrupt under the narrow schema, so peek the header and
+    # widen the read schema with string-typed extras, then project them
+    # away. The peek reads one line, not the data.
+    declared = {f.name: f for f in schema.fields}
+    actual_cols = spark.read.option("header", header).csv(path).columns
+    extras = [c for c in actual_cols if c not in declared]
+    fields = [
+        declared[c] if c in declared else T.StructField(c, T.StringType(), True)
+        for c in actual_cols
+        if c in declared or c in extras
+    ]
+    # expected columns missing from the file still need schema slots so
+    # downstream code sees the full declared shape (they read as null)
+    fields += [f for name, f in declared.items() if name not in actual_cols]
+    read_schema = T.StructType(fields)
+    if quarantine_corrupt and CORRUPT_COL not in read_schema.fieldNames():
         read_schema = T.StructType(
-            list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType(), True)]
+            list(read_schema.fields) + [T.StructField(CORRUPT_COL, T.StringType(), True)]
         )
-    return (
+    out = (
         spark.read.option("header", header)
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
         .schema(read_schema)
         .csv(path)
     )
+    keep = [f.name for f in schema.fields] + (
+        [CORRUPT_COL] if CORRUPT_COL in read_schema.fieldNames() else []
+    )
+    return out.select(*keep)
 
 
 def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Split a PERMISSIVE read into (clean, corrupt) DataFrames."""
+    """Split a PERMISSIVE read into (clean, corrupt) DataFrames.
+
+    The input is cached first: Spark refuses to filter a lazy CSV scan
+    on the internal corrupt-record column alone (SPARK-28058), and the
+    cache also guarantees both halves observe the same parse."""
     if CORRUPT_COL not in df.columns:
         return df, df.limit(0)
+    df = df.cache()
     clean = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     corrupt = df.filter(F.col(CORRUPT_COL).isNotNull())
     return clean, corrupt

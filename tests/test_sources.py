@@ -1,0 +1,70 @@
+"""Source-layer tests: schema-enforced CSV with corrupt-row quarantine,
+metadata-only schema reads, multi-file union scans, path classification
+(SURVEY.md §2.1 S1-S5, §2.2 P7)."""
+
+from __future__ import annotations
+
+from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark import schemas
+from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.sources import batch
+from pyspark.sql import functions as F
+
+CSV_HEADER = "order_id,user_id,status,created_at,returned_at,shipped_at,delivered_at,num_of_item"
+
+
+def test_csv_schema_enforced_with_quarantine(spark, tmp_path):
+    p = tmp_path / "orders.csv"
+    p.write_text(
+        CSV_HEADER + "\n"
+        "o1,u1,delivered,2024-03-01T10:00:00,,,,2\n"
+        "o2,u2,pending,NOT_A_TIMESTAMP,,,,xyz\n"   # corrupt row
+    )
+    df = batch.read_csv(spark, str(p), schemas.ORDERS_SCHEMA)
+    clean, corrupt = batch.split_corrupt(df)
+    assert clean.count() == 1
+    assert clean.collect()[0].order_id == "o1"
+    assert corrupt.count() == 1
+    assert "NOT_A_TIMESTAMP" in corrupt.collect()[0]["_corrupt_record"]
+
+
+def test_csv_tolerates_extra_columns(spark, tmp_path):
+    """Reference glue_job.py:172-174: subset check — extra columns in the
+    file are fine, expected ones must map."""
+    p = tmp_path / "orders_extra.csv"
+    p.write_text(
+        CSV_HEADER + ",surprise_column\n"
+        "o1,u1,delivered,2024-03-01T10:00:00,,,,2,hello\n"
+    )
+    df = batch.read_csv(spark, str(p), schemas.ORDERS_SCHEMA)
+    clean, _ = batch.split_corrupt(df)
+    assert clean.columns == [f.name for f in schemas.ORDERS_SCHEMA.fields]
+    assert clean.count() == 1
+
+
+def test_parquet_schema_metadata_only(spark, sf_dir):
+    s = batch.parquet_schema(spark, f"{sf_dir}/orders.parquet")
+    assert [f.name for f in s.fields][:2] == ["o_orderkey", "o_custkey"]
+
+
+def test_multi_file_union_scan(spark, tmp_path):
+    """S5 (reference transform.py:286-290): one scan over an explicit
+    file list."""
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    spark.range(5).write.parquet(a)
+    spark.range(5, 9).write.parquet(b)
+    df = batch.read_parquet(spark, [a, b])
+    assert df.count() == 9
+
+
+def test_classify_path():
+    assert batch.classify_path("s3://bucket/orders/x.csv") == "orders"
+    assert batch.classify_path("data/order_items/y.csv") == "order_items"
+    assert batch.classify_path("products/z.csv") == "products"
+    assert batch.classify_path("raw/other/z.csv") is None
+
+
+def test_classify_path_col(spark):
+    df = spark.createDataFrame(
+        [("/in/orders/a.csv",), ("/in/order_items/b.csv",), ("/raw/x.csv",)], "path string"
+    )
+    got = [r[0] for r in df.select(batch.classify_path_col(F.col("path"))).collect()]
+    assert got == ["orders", "order_items", None]

@@ -171,3 +171,50 @@ def test_streaming_windows_with_watermark(spark, tmp_path):
     # duplicate event_id collapsed by dropDuplicatesWithinWatermark
     assert out[(0, "click")] == 2
     assert out[(1, "view")] == 1
+
+
+def test_listener_records_success_and_failure(spark, tmp_path):
+    """ST7: StreamingQueryListener as the SNS-notification seam."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.listener import (
+        RecordingListener,
+    )
+
+    listener = RecordingListener(str(tmp_path / "log" / "events.jsonl"))
+    spark.streams.addListener(listener)
+    try:
+        src = tmp_path / "in"
+        src.mkdir()
+        spark.range(3).write.mode("overwrite").parquet(str(src))
+        stream = spark.readStream.schema("id long").parquet(str(src))
+        q = (
+            stream.writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ck1"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        # failing query: sink path is an unwritable location
+        bad = stream.selectExpr("CAST(raise_error('boom') AS STRING) AS id")
+        q2 = (
+            bad.writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ck2"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q2.awaitTermination()
+        except Exception:
+            pass
+
+        import time as _t
+        for _ in range(40):  # listener bus is async
+            evs = {e["event"] for e in listener.events()}
+            if "succeeded" in evs and "failed" in evs:
+                break
+            _t.sleep(0.25)
+        assert "succeeded" in {e["event"] for e in listener.events()}
+        fails = listener.failures()
+        assert len(fails) == 1 and "boom" in fails[0]["exception"]
+    finally:
+        spark.streams.removeListener(listener)
