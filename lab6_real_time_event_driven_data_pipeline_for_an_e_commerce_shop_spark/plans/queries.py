@@ -1094,3 +1094,89 @@ def q36_date_formatting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.date_format("o_orderdate", "yyyy-MM").alias("order_month"))
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# q37 — the streaming medallion pipeline end-to-end (rows-only check)
+# ---------------------------------------------------------------------------
+
+
+@query("q37_stream_medallion_gold", None)  # side-effectful streaming run → rows-only
+def q37_stream_medallion_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP1→EP3 as a real Structured Streaming run: a deterministic slice
+    of the testdata is written as landing CSVs into a fresh temp root,
+    the checkpointed medallion pipeline drains it (ingest → quarantine →
+    completeness → silver MERGE → gold refresh), and the gold
+    order_kpis_daily serving table is returned. No SQL oracle — the
+    result is produced by a stateful streaming pipeline, not a single
+    relational expression; its per-operator semantics are pinned by the
+    batch twins (q02-q04) and tests/test_streaming.py."""
+    import tempfile
+
+    from ..streaming.pipeline import MedallionPipeline
+
+    # deterministic slice: 40 lowest orderkeys + their items + all parts
+    orders = _t(spark, sf_dir, "orders")
+    keys = orders.orderBy("o_orderkey").limit(40).select("o_orderkey")
+    o = _orders(spark, sf_dir).join(
+        F.broadcast(keys.withColumnRenamed("o_orderkey", "order_id")), "order_id", "left_semi"
+    )
+    li = _items(spark, sf_dir).join(
+        F.broadcast(keys.withColumnRenamed("o_orderkey", "order_id")), "order_id", "left_semi"
+    )
+    prod = _products(spark, sf_dir)
+
+    root = tempfile.mkdtemp(prefix="medallion_q37_")
+    pipe = MedallionPipeline(spark, root)
+    (
+        o.select(
+            F.col("order_id").cast("string"),
+            F.col("user_id").cast("string"),
+            F.lit("delivered").alias("status"),
+            F.date_format("created_at", "yyyy-MM-dd'T'HH:mm:ss").alias("created_at"),
+            F.lit(None).cast("string").alias("returned_at"),
+            F.lit(None).cast("string").alias("shipped_at"),
+            F.lit(None).cast("string").alias("delivered_at"),
+            F.lit(1).alias("num_of_item"),
+        )
+        .coalesce(1)
+        .write.option("header", True)
+        .mode("overwrite")
+        .csv(pipe.landing("orders"))
+    )
+    (
+        li.select(
+            F.concat_ws("_", F.col("order_id"), F.col("product_id")).alias("id"),
+            F.col("order_id").cast("string"),
+            F.lit("u").alias("user_id"),
+            F.col("product_id").cast("string"),
+            F.lit("delivered").alias("status"),
+            F.lit("2024-03-01T10:00:00").alias("created_at"),
+            F.lit(None).cast("string").alias("shipped_at"),
+            F.lit(None).cast("string").alias("delivered_at"),
+            F.when(F.col("returned_at").isNotNull(), F.lit("2024-03-02T10:00:00")).alias("returned_at"),
+            F.col("sale_price"),
+        )
+        .coalesce(1)
+        .write.option("header", True)
+        .mode("overwrite")
+        .csv(pipe.landing("order_items"))
+    )
+    (
+        prod.select(
+            F.col("id").cast("string"),
+            F.concat(F.lit("sku"), F.col("id")).alias("sku"),
+            F.lit(1.0).alias("cost"),
+            F.col("category"),
+            F.col("id").cast("string").alias("name"),
+            F.col("brand"),
+            F.col("retail_price"),
+            F.lit("dept").alias("department"),
+        )
+        .coalesce(1)
+        .write.option("header", True)
+        .mode("overwrite")
+        .csv(pipe.landing("products"))
+    )
+    pipe.run_cycle()
+    return pipe.gold("order_kpis_daily")

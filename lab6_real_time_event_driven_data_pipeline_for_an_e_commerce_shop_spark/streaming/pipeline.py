@@ -198,7 +198,26 @@ class MedallionPipeline:
         self.ingest_available()
         dates = self.promote_complete_groups()
         self.refresh_gold(dates)
+        self._record_cycle(dates)
         return dates
+
+    def _record_cycle(self, dates: list[str]) -> None:
+        """Cycle audit row (reference P9, glue_job.py:263-267: batch_id +
+        timestamp trigger docs): uuid()/current_timestamp() expressions,
+        appended to a _meta table instead of ad-hoc S3 JSON."""
+        (
+            self.spark.range(1)
+            .select(
+                F.uuid().alias("cycle_id"),
+                F.current_timestamp().alias("completed_at"),
+                F.lit(dates).cast("array<string>").alias("released_dates"),
+            )
+            .write.mode("append")
+            .parquet(self._path("_meta", "cycles"))
+        )
+
+    def cycle_history(self) -> DataFrame:
+        return self.spark.read.parquet(self._path("_meta", "cycles"))
 
     # -- serving readers -------------------------------------------------------
     def gold(self, table: str) -> DataFrame:

@@ -225,3 +225,52 @@ def test_except_and_union(spark):
     b = spark.createDataFrame([(2,), (3,), (4,)], "cust_key bigint")
     assert {r.cust_key for r in setops.except_keys(a, b, "cust_key").collect()} == {1}
     assert setops.union_distinct([a, b]).count() == 4
+
+
+# ---------------------------------------------------------------------------
+# control-plane helpers: retry/backoff (ST6), JSON state docs (S11/S12)
+# ---------------------------------------------------------------------------
+
+
+def test_retry_on_failure_backoff_and_raise():
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.functions.retry import (
+        retry_on_failure,
+    )
+
+    delays = []
+    calls = {"n": 0}
+
+    @retry_on_failure(max_attempts=3, base_delay=1.0, sleep=delays.append)
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise OSError("transient")
+        return "ok"
+
+    assert flaky() == "ok"
+    assert delays == [1.0, 2.0]  # reference policy: 1s, 2s (validate.py:99)
+
+    @retry_on_failure(max_attempts=2, base_delay=0.1, sleep=delays.append)
+    def always_fails():
+        raise ValueError("permanent")
+
+    with pytest.raises(ValueError, match="permanent"):
+        always_fails()
+
+
+def test_json_state_document_roundtrip(spark, tmp_path):
+    """S11/S12 (reference control plane: manifest/trigger/state JSON in
+    S3): kept as data via spark.read/write.json when an engine user
+    wants document state, though the pipeline itself uses checkpoints."""
+    import pyspark.sql.functions as F
+
+    state = spark.createDataFrame(
+        [("batch-1", ["f1.csv", "f2.csv"], {"orders": "2"})],
+        "batch_id string, files array<string>, counts map<string,string>",
+    ).withColumn("written_at", F.current_timestamp())
+    path = str(tmp_path / "state")
+    state.write.mode("overwrite").json(path)
+    back = spark.read.json(path)
+    row = back.collect()[0]
+    assert row.batch_id == "batch-1"
+    assert sorted(row.files) == ["f1.csv", "f2.csv"]
