@@ -28,21 +28,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.expressions import exact_sum, returned_flag
+from ..functions.expressions import cents_sum, returned_flag
 
-# Money sums run on DECIMAL, not DOUBLE (functions.expressions.exact_sum):
-# double addition is not associative, so a double SUM changes with
-# partitioning — at 1000 executors the same query would return
-# run-dependent low bits. Exact decimal accumulation makes every KPI
-# bit-reproducible across cluster sizes (and hash-comparable to any
-# oracle). Outputs are cast back to double: same value, friendlier type.
+# Money sums accumulate exact integer cents (functions.expressions.
+# cents_sum), never raw doubles: double addition is not associative, so
+# a double SUM changes with partitioning — at 1000 executors the same
+# query would return run-dependent low bits. Exact accumulation makes
+# every KPI bit-reproducible across cluster sizes (and hash-comparable
+# to any oracle); sale prices are 2-decimal by schema contract. For
+# unknown-scale money use functions.expressions.exact_sum (decimal).
 
 
 def category_kpis(enriched: DataFrame) -> DataFrame:
     """Category-level daily KPIs (reference transform.py:348-352)."""
     return enriched.groupBy("category", "order_date").agg(
-        exact_sum("sale_price").alias("daily_revenue"),
-        (exact_sum("sale_price") / F.count("sale_price"))
+        cents_sum("sale_price").alias("daily_revenue"),
+        (cents_sum("sale_price") / F.count("sale_price"))
         .alias("avg_order_value"),
         (F.sum(returned_flag()).cast("double") / F.count("order_id"))
         .alias("avg_return_rate"),
@@ -59,13 +60,13 @@ def order_kpis_daily(enriched: DataFrame) -> DataFrame:
     real carts), and the item-level sums compose exactly because the
     partials are exact decimals. Identical results, cheaper plan."""
     per_order = enriched.groupBy("order_date", "order_id", "user_id").agg(
-        F.sum(F.col("sale_price").cast("decimal(30,8)")).alias("_rev"),
+        F.sum((F.col("sale_price").cast("decimal(18,2)") * 100).cast("long")).alias("_rev"),
         F.count("product_id").alias("_items"),
         F.sum(returned_flag()).alias("_returned"),
     )
     return per_order.groupBy("order_date").agg(
         F.countDistinct("order_id").alias("total_orders"),
-        F.sum("_rev").cast("double").alias("total_revenue"),
+        (F.sum("_rev") / 100.0).alias("total_revenue"),
         F.sum("_items").cast("long").alias("total_items_sold"),
         (F.sum("_returned").cast("double") / F.countDistinct("order_id"))
         .alias("return_rate"),
