@@ -1183,3 +1183,108 @@ def q37_stream_medallion_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pipe.run_cycle()
     return pipe.gold("order_kpis_daily")
+
+
+# ---------------------------------------------------------------------------
+# q38-q39 — multi-way star-schema analytics (exercises customer/supplier/
+# nation/region, 3-6-way join planning, top-k with tie-breaks)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q38_shipping_priority",
+    f"""
+    SELECT l_orderkey AS order_id,
+           {_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           CAST(o_orderdate AS DATE) AS order_date,
+           o_orderpriority
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+    ORDER BY revenue DESC, order_id
+    LIMIT 10
+    """,
+)
+def q38_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-class: 3-way join, predicate on each side, grouped
+    revenue, deterministic top-10. Customer side broadcasts (small dim
+    after the segment filter); revenue ranks on the EXACT decimal sum
+    (ulp-stable), rounded only by the final double emit."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    disc_rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    agg = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("l_orderkey").alias("order_id"),
+            F.to_date("o_orderdate").alias("order_date"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(disc_rev).alias("_rev"))
+    )
+    return (
+        agg.orderBy(F.col("_rev").desc(), F.col("order_id"))
+        .limit(10)
+        .select("order_id", F.col("_rev").cast("double").alias("revenue"),
+                "order_date", "o_orderpriority")
+    )
+
+
+@query(
+    "q39_nation_revenue",
+    f"""
+    SELECT n.n_name AS nation,
+           r.r_name AS region,
+           {_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o    ON l.l_orderkey = o.o_orderkey
+    JOIN customer c  ON o.o_custkey = c.c_custkey
+    JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+    JOIN nation n    ON s.s_nationkey = n.n_nationkey
+    JOIN region r    ON n.n_regionkey = r.r_regionkey
+    WHERE c.c_nationkey = s.s_nationkey
+    GROUP BY n.n_name, r.r_name
+    """,
+)
+def q39_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-class: 6-way join (2 facts + 4 dims) with the local
+    supplier-customer condition. Every dim broadcasts; the only shuffle
+    is fact⋈fact on orderkey; Catalyst folds nation⋈region into the
+    broadcast build side."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    disc_rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        joined.groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(
+            F.sum(disc_rev).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )

@@ -75,3 +75,13 @@ def test_enriched_scan_prunes_unused_columns(spark):
     assert "o_totalprice" not in joined
     assert "o_orderpriority" not in joined
     assert "p_size" not in joined
+
+
+def test_q39_dims_broadcast_single_fact_shuffle(spark):
+    """The 6-way star join: every dimension side broadcasts; the only
+    shuffle exchange is the fact⋈fact orderkey join."""
+    plan = _formatted(q.q39_nation_revenue(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+    # shuffles: fact join (≤2 exchanges) + final agg — never one per dim
+    assert plan.count("Exchange hashpartitioning") <= 3
