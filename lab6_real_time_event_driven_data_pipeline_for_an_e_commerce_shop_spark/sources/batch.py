@@ -144,3 +144,24 @@ def classify_path_col(path_col: F.Column) -> F.Column:
         .when(path_col.contains("/products/"), F.lit("products"))
         .otherwise(F.lit(None).cast("string"))
     )
+
+
+def to_parquet_key(key: str) -> str:
+    """P8 (reference glue_job.py:176): landing CSV key → converted
+    parquet object name (basename swap)."""
+    base = os.path.basename(key)
+    return base[: -len(".csv")] + ".parquet" if base.endswith(".csv") else base + ".parquet"
+
+
+def normalize_s3_scheme(path: str) -> str:
+    """P8 (reference transform.py:289): ``s3://`` → ``s3a://`` so Spark's
+    Hadoop S3A connector handles the URI."""
+    return "s3a://" + path[len("s3://"):] if path.startswith("s3://") else path
+
+
+def to_parquet_key_col(key_col: F.Column) -> F.Column:
+    """Columnar :func:`to_parquet_key` for distributed file inventories:
+    basename via element_at(split(...), -1), extension swap via
+    regexp_replace — no UDF."""
+    base = F.element_at(F.split(key_col, "/"), -1)
+    return F.concat(F.regexp_replace(base, r"\.csv$", ""), F.lit(".parquet"))

@@ -68,3 +68,16 @@ def test_classify_path_col(spark):
     )
     got = [r[0] for r in df.select(batch.classify_path_col(F.col("path"))).collect()]
     assert got == ["orders", "order_items", None]
+
+
+def test_key_manipulation():
+    assert batch.to_parquet_key("in/orders/2024/file.csv") == "file.parquet"
+    assert batch.to_parquet_key("x/no_ext") == "no_ext.parquet"
+    assert batch.normalize_s3_scheme("s3://b/k.parquet") == "s3a://b/k.parquet"
+    assert batch.normalize_s3_scheme("/local/path") == "/local/path"
+
+
+def test_key_manipulation_col(spark):
+    df = spark.createDataFrame([("in/orders/a.csv",), ("b.csv",)], "k string")
+    got = [r[0] for r in df.select(batch.to_parquet_key_col(F.col("k"))).collect()]
+    assert got == ["a.parquet", "b.parquet"]
