@@ -8,8 +8,12 @@ from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.sess
 
 
 @pytest.fixture(scope="session")
-def spark():
-    s = build_session(app_name="engine-tests", master="local[4]", shuffle_partitions=8)
+def spark(tmp_path_factory):
+    warehouse = str(tmp_path_factory.mktemp("warehouse"))
+    s = build_session(
+        app_name="engine-tests", master="local[4]", shuffle_partitions=8,
+        extra_conf={"spark.sql.warehouse.dir": warehouse},
+    )
     yield s
     s.stop()
 

@@ -85,3 +85,37 @@ def test_q39_dims_broadcast_single_fact_shuffle(spark):
     assert "CartesianProduct" not in plan
     # shuffles: fact join (≤2 exchanges) + final agg — never one per dim
     assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_bucketized_join_skips_shuffle(spark, tmp_path):
+    """enrich.bucketize: persisting both fact tables bucketed+sorted on
+    the join key turns the fact⋈fact join into a zero-exchange
+    sort-merge join — the 100 TB repeated-pipeline path."""
+    import pyspark.sql.functions as F
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        enrich,
+    )
+
+    left = spark.range(0, 1000).select(
+        F.col("id").alias("order_id"), (F.col("id") % 7).alias("v")
+    )
+    right = spark.range(0, 1000).select(
+        F.col("id").alias("order_id"), (F.col("id") % 5).alias("w")
+    )
+    enrich.bucketize(left, "b_orders", ["order_id"], num_buckets=8)
+    enrich.bucketize(right, "b_items", ["order_id"], num_buckets=8)
+    lt, rt = spark.table("b_orders"), spark.table("b_items")
+    # disable broadcast so the join strategy question is real
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = lt.join(rt, "order_id")
+        plan = joined._sc._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "formatted"
+        )
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan  # co-located: no shuffle
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_items")
