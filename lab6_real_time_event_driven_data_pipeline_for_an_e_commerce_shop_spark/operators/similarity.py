@@ -150,3 +150,72 @@ def embedding_near_dups(
         .select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+def ivf_assign(df: DataFrame, seeds: list[tuple[int, list[float]]],
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Assign each row to its nearest coarse centroid (IVF cell) by cosine.
+    ``seeds`` is the coarse quantizer: (seed_id, vector) pairs — small
+    enough to live in the plan as literals (a model artifact, like LSH
+    planes). argmax via array_position(array_max) → first-max tie-break."""
+    sims = F.array(*[
+        cosine(F.col(vec_col), F.array(*[F.lit(float(x)) for x in vec])).alias(f"_s{i}")
+        for i, (_, vec) in enumerate(seeds)
+    ])
+    seed_ids = F.array(*[F.lit(sid) for sid, _ in seeds])
+    idx = F.array_position(sims, F.array_max(sims))
+    return df.withColumn("_cell", F.element_at(seed_ids, idx.cast("int")))
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat ANN: coarse-quantize into ``n_cells`` cells (seeds =
+    the n_cells lowest-id vectors — deterministic, data-sampled), probe
+    the ``nprobe`` cells nearest to the query, exact cosine inside.
+
+    Scale path: cell assignment happens once at ingest (a column), the
+    probe is a partition-pruned filter — candidate set ≈ nprobe/n_cells
+    of the data, never all-pairs. Driver holds only the tiny coarse
+    quantizer (n_cells vectors), exactly like a FAISS IVF coarse index."""
+    seed_rows = (
+        df.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
+    )
+    seeds = [(int(r[0]), [float(x) for x in r[1]]) for r in seed_rows]
+
+    assigned = ivf_assign(df, seeds, id_col, vec_col)
+    q = query_df.select(
+        F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qvec")
+    ).collect()[0]
+    qvec = [float(x) for x in q["_qvec"]]
+
+    # nprobe cells nearest to the query (computed driver-side over the
+    # tiny quantizer — the same place FAISS does it)
+    import math as _math
+
+    def _cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = _math.sqrt(sum(x * x for x in a))
+        nb = _math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    probe_cells = [sid for sid, _ in sorted(
+        seeds, key=lambda s: (-_cos(qvec, s[1]), s[0])
+    )[:nprobe]]
+
+    qlit = F.array(*[F.lit(x) for x in qvec])
+    cand = assigned.filter(F.col("_cell").isin(probe_cells)).filter(
+        F.col(id_col) != F.lit(int(q["_qid"]))
+    )
+    scored = cand.select(
+        F.lit(int(q["_qid"])).alias("query_id"),
+        F.col(id_col).alias("neighbor_id"),
+        cosine(F.col(vec_col), qlit).alias("cosine_sim"),
+    )
+    return scored.orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id")).limit(k)

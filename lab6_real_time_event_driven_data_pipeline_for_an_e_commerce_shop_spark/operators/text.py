@@ -113,3 +113,29 @@ def shingles(text: Column, k: int = 3) -> Column:
             lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
         )
     )
+
+
+BPE_ISH_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]+"
+
+
+def bpe_ish_tokens(col: Column) -> Column:
+    """BPE-style pre-tokenization (GPT-2-class pretoken split): letter
+    runs, digit runs, punctuation runs — ``regexp_extract_all`` over the
+    lowercased text. The real BPE merge table would run behind a Pandas
+    UDF; the pretokenizer is where the row-level compute lives and is
+    pure codegen."""
+    return F.regexp_extract_all(F.lower(col), F.lit(BPE_ISH_PATTERN), 0)
+
+
+def rolling_fingerprint(col: Column, modulus: int = 2_147_483_647) -> Column:
+    """Polynomial rolling hash over the character stream:
+    h = (h·31 + codepoint) mod P — the classic content-defined
+    fingerprint, folded entirely JVM-side (aggregate over the char
+    array; no UDF). Engine-portable: DuckDB reproduces it with
+    list_reduce over the same codepoints."""
+    chars = F.split(col, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % modulus,
+    )

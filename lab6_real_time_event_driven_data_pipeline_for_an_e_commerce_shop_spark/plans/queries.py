@@ -1288,3 +1288,64 @@ def q39_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_items"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q40-q42 — BPE-ish tokenization, rolling-hash fingerprints, IVF ANN
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q40_bpe_token_counts",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]+')) AS BIGINT)
+               AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def q40_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-tokenization counts (letter/digit/punct runs)."""
+    from ..operators import text as text_ops
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(text_ops.bpe_ish_tokens(F.col("text"))).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+@query(
+    "q41_rolling_fingerprints",
+    """
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(text, ''), x -> CAST(ascii(x) AS BIGINT))),
+               (a, b) -> (a * 31 + b) % 2147483647
+           ) AS rolling_hash
+    FROM documents
+    """,
+)
+def q41_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling hash h=(h*31+codepoint) mod P over each doc —
+    content fingerprint folded JVM-side, bit-identical to the DuckDB
+    list_reduce oracle."""
+    from ..operators import text as text_ops
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", text_ops.rolling_fingerprint(F.col("text")).alias("rolling_hash")
+    )
+
+
+@query("q42_ann_ivf_topk", None)  # IVF recall is probe-bounded → rows-only
+def q42_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN top-10 (coarse quantize → probe nearest cells →
+    exact cosine inside). No SQL oracle: the candidate set is
+    quantizer-defined; recall vs brute force is pinned by unit test."""
+    from ..operators import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qrow = emb.join(
+        F.broadcast(emb.agg(F.min("vec_id").alias("vec_id"))), "vec_id", "left_semi"
+    )
+    return similarity.ivf_topk(emb, qrow, k=10, n_cells=16, nprobe=4)

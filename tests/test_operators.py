@@ -274,3 +274,22 @@ def test_json_state_document_roundtrip(spark, tmp_path):
     row = back.collect()[0]
     assert row.batch_id == "batch-1"
     assert sorted(row.files) == ["f1.csv", "f2.csv"]
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    """IVF with nprobe=half the cells must recover most of the true
+    top-10 (statistical bound pinned on the fixed testdata)."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        similarity,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qrow = emb.join(
+        F.broadcast(emb.agg(F.min("vec_id").alias("vec_id"))), "vec_id", "left_semi"
+    )
+    brute = {r.neighbor_id for r in similarity.cosine_topk(emb, qrow, k=10).collect()}
+    ivf = {r.neighbor_id for r in similarity.ivf_topk(emb, qrow, k=10, n_cells=16, nprobe=8).collect()}
+    assert len(brute & ivf) >= 5  # ≥50% recall at nprobe=8/16 on random data
+    # determinism
+    again = {r.neighbor_id for r in similarity.ivf_topk(emb, qrow, k=10, n_cells=16, nprobe=8).collect()}
+    assert ivf == again

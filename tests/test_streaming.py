@@ -218,3 +218,49 @@ def test_listener_records_success_and_failure(spark, tmp_path):
         assert len(fails) == 1 and "boom" in fails[0]["exception"]
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    """applyInPandasWithState: keyed state survives micro-batches via the
+    checkpoint — totals accumulate across two separate availableNow runs."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.state import (
+        running_user_totals,
+    )
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    ck = str(tmp_path / "ck")
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+    def run_batch(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+            str(src / name)
+        )
+        stream = spark.readStream.schema(schema).option("pathGlobFilter", "*.parquet").parquet(
+            str(src) + "/*"
+        )
+        collected = []
+
+        def sink(batch, _bid):
+            collected.extend(batch.collect())
+
+        q = (
+            running_user_totals(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {r.user_id: r for r in collected}
+
+    base = dt.datetime(2024, 1, 1)
+    out1 = run_batch([(1, base, 10, "click", 1.50), (2, base, 10, "view", 2.25),
+                      (3, base, 20, "click", 5.00)], "b1")
+    assert out1[10].n_events == 2 and out1[10].total_value == pytest.approx(3.75)
+    assert out1[20].n_events == 1
+
+    out2 = run_batch([(4, base, 10, "click", 0.25)], "b2")
+    # state carried over: user 10 accumulates, user 20 untouched (no new rows)
+    assert out2[10].n_events == 3 and out2[10].total_value == pytest.approx(4.00)
