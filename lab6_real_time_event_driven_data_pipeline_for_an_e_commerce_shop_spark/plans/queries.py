@@ -1349,3 +1349,76 @@ def q42_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(emb.agg(F.min("vec_id").alias("vec_id"))), "vec_id", "left_semi"
     )
     return similarity.ivf_topk(emb, qrow, k=10, n_cells=16, nprobe=4)
+
+
+# ---------------------------------------------------------------------------
+# q43-q44 — serving-edge formatting; TPC-H Q6-class filter aggregate
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q43_serving_order_kpis",
+    f"""
+    WITH daily AS (
+        SELECT order_date,
+               CAST(COUNT(DISTINCT order_id) AS BIGINT) AS total_orders,
+               {_dsum('sale_price')}                    AS total_revenue,
+               COUNT(product_id)                        AS total_items_sold,
+               CAST(SUM(CASE WHEN returned_at IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                   / COUNT(DISTINCT order_id)           AS return_rate,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT)  AS unique_customers
+        FROM ({_ENRICHED_SQL}) enriched
+        GROUP BY order_date
+    )
+    SELECT strftime(order_date, '%Y-%m-%d')           AS order_date,
+           CAST(COALESCE(total_orders, 0) AS INT)     AS total_orders,
+           CAST(total_revenue AS DECIMAL(38,6))       AS total_revenue,
+           CAST(COALESCE(total_items_sold, 0) AS INT) AS total_items_sold,
+           CAST(return_rate AS DECIMAL(38,6))         AS return_rate,
+           CAST(COALESCE(unique_customers, 0) AS INT) AS unique_customers
+    FROM daily
+    """,
+)
+def q43_serving_order_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serving boundary (reference transform.py:374-402): date →
+    string (P4), numerics → Decimal (P5), counts → int with null→0
+    (P6) — as a projection, not a driver-side rewrite loop."""
+    from ..operators import serving
+
+    return serving.serving_order_kpis(kpis.order_kpis_daily(_enriched(spark, sf_dir)))
+
+
+@query(
+    "q44_forecast_revenue_change",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS potential_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.02 AND 0.09
+      AND l_quantity < 24
+    """,
+)
+def q44_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-class: pure filter + ungrouped aggregate. Every
+    predicate pushes to the parquet scan; the aggregate is a map-side
+    partial + single-row final."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.09)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * F.col("l_discount").cast("decimal(4,2)")
+            )
+            .cast("double")
+            .alias("potential_revenue")
+        )
+    )
