@@ -537,7 +537,9 @@ def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
     value timezone-proof and bit-identical to DuckDB's epoch_us()."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _t(spark, sf_dir, "events")
-    return ev.withColumn("ts_us", (F.col("ts") / 1000).cast("long")).drop("ts")
+    # integer DIV, never `/`: ts is ~1.7e18 and double division rounds
+    # the low microsecond digits (off-by-one vs DuckDB's epoch_us)
+    return ev.withColumn("ts_us", F.expr("ts DIV 1000")).drop("ts")
 
 
 @query(
@@ -1421,4 +1423,64 @@ def q44_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("potential_revenue")
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q45-q46 — as-of join; exact percentiles
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q45_asof_last_click_before_purchase",
+    """
+    WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value FROM events),
+    p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+    c AS (SELECT * FROM e WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id, p.ts_us,
+           c.ts_us AS last_click_us, c.value AS last_click_value
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
+    """,
+)
+def q45_asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (absent from the reference AND from vanilla SQL Spark;
+    SURVEY.md §2.4): every purchase gets the user's most recent prior
+    click. Window-carry implementation (operators/asof.py) — one
+    shuffle, no inequality join blow-up; DuckDB's native ASOF JOIN is
+    the oracle."""
+    from ..operators.asof import asof_join
+
+    ev = _events_us(spark, sf_dir).select("event_id", "user_id", "ts_us", "event_type", "value")
+    purchases = ev.filter(F.col("event_type") == "purchase").drop("event_type")
+    clicks = ev.filter(F.col("event_type") == "click").drop("event_type")
+    out = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts_us", right_ts="ts_us",
+        right_value_cols=["value"],
+    )
+    return out.select(
+        "event_id", "user_id", "ts_us",
+        F.col("asof_ts").alias("last_click_us"),
+        F.col("asof_value").alias("last_click_value"),
+    )
+
+
+@query(
+    "q46_price_percentiles",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.25) AS p25,
+           quantile_cont(l_extendedprice, 0.50) AS p50,
+           quantile_cont(l_extendedprice, 0.75) AS p75
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q46_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per group (sort-based
+    within groups; the approx variant for streaming is
+    percentile_approx). Oracle: DuckDB quantile_cont."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.25)").alias("p25"),
+        F.expr("percentile(l_extendedprice, 0.50)").alias("p50"),
+        F.expr("percentile(l_extendedprice, 0.75)").alias("p75"),
     )

@@ -293,3 +293,41 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     # determinism
     again = {r.neighbor_id for r in similarity.ivf_topk(emb, qrow, k=10, n_cells=16, nprobe=8).collect()}
     assert ivf == again
+
+
+def test_asof_join_semantics(spark):
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators.asof import (
+        asof_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 100), (1, 200), (1, 50), (2, 10)], "k long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(1, 90, "a"), (1, 100, "b"), (1, 150, "c"), (3, 1, "z")], "k long, ts long, v string"
+    )
+    out = {(r.k, r.ts): (r.asof_v, r.asof_ts)
+           for r in asof_join(left, right, "k", "ts", "ts").collect()}
+    assert out[(1, 100)] == ("b", 100)   # inclusive: equal ts visible
+    assert out[(1, 200)] == ("c", 150)
+    assert out[(1, 50)] == (None, None)  # nothing at-or-before
+    assert out[(2, 10)] == (None, None)  # key absent on right
+    strict = {(r.k, r.ts): r.asof_v
+              for r in asof_join(left, right, "k", "ts", "ts", strict=True).collect()}
+    assert strict[(1, 100)] == "a"       # strict: equal ts NOT visible
+
+
+def test_salted_join_equals_plain_join(spark):
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators.skew import (
+        salted_join,
+    )
+
+    # skewed fact: 90% of rows hit key 7
+    fact = spark.range(0, 1000).selectExpr(
+        "CASE WHEN id % 10 < 9 THEN 7 ELSE id % 100 END AS k", "id AS payload"
+    )
+    dim = spark.range(0, 100).selectExpr("id AS k", "concat('d', id) AS label")
+    plain = sorted(map(tuple, fact.join(dim, "k").select("k", "payload", "label").collect()))
+    salted = sorted(map(tuple, salted_join(fact, dim, "k", n_salts=8)
+                        .select("k", "payload", "label").collect()))
+    assert plain == salted and len(plain) == 1000
