@@ -1484,3 +1484,47 @@ def q46_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(l_extendedprice, 0.50)").alias("p50"),
         F.expr("percentile(l_extendedprice, 0.75)").alias("p75"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q47 — interval (range) join: activity around error events
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q47_activity_near_errors",
+    """
+    WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+    err AS (SELECT * FROM e WHERE event_type = 'error'),
+    act AS (SELECT * FROM e WHERE event_type <> 'error')
+    SELECT err.event_id AS error_event_id,
+           err.user_id,
+           CAST(COUNT(act.event_id) AS BIGINT) AS n_nearby_events
+    FROM err LEFT JOIN act
+      ON err.user_id = act.user_id
+     AND abs(err.ts_us - act.ts_us) <= 300000000
+    GROUP BY err.event_id, err.user_id
+    """,
+)
+def q47_activity_near_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (±5 min, per user): how much activity surrounds
+    each error event. Bucketed equi-join implementation
+    (operators/rangejoin.py) — the oracle states the naive inequality
+    join; the engine never executes one."""
+    from ..operators.rangejoin import interval_join
+
+    ev = _events_us(spark, sf_dir).select("event_id", "user_id", "ts_us", "event_type")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_event_id"), "user_id",
+        F.col("ts_us").alias("err_ts"),
+    )
+    activity = ev.filter(F.col("event_type") != "error").select(
+        "user_id", F.col("event_id").alias("act_id"), F.col("ts_us").alias("act_ts")
+    )
+    pairs = interval_join(
+        errors, activity, key="user_id", left_ts="err_ts", right_ts="act_ts",
+        max_gap=300_000_000, how="left",
+    )
+    return pairs.groupBy("error_event_id", "user_id").agg(
+        F.count("act_id").alias("n_nearby_events")
+    )

@@ -331,3 +331,57 @@ def test_salted_join_equals_plain_join(spark):
     salted = sorted(map(tuple, salted_join(fact, dim, "k", n_salts=8)
                         .select("k", "payload", "label").collect()))
     assert plain == salted and len(plain) == 1000
+
+
+def test_interval_join_bucketing_exact(spark):
+    """Bucketed interval join must equal the naive inequality join."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators.rangejoin import (
+        interval_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 0), (1, 100), (1, 250), (2, 500)], "k long, lts long"
+    )
+    right = spark.createDataFrame(
+        [(1, 99), (1, 101), (1, 199), (1, 400), (2, 450), (3, 500)], "k long, rts long"
+    )
+    got = sorted(
+        (r.k, r.lts, r.rts)
+        for r in interval_join(left, right, "k", "lts", "rts", max_gap=100).collect()
+    )
+    naive = sorted(
+        (r.k, r.lts, r.rts)
+        for r in left.join(right, "k").filter(F.abs(F.col("lts") - F.col("rts")) <= 100).collect()
+    )
+    assert got == naive
+    assert (1, 0, 99) in got and (1, 250, 199) in got and (2, 500, 450) in got
+
+
+def test_pandas_udf_twin_matches_codegen(spark, sf_dir):
+    """The Arrow pandas_udf path (the sanctioned slow path) must agree
+    with the JVM expression twin — pins the UDF infrastructure without
+    putting Python in any shipped hot path."""
+    from pyspark.sql.functions import pandas_udf
+
+    # explicit-returnType form: `from __future__ import annotations`
+    # stringifies hints, which pyspark's hint inspector can't resolve
+    def _digit_ratio(text):
+        n = text.str.len()
+        digits = text.str.count(r"[0-9]")
+        return (digits / n.where(n > 0, 1)).astype("float64")
+
+    digit_ratio_udf = pandas_udf(_digit_ratio, "double")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        text as text_ops,
+    )
+
+    both = (
+        text_ops.quality_features(docs)
+        .withColumn("udf_ratio", digit_ratio_udf(F.col("text")))
+        .select("doc_id", "digit_ratio", "udf_ratio")
+        .collect()
+    )
+    for r in both:
+        assert abs(r.digit_ratio - r.udf_ratio) < 1e-12
