@@ -67,3 +67,17 @@ def test_source_with_duplicate_keys_collapses(spark, target):
     batch = _df(spark, [("o1", "p1", "2024-01-01", 1.0), ("o1", "p1", "2024-01-01", 2.0)])
     upsert.merge(spark, target, batch, ["order_id", "product_id"])
     assert len(_read_sorted(spark, target)) == 1
+
+
+def test_delta_merge_when_available(spark, target):
+    """Activates automatically in environments with delta-spark; the
+    parquet fallback covers this container."""
+    pytest.importorskip("delta")
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        upsert as u,
+    )
+
+    assert u.delta_available()
+    batch = _df(spark, [("o1", "p1", "2024-01-01", 10.0)])
+    u.merge_delta(spark, target, batch, ["order_id", "product_id"])
+    assert spark.read.format("delta").load(target).count() == 1
