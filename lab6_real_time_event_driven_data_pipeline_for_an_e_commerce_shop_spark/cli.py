@@ -1,0 +1,73 @@
+"""Command-line surface: ``python -m <package> <command>``.
+
+The reference's operational surface is spark-submit + AWS consoles;
+here it's three subcommands over the same engine:
+
+    query <name> [--sf-dir DIR] [-n ROWS]   run a catalog query, show rows
+    pipeline <root> [--watch]               run medallion cycles over a directory
+    list                                    list catalog queries (oracle-paired?)
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="lab6-ecommerce-spark-engine")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    q = sub.add_parser("query", help="run a catalog query")
+    q.add_argument("name")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    q.add_argument("-n", "--rows", type=int, default=20)
+
+    pl = sub.add_parser("pipeline", help="run medallion cycles over <root>/landing")
+    pl.add_argument("root")
+    pl.add_argument("--watch", action="store_true",
+                    help="keep polling for new files (Ctrl-C to stop)")
+    pl.add_argument("--interval", type=float, default=5.0)
+
+    sub.add_parser("list", help="list catalog queries")
+
+    args = p.parse_args(argv)
+
+    from .plans import queries as qmod
+
+    if args.cmd == "list":
+        oracles = qmod.oracles()
+        for name in sorted(qmod.catalog()):
+            print(f"{name}  [{'oracle' if name in oracles else 'rows-only'}]")
+        return 0
+
+    from .session import build_session
+
+    spark = build_session(app_name=f"engine-cli-{args.cmd}")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if args.cmd == "query":
+        catalog = qmod.catalog()
+        if args.name not in catalog:
+            print(f"unknown query {args.name!r}; try: python -m <pkg> list", file=sys.stderr)
+            return 2
+        catalog[args.name](spark, args.sf_dir).show(args.rows, truncate=False)
+        return 0
+
+    if args.cmd == "pipeline":
+        from .streaming.pipeline import MedallionPipeline
+
+        pipe = MedallionPipeline(spark, args.root)
+        while True:
+            dates = pipe.run_cycle()
+            print(f"cycle complete; released order_dates: {dates or 'none'}")
+            if not args.watch:
+                return 0
+            time.sleep(args.interval)
+
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -81,3 +81,25 @@ def test_key_manipulation_col(spark):
     df = spark.createDataFrame([("in/orders/a.csv",), ("b.csv",)], "k string")
     got = [r[0] for r in df.select(batch.to_parquet_key_col(F.col("k"))).collect()]
     assert got == ["a.parquet", "b.parquet"]
+
+
+def test_kafka_payload_parser(spark):
+    """The Kafka JSON payload parser (connection is config-only in this
+    container; the parser is the logic, tested on batch data)."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.sources import (
+        parse_event_payloads,
+    )
+
+    raw = spark.createDataFrame(
+        [
+            ('{"event_id": 1, "ts_us": 1704067200000000, "user_id": 8, '
+             '"event_type": "click", "value": 6.55, "props": "{}"}',),
+            ("NOT JSON",),
+        ],
+        "value string",
+    )
+    out = parse_event_payloads(raw).collect()
+    good = next(r for r in out if r.event_id == 1)
+    assert good.event_type == "click" and good._corrupt_payload is None
+    bad = next(r for r in out if r.event_id is None)
+    assert bad._corrupt_payload == "NOT JSON"
