@@ -1528,3 +1528,69 @@ def q47_activity_near_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("error_event_id", "user_id").agg(
         F.count("act_id").alias("n_nearby_events")
     )
+
+
+# ---------------------------------------------------------------------------
+# q48-q49 — window functions: running totals, consecutive-order gaps
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q48_customer_running_totals",
+    """
+    SELECT o_custkey AS cust_key,
+           o_orderkey AS order_id,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) / 100 AS running_total,
+           CAST(ROW_NUMBER() OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS INT) AS order_seq
+    FROM orders
+    """,
+)
+def q48_customer_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-customer revenue + order sequence number — window
+    frame over exact integer cents (a running DOUBLE sum would drift
+    between engines), deterministic ordering via the orderkey tie-break."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    return o.select(
+        F.col("o_custkey").alias("cust_key"),
+        F.col("o_orderkey").alias("order_id"),
+        (F.sum(cents).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+         .cast("double") / 100).alias("running_total"),
+        F.row_number().over(w).cast("int").alias("order_seq"),
+    )
+
+
+@query(
+    "q49_days_between_orders",
+    """
+    WITH seq AS (
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               LAG(o_orderdate) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ) AS prev_date
+        FROM orders
+    )
+    SELECT o_custkey AS cust_key,
+           o_orderkey AS order_id,
+           CAST(date_diff('day', prev_date, o_orderdate) AS BIGINT) AS days_since_prev
+    FROM seq
+    """,
+)
+def q49_days_between_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-based inter-order gaps in days (NULL for a customer's first
+    order) — NTZ timestamps, integer day arithmetic."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderdate").over(w)
+    return o.select(
+        F.col("o_custkey").alias("cust_key"),
+        F.col("o_orderkey").alias("order_id"),
+        F.datediff(F.to_date("o_orderdate"), F.to_date(prev)).cast("long")
+        .alias("days_since_prev"),
+    )

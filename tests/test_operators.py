@@ -385,3 +385,33 @@ def test_pandas_udf_twin_matches_codegen(spark, sf_dir):
     )
     for r in both:
         assert abs(r.digit_ratio - r.udf_ratio) < 1e-12
+
+
+def test_compact_small_files(spark, tmp_path):
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        maintenance,
+    )
+    import os
+
+    path = str(tmp_path / "t")
+    spark.range(0, 10000).repartition(40).write.parquet(path)  # 40 small files
+    before = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    assert before == 40
+    maintenance.compact(spark, path, target_file_bytes=10**9)
+    after = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    assert after == 1
+    assert spark.read.parquet(path).count() == 10000
+
+
+def test_column_stats_single_pass(spark, sf_dir):
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        maintenance,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    stats = {r.column_name: r for r in maintenance.column_stats(
+        orders, ["o_orderkey", "o_orderstatus"]).collect()}
+    assert stats["o_orderkey"].n_rows == orders.count()
+    assert stats["o_orderkey"].n_nulls == 0
+    assert stats["o_orderstatus"].approx_ndv == 3
+    assert stats["o_orderstatus"].min_value == "F"

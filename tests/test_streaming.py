@@ -264,3 +264,43 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
     out2 = run_batch([(4, base, 10, "click", 0.25)], "b2")
     # state carried over: user 10 accumulates, user 20 untouched (no new rows)
     assert out2[10].n_events == 3 and out2[10].total_value == pytest.approx(4.00)
+
+
+def test_stream_stream_join_bounded_lateness(spark, tmp_path):
+    """Watermarked stream-stream inner join (the bounded-lateness ST3
+    variant): matches release incrementally; both sides buffered in
+    Spark state, no staging tables."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.joins import (
+        joined_orders_items,
+    )
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark import schemas
+
+    odir, idir = tmp_path / "o", tmp_path / "i"
+    base = dt.datetime(2024, 3, 1, 10, 0, 0)
+    orders = spark.createDataFrame(
+        [("o1", "u1", "delivered", base, None, None, None, 1)], schema=schemas.ORDERS_SCHEMA
+    )
+    items = spark.createDataFrame(
+        [("i1", "o1", "u1", "p1", "delivered", base + dt.timedelta(minutes=5),
+          None, None, None, 10.0),
+         ("i9", "o_unmatched", "u9", "p9", "delivered", base, None, None, None, 1.0)],
+        schema=schemas.ORDER_ITEMS_SCHEMA,
+    )
+    orders.write.parquet(str(odir))
+    items.write.parquet(str(idir))
+    os_ = spark.readStream.schema(schemas.ORDERS_SCHEMA).parquet(str(odir))
+    is_ = spark.readStream.schema(schemas.ORDER_ITEMS_SCHEMA).parquet(str(idir))
+    q = (
+        joined_orders_items(os_, is_)
+        .writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM ss_join").collect()
+    assert len(rows) == 1
+    assert rows[0].order_id == "o1" and rows[0].sale_price == 10.0
+    assert rows[0].order_date == base.date()
