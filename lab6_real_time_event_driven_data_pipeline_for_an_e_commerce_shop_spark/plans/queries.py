@@ -1594,3 +1594,35 @@ def q49_days_between_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.to_date("o_orderdate"), F.to_date(prev)).cast("long")
         .alias("days_since_prev"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q50 — the SQL surface itself: correlated EXISTS + scalar subquery
+# ---------------------------------------------------------------------------
+
+_Q50_SQL = """
+    SELECT o.o_orderkey AS order_id,
+           o.o_orderstatus AS status
+    FROM orders o
+    WHERE EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_extendedprice > (SELECT AVG(l2.l_extendedprice) * 1.8
+                                       FROM lineitem l2)
+          )
+"""
+
+
+@query("q50_sql_exists_subquery", _Q50_SQL)
+def q50_sql_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL API: the exact oracle text runs through
+    spark.sql over registered temp views — correlated EXISTS decorrelates
+    to a left-semi join, the scalar subquery becomes a broadcast scalar
+    (one aggregate feeding a filter). Same string, two engines, one
+    result. AVG here is DOUBLE on both sides: the scalar only gates a
+    strict inequality, and no testdata price sits within double-sum ulp
+    noise of the 1.8x threshold (values end at 2 decimals; the
+    threshold has a fractional tail)."""
+    for t in ("orders", "lineitem"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q50_SQL)
