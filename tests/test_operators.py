@@ -415,3 +415,78 @@ def test_column_stats_single_pass(spark, sf_dir):
     assert stats["o_orderkey"].n_nulls == 0
     assert stats["o_orderstatus"].approx_ndv == 3
     assert stats["o_orderstatus"].min_value == "F"
+
+
+# ---------------------------------------------------------------------------
+# dedup semantics on a corpus with KNOWN near-duplicates
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def nearly_dup_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    variant = base.replace("today", "tonight")          # 1-word edit
+    unrelated = "completely different words appear in this other document about spark engines"
+    return spark.createDataFrame(
+        [(1, base), (2, base), (3, variant), (4, unrelated)], "doc_id long, text string"
+    )
+
+
+def test_exact_dedup_groups(nearly_dup_docs):
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        dedup,
+    )
+
+    groups = {r.keep_id: r.n_copies for r in dedup.exact_duplicates(nearly_dup_docs).collect()}
+    assert groups[1] == 2          # docs 1+2 identical → one group, keep min id
+    assert groups[3] == 1 and groups[4] == 1
+
+
+def test_jaccard_finds_near_dup_not_unrelated(nearly_dup_docs):
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        dedup,
+    )
+
+    pairs = {(r.id_a, r.id_b): r.jaccard
+             for r in dedup.ngram_jaccard_pairs(nearly_dup_docs, threshold=0.3).collect()}
+    assert pairs[(1, 2)] == 1.0                      # identical
+    assert 0.5 < pairs[(1, 3)] < 1.0                 # 1-word edit → high jaccard
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_minhash_lsh_bands_collide_for_near_dups(nearly_dup_docs):
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        dedup,
+    )
+
+    cand = {(r.id_a, r.id_b) for r in dedup.minhash_lsh_candidates(nearly_dup_docs).collect()}
+    assert (1, 2) in cand            # identical docs always share every band
+    assert (1, 4) not in cand        # unrelated docs share no band
+    # signatures of identical docs are identical
+    sigs = {r.doc_id: tuple(r)[1:] for r in dedup.minhash_signatures(nearly_dup_docs).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[4]
+
+
+def test_simhash_hamming_close_for_near_dups(nearly_dup_docs):
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        dedup,
+    )
+
+    sh = {r.doc_id: r.simhash for r in dedup.simhash(nearly_dup_docs).collect()}
+    assert sh[1] == sh[2]
+    ham_near = bin(sh[1] ^ sh[3]).count("1")
+    ham_far = bin(sh[1] ^ sh[4]).count("1")
+    assert ham_near < ham_far
+
+
+def test_compute_all_single_cache(fixture_tables):
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        enrich as enrich_op,
+        kpis as kpis_op,
+    )
+
+    orders, items, products = fixture_tables
+    enriched = enrich_op.enrich_orders(orders, items, products)
+    cat, daily = kpis_op.compute_all(enriched)
+    assert cat.count() == 3 and daily.count() == 2  # both derived fine off the cache
