@@ -1,0 +1,78 @@
+"""Training-corpus curation: the composed pipeline a pretraining data
+team runs over raw documents —
+
+    quality gate → exact dedup → near-dup removal → split assignment
+
+Every stage is deterministic and relational (oracle-checkable SQL), and
+every stage shuffles hashes/ids, never document text:
+
+1. **quality gate**: length + token bounds (rules-as-columns, same
+   pattern as the e-commerce validation operator).
+2. **exact dedup**: keep the lowest doc_id per normalized-text hash.
+3. **near-dup removal**: from the n-gram Jaccard pair set, drop any doc
+   that has a more-similar-than-threshold partner with a LOWER id —
+   one deterministic pass (greedy transitive chains intentionally NOT
+   followed: A~B and B~C with A<B<C drops B and C, keeping exactly the
+   canonical lowest representative of each similarity star; at corpus
+   scale the banded-LSH candidate set replaces the all-pairs input).
+4. **split assignment**: portable_hash(doc_id) mod 100 → train/val/test
+   by threshold — stable under corpus growth (a doc's split never
+   changes when other docs arrive), the property random sampling lacks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.expressions import portable_hash
+from .dedup import exact_duplicates, ngram_jaccard_pairs
+
+
+def assign_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    val_pct: int = 10,
+    test_pct: int = 10,
+) -> DataFrame:
+    """Deterministic hash split: bucket = portable_hash(id) mod 100;
+    [0, test) → test, [test, test+val) → val, rest → train."""
+    bucket = portable_hash(F.col(id_col).cast("string")) % 100
+    return df.withColumn(
+        "split",
+        F.when(bucket < test_pct, F.lit("test"))
+        .when(bucket < test_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("train")),
+    )
+
+
+def curate(
+    df: DataFrame,
+    min_chars: int = 20,
+    min_tokens: int = 5,
+    near_dup_threshold: float = 0.6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The full curation pass; returns kept docs with their split."""
+    t = F.col(text_col)
+    quality = df.filter(
+        (F.length(t) >= min_chars)
+        & (F.size(F.split(F.trim(t), r"\s+")) >= min_tokens)
+    )
+
+    keep_exact = exact_duplicates(quality, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    exact_kept = quality.join(keep_exact, id_col, "left_semi")
+
+    pairs = ngram_jaccard_pairs(
+        exact_kept, threshold=near_dup_threshold, k=3,
+        text_col=text_col, id_col=id_col,
+    )
+    # drop every doc with a ≥threshold partner of LOWER id (id_a < id_b
+    # by construction, so id_b is always the one dropped)
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    near_kept = exact_kept.join(dropped, id_col, "left_anti")
+
+    return assign_split(near_kept, id_col)

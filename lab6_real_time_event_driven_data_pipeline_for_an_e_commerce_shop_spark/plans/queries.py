@@ -1668,3 +1668,81 @@ def q51_click_to_purchase_conversion(spark: SparkSession, sf_dir: str) -> DataFr
         F.sum(converted).cast("long").alias("n_converted"),
         (F.sum(converted).cast("double") / F.count("*")).alias("conversion_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q52-q53 — training-corpus curation: hash splits + the composed pipeline
+# ---------------------------------------------------------------------------
+
+_PHASH_ID = "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)"
+
+
+@query(
+    "q52_train_val_test_split",
+    f"""
+    SELECT doc_id,
+           CASE WHEN {_PHASH_ID} % 100 < 10 THEN 'test'
+                WHEN {_PHASH_ID} % 100 < 20 THEN 'val'
+                ELSE 'train' END AS split
+    FROM documents
+    """,
+)
+def q52_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test assignment — a doc's
+    split never changes as the corpus grows (unlike random sampling)."""
+    from ..operators.curation import assign_split
+
+    return assign_split(_t(spark, sf_dir, "documents")).select("doc_id", "split")
+
+
+@query(
+    "q53_curated_corpus",
+    f"""
+    WITH quality AS (
+        SELECT doc_id, text FROM documents
+        WHERE length(text) >= 20
+          AND len(string_split_regex(trim(text), '\\s+')) >= 5
+    ),
+    keep_exact AS (
+        SELECT MIN(doc_id) AS doc_id
+        FROM (SELECT doc_id,
+                     md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS h
+              FROM quality)
+        GROUP BY h
+    ),
+    exact_kept AS (
+        SELECT q.doc_id, q.text FROM quality q
+        WHERE q.doc_id IN (SELECT doc_id FROM keep_exact)
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               CAST(concat('0x', substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 12)) AS BIGINT) AS h
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM exact_kept),
+             LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) g
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    dropped AS (
+        SELECT DISTINCT b.doc_id
+        FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id,
+                 (SELECT n FROM sizes WHERE doc_id = a.doc_id),
+                 (SELECT n FROM sizes WHERE doc_id = b.doc_id)
+        HAVING CAST(COUNT(*) AS DOUBLE)
+               / ((SELECT n FROM sizes WHERE doc_id = a.doc_id)
+                  + (SELECT n FROM sizes WHERE doc_id = b.doc_id) - COUNT(*)) >= 0.6
+    )
+    SELECT doc_id,
+           CASE WHEN {_PHASH_ID} % 100 < 10 THEN 'test'
+                WHEN {_PHASH_ID} % 100 < 20 THEN 'val'
+                ELSE 'train' END AS split
+    FROM exact_kept
+    WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+    """,
+)
+def q53_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pipeline (quality gate → exact dedup →
+    near-dup removal → split) — the full training-data pass as ONE
+    declarative plan, oracle-matched end to end."""
+    from ..operators.curation import curate
+
+    return curate(_t(spark, sf_dir, "documents")).select("doc_id", "split")

@@ -490,3 +490,29 @@ def test_compute_all_single_cache(fixture_tables):
     enriched = enrich_op.enrich_orders(orders, items, products)
     cat, daily = kpis_op.compute_all(enriched)
     assert cat.count() == 3 and daily.count() == 2  # both derived fine off the cache
+
+
+def test_curation_pipeline_stages(spark):
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        curation,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),                                  # exact dup → dropped (keep 1)
+            (3, base.replace("today", "tonight")),      # near dup of 1 → dropped
+            (4, "completely different words appear in this other document about spark"),
+            (5, "too short"),                           # quality-gated
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.split for r in curation.curate(docs).collect()}
+    assert set(out) == {1, 4}
+    assert all(s in ("train", "val", "test") for s in out.values())
+    # split stability: adding docs never changes an existing doc's split
+    more = docs.union(spark.createDataFrame([(6, base + " extra words here")],
+                                            "doc_id long, text string"))
+    out2 = {r.doc_id: r.split for r in curation.curate(more).collect()}
+    assert out2[1] == out[1] and out2[4] == out[4]
