@@ -53,12 +53,7 @@ def cosine_topk(
             cosine(F.col(vec_col), F.col("_qvec")).alias("cosine_sim"),
         )
     )
-    return (
-        scored.orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
-        .limit(k)
-        .withColumn("rank", F.monotonically_increasing_id().cast("int") + 1)
-        .drop("rank")  # rank via limit order is not stable post-shuffle; keep k rows only
-    )
+    return scored.orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id")).limit(k)
 
 
 def _mix(i: int, j: int) -> float:
@@ -219,3 +214,24 @@ def ivf_topk(
         cosine(F.col(vec_col), qlit).alias("cosine_sim"),
     )
     return scored.orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id")).limit(k)
+
+
+def label_centroids(
+    df: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-label mean vector (centroid): posexplode → exact-decimal mean
+    per (label, position) → reassemble ordered array. This is the
+    distributed element-wise aggregation primitive (no driver-side
+    vector math) that feeds IVF coarse-quantizer training, class
+    prototypes, and drift monitoring. One shuffle on (label, pos)."""
+    exploded = df.select(
+        F.col(label_col).alias("label"), F.posexplode(vec_col).alias("pos", "x")
+    )
+    per_pos = exploded.groupBy("label", "pos").agg(
+        (F.sum(F.col("x").cast("decimal(20,8)")).cast("double") / F.count("x")).alias("m")
+    )
+    return per_pos.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("centroid")
+    )

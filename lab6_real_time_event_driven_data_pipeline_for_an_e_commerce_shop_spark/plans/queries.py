@@ -1746,3 +1746,33 @@ def q53_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.curation import curate
 
     return curate(_t(spark, sf_dir, "documents")).select("doc_id", "split")
+
+
+# ---------------------------------------------------------------------------
+# q54 — per-label embedding centroids (element-wise distributed agg)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q54_label_centroids",
+    """
+    SELECT label, list(m ORDER BY pos) AS centroid FROM (
+        SELECT label, pos,
+               CAST(SUM(CAST(x AS DECIMAL(20,8))) AS DOUBLE) / COUNT(x) AS m
+        FROM (
+            SELECT label,
+                   CAST(unnest(embedding) AS DOUBLE) AS x,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings
+        ) GROUP BY label, pos
+    ) GROUP BY label
+    """,
+)
+def q54_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vectors — element-wise mean across the
+    embedding column, fully distributed (posexplode → exact-decimal mean
+    per position → ordered reassembly); no vector ever reaches the
+    driver."""
+    from ..operators import similarity
+
+    return similarity.label_centroids(_t(spark, sf_dir, "embeddings"))
