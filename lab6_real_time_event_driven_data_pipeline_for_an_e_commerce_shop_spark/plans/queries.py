@@ -1776,3 +1776,37 @@ def q54_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import similarity
 
     return similarity.label_centroids(_t(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# q55 — customer spend quartiles (ntile windows over exact totals)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q55_customer_spend_quartiles",
+    """
+    WITH spend AS (
+        SELECT o_custkey AS cust_key,
+               SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT cust_key,
+           CAST(cents AS DOUBLE) / 100 AS total_spend,
+           CAST(NTILE(4) OVER (ORDER BY cents DESC, cust_key) AS INT) AS quartile
+    FROM spend
+    """,
+)
+def q55_customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE quartiles over exact per-customer spend — deterministic
+    bucket boundaries (exact cents ordering + cust_key tie-break)."""
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy(F.col("o_custkey").alias("cust_key")).agg(
+        F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")).alias("cents")
+    )
+    w = Window.orderBy(F.col("cents").desc(), F.col("cust_key"))
+    return spend.select(
+        "cust_key",
+        (F.col("cents").cast("double") / 100).alias("total_spend"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )

@@ -304,3 +304,34 @@ def test_stream_stream_join_bounded_lateness(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0].order_id == "o1" and rows[0].sale_price == 10.0
     assert rows[0].order_date == base.date()
+
+
+def test_process_restart_and_many_files(spark, tmp_path):
+    """A NEW pipeline object over the same root (= process restart)
+    resumes from checkpoints; many small files spanning multiple
+    micro-batches (maxFilesPerTrigger=16) all land exactly once."""
+    root = str(tmp_path)
+    pipe1 = MedallionPipeline(spark, root)
+    # 40 single-row item files → 3 micro-batches at 16 files/trigger
+    for i in range(40):
+        _drop(root, "order_items", f"it{i:03d}.csv", ITEM_HEADER,
+              [f"i{i},o{i % 4},u1,p1,delivered,{T0},,,,1.0"])
+    pipe1.run_cycle()
+
+    # restart: fresh object, same root — drop orders+product, finish groups
+    pipe2 = MedallionPipeline(spark, root)
+    _drop(root, "orders", "o.csv", ORDER_HEADER,
+          [f"o{i},u1,delivered,{T0},,,,1" for i in range(4)])
+    _drop(root, "products", "p.csv", PRODUCT_HEADER,
+          ["p1,sku1,5.0,cat_a,w,acme,12.0,d1"])
+    pipe2.run_cycle()
+
+    silver = pipe2.silver()
+    assert silver.count() == 4  # upsert key (order_id, product_id): 40 items collapse to 4 groups×1 product
+    daily = pipe2.gold("order_kpis_daily").collect()
+    assert daily[0].total_orders == 4
+
+    # replay with a third object: still a no-op
+    before = sorted(map(tuple, silver.collect()))
+    MedallionPipeline(spark, root).run_cycle()
+    assert sorted(map(tuple, pipe2.silver().collect())) == before
