@@ -32,6 +32,10 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("list", help="list catalog queries")
 
+    v = sub.add_parser("validate", help="run data-quality rules against a parquet table")
+    v.add_argument("table", choices=["orders", "order_items", "products"])
+    v.add_argument("path")
+
     args = p.parse_args(argv)
 
     from .plans import queries as qmod
@@ -53,6 +57,15 @@ def main(argv: list[str] | None = None) -> int:
             print(f"unknown query {args.name!r}; try: python -m <pkg> list", file=sys.stderr)
             return 2
         catalog[args.name](spark, args.sf_dir).show(args.rows, truncate=False)
+        return 0
+
+    if args.cmd == "validate":
+        from . import schemas
+        from .operators import validation
+
+        df = spark.read.schema(schemas.ECOMMERCE_SCHEMAS[args.table]).parquet(args.path)
+        rules = validation.rules_for(args.table)
+        validation.violation_counts(df, rules).show(50, truncate=False)
         return 0
 
     if args.cmd == "pipeline":

@@ -85,19 +85,27 @@ def merge_parquet(
         parts = [r[0] for r in source.select(partition_col).distinct().collect()]
         target = spark.read.parquet(target_path).filter(F.col(partition_col).isin(parts))
         kept = target.join(source.select(keys), keys, "left_anti")
-        merged = kept.unionByName(source).repartition(partition_col)
+        # allowMissingColumns: schema evolution — a source with NEW
+        # columns widens the table (old rows read the column as null),
+        # and a source missing columns fills nulls (Delta's
+        # mergeSchema semantics, reproduced on parquet)
+        merged = kept.unionByName(source, allowMissingColumns=True).repartition(partition_col)
         with _overwrite_conf(spark, "dynamic"):
             merged.write.mode("overwrite").partitionBy(partition_col).parquet(target_path)
         return
 
     target = spark.read.parquet(target_path)
     kept = target.join(source.select(keys), keys, "left_anti")
-    merged = kept.unionByName(source)
-    # full rewrite via temp dir + atomic-ish swap (non-partitioned fallback)
+    merged = kept.unionByName(source, allowMissingColumns=True)
+    # full rewrite via temp dir + 3-step swap: the window where neither
+    # directory exists is eliminated (old data survives as __old until
+    # the new directory is in place)
     tmp = f"{target_path}__tmp_{uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(target_path)
+    old = f"{target_path}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(target_path, old)
     os.rename(tmp, target_path)
+    shutil.rmtree(old)
 
 
 class _overwrite_conf:

@@ -81,3 +81,18 @@ def test_delta_merge_when_available(spark, target):
     batch = _df(spark, [("o1", "p1", "2024-01-01", 10.0)])
     u.merge_delta(spark, target, batch, ["order_id", "product_id"])
     assert spark.read.format("delta").load(target).count() == 1
+
+
+def test_merge_schema_evolution(spark, target):
+    """A source batch with a NEW column widens the table; old rows read
+    it as null (Delta mergeSchema semantics on the parquet fallback)."""
+    v1 = _df(spark, [("o1", "p1", "2024-01-01", 10.0)])
+    upsert.merge(spark, target, v1, ["order_id", "product_id"])
+    v2 = spark.createDataFrame(
+        [("o2", "p2", "2024-01-02", 5.0, "promo")],
+        "order_id string, product_id string, order_date string, sale_price double, campaign string",
+    )
+    upsert.merge(spark, target, v2, ["order_id", "product_id"])
+    out = {r.order_id: r for r in spark.read.parquet(target).collect()}
+    assert out["o2"].campaign == "promo"
+    assert out["o1"].campaign is None
