@@ -1810,3 +1810,105 @@ def q55_customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cents").cast("double") / 100).alias("total_spend"),
         F.ntile(4).over(w).cast("int").alias("quartile"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q56-q58 — TPC-H Q4/Q12/Q14-class analytics (EXISTS, conditional buckets,
+# promo share)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q56_late_delivery_priority",
+    """
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q56_late_delivery_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-class: orders (in a window) having at least one item
+    shipped >60 days after ordering, counted per priority. EXISTS →
+    left-semi join; the correlated date comparison rides in the join
+    condition."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
+@query(
+    "q57_return_flag_buckets",
+    """
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS returned_items,
+           CAST(SUM(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END) AS BIGINT) AS kept_items,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS returned_share
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY l_linestatus
+    """,
+)
+def q57_return_flag_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-class: conditional bucket counts inside one grouped
+    pass (count_if pattern) over a pushed-down date window."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    ret = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    return li.groupBy("l_linestatus").agg(
+        F.sum(ret).cast("long").alias("returned_items"),
+        F.sum(1 - ret).cast("long").alias("kept_items"),
+        (F.sum(ret).cast("double") / F.count("*")).alias("returned_share"),
+    )
+
+
+@query(
+    "q58_brand_revenue_share",
+    """
+    SELECT CAST(SUM(CASE WHEN p.p_brand = 'Brand#13'
+                    THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
+                         * (1 - CAST(l.l_discount AS DECIMAL(4,2)))
+                    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+           / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+               AS brand13_share
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+)
+def q58_brand_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-class: one brand's share of discounted revenue —
+    conditional exact-decimal sums dividing once at the end (the
+    promo-share shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    brand = F.when(F.col("p_brand") == "Brand#13", disc).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            (F.sum(brand).cast("double") / F.sum(disc).cast("double"))
+            .alias("brand13_share")
+        )
+    )

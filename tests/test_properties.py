@@ -115,3 +115,55 @@ def test_merge_equals_dict_semantics(spark, tmp_path_factory, batches):
             expected[k] = "set"
     got = {(r.order_id, r.product_id) for r in spark.read.parquet(target).collect()}
     assert got == set(expected)
+
+
+join_rows = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 1000)), min_size=0, max_size=20
+)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(join_rows, join_rows)
+def test_asof_join_matches_naive(spark, left_rows, right_rows):
+    """asof_join (window-carry) ≡ naive max-prior-row join, on random
+    inputs including empty sides and duplicate timestamps."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators.asof import (
+        asof_join,
+    )
+    import pyspark.sql.functions as F
+
+    left = spark.createDataFrame(left_rows or [(99, -1)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(k, t, f"v{k}_{t}") for k, t in right_rows] or [(98, -1, "x")],
+        "k long, ts long, v string",
+    )
+    got = {(r.k, r.ts): r.asof_ts
+           for r in asof_join(left, right, "k", "ts", "ts").collect()}
+    # naive: for each left row the max right ts <= left ts
+    naive = {}
+    for k, lt in (left_rows or [(99, -1)]):
+        cands = [t for rk, t in right_rows if rk == k and t <= lt]
+        naive[(k, lt)] = max(cands) if cands else None
+    assert got == naive
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(join_rows, join_rows, st.integers(1, 200))
+def test_interval_join_matches_naive(spark, left_rows, right_rows, gap):
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators.rangejoin import (
+        interval_join,
+    )
+
+    left = spark.createDataFrame(left_rows or [(99, -1)], "k long, lts long")
+    right = spark.createDataFrame(right_rows or [(98, -1)], "k long, rts long")
+    got = sorted((r.k, r.lts, r.rts) for r in
+                 interval_join(left, right, "k", "lts", "rts", max_gap=gap).collect())
+    naive = sorted(
+        (k, lt, rt)
+        for k, lt in (left_rows or [(99, -1)])
+        for rk, rt in (right_rows or [(98, -1)])
+        if rk == k and abs(lt - rt) <= gap
+    )
+    assert got == naive
