@@ -150,11 +150,13 @@ def _sdsum(col: F.Column) -> F.Column:
     SELECT l_returnflag, l_linestatus,
            {_dsum('l_quantity')}      AS sum_qty,
            {_dsum('l_extendedprice')} AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2))) * 10000 AS BIGINT))
+                AS DOUBLE) / 10000 AS sum_disc_price,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
                     * (1 - CAST(l_discount AS DECIMAL(4,2)))
-                    * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+                    * (1 + CAST(l_tax AS DECIMAL(4,2))) * 1000000 AS BIGINT))
+                AS DOUBLE) / 1000000 AS sum_charge,
            {_dsum('l_quantity')} / COUNT(l_quantity)      AS avg_qty,
            {_dsum('l_extendedprice')} / COUNT(l_extendedprice) AS avg_price,
            {_dsum('l_discount')} / COUNT(l_discount)      AS avg_disc,
@@ -183,8 +185,12 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             _sdsum(F.col("l_quantity")).alias("sum_qty"),
             _sdsum(F.col("l_extendedprice")).alias("sum_base_price"),
-            F.sum(price_d * disc_d).cast("double").alias("sum_disc_price"),
-            F.sum(price_d * disc_d * tax_d).cast("double").alias("sum_charge"),
+            # products have ≤4/≤6 exact decimals → scaled-integer (long)
+            # accumulation, exact and ~2x the int128-decimal speed
+            (F.sum((price_d * disc_d * 10000).cast("long")).cast("double") / 10000)
+            .alias("sum_disc_price"),
+            (F.sum((price_d * disc_d * tax_d * 1000000).cast("long")).cast("double") / 1000000)
+            .alias("sum_charge"),
             (_sdsum(F.col("l_quantity")) / F.count("l_quantity")).alias("avg_qty"),
             (_sdsum(F.col("l_extendedprice")) / F.count("l_extendedprice")).alias("avg_price"),
             (_sdsum(F.col("l_discount")) / F.count("l_discount")).alias("avg_disc"),
