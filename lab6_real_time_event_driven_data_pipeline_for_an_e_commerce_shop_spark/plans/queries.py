@@ -1918,3 +1918,75 @@ def q58_brand_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("brand13_share")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q59-q61 — deterministic sampling, regex extraction, stream⋈dim enrichment
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q59_deterministic_sample",
+    """
+    SELECT doc_id, lang FROM documents
+    WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+          % 100 < 20
+    """,
+)
+def q59_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20% deterministic hash sample — reproducible across engines,
+    runs, and corpus growth (a doc's membership never flips), unlike
+    RNG-seeded sampling whose sequence is engine-private."""
+    from ..functions.expressions import portable_hash
+
+    d = _t(spark, sf_dir, "documents")
+    return d.filter(
+        portable_hash(F.col("doc_id").cast("string")) % 100 < 20
+    ).select("doc_id", "lang")
+
+
+@query(
+    "q60_source_parsing",
+    """
+    SELECT source,
+           CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) AS source_num,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q60_source_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured extraction from semi-structured identifiers
+    (regexp_extract) — the P8/P7 string-routing family generalized."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.regexp_extract("source", r"([0-9]+)", 1).cast("long").alias("source_num"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+@query(
+    "q61_events_by_customer_segment",
+    f"""
+    SELECT c.c_mktsegment AS segment,
+           e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {_dsum('e.value')} AS total_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment, e.event_type
+    """,
+)
+def q61_events_by_customer_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral stream enriched with a customer dimension (broadcast)
+    — the canonical event⋈dim rollup every serving dashboard runs."""
+    ev = _events_us(spark, sf_dir)
+    c = _t(spark, sf_dir, "customer")
+    return (
+        ev.join(F.broadcast(c), ev.user_id == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            _sdsum(F.col("value")).alias("total_value"),
+        )
+    )
