@@ -132,8 +132,12 @@ _DEC = "DECIMAL(30,8)"
 
 
 def _dsum(expr: str) -> str:
-    """Oracle-side exact sum, emitted as double."""
-    return f"CAST(SUM(CAST({expr} AS {_DEC})) AS DOUBLE)"
+    """Oracle-side exact sum of a 2-DECIMAL expression, emitted as
+    double via integer cents — the bit-exact mirror of ``_sdsum``.
+    NOT the decimal(30,8) cast: DuckDB converts huge scaled decimals to
+    double through int128→double THEN /1e8 (two roundings), which is
+    1 ulp off Spark's single-rounding for sums above ~9e7."""
+    return f"(CAST(SUM(CAST(CAST({expr} AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100)"
 
 
 def _sdsum(col: F.Column) -> F.Column:
@@ -1203,7 +1207,9 @@ def q37_stream_medallion_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q38_shipping_priority",
     f"""
     SELECT l_orderkey AS order_id,
-           {_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2))) * 10000 AS BIGINT))
+                AS DOUBLE) / 10000 AS revenue,
            CAST(o_orderdate AS DATE) AS order_date,
            o_orderpriority
     FROM customer c
@@ -1240,12 +1246,12 @@ def q38_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_date("o_orderdate").alias("order_date"),
             "o_orderpriority",
         )
-        .agg(F.sum(disc_rev).alias("_rev"))
+        .agg(F.sum((disc_rev * 10000).cast("long")).alias("_rev"))
     )
     return (
         agg.orderBy(F.col("_rev").desc(), F.col("order_id"))
         .limit(10)
-        .select("order_id", F.col("_rev").cast("double").alias("revenue"),
+        .select("order_id", (F.col("_rev").cast("double") / 10000).alias("revenue"),
                 "order_date", "o_orderpriority")
     )
 
@@ -1255,7 +1261,9 @@ def q38_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT n.n_name AS nation,
            r.r_name AS region,
-           {_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(4,2))) * 10000 AS BIGINT))
+                AS DOUBLE) / 10000 AS revenue,
            COUNT(*) AS n_items
     FROM lineitem l
     JOIN orders o    ON l.l_orderkey = o.o_orderkey
@@ -1292,7 +1300,7 @@ def q39_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
         .agg(
-            F.sum(disc_rev).cast("double").alias("revenue"),
+            (F.sum((disc_rev * 10000).cast("long")).cast("double") / 10000).alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
