@@ -1,0 +1,94 @@
+"""Edge-case tests for the text/similarity operator internals."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+    similarity,
+    text,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_language_id_und_when_no_markers(spark):
+    out = {r.doc_id: r.predicted_lang for r in text.language_id(
+        _docs(spark, [(1, "zzz qqq xxx www"), (2, "the cat and the dog is here")])
+    ).collect()}
+    assert out[1] == "und"
+    assert out[2] == "en"
+
+
+def test_language_id_tiebreak_alphabetical(spark):
+    # one 'en' marker and one 'de' marker → tie → lexicographically first (de)
+    out = text.language_id(_docs(spark, [(1, "the und")])).collect()[0]
+    assert out.score_en == 1 and out.score_de == 1
+    assert out.predicted_lang == "de"
+
+
+def test_shingles_short_doc_falls_back_to_whole_text(spark):
+    df = _docs(spark, [(1, "only two")])
+    out = df.select(text.shingles(F.col("text"), 3).alias("s")).collect()[0]["s"]
+    assert out == ["only two"]
+
+
+def test_token_count_handles_messy_whitespace(spark):
+    df = _docs(spark, [(1, "  a   b\tc \n d  ")])
+    assert text.token_count(df).collect()[0].n_tokens == 4
+
+
+def test_quality_features_ratios_bounded(spark):
+    df = _docs(spark, [(1, "ABC 123 def!!"), (2, "x")])
+    for r in text.quality_features(df).collect():
+        for c in ("punct_ratio", "digit_ratio", "upper_ratio"):
+            assert 0.0 <= r[c] <= 1.0
+
+
+def test_fingerprint_normalizes_whitespace_and_case(spark):
+    df = _docs(spark, [(1, "Hello   World"), (2, "hello world"), (3, "hello  world ")])
+    fps = [r.fingerprint for r in text.fingerprint(df).orderBy("doc_id").collect()]
+    assert fps[0] == fps[1] == fps[2]
+
+
+def test_rolling_fingerprint_deterministic_and_distinct(spark):
+    df = _docs(spark, [(1, "abc"), (2, "abc"), (3, "acb")])
+    out = {r.doc_id: r.h for r in df.select(
+        "doc_id", text.rolling_fingerprint(F.col("text")).alias("h")).collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]  # order-sensitive (rolling, not bag-of-chars)
+
+
+def test_bpe_ish_tokens_split_classes(spark):
+    df = _docs(spark, [(1, "Hello42, world!!")])
+    toks = df.select(text.bpe_ish_tokens(F.col("text")).alias("t")).collect()[0]["t"]
+    assert toks == ["hello", "42", ",", "world", "!!"]
+
+
+def test_lsh_bucket_deterministic_across_sessions(spark):
+    planes = similarity.hyperplanes(4, 8)
+    again = similarity.hyperplanes(4, 8)
+    assert planes == again  # fixed-seed splitmix, no RNG state
+    df = spark.createDataFrame(
+        [(1, [0.5] * 8), (2, [-0.5] * 8)], "vec_id long, embedding array<float>"
+    )
+    b = {r.vec_id: r.b for r in df.select(
+        "vec_id", similarity.lsh_bucket(F.col("embedding"), planes).alias("b")).collect()}
+    b2 = {r.vec_id: r.b for r in df.select(
+        "vec_id", similarity.lsh_bucket(F.col("embedding"), planes).alias("b")).collect()}
+    assert b == b2
+    # opposite vectors land in complementary buckets
+    assert b[1] != b[2]
+
+
+def test_cosine_identity_and_orthogonal(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0])],
+        "a array<double>, b array<double>",
+    )
+    out = [r.c for r in df.select(similarity.cosine(F.col("a"), F.col("b")).alias("c")).collect()]
+    assert out[0] == pytest.approx(1.0)
+    assert out[1] == pytest.approx(0.0)
