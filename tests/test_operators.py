@@ -516,3 +516,54 @@ def test_curation_pipeline_stages(spark):
                                             "doc_id long, text string"))
     out2 = {r.doc_id: r.split for r in curation.curate(more).collect()}
     assert out2[1] == out[1] and out2[4] == out[4]
+
+
+def test_serving_casts_shapes(spark):
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        serving,
+    )
+    import datetime as _dt
+    import decimal
+
+    daily = spark.createDataFrame(
+        [( _dt.date(2024, 3, 1), 3, 123.456, 7, 0.5, None)],
+        "order_date date, total_orders long, total_revenue double, "
+        "total_items_sold long, return_rate double, unique_customers long",
+    )
+    out = serving.serving_order_kpis(daily).collect()[0]
+    assert out.order_date == "2024-03-01"
+    assert isinstance(out.total_revenue, decimal.Decimal)
+    assert out.unique_customers == 0  # null→0 coalesce (reference P6)
+    assert dict(serving.serving_order_kpis(daily).dtypes)["total_revenue"] == "decimal(38,6)"
+
+
+def test_compact_with_sort_restores_clustering(spark, tmp_path):
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        maintenance,
+    )
+    import pyspark.sql.functions as _F
+
+    path = str(tmp_path / "t")
+    spark.range(0, 1000).select((_F.col("id") % 100).alias("k"), "id") \
+        .repartition(10).write.parquet(path)
+    maintenance.compact(spark, path, target_file_bytes=10**9, sort_by=["k"])
+    df = spark.read.parquet(path)
+    assert df.count() == 1000
+    # single sorted file → min/max row-group stats usable for pruning
+    rows = [r.k for r in df.collect()]
+    assert rows == sorted(rows)
+
+
+def test_curation_threshold_sensitivity(spark):
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        curation,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base.replace("kappa", "lambda"))], "doc_id long, text string"
+    )
+    strict = {r.doc_id for r in curation.curate(docs, near_dup_threshold=0.5).collect()}
+    lax = {r.doc_id for r in curation.curate(docs, near_dup_threshold=0.99).collect()}
+    assert strict == {1}       # high overlap → 2 dropped at 0.5
+    assert lax == {1, 2}       # 0.99 keeps both (not identical)
