@@ -27,14 +27,21 @@ from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.sess
 )
 
 HEADLINE = [
+    # reference surface
     "q01_pricing_summary",
     "q02_enriched_orders",
     "q03_category_kpis",
     "q04_order_kpis_daily",
     "q13_complete_order_groups",
     "q16_top_brands_by_revenue",
+    # event analytics
     "q17_events_hourly",
     "q18_user_sessions",
+    # training-data extension ops
+    "q24_ngram_jaccard_pairs",
+    "q27_cosine_topk",
+    "q39_nation_revenue",
+    "q53_curated_corpus",
 ]
 
 

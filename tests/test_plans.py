@@ -119,3 +119,21 @@ def test_bucketized_join_skips_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_items")
+
+
+def test_q45_asof_single_window_pass(spark):
+    plan = _formatted(q.q45_asof_last_click_before_purchase(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan  # the carry-forward implementation
+
+
+def test_q47_interval_join_is_equijoin(spark):
+    plan = _formatted(q.q47_activity_near_errors(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q53_curation_no_cartesian(spark):
+    plan = _formatted(q.q53_curated_corpus(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
