@@ -79,3 +79,28 @@ def dedup_within_watermark(
     (``dropDuplicatesWithinWatermark``): the streaming dedup the
     reference approximates with its seen-file state JSON."""
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def sliding_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    ts_col: str = "ts",
+    watermark: str | None = "2 hours",
+) -> DataFrame:
+    """Sliding (hopping) windows: each event lands in window/slide
+    overlapping buckets — the moving-average shape tumbling windows
+    can't express. State = windows-per-event x group cardinality,
+    bounded by the watermark."""
+    if watermark is not None:
+        events = events.withWatermark(ts_col, watermark)
+    return (
+        events.groupBy(F.window(F.col(ts_col), window, slide).alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )

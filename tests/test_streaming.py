@@ -335,3 +335,45 @@ def test_process_restart_and_many_files(spark, tmp_path):
     before = sorted(map(tuple, silver.collect()))
     MedallionPipeline(spark, root).run_cycle()
     assert sorted(map(tuple, pipe2.silver().collect())) == before
+
+
+def test_kv_sink_batching_and_retry(spark):
+    """Reference S8 contract (transform.py:226-257): 25 items/request,
+    retried with backoff; transient failures recover."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.serving_sink import (
+        write_kv_batches,
+    )
+
+    store = {}
+    calls = {"n": 0, "sizes": []}
+
+    def flaky_put(batch):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise OSError("throttled")  # first request throttled → retried
+        calls["sizes"].append(len(batch))
+        for item in batch:
+            store[item["k"]] = item["v"]
+
+    df = spark.range(0, 60).selectExpr("CAST(id AS STRING) AS k", "id AS v")
+    # patch retry sleep to be instant
+    import lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.functions.retry as r
+    orig = r.time.sleep
+    r.time.sleep = lambda s: None
+    try:
+        n = write_kv_batches(df, flaky_put, batch_size=25)
+    finally:
+        r.time.sleep = orig
+    assert n == 60
+    assert len(store) == 60
+    assert calls["sizes"] == [25, 25, 10]
+
+
+def test_sliding_windows_overlap(spark):
+    ev = _event_rows(spark)
+    out = windows.sliding_event_counts(ev, window="1 hour", slide="30 minutes")
+    rows = [r for r in out.collect() if r.event_type == "click"]
+    # each event lands in 2 overlapping hour windows at 30-min slide
+    total = sum(r.n_events for r in rows)
+    n_clicks = sum(1 for r in _event_rows(spark).collect() if r.event_type == "click")
+    assert total == 2 * n_clicks
