@@ -6,10 +6,12 @@ salted join below is the *static* fallback for the cases AQE can't fix:
 a broadcast-ineligible right side joined on a key where one value
 dominates (the classic hot-customer / null-key pile-up).
 
-Mechanics: the fact side gets a deterministic salt in [0, n); the
-build side is exploded n× (one copy per salt); the join key becomes
-(key, salt), spreading each hot key over n reducers. Deterministic
-(hash-derived salt, no RNG) so results are stable and testable.
+Mechanics: the fact side gets a salt in [0, n) derived from ROW
+identity (never from the key alone — a key-derived salt maps every
+row of the hot key to the same salt and spreads nothing); the build
+side is exploded n× (one copy per salt); the join key becomes
+(key, salt), spreading each hot key over n reducers. The salt only
+affects routing, so results are identical for any salt assignment.
 """
 
 from __future__ import annotations
@@ -29,8 +31,15 @@ def salted_join(
     identical to ``fact.join(dim, key, how)`` for equi-joins where
     ``dim`` is unique per key; the dim side is replicated n× (keep it
     the smaller input)."""
+    # Salt from row identity (partition-local id), NOT the join key: a
+    # key-derived salt is constant per key and would leave the hot key
+    # on a single reducer. monotonically_increasing_id varies per row;
+    # the result set is salt-invariant (salt only routes rows).
     salted_fact = fact.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.col(key)), F.lit(n_salts)).cast("int")
+        "_salt",
+        F.pmod(F.xxhash64(F.col(key), F.monotonically_increasing_id()), F.lit(n_salts)).cast(
+            "int"
+        ),
     )
     salted_dim = dim.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))

@@ -1469,7 +1469,7 @@ def q45_asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> Dat
     clicks = ev.filter(F.col("event_type") == "click").drop("event_type")
     out = asof_join(
         purchases, clicks, on="user_id", left_ts="ts_us", right_ts="ts_us",
-        right_value_cols=["value"],
+        right_value_cols=["value"], right_order_col="event_id",
     )
     return out.select(
         "event_id", "user_id", "ts_us",
@@ -1675,7 +1675,7 @@ def q51_click_to_purchase_conversion(spark: SparkSession, sf_dir: str) -> DataFr
     purchases = ev.filter(F.col("event_type") == "purchase").drop("event_type")
     clicks = ev.filter(F.col("event_type") == "click").drop("event_type")
     j = asof_join(purchases, clicks, on="user_id", left_ts="ts_us", right_ts="ts_us",
-                  right_value_cols=[])
+                  right_value_cols=[], right_order_col="event_id")
     converted = F.when(F.col("ts_us") - F.col("asof_ts") <= 3_600_000_000, 1).otherwise(0)
     return j.agg(
         F.count("*").alias("n_purchases"),

@@ -117,6 +117,15 @@ class MedallionPipeline:
         path = self._path("staging", table)
         schema = schemas.ECOMMERCE_SCHEMAS[table]
         if not os.path.isdir(path):
+            # crash-window recovery: _swap renames staging -> __old, then
+            # __next -> staging. A crash between the renames leaves __next
+            # (preferred: it reflects the completed promotion) or only
+            # __old (pre-promotion state). Restore whichever exists.
+            for cand in (path + "__next", path + "__old"):
+                if os.path.isdir(cand):
+                    os.rename(cand, path)
+                    break
+        if not os.path.isdir(path):
             return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).parquet(path)
 
@@ -162,10 +171,19 @@ class MedallionPipeline:
         return dates
 
     def _swap(self, path: str) -> None:
+        """3-step swap mirroring upsert.merge_parquet: the old directory
+        survives as __old until the replacement is in place, so a crash
+        never leaves staging/ absent (pending groups stranded invisible
+        in __next). An orphaned __next from a pre-swap crash is healed
+        lazily: it is simply overwritten by the next cycle's write."""
         import shutil
 
-        shutil.rmtree(path)
+        old = path + "__old"
+        if os.path.isdir(old):  # leftover from a crash mid-swap
+            shutil.rmtree(old)
+        os.rename(path, old)
         os.rename(path + "__next", path)
+        shutil.rmtree(old)
 
     # -- EP3b: gold KPI refresh (exact, partition-pruned) --------------------
     def refresh_gold(self, dates: list[str]) -> None:

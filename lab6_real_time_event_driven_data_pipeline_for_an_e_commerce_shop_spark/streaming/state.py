@@ -17,10 +17,14 @@ from __future__ import annotations
 
 from collections.abc import Iterable, Iterator
 
+from decimal import ROUND_HALF_UP, Decimal
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+_CENT = Decimal("0.01")
 
 OUTPUT_SCHEMA = T.StructType(
     [
@@ -46,7 +50,17 @@ def _update(
     n, cents = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        cents += int((pdf["value"] * 100).round().astype("int64").sum())
+        # Mirror the batch path's double→DECIMAL(_,2) cast bit-for-bit
+        # (functions.expressions.cents_sum): Spark casts via the SHORTEST
+        # decimal repr of the double (BigDecimal.valueOf ≡ Python repr),
+        # then rounds HALF_UP. pandas .round() (half-to-even on the raw
+        # binary value) diverges at half-cents like 0.125; even
+        # floor(x*100+0.5) diverges for values like 1.005 whose binary
+        # form sits just below the half.
+        cents += sum(
+            int(Decimal(repr(v)).quantize(_CENT, rounding=ROUND_HALF_UP).scaleb(2))
+            for v in pdf["value"]
+        )
     state.update((n, cents))
     yield pd.DataFrame(
         {"user_id": [key[0]], "n_events": [n], "total_value": [cents / 100.0]}

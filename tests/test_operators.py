@@ -333,6 +333,42 @@ def test_salted_join_equals_plain_join(spark):
     assert plain == salted and len(plain) == 1000
 
 
+def test_salted_join_spreads_hot_key(spark):
+    """The salt must derive from ROW identity: all rows of the hot key
+    may NOT collapse onto a single salt value (ADVICE r1: a key-derived
+    salt is a no-op for skew)."""
+    from pyspark.sql import functions as F
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators.skew import (
+        salted_join,  # noqa: F401  (import proves the API)
+    )
+
+    fact = spark.range(0, 1000).selectExpr("CAST(7 AS LONG) AS k", "id AS payload")
+    salted = fact.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(F.col("k"), F.monotonically_increasing_id()), F.lit(8)).cast("int"),
+    )
+    n_distinct_salts = salted.select("_salt").distinct().count()
+    assert n_distinct_salts >= 4  # hot key spreads over several reducers
+
+
+def test_asof_join_tie_break_deterministic(spark):
+    """Duplicate right rows at the same (key, ts): the row with the
+    greatest right_order_col must win, under any input ordering."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators.asof import (
+        asof_join,
+    )
+
+    left = spark.createDataFrame([(1, 100)], "k long, ts long")
+    rows = [(1, 90, 1, "first"), (1, 90, 3, "third"), (1, 90, 2, "second")]
+    for perm in (rows, rows[::-1], [rows[1], rows[0], rows[2]]):
+        right = spark.createDataFrame(perm, "k long, ts long, rid long, v string")
+        out = asof_join(
+            left, right, "k", "ts", "ts", right_value_cols=["v"], right_order_col="rid"
+        ).collect()
+        assert out[0].asof_v == "third"
+
+
 def test_interval_join_bucketing_exact(spark):
     """Bucketed interval join must equal the naive inequality join."""
     from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators.rangejoin import (

@@ -377,3 +377,55 @@ def test_sliding_windows_overlap(spark):
     total = sum(r.n_events for r in rows)
     n_clicks = sum(1 for r in _event_rows(spark).collect() if r.event_type == "click")
     assert total == 2 * n_clicks
+
+
+def test_staging_swap_crash_recovery(spark, tmp_path):
+    """A crash between _swap's two renames leaves staging/ absent with
+    __old or __next on disk; _staging must restore it, not return empty
+    (ADVICE r1: stranded pending groups)."""
+    root = str(tmp_path)
+    pipe = MedallionPipeline(spark, root)
+    _drop(root, "orders", "o1.csv", ORDER_HEADER,
+          [f"1,10,delivered,{T0},,,,1"])
+    pipe.ingest_available()
+    staging = pipe._path("staging", "orders")
+    assert os.path.isdir(staging)
+
+    # simulate crash after `staging -> __old`, before `__next -> staging`
+    os.rename(staging, staging + "__old")
+    assert pipe._staging("orders").count() == 1          # restored from __old
+    assert os.path.isdir(staging)
+
+    # simulate crash where __next was complete (preferred over __old)
+    os.rename(staging, staging + "__next")
+    assert pipe._staging("orders").count() == 1          # restored from __next
+    assert os.path.isdir(staging)
+
+
+def test_streaming_state_rounds_like_batch_decimal_cast(spark):
+    """The keyed-state accumulator must accumulate cents exactly the way
+    the batch path's double→DECIMAL(_,2) cast does: shortest-repr
+    decimal, HALF_UP. 0.125 (exact half) rounds UP to 13 (pandas round()
+    gives 12); 1.005 (binary just below the half) still rounds to 101
+    because the cast sees the repr '1.005', not the raw binary."""
+    import pandas as pd
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming import (
+        state as st,
+    )
+
+    class _FakeState:
+        exists = False
+
+        def update(self, v):
+            self.value = v
+
+    fake = _FakeState()
+    pdf = pd.DataFrame({"value": [0.125, 0.135, 1.005]})
+    out = list(st._update((7,), iter([pdf]), fake))
+    assert fake.value == (3, 13 + 14 + 101)
+    # and the Spark batch cast agrees value-for-value
+    rows = spark.createDataFrame(pdf).selectExpr(
+        "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS LONG) AS cents"
+    ).collect()
+    assert sorted(r.cents for r in rows) == [13, 14, 101]
