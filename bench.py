@@ -32,7 +32,7 @@ HEADLINE = [
     "q02_enriched_orders",
     "q03_category_kpis",
     "q04_order_kpis_daily",
-    "q13_complete_order_groups",
+    "q13_order_completeness",
     "q16_top_brands_by_revenue",
     # event analytics
     "q17_events_hourly",

