@@ -1,0 +1,54 @@
+"""Bounded substrate caching: at most one live cached DataFrame per
+named slot.
+
+Catalog queries are standalone functions, so a shared intermediate
+(the silver ``enriched`` relation, the dedup shingle-hash substrate)
+would otherwise be recomputed by every consumer. ``persist()`` alone
+leaks in a long-lived session (r1 ADVICE) because a lazily-returned
+plan can't be unpersisted by its producer.
+
+The contract here:
+- a call with a plan **semantically equal** to the slot's live cache
+  keeps it — Spark's cache manager then serves the new DataFrame from
+  the already-materialized InMemoryRelation (cross-call warm reuse);
+- a call with a **different** plan (new sf_dir, new filter) unpersists
+  the previous blocks first, so each slot holds at most one cache;
+- an unpersisted frame that some caller still holds simply recomputes.
+
+This mirrors what a production medallion deployment does with a
+materialized silver table: consumers read the materialization, and a
+new snapshot replaces (not accumulates next to) the old one. At real
+scale the storage level spills to disk rather than OOMing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_SLOTS: dict[str, tuple[object, DataFrame]] = {}
+
+
+def _plan_key(df: DataFrame) -> object:
+    try:
+        return df._jdf.queryExecution().analyzed().semanticHash()
+    except Exception:  # py4j surface moved — degrade to always-miss
+        return object()
+
+
+def bounded_cache(slot: str, df: DataFrame) -> DataFrame:
+    """Return ``df`` cached, releasing the slot's previous cache if it
+    was built from a semantically different plan."""
+    key = _plan_key(df)
+    live = _SLOTS.get(slot)
+    if live is not None and live[0] != key:
+        live[1].unpersist()
+        del _SLOTS[slot]
+    out = df.cache()
+    _SLOTS[slot] = (key, out)
+    return out
+
+
+def release(slot: str) -> None:
+    live = _SLOTS.pop(slot, None)
+    if live is not None:
+        live[1].unpersist()

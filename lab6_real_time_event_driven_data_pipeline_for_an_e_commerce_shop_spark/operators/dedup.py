@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.cache import bounded_cache
 from ..functions.expressions import MERSENNE, affine_minhash
 from ..functions.expressions import portable_hash as _portable_hash
 from .text import shingles
@@ -52,9 +53,6 @@ MINHASH_COEF = [
 
 
 portable_hash = _portable_hash  # re-export (oracle SQL mirrors this)
-
-# the one live cached shingle-hash substrate (see ngram_jaccard_pairs)
-_live_substrate: DataFrame | None = None
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -104,15 +102,10 @@ def ngram_jaccard_pairs(
     ).select("_id", *(["_blk"] if block_col else []), portable_hash(F.col("_sh")).alias("_h")).distinct()
     # cache: this substrate feeds THREE subplans (sizes + both join
     # sides); without it the explode+md5 work runs 3x (measured 5s -> 1s
-    # on the 500-doc corpus). The cache is bounded, not leaked: each
-    # call releases the previous call's blocks (callers can't unpersist
-    # a lazily-returned plan themselves; an unpersisted frame that is
-    # re-collected later simply recomputes).
-    global _live_substrate
-    if _live_substrate is not None:
-        _live_substrate.unpersist()
-    pairs_src = pairs_src.cache()
-    _live_substrate = pairs_src
+    # on the 500-doc corpus). Bounded, not leaked (r1 ADVICE): see
+    # functions/cache.bounded_cache — identical re-invocations stay
+    # warm, a different input releases the previous blocks.
+    pairs_src = bounded_cache("dedup.shingle_substrate", pairs_src)
 
     sizes = pairs_src.groupBy("_id").agg(F.count("*").alias("_n"))
 

@@ -54,22 +54,25 @@ def order_kpis_daily(enriched: DataFrame) -> DataFrame:
     """Order-level daily KPIs (reference transform.py:359-365).
 
     Two-level aggregation: pre-aggregate per (order_date, order_id,
-    user_id) — one row per order — then finish per order_date. The
-    exact count-distincts (A4) then run their expand over |orders|
-    rows instead of |items| rows (~4× smaller here, 10-100× smaller in
-    real carts), and the item-level sums compose exactly because the
-    partials are exact decimals. Identical results, cheaper plan."""
+    user_id) — one row per order — then finish per order_date. After
+    the pre-agg, each row IS one distinct order, so COUNT(DISTINCT
+    order_id) degenerates to COUNT(*) (exactly equal — an order has one
+    date and one user) and only ONE true distinct remains (user_id):
+    Catalyst then plans a plain two-phase distinct-agg with NO Expand,
+    instead of multiplying every row per distinct column. The
+    item-level sums compose exactly because the partials are exact
+    integer cents. Identical results, cheaper plan (A4)."""
     per_order = enriched.groupBy("order_date", "order_id", "user_id").agg(
         F.sum((F.col("sale_price").cast("decimal(18,2)") * 100).cast("long")).alias("_rev"),
         F.count("product_id").alias("_items"),
         F.sum(returned_flag()).alias("_returned"),
     )
+    n_orders = F.count("*")  # rows are per-order ⇒ COUNT(DISTINCT order_id)
     return per_order.groupBy("order_date").agg(
-        F.countDistinct("order_id").alias("total_orders"),
+        n_orders.alias("total_orders"),
         (F.sum("_rev") / 100.0).alias("total_revenue"),
         F.sum("_items").cast("long").alias("total_items_sold"),
-        (F.sum("_returned").cast("double") / F.countDistinct("order_id"))
-        .alias("return_rate"),
+        (F.sum("_returned").cast("double") / n_orders).alias("return_rate"),
         F.countDistinct("user_id").alias("unique_customers"),
     )
 

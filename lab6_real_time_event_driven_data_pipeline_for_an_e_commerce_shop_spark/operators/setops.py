@@ -63,6 +63,36 @@ def complete_order_groups(
     )
 
 
+def order_completeness(
+    orders: DataFrame, order_items: DataFrame, products: DataFrame
+) -> DataFrame:
+    """Per-order J3 flags in ONE aggregation pass: (order_id, has_items,
+    is_complete). Instead of stacking semi/anti joins (3 shuffles), the
+    items side joins the product dimension (broadcast) once, aggregates
+    per order (has items ⇔ group exists; complete ⇔ no item missing its
+    product), and left-joins back to orders — one shuffle on order_id.
+    ``complete_order_groups`` is the is_complete slice."""
+    prod_keys = products.select(F.col("id").alias("product_id")).withColumn(
+        "_p", F.lit(True)
+    )
+    per_order = (
+        order_items.select("order_id", "product_id")
+        .join(F.broadcast(prod_keys), "product_id", "left")
+        .groupBy("order_id")
+        .agg(F.min(F.col("_p").isNotNull()).alias("_all_products"))
+    )
+    return (
+        orders.select("order_id")
+        .distinct()
+        .join(per_order, "order_id", "left")
+        .select(
+            "order_id",
+            F.col("_all_products").isNotNull().alias("has_items"),
+            F.coalesce(F.col("_all_products"), F.lit(False)).alias("is_complete"),
+        )
+    )
+
+
 def incomplete_order_groups(
     orders: DataFrame, order_items: DataFrame, products: DataFrame
 ) -> DataFrame:

@@ -43,16 +43,18 @@ def test_q04_single_pass_no_python(spark):
     # no Python UDF evaluation anywhere in the KPI path
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
-    # the expand for exact count-distinct runs AFTER the per-order
-    # pre-aggregation (two-level agg): Expand's child must be an agg
-    assert "Expand" in plan
+    # the per-order pre-agg leaves a single true distinct (user_id), so
+    # the plan must NOT pay the Expand row-multiplication for the
+    # count-distincts (total_orders degenerates to COUNT(*))
+    assert "Expand" not in plan
 
 
-def test_q13_semi_and_anti_joins(spark):
+def test_q13_one_pass_completeness(spark):
     plan = _formatted(q.q13_order_completeness(spark, SF_DIR))
-    # completeness membership is computed with semi/anti joins inside
-    # complete_order_groups; the flag attachment joins stay left-outer
-    assert "LeftSemi" in plan or "LeftAnti" in plan
+    # the product dimension must ride a broadcast join; the per-order
+    # aggregation is the only wide dependency besides the back-join
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
 def test_q24_no_cartesian(spark):
