@@ -97,18 +97,35 @@ def ann_lsh_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probe_hamming: int = 1,
 ) -> DataFrame:
-    """ANN top-k: candidates = rows in the query's hyperplane bucket
-    (plus Hamming-1 neighbors would be the recall knob; omitted for
-    v1), exact cosine within. At scale the bucket column is computed
-    once at ingest and the probe is a partition-pruned equi-join."""
+    """ANN top-k: candidates = rows in the query's hyperplane bucket,
+    exact cosine within. ``probe_hamming=1`` is the recall knob
+    (multiprobe LSH): the query side also probes every bucket whose
+    sign-bit signature differs in one plane — the buckets a borderline
+    vector most likely fell into — multiplying candidates by ≤n_planes+1
+    while the probe stays a bucket equi-join (the probe set explodes on
+    the TINY broadcast query side, never on the corpus). At scale the
+    bucket column is computed once at ingest and the probe is a
+    partition-pruned equi-join."""
     planes = hyperplanes(n_planes, dim)
     bucketed = df.withColumn("_bkt", lsh_bucket(F.col(vec_col), planes))
+    qsig = lsh_bucket(F.col(vec_col), planes)
+    masks = [0]
+    if probe_hamming >= 1:
+        masks += [1 << j for j in range(n_planes)]
+    if probe_hamming >= 2:
+        masks += [
+            (1 << i) | (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+    probes = [qsig.bitwiseXOR(F.lit(m)) for m in masks]
     qb = F.broadcast(
         query_df.select(
             F.col(id_col).alias("_qid"),
             F.col(vec_col).alias("_qvec"),
-            lsh_bucket(F.col(vec_col), planes).alias("_bkt"),
+            F.explode(F.array(*probes)).alias("_bkt"),
         )
     )
     cand = bucketed.join(qb, "_bkt").filter(F.col(id_col) != F.col("_qid"))

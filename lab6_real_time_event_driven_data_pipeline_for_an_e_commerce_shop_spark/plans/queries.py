@@ -944,17 +944,18 @@ def q28_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q29_ann_lsh_topk", None)  # LSH recall is probabilistic → rows-only check
 def q29_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-k via random-hyperplane LSH bucketing (the 100 TB path:
-    bucket equi-join instead of all-pairs). No SQL oracle — bucket
-    membership is model-defined, not relational; correctness is pinned
-    by unit tests against brute force recall instead."""
+    """ANN top-k via random-hyperplane LSH bucketing with Hamming≤2
+    multiprobe (the 100 TB path: bucket equi-join instead of all-pairs;
+    the probe set explodes only on the broadcast query side). 9/10
+    recall vs brute force on the fixed corpus (unit-pinned). No SQL
+    oracle — bucket membership is model-defined, not relational."""
     from ..operators import similarity
 
     emb = _t(spark, sf_dir, "embeddings")
     qrow = emb.join(
         F.broadcast(emb.agg(F.min("vec_id").alias("vec_id"))), "vec_id", "left_semi"
     )
-    return similarity.ann_lsh_topk(emb, qrow, k=10, n_planes=6, dim=64)
+    return similarity.ann_lsh_topk(emb, qrow, k=10, n_planes=4, dim=64, probe_hamming=2)
 
 
 # ---------------------------------------------------------------------------

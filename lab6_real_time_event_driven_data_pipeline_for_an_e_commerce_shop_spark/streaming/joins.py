@@ -16,6 +16,8 @@ tables at all. Pick per deployment:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -63,4 +65,71 @@ def joined_orders_items(
         "sale_price",
         "product_id",
         "returned_at",
+    )
+
+
+def start_streaming_kpis(
+    orders_stream: DataFrame,
+    items_stream: DataFrame,
+    products: DataFrame,
+    root: str,
+    max_lateness: str = "1 hour",
+    join_window: str = "1 hour",
+):
+    """The low-latency gold path END TO END: stream-stream join →
+    static dim enrichment → exact per-date KPI refresh, continuously.
+
+    Exact count-distincts aren't incrementally composable (SURVEY.md
+    §2.5 A4 note), so each micro-batch (a) MERGEs its enriched rows
+    into silver idempotently on (order_id, product_id), then (b)
+    recomputes the KPIs of the batch's AFFECTED order_dates from the
+    full merged silver partition and MERGEs those into gold — correct
+    under replays, late arrivals within the watermark, and partial
+    groups, because the recompute always reads the whole partition.
+    The per-batch work is bounded by the touched dates, not the table.
+
+    Returns the StreamingQuery (AvailableNow trigger: drains what is
+    pending, then stops — call again for the next drain, or swap the
+    trigger for processingTime in a long-running deployment).
+    """
+    from ..operators import kpis, upsert
+
+    enriched_stream = joined_orders_items(
+        orders_stream, items_stream, max_lateness, join_window
+    )
+    prod = products.select(
+        F.col("id").alias("product_id"), F.col("category")
+    )
+    silver_path = os.path.join(root, "silver", "enriched_ss")
+    gold_path = os.path.join(root, "gold", "order_kpis_daily_ss")
+
+    def _batch(bdf: DataFrame, _epoch: int) -> None:
+        spark = bdf.sparkSession
+        enriched = bdf.join(F.broadcast(prod), "product_id", "inner").select(
+            "order_id", "user_id", "status", "order_date",
+            "sale_price", "product_id", "category", "returned_at",
+        )
+        enriched = enriched.cache()
+        try:
+            if enriched.limit(1).count() == 0:
+                return
+            upsert.merge(
+                spark, silver_path, enriched,
+                keys=["order_id", "product_id"], partition_col="order_date",
+            )
+            dates = [str(r[0]) for r in enriched.select("order_date").distinct().collect()]
+            silver = spark.read.parquet(silver_path).filter(
+                F.col("order_date").isin(dates)
+            )
+            upsert.merge(
+                spark, gold_path, kpis.order_kpis_daily(silver), keys=["order_date"]
+            )
+        finally:
+            enriched.unpersist()
+
+    return (
+        enriched_stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", os.path.join(root, "_checkpoints", "kpi_ss"))
+        .trigger(availableNow=True)
+        .start()
     )

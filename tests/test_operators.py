@@ -295,6 +295,35 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     assert ivf == again
 
 
+def test_lsh_multiprobe_recall_vs_brute_force(spark, sf_dir):
+    """Hamming-1 multiprobe must (a) never lose candidates vs the
+    single-bucket probe, (b) recover a meaningful share of the true
+    top-10, (c) stay deterministic."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        similarity,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qrow = emb.join(
+        F.broadcast(emb.agg(F.min("vec_id").alias("vec_id"))), "vec_id", "left_semi"
+    )
+    brute = {r.neighbor_id for r in similarity.cosine_topk(emb, qrow, k=10).collect()}
+    h0 = {r.neighbor_id for r in similarity.ann_lsh_topk(
+        emb, qrow, k=10, n_planes=4, dim=64, probe_hamming=0).collect()}
+    h1 = {r.neighbor_id for r in similarity.ann_lsh_topk(
+        emb, qrow, k=10, n_planes=4, dim=64, probe_hamming=1).collect()}
+    h2 = {r.neighbor_id for r in similarity.ann_lsh_topk(
+        emb, qrow, k=10, n_planes=4, dim=64, probe_hamming=2).collect()}
+    # monotone recall in the probe radius; fixed-seed corpus pins the
+    # actual values (h0=1, h1=6, h2=9 at sf0.01)
+    assert len(brute & h0) <= len(brute & h1) <= len(brute & h2)
+    assert len(brute & h1) >= 5
+    assert len(brute & h2) >= 8
+    again = {r.neighbor_id for r in similarity.ann_lsh_topk(
+        emb, qrow, k=10, n_planes=4, dim=64, probe_hamming=2).collect()}
+    assert h2 == again
+
+
 def test_asof_join_semantics(spark):
     from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators.asof import (
         asof_join,

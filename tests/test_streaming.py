@@ -429,3 +429,90 @@ def test_streaming_state_rounds_like_batch_decimal_cast(spark):
         "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS LONG) AS cents"
     ).collect()
     assert sorted(r.cents for r in rows) == [13, 14, 101]
+
+
+def test_streaming_kpis_end_to_end_match_batch(spark, tmp_path):
+    """The stream-stream KPI path must land EXACTLY the batch KPI
+    numbers in gold, stay idempotent under a second drain, and fold
+    late-arriving items into the affected date on the next drain."""
+    import pyspark.sql.functions as F
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark import schemas
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        enrich as enrich_op,
+    )
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        kpis,
+    )
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.joins import (
+        start_streaming_kpis,
+    )
+
+    root = str(tmp_path)
+    odir, idir = tmp_path / "o", tmp_path / "i"
+    base = dt.datetime(2024, 3, 1, 10, 0, 0)
+    orders_rows = [
+        ("o1", "u1", "delivered", base, None, None, None, 1),
+        ("o2", "u1", "delivered", base + dt.timedelta(minutes=1), None, None, None, 1),
+    ]
+    items_rows = [
+        ("i1", "o1", "u1", "p1", "delivered", base, None, None, None, 10.0),
+        ("i2", "o1", "u1", "p2", "delivered", base, None, None, base, 5.5),
+        ("i3", "o2", "u1", "p1", "delivered", base + dt.timedelta(minutes=2),
+         None, None, None, 2.25),
+    ]
+    products = spark.createDataFrame(
+        [("p1", "sku1", 1.0, "cat_a", "n1", "b", 2.0, "d"),
+         ("p2", "sku2", 1.0, "cat_b", "n2", "b", 3.0, "d")],
+        schema=schemas.PRODUCTS_SCHEMA,
+    )
+    spark.createDataFrame(orders_rows, schema=schemas.ORDERS_SCHEMA).write.parquet(str(odir))
+    spark.createDataFrame(items_rows[:2], schema=schemas.ORDER_ITEMS_SCHEMA).write.parquet(str(idir))
+
+    def drain():
+        q = start_streaming_kpis(
+            spark.readStream.schema(schemas.ORDERS_SCHEMA).parquet(str(odir)),
+            spark.readStream.schema(schemas.ORDER_ITEMS_SCHEMA).parquet(str(idir)),
+            products, root,
+        )
+        q.awaitTermination()
+
+    drain()
+    gold_path = os.path.join(root, "gold", "order_kpis_daily_ss")
+    first = {r.order_date: r for r in spark.read.parquet(gold_path).collect()}
+    assert first[dt.date(2024, 3, 1)].total_orders == 1  # only o1 items arrived
+    assert abs(first[dt.date(2024, 3, 1)].total_revenue - 15.5) < 1e-9
+
+    # late item for o2 lands in a NEW file -> next drain folds it in
+    spark.createDataFrame(items_rows[2:], schema=schemas.ORDER_ITEMS_SCHEMA).write.mode(
+        "append"
+    ).parquet(str(idir))
+    drain()
+    second = {r.order_date: r for r in spark.read.parquet(gold_path).collect()}
+    row = second[dt.date(2024, 3, 1)]
+    assert row.total_orders == 2 and abs(row.total_revenue - 17.75) < 1e-9
+
+    # the streaming gold equals the batch KPI computation on the same data
+    o_mapped = spark.createDataFrame(orders_rows, schema=schemas.ORDERS_SCHEMA).select(
+        "order_id", "user_id", "status", "created_at"
+    )
+    i_mapped = spark.createDataFrame(items_rows, schema=schemas.ORDER_ITEMS_SCHEMA).select(
+        "order_id", "product_id", "sale_price", "returned_at"
+    )
+    p_mapped = products.select(
+        F.col("id"), F.col("category"), F.col("brand"), F.col("retail_price")
+    )
+    batch = kpis.order_kpis_daily(
+        enrich_op.enrich_orders(o_mapped, i_mapped, p_mapped)
+    ).collect()
+    brow = {r.order_date: r for r in batch}[dt.date(2024, 3, 1)]
+    assert (brow.total_orders, brow.total_items_sold, brow.unique_customers) == (
+        row.total_orders, row.total_items_sold, row.unique_customers
+    )
+    assert abs(brow.total_revenue - row.total_revenue) < 1e-9
+    assert abs(brow.return_rate - row.return_rate) < 1e-9
+
+    # idempotence: a third drain with nothing new is a no-op
+    before = sorted(map(tuple, spark.read.parquet(gold_path).collect()))
+    drain()
+    assert sorted(map(tuple, spark.read.parquet(gold_path).collect())) == before
