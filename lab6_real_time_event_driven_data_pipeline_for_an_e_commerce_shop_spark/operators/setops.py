@@ -39,6 +39,17 @@ def union_distinct(dfs: list[DataFrame]) -> DataFrame:
     return out.distinct()
 
 
+def intersect_keys(
+    left: DataFrame, right: DataFrame, key: str, right_key: str | None = None
+) -> DataFrame:
+    """INTERSECT on a key column (SURVEY.md §2.7 notes it absent from the
+    reference's data plane — it is implicit in J3's membership tests).
+    Left-semi over distinct keys: shuffles only the key column."""
+    rk = right_key or key
+    r = right.select(F.col(rk).alias(key)).distinct()
+    return left.select(key).distinct().join(r, key, "left_semi")
+
+
 def complete_order_groups(
     orders: DataFrame, order_items: DataFrame, products: DataFrame
 ) -> DataFrame:

@@ -632,3 +632,14 @@ def test_curation_threshold_sensitivity(spark):
     lax = {r.doc_id for r in curation.curate(docs, near_dup_threshold=0.99).collect()}
     assert strict == {1}       # high overlap → 2 dropped at 0.5
     assert lax == {1, 2}       # 0.99 keeps both (not identical)
+
+
+def test_intersect_keys(spark):
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators.setops import (
+        intersect_keys,
+    )
+
+    left = spark.createDataFrame([(1,), (2,), (2,), (3,)], "k long")
+    right = spark.createDataFrame([(2,), (3,), (3,), (4,)], "kk long")
+    got = sorted(r.k for r in intersect_keys(left, right, "k", "kk").collect())
+    assert got == [2, 3]
