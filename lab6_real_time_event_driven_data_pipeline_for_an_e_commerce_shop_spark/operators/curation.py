@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.cache import bounded_cache
 from ..functions.expressions import portable_hash
 from .dedup import exact_duplicates, ngram_jaccard_pairs
 
@@ -64,7 +65,12 @@ def curate(
     keep_exact = exact_duplicates(quality, text_col, id_col).select(
         F.col("keep_id").alias(id_col)
     )
-    exact_kept = quality.join(keep_exact, id_col, "left_semi")
+    # exact_kept feeds BOTH the jaccard shingle substrate and the final
+    # anti-join/select — one bounded materialization instead of running
+    # the quality filter + md5 dedup twice (functions/cache semantics)
+    exact_kept = bounded_cache(
+        "curation.exact_kept", quality.join(keep_exact, id_col, "left_semi")
+    )
 
     pairs = ngram_jaccard_pairs(
         exact_kept, threshold=near_dup_threshold, k=3,
