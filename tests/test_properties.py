@@ -167,3 +167,52 @@ def test_interval_join_matches_naive(spark, left_rows, right_rows, gap):
         if rk == k and abs(lt - rt) <= gap
     )
     assert got == naive
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.integers(0, 10_000_00), min_size=1, max_size=60))
+def test_round_integerization_equals_decimal_cast(spark, cents_list):
+    """The round(x*100) fast path must produce the SAME integer minor
+    units as the DECIMAL(18,2) cast route for every representable
+    2-decimal value (the exactness contract behind _sdsum/q01/q16/
+    q38/q39's integer money math)."""
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame([(c / 100.0,) for c in cents_list], "v double")
+    out = df.select(
+        F.round(F.col("v") * 100).cast("long").alias("fast"),
+        (F.col("v").cast("decimal(18,2)") * 100).cast("long").alias("exact"),
+    ).collect()
+    assert all(r.fast == r.exact for r in out)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(
+    st.tuples(st.integers(0, 10_000_00), st.integers(0, 9), st.integers(0, 8)),
+    min_size=1, max_size=40,
+))
+def test_integer_product_equals_decimal_product(spark, rows):
+    """cents*(100-du) and cents*(100-du)*(100+tu) must equal the exact
+    decimal products price*(1-d)*10^4 / price*(1-d)*(1+t)*10^6 row by
+    row (the q01 sum_disc_price / sum_charge identity)."""
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(c / 100.0, d / 100.0, t / 100.0) for c, d, t in rows],
+        "price double, disc double, tax double",
+    )
+    pc = F.round(F.col("price") * 100).cast("long")
+    du = F.lit(100) - F.round(F.col("disc") * 100).cast("long")
+    tu = F.lit(100) + F.round(F.col("tax") * 100).cast("long")
+    price_d = F.col("price").cast("decimal(12,2)")
+    disc_d = F.lit(1) - F.col("disc").cast("decimal(4,2)")
+    tax_d = F.lit(1) + F.col("tax").cast("decimal(4,2)")
+    out = df.select(
+        (pc * du).alias("fast4"),
+        (price_d * disc_d * 10000).cast("long").alias("exact4"),
+        (pc * du * tu).alias("fast6"),
+        (price_d * disc_d * tax_d * 1000000).cast("long").alias("exact6"),
+    ).collect()
+    assert all(r.fast4 == r.exact4 and r.fast6 == r.exact6 for r in out)
