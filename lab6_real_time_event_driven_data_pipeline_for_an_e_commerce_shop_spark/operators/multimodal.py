@@ -132,3 +132,37 @@ def media_stats(df: DataFrame) -> DataFrame:
         F.sum(F.octet_length("payload")).cast("long").alias("total_bytes"),
         F.max(F.octet_length("payload")).cast("long").alias("max_bytes"),
     )
+
+
+def resize_images(df: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+    """Image resize SHAPE demo (1:1 row transform over image rows):
+    output schema carries the resized payload plus the target dims in
+    meta. The pixel work is a clearly-marked STUB — a deterministic
+    truncate-to-budget standing in for a real PIL/cv2 resample (a
+    ``width*height*3``-byte budget models the decoded RGB size) — but
+    the Arrow batch flow, the meta merge, and the schema contract are
+    the real distributed plumbing a codec drop-in would inherit."""
+    out_schema = MEDIA_SCHEMA
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        budget = width * height * 3
+        for pdf in batches:
+            metas = []
+            payloads = []
+            for p, m in zip(pdf["payload"], pdf["meta"]):
+                payload = None if p is None else bytes(p)[:budget]  # STUB resample
+                payloads.append(payload)
+                meta = dict(m) if m is not None else {}
+                meta.update({"resized_w": str(width), "resized_h": str(height)})
+                metas.append(meta)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "mime_type": pdf["mime_type"],
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    return df.filter(F.col("kind") == "image").mapInPandas(run, schema=out_schema)

@@ -46,3 +46,23 @@ def test_media_stats_jvm_only(spark):
     assert stats["image"].n_media == 2
     assert stats["audio"].total_bytes == 200
     assert stats["video"].max_bytes == 200
+
+
+def test_resize_images_shape_and_meta(spark):
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        multimodal as mm,
+    )
+
+    rows = [
+        (1, "image", "image/png", bytes(range(256)) * 3000, {"src": "cam1"}),
+        (2, "video", "video/mp4", b"\x00" * 100, None),
+        (3, "image", "image/jpeg", None, None),
+    ]
+    df = spark.createDataFrame(rows, schema=mm.MEDIA_SCHEMA)
+    out = mm.resize_images(df, width=8, height=8).collect()
+    by_id = {r.media_id: r for r in out}
+    assert set(by_id) == {1, 3}                      # only image rows
+    assert len(by_id[1].payload) == 8 * 8 * 3        # stub budget applied
+    assert by_id[1].meta["resized_w"] == "8"
+    assert by_id[1].meta["src"] == "cam1"            # original meta preserved
+    assert by_id[3].payload is None                  # null payload survives
