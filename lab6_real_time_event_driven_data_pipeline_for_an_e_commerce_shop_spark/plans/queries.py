@@ -841,21 +841,46 @@ def _lsh_bands_sql(bands: int = 4, rows: int = 4) -> str:
 @query(
     "q26_minhash_lsh_candidates",
     f"""
-    WITH sig AS ({_minhash_sig_sql(16)}),
-    banded AS ({_lsh_bands_sql(4, 4)})
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM banded a JOIN banded b
-      ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    WITH RECURSIVE sig AS ({_minhash_sig_sql(16)}),
+    banded AS ({_lsh_bands_sql(4, 4)}),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(id, r) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
+        UNION
+        SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r
+    ),
+    labels AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+    SELECT p.id_a, p.id_b, l.cluster_id
+    FROM pairs p JOIN labels l ON p.id_a = l.id
     """,
 )
 def q26_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs: 4 bands × 4 rows; equi-join on band
-    signature — the scale path that avoids any all-pairs comparison."""
+    signature — the scale path that avoids any all-pairs comparison.
+    Each pair also carries its transitive duplicate-CLUSTER id
+    (dedup.duplicate_clusters): A~B and B~C collapse to one cluster
+    even though (A,C) never co-hashed — the grouping a dedup pass
+    actually keys on. Oracle mirrors the fixpoint with a recursive
+    reachability CTE (label = MIN reachable id)."""
+    from ..functions.cache import bounded_cache
     from ..operators import dedup
 
-    return dedup.minhash_lsh_candidates(
-        _t(spark, sf_dir, "documents"), bands=4, k=16
+    # Two consumers (edge derivation inside duplicate_clusters + the
+    # final pair output) — one bounded materialization of the LSH join.
+    pairs = bounded_cache(
+        "plans.lsh_pairs",
+        dedup.minhash_lsh_candidates(_t(spark, sf_dir, "documents"), bands=4, k=16),
     )
+    clusters = dedup.duplicate_clusters(pairs)
+    return pairs.join(
+        clusters.select(F.col("node_id").alias("id_a"), "cluster_id"), "id_a"
+    ).select("id_a", "id_b", "cluster_id")
 
 
 # ---------------------------------------------------------------------------

@@ -545,6 +545,63 @@ def test_simhash_hamming_close_for_near_dups(nearly_dup_docs):
     assert ham_near < ham_far
 
 
+def _uf_min_labels(edges):
+    """Reference union-find: node -> min id of its component."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps: dict[int, set[int]] = {}
+    for n in parent:
+        comps.setdefault(find(n), set()).add(n)
+    return {n: min(ms) for ms in comps.values() for n in ms}
+
+
+def test_duplicate_clusters_transitive_chain(spark):
+    """A~B, B~C (no A~C pair) must land in ONE cluster — the property
+    pair-based dedup lacks and clustering exists to provide."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        dedup,
+    )
+
+    # 40-link chain: worst case for naive propagation (diameter 40);
+    # the pointer-jumping fixpoint must still converge inside the
+    # operator's round budget.
+    edges = [(i, i + 1) for i in range(1, 41)] + [(500, 900)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.node_id: r.cluster_id for r in dedup.duplicate_clusters(df).collect()}
+    assert got == _uf_min_labels(edges)
+    assert {got[i] for i in range(1, 42)} == {1}
+    assert got[900] == 500
+
+
+def test_duplicate_clusters_matches_union_find_on_random_graph(spark):
+    import random
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        dedup,
+    )
+
+    rng = random.Random(11)
+    edges = sorted({
+        (min(a, b), max(a, b))
+        for a, b in ((rng.randint(1, 200), rng.randint(1, 200)) for _ in range(150))
+        if a != b
+    })
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.node_id: r.cluster_id for r in dedup.duplicate_clusters(df).collect()}
+    assert got == _uf_min_labels(edges)
+
+
 def test_compute_all_single_cache(fixture_tables):
     from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
         enrich as enrich_op,
