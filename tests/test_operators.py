@@ -700,3 +700,93 @@ def test_intersect_keys(spark):
     right = spark.createDataFrame([(2,), (3,), (3,), (4,)], "kk long")
     got = sorted(r.k for r in intersect_keys(left, right, "k", "kk").collect())
     assert got == [2, 3]
+
+
+def test_write_bucketed_join_has_no_shuffle(spark):
+    """Co-bucketed tables joined on the bucket key must plan WITHOUT a
+    shuffle exchange on either side — the property bucketing exists
+    for (repeated fact⋈fact joins stop re-shuffling every run)."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        maintenance,
+    )
+    import pyspark.sql.functions as _F
+
+    left = spark.range(0, 5000).select(
+        _F.col("id").alias("order_id"), (_F.col("id") % 7).alias("v")
+    )
+    right = spark.range(0, 5000).select(
+        _F.col("id").alias("order_id"), (_F.col("id") % 3).alias("w")
+    )
+    maintenance.write_bucketed(left, "bkt_orders", ["order_id"], 8, sort_cols=["order_id"])
+    maintenance.write_bucketed(right, "bkt_items", ["order_id"], 8, sort_cols=["order_id"])
+    try:
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("bkt_orders").join(spark.table("bkt_items"), "order_id")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            assert joined.count() == 5000
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS bkt_items")
+
+
+def test_zorder_compact_bounds_both_columns(spark, tmp_path):
+    """After Z-ordering on (a, b), EVERY file's bounding box must be
+    tight on BOTH columns — the multi-column pruning property a
+    single-column sort cannot give. Verified against the actual
+    parquet footer min/max (what a scan's file-skipping reads)."""
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        maintenance,
+    )
+    import pyspark.sql.functions as _F
+
+    path = str(tmp_path / "zt")
+    # 64x64 grid (8 rows per cell), written row-major so a naive
+    # layout clusters `a` only
+    n = 64
+    grid = spark.range(0, n * n * 8).select(
+        ((_F.col("id") / 8).cast("long") % n).alias("a"),
+        _F.floor(_F.col("id") / (8 * n)).alias("b"),
+    )
+    grid.repartition(4).write.parquet(path)
+
+    total = sum(
+        f.stat().st_size for f in (tmp_path / "zt").iterdir() if f.name.endswith(".parquet")
+    )
+    n_files = maintenance.zorder_compact(
+        spark, path, ["a", "b"], target_file_bytes=max(1, total // 16), bits=6
+    )
+    assert n_files >= 8  # the clustering claim is vacuous with 1-2 files
+
+    spans_a, spans_b = [], []
+    for f in _os.listdir(path):
+        if not f.endswith(".parquet"):
+            continue
+        md = _pq.ParquetFile(_os.path.join(path, f)).metadata
+        mins = {"a": [], "b": []}
+        maxs = {"a": [], "b": []}
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                name = col.path_in_schema
+                if name in mins and col.statistics is not None:
+                    mins[name].append(col.statistics.min)
+                    maxs[name].append(col.statistics.max)
+        spans_a.append(max(maxs["a"]) - min(mins["a"]))
+        spans_b.append(max(maxs["b"]) - min(mins["b"]))
+
+    # Files cover sub-rectangles on BOTH axes ON AVERAGE (a file that
+    # straddles a Morton quadrant boundary can legitimately span wide —
+    # range cuts don't align with quadrant cuts). Row-major input gives
+    # mean span(a) == 63; a single-column sort gives mean span(b) == 63;
+    # z-order must beat both on BOTH axes simultaneously.
+    assert sum(spans_a) / len(spans_a) <= n / 2, spans_a
+    assert sum(spans_b) / len(spans_b) <= n / 2, spans_b
