@@ -1,0 +1,133 @@
+"""Fresh-process driver simulation: run EVERY catalog query through the
+__spark_entry__ contract the way the driver does — vanilla SparkSession
+(hostile non-UTC timezone), sf0.01, DuckDB oracle side-by-side, pandas-
+canonicalized order-insensitive value compare — and print one JSON
+summary per query plus a final verdict line.
+
+Usage:  python tools/driver_sim.py [sf_dir]      (default sf0.01)
+
+This is the pre-flight for a round close: tests/test_parity.py covers
+the same ground inside the repo's tuned session; THIS script covers it
+under the driver's conditions (default configs, fresh JVM, unknown tz).
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == 0.0:
+            v = 0.0
+        return repr(round(v, 9))
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, list):
+        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
+    return repr(v)
+
+
+def _normalize(rows, columns):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    out.sort()
+    return out
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entry
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        # hostile probe: driver session tz is unknown; results must be
+        # tz-invariant (testdata timestamps are NTZ)
+        .config("spark.sql.session.timeZone", "America/New_York")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    n_match = n_rows_only = n_fail = 0
+    for name in sorted(qs):
+        rec = {"q": name}
+        try:
+            sdf = qs[name](spark, sf_dir)
+            srows = [tuple(r) for r in sdf.collect()]
+            oracle = oracles.get(name)
+            if oracle is None:
+                rec["status"] = f"rows_only({len(srows)})"
+                n_rows_only += 1
+            else:
+                res = con.execute(oracle)
+                ocols = [d[0] for d in res.description]
+                orows = res.fetchall()
+                if sorted(sdf.columns) != sorted(ocols):
+                    rec["status"] = "SCHEMA_MISMATCH"
+                    rec["spark_cols"] = sorted(sdf.columns)
+                    rec["oracle_cols"] = sorted(ocols)
+                    n_fail += 1
+                elif len(srows) != len(orows):
+                    rec["status"] = f"ROWS_MISMATCH({len(srows)} vs {len(orows)})"
+                    n_fail += 1
+                else:
+                    a = _normalize(srows, sdf.columns)
+                    b = _normalize(orows, ocols)
+                    if a == b:
+                        rec["status"] = f"MATCH({len(srows)})"
+                        n_match += 1
+                    else:
+                        rec["status"] = "VALUE_MISMATCH"
+                        rec["first_diffs"] = [
+                            [x, y] for x, y in zip(a, b) if x != y
+                        ][:3]
+                        n_fail += 1
+        except Exception as ex:  # noqa: BLE001 — report, keep sweeping
+            rec["status"] = "ERROR"
+            rec["err"] = f"{type(ex).__name__}: {ex}"[:300]
+            n_fail += 1
+        print(json.dumps(rec), flush=True)
+
+    print(
+        json.dumps(
+            {
+                "verdict": "PASS" if n_fail == 0 else "FAIL",
+                "oracle_match": n_match,
+                "rows_only": n_rows_only,
+                "failures": n_fail,
+                "sf_dir": sf_dir,
+            }
+        )
+    )
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
