@@ -556,15 +556,26 @@ def q16_top_brands_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with ts as epoch MICROSECONDS (bigint). The parquet stores
-    nanosecond timestamps, which Spark only reads via the
-    nanosAsLong legacy conf — integer µs arithmetic keeps every derived
-    value timezone-proof and bit-identical to DuckDB's epoch_us()."""
+    """events with ts as epoch MICROSECONDS (bigint), whatever physical
+    type the parquet carries. Seen layouts: int64 nanos (needs the
+    nanosAsLong legacy conf), timestamp[us] NTZ, timestamp[us] LTZ.
+    Integer µs arithmetic keeps every derived value timezone-proof and
+    bit-identical to DuckDB's epoch_us()."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _t(spark, sf_dir, "events")
-    # integer DIV, never `/`: ts is ~1.7e18 and double division rounds
-    # the low microsecond digits (off-by-one vs DuckDB's epoch_us)
-    return ev.withColumn("ts_us", F.expr("ts DIV 1000")).drop("ts")
+    t = dict(ev.dtypes)["ts"]
+    if t in ("bigint", "long"):
+        # integer DIV, never `/`: ts is ~1.7e18 and double division
+        # rounds the low µs digits (off-by-one vs DuckDB's epoch_us)
+        us = F.expr("ts DIV 1000")
+    elif t == "timestamp_ntz":
+        # timestampdiff on NTZ operands never consults the session tz
+        us = F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+        )
+    else:  # timestamp (LTZ): unix_micros is the exact instant
+        us = F.expr("unix_micros(ts)")
+    return ev.withColumn("ts_us", us.cast("long")).drop("ts")
 
 
 @query(
