@@ -1,0 +1,168 @@
+"""Portable cardinality sketches.
+
+`portable_hll` is a HyperLogLog (Flajolet et al. 2007, with the
+small-range linear-counting correction) built ONLY from operations that
+are bit-identical across engines: the md5-based 48-bit
+``portable_hash``, integer register/rank extraction via binary-string
+length, reciprocal powers of two from integer shifts, and a
+precomputed ``ln(m/V)`` lookup table embedded as literals. The same
+algorithm is expressible in DuckDB SQL (`hll_oracle_sql`), so an
+approximate-distinct query can be oracle-verified value-for-value —
+unlike engine-private HLL++ sketches (Spark `approx_count_distinct`),
+whose estimates are not reproducible outside the engine.
+
+Reference parity: the reference has no sketches (its distinct counts
+are exact pandas `nunique` — containers/transformation/transform.py);
+this is a scale-path extension (SURVEY.md §2.5 "beyond ref"). At
+100 TB an exact COUNT(DISTINCT) shuffles every key; the HLL register
+table is at most 2^p rows per group, partial-aggregated map-side (MAX
+per register is commutative), so the shuffle stays bounded regardless
+of input size.
+
+Determinism (why every step is exact and order-independent):
+- register rank rho ∈ [1, 48-p+1]: integer arithmetic on the hash.
+- each harmonic-sum term is 1 / 2^rho — a power of two, exactly
+  representable; a sum of ≤ 2^p such terms spans < 53 mantissa bits,
+  so the double sum is EXACT, hence partition-order independent.
+- the alpha constant and the multiply/divide chain use the same
+  literal expression tree on both engines; IEEE basic ops are
+  correctly rounded, hence bit-identical.
+- the linear-counting branch needs ln(m/V): libm `ln` is NOT
+  portable, so all 2^p possible values are precomputed in Python and
+  embedded on both sides (Spark: `lit` doubles; DuckDB: exponent-form
+  literals, which parse as DOUBLE and round-trip exactly).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.expressions import portable_hash
+
+__all__ = ["portable_hll", "hll_oracle_sql", "HASH_BITS"]
+
+HASH_BITS = 48  # portable_hash emits 12 hex chars
+
+
+def _alpha(m: int) -> float:
+    """Flajolet's bias correction (m >= 128 constant form)."""
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def _ln_table(m: int) -> list[float]:
+    """ln(m / V) for V = 1..m (V = zero-register count)."""
+    return [math.log(m / v) for v in range(1, m + 1)]
+
+
+def portable_hll(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    p: int = 8,
+    estimate_col: str = "approx_distinct",
+    zeros_col: str = "n_zero_registers",
+) -> DataFrame:
+    """Per-group HyperLogLog distinct estimate with linear-counting
+    small-range correction. m = 2^p registers; standard error
+    ~1.04/sqrt(m) (6.5% at p=8). Output: group_cols + estimate
+    (double) + zero-register count (bigint).
+
+    Physical plan: hash projection → groupBy(group, register)
+    MAX(rank) (map-side partial; ≤ m rows per group reach the final
+    shuffle) → groupBy(group) exact-double harmonic sum → literal
+    arithmetic. No UDFs — fully codegen'd.
+    """
+    m = 1 << p
+    rank_cap = HASH_BITS - p + 1  # rank when the suffix is all zeros
+    h = portable_hash(F.col(value_col).cast("string"))
+    # register = low p bits; rank = 1 + leading zeros of the (48-p)-bit
+    # suffix, via binary-string length (bin() emits no leading zeros in
+    # either engine; suffix == 0 → length 0 → rank_cap, also portable)
+    regs = (
+        df.select(
+            *group_cols,
+            (h % m).alias("_hll_reg"),
+            (
+                F.lit(rank_cap)
+                - F.length(F.ltrim(F.bin(F.shiftright(h, p)), F.lit("0")))
+            ).alias("_hll_rank"),
+        )
+        .groupBy(*group_cols, "_hll_reg")
+        .agg(F.max("_hll_rank").alias("_hll_r"))
+    )
+    per_group = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("_hll_present"),
+        F.sum(
+            F.lit(1.0) / F.expr("shiftleft(CAST(1 AS BIGINT), _hll_r)").cast("double")
+        ).alias("_hll_hsum"),
+    )
+    zeros = (F.lit(m) - F.col("_hll_present")).cast("long")
+    raw = F.lit(_alpha(m) * m * m) / (zeros.cast("double") + F.col("_hll_hsum"))
+    # greatest(...,1): the zeros==0 branch never SELECTS this value,
+    # but ANSI element_at must not even see an index of 0
+    ln_lookup = F.element_at(
+        F.array(*[F.lit(v) for v in _ln_table(m)]),
+        F.greatest(zeros, F.lit(1)).cast("int"),
+    )
+    corrected = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0), F.lit(float(m)) * ln_lookup
+    ).otherwise(raw)
+    return per_group.select(
+        *group_cols,
+        corrected.alias(estimate_col),
+        zeros.alias(zeros_col),
+    )
+
+
+def hll_oracle_sql(
+    source_sql: str,
+    group_exprs: dict[str, str],
+    value_sql: str,
+    p: int = 8,
+    estimate_col: str = "approx_distinct",
+    zeros_col: str = "n_zero_registers",
+) -> str:
+    """DuckDB SQL computing the SAME estimate bit-for-bit.
+
+    source_sql: a table or subquery; group_exprs: output alias → SQL
+    expression over the source; value_sql: the counted expression.
+    """
+    m = 1 << p
+    rank_cap = HASH_BITS - p + 1
+    g_out = ", ".join(group_exprs)
+    g_def = ",\n               ".join(f"{sql} AS {alias}" for alias, sql in group_exprs.items())
+    # exponent-form literals parse as DOUBLE (bare decimals would be
+    # DECIMAL and lose the exact bit pattern via a second rounding)
+    table = ", ".join(f"{v:.17e}" for v in _ln_table(m))
+    alpha_m2 = f"{_alpha(m) * m * m:.17e}"
+    return f"""
+    WITH hll_h AS (
+        SELECT {g_def},
+               CAST(concat('0x', substr(md5(CAST({value_sql} AS VARCHAR)), 1, 12)) AS BIGINT) AS h
+        FROM {source_sql}
+    ),
+    hll_regs AS (
+        SELECT {g_out}, h % {m} AS reg,
+               MAX({rank_cap} - length(ltrim(bin(h // {m}), '0'))) AS r
+        FROM hll_h
+        GROUP BY {g_out}, reg
+    ),
+    hll_g AS (
+        SELECT {g_out},
+               COUNT(*) AS present,
+               SUM(1.0e0 / CAST((CAST(1 AS BIGINT) << r) AS DOUBLE)) AS hsum
+        FROM hll_regs
+        GROUP BY {g_out}
+    )
+    SELECT {g_out},
+           CASE WHEN ({alpha_m2} / (CAST({m} - present AS DOUBLE) + hsum)) <= {2.5 * m:.17e}
+                     AND {m} - present > 0
+                THEN {float(m):.17e} * ([{table}])[greatest({m} - present, 1)]
+                ELSE {alpha_m2} / (CAST({m} - present AS DOUBLE) + hsum)
+           END AS {estimate_col},
+           CAST({m} - present AS BIGINT) AS {zeros_col}
+    FROM hll_g
+    """

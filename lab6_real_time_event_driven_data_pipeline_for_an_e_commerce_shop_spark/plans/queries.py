@@ -1100,16 +1100,43 @@ def q33_pivot_revenue_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q35_approx_distinct_daily", None)  # HLL sketches are engine-private → rows-only
-def q35_approx_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++) — the streaming-friendly
-    alternative to exact distinct (SURVEY.md §2.5 A4 note). No oracle:
-    HLL estimates are engine-specific; bounds are unit-tested instead."""
-    return (
-        _t(spark, sf_dir, "orders")
-        .groupBy(F.to_date("o_orderdate").alias("order_date"))
-        .agg(F.approx_count_distinct("o_custkey").alias("approx_customers"))
+def _q35_oracle() -> str:
+    from ..operators import sketches
+
+    return sketches.hll_oracle_sql(
+        source_sql="orders",
+        group_exprs={"order_date": "CAST(o_orderdate AS DATE)"},
+        value_sql="o_custkey",
+        p=8,
+        estimate_col="approx_customers",
+        zeros_col="n_zero_registers",
     )
+
+
+def q35_approx_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PORTABLE HyperLogLog (operators/sketches.portable_hll, p=8 with
+    linear-counting small-range correction) — the streaming-friendly
+    alternative to exact distinct (SURVEY.md §2.5 A4 note). Unlike
+    engine-private HLL++ (approx_count_distinct), every register and
+    the final estimate are bit-identical in DuckDB, so this sketch IS
+    oracle-verified value-for-value (upgraded from rows-only in r3)."""
+    from ..operators import sketches
+
+    return sketches.portable_hll(
+        _t(spark, sf_dir, "orders").select(
+            F.to_date("o_orderdate").alias("order_date"), "o_custkey"
+        ),
+        group_cols=["order_date"],
+        value_col="o_custkey",
+        p=8,
+        estimate_col="approx_customers",
+        zeros_col="n_zero_registers",
+    )
+
+
+_REGISTRY["q35_approx_distinct_daily"] = Query(
+    "q35_approx_distinct_daily", q35_approx_distinct_daily, _q35_oracle()
+)
 
 
 @query(

@@ -1,0 +1,84 @@
+"""Portable HyperLogLog (operators/sketches.py): accuracy bounds,
+partition invariance, and cross-engine bit-exactness (the property that
+lets q35 be oracle-gated at all)."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+    sketches,
+)
+
+
+def _estimate(spark, n_distinct: int, partitions: int = 4) -> tuple[float, int]:
+    df = (
+        spark.range(0, n_distinct * 3)
+        .select((F.col("id") % n_distinct).alias("k"), F.lit("g").alias("g"))
+        .repartition(partitions)
+    )
+    row = sketches.portable_hll(df, ["g"], "k", p=8).collect()[0]
+    return row["approx_distinct"], row["n_zero_registers"]
+
+
+def test_hll_large_range_accuracy(spark):
+    # p=8 → standard error 1.04/sqrt(256) ≈ 6.5%; 3σ ≈ 19.5%
+    est, zeros = _estimate(spark, 10_000)
+    assert abs(est / 10_000 - 1.0) < 0.2, (est, zeros)
+
+
+def test_hll_small_range_linear_counting(spark):
+    # 40 distinct over 256 registers → linear-counting branch, which is
+    # far tighter than the raw estimator at low load factors
+    est, zeros = _estimate(spark, 40)
+    assert zeros > 0
+    assert abs(est / 40 - 1.0) < 0.10, (est, zeros)
+
+
+def test_hll_partition_invariance(spark):
+    # register MAX is commutative and the harmonic sum is exact in
+    # double, so the estimate must be IDENTICAL however rows are split
+    a, _ = _estimate(spark, 5_000, partitions=1)
+    b, _ = _estimate(spark, 5_000, partitions=13)
+    assert a == b
+
+
+def test_hll_duplicates_do_not_move_estimate(spark):
+    df1 = spark.range(0, 1_000).select(F.col("id").alias("k"), F.lit("g").alias("g"))
+    df5 = (
+        spark.range(0, 5_000)
+        .select((F.col("id") % 1_000).alias("k"), F.lit("g").alias("g"))
+    )
+    e1 = sketches.portable_hll(df1, ["g"], "k").collect()[0]["approx_distinct"]
+    e5 = sketches.portable_hll(df5, ["g"], "k").collect()[0]["approx_distinct"]
+    assert e1 == e5
+
+
+def test_hll_oracle_sql_is_bit_exact(spark, tmp_path):
+    # same rows through Spark and DuckDB → identical doubles, no
+    # rounding slack (the driver gate hashes raw values)
+    p = str(tmp_path / "vals.parquet")
+    (
+        spark.range(0, 3_000)
+        .select(
+            (F.col("id") % 7).cast("string").alias("grp"),
+            (F.col("id") % 911).alias("v"),
+        )
+        .write.mode("overwrite").parquet(p)
+    )
+    sdf = sketches.portable_hll(
+        spark.read.parquet(p), ["grp"], "v", p=8
+    ).toPandas().sort_values("grp").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW src AS SELECT * FROM '{p}/*.parquet'")
+    odf = (
+        con.execute(
+            sketches.hll_oracle_sql("src", {"grp": "grp"}, "v", p=8)
+        )
+        .df()
+        .sort_values("grp")
+        .reset_index(drop=True)
+    )
+    assert list(sdf["approx_distinct"]) == list(odf["approx_distinct"])
+    assert list(sdf["n_zero_registers"]) == list(odf["n_zero_registers"])
