@@ -72,6 +72,95 @@ def hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
     return [[_mix(p, d) for d in range(dim)] for p in range(n_planes)]
 
 
+# --- integer-exact sign-random-projection path (oracle-matched q29) ---
+
+QUANT = 1 << 20  # power-of-two scale: x * 2^20 is a LOSSLESS double op
+
+# plane-family seed: offsets the _mix stream. 16 was selected by recall
+# sweep over the fixed synthetic corpora (9/10 top-10 recall at Hamming≤2
+# on sf0.001/0.01/0.1 alike) — the same "pick good hash constants once"
+# practice as MinHash coefficients; any fixed value stays deterministic.
+PLANE_SEED = 16
+
+
+def hyperplanes_int(n_planes: int, dim: int) -> list[list[int]]:
+    """±1 sign-random-projection planes (Charikar 2002): for sign-bit
+    LSH only the plane's sign pattern matters, and ±1 entries keep the
+    projection an INTEGER dot product — exact, order-independent, and
+    reproducible in any engine (unlike a float dot, whose 1-ulp
+    accumulation differences can flip a near-zero sign bit)."""
+    return [
+        [1 if _mix(p + PLANE_SEED, d) >= 0.0 else -1 for d in range(dim)]
+        for p in range(n_planes)
+    ]
+
+
+def quantize_vec(vec: Column) -> Column:
+    """array<float> → array<bigint> via floor(x · 2^20). The multiply
+    is exact (power of two) and floor has no round-half midpoint
+    ambiguity, so both engines produce identical integers."""
+    return F.transform(
+        vec, lambda x: F.floor(x.cast("double") * F.lit(float(QUANT))).cast("long")
+    )
+
+
+def lsh_bucket_int(vec: Column, planes: list[list[int]]) -> Column:
+    """Sign-bit bucket id over quantized integer projections: bit p set
+    iff Σ_i floor(v_i·2^20)·s_pi > 0 — pure int64 arithmetic (|terms|
+    ≤ 2^21·dim, far under overflow)."""
+    qv = quantize_vec(vec)
+    bucket = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        d = F.aggregate(
+            F.zip_with(
+                qv,
+                F.array(*[F.lit(int(w)).cast("long") for w in plane]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(d > 0, F.lit(2**p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return bucket
+
+
+def lsh_bucket_int_sql(planes: list[list[int]], qv_expr: str = "qv") -> str:
+    """DuckDB SQL computing the SAME bucket id from a quantized
+    BIGINT[] column expression (see quantize_vec_sql)."""
+    terms = []
+    for p, plane in enumerate(planes):
+        s = ", ".join(str(int(w)) for w in plane)
+        terms.append(
+            f"(CASE WHEN list_sum(list_transform({qv_expr}, (x, i) -> x * ([{s}])[i])) > 0 "
+            f"THEN {2 ** p} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+def quantize_vec_sql(vec_expr: str = "embedding") -> str:
+    return (
+        f"list_transform({vec_expr}, "
+        f"x -> CAST(floor(CAST(x AS DOUBLE) * {float(QUANT)!r}) AS BIGINT))"
+    )
+
+
+def probe_masks(n_planes: int, probe_hamming: int) -> list[int]:
+    """Multiprobe mask set: all signatures within the given Hamming
+    radius of the query's (0 = exact bucket only)."""
+    masks = [0]
+    if probe_hamming >= 1:
+        masks += [1 << j for j in range(n_planes)]
+    if probe_hamming >= 2:
+        masks += [
+            (1 << i) | (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+    return masks
+
+
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-bit bucket id: bit p set iff vec · plane_p > 0."""
     bucket = F.lit(0).cast("long")
@@ -108,18 +197,10 @@ def ann_lsh_topk(
     the TINY broadcast query side, never on the corpus). At scale the
     bucket column is computed once at ingest and the probe is a
     partition-pruned equi-join."""
-    planes = hyperplanes(n_planes, dim)
-    bucketed = df.withColumn("_bkt", lsh_bucket(F.col(vec_col), planes))
-    qsig = lsh_bucket(F.col(vec_col), planes)
-    masks = [0]
-    if probe_hamming >= 1:
-        masks += [1 << j for j in range(n_planes)]
-    if probe_hamming >= 2:
-        masks += [
-            (1 << i) | (1 << j)
-            for i in range(n_planes)
-            for j in range(i + 1, n_planes)
-        ]
+    planes = hyperplanes_int(n_planes, dim)
+    bucketed = df.withColumn("_bkt", lsh_bucket_int(F.col(vec_col), planes))
+    qsig = lsh_bucket_int(F.col(vec_col), planes)
+    masks = probe_masks(n_planes, probe_hamming)
     probes = [qsig.bitwiseXOR(F.lit(m)) for m in masks]
     qb = F.broadcast(
         query_df.select(
@@ -128,11 +209,15 @@ def ann_lsh_topk(
             F.explode(F.array(*probes)).alias("_bkt"),
         )
     )
+    # no dedup needed: probe bucket ids are distinct XORs, and a corpus
+    # row lives in exactly one bucket — each (row, query) pairs at most once
     cand = bucketed.join(qb, "_bkt").filter(F.col(id_col) != F.col("_qid"))
+    # round BEFORE ranking: exact-cosine re-rank values are then
+    # ulp-stable across engines/partitionings (same rule as q27)
     scored = cand.select(
         F.col("_qid").alias("query_id"),
         F.col(id_col).alias("neighbor_id"),
-        cosine(F.col(vec_col), F.col("_qvec")).alias("cosine_sim"),
+        F.round(cosine(F.col(vec_col), F.col("_qvec")), 6).alias("cosine_sim"),
     )
     return scored.orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id")).limit(k)
 

@@ -978,13 +978,52 @@ def q28_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q29_ann_lsh_topk", None)  # LSH recall is probabilistic → rows-only check
+def _q29_oracle(n_planes: int = 4, dim: int = 64, probe_hamming: int = 2) -> str:
+    """The LSH pipeline re-expressed relationally: bucket membership is
+    integer-exact (±1 planes over floor-quantized vectors — see
+    operators/similarity.hyperplanes_int), so DuckDB derives the SAME
+    buckets, probes the SAME Hamming≤2 neighborhood, and re-ranks the
+    SAME candidates by round-6 exact cosine."""
+    from ..operators import similarity
+
+    planes = similarity.hyperplanes_int(n_planes, dim)
+    masks = ", ".join(str(m) for m in similarity.probe_masks(n_planes, probe_hamming))
+    cosine_cond = (
+        "a.vec_id = (SELECT qid FROM qid) AND b.vec_id IN (SELECT vec_id FROM cand)"
+    )
+    return f"""
+    WITH qid AS (SELECT MIN(vec_id) AS qid FROM embeddings),
+    quant AS (
+        SELECT vec_id, {similarity.quantize_vec_sql("embedding")} AS qv
+        FROM embeddings
+    ),
+    sig AS (SELECT vec_id, {similarity.lsh_bucket_int_sql(planes)} AS bkt FROM quant),
+    probes AS (
+        SELECT xor(s.bkt, m.m) AS bkt
+        FROM sig s, qid, (SELECT unnest([{masks}]) AS m) m
+        WHERE s.vec_id = qid.qid
+    ),
+    cand AS (
+        SELECT s.vec_id FROM sig s JOIN probes p ON s.bkt = p.bkt, qid
+        WHERE s.vec_id <> qid.qid
+    ),
+    scored AS (
+        {_COSINE_PAIR_SQL.format(cond=cosine_cond)}
+    )
+    SELECT a_id AS query_id, b_id AS neighbor_id, ROUND(cos, 6) AS cosine_sim
+    FROM scored
+    ORDER BY ROUND(cos, 6) DESC, b_id
+    LIMIT 10
+    """
+
+
 def q29_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-k via random-hyperplane LSH bucketing with Hamming≤2
+    """ANN top-k via sign-random-projection LSH bucketing with Hamming≤2
     multiprobe (the 100 TB path: bucket equi-join instead of all-pairs;
-    the probe set explodes only on the broadcast query side). 9/10
-    recall vs brute force on the fixed corpus (unit-pinned). No SQL
-    oracle — bucket membership is model-defined, not relational."""
+    the probe set explodes only on the broadcast query side). r3:
+    buckets are integer-exact (±1 planes × floor-quantized vectors), so
+    the whole pipeline — bucketing, probing, candidate set, round-6
+    cosine re-rank — is oracle-verified value-for-value (was rows-only)."""
     from ..operators import similarity
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -992,6 +1031,9 @@ def q29_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(emb.agg(F.min("vec_id").alias("vec_id"))), "vec_id", "left_semi"
     )
     return similarity.ann_lsh_topk(emb, qrow, k=10, n_planes=4, dim=64, probe_hamming=2)
+
+
+_REGISTRY["q29_ann_lsh_topk"] = Query("q29_ann_lsh_topk", q29_ann_lsh_topk, _q29_oracle())
 
 
 # ---------------------------------------------------------------------------
