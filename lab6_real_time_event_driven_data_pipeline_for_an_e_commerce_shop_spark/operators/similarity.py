@@ -249,18 +249,40 @@ def embedding_near_dups(
     )
 
 
+def quantize_floats(vec: list[float]) -> list[int]:
+    """Driver-side twin of quantize_vec: floor(x · 2^20) in exact
+    double arithmetic (Python floats ARE IEEE doubles, and the
+    power-of-two multiply is lossless), so the quantizer matches the
+    engines bit-for-bit."""
+    import math as _math
+
+    return [int(_math.floor(float(x) * float(QUANT))) for x in vec]
+
+
 def ivf_assign(df: DataFrame, seeds: list[tuple[int, list[float]]],
                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Assign each row to its nearest coarse centroid (IVF cell) by cosine.
-    ``seeds`` is the coarse quantizer: (seed_id, vector) pairs — small
+    """Assign each row to its nearest coarse centroid (IVF cell) by
+    squared-L2 over floor-quantized INTEGER vectors — exact int64
+    arithmetic (≤ dim·2^44), identical in any engine. ``seeds`` is the
+    coarse quantizer: (seed_id, vector) pairs, sorted by id — small
     enough to live in the plan as literals (a model artifact, like LSH
-    planes). argmax via array_position(array_max) → first-max tie-break."""
-    sims = F.array(*[
-        cosine(F.col(vec_col), F.array(*[F.lit(float(x)) for x in vec])).alias(f"_s{i}")
-        for i, (_, vec) in enumerate(seeds)
+    planes). argmin via array_position(array_min) → first-min, which
+    equals the (d², seed_id) tie-break because seeds are id-ordered."""
+    qv = quantize_vec(F.col(vec_col))
+    d2s = F.array(*[
+        F.aggregate(
+            F.zip_with(
+                qv,
+                F.array(*[F.lit(int(x)).cast("long") for x in quantize_floats(vec)]),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        for _, vec in seeds
     ])
     seed_ids = F.array(*[F.lit(sid) for sid, _ in seeds])
-    idx = F.array_position(sims, F.array_max(sims))
+    idx = F.array_position(d2s, F.array_min(d2s))
     return df.withColumn("_cell", F.element_at(seed_ids, idx.cast("int")))
 
 
@@ -292,28 +314,26 @@ def ivf_topk(
     ).collect()[0]
     qvec = [float(x) for x in q["_qvec"]]
 
-    # nprobe cells nearest to the query (computed driver-side over the
-    # tiny quantizer — the same place FAISS does it)
-    import math as _math
-
-    def _cos(a, b):
-        d = sum(x * y for x, y in zip(a, b))
-        na = _math.sqrt(sum(x * x for x in a))
-        nb = _math.sqrt(sum(x * x for x in b))
-        return d / (na * nb)
-
-    probe_cells = [sid for sid, _ in sorted(
-        seeds, key=lambda s: (-_cos(qvec, s[1]), s[0])
-    )[:nprobe]]
+    # nprobe cells nearest to the query by the SAME integer squared-L2
+    # as the assignment (computed driver-side over the tiny quantizer —
+    # the same place FAISS does it; Python ints are exact, so this
+    # matches the relational oracle bit-for-bit)
+    qq = quantize_floats(qvec)
+    seed_d2 = [
+        (sum((a - b) * (a - b) for a, b in zip(qq, quantize_floats(vec))), sid)
+        for sid, vec in seeds
+    ]
+    probe_cells = [sid for _, sid in sorted(seed_d2)[:nprobe]]
 
     qlit = F.array(*[F.lit(x) for x in qvec])
     cand = assigned.filter(F.col("_cell").isin(probe_cells)).filter(
         F.col(id_col) != F.lit(int(q["_qid"]))
     )
+    # round BEFORE ranking (ulp-stability — same rule as q27/q29)
     scored = cand.select(
         F.lit(int(q["_qid"])).alias("query_id"),
         F.col(id_col).alias("neighbor_id"),
-        cosine(F.col(vec_col), qlit).alias("cosine_sim"),
+        F.round(cosine(F.col(vec_col), qlit), 6).alias("cosine_sim"),
     )
     return scored.orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id")).limit(k)
 

@@ -1401,11 +1401,62 @@ def q39_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("q42_ann_ivf_topk", None)  # IVF recall is probe-bounded → rows-only
+def _q42_oracle(n_cells: int = 16, nprobe: int = 4) -> str:
+    """The IVF pipeline re-expressed relationally. Cell assignment and
+    probe selection use integer squared-L2 over floor-quantized
+    vectors (operators/similarity.ivf_assign), so the seeds (the
+    n_cells lowest-id vectors), every cell, the probe set, and the
+    round-6 cosine re-rank are all derivable — and identical — in
+    DuckDB, with no model literals in the SQL at all."""
+    from ..operators import similarity
+
+    cosine_cond = (
+        "a.vec_id = (SELECT qid FROM qid) AND b.vec_id IN (SELECT vec_id FROM cand)"
+    )
+    return f"""
+    WITH qid AS (SELECT MIN(vec_id) AS qid FROM embeddings),
+    quant AS (
+        SELECT vec_id, {similarity.quantize_vec_sql("embedding")} AS qv
+        FROM embeddings
+    ),
+    seeds AS (SELECT vec_id AS seed_id, qv AS sqv FROM quant ORDER BY vec_id LIMIT {n_cells}),
+    d2 AS (
+        SELECT q.vec_id, s.seed_id,
+               list_sum(list_transform(q.qv, (x, i) -> (x - s.sqv[i]) * (x - s.sqv[i]))) AS d2
+        FROM quant q CROSS JOIN seeds s
+    ),
+    assign AS (
+        SELECT vec_id, seed_id AS cell FROM (
+            SELECT vec_id, seed_id,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, seed_id) AS rn
+            FROM d2
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT d.seed_id AS cell FROM d2 d, qid
+        WHERE d.vec_id = qid.qid
+        ORDER BY d.d2, d.seed_id LIMIT {nprobe}
+    ),
+    cand AS (
+        SELECT a.vec_id FROM assign a, qid
+        WHERE a.cell IN (SELECT cell FROM probes) AND a.vec_id <> qid.qid
+    ),
+    scored AS (
+        {_COSINE_PAIR_SQL.format(cond=cosine_cond)}
+    )
+    SELECT a_id AS query_id, b_id AS neighbor_id, ROUND(cos, 6) AS cosine_sim
+    FROM scored
+    ORDER BY ROUND(cos, 6) DESC, b_id
+    LIMIT 10
+    """
+
+
 def q42_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN top-10 (coarse quantize → probe nearest cells →
-    exact cosine inside). No SQL oracle: the candidate set is
-    quantizer-defined; recall vs brute force is pinned by unit test."""
+    exact cosine inside). r3: assignment/probe use integer squared-L2
+    over floor-quantized vectors, so the whole pipeline is
+    oracle-verified value-for-value (was rows-only); recall vs brute
+    force stays pinned by unit test."""
     from ..operators import similarity
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1413,6 +1464,9 @@ def q42_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(emb.agg(F.min("vec_id").alias("vec_id"))), "vec_id", "left_semi"
     )
     return similarity.ivf_topk(emb, qrow, k=10, n_cells=16, nprobe=4)
+
+
+_REGISTRY["q42_ann_ivf_topk"] = Query("q42_ann_ivf_topk", q42_ann_ivf_topk, _q42_oracle())
 
 
 # ---------------------------------------------------------------------------
