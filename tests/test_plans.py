@@ -140,3 +140,47 @@ def test_q47_interval_join_is_equijoin(spark):
 def test_q53_curation_no_cartesian(spark):
     plan = _formatted(q.q53_curated_corpus(spark, SF_DIR))
     assert "CartesianProduct" not in plan
+
+
+def _nodes(plan: str, op: str) -> int:
+    """Count physical operator NODES (the numbered detail entries), not
+    raw substring hits — 'formatted' prints each node in both the tree
+    and the details list."""
+    import re
+
+    return len(re.findall(rf"\(\d+\) {op}\b", plan))
+
+
+def test_q35_hll_bounded_shuffle(spark):
+    """The portable HLL must keep its scale contract: exactly two
+    shuffles (per-register MAX, then per-group harmonic sum), both fed
+    by map-side partial aggregation; no Expand, no Python, no join."""
+    plan = _formatted(q.q35_approx_distinct_daily(spark, SF_DIR))
+    assert _nodes(plan, "Exchange") == 2
+    assert plan.count("HashAggregate") >= 4  # partial+final × 2 aggs
+    assert "Expand" not in plan
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
+
+
+def test_q29_lsh_probe_is_broadcast_equijoin(spark):
+    """Multiprobe LSH: the probe set explodes on the broadcast query
+    side only; candidate matching stays a bucket equi-join — never a
+    cartesian/nested-loop pass over the corpus."""
+    plan = _formatted(q.q29_ann_lsh_topk(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_q42_ivf_is_single_pass(spark):
+    """IVF probe: the coarse quantizer lives in the plan as literals,
+    so the corpus side is ONE scan → cell filter → cosine projection →
+    global top-k. No shuffle, no join, no aggregation on the big side."""
+    plan = _formatted(q.q42_ann_ivf_topk(spark, SF_DIR))
+    assert _nodes(plan, "Exchange") == 0
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan
