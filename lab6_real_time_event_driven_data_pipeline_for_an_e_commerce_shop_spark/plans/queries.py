@@ -1708,7 +1708,11 @@ def q48_customer_order_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q50_SQL = """
     SELECT o.o_orderkey AS order_id,
-           o.o_orderstatus AS status
+           o.o_orderstatus AS status,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem lc
+            WHERE lc.l_orderkey = o.o_orderkey
+              AND lc.l_extendedprice > (SELECT AVG(l2.l_extendedprice) * 1.8
+                                        FROM lineitem l2)) AS n_pricey_items
     FROM orders o
     WHERE EXISTS (
             SELECT 1 FROM lineitem l
@@ -1716,17 +1720,24 @@ _Q50_SQL = """
               AND l.l_extendedprice > (SELECT AVG(l2.l_extendedprice) * 1.8
                                        FROM lineitem l2)
           )
+      AND NOT EXISTS (
+            SELECT 1 FROM lineitem r
+            WHERE r.l_orderkey = o.o_orderkey
+              AND r.l_returnflag = 'R'
+          )
 """
 
 
 @query("q50_sql_exists_subquery", _Q50_SQL)
 def q50_sql_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The engine's SQL API: the exact oracle text runs through
-    spark.sql over registered temp views — correlated EXISTS decorrelates
-    to a left-semi join, the scalar subquery becomes a broadcast scalar
-    (one aggregate feeding a filter). Same string, two engines, one
-    result. AVG here is DOUBLE on both sides: the scalar only gates a
-    strict inequality, and no testdata price sits within double-sum ulp
+    """The engine's SQL API, TPC-H Q21-class (r3 depth): correlated
+    EXISTS (decorrelates to left-semi), correlated NOT EXISTS
+    (left-anti), and a correlated scalar COUNT subquery (decorrelates
+    to an aggregate + outer join), all gated by a nested uncorrelated
+    scalar aggregate. The exact oracle text runs through spark.sql over
+    registered temp views — same string, two engines, one result. AVG
+    here is DOUBLE on both sides: the scalar only gates strict
+    inequalities, and no testdata price sits within double-sum ulp
     noise of the 1.8x threshold (values end at 2 decimals; the
     threshold has a fractional tail)."""
     for t in ("orders", "lineitem"):
