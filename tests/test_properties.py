@@ -216,3 +216,47 @@ def test_integer_product_equals_decimal_product(spark, rows):
         (price_d * disc_d * tax_d * 1000000).cast("long").alias("exact6"),
     ).collect()
     assert all(r.fast4 == r.exact4 and r.fast6 == r.exact6 for r in out)
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(vals=st.lists(
+    st.floats(min_value=-4.0, max_value=4.0, width=32,
+              allow_nan=False, allow_infinity=False),
+    min_size=1, max_size=16,
+))
+def test_quantizer_identity_across_runtimes(spark, vals):
+    """floor(x*2^20) must agree between the driver-side Python twin
+    (quantize_floats — used for IVF probe selection), the Spark
+    expression (quantize_vec), and the DuckDB SQL (quantize_vec_sql):
+    q42's oracle match rests on this three-way identity."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        similarity,
+    )
+
+    py = similarity.quantize_floats(vals)
+
+    df = spark.createDataFrame(
+        [(vals,)], "embedding: array<float>"
+    ).select(similarity.quantize_vec(F.col("embedding")).alias("q"))
+    via_spark = df.collect()[0]["q"]
+
+    con = duckdb.connect()
+    via_duck = con.execute(
+        f"SELECT {similarity.quantize_vec_sql('$1::FLOAT[]')} ", [vals]
+    ).fetchone()[0]
+
+    # float32 storage first (Spark holds float; Python list is double):
+    # quantize the float32-rounded values for the python twin
+    import struct
+    as_f32 = [struct.unpack("f", struct.pack("f", v))[0] for v in vals]
+    py_f32 = similarity.quantize_floats(as_f32)
+
+    assert via_spark == py_f32
+    assert list(via_duck) == py_f32
+    # and the pure-double twin agrees whenever inputs are exact in f32
+    if as_f32 == vals:
+        assert py == py_f32
