@@ -1082,18 +1082,24 @@ def q30_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT l_returnflag, l_linestatus,
            {_dsum('l_extendedprice')} AS revenue,
-           COUNT(*) AS n_items
+           COUNT(*) AS n_items,
+           CAST(GROUPING(l_returnflag) AS INTEGER)  AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INTEGER)  AS g_status
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
 )
 def q31_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP hierarchy totals (flag → flag+status → grand total) — one
-    pass, Expand-based, no per-level rescans."""
+    pass, Expand-based, no per-level rescans. GROUPING() flags (r3,
+    the TPC-DS idiom) distinguish a subtotal row's NULL from a data
+    NULL — the consumer-side contract a BI layer needs."""
     li = _t(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
         _sdsum(F.col("l_extendedprice")).alias("revenue"),
         F.count("*").alias("n_items"),
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
     )
 
 
