@@ -1682,21 +1682,45 @@ def q47_activity_near_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(date_diff('day',
                 LAG(o_orderdate) OVER (
                     PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
-                o_orderdate) AS BIGINT) AS days_since_prev
+                o_orderdate) AS BIGINT) AS days_since_prev,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) / CAST(100 * COUNT(*) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS trailing3_avg,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER (
+                PARTITION BY o_custkey
+                ORDER BY date_diff('day', DATE '1970-01-01', o_orderdate)
+                RANGE BETWEEN 29 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) / 100 AS spend_30d
     FROM orders
     """,
 )
 def q48_customer_order_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-customer order timeline in one window pass: running revenue
-    over exact integer cents (a running DOUBLE sum would drift between
-    engines), the order sequence number, and the lag-based inter-order
-    gap in days (NULL for a customer's first order; NTZ timestamps,
-    integer day arithmetic). All three functions share ONE window spec
-    → one shuffle + one sort."""
+    """Per-customer order timeline: running revenue over exact integer
+    cents (a running DOUBLE sum would drift between engines), the order
+    sequence number, the lag-based inter-order gap in days (NULL for a
+    customer's first order; NTZ timestamps, integer day arithmetic),
+    plus r3 frame depth — a ROWS(2 PRECEDING) trailing-3 average
+    (single exact-int division: cents / (100·count)) and a RANGE
+    (29 PRECEDING) 30-day trailing spend over an integer day-number
+    key (peer rows included per the standard, so ties are
+    order-independent). The first four share ONE window spec → one
+    shuffle + one sort; the RANGE frame re-sorts the same partitioning
+    without an extra shuffle."""
     o = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
     prev = F.lag("o_orderdate").over(w)
+    frame3 = w.rowsBetween(-2, Window.currentRow)
+    day_num = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    w30 = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day_num.cast("long"))
+        .rangeBetween(-29, Window.currentRow)
+    )
     return o.select(
         F.col("o_custkey").alias("cust_key"),
         F.col("o_orderkey").alias("order_id"),
@@ -1705,6 +1729,10 @@ def q48_customer_order_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).cast("int").alias("order_seq"),
         F.datediff(F.to_date("o_orderdate"), F.to_date(prev)).cast("long")
         .alias("days_since_prev"),
+        (F.sum(cents).over(frame3).cast("double")
+         / (F.lit(100) * F.count(F.lit(1)).over(frame3)).cast("double"))
+        .alias("trailing3_avg"),
+        (F.sum(cents).over(w30).cast("double") / 100).alias("spend_30d"),
     )
 
 
