@@ -82,3 +82,49 @@ def curate(
     near_kept = exact_kept.join(dropped, id_col, "left_anti")
 
     return assign_split(near_kept, id_col)
+
+
+def contamination_counts(
+    df: DataFrame,
+    holdout_split: str = "test",
+    split_col: str = "split",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Train/eval decontamination: for every non-holdout document, how
+    many of its distinct k-word shingle hashes also occur in ANY
+    holdout document. ``df`` must already carry ``split_col``
+    (assign_split). Output: id_col + ``leak_shingles`` (bigint; 0 for
+    holdout rows themselves).
+
+    Scale shape: the substrate is the same distinct (doc, shingle-hash)
+    relation the dedup family uses; the holdout side reduces to a
+    distinct hash set (~holdout fraction of the corpus) before the
+    equi-join, and the count is COUNT(*) over an already-distinct
+    substrate — no Expand. This is the standard benchmark-contamination
+    join (e.g. GPT-3 appendix C) expressed relationally."""
+    from .dedup import _doc_shingle_hashes
+
+    sh = _doc_shingle_hashes(df, text_col, id_col, k)
+    holdout_ids = df.filter(F.col(split_col) == holdout_split).select(
+        F.col(id_col).alias("_id")
+    )
+    holdout_h = sh.join(holdout_ids, "_id", "left_semi").select("_h").distinct()
+    leak = (
+        sh.join(holdout_ids, "_id", "left_anti")
+        .join(holdout_h, "_h")
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("leak_shingles"))
+    )
+    return (
+        df.select(F.col(id_col), F.col(split_col))
+        .join(leak.withColumnRenamed("_id", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.when(F.col(split_col) == holdout_split, F.lit(0))
+            .otherwise(F.coalesce(F.col("leak_shingles"), F.lit(0)))
+            .cast("long")
+            .alias("leak_shingles"),
+        )
+    )

@@ -1836,29 +1836,65 @@ _PHASH_SAMPLE = (
 @query(
     "q52_train_val_test_split",
     f"""
-    SELECT doc_id,
-           CASE WHEN {_PHASH_ID} % 100 < 10 THEN 'test'
-                WHEN {_PHASH_ID} % 100 < 20 THEN 'val'
-                ELSE 'train' END AS split,
-           {_PHASH_SAMPLE} % 100 < 20 AS sampled20
-    FROM documents
+    WITH splits AS (
+        SELECT doc_id, text,
+               CASE WHEN {_PHASH_ID} % 100 < 10 THEN 'test'
+                    WHEN {_PHASH_ID} % 100 < 20 THEN 'val'
+                    ELSE 'train' END AS split,
+               {_PHASH_SAMPLE} % 100 < 20 AS sampled20
+        FROM documents
+    ),
+    tok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               CAST(concat('0x', substr(md5(s), 1, 12)) AS BIGINT) AS h
+        FROM (
+            SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+            FROM tok, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) g
+            WHERE len(t) >= 3
+            UNION ALL
+            SELECT doc_id, array_to_string(t, ' ') AS s FROM tok WHERE len(t) < 3
+        )
+    ),
+    hold_h AS (
+        SELECT DISTINCT s.h FROM sh s
+        JOIN splits p ON s.doc_id = p.doc_id AND p.split = 'test'
+    ),
+    leak AS (
+        SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n
+        FROM sh s JOIN hold_h hh ON s.h = hh.h
+        WHERE s.doc_id NOT IN (SELECT doc_id FROM splits WHERE split = 'test')
+        GROUP BY s.doc_id
+    )
+    SELECT sp.doc_id, sp.split, sp.sampled20,
+           CASE WHEN sp.split = 'test' THEN CAST(0 AS BIGINT)
+                ELSE CAST(COALESCE(l.n, 0) AS BIGINT) END AS leak_shingles
+    FROM splits sp LEFT JOIN leak l ON sp.doc_id = l.doc_id
     """,
 )
 def q52_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-based train/val/test assignment — a doc's
     split never changes as the corpus grows (unlike random sampling) —
-    plus an independent 20% hash sample flag. The sample hashes a
-    SALTED key ('sample:'+id): salting decorrelates it from the split
-    hash the way a second RNG seed would, but stays reproducible across
-    engines, runs, and corpus growth."""
+    plus an independent 20% hash sample flag (the sample hashes a
+    SALTED key 'sample:'+id: decorrelated from the split hash like a
+    second RNG seed, but reproducible across engines, runs, and corpus
+    growth). r3 depth: ``leak_shingles`` — benchmark-decontamination
+    counts (curation.contamination_counts): per train/val doc, how many
+    of its distinct 3-gram shingle hashes also appear in the test
+    split."""
     from ..functions.expressions import portable_hash
-    from ..operators.curation import assign_split
+    from ..operators.curation import assign_split, contamination_counts
 
     sample_hash = portable_hash(
         F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))
     )
-    return assign_split(_t(spark, sf_dir, "documents")).select(
-        "doc_id", "split", (sample_hash % 100 < 20).alias("sampled20")
+    with_split = assign_split(_t(spark, sf_dir, "documents"))
+    leak = contamination_counts(with_split, holdout_split="test")
+    return (
+        with_split.select(
+            "doc_id", "split", (sample_hash % 100 < 20).alias("sampled20")
+        )
+        .join(leak.select("doc_id", "leak_shingles"), "doc_id")
     )
 
 
