@@ -1190,16 +1190,36 @@ _REGISTRY["q35_approx_distinct_daily"] = Query(
 @query(
     "q36_date_formatting",
     """
-    SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS order_month
+    SELECT DISTINCT
+           CAST(o_orderdate AS DATE)          AS order_date,
+           strftime(o_orderdate, '%Y-%m')     AS order_month,
+           CAST(quarter(o_orderdate) AS INT)  AS q_of_year,
+           CAST(week(o_orderdate) AS INT)     AS iso_week,
+           CAST(isoyear(o_orderdate) AS INT)  AS iso_year,
+           CAST(isodow(o_orderdate) AS INT)   AS iso_dow
     FROM orders
     """,
 )
 def q36_date_formatting(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P4 date formatting (reference transform.py:381, 394 strftime at
-    the serving edge) as a columnar expression."""
+    the serving edge) grown into the classic date-dimension build (r3):
+    month label, quarter, ISO week / ISO week-year (engine-verified at
+    year boundaries — a Dec 29 can be week 1 of the NEXT iso year),
+    ISO day-of-week. All derivations are NTZ/timezone-invariant and
+    cross-engine identical."""
+    d = F.to_date("o_orderdate")
     return (
         _t(spark, sf_dir, "orders")
-        .select(F.date_format("o_orderdate", "yyyy-MM").alias("order_month"))
+        .select(
+            d.alias("order_date"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+            F.quarter(d).cast("int").alias("q_of_year"),
+            F.weekofyear(d).cast("int").alias("iso_week"),
+            F.expr("extract(YEAROFWEEK FROM to_date(o_orderdate))")
+            .cast("int").alias("iso_year"),
+            F.expr("extract(DAYOFWEEK_ISO FROM to_date(o_orderdate))")
+            .cast("int").alias("iso_dow"),
+        )
         .distinct()
     )
 
