@@ -166,3 +166,63 @@ def hll_oracle_sql(
            CAST({m} - present AS BIGINT) AS {zeros_col}
     FROM hll_g
     """
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 64,
+    estimate_col: str = "kmv_distinct",
+    sketch_col: str = "kmv_hashes",
+) -> DataFrame:
+    """Per-group KMV (bottom-k / k-minimum-values) distinct sketch
+    (Bar-Yossef et al. 2002): keep the k smallest 48-bit portable
+    hashes; if fewer than k distinct values exist the count is exact,
+    otherwise estimate (k-1) · 2^48 / h_k. Relative error
+    ~1/sqrt(k-2). Unlike HLL the sketch supports set INTERSECTION
+    estimates (Jaccard of two sketches' bottom-k unions), which is why
+    both live in this module.
+
+    Deterministic everywhere: hashes are distinct within a group, so
+    the bottom-k set and h_k are order/partition independent; the
+    estimate is a single int→double division (exact inputs, correctly
+    rounded IEEE divide). Scale shape: distinct substrate → per-group
+    TOP-K by hash (window over the group's hash order, rows capped at
+    k per group post-filter) + one exact distinct count for the
+    small-set fallback; the sketch that leaves the shuffle is ≤ k
+    hashes per group.
+    """
+    from pyspark.sql import Window
+
+    h = portable_hash(F.col(value_col).cast("string"))
+    sub = df.select(*group_cols, h.alias("_h")).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("_h")
+    bottom = (
+        sub.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .groupBy(*group_cols)
+        .agg(
+            F.sort_array(F.collect_list("_h")).alias(sketch_col),
+            F.max(F.when(F.col("_rn") == k, F.col("_h"))).alias("_hk"),
+        )
+    )
+    totals = sub.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("_n"))
+    est = F.when(
+        F.col("_hk").isNull(), F.col("_n").cast("double")  # < k distinct: exact
+    ).otherwise(
+        F.lit(float((k - 1) * (1 << HASH_BITS))) / F.col("_hk").cast("double")
+    )
+    return (
+        bottom.join(totals, group_cols)
+        .select(*group_cols, est.alias(estimate_col), F.col(sketch_col))
+    )
+
+
+def kmv_jaccard(sketch_a, sketch_b, k: int = 64):
+    """Jaccard estimate from two KMV hash arrays (same k): take the k
+    smallest of the union, count how many appear in both. Plain column
+    expressions — usable after joining two sketch tables."""
+    union_k = F.slice(F.array_sort(F.array_union(sketch_a, sketch_b)), 1, k)
+    inter = F.size(F.array_intersect(union_k, F.array_intersect(sketch_a, sketch_b)))
+    return inter.cast("double") / F.size(union_k).cast("double")

@@ -105,3 +105,46 @@ def test_hll_error_distribution_on_real_groups(spark):
     p95 = errs[int(len(errs) * 0.95)]
     assert median < 0.05, median
     assert p95 < 0.20, p95
+
+
+def test_kmv_accuracy_and_exact_small_sets(spark):
+    from pyspark.sql import functions as F
+
+    big = spark.range(0, 20_000).select(
+        F.lit("g").alias("g"), (F.col("id") % 8_000).alias("k")
+    )
+    row = sketches.kmv_sketch(big, ["g"], "k", k=256).collect()[0]
+    assert abs(row["kmv_distinct"] / 8_000 - 1.0) < 0.25, row["kmv_distinct"]
+    small = spark.range(0, 40).select(F.lit("g").alias("g"), F.col("id").alias("k"))
+    srow = sketches.kmv_sketch(small, ["g"], "k", k=64).collect()[0]
+    assert srow["kmv_distinct"] == 40.0  # < k distinct -> exact
+    assert len(srow["kmv_hashes"]) == 40
+
+
+def test_kmv_partition_invariance(spark):
+    from pyspark.sql import functions as F
+
+    def est(parts):
+        df = spark.range(0, 5_000).select(
+            F.lit("g").alias("g"), F.col("id").alias("k")
+        ).repartition(parts)
+        r = sketches.kmv_sketch(df, ["g"], "k", k=64).collect()[0]
+        return r["kmv_distinct"], list(r["kmv_hashes"])
+
+    assert est(1) == est(17)
+
+
+def test_kmv_jaccard_estimate(spark):
+    from pyspark.sql import functions as F
+
+    # two sets with true Jaccard 1/3 (overlap 2000 of 4000-each)
+    a = spark.range(0, 4_000).select(F.lit("a").alias("g"), F.col("id").alias("k"))
+    b = spark.range(2_000, 6_000).select(F.lit("b").alias("g"), F.col("id").alias("k"))
+    sk = sketches.kmv_sketch(a.union(b), ["g"], "k", k=256)
+    wide = (
+        sk.filter(F.col("g") == "a").select(F.col("kmv_hashes").alias("ha"))
+        .crossJoin(sk.filter(F.col("g") == "b").select(F.col("kmv_hashes").alias("hb")))
+        .select(sketches.kmv_jaccard(F.col("ha"), F.col("hb"), k=256).alias("j"))
+    )
+    j = wide.collect()[0]["j"]
+    assert abs(j - 1 / 3) < 0.15, j
