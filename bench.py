@@ -78,10 +78,11 @@ def main() -> None:
     for name in HEADLINE:
         if name not in catalog:
             continue
-        # min of 2 runs: the first run of a plan pays codegen/broadcast
-        # warmup that a steady-state pipeline amortizes away
+        # min of 3 runs: the first run of a plan pays codegen/broadcast
+        # warmup, and this machine shows ±30% per-run scheduling noise —
+        # the min is the steady-state number a pipeline amortizes to
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             start = time.perf_counter()
             catalog[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - start)
