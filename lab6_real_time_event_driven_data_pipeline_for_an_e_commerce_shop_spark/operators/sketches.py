@@ -226,3 +226,93 @@ def kmv_jaccard(sketch_a, sketch_b, k: int = 64):
     union_k = F.slice(F.array_sort(F.array_union(sketch_a, sketch_b)), 1, k)
     inter = F.size(F.array_intersect(union_k, F.array_intersect(sketch_a, sketch_b)))
     return inter.cast("double") / F.size(union_k).cast("double")
+
+
+# --- Bloom filter (membership; the bloom-join pre-filter) -------------
+
+BLOOM_K = 4  # hash functions per key (affine transforms of one md5)
+
+# odd multipliers/offsets for the k affine re-hashes (splitmix-style
+# constants; any fixed odd values work — these stay engine-portable
+# because the arithmetic is pure int64 with an explicit mod)
+_BLOOM_COEF = [
+    (0x9E3779B97F4A7C15 & 0x7FFFFFFF, 0x7F4A7C15),
+    (0xBF58476D1CE4E5B9 & 0x7FFFFFFF, 0x1CE4E5B9),
+    (0x94D049BB133111EB & 0x7FFFFFFF, 0x133111EB),
+    (0xD6E8FEB86659FD93 & 0x7FFFFFFF, 0x6659FD93),
+]
+
+
+def _bloom_positions(value, m_bits: int):
+    """k bit positions for a value: affine transforms of the 48-bit
+    portable hash, reduced mod a Mersenne prime BEFORE the multiply so
+    every product stays inside int64 (ANSI-overflow safe) — the same
+    discipline as the MinHash transforms."""
+    p = (1 << 31) - 1  # h%p (31 bits) x a (31 bits) stays inside int64
+    h = portable_hash(value.cast("string"))
+    return [
+        (((h % p) * a + b) % p) % m_bits for a, b in _BLOOM_COEF[:BLOOM_K]
+    ]
+
+
+def bloom_build(
+    df: DataFrame,
+    value_col: str,
+    m_bits: int = 1 << 16,
+) -> DataFrame:
+    """Build a SPARSE Bloom filter over a column: rows (word_idx,
+    bits) where bits is the int64 OR of all hash bits landing in that
+    64-bit word. bit_or is commutative/idempotent, so the filter is
+    deterministic under any partitioning and mergeable across
+    batches/streams (union then re-OR). Size: ≤ m_bits/64 rows — a
+    broadcastable build side regardless of input cardinality.
+
+    This is the portable twin of the engine's runtime bloom join
+    pruning (spark.sql.optimizer.runtime.bloomFilter.*): build on the
+    small/filtering side, semi-join probe on the big side BEFORE the
+    real join, false-positive rate (1-e^{-kn/m})^k.
+    """
+    pos = _bloom_positions(F.col(value_col), m_bits)
+    exploded = df.select(
+        F.explode(F.array(*[p.cast("long") for p in pos])).alias("_pos")
+    )
+    return (
+        exploded.select(
+            F.shiftright(F.col("_pos"), 6).alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_pos % 64 AS INT))").alias("_m"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("_m").alias("bits"))
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    bloom: DataFrame,
+    value_col: str,
+    m_bits: int = 1 << 16,
+    flag_col: str = "bloom_maybe",
+) -> DataFrame:
+    """Membership probe: a row passes iff ALL k of its bits are set.
+    The sparse filter is broadcast and probed via k word lookups
+    (explode on the PROBE key's k positions → join on word_idx →
+    count matched bits) — no full-bitmap materialization per row."""
+    pos = _bloom_positions(F.col(value_col), m_bits)
+    with_pos = df.withColumn(
+        "_pos", F.explode(F.array(*[p.cast("long") for p in pos]))
+    ).select(
+        "*",
+        F.shiftright(F.col("_pos"), 6).alias("word_idx"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_pos % 64 AS INT))").alias("_m"),
+    )
+    hits = (
+        with_pos.join(F.broadcast(bloom), "word_idx", "left")
+        .withColumn(
+            "_hit",
+            (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("_m")) != 0)
+            .cast("int"),
+        )
+        .groupBy(*df.columns)
+        .agg((F.sum("_hit") == BLOOM_K).alias(flag_col))
+    )
+    return hits

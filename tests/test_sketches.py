@@ -148,3 +148,42 @@ def test_kmv_jaccard_estimate(spark):
     )
     j = wide.collect()[0]["j"]
     assert abs(j - 1 / 3) < 0.15, j
+
+
+def test_bloom_no_false_negatives_and_low_fp(spark):
+    from pyspark.sql import functions as F
+
+    members = spark.range(0, 2_000).select(F.col("id").alias("k"))
+    bloom = sketches.bloom_build(members, "k", m_bits=1 << 16)
+    assert bloom.count() <= (1 << 16) // 64  # sparse, broadcastable
+
+    probes = spark.range(0, 6_000).select(F.col("id").alias("k"))
+    flags = {r["k"]: r["bloom_maybe"]
+             for r in sketches.bloom_probe(probes, bloom, "k", m_bits=1 << 16).collect()}
+    # zero false negatives (the Bloom contract)
+    assert all(flags[i] for i in range(2_000))
+    # false positives bounded: k=4, n=2000, m=65536 -> (1-e^-kn/m)^4 ~ 1.1e-4
+    fp = sum(flags[i] for i in range(2_000, 6_000))
+    assert fp <= 20, fp
+
+
+def test_bloom_partition_invariance_and_merge(spark):
+    from pyspark.sql import functions as F
+
+    def build(parts):
+        df = spark.range(0, 1_000).select(F.col("id").alias("k")).repartition(parts)
+        return {(r["word_idx"], r["bits"])
+                for r in sketches.bloom_build(df, "k").collect()}
+
+    assert build(1) == build(13)
+    # mergeable: OR of two halves == filter of the union
+    a = spark.range(0, 500).select(F.col("id").alias("k"))
+    b = spark.range(500, 1_000).select(F.col("id").alias("k"))
+    merged = {
+        (r["word_idx"], r["bits"])
+        for r in (
+            sketches.bloom_build(a, "k").union(sketches.bloom_build(b, "k"))
+            .groupBy("word_idx").agg(F.bit_or("bits").alias("bits")).collect()
+        )
+    }
+    assert merged == build(1)
