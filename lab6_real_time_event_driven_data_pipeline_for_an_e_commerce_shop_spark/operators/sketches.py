@@ -42,7 +42,11 @@ from pyspark.sql import functions as F
 
 from ..functions.expressions import portable_hash
 
-__all__ = ["portable_hll", "hll_oracle_sql", "HASH_BITS"]
+__all__ = [
+    "portable_hll", "hll_registers", "hll_estimate_from_registers",
+    "hll_oracle_sql", "kmv_sketch", "kmv_jaccard",
+    "bloom_build", "bloom_probe", "HASH_BITS",
+]
 
 HASH_BITS = 48  # portable_hash emits 12 hex chars
 
@@ -75,13 +79,27 @@ def portable_hll(
     shuffle) → groupBy(group) exact-double harmonic sum → literal
     arithmetic. No UDFs — fully codegen'd.
     """
+    regs = hll_registers(df, group_cols, value_col, p)
+    return hll_estimate_from_registers(
+        regs, group_cols, p, estimate_col, zeros_col
+    )
+
+
+def hll_registers(
+    df: DataFrame, group_cols: list[str], value_col: str, p: int = 8
+) -> DataFrame:
+    """The sketch STATE: (group..., _hll_reg, _hll_r) — one row per
+    non-empty register. Registers merge by MAX, so two register tables
+    (e.g. successive micro-batches, or per-partition partials) combine
+    with union → groupBy MAX and lose nothing; this is what a
+    streaming gold table persists (streaming/sketches.py)."""
     m = 1 << p
     rank_cap = HASH_BITS - p + 1  # rank when the suffix is all zeros
     h = portable_hash(F.col(value_col).cast("string"))
     # register = low p bits; rank = 1 + leading zeros of the (48-p)-bit
     # suffix, via binary-string length (bin() emits no leading zeros in
     # either engine; suffix == 0 → length 0 → rank_cap, also portable)
-    regs = (
+    return (
         df.select(
             *group_cols,
             (h % m).alias("_hll_reg"),
@@ -93,6 +111,19 @@ def portable_hll(
         .groupBy(*group_cols, "_hll_reg")
         .agg(F.max("_hll_rank").alias("_hll_r"))
     )
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame,
+    group_cols: list[str],
+    p: int = 8,
+    estimate_col: str = "approx_distinct",
+    zeros_col: str = "n_zero_registers",
+) -> DataFrame:
+    """Estimate finishing pass over a register table (same math as
+    portable_hll; split out so persisted/streamed registers can be
+    read back and finished on demand)."""
+    m = 1 << p
     per_group = regs.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("_hll_present"),
         F.sum(
