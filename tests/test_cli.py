@@ -33,3 +33,28 @@ def test_cli_query_runs_and_rejects_unknown():
     bad = _run("query", "no_such_query")
     assert bad.returncode == 2
     assert "unknown query" in bad.stderr
+
+
+def test_bench_headline_queries_exist():
+    """r2 lost its recorded bench number to a query that raised at plan
+    time — pin that every HEADLINE name resolves in the catalog (the
+    full run is the driver's job, not the suite's)."""
+    import bench
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.plans import (
+        queries as q,
+    )
+
+    catalog = q.catalog()
+    missing = [n for n in bench.HEADLINE if n not in catalog]
+    assert not missing, missing
+
+
+def test_driver_contract_shape():
+    """__spark_entry__ exports: every oracle key is a query key, and
+    the catalog is exactly the 50 the driver gates."""
+    import __spark_entry__ as e
+
+    qs, os_ = e.queries(), e.oracle_sql()
+    assert len(qs) == 50
+    assert set(os_) <= set(qs)
+    assert len(os_) == 49
