@@ -791,3 +791,49 @@ def test_zorder_compact_bounds_both_columns(spark, tmp_path):
     # z-order must beat both on BOTH axes simultaneously.
     assert sum(spans_a) / len(spans_a) <= n / 2, spans_a
     assert sum(spans_b) / len(spans_b) <= n / 2, spans_b
+
+
+def test_overlap_join_matches_naive(spark):
+    """Bucketed interval-overlap join == the naive cross-join filter,
+    across bucket-spanning, bucket-straddling, empty, and unmatched
+    intervals; left-outer keeps unmatched LEFT rows exactly once."""
+    import itertools
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators.rangejoin import (
+        overlap_join,
+    )
+
+    left_rows = [
+        ("k1", 0, 25, "L0"),      # spans 3 buckets at width 10
+        ("k1", 40, 41, "L1"),     # single point-ish
+        ("k1", 90, 90, "Lempty"), # empty: matches nothing
+        ("k2", 5, 15, "L2"),
+        ("k3", 0, 100, "Lsolo"),  # no right partner
+    ]
+    right_rows = [
+        ("k1", 20, 30, "R0"),     # overlaps L0 tail
+        ("k1", 24, 26, "R1"),     # inside L0
+        ("k1", 41, 50, "R2"),     # touches L1 end: NO overlap ([ , ) )
+        ("k2", 0, 6, "R3"),       # overlaps L2 head
+        ("k2", 15, 20, "R4"),     # touches L2 end: no
+    ]
+    L = spark.createDataFrame(left_rows, "key string, ls long, le long, lname string")
+    R = spark.createDataFrame(right_rows, "key string, rs long, re long, rname string")
+
+    got = {
+        (r["lname"], r["rname"])
+        for r in overlap_join(L, R, "key", "ls", "le", "rs", "re", bucket_width=10).collect()
+    }
+    naive = {
+        (ln, rn)
+        for (lk, ls, le, ln), (rk, rs, re, rn) in itertools.product(left_rows, right_rows)
+        if lk == rk and ls < re and rs < le
+    }
+    assert got == naive
+
+    outer = overlap_join(
+        L, R, "key", "ls", "le", "rs", "re", bucket_width=10, how="left"
+    ).collect()
+    pairs = [(r["lname"], r["rname"]) for r in outer]
+    assert set(pairs) == naive | {("L1", None), ("Lempty", None), ("Lsolo", None)}
+    assert len(pairs) == len(naive) + 3  # unmatched rows exactly once
