@@ -113,3 +113,52 @@ def overlap_join(
     matched_keys = inner.select(*left.columns).distinct()
     unmatched = left.join(matched_keys, left.columns, "left_anti")
     return inner.unionByName(unmatched, allowMissingColumns=True)
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    attrs: list[str],
+    end_col: str = "valid_to",
+    start_col: str = "valid_from",
+    open_end: int | None = None,
+) -> DataFrame:
+    """Build slowly-changing-dimension (SCD type 2) validity intervals
+    from a change-event log: one row per (key, state run) with
+    [valid_from, valid_to) — the dimension-history shape that
+    ``overlap_join`` / ``interval_join`` then join facts against
+    (as-of enrichment over a time range instead of a point).
+
+    Consecutive events with IDENTICAL attrs collapse into one run
+    (change-detection via lag over (key, ts)); valid_to is the next
+    CHANGE's timestamp, ``open_end`` (default: null) for the current
+    state. One window pass + one filter — no self-join, partitioned by
+    key, so it scales as a single shuffle on the dimension key.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(ts)
+    changed = F.lit(False)
+    for a in attrs:
+        prev = F.lag(F.col(a)).over(w)
+        # null-safe inequality: a change to/from NULL is still a change
+        changed = changed | ~F.col(a).eqNullSafe(prev)
+    first = F.row_number().over(w) == 1
+    runs = df.withColumn("_chg", first | changed).filter(F.col("_chg"))
+    w2 = Window.partitionBy(key).orderBy("_vf")
+    out = (
+        runs.select(key, F.col(ts).alias("_vf"), *attrs)
+        .withColumn("_vt", F.lead("_vf").over(w2))
+    )
+    end_val = (
+        F.coalesce(F.col("_vt"), F.lit(open_end))
+        if open_end is not None
+        else F.col("_vt")
+    )
+    return out.select(
+        key,
+        F.col("_vf").alias(start_col),
+        end_val.alias(end_col),
+        *attrs,
+    )

@@ -837,3 +837,56 @@ def test_overlap_join_matches_naive(spark):
     pairs = [(r["lname"], r["rname"]) for r in outer]
     assert set(pairs) == naive | {("L1", None), ("Lempty", None), ("Lsolo", None)}
     assert len(pairs) == len(naive) + 3  # unmatched rows exactly once
+
+
+def test_scd2_intervals_runs_and_open_end(spark):
+    """Change-event log -> SCD2 history: identical consecutive states
+    collapse, attribute flips cut intervals, the live state stays open
+    (or gets the sentinel), and intervals tile the timeline."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators.rangejoin import (
+        scd2_intervals,
+    )
+
+    rows = [
+        ("u1", 10, "bronze", "eu"),
+        ("u1", 20, "bronze", "eu"),   # no change: collapses into run 1
+        ("u1", 30, "silver", "eu"),   # tier change
+        ("u1", 40, "silver", None),   # region -> NULL is a change
+        ("u2", 15, "gold", "us"),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts long, tier string, region string")
+    hist = {
+        (r["k"], r["valid_from"]): (r["valid_to"], r["tier"], r["region"])
+        for r in scd2_intervals(df, "k", "ts", ["tier", "region"]).collect()
+    }
+    assert hist == {
+        ("u1", 10): (30, "bronze", "eu"),
+        ("u1", 30): (40, "silver", "eu"),
+        ("u1", 40): (None, "silver", None),
+        ("u2", 15): (None, "gold", "us"),
+    }
+    closed = scd2_intervals(df, "k", "ts", ["tier", "region"], open_end=10**9).collect()
+    assert {r["valid_to"] for r in closed if r["k"] == "u2"} == {10**9}
+
+
+def test_scd2_feeds_overlap_join(spark):
+    """The intended composition: fact windows x SCD2 dim history."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators.rangejoin import (
+        overlap_join,
+        scd2_intervals,
+    )
+
+    events = spark.createDataFrame(
+        [("u1", 10, "bronze"), ("u1", 30, "silver")], "k string, ts long, tier string"
+    )
+    dim = scd2_intervals(events, "k", "ts", ["tier"], open_end=1000)
+    facts = spark.createDataFrame(
+        [("u1", 25, 35, "f1")], "k string, fs long, fe long, fname string"
+    )
+    got = {
+        (r["fname"], r["tier"])
+        for r in overlap_join(
+            facts, dim, "k", "fs", "fe", "valid_from", "valid_to", bucket_width=20
+        ).collect()
+    }
+    assert got == {("f1", "bronze"), ("f1", "silver")}  # window straddles the change
