@@ -60,7 +60,16 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracles() -> dict[str, str]:
-    return {q.name: q.oracle for q in _REGISTRY.values() if q.oracle is not None}
+    # events oracles are authored against epoch_us(ts); if the driver
+    # regenerates events.ts as raw int64 (any epoch unit), rewrite them
+    # through the layout-detected expression so the gate survives drift
+    # (the r2 failure class — see _events_us_oracle_expr)
+    ev = _events_us_oracle_expr()
+    return {
+        q.name: (q.oracle if ev == "epoch_us(ts)" else q.oracle.replace("epoch_us(ts)", ev))
+        for q in _REGISTRY.values()
+        if q.oracle is not None
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -555,19 +564,52 @@ def q16_top_brands_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_int64_unit_factor(sf_dir: str) -> int:
+    """For an int64 events.ts, infer the epoch unit from parquet FOOTER
+    statistics (no Spark job): plausible 20xx instants differ by 10^3
+    per unit — ns ~1.7e18, µs ~1.7e15, ms ~1.7e12, s ~1.7e9 — so
+    magnitude is unambiguous. Returns the factor f with
+    ts_us = ts DIV f (f ≥ 1) or ts * (-f) (f < 0 encodes multiply)."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    base = f"{sf_dir}/events.parquet"
+    path = sorted(_glob.glob(base) + _glob.glob(f"{base}/*.parquet"))[0]
+    pf = _pq.ParquetFile(path)
+    arrow_t = str(pf.schema_arrow.field("ts").type)
+    if arrow_t.startswith("timestamp[ns"):
+        return 1000  # annotated nanos (read as long via nanosAsLong conf)
+    md = pf.metadata
+    idx = list(pf.schema_arrow.names).index("ts")
+    mx = max(
+        md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups)
+    )
+    if mx > 10**17:
+        return 1000  # nanos → DIV 1000
+    if mx > 10**14:
+        return 1  # already micros
+    if mx > 10**11:
+        return -1000  # millis → × 1000
+    return -1_000_000  # seconds → × 1e6
+
+
 def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with ts as epoch MICROSECONDS (bigint), whatever physical
     type the parquet carries. Seen layouts: int64 nanos (needs the
-    nanosAsLong legacy conf), timestamp[us] NTZ, timestamp[us] LTZ.
+    nanosAsLong legacy conf; r1-r2 testdata), timestamp[us] NTZ (r3),
+    timestamp[us] LTZ; raw-int64 µs/ms/s are unit-detected from footer
+    stats so a future regeneration can't silently corrupt epochs.
     Integer µs arithmetic keeps every derived value timezone-proof and
-    bit-identical to DuckDB's epoch_us()."""
+    bit-identical to the DuckDB oracle (see _events_us_oracle_expr)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _t(spark, sf_dir, "events")
     t = dict(ev.dtypes)["ts"]
     if t in ("bigint", "long"):
+        f = _events_int64_unit_factor(sf_dir)
         # integer DIV, never `/`: ts is ~1.7e18 and double division
         # rounds the low µs digits (off-by-one vs DuckDB's epoch_us)
-        us = F.expr("ts DIV 1000")
+        us = F.expr(f"ts DIV {f}") if f >= 1 else F.expr(f"ts * {-f}")
     elif t == "timestamp_ntz":
         # timestampdiff on NTZ operands never consults the session tz
         us = F.expr(
@@ -576,6 +618,23 @@ def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:  # timestamp (LTZ): unix_micros is the exact instant
         us = F.expr("unix_micros(ts)")
     return ev.withColumn("ts_us", us.cast("long")).drop("ts")
+
+
+def _events_us_oracle_expr(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """The DuckDB expression matching _events_us for the CURRENT
+    testdata layout. Oracle texts are authored against `epoch_us(ts)`
+    (the timestamp layouts); oracles() rewrites them through this hook
+    when the layout is raw int64, where epoch_us would not even parse."""
+    import pyarrow.parquet as _pq
+
+    try:
+        t = str(_pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type)
+    except Exception:
+        return "epoch_us(ts)"
+    if t.startswith("timestamp"):
+        return "epoch_us(ts)"
+    f = _events_int64_unit_factor(sf_dir)
+    return f"(ts // {f})" if f >= 1 else f"(ts * {-f})"
 
 
 @query(

@@ -51,3 +51,46 @@ def test_events_us_is_layout_invariant(spark, tmp_path, layout, ts_array):
     # schema contract: bigint, never a timestamp that could re-introduce
     # session-timezone dependence downstream
     assert dict(_events_us(spark, sf_dir).dtypes)["ts_us"] == "bigint"
+
+
+@pytest.mark.parametrize(
+    "layout,mult",
+    [("int64_us", 1), ("int64_ms", 1_000), ("int64_s", 1_000_000)],
+)
+def test_raw_int64_units_detected_from_footer(spark, tmp_path, layout, mult):
+    """A future regeneration to RAW int64 epochs (any unit) must not
+    silently corrupt ts_us: the unit is inferred from parquet footer
+    statistics, no Spark job needed."""
+    us = [v for v in US if v % (1_000_000) == 0] or [1_704_067_200_000_000]
+    vals = [1_704_067_200_000_000, 1_704_067_260_000_000]  # whole seconds
+    sf_dir = _write(
+        tmp_path, layout, pa.array([v // mult for v in vals], pa.int64())
+    )
+    got = {
+        r["event_id"]: r["ts_us"]
+        for r in _events_us(spark, sf_dir).select("event_id", "ts_us").collect()
+    }
+    assert got == {1: vals[0], 2: vals[1]}, layout
+
+
+def test_oracle_expr_tracks_layout(tmp_path):
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.plans.queries import (
+        _events_us_oracle_expr,
+    )
+
+    vals = [1_704_067_200_000_000, 1_704_067_260_000_000]
+    d_ts = _write(tmp_path, "ts_us_ntz", pa.array(vals, pa.timestamp("us")))
+    assert _events_us_oracle_expr(d_ts) == "epoch_us(ts)"
+    d_ns = _write(tmp_path, "i64_ns", pa.array([v * 1000 for v in vals], pa.int64()))
+    assert _events_us_oracle_expr(d_ns) == "(ts // 1000)"
+    d_ms = _write(tmp_path, "i64_ms", pa.array([v // 1000 for v in vals], pa.int64()))
+    assert _events_us_oracle_expr(d_ms) == "(ts * 1000)"
+    # and DuckDB agrees with the Spark integers for a raw layout
+    import duckdb
+
+    con = duckdb.connect()
+    expr = _events_us_oracle_expr(d_ms)
+    rows = con.execute(
+        f"SELECT event_id, {expr} AS ts_us FROM '{d_ms}/events.parquet' ORDER BY event_id"
+    ).fetchall()
+    assert [r[1] for r in rows] == vals
