@@ -184,3 +184,24 @@ def test_q42_ivf_is_single_pass(spark):
     assert "Join" not in plan
     assert "TakeOrderedAndProject" in plan
     assert "EvalPython" not in plan
+
+
+def test_q48_two_frames_share_one_shuffle(spark):
+    """Both window specs (ROWS frames ordered by (date, key) and the
+    RANGE frame ordered by day-number) partition on o_custkey, so the
+    plan must pay ONE exchange and express the second spec as a
+    re-sort — never a second shuffle."""
+    plan = _formatted(q.q48_customer_order_windows(spark, SF_DIR))
+    assert _nodes(plan, "Exchange") == 1
+    assert _nodes(plan, "Window") == 2
+    assert "EvalPython" not in plan
+
+
+def test_q52_contamination_is_equijoin_only(spark):
+    """The decontamination pass (holdout hash-set vs corpus shingles)
+    must stay hash equi-joins: no cartesian/nested-loop fallback, no
+    sort-merge explosion on the tiny holdout side."""
+    plan = _formatted(q.q52_train_val_test_split(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
