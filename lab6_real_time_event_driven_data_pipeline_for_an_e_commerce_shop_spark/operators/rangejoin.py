@@ -94,6 +94,13 @@ def overlap_join(
         )
         return df.withColumn(b0, lo).withColumn(bkt, F.explode(spans))
 
+    # how='left' carries a synthetic unique row id through the bucketed
+    # explode and anti-joins on IT, not on left.columns: column-equality
+    # anti-joins are not null-safe, so a matched left row containing a
+    # NULL attribute would never match itself and be emitted twice
+    # (joined AND null-extended).
+    if how == "left":
+        left = left.withColumn("_lrow_id", F.monotonically_increasing_id())
     lb = _bucketed(left, left_start, left_end, "_lb0", "_bkt")
     rb = _bucketed(right, right_start, right_end, "_rb0", "_rbkt").withColumnRenamed(
         key, "_rkey"
@@ -110,9 +117,9 @@ def overlap_join(
     inner = lb.join(rb, cond, "inner").drop("_bkt", "_rbkt", "_rkey", "_lb0", "_rb0")
     if how == "inner":
         return inner
-    matched_keys = inner.select(*left.columns).distinct()
-    unmatched = left.join(matched_keys, left.columns, "left_anti")
-    return inner.unionByName(unmatched, allowMissingColumns=True)
+    matched_ids = inner.select("_lrow_id").distinct()
+    unmatched = left.join(matched_ids, "_lrow_id", "left_anti")
+    return inner.unionByName(unmatched, allowMissingColumns=True).drop("_lrow_id")
 
 
 def scd2_intervals(

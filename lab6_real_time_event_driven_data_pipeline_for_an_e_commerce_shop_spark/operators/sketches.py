@@ -238,16 +238,15 @@ def kmv_sketch(
             F.max(F.when(F.col("_rn") == k, F.col("_h"))).alias("_hk"),
         )
     )
-    totals = sub.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("_n"))
+    # < k distinct: the bottom-k IS the full distinct set, so
+    # size(sketch) is the exact count -- no second full aggregation
+    # over the substrate is needed for the small-set fallback.
     est = F.when(
-        F.col("_hk").isNull(), F.col("_n").cast("double")  # < k distinct: exact
+        F.col("_hk").isNull(), F.size(F.col(sketch_col)).cast("double")
     ).otherwise(
         F.lit(float((k - 1) * (1 << HASH_BITS))) / F.col("_hk").cast("double")
     )
-    return (
-        bottom.join(totals, group_cols)
-        .select(*group_cols, est.alias(estimate_col), F.col(sketch_col))
-    )
+    return bottom.select(*group_cols, est.alias(estimate_col), F.col(sketch_col))
 
 
 def kmv_jaccard(sketch_a, sketch_b, k: int = 64):
@@ -328,13 +327,22 @@ def bloom_probe(
     The sparse filter is broadcast and probed via k word lookups
     (explode on the PROBE key's k positions → join on word_idx →
     count matched bits) — no full-bitmap materialization per row."""
+    # Row multiplicity is preserved: each probe row is tagged with a
+    # unique id before the explode and regrouped on that id, so
+    # duplicate probe rows each get their own flag (grouping on the
+    # value columns alone would collapse n identical rows into one
+    # group whose bit-hit sum is n*k, flagging a present key as
+    # absent - and would silently drop rows in the bloom-join
+    # pre-filter use where the probe side legitimately repeats keys).
     pos = _bloom_positions(F.col(value_col), m_bits)
-    with_pos = df.withColumn(
-        "_pos", F.explode(F.array(*[p.cast("long") for p in pos]))
-    ).select(
-        "*",
-        F.shiftright(F.col("_pos"), 6).alias("word_idx"),
-        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_pos % 64 AS INT))").alias("_m"),
+    with_pos = (
+        df.withColumn("_row_id", F.monotonically_increasing_id())
+        .withColumn("_pos", F.explode(F.array(*[p.cast("long") for p in pos])))
+        .select(
+            "*",
+            F.shiftright(F.col("_pos"), 6).alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_pos % 64 AS INT))").alias("_m"),
+        )
     )
     hits = (
         with_pos.join(F.broadcast(bloom), "word_idx", "left")
@@ -343,7 +351,8 @@ def bloom_probe(
             (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("_m")) != 0)
             .cast("int"),
         )
-        .groupBy(*df.columns)
+        .groupBy("_row_id", *df.columns)
         .agg((F.sum("_hit") == BLOOM_K).alias(flag_col))
+        .drop("_row_id")
     )
     return hits

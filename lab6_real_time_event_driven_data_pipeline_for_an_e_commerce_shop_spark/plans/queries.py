@@ -59,12 +59,13 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {q.name: q.fn for q in _REGISTRY.values()}
 
 
-def oracles() -> dict[str, str]:
+def oracles(sf_dir: str | None = None) -> dict[str, str]:
     # events oracles are authored against epoch_us(ts); if the driver
     # regenerates events.ts as raw int64 (any epoch unit), rewrite them
     # through the layout-detected expression so the gate survives drift
-    # (the r2 failure class — see _events_us_oracle_expr)
-    ev = _events_us_oracle_expr()
+    # (the r2 failure class — see _events_us_oracle_expr). sf_dir=None
+    # discovers the gated directory (env vars, then the sf0.01 default).
+    ev = _events_us_oracle_expr(sf_dir)
     return {
         q.name: (q.oracle if ev == "epoch_us(ts)" else q.oracle.replace("epoch_us(ts)", ev))
         for q in _REGISTRY.values()
@@ -582,9 +583,19 @@ def _events_int64_unit_factor(sf_dir: str) -> int:
         return 1000  # annotated nanos (read as long via nanosAsLong conf)
     md = pf.metadata
     idx = list(pf.schema_arrow.names).index("ts")
-    mx = max(
-        md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups)
-    )
+    stats = [md.row_group(g).column(idx).statistics for g in range(md.num_row_groups)]
+    vals = [s.max for s in stats if s is not None and s.has_min_max and s.max is not None]
+    if vals:
+        mx = max(vals)
+    else:
+        # stats-less file: sample one batch — the unit inference only
+        # needs order-of-magnitude (units differ by 10^3), so any
+        # plausible-instant sample decides it
+        batch = next(pf.iter_batches(batch_size=4096, columns=["ts"]))
+        sample = [v for v in batch.column(0).to_pylist() if v is not None]
+        if not sample:
+            return 1  # empty/all-null: treat as micros (no row is affected)
+        mx = max(sample)
     if mx > 10**17:
         return 1000  # nanos → DIV 1000
     if mx > 10**14:
@@ -620,21 +631,38 @@ def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.withColumn("ts_us", us.cast("long")).drop("ts")
 
 
-def _events_us_oracle_expr(sf_dir: str = "/root/testdata/sf0.01") -> str:
+def _events_us_oracle_expr(sf_dir: str | None = None) -> str:
     """The DuckDB expression matching _events_us for the CURRENT
     testdata layout. Oracle texts are authored against `epoch_us(ts)`
     (the timestamp layouts); oracles() rewrites them through this hook
-    when the layout is raw int64, where epoch_us would not even parse."""
+    when the layout is raw int64, where epoch_us would not even parse.
+
+    sf_dir resolution (the driver's oracle_sql() contract is arg-less,
+    so the gated directory is discovered, not hardcoded): explicit arg >
+    $SPARK_GRAFT_ORACLE_SF_DIR > $SPARK_GRAFT_SF_DIR > the sf0.01 gate
+    default — first candidate with a readable events.parquet wins. All
+    SFs are regenerated together by the driver, so any sibling dir
+    carries the same layout."""
     import pyarrow.parquet as _pq
 
-    try:
-        t = str(_pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type)
-    except Exception:
-        return "epoch_us(ts)"
-    if t.startswith("timestamp"):
-        return "epoch_us(ts)"
-    f = _events_int64_unit_factor(sf_dir)
-    return f"(ts // {f})" if f >= 1 else f"(ts * {-f})"
+    candidates = [
+        sf_dir,
+        os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR"),
+        "/root/testdata/sf0.01",
+        os.environ.get("SPARK_GRAFT_SF_DIR"),
+    ]
+    for d in candidates:
+        if not d:
+            continue
+        try:
+            t = str(_pq.read_schema(f"{d}/events.parquet").field("ts").type)
+        except Exception:
+            continue
+        if t.startswith("timestamp"):
+            return "epoch_us(ts)"
+        f = _events_int64_unit_factor(d)
+        return f"(ts // {f})" if f >= 1 else f"(ts * {-f})"
+    return "epoch_us(ts)"
 
 
 @query(

@@ -94,3 +94,39 @@ def test_oracle_expr_tracks_layout(tmp_path):
         f"SELECT event_id, {expr} AS ts_us FROM '{d_ms}/events.parquet' ORDER BY event_id"
     ).fetchall()
     assert [r[1] for r in rows] == vals
+
+
+def test_raw_int64_unit_detection_without_footer_stats(spark, tmp_path):
+    """Stats-less parquet (write_statistics=False) must not crash the
+    unit inference: it falls back to sampling one batch (ADVICE r3 —
+    statistics.max dereference had no None guard)."""
+    vals = [1_704_067_200_000_000, 1_704_067_260_000_000]
+    d = tmp_path / "i64_ns_nostats"
+    d.mkdir()
+    t = pa.table(
+        {
+            **{k: pa.array(v) for k, v in ROWS.items()},
+            "ts": pa.array([v * 1000 for v in vals], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(d / "events.parquet"), write_statistics=False)
+    got = {
+        r["event_id"]: r["ts_us"]
+        for r in _events_us(spark, str(d)).select("event_id", "ts_us").collect()
+    }
+    assert got == {1: vals[0], 2: vals[1]}
+
+
+def test_oracle_expr_env_discovery(tmp_path, monkeypatch):
+    """oracle_sql() is arg-less in the driver contract, so the gated
+    directory is discovered via env when no arg is given; an explicit
+    arg still wins (ADVICE r3 — hardcoded sf0.01)."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.plans.queries import (
+        _events_us_oracle_expr,
+    )
+
+    vals = [1_704_067_200_000_000, 1_704_067_260_000_000]
+    d_ms = _write(tmp_path, "env_i64_ms", pa.array([v // 1000 for v in vals], pa.int64()))
+    monkeypatch.setenv("SPARK_GRAFT_ORACLE_SF_DIR", d_ms)
+    assert _events_us_oracle_expr() == "(ts * 1000)"
+    monkeypatch.delenv("SPARK_GRAFT_ORACLE_SF_DIR")

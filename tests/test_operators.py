@@ -890,3 +890,26 @@ def test_scd2_feeds_overlap_join(spark):
         ).collect()
     }
     assert got == {("f1", "bronze"), ("f1", "silver")}  # window straddles the change
+
+
+def test_overlap_join_left_null_attr_emitted_once(spark):
+    """A matched left row containing a NULL attribute must appear
+    exactly once (ADVICE r3: the left-anti on left.columns used
+    non-null-safe equality, so NULL-bearing matched rows were ALSO
+    null-extended — emitted twice)."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators.rangejoin import (
+        overlap_join,
+    )
+
+    L = spark.createDataFrame(
+        [("k1", 0, 10, None), ("k1", 50, 60, "named")],
+        "key string, ls long, le long, lattr string",
+    )
+    R = spark.createDataFrame([("k1", 5, 7, "R0")], "key string, rs long, re long, rname string")
+    rows = overlap_join(
+        L, R, "key", "ls", "le", "rs", "re", bucket_width=10, how="left"
+    ).collect()
+    assert len(rows) == 2
+    assert ({(r["lattr"], r["rname"]) for r in rows}
+            == {(None, "R0"), ("named", None)})
+    assert "_lrow_id" not in rows[0].asDict()

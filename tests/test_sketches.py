@@ -187,3 +187,36 @@ def test_bloom_partition_invariance_and_merge(spark):
         )
     }
     assert merged == build(1)
+
+
+def test_bloom_probe_preserves_duplicate_probe_rows(spark):
+    """Duplicate probe rows must each get their own flag (ADVICE r3:
+    grouping on value columns collapsed n identical rows into one group
+    whose hit-sum n*k != k, flagging a PRESENT key as absent — and
+    silently changing row multiplicity in the bloom-join pre-filter)."""
+    from pyspark.sql import functions as F
+
+    members = spark.range(0, 100).select(F.col("id").alias("k"))
+    bloom = sketches.bloom_build(members, "k", m_bits=1 << 16)
+    probes = spark.createDataFrame([(5,), (5,), (500,)], "k long")
+    rows = sketches.bloom_probe(probes, bloom, "k", m_bits=1 << 16).collect()
+    assert len(rows) == 3  # multiplicity preserved
+    flags = sorted((r["k"], r["bloom_maybe"]) for r in rows)
+    assert flags[0] == (5, True) and flags[1] == (5, True)  # no false negative
+    assert flags[2] == (500, False)  # fp odds ~1e-4 at n=100, m=2^16
+
+
+def test_kmv_small_set_exact_without_totals_join(spark):
+    """< k distinct stays exact via size(sketch) — the plan has exactly
+    one aggregation over the distinct substrate (ADVICE r3: the extra
+    per-group totals COUNT undercut the bounded-sketch scale story)."""
+    from pyspark.sql import functions as F
+
+    small = spark.range(0, 7).select(
+        (F.col("id") % 2).cast("string").alias("g"), F.col("id").alias("k")
+    )
+    out = sketches.kmv_sketch(small, ["g"], "k", k=64)
+    got = {r["g"]: (r["kmv_distinct"], len(r["kmv_hashes"])) for r in out.collect()}
+    assert got == {"0": (4.0, 4), "1": (3.0, 3)}
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.lower().count("aggregate") <= 2  # distinct + bottom-k, no totals
