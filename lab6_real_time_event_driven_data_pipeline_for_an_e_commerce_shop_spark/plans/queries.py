@@ -1312,20 +1312,52 @@ def q36_date_formatting(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q37 — the streaming medallion pipeline end-to-end (rows-only check)
+# q37 — the streaming medallion pipeline end-to-end, ORACLE-checked: the
+# ingested slice is a pure function of the orders/lineitem/part views, so
+# the FINAL gold state is expressible as relational SQL even though it is
+# produced by a checkpointed multi-stage streaming pipeline.
 # ---------------------------------------------------------------------------
 
 
-@query("q37_stream_medallion_gold", None)  # side-effectful streaming run → rows-only
+@query(
+    "q37_stream_medallion_gold",
+    f"""
+    WITH keys AS (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 40),
+         enriched AS (
+           SELECT CAST(o.o_orderdate AS DATE) AS order_date,
+                  o.o_orderkey AS order_id,
+                  o.o_custkey AS user_id,
+                  l.l_partkey AS product_id,
+                  l.l_extendedprice AS sale_price,
+                  CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS returned
+           FROM orders o
+           JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+           JOIN part p     ON l.l_partkey = p.p_partkey
+           WHERE o.o_orderkey IN (SELECT o_orderkey FROM keys)
+         )
+    SELECT order_date,
+           CAST(COUNT(DISTINCT order_id) AS BIGINT) AS total_orders,
+           {_dsum('sale_price')}                    AS total_revenue,
+           COUNT(product_id)                        AS total_items_sold,
+           CAST(SUM(returned) AS DOUBLE)
+                 / COUNT(DISTINCT order_id)         AS return_rate,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT)  AS unique_customers
+    FROM enriched
+    GROUP BY order_date
+    """,
+)
 def q37_stream_medallion_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EP1→EP3 as a real Structured Streaming run: a deterministic slice
-    of the testdata is written as landing CSVs into a fresh temp root,
-    the checkpointed medallion pipeline drains it (ingest → quarantine →
-    completeness → silver MERGE → gold refresh), and the gold
-    order_kpis_daily serving table is returned. No SQL oracle — the
-    result is produced by a stateful streaming pipeline, not a single
-    relational expression; its per-operator semantics are pinned by the
-    batch twins (q02-q04) and tests/test_streaming.py."""
+    of the testdata (the 40 lowest orderkeys + their items + all parts)
+    is written as landing CSVs into a fresh temp root, the checkpointed
+    medallion pipeline drains it (ingest → quarantine → completeness →
+    silver MERGE → gold refresh), and the gold order_kpis_daily serving
+    table is returned. The streaming machinery (checkpoints, staging,
+    MERGE) still runs for real — but because the ingested slice is a
+    pure function of the views, the END STATE has an exact SQL oracle:
+    the q04 aggregate restricted to the slice. CSV/timestamp round-trips
+    are lossless by construction (2-decimal prices, wall-clock literals
+    parsed back in the same session tz), so gold hashes bit-equal."""
     import tempfile
 
     from ..streaming.pipeline import MedallionPipeline

@@ -22,8 +22,8 @@ def test_cli_list_shows_full_catalog():
     assert r.returncode == 0, r.stderr[-2000:]
     lines = [l for l in r.stdout.splitlines() if l.strip()]
     assert len(lines) == 50
-    assert sum("[oracle]" in l for l in lines) == 49
-    assert sum("[rows-only]" in l for l in lines) == 1
+    assert sum("[oracle]" in l for l in lines) == 50
+    assert sum("[rows-only]" in l for l in lines) == 0
 
 
 def test_cli_query_runs_and_rejects_unknown():
@@ -57,4 +57,4 @@ def test_driver_contract_shape():
     qs, os_ = e.queries(), e.oracle_sql()
     assert len(qs) == 50
     assert set(os_) <= set(qs)
-    assert len(os_) == 49
+    assert len(os_) == 50  # r4: q37's end state gained an exact oracle
