@@ -229,22 +229,77 @@ def embedding_near_dups(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probe_hamming: int = 0,
 ) -> DataFrame:
-    """All near-duplicate pairs (cosine ≥ threshold), blocked by LSH
-    bucket so the self-join is bucket-local (near-identical vectors
-    land in the same bucket with high probability)."""
-    planes = hyperplanes(n_planes, dim)
+    """All near-duplicate candidate pairs within LSH Hamming radius
+    ``probe_hamming`` whose round-6 cosine ≥ threshold — blocked by
+    integer-exact SRP buckets (the q29 recipe: ±1 planes over
+    floor-quantized vectors), so the candidate set is deterministic and
+    derivable bit-for-bit in any engine.
+
+    Plan shape (the 100 TB path): one side explodes into its bucket's
+    Hamming-≤r mask ring, the pair join is an EQUI-join on the probed
+    bucket id — never a non-equi self-join (no BroadcastNestedLoop /
+    cartesian). A qualifying pair's buckets differ by exactly one mask,
+    so each pair is emitted once — no post-dedup shuffle. Exact cosine
+    runs only inside candidates; rounding to 6 decimals BEFORE the
+    threshold keeps the float order-dependence out of the decision.
+
+    Parameterization: at production near-dup thresholds (τ ≥ 0.9,
+    per-plane agreement p = 1−θ/π ≥ 0.86) use many planes (16+) and a
+    small ring — the candidate ratio collapses exponentially. At
+    moderate τ on near-uniform vectors (this testdata's regime) the
+    candidate ratio is bounded by |ring|/2^n_planes of pair space; the
+    blocking still removes the quadratic tail but recall needs the
+    ring (pinned in tests against the all-pairs baseline)."""
+    planes = hyperplanes_int(n_planes, dim)
     b = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
-        lsh_bucket(F.col(vec_col), planes).alias("_bkt"),
+        lsh_bucket_int(F.col(vec_col), planes).alias("_bkt"),
     )
-    a = b.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "_bkt")
-    c = b.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), "_bkt")
+    masks = probe_masks(n_planes, probe_hamming)
+    a = b.select(
+        F.col("_id").alias("id_a"),
+        F.col("_v").alias("_va"),
+        F.explode(
+            F.array(*[F.col("_bkt").bitwiseXOR(F.lit(m)) for m in masks])
+        ).alias("_pbkt"),
+    )
+    c = b.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_bkt").alias("_pbkt")
+    )
     return (
-        a.join(c, "_bkt")
+        a.join(c, "_pbkt")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cosine_sim"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def embedding_near_dups_exact(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs exactness BASELINE for recall-pinning the blocked
+    variant (tests only — the non-equi self-join is a
+    BroadcastNestedLoopJoin, quadratic at scale; never gate or ship
+    this plan)."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cosine_sim"),
+        )
         .filter(F.col("cosine_sim") >= threshold)
     )
 

@@ -877,7 +877,13 @@ _DOC_SHINGLE_HASH_SQL = f"""
 @query(
     "q24_ngram_jaccard_pairs",
     f"""
-    WITH sh AS ({_DOC_SHINGLE_HASH_SQL}),
+    WITH sh0 AS ({_DOC_SHINGLE_HASH_SQL}),
+    ndocs AS (SELECT COUNT(DISTINCT doc_id) AS n FROM sh0),
+    hot AS (
+        SELECT h FROM sh0, ndocs GROUP BY h, ndocs.n
+        HAVING COUNT(*) * 100 > 50 * ndocs.n
+    ),
+    sh AS (SELECT * FROM sh0 WHERE h NOT IN (SELECT h FROM hot)),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     shared AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
@@ -894,11 +900,16 @@ _DOC_SHINGLE_HASH_SQL = f"""
 )
 def q24_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by 3-word-shingle Jaccard ≥ 0.1 (low threshold so
-    the synthetic corpus yields a non-trivial result set)."""
+    the synthetic corpus yields a non-trivial result set). r4: the
+    document-frequency cut (max_df_pct=50) bounds worst-case skew — a
+    stop-shingle in more than half the docs is dropped before the
+    self-join; the oracle derives the identical integer-exact cut
+    (no shingle in this corpus crosses it, so results are unchanged,
+    but the bound now holds for ANY input distribution)."""
     from ..operators import dedup
 
     return dedup.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), threshold=0.1, k=3
+        _t(spark, sf_dir, "documents"), threshold=0.1, k=3, max_df_pct=50
     )
 
 
@@ -1037,32 +1048,65 @@ def q27_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id")).limit(10)
 
 
-@query(
-    "q28_embedding_near_dups",
-    f"""
-    WITH scored AS (
-        {_COSINE_PAIR_SQL.format(cond="a.vec_id < b.vec_id")}
+def _q28_oracle(n_planes: int = 4, dim: int = 64, probe_hamming: int = 2) -> str:
+    """The blocked near-dup pipeline re-expressed relationally: bucket
+    membership is integer-exact (±1 planes over floor-quantized
+    vectors), so DuckDB derives the SAME buckets, the SAME Hamming-≤2
+    candidate pairs, and the SAME round-6 cosine decisions."""
+    from ..operators import similarity
+
+    planes = similarity.hyperplanes_int(n_planes, dim)
+    return f"""
+    WITH quant AS (
+        SELECT vec_id, {similarity.quantize_vec_sql("embedding")} AS qv
+        FROM embeddings
+    ),
+    sig AS (SELECT vec_id, {similarity.lsh_bucket_int_sql(planes)} AS bkt FROM quant),
+    cand AS (
+        SELECT sa.vec_id AS a_id, sb.vec_id AS b_id
+        FROM sig sa JOIN sig sb
+          ON sa.vec_id < sb.vec_id
+         AND bit_count(CAST(xor(sa.bkt, sb.bkt) AS UBIGINT)) <= {probe_hamming}
+    ),
+    scored AS (
+        SELECT a_id, b_id, dot / (sqrt(na) * sqrt(nb)) AS cos FROM (
+            SELECT a_id, b_id,
+                   SUM(xa * xb) AS dot, SUM(xa * xa) AS na, SUM(xb * xb) AS nb
+            FROM (
+                SELECT c.a_id, c.b_id,
+                       CAST(unnest(a.embedding) AS DOUBLE) AS xa,
+                       CAST(unnest(b.embedding) AS DOUBLE) AS xb
+                FROM cand c
+                JOIN embeddings a ON a.vec_id = c.a_id
+                JOIN embeddings b ON b.vec_id = c.b_id
+            ) z GROUP BY a_id, b_id
+        ) s
     )
     SELECT a_id AS id_a, b_id AS id_b, ROUND(cos, 6) AS cosine_sim
     FROM scored WHERE ROUND(cos, 6) >= 0.5
-    """,
-)
+    """
+
+
+@query("q28_embedding_near_dups", None)  # oracle attached below (computed SQL)
 def q28_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs cosine ≥ 0.5 (exactness baseline; the LSH-blocked scale
-    variant is q29/operators.similarity.embedding_near_dups)."""
+    """LSH-blocked near-dup pairs (cosine ≥ 0.5 among integer-exact SRP
+    candidates within Hamming≤2) — r4: the gated plan is now the
+    BUCKETED variant (mask-ring equi-join, no BroadcastNestedLoop /
+    cartesian; plan-pinned in test_plans). The all-pairs form survives
+    only as the recall baseline in tests
+    (operators.similarity.embedding_near_dups_exact; recall 12/14 at
+    sf0.1, 1/1 at sf0.01 — pinned)."""
     from ..operators import similarity
 
     emb = _t(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a", "id_b",
-            F.round(similarity.cosine(F.col("_va"), F.col("_vb")), 6).alias("cosine_sim"),
-        )
-        .filter(F.col("cosine_sim") >= 0.5)
+    return similarity.embedding_near_dups(
+        emb, threshold=0.5, n_planes=4, dim=64, probe_hamming=2
     )
+
+
+_REGISTRY["q28_embedding_near_dups"] = Query(
+    "q28_embedding_near_dups", q28_embedding_near_dups, _q28_oracle()
+)
 
 
 def _q29_oracle(n_planes: int = 4, dim: int = 64, probe_hamming: int = 2) -> str:

@@ -913,3 +913,73 @@ def test_overlap_join_left_null_attr_emitted_once(spark):
     assert ({(r["lattr"], r["rname"]) for r in rows}
             == {(None, "R0"), ("named", None)})
     assert "_lrow_id" not in rows[0].asDict()
+
+
+def test_near_dup_blocking_recall_vs_all_pairs(spark, sf_dir):
+    """The gated q28 plan is the BLOCKED near-dup join (mask-ring
+    equi-join over integer-exact SRP buckets). Pin (a) its recall vs
+    the all-pairs exactness baseline on the fixed corpus, (b) that the
+    blocked result is EXACTLY the baseline restricted to Hamming<=2
+    candidates (no pair is ever emitted twice or with a different
+    cosine), (c) determinism across runs."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        similarity,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in similarity.embedding_near_dups_exact(emb, threshold=0.5).collect()
+    }
+    blocked = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in similarity.embedding_near_dups(
+            emb, threshold=0.5, n_planes=4, dim=64, probe_hamming=2
+        ).collect()
+    }
+    # subset with identical cosines, each pair once
+    assert set(blocked) <= set(exact)
+    assert all(exact[p] == c for p, c in blocked.items())
+    # recall pinned on the fixed corpus: 1/1 at sf0.01 (12/14 at sf0.1)
+    assert len(blocked) >= len(exact) - max(2, len(exact) // 7)
+    assert len(blocked) >= 1
+    again = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_near_dups(
+            emb, threshold=0.5, n_planes=4, dim=64, probe_hamming=2
+        ).collect()
+    }
+    assert set(blocked) == again
+
+
+def test_jaccard_max_df_cut_drops_hot_shingles(spark):
+    """The document-frequency cut (r4): a stop-shingle present in every
+    document is dropped before the self-join, so (a) pairs related ONLY
+    through it disappear, (b) Jaccard is computed over the retained
+    shingle sets, (c) max_df_pct=None keeps the old behavior exactly."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        dedup,
+    )
+
+    stop = "the quick brown fox"  # shared 4-gram -> two 3-shingles in ALL docs
+    docs = spark.createDataFrame(
+        [
+            (1, stop + " alpha beta gamma delta"),
+            (2, stop + " alpha beta gamma delta"),
+            (3, stop + " epsilon zeta eta theta"),
+            (4, stop + " iota kappa lambda mu"),
+        ],
+        "doc_id long, text string",
+    )
+    uncut = {(r.id_a, r.id_b): r.jaccard
+             for r in dedup.ngram_jaccard_pairs(docs, threshold=0.01).collect()}
+    cut = {(r.id_a, r.id_b): r.jaccard
+           for r in dedup.ngram_jaccard_pairs(docs, threshold=0.01, max_df_pct=50).collect()}
+    # without the cut every pair shares the stop shingles
+    assert (3, 4) in uncut
+    # with it, docs related only through stop shingles no longer pair
+    assert (3, 4) not in cut
+    # identical docs still pair at jaccard 1.0 over their retained sets
+    assert cut[(1, 2)] == 1.0
+    # doc-specific shingles are untouched: (1,3) shares nothing retained
+    assert (1, 3) not in cut

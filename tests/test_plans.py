@@ -205,3 +205,15 @@ def test_q52_contamination_is_equijoin_only(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "EvalPython" not in plan
+
+
+def test_q28_blocked_near_dup_is_equijoin_only(spark):
+    """r4: the gated near-dup plan is the mask-ring EQUI-join over
+    integer-exact SRP buckets. The r3 all-pairs form planned a
+    BroadcastNestedLoopJoin (which the older 'no CartesianProduct'
+    pins did not catch) — forbid BOTH nodes here explicitly, plus any
+    Python evaluation."""
+    plan = _formatted(q.q28_embedding_near_dups(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
