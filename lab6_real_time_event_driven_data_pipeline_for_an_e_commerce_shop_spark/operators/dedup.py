@@ -107,33 +107,35 @@ def ngram_jaccard_pairs(
     cut). Per-key join work is thereby bounded by
     (max_df_pct · n_docs / 100)², independent of the corpus's token
     distribution. None (default) disables the cut.
+
+    Cost shape of the cut: n_docs comes from the parquet-metadata
+    count; the per-shingle document frequency is ONE window over _h
+    applied before the cache, so the cut adds a single shuffle to the
+    substrate build and the three downstream consumers (sizes + both
+    join sides) ride the already-cut cache.
     """
     pairs_src = df.select(
         F.col(id_col).alias("_id"),
         *( [F.col(block_col).alias("_blk")] if block_col else [] ),
         F.explode(shingles(F.col(text_col), k)).alias("_sh"),
     ).select("_id", *(["_blk"] if block_col else []), portable_hash(F.col("_sh")).alias("_h")).distinct()
+    if max_df_pct is not None:
+        from pyspark.sql import Window
+
+        n_docs = df.count()
+        pairs_src = (
+            pairs_src.withColumn(
+                "_df", F.count("*").over(Window.partitionBy("_h"))
+            )
+            .filter(F.col("_df") * 100 <= F.lit(int(max_df_pct) * n_docs))
+            .drop("_df")
+        )
     # cache: this substrate feeds THREE subplans (sizes + both join
     # sides); without it the explode+md5 work runs 3x (measured 5s -> 1s
     # on the 500-doc corpus). Bounded, not leaked (r1 ADVICE): see
     # functions/cache.bounded_cache — identical re-invocations stay
     # warm, a different input releases the previous blocks.
     pairs_src = bounded_cache("dedup.shingle_substrate", pairs_src)
-
-    if max_df_pct is not None:
-        # hot shingles are FEW by construction (each occupies > pct% of
-        # docs, so at most 100/pct · avg_shingles_per_doc exist):
-        # broadcast the hot set, anti-join it off the substrate. The
-        # substrate stays cached pre-cut; the anti-join is map-side.
-        ndocs = pairs_src.agg(F.countDistinct("_id").alias("_ndocs"))
-        hot = (
-            pairs_src.groupBy("_h")
-            .agg(F.count("*").alias("_df"))
-            .crossJoin(F.broadcast(ndocs))
-            .filter(F.col("_df") * 100 > F.lit(int(max_df_pct)) * F.col("_ndocs"))
-            .select("_h")
-        )
-        pairs_src = pairs_src.join(F.broadcast(hot), "_h", "left_anti")
 
     sizes = pairs_src.groupBy("_id").agg(F.count("*").alias("_n"))
 

@@ -878,12 +878,11 @@ _DOC_SHINGLE_HASH_SQL = f"""
     "q24_ngram_jaccard_pairs",
     f"""
     WITH sh0 AS ({_DOC_SHINGLE_HASH_SQL}),
-    ndocs AS (SELECT COUNT(DISTINCT doc_id) AS n FROM sh0),
-    hot AS (
-        SELECT h FROM sh0, ndocs GROUP BY h, ndocs.n
-        HAVING COUNT(*) * 100 > 50 * ndocs.n
+    ndocs AS (SELECT COUNT(*) AS n FROM documents),
+    sh AS (
+        SELECT sh0.doc_id, sh0.h FROM sh0, ndocs
+        QUALIFY COUNT(*) OVER (PARTITION BY h) * 100 <= 50 * ndocs.n
     ),
-    sh AS (SELECT * FROM sh0 WHERE h NOT IN (SELECT h FROM hot)),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     shared AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
