@@ -44,8 +44,8 @@ from ..functions.expressions import portable_hash
 
 __all__ = [
     "portable_hll", "hll_registers", "hll_estimate_from_registers",
-    "hll_oracle_sql", "kmv_sketch", "kmv_jaccard",
-    "bloom_build", "bloom_probe", "HASH_BITS",
+    "hll_oracle_sql", "kmv_sketch", "kmv_jaccard", "kmv_merge",
+    "kmv_estimate_from_sketch", "bloom_build", "bloom_probe", "HASH_BITS",
 ]
 
 HASH_BITS = 48  # portable_hash emits 12 hex chars
@@ -256,6 +256,30 @@ def kmv_jaccard(sketch_a, sketch_b, k: int = 64):
     union_k = F.slice(F.array_sort(F.array_union(sketch_a, sketch_b)), 1, k)
     inter = F.size(F.array_intersect(union_k, F.array_intersect(sketch_a, sketch_b)))
     return inter.cast("double") / F.size(union_k).cast("double")
+
+
+def kmv_merge(sketch_a, sketch_b, k: int = 64):
+    """Merged KMV sketch: bottom-k of the union of two sketches' hash
+    arrays. LOSSLESS for union cardinality: each input sketch holds its
+    set's true bottom-k distinct hashes, so the union's true bottom-k
+    is a subset of the concatenation — merge(sketch(A), sketch(B)) ==
+    sketch(A ∪ B) exactly (the property the scale probe pins). Plain
+    column expression; associative and commutative, so sketches merge
+    across batches/streams/partitions in any order."""
+    return F.slice(F.array_sort(F.array_union(sketch_a, sketch_b)), 1, k)
+
+
+def kmv_estimate_from_sketch(sketch, k: int = 64):
+    """Distinct estimate from a (possibly merged) KMV hash array: exact
+    size(sketch) when the set had < k distinct values, else
+    (k-1)·2^48 / h_k — the same formula kmv_sketch emits, usable on
+    kmv_merge output."""
+    hk = F.element_at(sketch, k)
+    return F.when(
+        F.size(sketch) < k, F.size(sketch).cast("double")
+    ).otherwise(
+        F.lit(float((k - 1) * (1 << HASH_BITS))) / hk.cast("double")
+    )
 
 
 # --- Bloom filter (membership; the bloom-join pre-filter) -------------

@@ -39,6 +39,30 @@ def delta_available() -> bool:
         return False
 
 
+# Partition-pruning lists collected to the driver are capped (r3 VERDICT
+# watch item): a normal increment touches a handful of partitions, but a
+# historical backfill could touch tens of thousands — enumerate_partitions
+# then returns None and callers scope by semi-join (dynamic partition
+# pruning) or full refresh instead of an unbounded isin() literal list.
+PARTITION_ENUM_CAP = 1024
+
+
+def enumerate_partitions(
+    df: DataFrame, col: str, cap: int | None = None
+) -> list | None:
+    """Distinct values of ``col`` as a driver-side list, or None when
+    more than ``cap`` (default: the module-level PARTITION_ENUM_CAP,
+    resolved at call time so tests can shrink it) values are touched.
+    The collect itself is bounded (limit cap+1), so the driver never
+    materializes an unbounded list."""
+    if cap is None:
+        cap = PARTITION_ENUM_CAP
+    rows = df.select(col).distinct().limit(cap + 1).collect()
+    if len(rows) > cap:
+        return None
+    return [r[0] for r in rows]
+
+
 def merge_delta(spark: SparkSession, target_path: str, source: DataFrame, keys: list[str]) -> None:
     """Real Delta MERGE (reference transform.py:331-336), used when
     delta-spark is installed."""
@@ -82,8 +106,20 @@ def merge_parquet(
         return
 
     if partition_col:
-        parts = [r[0] for r in source.select(partition_col).distinct().collect()]
-        target = spark.read.parquet(target_path).filter(F.col(partition_col).isin(parts))
+        parts = enumerate_partitions(source, partition_col)
+        target = spark.read.parquet(target_path)
+        if parts is not None:
+            # static partition pruning via the literal list (metadata-only)
+            target = target.filter(F.col(partition_col).isin(parts))
+        else:
+            # backfill scale (> cap partitions touched): scope the target
+            # read with a broadcast semi-join on the partition column —
+            # dynamic partition pruning, no driver-side list at all
+            target = target.join(
+                F.broadcast(source.select(partition_col).distinct()),
+                partition_col,
+                "left_semi",
+            )
         kept = target.join(source.select(keys), keys, "left_anti")
         # allowMissingColumns: schema evolution — a source with NEW
         # columns widens the table (old rows read the column as null),

@@ -117,10 +117,14 @@ def start_streaming_kpis(
                 spark, silver_path, enriched,
                 keys=["order_id", "product_id"], partition_col="order_date",
             )
-            dates = [str(r[0]) for r in enriched.select("order_date").distinct().collect()]
-            silver = spark.read.parquet(silver_path).filter(
-                F.col("order_date").isin(dates)
-            )
+            # bounded enumeration (r3 VERDICT watch item): None past the
+            # cap → recompute gold over all silver dates (full refresh)
+            parts = upsert.enumerate_partitions(enriched, "order_date")
+            silver = spark.read.parquet(silver_path)
+            if parts is not None:
+                silver = silver.filter(
+                    F.col("order_date").isin([str(v) for v in parts])
+                )
             upsert.merge(
                 spark, gold_path, kpis.order_kpis_daily(silver), keys=["order_date"]
             )

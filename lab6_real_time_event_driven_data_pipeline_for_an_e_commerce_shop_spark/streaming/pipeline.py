@@ -150,7 +150,12 @@ class MedallionPipeline:
         rel_items = items.join(complete, "order_id", "left_semi")
         enriched = enrich_op.enrich_orders(rel_orders, rel_items, products)
 
-        dates = [str(r[0]) for r in enriched.select("order_date").distinct().collect()]
+        # bounded enumeration (r3 VERDICT watch item): a normal release
+        # touches a few dates; a historical backfill past the cap returns
+        # None and the gold refresh degrades to a full recompute — the
+        # right plan anyway when most partitions are being rewritten
+        parts = upsert.enumerate_partitions(enriched, "order_date")
+        dates = None if parts is None else [str(v) for v in parts]
         upsert.merge(
             self.spark,
             self._path("silver", "enriched"),
@@ -186,16 +191,21 @@ class MedallionPipeline:
         shutil.rmtree(old)
 
     # -- EP3b: gold KPI refresh (exact, partition-pruned) --------------------
-    def refresh_gold(self, dates: list[str]) -> None:
+    def refresh_gold(self, dates: list[str] | None) -> None:
         """Recompute the two KPI tables for the touched order_dates from
         silver and MERGE into gold. Exact countDistinct per affected
         daily partition — correct under replays AND late releases, since
-        the recompute always reads the full (merged) silver partition."""
-        if not dates:
+        the recompute always reads the full (merged) silver partition.
+
+        ``dates=None`` means a backfill-scale release touched more than
+        the enumeration cap: recompute gold over ALL silver partitions
+        (a full refresh is the right plan when most partitions changed);
+        ``[]`` means nothing was released — no-op."""
+        if dates is not None and not dates:
             return
-        silver = self.spark.read.parquet(self._path("silver", "enriched")).filter(
-            F.col("order_date").isin(dates)
-        )
+        silver = self.spark.read.parquet(self._path("silver", "enriched"))
+        if dates is not None:
+            silver = silver.filter(F.col("order_date").isin(dates))
         silver = silver.cache()
         cat, daily = kpis.category_kpis(silver), kpis.order_kpis_daily(silver)
         upsert.merge(
@@ -219,10 +229,12 @@ class MedallionPipeline:
         self._record_cycle(dates)
         return dates
 
-    def _record_cycle(self, dates: list[str]) -> None:
+    def _record_cycle(self, dates: list[str] | None) -> None:
         """Cycle audit row (reference P9, glue_job.py:263-267: batch_id +
         timestamp trigger docs): uuid()/current_timestamp() expressions,
-        appended to a _meta table instead of ad-hoc S3 JSON."""
+        appended to a _meta table instead of ad-hoc S3 JSON. A NULL
+        released_dates array records a backfill-scale (full-refresh)
+        cycle."""
         (
             self.spark.range(1)
             .select(

@@ -220,3 +220,33 @@ def test_kmv_small_set_exact_without_totals_join(spark):
     assert got == {"0": (4.0, 4), "1": (3.0, 3)}
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert plan.lower().count("aggregate") <= 2  # distinct + bottom-k, no totals
+
+
+def test_kmv_merge_is_lossless(spark):
+    """kmv_merge(sketch(A), sketch(B)) == sketch(A ∪ B) element-for-
+    element, and kmv_estimate_from_sketch on the merged array equals the
+    single-pass estimate — the mergeability contract the scale probe
+    (tools/sketch_probe.py) verifies at 10^4..10^7 cardinality."""
+    from pyspark.sql import functions as F
+
+    k = 64
+    a = spark.range(0, 3_000).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+    b = spark.range(2_000, 6_000).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+    single = sketches.kmv_sketch(a.union(b), ["g"], "v", k=k).collect()[0]
+    sa = sketches.kmv_sketch(a, ["g"], "v", k=k).select("g", F.col("kmv_hashes").alias("ha"))
+    sb = sketches.kmv_sketch(b, ["g"], "v", k=k).select("g", F.col("kmv_hashes").alias("hb"))
+    merged = sa.join(sb, "g").select(
+        sketches.kmv_merge(F.col("ha"), F.col("hb"), k=k).alias("hm")
+    ).select(
+        "hm", sketches.kmv_estimate_from_sketch(F.col("hm"), k=k).alias("est")
+    ).collect()[0]
+    assert list(merged["hm"]) == list(single["kmv_hashes"])
+    assert merged["est"] == single["kmv_distinct"]
+    # small-set branch of the from-sketch estimator: exact
+    tiny = sketches.kmv_sketch(
+        spark.range(0, 10).select(F.lit("g").alias("g"), F.col("id").alias("v")),
+        ["g"], "v", k=k,
+    ).select(
+        sketches.kmv_estimate_from_sketch(F.col("kmv_hashes"), k=k).alias("est")
+    ).collect()[0]
+    assert tiny["est"] == 10.0

@@ -516,3 +516,30 @@ def test_streaming_kpis_end_to_end_match_batch(spark, tmp_path):
     before = sorted(map(tuple, spark.read.parquet(gold_path).collect()))
     drain()
     assert sorted(map(tuple, spark.read.parquet(gold_path).collect())) == before
+
+
+def test_backfill_scale_release_full_gold_refresh(spark, tmp_path, monkeypatch):
+    """When a release touches more order_dates than the enumeration cap,
+    promote_complete_groups returns None and the gold refresh recomputes
+    over ALL silver partitions — same final state as the enumerated
+    path (r4 bounded-collect contract)."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        upsert as u,
+    )
+
+    monkeypatch.setattr(u, "PARTITION_ENUM_CAP", 2)
+    root = str(tmp_path)
+    pipe = MedallionPipeline(spark, root)
+    _drop(root, "orders", "o.csv", ORDER_HEADER,
+          [f"o{i},u{i},delivered,2024-03-{i:02d}T10:00:00,,,,1" for i in range(1, 5)])
+    _drop(root, "order_items", "i.csv", ITEM_HEADER,
+          [f"i{i},o{i},u{i},p1,delivered,{T0},,,,10.0" for i in range(1, 5)])
+    _drop(root, "products", "p.csv", PRODUCT_HEADER,
+          ["p1,sku1,5.0,cat_a,widget,acme,12.0,d1"])
+    dates = pipe.run_cycle()
+    assert dates is None  # 4 distinct dates > cap 2 -> backfill mode
+    daily = {str(r.order_date): r.total_orders for r in pipe.gold("order_kpis_daily").collect()}
+    assert daily == {f"2024-03-0{i}": 1 for i in range(1, 5)}
+    # cycle audit records a NULL released_dates array for the full refresh
+    hist = pipe.cycle_history().collect()
+    assert any(r.released_dates is None for r in hist)

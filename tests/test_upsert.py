@@ -96,3 +96,42 @@ def test_merge_schema_evolution(spark, target):
     out = {r.order_id: r for r in spark.read.parquet(target).collect()}
     assert out["o2"].campaign == "promo"
     assert out["o1"].campaign is None
+
+
+def test_enumerate_partitions_cap_and_backfill_merge(spark, target, monkeypatch):
+    """Bounded partition enumeration (r4): under the cap a literal list
+    comes back; past it None — and merge_parquet's partitioned path
+    still merges correctly via the semi-join scope (backfill case)."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        upsert as u,
+    )
+
+    many = _df(
+        spark,
+        [(f"o{i}", "p1", f"2024-01-{(i % 28) + 1:02d}", float(i)) for i in range(40)],
+    )
+    assert u.enumerate_partitions(many, "order_date", cap=28) is not None
+    assert u.enumerate_partitions(many, "order_date", cap=5) is None
+
+    # force the backfill path for the WHOLE merge by shrinking the cap
+    monkeypatch.setattr(u, "PARTITION_ENUM_CAP", 3)
+
+    base = _df(spark, [("o1", "p1", "2024-01-01", 10.0), ("o2", "p1", "2024-01-02", 20.0)])
+    u.merge_parquet(spark, target, base, ["order_id", "product_id"], partition_col="order_date")
+    upd = _df(
+        spark,
+        [
+            ("o1", "p1", "2024-01-01", 11.0),   # update
+            ("o3", "p1", "2024-01-03", 30.0),   # insert, new partition
+            ("o4", "p1", "2024-01-04", 40.0),
+            ("o5", "p1", "2024-01-05", 50.0),
+            ("o6", "p1", "2024-01-06", 60.0),   # 5 partitions > cap 3
+        ],
+    )
+    u.merge_parquet(spark, target, upd, ["order_id", "product_id"], partition_col="order_date")
+    got = {r.order_id: r.sale_price for r in spark.read.parquet(target).collect()}
+    assert got == {"o1": 11.0, "o2": 20.0, "o3": 30.0, "o4": 40.0, "o5": 50.0, "o6": 60.0}
+    # idempotent under the backfill path too
+    u.merge_parquet(spark, target, upd, ["order_id", "product_id"], partition_col="order_date")
+    again = {r.order_id: r.sale_price for r in spark.read.parquet(target).collect()}
+    assert again == got
