@@ -983,3 +983,38 @@ def test_jaccard_max_df_cut_drops_hot_shingles(spark):
     assert cut[(1, 2)] == 1.0
     # doc-specific shingles are untouched: (1,3) shares nothing retained
     assert (1, 3) not in cut
+
+
+def test_banded_near_dup_high_threshold(spark):
+    """Multi-table banded sign-LSH (r4): planted near-identical pairs
+    are found at tau=0.9, pairs colliding in several tables emit ONCE,
+    results are a subset of the all-pairs baseline with identical
+    cosines, and unrelated vectors don't pair."""
+    import numpy as np
+    import pandas as pd
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        similarity,
+    )
+
+    rng = np.random.RandomState(3)
+    base = rng.normal(size=(20, 64)).astype(np.float32)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    dup = base + rng.normal(size=(20, 64)).astype(np.float32) * 0.02
+    dup /= np.linalg.norm(dup, axis=1, keepdims=True)
+    vecs = np.vstack([base, dup])
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(40, dtype=np.int64),
+                      "embedding": list(map(list, vecs))})
+    )
+    got = similarity.embedding_near_dups_banded(
+        df, threshold=0.9, n_tables=8, band_planes=12
+    ).collect()
+    pairs = {(r.id_a, r.id_b): r.cosine_sim for r in got}
+    assert len(pairs) == len(got)  # no duplicate emissions
+    planted = {(i, i + 20) for i in range(20)}
+    assert len(set(pairs) & planted) >= 18  # ~1-(1-.94^12)^8 recall on 20
+    exact = {(r.id_a, r.id_b): r.cosine_sim
+             for r in similarity.embedding_near_dups_exact(df, threshold=0.9).collect()}
+    assert set(pairs) <= set(exact)
+    assert all(exact[p] == c for p, c in pairs.items())
