@@ -253,21 +253,30 @@ def embedding_near_dups(
     blocking still removes the quadratic tail but recall needs the
     ring (pinned in tests against the all-pairs baseline)."""
     planes = hyperplanes_int(n_planes, dim)
+    # norm precomputed ONCE per vector and carried through the join:
+    # dot/(na*nb) is bit-identical to cosine()'s inline dot/(norm*norm)
+    # (norm is a pure function of the row's array) but drops 2/3 of the
+    # per-pair arithmetic — the candidate-scoring hot loop
     b = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
+        norm(F.col(vec_col)).alias("_nrm"),
         lsh_bucket_int(F.col(vec_col), planes).alias("_bkt"),
     )
     masks = probe_masks(n_planes, probe_hamming)
     a = b.select(
         F.col("_id").alias("id_a"),
         F.col("_v").alias("_va"),
+        F.col("_nrm").alias("_na"),
         F.explode(
             F.array(*[F.col("_bkt").bitwiseXOR(F.lit(m)) for m in masks])
         ).alias("_pbkt"),
     )
     c = b.select(
-        F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_bkt").alias("_pbkt")
+        F.col("_id").alias("id_b"),
+        F.col("_v").alias("_vb"),
+        F.col("_nrm").alias("_nb"),
+        F.col("_bkt").alias("_pbkt"),
     )
     return (
         a.join(c, "_pbkt")
@@ -275,7 +284,9 @@ def embedding_near_dups(
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cosine_sim"),
+            F.round(
+                dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
+            ).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
@@ -325,20 +336,33 @@ def embedding_near_dups_banded(
         ]
     )
     b = df.select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), F.explode(keys).alias("_k")
-    ).select("_id", "_v", F.col("_k.tbl").alias("_tbl"), F.col("_k.bkt").alias("_bkt"))
-    a = b.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "_tbl", "_bkt")
-    c = b.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), "_tbl", "_bkt")
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        norm(F.col(vec_col)).alias("_nrm"),
+        F.explode(keys).alias("_k"),
+    ).select(
+        "_id", "_v", "_nrm", F.col("_k.tbl").alias("_tbl"), F.col("_k.bkt").alias("_bkt")
+    )
+    a = b.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("_va"),
+        F.col("_nrm").alias("_na"), "_tbl", "_bkt",
+    )
+    c = b.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("_vb"),
+        F.col("_nrm").alias("_nb"), "_tbl", "_bkt",
+    )
     cand = (
         a.join(c, ["_tbl", "_bkt"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "_va", "_vb")
+        .select("id_a", "id_b", "_va", "_vb", "_na", "_nb")
         .dropDuplicates(["id_a", "id_b"])
     )
     return cand.select(
         "id_a",
         "id_b",
-        F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cosine_sim"),
+        F.round(
+            dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
+        ).alias("cosine_sim"),
     ).filter(F.col("cosine_sim") >= threshold)
 
 
