@@ -130,3 +130,58 @@ def test_oracle_expr_env_discovery(tmp_path, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_ORACLE_SF_DIR", d_ms)
     assert _events_us_oracle_expr() == "(ts * 1000)"
     monkeypatch.delenv("SPARK_GRAFT_ORACLE_SF_DIR")
+
+
+def test_catalog_survives_plausible_dtype_drift(spark, tmp_path):
+    """r2's bench died when the driver regenerated events.ts with a new
+    physical type. Beyond events (dtype-adaptive via _events_us), pin
+    that the rest of the catalog self-heals under the OTHER plausible
+    drifts: o_orderdate as DATE32, l_extendedprice as DECIMAL(12,2),
+    l_discount as FLOAT32 — both engines read the same drifted files,
+    so coercions must agree value-for-value."""
+    import duckdb
+    import pyarrow.compute as pc
+
+    import __spark_entry__ as e
+
+    src = "/root/testdata/sf0.001"
+    dst = tmp_path / "drifted"
+    dst.mkdir()
+    tables = [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    for t in tables:
+        tab = pq.read_table(f"{src}/{t}.parquet")
+        if t == "orders":
+            i = tab.schema.get_field_index("o_orderdate")
+            tab = tab.set_column(
+                i, "o_orderdate", pc.cast(tab.column("o_orderdate"), pa.date32())
+            )
+        if t == "lineitem":
+            i = tab.schema.get_field_index("l_extendedprice")
+            tab = tab.set_column(
+                i, "l_extendedprice",
+                pc.cast(tab.column("l_extendedprice"), pa.decimal128(12, 2)),
+            )
+            i = tab.schema.get_field_index("l_discount")
+            tab = tab.set_column(
+                i, "l_discount", pc.cast(tab.column("l_discount"), pa.float32())
+            )
+        pq.write_table(tab, str(dst / f"{t}.parquet"))
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{dst}/{t}.parquet'")
+    for name in [
+        "q01_pricing_summary", "q04_order_kpis_daily", "q36_date_formatting",
+        "q38_shipping_priority", "q39_nation_revenue",
+    ]:
+        sdf = qs[name](spark, str(dst))
+        srows = sorted(tuple(str(x) for x in r) for r in sdf.collect())
+        res = con.execute(oracles[name])
+        ocols = [d[0] for d in res.description]
+        idx = [ocols.index(c) for c in sdf.columns]
+        orows = sorted(tuple(str(r[i]) for i in idx) for r in res.fetchall())
+        assert srows == orows, f"{name} diverged under dtype drift"
