@@ -20,6 +20,8 @@ reproducible on any engine.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -39,9 +41,13 @@ def cosine_topk(
     Physical plan: broadcast-nested-loop of a 1-row build side (i.e. a
     map-side constant), then global top-k. The window over a constant
     partition reduces per-partition before the final merge."""
+    # the query norm is computed ONCE in the 1-row broadcast frame (not
+    # per corpus row); dot/(norm(v)·qnrm) is bit-identical to cosine()
     q = F.broadcast(
         query_df.select(
-            F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qvec")
+            F.col(id_col).alias("_qid"),
+            F.col(vec_col).alias("_qvec"),
+            norm(F.col(vec_col)).alias("_qnrm"),
         )
     )
     scored = (
@@ -50,7 +56,10 @@ def cosine_topk(
         .select(
             F.col("_qid").alias("query_id"),
             F.col(id_col).alias("neighbor_id"),
-            cosine(F.col(vec_col), F.col("_qvec")).alias("cosine_sim"),
+            (
+                dot(F.col(vec_col), F.col("_qvec"))
+                / (norm(F.col(vec_col)) * F.col("_qnrm"))
+            ).alias("cosine_sim"),
         )
     )
     return scored.orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id")).limit(k)
@@ -206,6 +215,7 @@ def ann_lsh_topk(
         query_df.select(
             F.col(id_col).alias("_qid"),
             F.col(vec_col).alias("_qvec"),
+            norm(F.col(vec_col)).alias("_qnrm"),
             F.explode(F.array(*probes)).alias("_bkt"),
         )
     )
@@ -213,11 +223,16 @@ def ann_lsh_topk(
     # row lives in exactly one bucket — each (row, query) pairs at most once
     cand = bucketed.join(qb, "_bkt").filter(F.col(id_col) != F.col("_qid"))
     # round BEFORE ranking: exact-cosine re-rank values are then
-    # ulp-stable across engines/partitionings (same rule as q27)
+    # ulp-stable across engines/partitionings (same rule as q27); query
+    # norm rides the broadcast frame, computed once
     scored = cand.select(
         F.col("_qid").alias("query_id"),
         F.col(id_col).alias("neighbor_id"),
-        F.round(cosine(F.col(vec_col), F.col("_qvec")), 6).alias("cosine_sim"),
+        F.round(
+            dot(F.col(vec_col), F.col("_qvec"))
+            / (norm(F.col(vec_col)) * F.col("_qnrm")),
+            6,
+        ).alias("cosine_sim"),
     )
     return scored.orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id")).limit(k)
 
@@ -466,6 +481,13 @@ def ivf_topk(
     probe_cells = [sid for _, sid in sorted(seed_d2)[:nprobe]]
 
     qlit = F.array(*[F.lit(x) for x in qvec])
+    # query norm computed driver-side with the SAME sequential double
+    # accumulation as the norm() fold (0.0 + x0² + x1² + …, IEEE sqrt):
+    # bit-identical, and the per-candidate literal-array fold disappears
+    qacc = 0.0
+    for x in qvec:
+        qacc += float(x) * float(x)
+    qnorm = math.sqrt(qacc)
     cand = assigned.filter(F.col("_cell").isin(probe_cells)).filter(
         F.col(id_col) != F.lit(int(q["_qid"]))
     )
@@ -473,7 +495,9 @@ def ivf_topk(
     scored = cand.select(
         F.lit(int(q["_qid"])).alias("query_id"),
         F.col(id_col).alias("neighbor_id"),
-        F.round(cosine(F.col(vec_col), qlit), 6).alias("cosine_sim"),
+        F.round(
+            dot(F.col(vec_col), qlit) / (norm(F.col(vec_col)) * F.lit(qnorm)), 6
+        ).alias("cosine_sim"),
     )
     return scored.orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id")).limit(k)
 
