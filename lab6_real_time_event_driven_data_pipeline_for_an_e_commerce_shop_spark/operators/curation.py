@@ -54,8 +54,15 @@ def curate(
     near_dup_threshold: float = 0.6,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_df_pct: int | None = None,
 ) -> DataFrame:
-    """The full curation pass; returns kept docs with their split."""
+    """The full curation pass; returns kept docs with their split.
+    ``max_df_pct`` forwards the near-dup step's document-frequency cut
+    (shingles in > that % of the exact-kept docs are dropped before the
+    self-join — bounded hot-key skew; r4). Default None: on small or
+    deliberately-duplicated corpora the cut would remove exactly the
+    shared shingles that define near-dups; corpus-scale callers (the
+    gated q53) opt in at 50 like q24."""
     t = F.col(text_col)
     quality = df.filter(
         (F.length(t) >= min_chars)
@@ -74,7 +81,7 @@ def curate(
 
     pairs = ngram_jaccard_pairs(
         exact_kept, threshold=near_dup_threshold, k=3,
-        text_col=text_col, id_col=id_col,
+        text_col=text_col, id_col=id_col, max_df_pct=max_df_pct,
     )
     # drop every doc with a ≥threshold partner of LOWER id (id_a < id_b
     # by construction, so id_b is always the one dropped)

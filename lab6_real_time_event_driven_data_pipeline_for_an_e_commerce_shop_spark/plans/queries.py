@@ -2099,11 +2099,16 @@ def q52_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT q.doc_id, q.text FROM quality q
         WHERE q.doc_id IN (SELECT doc_id FROM keep_exact)
     ),
-    sh AS (
+    sh0 AS (
         SELECT DISTINCT doc_id,
                CAST(concat('0x', substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 12)) AS BIGINT) AS h
         FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM exact_kept),
              LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) g
+    ),
+    ndocs AS (SELECT COUNT(*) AS n FROM exact_kept),
+    sh AS (
+        SELECT sh0.doc_id, sh0.h FROM sh0, ndocs
+        QUALIFY COUNT(*) OVER (PARTITION BY h) * 100 <= 50 * ndocs.n
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     dropped AS (
@@ -2127,10 +2132,15 @@ def q52_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q53_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed curation pipeline (quality gate → exact dedup →
     near-dup removal → split) — the full training-data pass as ONE
-    declarative plan, oracle-matched end to end."""
+    declarative plan, oracle-matched end to end. r4: the near-dup step
+    opts into the q24 document-frequency cut (max_df_pct=50, mirrored
+    in the oracle's QUALIFY), bounding hot-shingle skew at corpus
+    scale."""
     from ..operators.curation import curate
 
-    return curate(_t(spark, sf_dir, "documents")).select("doc_id", "split")
+    return curate(_t(spark, sf_dir, "documents"), max_df_pct=50).select(
+        "doc_id", "split"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -59,9 +59,12 @@ def test_q13_one_pass_completeness(spark):
 
 def test_q24_no_cartesian(spark):
     """The Jaccard self-join must be an equi-join on shingle hash, never
-    a cartesian/broadcast-nested-loop over documents."""
+    a cartesian/broadcast-nested-loop over documents (r4: BNLJ named
+    explicitly — it is a different physical node than CartesianProduct
+    and the r3 pin missed it on q28)."""
     plan = _formatted(q.q24_ngram_jaccard_pairs(spark, SF_DIR))
     assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_q26_lsh_equijoin_only(spark):
@@ -140,6 +143,7 @@ def test_q47_interval_join_is_equijoin(spark):
 def test_q53_curation_no_cartesian(spark):
     plan = _formatted(q.q53_curated_corpus(spark, SF_DIR))
     assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def _nodes(plan: str, op: str) -> int:
