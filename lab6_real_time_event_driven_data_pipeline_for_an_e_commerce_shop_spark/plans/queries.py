@@ -1031,17 +1031,27 @@ def q27_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qrow = emb.join(
         F.broadcast(emb.agg(F.min("vec_id").alias("vec_id"))), "vec_id", "left_semi"
     )
+    # query norm rides the 1-row broadcast frame (computed once, not per
+    # corpus row); dot/(norm·qnrm) is bit-identical to the inline cosine
     scored = (
         emb.crossJoin(
             F.broadcast(
-                qrow.select(F.col("vec_id").alias("_qid"), F.col("embedding").alias("_qvec"))
+                qrow.select(
+                    F.col("vec_id").alias("_qid"),
+                    F.col("embedding").alias("_qvec"),
+                    similarity.norm(F.col("embedding")).alias("_qnrm"),
+                )
             )
         )
         .filter(F.col("vec_id") != F.col("_qid"))
         .select(
             F.col("_qid").alias("query_id"),
             F.col("vec_id").alias("neighbor_id"),
-            F.round(similarity.cosine(F.col("embedding"), F.col("_qvec")), 6).alias("cosine_sim"),
+            F.round(
+                similarity.dot(F.col("embedding"), F.col("_qvec"))
+                / (similarity.norm(F.col("embedding")) * F.col("_qnrm")),
+                6,
+            ).alias("cosine_sim"),
         )
     )
     return scored.orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id")).limit(10)
