@@ -105,6 +105,30 @@ def read_parquet(
     return reader.parquet(path)
 
 
+def read_orc(
+    spark: SparkSession, path: str | list[str], schema: T.StructType | None = None
+) -> DataFrame:
+    """ORC scan — beyond the reference's format surface (CSV/parquet/
+    JSON), but free in Spark (built-in vectorized reader with the same
+    predicate-pushdown/column-pruning machinery as parquet) and common
+    in Hive-lineage lakes an engine user migrates from. Same signature
+    contract as read_parquet."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if isinstance(path, (list, tuple)):
+        return reader.orc(*path)
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, partition_by: str | None = None) -> None:
+    """ORC write (snappy), partition-aware — the S2 twin for ORC lakes."""
+    writer = df.write.mode("overwrite").option("compression", "snappy")
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    writer.orc(path)
+
+
 def parquet_schema(spark: SparkSession, path: str) -> T.StructType:
     """Metadata-only schema resolution (reference S3, validate.py:184-187).
 

@@ -103,3 +103,32 @@ def test_kafka_payload_parser(spark):
     assert good.event_type == "click" and good._corrupt_payload is None
     bad = next(r for r in out if r.event_id is None)
     assert bad._corrupt_payload == "NOT JSON"
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC source (r4 breadth): write partitioned ORC, read it back
+    schema-stable, and verify predicate pushdown reaches the ORC scan
+    (same scan-pruning contract the parquet paths pin)."""
+    from pyspark.sql import functions as F
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.sources.batch import (
+        read_orc,
+        write_orc,
+    )
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("part"),
+        (F.col("id") * 2.5).alias("v"),
+    )
+    path = str(tmp_path / "orc_tbl")
+    write_orc(df, path, partition_by="part")
+    back = read_orc(spark, path)
+    assert back.count() == 1000
+    assert set(back.columns) == {"k", "part", "v"}
+    filtered = back.filter(F.col("k") < 10)
+    assert filtered.count() == 10
+    plan = filtered._sc._jvm.PythonSQLUtils.explainString(
+        filtered._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters" in plan and "LessThan(k,10)" in plan
