@@ -46,6 +46,7 @@ __all__ = [
     "portable_hll", "hll_registers", "hll_estimate_from_registers",
     "hll_oracle_sql", "kmv_sketch", "kmv_jaccard", "kmv_merge",
     "kmv_estimate_from_sketch", "bloom_build", "bloom_probe", "HASH_BITS",
+    "bottom_k_sample", "bottom_k_sample_merge", "sample_quantile",
 ]
 
 HASH_BITS = 48  # portable_hash emits 12 hex chars
@@ -380,3 +381,71 @@ def bloom_probe(
         .drop("_row_id")
     )
     return hits
+
+
+# --- Bottom-k value sample (deterministic mergeable uniform sample) ---
+
+
+def bottom_k_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 256,
+    sample_col: str = "sample_values",
+) -> DataFrame:
+    """Per-group deterministic uniform sample: the k DISTINCT values
+    whose portable hashes are smallest. The hash order is a fixed
+    pseudo-random permutation of the value domain, so the bottom-k is
+    (a) a uniform sample of the distinct values, (b) identical under
+    any partitioning/engine (same md5 arithmetic as every other
+    sketch here), and (c) MERGEABLE: the bottom-k of a union is
+    contained in the union of the two bottom-k sets — merge via
+    ``bottom_k_sample_merge`` is lossless, the same property as
+    kmv_merge (the two sketches differ only in carrying the value
+    next to its hash). The KMV distinct estimate comes free from the
+    same rows; this is the VALUE-carrying twin for quantile/profile
+    estimation over groups too large to sort.
+
+    Output: group_cols + sample_col = array<struct<h,v>> sorted by
+    hash (the canonical mergeable form); use ``sample_quantile`` for
+    estimates. Scale shape: distinct substrate → per-group top-k by
+    hash — ≤ k (hash, value) pairs per group leave the shuffle.
+    """
+    from pyspark.sql import Window
+
+    sub = df.select(*group_cols, F.col(value_col).alias("_v")).distinct().withColumn(
+        "_h", portable_hash(F.col("_v").cast("string"))
+    )
+    w = Window.partitionBy(*group_cols).orderBy("_h")
+    return (
+        sub.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .groupBy(*group_cols)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_h").alias("h"), F.col("_v").alias("v")))
+            ).alias(sample_col)
+        )
+    )
+
+
+def bottom_k_sample_merge(sample_a, sample_b, k: int = 256):
+    """Merged bottom-k sample: k hash-smallest entries of the union of
+    two sample arrays. Lossless for the union's bottom-k (each input
+    holds its set's true bottom-k), associative, commutative — batches
+    and streams merge in any order."""
+    return F.slice(F.array_sort(F.array_union(sample_a, sample_b)), 1, k)
+
+
+def sample_quantile(sample, q: float):
+    """Quantile estimate from a bottom-k sample array: the value at
+    rank ceil(q·n) of the sample's VALUES (the hash order is unrelated
+    to the value order, so the sample is uniform over distinct values
+    and the estimate converges at ~1/sqrt(k)). Deterministic: exact
+    rank selection on the deterministic sample — no interpolation, so
+    the result is always an actual data value, hashable cross-engine."""
+    vals = F.array_sort(F.transform(sample, lambda s: s["v"]))
+    idx = F.greatest(
+        F.lit(1), F.ceil(F.size(vals).cast("double") * F.lit(float(q))).cast("int")
+    )
+    return F.element_at(vals, idx)

@@ -250,3 +250,48 @@ def test_kmv_merge_is_lossless(spark):
         sketches.kmv_estimate_from_sketch(F.col("kmv_hashes"), k=k).alias("est")
     ).collect()[0]
     assert tiny["est"] == 10.0
+
+
+def test_bottom_k_sample_deterministic_mergeable_quantiles(spark):
+    """The value-carrying bottom-k sample (r4): partition-invariant,
+    merge(sample(A), sample(B)) == sample(A ∪ B) element-for-element,
+    and rank-based quantile estimates land within ~3/sqrt(k) of truth
+    on a uniform domain."""
+    from pyspark.sql import functions as F
+
+    k = 128
+
+    def sample(parts):
+        df = spark.range(0, 10_000).select(
+            F.lit("g").alias("g"), F.col("id").alias("v")
+        ).repartition(parts)
+        row = sketches.bottom_k_sample(df, ["g"], "v", k=k).collect()[0]
+        return [(r["h"], r["v"]) for r in row["sample_values"]]
+
+    assert sample(1) == sample(13)  # partition-invariant
+
+    a = spark.range(0, 6_000).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+    b = spark.range(4_000, 10_000).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+    single = sketches.bottom_k_sample(a.union(b), ["g"], "v", k=k).collect()[0]
+    sa = sketches.bottom_k_sample(a, ["g"], "v", k=k).select(
+        "g", F.col("sample_values").alias("xa")
+    )
+    sb = sketches.bottom_k_sample(b, ["g"], "v", k=k).select(
+        "g", F.col("sample_values").alias("xb")
+    )
+    merged = sa.join(sb, "g").select(
+        sketches.bottom_k_sample_merge(F.col("xa"), F.col("xb"), k=k).alias("xm")
+    ).collect()[0]
+    assert [tuple(x) for x in merged["xm"]] == [tuple(x) for x in single["sample_values"]]
+
+    # quantiles: uniform 0..9999 -> median ~5000, p90 ~9000; 3/sqrt(128) ~ 0.27
+    qdf = sketches.bottom_k_sample(
+        a.union(b), ["g"], "v", k=k
+    ).select(
+        sketches.sample_quantile(F.col("sample_values"), 0.5).alias("p50"),
+        sketches.sample_quantile(F.col("sample_values"), 0.9).alias("p90"),
+    ).collect()[0]
+    assert abs(qdf["p50"] / 10_000 - 0.5) < 0.27
+    assert abs(qdf["p90"] / 10_000 - 0.9) < 0.27
+    # the estimate is an actual data value (rank selection, no interpolation)
+    assert 0 <= qdf["p50"] < 10_000
