@@ -99,8 +99,21 @@ def overlap_join(
     # anti-joins are not null-safe, so a matched left row containing a
     # NULL attribute would never match itself and be emitted twice
     # (joined AND null-extended).
+    #
+    # The id-stamped frame MUST be persisted: monotonically_increasing_id
+    # is nondeterministic (partition-layout-dependent) and this plan
+    # references `left` in two branches (inner join + anti-join). If
+    # `left` sits downstream of a shuffle, re-evaluation could assign
+    # different ids per branch — duplicating matched rows or dropping
+    # unmatched ones. Persist pins one materialization both branches
+    # read (MEMORY_AND_DISK: spills, never recomputes; callers running
+    # at scale may .unpersist() the result's lineage after their action).
     if how == "left":
-        left = left.withColumn("_lrow_id", F.monotonically_increasing_id())
+        from pyspark.storagelevel import StorageLevel
+
+        left = left.withColumn("_lrow_id", F.monotonically_increasing_id()).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     lb = _bucketed(left, left_start, left_end, "_lb0", "_bkt")
     rb = _bucketed(right, right_start, right_end, "_rb0", "_rbkt").withColumnRenamed(
         key, "_rkey"

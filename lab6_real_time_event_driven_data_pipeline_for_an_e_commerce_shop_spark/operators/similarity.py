@@ -157,16 +157,20 @@ def quantize_vec_sql(vec_expr: str = "embedding") -> str:
 
 def probe_masks(n_planes: int, probe_hamming: int) -> list[int]:
     """Multiprobe mask set: all signatures within the given Hamming
-    radius of the query's (0 = exact bucket only)."""
-    masks = [0]
-    if probe_hamming >= 1:
-        masks += [1 << j for j in range(n_planes)]
-    if probe_hamming >= 2:
-        masks += [
-            (1 << i) | (1 << j)
-            for i in range(n_planes)
-            for j in range(i + 1, n_planes)
-        ]
+    radius of the query's (0 = exact bucket only). Any radius up to
+    n_planes is honored (radius r contributes C(n_planes, r) masks —
+    at r = n_planes this enumerates every bucket, i.e. exact search)."""
+    if probe_hamming < 0:
+        raise ValueError(f"probe_hamming must be >= 0, got {probe_hamming}")
+    from itertools import combinations
+
+    masks = []
+    for r in range(min(probe_hamming, n_planes) + 1):
+        for bits in combinations(range(n_planes), r):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            masks.append(m)
     return masks
 
 

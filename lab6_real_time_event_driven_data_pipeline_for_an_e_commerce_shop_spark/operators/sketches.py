@@ -200,6 +200,23 @@ def hll_oracle_sql(
     """
 
 
+def _reject_float_value_col(df: DataFrame, value_col: str, op: str) -> None:
+    """Hash-based sketches hash CAST(value AS STRING); float/double
+    rendering DIFFERS between engines (Spark '1.0E-4' vs DuckDB
+    '0.0001'), which would silently break the cross-engine determinism
+    these sketches promise. Integer/string/date/decimal render
+    identically; callers with float columns must integerize first
+    (cents / quantize — the repo-wide float discipline)."""
+    dt = dict(df.dtypes).get(value_col, "")
+    if dt in ("float", "double"):
+        raise ValueError(
+            f"{op}: value column {value_col!r} is {dt}; float-to-string "
+            "rendering is engine-specific, so the sketch would not be "
+            "portable. Integerize first (e.g. cents: CAST(round(x*100) "
+            "AS BIGINT), or a fixed-point quantization)."
+        )
+
+
 def kmv_sketch(
     df: DataFrame,
     group_cols: list[str],
@@ -227,6 +244,7 @@ def kmv_sketch(
     """
     from pyspark.sql import Window
 
+    _reject_float_value_col(df, value_col, "kmv_sketch")
     h = portable_hash(F.col(value_col).cast("string"))
     sub = df.select(*group_cols, h.alias("_h")).distinct()
     w = Window.partitionBy(*group_cols).orderBy("_h")
@@ -413,6 +431,7 @@ def bottom_k_sample(
     """
     from pyspark.sql import Window
 
+    _reject_float_value_col(df, value_col, "bottom_k_sample")
     sub = df.select(*group_cols, F.col(value_col).alias("_v")).distinct().withColumn(
         "_h", portable_hash(F.col("_v").cast("string"))
     )

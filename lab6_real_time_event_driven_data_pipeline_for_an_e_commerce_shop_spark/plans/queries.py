@@ -648,8 +648,8 @@ def _events_us_oracle_expr(sf_dir: str | None = None) -> str:
     candidates = [
         sf_dir,
         os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR"),
-        "/root/testdata/sf0.01",
         os.environ.get("SPARK_GRAFT_SF_DIR"),
+        "/root/testdata/sf0.01",
     ]
     for d in candidates:
         if not d:
@@ -682,7 +682,7 @@ def q17_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     hour_bucket = epoch-hours since 1970 — integer, tz-proof."""
     ev = _events_us(spark, sf_dir)
     return (
-        ev.withColumn("hour_bucket", F.floor(F.col("ts_us") / 3_600_000_000).cast("long"))
+        ev.withColumn("hour_bucket", F.expr("ts_us DIV 3600000000"))
         .groupBy("hour_bucket", "event_type")
         .agg(
             F.count("*").alias("n_events"),

@@ -325,6 +325,39 @@ def test_lsh_multiprobe_recall_vs_brute_force(spark, sf_dir):
     assert h2 == again
 
 
+def test_probe_masks_any_radius(spark, sf_dir):
+    """probe_masks honors ANY Hamming radius (r4 ADVICE: radius 3+ was
+    silently truncated to 2): mask counts follow sum of C(n, r), and at
+    radius == n_planes the probe enumerates every bucket, so ANN
+    becomes exact — identical top-k to brute-force cosine."""
+    from math import comb
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        similarity,
+    )
+
+    for n in (4, 8):
+        for r in range(n + 1):
+            masks = similarity.probe_masks(n, r)
+            assert len(masks) == sum(comb(n, rr) for rr in range(r + 1))
+            assert len(set(masks)) == len(masks)
+            assert all(bin(m).count("1") <= r for m in masks)
+    assert len(similarity.probe_masks(4, 4)) == 16  # full enumeration
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        similarity.probe_masks(4, -1)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qrow = emb.join(
+        F.broadcast(emb.agg(F.min("vec_id").alias("vec_id"))), "vec_id", "left_semi"
+    )
+    brute = {r.neighbor_id for r in similarity.cosine_topk(emb, qrow, k=10).collect()}
+    full = {r.neighbor_id for r in similarity.ann_lsh_topk(
+        emb, qrow, k=10, n_planes=4, dim=64, probe_hamming=4).collect()}
+    assert full == brute
+
+
 def test_asof_join_semantics(spark):
     from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators.asof import (
         asof_join,

@@ -221,3 +221,28 @@ def test_q28_blocked_near_dup_is_equijoin_only(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_no_double_division_on_epoch_columns():
+    """CLAUDE.md float rule: integer arithmetic only on epoch values —
+    `DIV`, never `/` (double division corrupts low digits at 1.7e18 and
+    is the exact hazard class that broke r2). Source-scan the shipped
+    package: no Spark-side `/` on an epoch-microsecond column."""
+    import re
+    from pathlib import Path
+
+    pkg = Path(__file__).resolve().parents[1] / (
+        "lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark"
+    )
+    # epoch-ish column names used across the package
+    epoch_cols = r"(?:ts_us|prev_us|_us|epoch_us\(ts\)|purchase_us|click_us)"
+    offenders = []
+    for py in sorted(pkg.rglob("*.py")):
+        for i, line in enumerate(py.read_text().splitlines(), 1):
+            code = line.split("#", 1)[0]
+            # Spark-side double division on an epoch column: `col / n`
+            # or F.col("ts_us") / ... ; integer DIV and `//` are fine.
+            if re.search(rf'{epoch_cols}"?\)?\s*/\s*[^/]', code) and "DIV" not in code:
+                # allow DuckDB oracle text (it uses `//`, caught above)
+                offenders.append(f"{py.name}:{i}: {line.strip()}")
+    assert offenders == [], "double division on epoch columns:\n" + "\n".join(offenders)

@@ -295,3 +295,24 @@ def test_bottom_k_sample_deterministic_mergeable_quantiles(spark):
     assert abs(qdf["p90"] / 10_000 - 0.9) < 0.27
     # the estimate is an actual data value (rank selection, no interpolation)
     assert 0 <= qdf["p50"] < 10_000
+
+
+def test_hash_sketches_reject_float_value_columns(spark):
+    """r4 ADVICE: the hash sketches hash CAST(value AS STRING), and
+    float/double-to-string rendering is engine-specific (Spark 1.0E-4
+    vs DuckDB 0.0001) — so float value columns must be rejected, not
+    silently non-portable. Integer/string columns stay accepted."""
+    import pytest
+
+    fdf = spark.range(0, 10).select(
+        F.lit("g").alias("g"), (F.col("id") * 0.0001).alias("v")
+    )
+    with pytest.raises(ValueError, match="integerize|Integerize"):
+        sketches.kmv_sketch(fdf, ["g"], "v")
+    with pytest.raises(ValueError, match="integerize|Integerize"):
+        sketches.bottom_k_sample(fdf, ["g"], "v")
+
+    # the documented remedy — integer cents — is accepted and portable
+    cents = fdf.select("g", F.expr("CAST(round(v * 10000) AS BIGINT)").alias("v"))
+    assert sketches.kmv_sketch(cents, ["g"], "v", k=8).count() == 1
+    assert sketches.bottom_k_sample(cents, ["g"], "v", k=8).count() == 1
