@@ -1410,7 +1410,18 @@ def q37_stream_medallion_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure function of the views, the END STATE has an exact SQL oracle:
     the q04 aggregate restricted to the slice. CSV/timestamp round-trips
     are lossless by construction (2-decimal prices, wall-clock literals
-    parsed back in the same session tz), so gold hashes bit-equal."""
+    parsed back in the same session tz), so gold hashes bit-equal.
+
+    r5 — LATE-DATA ingest: the items land in TWO waves (even product_id
+    first, odd product_id as a second batch of files after the first
+    cycle completes). Mixed orders therefore release PARTIALLY in cycle
+    1 and their remaining items arrive as true late data — orphan items
+    whose order group already left staging — exercising the pipeline's
+    late-release path (promote_complete_groups: silver-attribute
+    recovery + idempotent MERGE + per-date gold recompute), while
+    odd-only orders exercise the normal buffered wait. The END STATE is
+    unchanged — that determinism under out-of-order delivery is exactly
+    what the oracle verifies."""
     import tempfile
 
     from ..streaming.pipeline import MedallionPipeline
@@ -1444,19 +1455,24 @@ def q37_stream_medallion_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mode("overwrite")
         .csv(pipe.landing("orders"))
     )
+    li_csv = li.select(
+        F.concat_ws("_", F.col("order_id"), F.col("product_id")).alias("id"),
+        F.col("order_id").cast("string"),
+        F.lit("u").alias("user_id"),
+        F.col("product_id").cast("string"),
+        F.lit("delivered").alias("status"),
+        F.lit("2024-03-01T10:00:00").alias("created_at"),
+        F.lit(None).cast("string").alias("shipped_at"),
+        F.lit(None).cast("string").alias("delivered_at"),
+        F.when(F.col("returned_at").isNotNull(), F.lit("2024-03-02T10:00:00")).alias("returned_at"),
+        F.col("sale_price"),
+        F.col("product_id").alias("_pid"),
+    )
+    # wave 1: even-product items only — mixed orders will release
+    # PARTIALLY this cycle, making their odd items genuine late data
     (
-        li.select(
-            F.concat_ws("_", F.col("order_id"), F.col("product_id")).alias("id"),
-            F.col("order_id").cast("string"),
-            F.lit("u").alias("user_id"),
-            F.col("product_id").cast("string"),
-            F.lit("delivered").alias("status"),
-            F.lit("2024-03-01T10:00:00").alias("created_at"),
-            F.lit(None).cast("string").alias("shipped_at"),
-            F.lit(None).cast("string").alias("delivered_at"),
-            F.when(F.col("returned_at").isNotNull(), F.lit("2024-03-02T10:00:00")).alias("returned_at"),
-            F.col("sale_price"),
-        )
+        li_csv.filter(F.col("_pid") % 2 == 0)
+        .drop("_pid")
         .coalesce(1)
         .write.option("header", True)
         .mode("overwrite")
@@ -1477,6 +1493,17 @@ def q37_stream_medallion_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
         .write.option("header", True)
         .mode("overwrite")
         .csv(pipe.landing("products"))
+    )
+    pipe.run_cycle()
+    # wave 2: the odd-product items arrive LATE (new files, new cycle) —
+    # orphans release against silver, odd-only orders release normally
+    (
+        li_csv.filter(F.col("_pid") % 2 == 1)
+        .drop("_pid")
+        .coalesce(1)
+        .write.option("header", True)
+        .mode("append")
+        .csv(pipe.landing("order_items"))
     )
     pipe.run_cycle()
     return pipe.gold("order_kpis_daily")

@@ -136,19 +136,91 @@ class MedallionPipeline:
         affected order_dates (for the gold refresh).
 
         Incomplete groups stay in staging untouched — the unbounded-wait
-        contract (groups wait indefinitely; SURVEY.md §7 step 10)."""
+        contract (groups wait indefinitely; SURVEY.md §7 step 10).
+
+        Late-data path (r5): a group releases as soon as it is complete,
+        and its order row then LEAVES staging — so an item for that
+        order arriving in a later batch (out-of-order delivery, a
+        replayed upstream, a partial file) could never pass the staging
+        completeness gate again. Such orphan items release directly
+        against the published table: the order's attributes are
+        recovered from its silver rows, the item enriches through the
+        same product dimension, and the idempotent keyed MERGE plus the
+        per-date gold recompute absorb it exactly — the end state is
+        identical to the item having arrived on time (pinned by
+        test_late_items_release_after_group_published and exercised
+        under the driver gate by q37's two-wave ingest). Orphans whose
+        order OR product has never been seen keep waiting, unbounded."""
         orders = self._staging("orders")
         items = self._staging("order_items")
         products = self._staging("products")
 
         complete = setops.complete_order_groups(orders, items, products).cache()
-        if complete.limit(1).count() == 0:
+        has_complete = complete.limit(1).count() > 0
+
+        late_enriched = None
+        late = None
+        late_ids = None
+        silver_path = self._path("silver", "enriched")
+        if os.path.isdir(silver_path):
+            silver_orders = (
+                self.spark.read.parquet(silver_path)
+                .select("order_id", "user_id", "status", "order_date")
+                .distinct()
+            )
+            orphans = items.join(
+                orders.select("order_id").distinct(), "order_id", "left_anti"
+            )
+            late = (
+                orphans.alias("oi")
+                .join(silver_orders.alias("so"), "order_id")
+                .join(
+                    F.broadcast(products.alias("p")),
+                    F.col("oi.product_id") == F.col("p.id"),
+                )
+                .select(
+                    F.col("oi.id").alias("_item_id"),
+                    F.col("order_id"),
+                    F.col("so.user_id").alias("user_id"),
+                    F.col("so.status").alias("status"),
+                    F.col("so.order_date").alias("order_date"),
+                    F.col("oi.sale_price").alias("sale_price"),
+                    F.col("oi.product_id").alias("product_id"),
+                    F.col("p.category").alias("category"),
+                    F.col("oi.returned_at").alias("returned_at"),
+                )
+            )
+            # MUST be fully materialized BEFORE the silver merge below:
+            # this frame reads the silver parquet, which merge() swaps
+            # out from under any lazy re-evaluation. MEMORY_AND_DISK
+            # spills instead of evicting-and-recomputing from the
+            # replaced files.
+            from pyspark.storagelevel import StorageLevel
+
+            late = late.persist(StorageLevel.MEMORY_AND_DISK)
+            if late.count() > 0:
+                late_enriched = late.drop("_item_id")
+                late_ids = late.select(F.col("_item_id").alias("id")).distinct()
+            else:
+                late.unpersist()
+                late = None
+
+        if not has_complete and late_enriched is None:
             complete.unpersist()
             return []
 
-        rel_orders = orders.join(complete, "order_id", "left_semi")
-        rel_items = items.join(complete, "order_id", "left_semi")
-        enriched = enrich_op.enrich_orders(rel_orders, rel_items, products)
+        parts_frames = []
+        if has_complete:
+            rel_orders = orders.join(complete, "order_id", "left_semi")
+            rel_items = items.join(complete, "order_id", "left_semi")
+            parts_frames.append(
+                enrich_op.enrich_orders(rel_orders, rel_items, products)
+            )
+        if late_enriched is not None:
+            parts_frames.append(late_enriched)
+        enriched = parts_frames[0]
+        for extra in parts_frames[1:]:
+            enriched = enriched.unionByName(extra)
 
         # bounded enumeration (r3 VERDICT watch item): a normal release
         # touches a few dates; a historical backfill past the cap returns
@@ -165,14 +237,28 @@ class MedallionPipeline:
         )
 
         # drop released groups from staging (orders + items); products are
-        # a dimension and stay (other pending groups may reference them)
-        for table, df in (("orders", orders), ("order_items", items)):
-            remaining = df.join(complete, "order_id", "left_anti").cache()
-            remaining.count()  # materialize before overwrite of its own input
-            remaining.write.mode("overwrite").parquet(self._path("staging", table) + "__next")
-            remaining.unpersist()
+        # a dimension and stay (other pending groups may reference them).
+        # Released LATE items are removed by their item id — per-row, not
+        # per-order, because sibling orphans whose product is still
+        # missing must keep waiting.
+        remaining_orders = orders.join(complete, "order_id", "left_anti")
+        remaining_items = items.join(complete, "order_id", "left_anti")
+        if late_ids is not None:
+            remaining_items = remaining_items.join(late_ids, "id", "left_anti")
+        # WRITE both __next dirs first, THEN swap both: remaining_items's
+        # lineage reads staging/orders (via `complete`), so swapping
+        # orders before writing items would point a live plan at deleted
+        # files. All reads happen against pre-swap directories.
+        tables = (("orders", remaining_orders), ("order_items", remaining_items))
+        for table, remaining in tables:
+            remaining.write.mode("overwrite").parquet(
+                self._path("staging", table) + "__next"
+            )
+        for table, _ in tables:
             self._swap(self._path("staging", table))
         complete.unpersist()
+        if late is not None:
+            late.unpersist()
         return dates
 
     def _swap(self, path: str) -> None:

@@ -114,6 +114,68 @@ def test_late_gold_update_after_second_group(spark, tmp_path):
     assert cat["cat_a"].daily_revenue == pytest.approx(30.0)
 
 
+def test_late_items_release_after_group_published(spark, tmp_path):
+    """Late-data path (r5): an item arriving AFTER its order group
+    released must still reach silver/gold — enriched from the published
+    order's silver attributes — while an orphan whose product is
+    missing keeps waiting (unbounded), and one whose order was never
+    seen keeps waiting too. End state == everything arrived on time."""
+    root = str(tmp_path)
+    pipe = MedallionPipeline(spark, root)
+
+    # cycle 1: complete group (o1, i1/p1) releases; o1 leaves staging
+    _drop(root, "orders", "o1.csv", ORDER_HEADER, [f"o1,u1,delivered,{T0},,,,2"])
+    _drop(root, "order_items", "i1.csv", ITEM_HEADER,
+          [f"i1,o1,u1,p1,delivered,{T0},,,,10.0"])
+    _drop(root, "products", "p1.csv", PRODUCT_HEADER,
+          ["p1,sku1,5.0,cat_a,widget,acme,12.0,d1"])
+    assert pipe.run_cycle() == ["2024-03-01"]
+
+    # cycle 2: LATE item i2 for the published o1 (product p2 arrives in
+    # the same cycle) → releases via silver; late item i3 (product p3
+    # unknown) waits; item i4 for a never-seen order o9 waits.
+    _drop(root, "order_items", "late.csv", ITEM_HEADER,
+          [f"i2,o1,u1,p2,delivered,{T0},,,,30.0",
+           f"i3,o1,u1,p3,delivered,{T0},,,,99.0",
+           f"i4,o9,u9,p1,delivered,{T0},,,,7.0"])
+    _drop(root, "products", "p2.csv", PRODUCT_HEADER,
+          ["p2,sku2,9.0,cat_a,gadget,acme,35.0,d1"])
+    assert pipe.run_cycle() == ["2024-03-01"]
+
+    silver = {(r.order_id, r.product_id): r for r in pipe.silver().collect()}
+    assert set(silver) == {("o1", "p1"), ("o1", "p2")}
+    assert silver[("o1", "p2")].sale_price == pytest.approx(30.0)
+    assert silver[("o1", "p2")].user_id == "u1"        # recovered from silver
+    assert str(silver[("o1", "p2")].order_date) == "2024-03-01"
+    daily = pipe.gold("order_kpis_daily").collect()
+    assert daily[0].total_revenue == pytest.approx(40.0)
+    assert daily[0].total_items_sold == 2
+
+    staged = spark.read.parquet(os.path.join(root, "staging", "order_items"))
+    assert {r.id for r in staged.collect()} == {"i3", "i4"}  # still waiting
+
+    # cycle 3: p3 lands → i3 releases late; o9 + its product close i4's
+    # group through the NORMAL path
+    _drop(root, "products", "p3.csv", PRODUCT_HEADER,
+          ["p3,sku3,1.0,cat_b,late,acme,99.0,d1"])
+    _drop(root, "orders", "o9.csv", ORDER_HEADER, [f"o9,u9,delivered,{T0},,,,1"])
+    assert pipe.run_cycle() == ["2024-03-01"]
+
+    assert pipe.silver().count() == 4
+    daily = pipe.gold("order_kpis_daily").collect()
+    assert len(daily) == 1
+    assert daily[0].total_orders == 2
+    assert daily[0].total_revenue == pytest.approx(146.0)
+    assert daily[0].total_items_sold == 4
+    assert daily[0].unique_customers == 2
+    assert spark.read.parquet(os.path.join(root, "staging", "order_items")).count() == 0
+
+    # replay: one more empty cycle is a no-op
+    before = sorted(map(tuple, pipe.silver().collect()))
+    pipe.run_cycle()
+    assert sorted(map(tuple, pipe.silver().collect())) == before
+
+
 def _event_rows(spark):
     base = dt.datetime(2024, 1, 1, 0, 0, 0)
     rows = [
@@ -171,6 +233,70 @@ def test_streaming_windows_with_watermark(spark, tmp_path):
     # duplicate event_id collapsed by dropDuplicatesWithinWatermark
     assert out[(0, "click")] == 2
     assert out[(1, "view")] == 1
+
+
+def test_watermark_late_rows_absorbed_vs_dropped(spark, tmp_path):
+    """Event-time late-data contract (r5): across two checkpointed runs
+    of the SAME watermarked aggregation, an out-of-order row whose
+    window is still open (inside the 1-hour watermark) is absorbed into
+    its window, while a row for a window the watermark already closed
+    and emitted is dropped — the window is never re-emitted."""
+    src = tmp_path / "late_ev"
+    src.mkdir()
+    ck = str(tmp_path / "ck_late")
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def run_batch(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+            str(src / name)
+        )
+        stream = spark.readStream.schema(schema).option(
+            "pathGlobFilter", "*.parquet"
+        ).parquet(str(src) + "/*")
+        agg = windows.hourly_event_counts(stream, watermark="1 hour")
+        emitted = []
+
+        def sink(batch, _bid):
+            emitted.extend(batch.collect())
+
+        q = (
+            agg.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {r.window_start.hour: r.n_events for r in emitted}
+
+    # run 1: hours 0 and 2, plus a 05:00 row → watermark advances to
+    # 04:00, so windows 0 and 2 finalize and emit
+    out1 = run_batch(
+        [
+            (1, base + dt.timedelta(minutes=10), 10, "click", 1.0),
+            (2, base + dt.timedelta(minutes=150), 10, "click", 1.0),
+            (3, base + dt.timedelta(hours=5), 10, "click", 1.0),
+        ],
+        "b1",
+    )
+    assert out1[0] == 1 and out1[2] == 1
+
+    # run 2 (same checkpoint — watermark 04:00 restored): a 04:30 row is
+    # out-of-order vs the 05:00 already seen but its window is OPEN →
+    # absorbed; a 00:30 row targets the already-emitted hour-0 window →
+    # dropped. The 07:00 row advances the watermark to close hour 4.
+    out2 = run_batch(
+        [
+            (4, base + dt.timedelta(hours=4, minutes=30), 10, "click", 1.0),
+            (5, base + dt.timedelta(minutes=30), 10, "click", 1.0),
+            (6, base + dt.timedelta(hours=7), 10, "click", 1.0),
+        ],
+        "b2",
+    )
+    assert out2.get(4) == 1          # late-but-open row absorbed and emitted
+    assert 0 not in out2             # closed window never re-emitted
+    assert all(h >= 4 for h in out2) # nothing below the restored watermark
 
 
 def test_listener_records_success_and_failure(spark, tmp_path):
