@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
 _CENT = Decimal("0.01")
 
@@ -78,4 +79,123 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         stateStructType=STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# --- transformWithState session tracker (event-time timers) -----------------
+
+SESSION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        # epoch MICROSECONDS: integers end-to-end (the repo-wide float/
+        # epoch discipline), trivially joinable back to _events_us grain
+        T.StructField("session_start_us", T.LongType(), False),
+        T.StructField("session_end_us", T.LongType(), False),
+        T.StructField("n_events", T.LongType(), False),
+    ]
+)
+
+_SESSION_STATE_SCHEMA = "start_us long, last_us long, n long"
+
+
+def make_session_tracker(gap_us: int) -> StatefulProcessor:
+    """Gap-based sessionization as a ``transformWithStateInPandas``
+    processor — the Spark-4 arbitrary-state API the older
+    ``applyInPandasWithState`` path (running_user_totals above) cannot
+    match: per-key EVENT-TIME TIMERS close idle sessions when the
+    watermark passes ``last_seen + gap``, so a session whose user simply
+    stops sending events is still emitted (append mode), with state
+    cleared — bounded state without a feed-forward sentinel per key.
+
+    Semantics mirror the batch twin q18 (plans/queries.py): a row more
+    than ``gap`` after the previous one starts a new session. Sessions
+    closed by a later row in the SAME key emit inline; the trailing open
+    session emits when its timer fires. One live timer per key (stale
+    timers are deleted on every update and double-checked against state
+    at expiry, since timer delete-then-register is not transactional
+    across batches).
+
+    The class is defined INSIDE this factory on purpose: cloudpickle
+    then serializes it BY VALUE, so the transformWithState driver
+    worker (a separate Python process that does not share the
+    application's sys.path) never needs this package importable."""
+
+    gap_us = int(gap_us)
+    gap_ms = gap_us // 1000
+    state_schema = _SESSION_STATE_SCHEMA
+
+    class _SessionTracker(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._handle = handle
+            self._sess = handle.getValueState("sess", state_schema)
+
+        def _emit(self, key, st) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start_us": [st[0]],
+                    "session_end_us": [st[1]],
+                    "n_events": [st[2]],
+                }
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            ts_us: list[int] = []
+            for pdf in rows:
+                # pandas Timestamp.value is epoch ns regardless of unit
+                ts_us.extend(int(v.value) // 1000 for v in pd.to_datetime(pdf["ts"]))
+            ts_us.sort()  # event-time order within the batch
+            st = self._sess.get() if self._sess.exists() else None
+            closed = []
+            for t in ts_us:
+                if st is None:
+                    st = (t, t, 1)
+                elif t - st[1] > gap_us:
+                    closed.append(st)
+                    st = (t, t, 1)
+                else:
+                    st = (st[0], t, st[2] + 1)
+            self._sess.update(st)
+            # single live timer per key at last_seen + gap
+            for old in self._handle.listTimers():
+                self._handle.deleteTimer(old)
+            self._handle.registerTimer(st[1] // 1000 + gap_ms)
+            for c in closed:
+                yield self._emit(key, c)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            st = self._sess.get() if self._sess.exists() else None
+            expiry = expiredTimerInfo.getExpiryTimeInMs()
+            # stale-timer guard: only close if THIS timer matches the
+            # current state's horizon (a session extended after the
+            # timer was registered must stay open)
+            if st is not None and expiry >= st[1] // 1000 + gap_ms:
+                self._sess.clear()
+                yield self._emit(key, st)
+
+    return _SessionTracker()
+
+
+def tracked_sessions(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming sessionization with idle-timeout emission: append-mode
+    rows (user_id, session_start_us, session_end_us, n_events), one per
+    CLOSED session — closed either by a later event beyond the gap or
+    by the event-time timer once the watermark passes last_seen + gap.
+
+    Requires the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass`` =
+    ``...state.RocksDBStateStoreProvider``) — transformWithState's
+    backing store. Scale shape: state is one fixed-width tuple + one
+    timer per ACTIVE user, evicted at close; shuffles only on user_id."""
+    ev = events.withWatermark(ts_col, watermark)
+    return ev.groupBy("user_id").transformWithStateInPandas(
+        make_session_tracker(gap_minutes * 60 * 1_000_000),
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="eventTime",
     )

@@ -669,3 +669,172 @@ def test_backfill_scale_release_full_gold_refresh(spark, tmp_path, monkeypatch):
     # cycle audit records a NULL released_dates array for the full refresh
     hist = pipe.cycle_history().collect()
     assert any(r.released_dates is None for r in hist)
+
+
+def test_session_tracker_fold_logic():
+    """The SessionTracker's per-key fold (inline close on gap, state
+    update, stale-timer guard) tested against fake state/handle objects
+    — full logic coverage without the transformWithState runtime (whose
+    protobuf dependency is env-gated below)."""
+    import pandas as pd
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.state import (
+        make_session_tracker,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.v = None
+        def exists(self):
+            return self.v is not None
+        def get(self):
+            return self.v
+        def update(self, nv):
+            self.v = tuple(nv)
+        def clear(self):
+            self.v = None
+
+    class FakeHandle:
+        def __init__(self):
+            self.state = FakeState()
+            self.timers = []
+        def getValueState(self, name, schema):
+            return self.state
+        def listTimers(self):
+            return list(self.timers)
+        def deleteTimer(self, t):
+            self.timers.remove(t)
+        def registerTimer(self, t):
+            self.timers.append(t)
+
+    class FakeExpired:
+        def __init__(self, ms):
+            self.ms = ms
+        def getExpiryTimeInMs(self):
+            return self.ms
+
+    proc = make_session_tracker(30 * 60 * 1_000_000)  # 30-min gap
+    h = FakeHandle()
+    proc.init(h)
+    base = dt.datetime(2024, 1, 1)
+    B_US = pd.Timestamp(base).value // 1000  # epoch µs of the base instant
+    B_MS = B_US // 1000
+    MIN_US, MIN_MS = 60 * 1_000_000, 60_000
+
+    def pdf(minutes_list):
+        return pd.DataFrame({"ts": [base + dt.timedelta(minutes=m) for m in minutes_list]})
+
+    # batch 1 (out of order on purpose): 0,10 → one session; 85 opens a
+    # second → the first closes INLINE
+    out = list(proc.handleInputRows((10,), iter([pdf([85, 0, 10])]), None))
+    assert len(out) == 1
+    assert out[0].iloc[0].session_start_us == B_US
+    assert out[0].iloc[0].session_end_us == B_US + 10 * MIN_US
+    assert out[0].iloc[0].n_events == 2
+    assert h.state.v == (B_US + 85 * MIN_US, B_US + 85 * MIN_US, 1)
+    assert h.timers == [B_MS + (85 + 30) * MIN_MS]  # one live timer (ms)
+
+    # stale timer (from the closed session) must NOT close current state
+    assert list(proc.handleExpiredTimer((10,), None, FakeExpired(B_MS + 40 * MIN_MS))) == []
+    assert h.state.v is not None
+
+    # the matching timer closes and evicts
+    out2 = list(proc.handleExpiredTimer((10,), None, FakeExpired(B_MS + 115 * MIN_MS)))
+    assert len(out2) == 1 and out2[0].iloc[0].n_events == 1
+    assert h.state.v is None
+
+
+def test_transform_with_state_session_tracker(spark, tmp_path):
+    """transformWithStateInPandas sessionization (r5): gap-exceeded
+    sessions close INLINE within a batch; idle trailing sessions close
+    when the EVENT-TIME TIMER fires (watermark passes last+gap) in a
+    later checkpointed run — per-key state + timer evicted at close.
+    Session grain matches the batch twin q18 (30-min gap).
+
+    Env-gated like Delta/Kafka: the transformWithState Python protocol
+    requires google.protobuf, which this container lacks — the test
+    auto-activates when the env provides it."""
+    pytest.importorskip("google.protobuf")
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.state import (
+        tracked_sessions,
+    )
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old_provider = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        src = tmp_path / "sess_ev"
+        src.mkdir()
+        ck = str(tmp_path / "ck_sess")
+        schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+        base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+        def run_batch(rows, name):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(str(src / name))
+            stream = spark.readStream.schema(schema).option(
+                "pathGlobFilter", "*.parquet"
+            ).parquet(str(src) + "/*")
+            out = []
+
+            def sink(batch, _bid):
+                out.extend(batch.collect())
+
+            q = (
+                tracked_sessions(stream, gap_minutes=30, watermark="1 hour")
+                .writeStream.foreachBatch(sink)
+                .outputMode("append")
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return out
+
+        us = lambda minutes: int(
+            (base + dt.timedelta(minutes=minutes)).timestamp() * 1_000_000
+        )
+        # run 1: user 10 has two sessions (the 75-min jump closes #1
+        # INLINE); user 20 one event; sentinel user 99 at hour 6 pushes
+        # the post-batch watermark to 5:00
+        out1 = run_batch(
+            [
+                (1, base, 10, "click", 1.0),
+                (2, base + dt.timedelta(minutes=10), 10, "click", 1.0),
+                (3, base + dt.timedelta(minutes=85), 10, "view", 1.0),
+                (4, base + dt.timedelta(minutes=20), 20, "click", 1.0),
+                (5, base + dt.timedelta(hours=6), 99, "click", 1.0),
+            ],
+            "b1",
+        )
+        inline = {(r.user_id): r for r in out1}
+        assert set(inline) == {10}  # only the inline-closed session emits
+        assert inline[10].session_start_us == us(0)
+        assert inline[10].session_end_us == us(10)
+        assert inline[10].n_events == 2
+
+        # run 2 (same checkpoint): watermark restored at 5:00 → timers
+        # for user 10's 2nd session (expiry 1:55) and user 20 (0:50)
+        # fire; the sentinel's timer (6:30) does not. The new user-30
+        # row just opens state.
+        out2 = run_batch([(6, base + dt.timedelta(hours=3), 30, "click", 1.0)], "b2")
+        timer_closed = {r.user_id: r for r in out2}
+        assert set(timer_closed) == {10, 20}
+        assert timer_closed[10].session_start_us == us(85)
+        assert timer_closed[10].session_end_us == us(85)
+        assert timer_closed[10].n_events == 1
+        assert timer_closed[20].n_events == 1
+
+        # run 3: replaying with no new files is a no-op (state/timers
+        # already consumed; nothing re-emits)
+        out3 = run_batch([(7, base + dt.timedelta(hours=3, minutes=1), 30, "click", 1.0)], "b3")
+        assert {r.user_id for r in out3} <= {30} or out3 == []
+    finally:
+        if old_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old_provider)
