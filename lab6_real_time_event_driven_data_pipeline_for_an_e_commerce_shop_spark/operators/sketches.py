@@ -47,6 +47,7 @@ __all__ = [
     "hll_oracle_sql", "kmv_sketch", "kmv_jaccard", "kmv_merge",
     "kmv_estimate_from_sketch", "bloom_build", "bloom_probe", "HASH_BITS",
     "bottom_k_sample", "bottom_k_sample_merge", "sample_quantile",
+    "cms_sketch", "cms_merge", "cms_estimate",
 ]
 
 HASH_BITS = 48  # portable_hash emits 12 hex chars
@@ -468,3 +469,90 @@ def sample_quantile(sample, q: float):
         F.lit(1), F.ceil(F.size(vals).cast("double") * F.lit(float(q))).cast("int")
     )
     return F.element_at(vals, idx)
+
+
+# --- Count-Min sketch (frequency estimation / heavy hitters) ----------
+
+CMS_DEPTH = 4  # reuses the Bloom affine family — one md5, d re-hashes
+
+
+def _cms_cols(value, width: int):
+    """Column index per depth row: the same reduce-mod-P-then-affine
+    discipline as _bloom_positions (int64-safe under ANSI)."""
+    p = (1 << 31) - 1
+    h = portable_hash(value.cast("string"))
+    return [
+        (((h % p) * a + b) % p) % width for a, b in _BLOOM_COEF[:CMS_DEPTH]
+    ]
+
+
+def cms_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    width: int = 256,
+) -> DataFrame:
+    """Per-group Count-Min sketch (Cormode & Muthukrishnan 2005) in
+    SPARSE relational form: rows (group_cols..., cms_d, cms_w, cms_cnt)
+    — only touched cells exist, and a group's state is bounded by
+    depth × width rows no matter how many events flowed. Point
+    frequency estimate = MIN over the d cells a value hashes to; always
+    an OVERestimate, within εN (ε = e/width) with prob 1 − e^−depth.
+
+    Mergeable: cells are counts, so two sketches merge by summing
+    matching (d, w) cells (``cms_merge``) — associative, commutative,
+    streamable (the same contract as the HLL register store). Portable:
+    hashing is the md5 affine family shared with bloom_build, so an
+    engine-independent oracle can reproduce the cells bit-for-bit.
+    Scale shape: one wide aggregation, map-side partial (SUM), shuffle
+    bounded by groups × depth × width."""
+    _reject_float_value_col(df, value_col, "cms_sketch")
+    cols = _cms_cols(F.col(value_col), width)
+    exploded = df.select(
+        *group_cols,
+        F.posexplode(F.array(*[c.cast("long") for c in cols])).alias("cms_d", "cms_w"),
+    )
+    return (
+        exploded.groupBy(*group_cols, "cms_d", "cms_w")
+        .agg(F.count("*").alias("cms_cnt"))
+    )
+
+
+def cms_merge(sketch_a: DataFrame, sketch_b: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merged CMS: element-wise sum of matching cells (missing cell =
+    0). Exact: count(A ∪ B) per cell == count(A) + count(B)."""
+    return (
+        sketch_a.unionByName(sketch_b)
+        .groupBy(*group_cols, "cms_d", "cms_w")
+        .agg(F.sum("cms_cnt").alias("cms_cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    queries: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    width: int = 256,
+    estimate_col: str = "cms_est",
+) -> DataFrame:
+    """Point-frequency estimates for (group, value) query rows: each
+    query explodes to its depth cells (tiny side), equi-joins the
+    sparse sketch on (group, d, w) — broadcastable when the query set
+    is small — and takes MIN across depths; a missing cell means no
+    colliding value ever hashed there, so the true count is 0 and the
+    min short-circuits via coalesce. Estimates are integers (exact
+    cell sums), so ranking heavy hitters on them is deterministic."""
+    cols = _cms_cols(F.col(value_col), width)
+    q = queries.select(
+        *group_cols,
+        F.col(value_col),
+        F.posexplode(F.array(*[c.cast("long") for c in cols])).alias("cms_d", "cms_w"),
+    )
+    joined = q.join(sketch, [*group_cols, "cms_d", "cms_w"], "left").withColumn(
+        "_cell", F.coalesce(F.col("cms_cnt"), F.lit(0))
+    )
+    return (
+        joined.groupBy(*group_cols, value_col)
+        .agg(F.min("_cell").cast("long").alias(estimate_col))
+    )

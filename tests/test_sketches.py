@@ -316,3 +316,66 @@ def test_hash_sketches_reject_float_value_columns(spark):
     cents = fdf.select("g", F.expr("CAST(round(v * 10000) AS BIGINT)").alias("v"))
     assert sketches.kmv_sketch(cents, ["g"], "v", k=8).count() == 1
     assert sketches.bottom_k_sample(cents, ["g"], "v", k=8).count() == 1
+
+
+def test_cms_sketch_overestimate_merge_and_bounds(spark):
+    """Count-Min (r5): (a) estimates are NEVER below true counts and a
+    clear heavy hitter is exact or near-exact, (b) state is bounded by
+    depth x width regardless of input size, (c) merge(sketch(A),
+    sketch(B)) == sketch(A ∪ B) cell-for-cell, (d) partition-invariant,
+    (e) float value columns rejected like the other hash sketches."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    # skewed stream: value v appears v+1 times, v in 0..99 (+ a 5000x
+    # heavy hitter id 7)
+    base = spark.range(0, 100).selectExpr("id AS v").selectExpr(
+        "v", "explode(sequence(0, CAST(v AS INT))) AS _r"
+    ).drop("_r")
+    heavy = spark.range(0, 5000).select(F.lit(7).alias("v"))
+    df = base.union(heavy).select(F.lit("g").alias("g"), "v")
+
+    W = 256
+    sk = sketches.cms_sketch(df, ["g"], "v", width=W).cache()
+    # (b) bounded, sparse state
+    assert sk.count() <= 4 * W
+    assert sk.select("cms_d").distinct().count() == 4
+
+    truth = {r["v"]: r["n"] for r in df.groupBy("v").agg(F.count("*").alias("n")).collect()}
+    est = {
+        r["v"]: r["cms_est"]
+        for r in sketches.cms_estimate(
+            sk, df.select("g", "v").distinct(), ["g"], "v", width=W
+        ).collect()
+    }
+    # (a) one-sided error + εN bound with comfortable slack (εN = e/W·N)
+    n_total = sum(truth.values())
+    for v, t in truth.items():
+        assert est[v] >= t
+        assert est[v] - t <= max(64, int(0.05 * n_total))
+    assert est[7] >= 5008  # heavy hitter: exact count is 5000 + 8 base rows
+    # never-seen value → all cells may still collide, but with 4 depths
+    # over this load the min cell must stay small
+    ghost = spark.createDataFrame([("g", 12345)], "g string, v long")
+    gst = sketches.cms_estimate(sk, ghost, ["g"], "v", width=W).collect()[0]["cms_est"]
+    assert gst <= max(64, int(0.05 * n_total))
+
+    # (d) partition invariance
+    sk13 = sketches.cms_sketch(df.repartition(13), ["g"], "v", width=W)
+    assert sorted(map(tuple, sk13.collect())) == sorted(map(tuple, sk.collect()))
+
+    # (c) lossless merge
+    a = df.filter(F.col("v") < 50)
+    b = df.filter(F.col("v") >= 50)
+    merged = sketches.cms_merge(
+        sketches.cms_sketch(a, ["g"], "v", width=W),
+        sketches.cms_sketch(b, ["g"], "v", width=W),
+        ["g"],
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, sk.collect()))
+    sk.unpersist()
+
+    # (e) float guard
+    fdf = spark.range(5).select(F.lit("g").alias("g"), (F.col("id") * 0.1).alias("v"))
+    with pytest.raises(ValueError, match="[Ii]ntegerize"):
+        sketches.cms_sketch(fdf, ["g"], "v")

@@ -146,6 +146,60 @@ def probe_bloom(spark, n: int, m_bits: int) -> dict:
     }
 
 
+def probe_cms(spark, n: int, width: int) -> dict:
+    """CMS at cardinality n/10 (each value appears 10×) + one 1000×
+    heavy hitter: one-sided error always, εN (ε = e/width) holds for
+    ≥90% of sampled values (per-value guarantee is 1 − e^−depth ≈
+    98%), state bounded by depth·width, merge of halves cell-exact."""
+    d_vals = max(n // 10, 1)
+    df = spark.range(0, n).select(
+        F.lit("g").alias("g"), (F.col("id") % d_vals).alias("v")
+    )
+    heavy = spark.range(0, 1000).select(F.lit("g").alias("g"), F.lit(0).cast("long").alias("v"))
+    df = df.union(heavy)
+    t0 = time.perf_counter()
+    sk = sketches.cms_sketch(df, ["g"], "v", width=width).cache()
+    state_rows = sk.count()
+    elapsed = time.perf_counter() - t0
+
+    n_total = n + 1000
+    eps_n = math.e / width * n_total
+    sample = spark.range(0, min(200, d_vals)).select(
+        F.lit("g").alias("g"), F.col("id").alias("v")
+    )
+    est = {
+        r["v"]: r["cms_est"]
+        for r in sketches.cms_estimate(sk, sample, ["g"], "v", width=width).collect()
+    }
+    true = {v: (n // d_vals + (1000 if v == 0 else 0)) + (1 if v < n % d_vals else 0) for v in est}
+    one_sided = all(est[v] >= true[v] for v in est)
+    viol = sum(1 for v in est if est[v] - true[v] > eps_n)
+
+    a = df.filter(F.col("v") % 2 == 0)
+    b = df.filter(F.col("v") % 2 == 1)
+    merged = sketches.cms_merge(
+        sketches.cms_sketch(a, ["g"], "v", width=width),
+        sketches.cms_sketch(b, ["g"], "v", width=width),
+        ["g"],
+    )
+    merge_exact = sorted(map(tuple, merged.collect())) == sorted(map(tuple, sk.collect()))
+    sk.unpersist()
+    return {
+        "sketch": f"cms_w{width}",
+        "n": n_total,
+        "distinct": d_vals,
+        "one_sided": one_sided,
+        "eps_n": round(eps_n, 1),
+        "viol_frac": round(viol / max(len(est), 1), 4),
+        "within_bound": one_sided and viol <= 0.1 * len(est),
+        "state_rows": state_rows,
+        "state_bound": sketches.CMS_DEPTH * width,
+        "state_bounded": state_rows <= sketches.CMS_DEPTH * width,
+        "merge_exact": merge_exact,
+        "sec": round(elapsed, 2),
+    }
+
+
 def main() -> None:
     max_exp = int(sys.argv[1]) if len(sys.argv) > 1 else 6
     p = int(sys.argv[2]) if len(sys.argv) > 2 else 8
@@ -161,6 +215,7 @@ def main() -> None:
             probe_hll(spark, n, p),
             probe_kmv(spark, n, k),
             probe_bloom(spark, n, 1 << 24),
+            probe_cms(spark, n, 4096),
         ):
             ok = ok and rec.get("within_bound", True) and rec.get(
                 "state_bounded", True
