@@ -47,7 +47,7 @@ __all__ = [
     "hll_oracle_sql", "kmv_sketch", "kmv_jaccard", "kmv_merge",
     "kmv_estimate_from_sketch", "bloom_build", "bloom_probe", "HASH_BITS",
     "bottom_k_sample", "bottom_k_sample_merge", "sample_quantile",
-    "cms_sketch", "cms_merge", "cms_estimate",
+    "cms_sketch", "cms_merge", "cms_estimate", "cms_oracle_sql",
 ]
 
 HASH_BITS = 48  # portable_hash emits 12 hex chars
@@ -549,10 +549,53 @@ def cms_estimate(
         F.col(value_col),
         F.posexplode(F.array(*[c.cast("long") for c in cols])).alias("cms_d", "cms_w"),
     )
-    joined = q.join(sketch, [*group_cols, "cms_d", "cms_w"], "left").withColumn(
-        "_cell", F.coalesce(F.col("cms_cnt"), F.lit(0))
-    )
+    # the sketch side is ≤ depth×width rows per group BY CONTRACT —
+    # broadcast it so the probe never plans a sort-merge shuffle
+    joined = q.join(
+        F.broadcast(sketch), [*group_cols, "cms_d", "cms_w"], "left"
+    ).withColumn("_cell", F.coalesce(F.col("cms_cnt"), F.lit(0)))
     return (
         joined.groupBy(*group_cols, value_col)
         .agg(F.min("_cell").cast("long").alias(estimate_col))
     )
+
+
+def cms_oracle_sql(
+    source_sql: str,
+    value_sql: str,
+    width: int = 256,
+    estimate_col: str = "cms_est",
+) -> str:
+    """DuckDB CTE fragment reproducing the global (group-less) CMS
+    cells AND per-distinct-value estimates BIT-FOR-BIT: the hash is the
+    shared md5 affine family (reduce mod P=2^31−1 BEFORE the multiply,
+    products ≤ 2^62 — the int64-safe discipline every sketch here
+    uses), cells are exact integer counts, the estimate is an integer
+    MIN. Emits CTEs ``cms_h / cms_cells / cms_q / cms_est``; the caller
+    composes them into its WITH chain and selects from ``cms_est``
+    (columns: v = the value expression, {estimate_col})."""
+    p = (1 << 31) - 1
+    coef = ", ".join(
+        f"({d}, {a}, {b})" for d, (a, b) in enumerate(_BLOOM_COEF[:CMS_DEPTH])
+    )
+    h_expr = (
+        f"CAST(concat('0x', substr(md5(CAST({value_sql} AS VARCHAR)), 1, 12)) AS BIGINT)"
+    )
+    return f"""
+    cms_h AS (SELECT {h_expr} AS h FROM {source_sql}),
+    cms_cells AS (
+        SELECT d, ((h % {p}) * a + b) % {p} % {width} AS w,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM cms_h CROSS JOIN (VALUES {coef}) AS coef(d, a, b)
+        GROUP BY 1, 2
+    ),
+    cms_q AS (
+        SELECT v, d, ((h % {p}) * a + b) % {p} % {width} AS w
+        FROM (SELECT DISTINCT {value_sql} AS v, {h_expr} AS h FROM {source_sql})
+        CROSS JOIN (VALUES {coef}) AS coef(d, a, b)
+    ),
+    cms_est AS (
+        SELECT v, CAST(MIN(COALESCE(cnt, 0)) AS BIGINT) AS {estimate_col}
+        FROM cms_q LEFT JOIN cms_cells USING (d, w)
+        GROUP BY v
+    )"""

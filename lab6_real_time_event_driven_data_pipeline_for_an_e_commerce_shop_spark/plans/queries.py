@@ -1291,7 +1291,7 @@ def q33_pivot_revenue_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q35_oracle() -> str:
     from ..operators import sketches
 
-    return sketches.hll_oracle_sql(
+    hll = sketches.hll_oracle_sql(
         source_sql="orders",
         group_exprs={"order_date": "CAST(o_orderdate AS DATE)"},
         value_sql="o_custkey",
@@ -1299,27 +1299,56 @@ def _q35_oracle() -> str:
         estimate_col="approx_customers",
         zeros_col="n_zero_registers",
     )
+    cms = sketches.cms_oracle_sql(
+        source_sql="orders",
+        value_sql="CAST(o_orderdate AS DATE)",
+        width=256,
+        estimate_col="cms_orders",
+    )
+    return f"""
+    WITH hll AS ({hll}),
+    {cms}
+    SELECT hll.order_date, hll.approx_customers, hll.n_zero_registers,
+           cms_est.cms_orders
+    FROM hll JOIN cms_est ON hll.order_date = cms_est.v
+    """
 
 
 def q35_approx_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PORTABLE HyperLogLog (operators/sketches.portable_hll, p=8 with
-    linear-counting small-range correction) — the streaming-friendly
-    alternative to exact distinct (SURVEY.md §2.5 A4 note). Unlike
-    engine-private HLL++ (approx_count_distinct), every register and
-    the final estimate are bit-identical in DuckDB, so this sketch IS
-    oracle-verified value-for-value (upgraded from rows-only in r3)."""
+    """PORTABLE sketch showcase, both families oracle-verified
+    value-for-value:
+
+    - HyperLogLog (operators/sketches.portable_hll, p=8 with
+      linear-counting small-range correction) — per-date approximate
+      DISTINCT customers. Unlike engine-private HLL++
+      (approx_count_distinct), every register and the final estimate
+      are bit-identical in DuckDB (upgraded from rows-only in r3).
+    - Count-Min (r5, operators/sketches.cms_sketch w=256 d=4) —
+      per-date approximate order FREQUENCY from one global sparse cell
+      table (≤ 1024 integer cells however many orders flowed); the
+      per-date estimate is an integer MIN over the date's 4 cells,
+      always ≥ the true count, reproduced cell-for-cell by the DuckDB
+      oracle (cms_oracle_sql — same md5 affine family as the Bloom
+      filter). Sketch-sized sides ride broadcast joins; the HLL branch
+      keeps its two bounded shuffles (plan-pinned)."""
     from ..operators import sketches
 
-    return sketches.portable_hll(
-        _t(spark, sf_dir, "orders").select(
-            F.to_date("o_orderdate").alias("order_date"), "o_custkey"
-        ),
+    orders = _t(spark, sf_dir, "orders")
+    hll = sketches.portable_hll(
+        orders.select(F.to_date("o_orderdate").alias("order_date"), "o_custkey"),
         group_cols=["order_date"],
         value_col="o_custkey",
         p=8,
         estimate_col="approx_customers",
         zeros_col="n_zero_registers",
     )
+    dates = orders.select(F.to_date("o_orderdate").alias("order_date"))
+    cells = sketches.cms_sketch(dates, [], "order_date", width=256)
+    est = sketches.cms_estimate(
+        cells, dates.distinct(), [], "order_date", width=256,
+        estimate_col="cms_orders",
+    )
+    return hll.join(F.broadcast(est), "order_date")
 
 
 _REGISTRY["q35_approx_distinct_daily"] = Query(

@@ -155,16 +155,23 @@ def _nodes(plan: str, op: str) -> int:
     return len(re.findall(rf"\(\d+\) {op}\b", plan))
 
 
-def test_q35_hll_bounded_shuffle(spark):
-    """The portable HLL must keep its scale contract: exactly two
-    shuffles (per-register MAX, then per-group harmonic sum), both fed
-    by map-side partial aggregation; no Expand, no Python, no join."""
+def test_q35_sketches_bounded_shuffle(spark):
+    """Sketch scale contract (r5: HLL + CMS in one slot): every
+    aggregation is map-side partial with bounded payload (HLL ≤ 2^p
+    registers/group, CMS ≤ d×w cells total), and every join is a
+    BROADCAST of a sketch-sized side — no sort-merge shuffle, no
+    Expand, no Python, no cartesian."""
     plan = _formatted(q.q35_approx_distinct_daily(spark, SF_DIR))
-    assert _nodes(plan, "Exchange") == 2
-    assert plan.count("HashAggregate") >= 4  # partial+final × 2 aggs
+    # HLL register MAX + harmonic sum, CMS cell count + estimate MIN,
+    # final date join: shuffles stay bounded-payload aggregations plus
+    # broadcast exchanges — never a data-sized sort-merge
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 8  # partial+final × 4 aggs
     assert "Expand" not in plan
     assert "EvalPython" not in plan
-    assert "Join" not in plan
 
 
 def test_q29_lsh_probe_is_broadcast_equijoin(spark):
