@@ -507,6 +507,11 @@ def cms_sketch(
     Scale shape: one wide aggregation, map-side partial (SUM), shuffle
     bounded by groups × depth × width."""
     _reject_float_value_col(df, value_col, "cms_sketch")
+    # NULL values are NOT counted: md5(NULL) null-propagates into null
+    # cell coordinates whose join semantics then diverge between
+    # engines — drop them here so the contract is explicit (same rule
+    # as the Bloom/KMV hashing, made visible)
+    df = df.filter(F.col(value_col).isNotNull())
     cols = _cms_cols(F.col(value_col), width)
     exploded = df.select(
         *group_cols,

@@ -185,3 +185,33 @@ def test_catalog_survives_plausible_dtype_drift(spark, tmp_path):
         idx = [ocols.index(c) for c in sdf.columns]
         orows = sorted(tuple(str(r[i]) for i in idx) for r in res.fetchall())
         assert srows == orows, f"{name} diverged under dtype drift"
+
+
+def test_oracle_sf_dir_env_outranks_hardcoded_default(tmp_path, monkeypatch):
+    """r4 ADVICE: the arg-less oracle path must resolve the gated
+    directory as arg > $SPARK_GRAFT_ORACLE_SF_DIR > $SPARK_GRAFT_SF_DIR
+    > the sf0.01 default. Pin it with a synthetic int64-NANOS events
+    parquet in an env-provided dir: the returned expression must be the
+    int64 rewrite (proving the env dir was consulted), not the
+    epoch_us form the default timestamp[us] dir would produce."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.plans.queries import (
+        _events_us_oracle_expr,
+    )
+
+    d = tmp_path / "envsf"
+    d.mkdir()
+    # nanos-scale int64 instants (~1.7e18) → unit factor 1000
+    pq.write_table(
+        pa.table({"ts": pa.array([1_700_000_000_000_000_000 + i for i in range(4)],
+                                 type=pa.int64())}),
+        str(d / "events.parquet"),
+    )
+    monkeypatch.delenv("SPARK_GRAFT_ORACLE_SF_DIR", raising=False)
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", str(d))
+    assert _events_us_oracle_expr(None) == "(ts // 1000)"
+    # explicit arg still outranks the env
+    assert _events_us_oracle_expr("/root/testdata/sf0.01") == "epoch_us(ts)"
+    monkeypatch.delenv("SPARK_GRAFT_SF_DIR", raising=False)

@@ -260,3 +260,45 @@ def test_quantizer_identity_across_runtimes(spark, vals):
     # and the pure-double twin agrees whenever inputs are exact in f32
     if as_f32 == vals:
         assert py == py_f32
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    vals=st.lists(st.integers(-1000, 1000), min_size=1, max_size=120),
+    width=st.sampled_from([16, 64, 256]),
+)
+def test_cms_one_sided_and_merge_invariants(spark, vals, width):
+    """CMS properties on arbitrary integer multisets (negatives
+    included): estimates are NEVER below true counts for every distinct
+    value, and splitting the multiset anywhere then merging the two
+    sketches reproduces the single-pass cells exactly."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        sketches,
+    )
+
+    truth = Counter(vals)
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v long")
+    sk = sketches.cms_sketch(df, ["g"], "v", width=width)
+    est = {
+        r["v"]: r["cms_est"]
+        for r in sketches.cms_estimate(
+            sk, df.distinct(), ["g"], "v", width=width
+        ).collect()
+    }
+    assert all(est[v] >= c for v, c in truth.items())
+
+    cut = len(vals) // 2
+    a = spark.createDataFrame([("g", v) for v in vals[:cut]] or [("g", None)],
+                              "g string, v long")
+    b = spark.createDataFrame([("g", v) for v in vals[cut:]], "g string, v long")
+    merged = sketches.cms_merge(
+        sketches.cms_sketch(a, ["g"], "v", width=width),
+        sketches.cms_sketch(b, ["g"], "v", width=width),
+        ["g"],
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, sk.collect()))
