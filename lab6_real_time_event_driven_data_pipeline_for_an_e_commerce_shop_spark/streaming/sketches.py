@@ -74,3 +74,96 @@ def read_hll_estimates(
     return sketches.hll_estimate_from_registers(
         spark.read.parquet(store_path), group_cols, p, estimate_col
     )
+
+
+# --- streaming Count-Min store (frequency state) ----------------------------
+
+CMS_CELL_KEYS = ["_cms_batch", "cms_d", "cms_w"]
+
+
+def merge_cms_cells(
+    spark: SparkSession,
+    store_path: str,
+    batch_df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    batch_id: int,
+    width: int = 256,
+) -> None:
+    """Fold one micro-batch's CMS cells into a persisted store,
+    EXACTLY-ONCE under replays despite SUM-merged state: unlike HLL's
+    idempotent MAX, summing a replayed batch twice would double-count —
+    so cells are keyed by ``(_cms_batch, group..., d, w)`` and a replay
+    of the same batch_id REPLACES its own rows via the idempotent
+    keyed MERGE (the same contract the medallion gold tables use).
+    The batch contribution is ≤ groups × depth × width rows; rows of
+    other batches are never rewritten."""
+    from pyspark.sql import functions as F
+
+    cells = sketches.cms_sketch(batch_df, group_cols, value_col, width=width)
+    source = cells.withColumn("_cms_batch", F.lit(int(batch_id)).cast("long"))
+    upsert.merge(spark, store_path, source, keys=group_cols + CMS_CELL_KEYS)
+
+
+def read_cms_cells(
+    spark: SparkSession, store_path: str, group_cols: list[str]
+) -> DataFrame:
+    """Total cells across all stored batches: SUM per (group, d, w) —
+    identical cell-for-cell to a single-pass sketch over the
+    concatenated history (counts are associative), so streamed
+    estimates equal batch estimates exactly."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(store_path)
+        .groupBy(*group_cols, "cms_d", "cms_w")
+        .agg(F.sum("cms_cnt").alias("cms_cnt"))
+    )
+
+
+def compact_cms_store(
+    spark: SparkSession, store_path: str, group_cols: list[str]
+) -> None:
+    """Fold all per-batch rows into one compacted generation
+    (_cms_batch = -1), bounding the store at groups × depth × width
+    rows forever. Run once the replay window for the folded batches has
+    passed (a re-delivered batch id would otherwise re-add rows the
+    compaction already absorbed). Atomic via the tmp + rename swap —
+    the store never observably holds both generations."""
+    import os
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    compacted = (
+        read_cms_cells(spark, store_path, group_cols)
+        .withColumn("_cms_batch", F.lit(-1).cast("long"))
+    )
+    tmp = f"{store_path}__tmp_{uuid.uuid4().hex[:8]}"
+    compacted.write.mode("overwrite").parquet(tmp)
+    old = f"{store_path}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(store_path, old)
+    os.rename(tmp, store_path)
+    shutil.rmtree(old)
+
+
+def read_cms_estimates(
+    spark: SparkSession,
+    store_path: str,
+    queries: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    width: int = 256,
+    estimate_col: str = "cms_est",
+) -> DataFrame:
+    """Point-frequency estimates for (group, value) query rows against
+    the store's summed cells — finish-on-read, like the HLL path."""
+    return sketches.cms_estimate(
+        read_cms_cells(spark, store_path, group_cols),
+        queries,
+        group_cols,
+        value_col,
+        width=width,
+        estimate_col=estimate_col,
+    )

@@ -55,3 +55,52 @@ def test_replayed_batch_is_a_noop(spark, tmp_path):
         for r in spark.read.parquet(store).collect()
     }
     assert before == after
+
+
+def test_streamed_cms_equals_batch_replay_safe_and_compact(spark, tmp_path):
+    """Streaming CMS store (r5): summed cells across batches must equal
+    the single-pass sketch cell-for-cell; a REPLAYED batch id must be a
+    no-op (per-batch keying replaces, never double-counts — the SUM
+    twin of HLL's idempotent MAX); compaction folds to one bounded
+    generation without changing a single cell."""
+    W = 64
+    store = str(tmp_path / "cms_store")
+    cuts = [(0, 3_000), (3_000, 9_000), (9_000, 20_000)]
+    for bid, (lo, hi) in enumerate(cuts):
+        ssk.merge_cms_cells(spark, store, _batch(spark, lo, hi), ["g"], "v",
+                            batch_id=bid, width=W)
+
+    single = sorted(map(tuple, sketches.cms_sketch(
+        _batch(spark, 0, 20_000), ["g"], "v", width=W).collect()))
+    streamed = sorted(map(tuple, ssk.read_cms_cells(spark, store, ["g"]).collect()))
+    assert streamed == single  # cell-for-cell
+
+    # replay batch 1: identical store afterwards
+    ssk.merge_cms_cells(spark, store, _batch(spark, 3_000, 9_000), ["g"], "v",
+                        batch_id=1, width=W)
+    assert sorted(map(tuple, ssk.read_cms_cells(spark, store, ["g"]).collect())) == single
+
+    # estimates finish on read and stay one-sided vs exact history
+    q = _batch(spark, 0, 20_000).distinct().limit(50)
+    truth = {
+        (r["g"], r["v"]): r["n"]
+        for r in _batch(spark, 0, 20_000).groupBy("g", "v").agg(
+            F.count("*").alias("n")).collect()
+    }
+    est = ssk.read_cms_estimates(spark, store, q, ["g"], "v", width=W)
+    for r in est.collect():
+        assert r["cms_est"] >= truth[(r["g"], r["v"])]
+
+    # compaction: bounded single generation, cells unchanged
+    ssk.compact_cms_store(spark, store, ["g"])
+    after = spark.read.parquet(store)
+    assert after.select("_cms_batch").distinct().collect()[0][0] == -1
+    assert after.count() <= 7 * sketches.CMS_DEPTH * W
+    assert sorted(map(tuple, ssk.read_cms_cells(spark, store, ["g"]).collect())) == single
+
+    # post-compaction batches keep folding in correctly
+    ssk.merge_cms_cells(spark, store, _batch(spark, 20_000, 25_000), ["g"], "v",
+                        batch_id=3, width=W)
+    full = sorted(map(tuple, sketches.cms_sketch(
+        _batch(spark, 0, 25_000), ["g"], "v", width=W).collect()))
+    assert sorted(map(tuple, ssk.read_cms_cells(spark, store, ["g"]).collect())) == full
