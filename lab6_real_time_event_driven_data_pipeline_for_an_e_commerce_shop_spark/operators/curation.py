@@ -135,3 +135,93 @@ def contamination_counts(
             .alias("leak_shingles"),
         )
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    n_per_group: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic stratified sample: up to ``n_per_group`` rows per
+    group, chosen by ranking the portable hash of (salt ‖ id) within
+    the group — a fixed pseudo-random permutation, so the sample is
+    (a) uniform within each group, (b) identical across runs/engines/
+    partitionings, (c) MONOTONE in n (the n=100 sample contains the
+    n=50 sample — growing a dataset's per-class budget never churns
+    already-selected examples), and (d) re-salt to draw an independent
+    replicate. The class-balancing counterpart of the corpus-wide
+    hash sampling in q52 (sampled20). One shuffle on group_cols."""
+    from pyspark.sql import Window
+
+    from ..functions.expressions import portable_hash
+
+    h = portable_hash(F.concat_ws("␟", F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(*group_cols).orderBy(h, F.col(id_col))
+    return (
+        df.withColumn("_srank", F.row_number().over(w))
+        .filter(F.col("_srank") <= n_per_group)
+        .drop("_srank")
+    )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Keyed diff of two dataset versions — the corpus-versioning
+    primitive (what changed between crawl N and N+1 / before and after
+    a cleaning pass): one row per key present in either side with
+    ``change_type`` ∈ added | removed | changed | unchanged and
+    ``changed_cols`` (sorted CSV of differing columns, '' otherwise —
+    a scalar, so the output stays driver-comparator-safe).
+
+    Shape: ONE full outer join on the keys (null-safe column compare;
+    rows with NULL attrs still match themselves), no collect — at
+    100 TB this is the standard co-partitioned fact⋈fact shuffle, and
+    bucketing both snapshots by the keys removes even that. Inputs
+    must be key-unique (enforce upstream with dropDuplicates(keys));
+    compare_cols defaults to all shared non-key columns."""
+    if compare_cols is None:
+        shared = set(old.columns) & set(new.columns)
+        compare_cols = sorted(shared - set(keys))
+    o = old.select(
+        *[F.col(k).alias(k) for k in keys],
+        *[F.col(c).alias(f"_old_{c}") for c in compare_cols],
+        F.lit(True).alias("_in_old"),
+    )
+    n = new.select(
+        *[F.col(k).alias(k) for k in keys],
+        *[F.col(c).alias(f"_new_{c}") for c in compare_cols],
+        F.lit(True).alias("_in_new"),
+    )
+    j = o.join(n, keys, "full_outer")
+    diff_names = F.array_sort(
+        F.filter(
+            F.array(
+                *[
+                    F.when(
+                        ~F.col(f"_old_{c}").eqNullSafe(F.col(f"_new_{c}")), F.lit(c)
+                    )
+                    for c in compare_cols
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+    change = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(F.size(diff_names) > 0, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        *keys,
+        change.alias("change_type"),
+        F.when(
+            change == "changed", F.array_join(diff_names, ",")
+        ).otherwise(F.lit("")).alias("changed_cols"),
+    )

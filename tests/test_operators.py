@@ -1051,3 +1051,62 @@ def test_banded_near_dup_high_threshold(spark):
              for r in similarity.embedding_near_dups_exact(df, threshold=0.9).collect()}
     assert set(pairs) <= set(exact)
     assert all(exact[p] == c for p, c in pairs.items())
+
+
+def test_stratified_sample_deterministic_monotone(spark):
+    """Per-group deterministic sampling (r5): exact per-group budgets,
+    run-to-run identical, n=5 sample ⊂ n=10 sample (monotone growth),
+    different salt → different draw."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        curation,
+    )
+
+    df = spark.range(0, 300).select(
+        (F.col("id") % 3).cast("string").alias("cls"), F.col("id").alias("doc_id")
+    )
+    s10 = curation.stratified_sample(df, ["cls"], "doc_id", 10)
+    counts = {r["cls"]: r["n"] for r in s10.groupBy("cls").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"0": 10, "1": 10, "2": 10}
+
+    ids10 = {r["doc_id"] for r in s10.collect()}
+    again = {r["doc_id"] for r in curation.stratified_sample(df, ["cls"], "doc_id", 10).collect()}
+    assert ids10 == again  # deterministic
+
+    ids5 = {r["doc_id"] for r in curation.stratified_sample(df, ["cls"], "doc_id", 5).collect()}
+    assert ids5 < ids10  # monotone: smaller budget is a subset
+
+    salted = {r["doc_id"] for r in curation.stratified_sample(df, ["cls"], "doc_id", 10, salt="x").collect()}
+    assert salted != ids10  # independent replicate
+
+    # small groups: budget larger than the group returns the whole group
+    tiny = spark.createDataFrame([("a", 1), ("a", 2)], "cls string, doc_id long")
+    assert curation.stratified_sample(tiny, ["cls"], "doc_id", 10).count() == 2
+
+
+def test_snapshot_diff_classifies_all_change_types(spark):
+    """Keyed dataset-version diff (r5): added/removed/changed/unchanged
+    with null-safe attribute compare and sorted changed_cols CSV."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        curation,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 30.0), (4, None, 40.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", None), (3, "C", 31.0), (4, None, 40.0), (5, "e", 50.0)],
+        "k long, s string, v double",
+    )
+    out = {r["k"]: r for r in curation.snapshot_diff(old, new, ["k"]).collect()}
+    assert out[1].change_type == "removed"
+    assert out[2].change_type == "unchanged"   # NULL == NULL (null-safe)
+    assert out[3].change_type == "changed"
+    assert out[3].changed_cols == "s,v"        # sorted CSV
+    assert out[4].change_type == "unchanged"   # NULL attr matches itself
+    assert out[5].change_type == "added"
+    assert all(r.changed_cols == "" for k, r in out.items() if k != 3)
+
+    # compare_cols restriction: v-only diff sees k=3 changed, s ignored
+    vonly = {r["k"]: r for r in curation.snapshot_diff(old, new, ["k"], ["v"]).collect()}
+    assert vonly[3].change_type == "changed" and vonly[3].changed_cols == "v"
