@@ -838,3 +838,53 @@ def test_transform_with_state_session_tracker(spark, tmp_path):
             spark.conf.unset(provider_key)
         else:
             spark.conf.set(provider_key, old_provider)
+
+
+def test_crash_between_staging_swaps_self_heals(spark, tmp_path):
+    """r5 swap ordering (write both __next, then swap both) has a crash
+    window between the two renames: orders swapped (released groups
+    gone) but order_items not yet. The next cycle must CONVERGE: the
+    stranded released items are now orphans whose order lives in
+    silver, so the late-data path re-releases them (idempotent MERGE —
+    no duplicates) and staging drains."""
+    import shutil
+
+    root = str(tmp_path)
+    pipe = MedallionPipeline(spark, root)
+    _drop(root, "orders", "o1.csv", ORDER_HEADER, [f"o1,u1,delivered,{T0},,,,1"])
+    _drop(root, "order_items", "i1.csv", ITEM_HEADER,
+          [f"i1,o1,u1,p1,delivered,{T0},,,,10.0"])
+    _drop(root, "products", "p1.csv", PRODUCT_HEADER,
+          ["p1,sku1,5.0,cat_a,widget,acme,12.0,d1"])
+    assert pipe.run_cycle() == ["2024-03-01"]
+
+    # simulate the mid-swap crash: roll ONLY order_items staging back to
+    # its pre-release content (as if its swap never happened) while
+    # orders staging and silver reflect the completed release
+    items_staging = os.path.join(root, "staging", "order_items")
+    shutil.rmtree(items_staging)
+    spark.createDataFrame(
+        [("i1", "o1", "u1", "p1", "delivered", T0, None, None, None, 10.0)],
+        "id string, order_id string, user_id string, product_id string, "
+        "status string, created_at string, shipped_at string, "
+        "delivered_at string, returned_at string, sale_price double",
+    ).selectExpr(
+        "id", "order_id", "user_id", "product_id", "status",
+        "CAST(created_at AS TIMESTAMP) AS created_at",
+        "CAST(shipped_at AS TIMESTAMP) AS shipped_at",
+        "CAST(delivered_at AS TIMESTAMP) AS delivered_at",
+        "CAST(returned_at AS TIMESTAMP) AS returned_at", "sale_price",
+    ).write.mode("overwrite").parquet(items_staging)
+
+    def rows(df):
+        # name-keyed compare: merge cycles may reorder columns (USING
+        # joins put keys first) — content, not position, is the contract
+        return sorted(sorted(r.asDict().items()) for r in df.collect())
+
+    before = rows(pipe.silver())
+    assert pipe.run_cycle() == ["2024-03-01"]  # late path re-releases i1
+    assert rows(pipe.silver()) == before  # no dup
+    daily = pipe.gold("order_kpis_daily").collect()
+    assert daily[0].total_revenue == pytest.approx(10.0)
+    assert daily[0].total_items_sold == 1
+    assert spark.read.parquet(items_staging).count() == 0  # drained
