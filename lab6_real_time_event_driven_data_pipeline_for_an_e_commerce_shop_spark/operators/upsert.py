@@ -105,6 +105,17 @@ def merge_parquet(
         writer.parquet(target_path)
         return
 
+    def _stable_order(target: DataFrame, merged: DataFrame) -> DataFrame:
+        """Keep the TABLE's column order across merge generations: the
+        anti-join below is a USING join, which moves the key columns
+        first — without this, the table's schema order would flap
+        between the initial write and every later merge. Source-only
+        columns (schema evolution) append after the existing ones."""
+        cols = [c for c in target.columns] + [
+            c for c in merged.columns if c not in target.columns
+        ]
+        return merged.select(cols)
+
     if partition_col:
         parts = enumerate_partitions(source, partition_col)
         target = spark.read.parquet(target_path)
@@ -125,14 +136,16 @@ def merge_parquet(
         # columns widens the table (old rows read the column as null),
         # and a source missing columns fills nulls (Delta's
         # mergeSchema semantics, reproduced on parquet)
-        merged = kept.unionByName(source, allowMissingColumns=True).repartition(partition_col)
+        merged = _stable_order(
+            target, kept.unionByName(source, allowMissingColumns=True)
+        ).repartition(partition_col)
         with _overwrite_conf(spark, "dynamic"):
             merged.write.mode("overwrite").partitionBy(partition_col).parquet(target_path)
         return
 
     target = spark.read.parquet(target_path)
     kept = target.join(source.select(keys), keys, "left_anti")
-    merged = kept.unionByName(source, allowMissingColumns=True)
+    merged = _stable_order(target, kept.unionByName(source, allowMissingColumns=True))
     # full rewrite via temp dir + 3-step swap: the window where neither
     # directory exists is eliminated (old data survives as __old until
     # the new directory is in place)

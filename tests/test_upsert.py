@@ -135,3 +135,40 @@ def test_enumerate_partitions_cap_and_backfill_merge(spark, target, monkeypatch)
     u.merge_parquet(spark, target, upd, ["order_id", "product_id"], partition_col="order_date")
     again = {r.order_id: r.sale_price for r in spark.read.parquet(target).collect()}
     assert again == got
+
+
+def test_merge_preserves_column_order_across_generations(spark, tmp_path):
+    """r5: the anti-join in merge_parquet is a USING join (keys first);
+    without normalization the table's schema order would flap between
+    the initial write and every later merge. Pin: column order is
+    stable across merges, with schema-evolution columns appended."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        upsert,
+    )
+
+    path = str(tmp_path / "t")
+    df1 = spark.createDataFrame([(1, "a", 1.0)], "k long, s string, v double")
+    upsert.merge(spark, path, df1, keys=["k"])
+    cols0 = spark.read.parquet(path).columns
+
+    df2 = spark.createDataFrame([(1, "a2", 2.0), (2, "b", 3.0)], "k long, s string, v double")
+    upsert.merge(spark, path, df2, keys=["k"])
+    assert spark.read.parquet(path).columns == cols0
+
+    # partitioned table too
+    ppath = str(tmp_path / "p")
+    pdf = spark.createDataFrame([(1, "a", "d1")], "k long, s string, d string")
+    upsert.merge(spark, ppath, pdf, keys=["k"], partition_col="d")
+    pcols0 = spark.read.parquet(ppath).columns
+    upsert.merge(
+        spark, ppath,
+        spark.createDataFrame([(2, "b", "d1")], "k long, s string, d string"),
+        keys=["k"], partition_col="d",
+    )
+    assert spark.read.parquet(ppath).columns == pcols0
+
+    # schema evolution: a NEW source column appends, old order kept
+    df3 = spark.createDataFrame([(3, "c", 4.0, "x")], "k long, s string, v double, extra string")
+    upsert.merge(spark, path, df3, keys=["k"])
+    got = spark.read.parquet(path).columns
+    assert got[: len(cols0)] == cols0 and got[len(cols0):] == ["extra"]
