@@ -1498,10 +1498,36 @@ def q37_stream_medallion_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("product_id").alias("_pid"),
     )
     # wave 1: even-product items only — mixed orders will release
-    # PARTIALLY this cycle, making their odd items genuine late data
+    # PARTIALLY this cycle, making their odd items genuine late data.
+    # Plus two POISON rows (r5): negative sale_price for an (order,
+    # product) pair not otherwise in the slice — the quarantine gate
+    # must drop them, and the failure mode is DETERMINISTICALLY
+    # visible: if they ever passed, the pair would enter silver at
+    # -999 and shift every gold total, failing the hash gate. The two
+    # .first() calls fetch single scalar values (bounded driver reads).
+    wave1 = li_csv.filter(F.col("_pid") % 2 == 0).drop("_pid")
+    o1_key = keys.agg(F.min("o_orderkey")).first()[0]
+    px = (
+        prod.join(
+            li.filter(F.col("order_id") == o1_key)
+            .select(F.col("product_id").alias("id")),
+            "id",
+            "left_anti",
+        )
+        .agg(F.max("id"))
+        .first()[0]
+    )
+    poison = spark.createDataFrame(
+        [
+            ("poison_1", str(o1_key), "u", str(px), "delivered",
+             "2024-03-01T10:00:00", None, None, None, -999.0),
+            ("poison_2", str(o1_key), "u", str(px), "delivered",
+             "2024-03-01T10:00:00", None, None, None, -999.0),
+        ],
+        wave1.schema,
+    )
     (
-        li_csv.filter(F.col("_pid") % 2 == 0)
-        .drop("_pid")
+        wave1.unionByName(poison)
         .coalesce(1)
         .write.option("header", True)
         .mode("overwrite")
