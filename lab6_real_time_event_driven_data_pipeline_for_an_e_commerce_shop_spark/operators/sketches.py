@@ -548,6 +548,7 @@ def cms_estimate(
     colliding value ever hashed there, so the true count is 0 and the
     min short-circuits via coalesce. Estimates are integers (exact
     cell sums), so ranking heavy hitters on them is deterministic."""
+    _reject_float_value_col(queries, value_col, "cms_estimate")
     cols = _cms_cols(F.col(value_col), width)
     q = queries.select(
         *group_cols,
@@ -587,7 +588,8 @@ def cms_oracle_sql(
         f"CAST(concat('0x', substr(md5(CAST({value_sql} AS VARCHAR)), 1, 12)) AS BIGINT)"
     )
     return f"""
-    cms_h AS (SELECT {h_expr} AS h FROM {source_sql}),
+    cms_h AS (SELECT {h_expr} AS h FROM {source_sql}
+              WHERE {value_sql} IS NOT NULL),
     cms_cells AS (
         SELECT d, ((h % {p}) * a + b) % {p} % {width} AS w,
                CAST(COUNT(*) AS BIGINT) AS cnt
@@ -596,7 +598,8 @@ def cms_oracle_sql(
     ),
     cms_q AS (
         SELECT v, d, ((h % {p}) * a + b) % {p} % {width} AS w
-        FROM (SELECT DISTINCT {value_sql} AS v, {h_expr} AS h FROM {source_sql})
+        FROM (SELECT DISTINCT {value_sql} AS v, {h_expr} AS h FROM {source_sql}
+              WHERE {value_sql} IS NOT NULL)
         CROSS JOIN (VALUES {coef}) AS coef(d, a, b)
     ),
     cms_est AS (

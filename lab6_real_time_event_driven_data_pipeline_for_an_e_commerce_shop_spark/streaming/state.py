@@ -98,7 +98,7 @@ SESSION_OUTPUT_SCHEMA = T.StructType(
 _SESSION_STATE_SCHEMA = "start_us long, last_us long, n long"
 
 
-def make_session_tracker(gap_us: int) -> StatefulProcessor:
+def make_session_tracker(gap_us: int, ts_col: str = "ts") -> StatefulProcessor:
     """Gap-based sessionization as a ``transformWithStateInPandas``
     processor — the Spark-4 arbitrary-state API the older
     ``applyInPandasWithState`` path (running_user_totals above) cannot
@@ -123,6 +123,7 @@ def make_session_tracker(gap_us: int) -> StatefulProcessor:
     gap_us = int(gap_us)
     gap_ms = gap_us // 1000
     state_schema = _SESSION_STATE_SCHEMA
+    ts_name = ts_col
 
     class _SessionTracker(StatefulProcessor):
         def init(self, handle) -> None:
@@ -143,8 +144,12 @@ def make_session_tracker(gap_us: int) -> StatefulProcessor:
             ts_us: list[int] = []
             for pdf in rows:
                 # pandas Timestamp.value is epoch ns regardless of unit
-                ts_us.extend(int(v.value) // 1000 for v in pd.to_datetime(pdf["ts"]))
+                ts_us.extend(
+                    int(v.value) // 1000 for v in pd.to_datetime(pdf[ts_name])
+                )
             ts_us.sort()  # event-time order within the batch
+            if not ts_us:  # empty delivery: state and timer unchanged
+                return
             st = self._sess.get() if self._sess.exists() else None
             closed = []
             for t in ts_us:
@@ -194,7 +199,7 @@ def tracked_sessions(
     timer per ACTIVE user, evicted at close; shuffles only on user_id."""
     ev = events.withWatermark(ts_col, watermark)
     return ev.groupBy("user_id").transformWithStateInPandas(
-        make_session_tracker(gap_minutes * 60 * 1_000_000),
+        make_session_tracker(gap_minutes * 60 * 1_000_000, ts_col=ts_col),
         outputStructType=SESSION_OUTPUT_SCHEMA,
         outputMode="append",
         timeMode="eventTime",
