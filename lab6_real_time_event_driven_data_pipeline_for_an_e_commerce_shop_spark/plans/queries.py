@@ -702,27 +702,38 @@ def q17_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(SUM(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
-                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+           CAST(MAX(ts_us - prev_us) AS BIGINT) AS longest_gap_us,
+           CAST(MAX(CASE WHEN prev_us IS NOT NULL
+                              AND ts_us - prev_us <= 1800000000
+                         THEN ts_us - prev_us END) AS BIGINT)
+               AS longest_intra_gap_us
     FROM seq GROUP BY user_id
     """,
 )
 def q18_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization with a 30-minute inactivity gap (session-window
-    class; streaming twin is ``session_window``/``applyInPandasWithState``
-    in streaming/pipeline.py). Lag + conditional sum, one shuffle on
-    user_id shared by the window and the final groupBy."""
+    class; streaming twins are ``session_window`` in streaming/windows
+    and the timer-closing transformWithState tracker in streaming/
+    state). Lag + conditional sum, one shuffle on user_id shared by the
+    window and the final groupBy. r5 depth: longest inter-event gap
+    overall AND within-session (both exact integer µs — NULL for
+    single-event users / users with no intra-session successor)."""
     ev = _events_us(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     gap_us = 30 * 60 * 1_000_000
+    delta = F.col("ts_us") - F.col("prev_us")
     sess = ev.withColumn("prev_us", F.lag("ts_us").over(w)).withColumn(
         "is_new",
-        F.when(
-            F.col("prev_us").isNull() | (F.col("ts_us") - F.col("prev_us") > gap_us), 1
-        ).otherwise(0),
+        F.when(F.col("prev_us").isNull() | (delta > gap_us), 1).otherwise(0),
     )
     return sess.groupBy("user_id").agg(
         F.count("*").alias("n_events"),
         F.sum("is_new").cast("long").alias("n_sessions"),
+        F.max(delta).cast("long").alias("longest_gap_us"),
+        F.max(
+            F.when(F.col("prev_us").isNotNull() & (delta <= gap_us), delta)
+        ).cast("long").alias("longest_intra_gap_us"),
     )
 
 
