@@ -436,7 +436,10 @@ def bottom_k_sample(
     sub = df.select(*group_cols, F.col(value_col).alias("_v")).distinct().withColumn(
         "_h", portable_hash(F.col("_v").cast("string"))
     )
-    w = Window.partitionBy(*group_cols).orderBy("_h")
+    # value tie-break: two DISTINCT values can (rarely) share a 48-bit
+    # hash; rank on (hash, value) so the bottom-k is deterministic and
+    # oracle-reproducible even through a collision
+    w = Window.partitionBy(*group_cols).orderBy("_h", "_v")
     return (
         sub.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)

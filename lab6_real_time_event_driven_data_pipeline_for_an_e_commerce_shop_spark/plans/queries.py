@@ -1884,23 +1884,65 @@ def q45_asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> Dat
 @query(
     "q46_price_percentiles",
     """
-    SELECT l_returnflag,
-           quantile_cont(l_extendedprice, 0.25) AS p25,
-           quantile_cont(l_extendedprice, 0.50) AS p50,
-           quantile_cont(l_extendedprice, 0.75) AS p75
-    FROM lineitem GROUP BY l_returnflag
+    WITH exact AS (
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.25) AS p25,
+               quantile_cont(l_extendedprice, 0.50) AS p50,
+               quantile_cont(l_extendedprice, 0.75) AS p75
+        FROM lineitem GROUP BY l_returnflag
+    ),
+    c AS (SELECT DISTINCT l_returnflag,
+                 CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+          FROM lineitem),
+    h AS (SELECT l_returnflag, v,
+                 CAST(concat('0x', substr(md5(CAST(v AS VARCHAR)), 1, 12)) AS BIGINT) AS hh
+          FROM c),
+    samp AS (SELECT l_returnflag, v FROM h
+             QUALIFY row_number() OVER (PARTITION BY l_returnflag ORDER BY hh, v) <= 256),
+    est AS (
+        SELECT l_returnflag, v AS p50_est_cents
+        FROM (SELECT l_returnflag, v,
+                     row_number() OVER (PARTITION BY l_returnflag ORDER BY v) AS rn,
+                     COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+              FROM samp)
+        WHERE rn = GREATEST(1, CAST(ceil(n * 0.5) AS INT))
+    )
+    SELECT exact.l_returnflag, exact.p25, exact.p50, exact.p75,
+           est.p50_est_cents
+    FROM exact JOIN est USING (l_returnflag)
     """,
 )
 def q46_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact linear-interpolation percentiles per group (sort-based
     within groups; the approx variant for streaming is
-    percentile_approx). Oracle: DuckDB quantile_cont."""
+    percentile_approx). Oracle: DuckDB quantile_cont.
+
+    r5 depth: ``p50_est_cents`` — the MERGEABLE median estimate from
+    the bottom-k value sample (operators/sketches.bottom_k_sample,
+    k=256) on integer cents (the round(x*100) integerization the float
+    rules require; the sketch rejects raw doubles). Unlike
+    percentile(), the sample is a constant-size mergeable state usable
+    across batches/streams, and the estimate is BIT-IDENTICAL in the
+    oracle (portable md5 hash order + rank selection on integers) —
+    the bottom-k sketch's gated showcase."""
+    from ..operators import sketches
+
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    exact = li.groupBy("l_returnflag").agg(
         F.expr("percentile(l_extendedprice, 0.25)").alias("p25"),
         F.expr("percentile(l_extendedprice, 0.50)").alias("p50"),
         F.expr("percentile(l_extendedprice, 0.75)").alias("p75"),
     )
+    cents = li.select(
+        "l_returnflag",
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("v"),
+    )
+    samp = sketches.bottom_k_sample(cents, ["l_returnflag"], "v", k=256)
+    est = samp.select(
+        "l_returnflag",
+        sketches.sample_quantile(F.col("sample_values"), 0.5).alias("p50_est_cents"),
+    )
+    return exact.join(F.broadcast(est), "l_returnflag")
 
 
 # ---------------------------------------------------------------------------
