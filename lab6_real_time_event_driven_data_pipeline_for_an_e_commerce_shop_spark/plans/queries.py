@@ -1316,18 +1316,53 @@ def _q35_oracle() -> str:
         width=256,
         estimate_col="cms_orders",
     )
+    # KMV (k=64) per-date distinct customers, bit-identical to
+    # kmv_sketch: bottom-64 of the 48-bit md5 hashes; exact count when
+    # fewer than k distinct; else (k−1)·2^48 / h_k — the constant is
+    # 63·2^48, a 6-bit-mantissa double, expressed as an exact product
+    # of two representable doubles (a bare 17-digit literal would
+    # parse as DECIMAL in DuckDB and double-round)
+    kmv = """
+    kmv_h AS (
+        SELECT DISTINCT CAST(o_orderdate AS DATE) AS order_date,
+               CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)), 1, 12)) AS BIGINT) AS h
+        FROM orders
+    ),
+    kmv_bot AS (
+        SELECT order_date, h,
+               row_number() OVER (PARTITION BY order_date ORDER BY h) AS rn
+        FROM kmv_h QUALIFY rn <= 64
+    ),
+    kmv_est AS (
+        SELECT order_date,
+               CASE WHEN MAX(rn) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+                    ELSE (63e0 * 281474976710656e0)
+                         / CAST(MAX(CASE WHEN rn = 64 THEN h END) AS DOUBLE)
+               END AS kmv_customers
+        FROM kmv_bot GROUP BY order_date
+    )"""
     return f"""
     WITH hll AS ({hll}),
-    {cms}
+    {cms},
+    {kmv}
     SELECT hll.order_date, hll.approx_customers, hll.n_zero_registers,
-           cms_est.cms_orders
-    FROM hll JOIN cms_est ON hll.order_date = cms_est.v
+           cms_est.cms_orders, kmv_est.kmv_customers
+    FROM hll
+    JOIN cms_est ON hll.order_date = cms_est.v
+    JOIN kmv_est ON hll.order_date = kmv_est.order_date
     """
 
 
 def q35_approx_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PORTABLE sketch showcase, both families oracle-verified
-    value-for-value:
+    """PORTABLE sketch showcase — three families in one slot, all
+    oracle-verified value-for-value:
+
+    - KMV (r5, k=64) — per-date distinct customers again, by the
+      OTHER estimator family (bottom-k order statistics): exact when
+      < k distinct, else (k−1)·2^48 / h_k — one int→double division of
+      exact inputs, bit-identical cross-engine. Two independent
+      estimators of the same quantity under one hash gate double-check
+      each other's portability.
 
     - HyperLogLog (operators/sketches.portable_hll, p=8 with
       linear-counting small-range correction) — per-date approximate
@@ -1359,7 +1394,17 @@ def q35_approx_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         cells, dates.distinct(), [], "order_date", width=256,
         estimate_col="cms_orders",
     )
-    return hll.join(F.broadcast(est), "order_date")
+    kmv = sketches.kmv_sketch(
+        orders.select(F.to_date("o_orderdate").alias("order_date"), "o_custkey"),
+        group_cols=["order_date"],
+        value_col="o_custkey",
+        k=64,
+        estimate_col="kmv_customers",
+    ).select("order_date", "kmv_customers")  # the hash ARRAY stays out
+    # of the gated output (the driver comparator can't sort arrays)
+    return hll.join(F.broadcast(est), "order_date").join(
+        F.broadcast(kmv), "order_date"
+    )
 
 
 _REGISTRY["q35_approx_distinct_daily"] = Query(
