@@ -86,12 +86,43 @@ def write_zordered(
     )
 
 
+def _stat_to_float(v) -> float:
+    """Coerce a parquet footer statistic to a comparable float by
+    physical type (r6 ADVICE fix): datetimes → epoch seconds, dates →
+    ordinal days, Decimal → float, bool → 0/1. Strings/bytes have no
+    meaningful numeric span — rejected explicitly rather than silently
+    mis-ranked by float() of a repr."""
+    import datetime as _dt
+    import decimal as _dec
+
+    if isinstance(v, bool):
+        return float(v)
+    if isinstance(v, (int, float)):
+        return float(v)
+    if isinstance(v, _dt.datetime):
+        return v.timestamp() if v.tzinfo else v.replace(
+            tzinfo=_dt.timezone.utc
+        ).timestamp()
+    if isinstance(v, _dt.date):
+        return float(v.toordinal())
+    if isinstance(v, _dec.Decimal):
+        return float(v)
+    raise TypeError(
+        f"file_span_profile: non-numeric footer statistic {type(v).__name__}"
+        " — span is only meaningful for numeric/temporal/decimal columns"
+    )
+
+
 def file_span_profile(path: str, cols: list[str]) -> dict[str, float]:
     """Layout quality metric from parquet FOOTERS only (no data read):
     for each column, the mean over files of (file max − file min) /
     (global max − global min) — 1.0 ≈ every file spans the whole
     domain (no pruning possible), → 0 ≈ perfectly clustered. The
-    pruning win of a predicate on that column is ~1/span."""
+    pruning win of a predicate on that column is ~1/span.
+
+    Accepts numeric, temporal (date/timestamp, matching zorder_key's
+    domain), and decimal columns; raises TypeError for string/binary
+    stats rather than mis-ranking byte-string mins."""
     import glob
     import os
 
@@ -107,9 +138,23 @@ def file_span_profile(path: str, cols: list[str]) -> dict[str, float]:
             for i in range(g.num_columns):
                 col = g.column(i)
                 name = col.path_in_schema
-                if name in spans and col.statistics is not None:
+                if name not in spans:
+                    continue
+                try:
                     st = col.statistics
-                    lo, hi = float(st.min), float(st.max)
+                    raw = None if st is None else (st.min, st.max)
+                except TypeError:
+                    raise
+                except Exception as e:  # pyarrow can't decode some
+                    # logical types' stats (e.g. DECIMAL min/max) —
+                    # name the column instead of leaking an Arrow
+                    # internal
+                    raise TypeError(
+                        f"file_span_profile: unreadable footer "
+                        f"statistics for column {name!r}: {e}"
+                    ) from e
+                if raw is not None:
+                    lo, hi = _stat_to_float(raw[0]), _stat_to_float(raw[1])
                     cur = per_col.get(name)
                     per_col[name] = (
                         (min(cur[0], lo), max(cur[1], hi)) if cur else (lo, hi)

@@ -157,6 +157,45 @@ def merge_parquet(
     shutil.rmtree(old)
 
 
+def replace_where(
+    spark: SparkSession, target_path: str, source: DataFrame, condition: str
+) -> None:
+    """Delta-style ``replaceWhere`` (INSERT OVERWRITE ... WHERE):
+    atomically replace EXACTLY the target rows matching the SQL
+    ``condition`` with the source rows — a delete-then-insert of the
+    predicate's row range, not a keyed upsert. Unlike :func:`merge`,
+    stale rows inside the range that the source no longer produces are
+    DELETED (the semantics a replayed-with-different-contents batch
+    needs; r6 ADVICE fix for the streaming CMS store).
+
+    Delta path uses the engine's own replaceWhere option; the parquet
+    fallback anti-filters the range and swaps atomically (3-step
+    rename, same crash contract as merge_parquet)."""
+    if delta_available():
+        (
+            source.write.format("delta")
+            .mode("overwrite")
+            .option("replaceWhere", condition)
+            .save(target_path)
+        )
+        return
+    if not os.path.exists(target_path):
+        source.write.mode("overwrite").parquet(target_path)
+        return
+    target = spark.read.parquet(target_path)
+    kept = target.filter(f"NOT ({condition})")
+    cols = list(target.columns) + [
+        c for c in source.columns if c not in target.columns
+    ]
+    merged = kept.unionByName(source, allowMissingColumns=True).select(cols)
+    tmp = f"{target_path}__tmp_{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(tmp)
+    old = f"{target_path}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(target_path, old)
+    os.rename(tmp, target_path)
+    shutil.rmtree(old)
+
+
 class _overwrite_conf:
     def __init__(self, spark: SparkSession, mode: str):
         self.spark, self.mode = spark, mode

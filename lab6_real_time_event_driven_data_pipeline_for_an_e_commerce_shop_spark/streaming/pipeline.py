@@ -192,18 +192,30 @@ class MedallionPipeline:
             )
             # MUST be fully materialized BEFORE the silver merge below:
             # this frame reads the silver parquet, which merge() swaps
-            # out from under any lazy re-evaluation. MEMORY_AND_DISK
-            # spills instead of evicting-and-recomputing from the
-            # replaced files.
-            from pyspark.storagelevel import StorageLevel
+            # out from under any lazy re-evaluation. A cache/persist is
+            # NOT enough on a real cluster (executor loss recomputes the
+            # lineage against the already-swapped directory), so write
+            # to a temp parquet and re-read: the frame's provenance is
+            # then the temp files, immune to the swap (r6 ADVICE fix).
+            late_tmp = self._path("staging", "_late_release__tmp")
+            late.write.mode("overwrite").parquet(late_tmp)
+            # an empty result may leave a part-file-less directory —
+            # glob before read instead of leaning on reader tolerance
+            import glob as _glob
 
-            late = late.persist(StorageLevel.MEMORY_AND_DISK)
-            if late.count() > 0:
+            has_files = bool(
+                _glob.glob(os.path.join(late_tmp, "*.parquet"))
+                or _glob.glob(os.path.join(late_tmp, "part-*"))
+            )
+            late = self.spark.read.parquet(late_tmp) if has_files else None
+            if late is not None and late.count() > 0:
                 late_enriched = late.drop("_item_id")
                 late_ids = late.select(F.col("_item_id").alias("id")).distinct()
             else:
-                late.unpersist()
+                import shutil
+
                 late = None
+                shutil.rmtree(late_tmp, ignore_errors=True)
 
         if not has_complete and late_enriched is None:
             complete.unpersist()
@@ -258,7 +270,11 @@ class MedallionPipeline:
             self._swap(self._path("staging", table))
         complete.unpersist()
         if late is not None:
-            late.unpersist()
+            # every consumer of the temp-materialized late frame has run
+            # its action (silver merge + staging rewrites) — safe to drop
+            import shutil
+
+            shutil.rmtree(late_tmp, ignore_errors=True)
         return dates
 
     def _swap(self, path: str) -> None:

@@ -93,16 +93,25 @@ def merge_cms_cells(
     """Fold one micro-batch's CMS cells into a persisted store,
     EXACTLY-ONCE under replays despite SUM-merged state: unlike HLL's
     idempotent MAX, summing a replayed batch twice would double-count —
-    so cells are keyed by ``(_cms_batch, group..., d, w)`` and a replay
-    of the same batch_id REPLACES its own rows via the idempotent
-    keyed MERGE (the same contract the medallion gold tables use).
-    The batch contribution is ≤ groups × depth × width rows; rows of
-    other batches are never rewritten."""
+    so cells are tagged with ``_cms_batch`` and a replay of the same
+    batch_id REPLACES ITS ENTIRE ROW RANGE via ``upsert.replace_where``
+    (delete-then-insert, r6 ADVICE fix): a batch replayed with
+    DIFFERENT contents leaves no stale cells from the prior attempt —
+    the store always holds exactly the latest delivery of each batch.
+    Rows of other batches are never touched; the batch contribution is
+    ≤ groups × depth × width rows.
+
+    Replay window caveat (see :func:`compact_cms_store`): once a batch
+    has been folded into the compacted ``_cms_batch = -1`` generation,
+    a re-delivery of that batch_id re-adds its rows on top of the
+    compaction — only compact batches whose replay window has passed."""
     from pyspark.sql import functions as F
 
     cells = sketches.cms_sketch(batch_df, group_cols, value_col, width=width)
     source = cells.withColumn("_cms_batch", F.lit(int(batch_id)).cast("long"))
-    upsert.merge(spark, store_path, source, keys=group_cols + CMS_CELL_KEYS)
+    upsert.replace_where(
+        spark, store_path, source, f"_cms_batch = {int(batch_id)}"
+    )
 
 
 def read_cms_cells(

@@ -115,6 +115,18 @@ def make_session_tracker(gap_us: int, ts_col: str = "ts") -> StatefulProcessor:
     at expiry, since timer delete-then-register is not transactional
     across batches).
 
+    Cross-batch disorder (r6, ADVICE fix): events may arrive OLDER than
+    the carried session's ``last_us`` (legal while the watermark lags
+    the gap). The fold therefore treats the carried state as an
+    *interval atom* and merges the batch's sorted event atoms
+    interval-wise — membership is decided against the NEAREST session
+    boundary (within ``gap`` of either ``start_us`` or ``last_us``),
+    and merging takes ``min(start)`` / ``max(last)``, so state is
+    monotone: ``last_us`` never moves backwards, the timer horizon only
+    grows, and ``start_us <= last_us`` always. An event more than
+    ``gap`` older than the session's start forms its own earlier
+    session and emits closed immediately.
+
     The class is defined INSIDE this factory on purpose: cloudpickle
     then serializes it BY VALUE, so the transformWithState driver
     worker (a separate Python process that does not share the
@@ -147,19 +159,26 @@ def make_session_tracker(gap_us: int, ts_col: str = "ts") -> StatefulProcessor:
                 ts_us.extend(
                     int(v.value) // 1000 for v in pd.to_datetime(pdf[ts_name])
                 )
-            ts_us.sort()  # event-time order within the batch
             if not ts_us:  # empty delivery: state and timer unchanged
                 return
-            st = self._sess.get() if self._sess.exists() else None
-            closed = []
-            for t in ts_us:
-                if st is None:
-                    st = (t, t, 1)
-                elif t - st[1] > gap_us:
-                    closed.append(st)
-                    st = (t, t, 1)
+            # Interval-merge fold: each event is a (t, t, 1) atom; the
+            # carried state is an (start, last, n) atom. Sorting by
+            # start and merging adjacent atoms whose boundary gap is
+            # <= gap_us handles cross-batch out-of-order events against
+            # the nearest session boundary (no backward state moves).
+            atoms = [(t, t, 1) for t in ts_us]
+            if self._sess.exists():
+                atoms.append(tuple(self._sess.get()))
+            atoms.sort()
+            merged = [atoms[0]]
+            for a in atoms[1:]:
+                cur = merged[-1]
+                if a[0] - cur[1] <= gap_us:
+                    merged[-1] = (cur[0], max(cur[1], a[1]), cur[2] + a[2])
                 else:
-                    st = (st[0], t, st[2] + 1)
+                    merged.append(a)
+            st = merged[-1]
+            closed = merged[:-1]
             self._sess.update(st)
             # single live timer per key at last_seen + gap
             for old in self._handle.listTimers():

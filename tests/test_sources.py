@@ -178,3 +178,54 @@ def test_zorder_write_clusters_both_dimensions(spark, tmp_path, sf_dir):
     back = spark.read.parquet(zpath)
     assert back.count() == ev.count()
     assert back.agg(F.sum("user_id")).collect()[0][0] == ev.agg(F.sum("user_id")).collect()[0][0]
+
+
+def test_file_span_profile_temporal_and_decimal_stats(spark, tmp_path):
+    """r6 ADVICE fix: file_span_profile coerces non-float footer stats
+    per physical type — timestamp/date/decimal columns (the domain
+    zorder_key itself supports) profile correctly instead of raising,
+    and string columns raise an explicit TypeError rather than being
+    silently mis-ranked."""
+    import pytest as _pytest
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        layout,
+    )
+
+    df = spark.sql(
+        """
+        SELECT id,
+               timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id*60) AS ts,
+               date_add(date'2024-01-01', CAST(id AS INT)) AS d,
+               CAST(id AS DECIMAL(10,2)) AS dec,
+               CAST(id AS STRING) AS s
+        FROM range(0, 1000)
+        """
+    )
+    path = str(tmp_path / "temporal")
+    # INT96 timestamps have no pyarrow-readable stats; write the modern
+    # physical type (testdata is already timestamp[us])
+    old_tt = spark.conf.get("spark.sql.parquet.outputTimestampType", None)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try:
+        (
+            df.repartitionByRange(8, "id")
+            .sortWithinPartitions("id")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    finally:
+        if old_tt is not None:
+            spark.conf.set("spark.sql.parquet.outputTimestampType", old_tt)
+    span = layout.file_span_profile(path, ["ts", "d"])
+    # range-partitioned on id => every correlated column clusters tightly
+    for c in ("ts", "d"):
+        assert 0.0 < span[c] < 0.3, (c, span[c])
+    # string stats ARE readable but have no numeric span — explicit reject
+    with _pytest.raises(TypeError, match="non-numeric"):
+        layout.file_span_profile(path, ["s"])
+    # this pyarrow can't extract DECIMAL stats at all — named error, not
+    # a leaked Arrow internal (the _stat_to_float Decimal branch stands
+    # ready for pyarrow versions that can)
+    with _pytest.raises(TypeError, match="unreadable footer"):
+        layout.file_span_profile(path, ["dec"])

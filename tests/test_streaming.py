@@ -744,6 +744,92 @@ def test_session_tracker_fold_logic():
     assert h.state.v is None
 
 
+def test_session_tracker_cross_batch_out_of_order():
+    """r6 ADVICE fix: events arriving in a LATER batch but OLDER than
+    the carried session's last_us (legal while watermark > gap) must
+    never move state backwards. Membership is decided against the
+    NEAREST session boundary; merging takes min(start)/max(last)."""
+    import pandas as pd
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.state import (
+        make_session_tracker,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.v = None
+        def exists(self):
+            return self.v is not None
+        def get(self):
+            return self.v
+        def update(self, nv):
+            self.v = tuple(nv)
+        def clear(self):
+            self.v = None
+
+    class FakeHandle:
+        def __init__(self):
+            self.state = FakeState()
+            self.timers = []
+        def getValueState(self, name, schema):
+            return self.state
+        def listTimers(self):
+            return list(self.timers)
+        def deleteTimer(self, t):
+            self.timers.remove(t)
+        def registerTimer(self, t):
+            self.timers.append(t)
+
+    proc = make_session_tracker(30 * 60 * 1_000_000)  # 30-min gap
+    h = FakeHandle()
+    proc.init(h)
+    base = dt.datetime(2024, 1, 1)
+    B_US = pd.Timestamp(base).value // 1000
+    B_MS = B_US // 1000
+    MIN_US, MIN_MS = 60 * 1_000_000, 60_000
+
+    def pdf(minutes_list):
+        return pd.DataFrame({"ts": [base + dt.timedelta(minutes=m) for m in minutes_list]})
+
+    # batch 1: session spans [40, 60]
+    assert list(proc.handleInputRows((7,), iter([pdf([40, 60])]), None)) == []
+    assert h.state.v == (B_US + 40 * MIN_US, B_US + 60 * MIN_US, 2)
+
+    # batch 2: late event at 50 (INSIDE the session) — folds in place;
+    # last_us must NOT shrink to 50 and the timer must stay at 60+gap
+    assert list(proc.handleInputRows((7,), iter([pdf([50])]), None)) == []
+    assert h.state.v == (B_US + 40 * MIN_US, B_US + 60 * MIN_US, 3)
+    assert h.timers == [B_MS + 90 * MIN_MS]
+
+    # batch 3: late event at 25 — within gap of the START boundary
+    # (40-25=15 <= 30) — extends the session backwards
+    assert list(proc.handleInputRows((7,), iter([pdf([25])]), None)) == []
+    assert h.state.v == (B_US + 25 * MIN_US, B_US + 60 * MIN_US, 4)
+    assert h.timers == [B_MS + 90 * MIN_MS]  # horizon unchanged
+
+    # batch 4: very-late stray at -60 (more than gap before start) —
+    # forms its own EARLIER session, emitted closed; state untouched
+    out = list(proc.handleInputRows((7,), iter([pdf([-60])]), None))
+    assert len(out) == 1
+    assert out[0].iloc[0].session_start_us == B_US - 60 * MIN_US
+    assert out[0].iloc[0].session_end_us == B_US - 60 * MIN_US
+    assert out[0].iloc[0].n_events == 1
+    assert h.state.v == (B_US + 25 * MIN_US, B_US + 60 * MIN_US, 4)
+    # start_us <= end_us invariant held everywhere
+    assert h.state.v[0] <= h.state.v[1]
+
+    # batch 5: mixed disorder — a bridging late event (70) plus a new
+    # session opener (120): bridge folds (70-60<=30), opener closes the
+    # merged session inline
+    out = list(proc.handleInputRows((7,), iter([pdf([120, 70])]), None))
+    assert len(out) == 1
+    assert out[0].iloc[0].session_start_us == B_US + 25 * MIN_US
+    assert out[0].iloc[0].session_end_us == B_US + 70 * MIN_US
+    assert out[0].iloc[0].n_events == 5
+    assert h.state.v == (B_US + 120 * MIN_US, B_US + 120 * MIN_US, 1)
+    assert h.timers == [B_MS + 150 * MIN_MS]
+
+
 def test_transform_with_state_session_tracker(spark, tmp_path):
     """transformWithStateInPandas sessionization (r5): gap-exceeded
     sessions close INLINE within a batch; idle trailing sessions close

@@ -104,3 +104,57 @@ def test_streamed_cms_equals_batch_replay_safe_and_compact(spark, tmp_path):
     full = sorted(map(tuple, sketches.cms_sketch(
         _batch(spark, 0, 25_000), ["g"], "v", width=W).collect()))
     assert sorted(map(tuple, ssk.read_cms_cells(spark, store, ["g"]).collect())) == full
+
+
+def test_replayed_batch_with_different_contents_leaves_no_stale_cells(
+    spark, tmp_path
+):
+    """r6 ADVICE fix: a batch re-delivered with DIFFERENT contents (e.g.
+    an upstream fix re-emitted the batch) must fully replace its prior
+    row range — delete-then-insert via upsert.replace_where, not a
+    keyed upsert that leaves orphan cells from the first attempt."""
+    W = 64
+    store = str(tmp_path / "cms_store")
+    ssk.merge_cms_cells(spark, store, _batch(spark, 0, 3_000), ["g"], "v",
+                        batch_id=0, width=W)
+    # first attempt of batch 1: wide slice touching many cells
+    ssk.merge_cms_cells(spark, store, _batch(spark, 3_000, 9_000), ["g"], "v",
+                        batch_id=1, width=W)
+    # re-delivery of batch 1 with a SMALLER corrected payload: the cells
+    # only the first attempt touched must disappear
+    ssk.merge_cms_cells(spark, store, _batch(spark, 3_000, 3_100), ["g"], "v",
+                        batch_id=1, width=W)
+
+    want = sorted(map(tuple, sketches.cms_sketch(
+        spark.range(0, 3_000).union(spark.range(3_000, 3_100)).select(
+            (F.col("id") % 7).cast("string").alias("g"),
+            (F.col("id") % 4_000).alias("v"),
+        ),
+        ["g"], "v", width=W).collect()))
+    got = sorted(map(tuple, ssk.read_cms_cells(spark, store, ["g"]).collect()))
+    assert got == want  # cell-for-cell equal to the corrected history
+
+
+def test_replace_where_range_swap(spark, tmp_path):
+    """upsert.replace_where: Delta-style INSERT OVERWRITE WHERE on a
+    parquet table — rows matching the predicate are replaced wholesale
+    (stale rows deleted), rows outside it are untouched, and column
+    order is stable across generations."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        upsert,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a", 10), (1, "b", 20), (2, "c", 30)], "part int, k string, v int"
+    )
+    upsert.replace_where(spark, path, df, "part = 1")  # initial write
+    # replace part=1 with a single different row; (1,'b') must vanish
+    repl = spark.createDataFrame([(1, "z", 99)], "part int, k string, v int")
+    upsert.replace_where(spark, path, repl, "part = 1")
+    rows = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert rows == [(1, "z", 99), (2, "c", 30)]
+    assert spark.read.parquet(path).columns == ["part", "k", "v"]
+    # idempotent: same call again -> byte-identical contents
+    upsert.replace_where(spark, path, repl, "part = 1")
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == rows
