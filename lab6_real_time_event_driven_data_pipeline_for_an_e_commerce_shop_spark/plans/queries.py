@@ -1853,38 +1853,103 @@ def q43_serving_order_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q44_forecast_revenue_change",
+    "q44_overlapping_order_windows",
     """
-    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS potential_revenue
-    FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
-      AND l_discount BETWEEN 0.02 AND 0.09
-      AND l_quantity < 24
+    WITH agg AS (
+        SELECT o.o_custkey AS user_id, o.o_orderkey AS order_id,
+               date_diff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE)) AS order_day,
+               MIN(date_diff('day', DATE '1970-01-01', CAST(l.l_shipdate AS DATE))) AS min_ship,
+               MAX(date_diff('day', DATE '1970-01-01', CAST(l.l_shipdate AS DATE))) AS max_ship
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY 1, 2, 3
+    ),
+    iv AS (
+        SELECT user_id, order_id,
+               LEAST(order_day, min_ship) AS start_day,
+               GREATEST(order_day, max_ship) + 1 AS end_day
+        FROM agg
+    )
+    SELECT a.user_id,
+           a.order_id AS order_a,
+           b.order_id AS order_b,
+           CAST(LEAST(a.end_day, b.end_day) - GREATEST(a.start_day, b.start_day)
+                AS BIGINT) AS overlap_days
+    FROM iv a JOIN iv b
+      ON a.user_id = b.user_id AND a.order_id < b.order_id
+     AND a.start_day < b.end_day AND b.start_day < a.end_day
     """,
 )
-def q44_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q6-class: pure filter + ungrouped aggregate. Every
-    predicate pushes to the parquet scan; the aggregate is a map-side
-    partial + single-row final."""
+def q44_overlapping_order_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-OVERLAP self-join under the gate (r6 slot swap — the
+    Q6-class filter-agg this slot used to hold is operator-covered by
+    q01's pushdown pin): per-customer pairs of 1995-96 orders whose
+    fulfillment windows intersect, with the exact integer-day overlap
+    length. The window is [least(order, first ship), greatest(order,
+    last ship) + 1d) — least/greatest because this corpus's synthetic
+    shipdates are uncorrelated with order dates, so a naive
+    [orderdate, last ship + 1) is DEGENERATE (end ≤ start) for ~20% of
+    orders, which overlap_join correctly treats as empty while a raw
+    inequality would still match. The oracle is the naive inequality
+    self-join; the Spark plan is operators/rangejoin.overlap_join —
+    fixed-width bucket explode → equi-join on (user_id, bucket) with
+    the exact overlap predicate and first-shared-bucket dedup as
+    residuals — O(matches + span/width), never a per-key nested loop
+    (plan-pinned: no CartesianProduct/BNLJ). Day coordinates are pure
+    integers (datediff from epoch), timezone-proof on NTZ data."""
+    from ..operators import rangejoin
+
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+    )
     li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.filter(
-            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
-            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
-            & (F.col("l_discount") >= 0.02)
-            & (F.col("l_discount") <= 0.09)
-            & (F.col("l_quantity") < 24)
+    epoch = F.lit("1970-01-01").cast("date")
+    ship_day = F.datediff(F.to_date("l_shipdate"), epoch)
+    agg = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderkey").alias("order_id"),
+            F.datediff(F.to_date("o_orderdate"), epoch).alias("order_day"),
         )
         .agg(
-            F.sum(
-                F.col("l_extendedprice").cast("decimal(12,2)")
-                * F.col("l_discount").cast("decimal(4,2)")
-            )
-            .cast("double")
-            .alias("potential_revenue")
+            F.min(ship_day).alias("min_ship"),
+            F.max(ship_day).alias("max_ship"),
         )
+    )
+    iv = agg.select(
+        "user_id",
+        "order_id",
+        F.least("order_day", "min_ship").cast("long").alias("start_day"),
+        (F.greatest("order_day", "max_ship") + 1).cast("long").alias("end_day"),
+    )
+    right = iv.select(
+        F.col("user_id"),
+        F.col("order_id").alias("order_b"),
+        F.col("start_day").alias("r_start"),
+        F.col("end_day").alias("r_end"),
+    )
+    # bucket_width ~ typical interval length (this corpus: ~710 days
+    # mean) -> each interval explodes into ~2 buckets
+    pairs = rangejoin.overlap_join(
+        iv,
+        right,
+        key="user_id",
+        left_start="start_day",
+        left_end="end_day",
+        right_start="r_start",
+        right_end="r_end",
+        bucket_width=512,
+    ).filter(F.col("order_id") < F.col("order_b"))
+    return pairs.select(
+        "user_id",
+        F.col("order_id").alias("order_a"),
+        "order_b",
+        (F.least("end_day", "r_end") - F.greatest("start_day", "r_start"))
+        .cast("long")
+        .alias("overlap_days"),
     )
 
 
@@ -2152,44 +2217,49 @@ def q50_sql_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q51 — funnel conversion (as-of join → aggregate)
+# q51 — salted hot-key join (static skew mitigation under the gate)
 # ---------------------------------------------------------------------------
 
 
 @query(
-    "q51_click_to_purchase_conversion",
-    """
-    WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events),
-    p AS (SELECT * FROM e WHERE event_type = 'purchase'),
-    c AS (SELECT * FROM e WHERE event_type = 'click'),
-    j AS (
-        SELECT p.event_id, p.ts_us, c.ts_us AS click_us
-        FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
-    )
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_purchases,
-           CAST(COUNT(*) FILTER (WHERE ts_us - click_us <= 3600000000) AS BIGINT)
-               AS n_converted,
-           CAST(COUNT(*) FILTER (WHERE ts_us - click_us <= 3600000000) AS DOUBLE)
-               / COUNT(*) AS conversion_rate
-    FROM j
+    "q51_salted_event_type_stats",
+    f"""
+    WITH dim AS (SELECT DISTINCT event_type, upper(event_type) AS type_label FROM events)
+    SELECT d.type_label,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+           {_dsum('e.value')} AS total_value
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    GROUP BY d.type_label
     """,
 )
-def q51_click_to_purchase_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Funnel metric: share of purchases preceded by a click within 1h
-    by the same user — the as-of join feeding an aggregate (the common
-    attribution-pipeline shape)."""
-    from ..operators.asof import asof_join
+def q51_salted_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted hot-key join under the gate (r6 slot swap; the asof →
+    aggregate funnel this slot used to hold keeps its operator coverage
+    through q45's asof pin): events fact ⋈ a 5-row event_type dimension
+    — the worst-case skew shape (every fact row carries one of ~5 join
+    keys, so an unsalted shuffle join lands each key on ONE reducer).
+    operators/skew.salted_join routes by (key, salt-from-row-identity)
+    and explodes the dim n_salts×, spreading each hot key over 8
+    reducers; results are salt-invariant, which is exactly what the
+    oracle (the plain join) certifies. shuffle_hash hint keeps the join
+    a real shuffle join — broadcasting a 5-row dim would be the right
+    PLAN but would showcase nothing (broadcast joins have no reducer
+    skew to mitigate; plan-pinned: salt explode + no broadcast)."""
+    from ..operators import skew
 
-    ev = _events_us(spark, sf_dir).select("event_id", "user_id", "ts_us", "event_type")
-    purchases = ev.filter(F.col("event_type") == "purchase").drop("event_type")
-    clicks = ev.filter(F.col("event_type") == "click").drop("event_type")
-    j = asof_join(purchases, clicks, on="user_id", left_ts="ts_us", right_ts="ts_us",
-                  right_value_cols=[], right_order_col="event_id")
-    converted = F.when(F.col("ts_us") - F.col("asof_ts") <= 3_600_000_000, 1).otherwise(0)
-    return j.agg(
-        F.count("*").alias("n_purchases"),
-        F.sum(converted).cast("long").alias("n_converted"),
-        (F.sum(converted).cast("double") / F.count("*")).alias("conversion_rate"),
+    ev = _events_us(spark, sf_dir).select("user_id", "event_type", "value")
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn("type_label", F.upper("event_type"))
+        .hint("shuffle_hash")
+    )
+    joined = skew.salted_join(ev, dim, key="event_type", n_salts=8)
+    return joined.groupBy("type_label").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        _sdsum(F.col("value")).alias("total_value"),
     )
 
 
@@ -2438,64 +2508,98 @@ def q56_late_delivery_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q57_return_flag_buckets",
+    "q57_user_activity_scd2",
     """
-    SELECT l_linestatus,
-           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS returned_items,
-           CAST(SUM(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END) AS BIGINT) AS kept_items,
-           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS DOUBLE)
-               / COUNT(*) AS returned_share
-    FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
-      AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
-    GROUP BY l_linestatus
+    WITH e0 AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+    e AS (
+        SELECT user_id, ts_us, MIN(event_type) AS event_type
+        FROM e0 GROUP BY user_id, ts_us
+    ),
+    m AS (
+        SELECT user_id, ts_us, event_type,
+               CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us)
+                         IS DISTINCT FROM event_type
+                    THEN 1 ELSE 0 END AS chg
+        FROM e
+    ),
+    runs AS (SELECT user_id, ts_us AS valid_from, event_type FROM m WHERE chg = 1)
+    SELECT user_id, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to,
+           event_type
+    FROM runs
     """,
 )
-def q57_return_flag_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q12-class: conditional bucket counts inside one grouped
-    pass (count_if pattern) over a pushed-down date window."""
-    li = _t(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
-        & (F.col("l_shipdate") < F.lit("1999-01-01 00:00:00").cast("timestamp_ntz"))
+def q57_user_activity_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 validity intervals under the gate (r6 slot swap; the
+    Q12-class count_if buckets this slot used to hold stay covered by
+    q03/q04's conditional aggregates): each user's event log collapses
+    into [valid_from, valid_to) runs of identical consecutive
+    event_type — operators/rangejoin.scd2_intervals, the
+    dimension-history builder that overlap_join/interval_join then join
+    facts against. One window pass per key, no self-join.
+
+    The oracle is the equivalent lag/lead window SQL. Determinism: run
+    boundaries depend on event ORDER, so ties on (user_id, ts_us) are
+    collapsed FIRST (MIN event_type per instant, mirrored both sides) —
+    this corpus has no such ties at any SF, but a window ordered by a
+    non-unique key would be engine-dependent the day it grows one.
+    valid_to is NULL for each user's current (open) run. Epoch-µs
+    integers end-to-end."""
+    from ..operators import rangejoin
+
+    ev = _events_us(spark, sf_dir).select("user_id", "ts_us", "event_type")
+    log = ev.groupBy("user_id", "ts_us").agg(
+        F.min("event_type").alias("event_type")
     )
-    ret = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
-    return li.groupBy("l_linestatus").agg(
-        F.sum(ret).cast("long").alias("returned_items"),
-        F.sum(1 - ret).cast("long").alias("kept_items"),
-        (F.sum(ret).cast("double") / F.count("*")).alias("returned_share"),
+    return rangejoin.scd2_intervals(
+        log, key="user_id", ts="ts_us", attrs=["event_type"]
     )
 
 
 @query(
-    "q58_brand_revenue_share",
-    """
-    SELECT CAST(SUM(CASE WHEN p.p_brand = 'Brand#13'
-                    THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
-                         * (1 - CAST(l.l_discount AS DECIMAL(4,2)))
-                    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
-           / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
-                      * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
-               AS brand13_share
+    "q58_bloom_prefiltered_brand_revenue",
+    f"""
+    SELECT p.p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           {_dsum('l.l_extendedprice')} AS revenue
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size <= 3
+    GROUP BY p.p_brand
     """,
 )
-def q58_brand_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14-class: one brand's share of discounted revenue —
-    conditional exact-decimal sums dividing once at the end (the
-    promo-share shape)."""
-    li = _t(spark, sf_dir, "lineitem")
-    p = _t(spark, sf_dir, "part")
-    disc = F.col("l_extendedprice").cast("decimal(12,2)") * (
-        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+def q58_bloom_prefiltered_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-semi-join pre-filter under the gate (r6 slot swap; the
+    Q14-class promo-share this slot used to hold stays covered by
+    q43's ratio + q16's brand-revenue aggregates): revenue of small
+    parts (p_size ≤ 3, ~6% of the dimension) by brand, where the fact
+    scan is pre-filtered through operators/sketches.bloom_build /
+    bloom_probe — the portable twin of Spark's runtime bloom pruning
+    (spark.sql.optimizer.runtime.bloomFilter.*). The sparse filter
+    (≤ m/64 rows of OR-ed int64 words) broadcasts regardless of build
+    cardinality; probed rows that pass then take the REAL broadcast
+    join, so false positives are eliminated and the result is exact —
+    which is precisely what the plain-join oracle certifies. At 100 TB
+    this shape pays when the dim is broadcast-INELIGIBLE but its bloom
+    still fits: the prefilter cuts the fact shuffle by the filter's
+    selectivity before the expensive join (here both joins broadcast —
+    plan-pinned: no SMJ, no BNLJ, ≥2 BroadcastHashJoins)."""
+    from ..operators import sketches as sk
+
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_size") <= 3)
+        .select("p_partkey", "p_brand")
     )
-    brand = F.when(F.col("p_brand") == "Brand#13", disc).otherwise(
-        F.lit(0).cast("decimal(18,4)")
-    )
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
+    bloom = sk.bloom_build(p.select(F.col("p_partkey").alias("v")), "v")
+    probed = sk.bloom_probe(li, bloom, "l_partkey")
+    pref = probed.filter(F.col("bloom_maybe")).drop("bloom_maybe")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        pref.join(F.broadcast(p), pref.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
         .agg(
-            (F.sum(brand).cast("double") / F.sum(disc).cast("double"))
-            .alias("brand13_share")
+            F.count("*").cast("long").alias("n_items"),
+            _sdsum(F.col("l_extendedprice")).alias("revenue"),
         )
     )
 
