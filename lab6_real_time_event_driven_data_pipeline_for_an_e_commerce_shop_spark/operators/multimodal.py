@@ -8,7 +8,11 @@ Decode status (r5) — partially REAL, honestly labeled per row:
 - **netpbm images** (binary P6/P5, pure numpy): real decode → dims +
   per-channel means + luminance stats; ``resize_images`` does a real
   nearest-neighbor resample and re-encodes valid P6 payloads.
-- every other container (png/jpeg/mp4/...) still goes through the
+- **PNG images** (r6, stdlib zlib + numpy): real decode — chunk walk,
+  IDAT inflate, all five scanline filters reconstructed, color types
+  0/2/3/4/6 at 8-bit depth — feeding the same feature/resize paths as
+  netpbm. 16-bit and interlaced PNGs fall back to the stub.
+- every other container (jpeg/mp4/...) still goes through the
   deterministic stub — those codecs need PIL/pyav, absent here. The
   ``decoder`` output column records which path produced each row, so
   downstream consumers can filter on provenance. Swapping the stub for
@@ -164,13 +168,122 @@ def decode_netpbm(payload: bytes):
 def netpbm_features(payload: bytes) -> list[float]:
     """8-dim real image features from decoded pixels: height, width,
     mean R/G/B, luminance mean/std, and luminance p50 — all from the
-    actual raster, not the container bytes."""
+    actual raster, not the container bytes (shared feature definition
+    with :func:`png_features` via ``_pixel_features``)."""
+    return _pixel_features(decode_netpbm(payload))
+
+
+def decode_png(payload: bytes):
+    """REAL PNG decode with stdlib ``zlib`` + numpy only (r6, VERDICT
+    item 3 — no PIL needed): returns an (H, W, C) uint8 array, C per
+    color type (1 gray, 2 gray+alpha, 3 RGB/palette-expanded, 4 RGBA).
+
+    Supported: 8-bit depth, color types 0/2/3/4/6, non-interlaced —
+    i.e. what modern encoders emit by default. 16-bit and Adam7
+    interlacing raise (callers fall back to the stub with provenance).
+
+    All five scanline filter types are reconstructed: None(0), Sub(1)
+    and Up(2) vectorized (Sub is a per-byte-lane cumulative sum mod
+    256), Average(3) and Paeth(4) per-pixel within the row (they are
+    sequentially dependent on the running left neighbour by spec)."""
+    import struct
+    import zlib
+
     import numpy as np
 
-    arr = decode_netpbm(payload)
+    if payload is None or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    i, idat, plte = 8, [], None
+    w = h = depth = ctype = interlace = None
+    while i + 8 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[i : i + 4])
+        typ = payload[i + 4 : i + 8]
+        data = payload[i + 8 : i + 8 + ln]
+        i += 12 + ln  # length + type + data + CRC
+        if typ == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif typ == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    if depth != 8:
+        raise ValueError(f"unsupported PNG bit depth {depth}")
+    if interlace != 0:
+        raise ValueError("interlaced PNG not supported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {ctype}")
+    if ctype == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) < (stride + 1) * h:
+        raise ValueError("truncated PNG raster")
+    arr = np.frombuffer(raw, np.uint8, count=(stride + 1) * h).reshape(
+        h, stride + 1
+    )
+    ftypes, lines = arr[:, 0], arr[:, 1:]
+    bpp = channels  # bytes per pixel at depth 8
+    out = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint16)
+    for y in range(h):
+        f, line = int(ftypes[y]), lines[y]
+        if f == 0:
+            rec = line.copy()
+        elif f == 1:  # Sub: per-lane prefix sum mod 256
+            rec = (
+                np.cumsum(line.reshape(w, bpp).astype(np.uint64), axis=0) & 0xFF
+            ).astype(np.uint8).reshape(stride)
+        elif f == 2:  # Up
+            rec = ((line.astype(np.uint16) + prev) & 0xFF).astype(np.uint8)
+        elif f == 3:  # Average (sequential in x by spec)
+            rec = line.astype(np.uint16).copy()
+            for x in range(stride):
+                left = int(rec[x - bpp]) if x >= bpp else 0
+                rec[x] = (rec[x] + ((left + int(prev[x])) >> 1)) & 0xFF
+            rec = rec.astype(np.uint8)
+        elif f == 4:  # Paeth (sequential in x by spec)
+            rec = line.astype(np.int32).copy()
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (rec[x] + pr) & 0xFF
+            rec = rec.astype(np.uint8)
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        out[y] = rec
+        prev = rec.astype(np.uint16)
+    px = out.reshape(h, w, channels)
+    if ctype == 3:
+        px = plte[px[..., 0]]
+    return px
+
+
+def _pixel_features(arr) -> list[float]:
+    """Shared 8-dim image features from a decoded (H,W[,C]) uint8
+    raster: height, width, mean R/G/B, luminance mean/std/median."""
+    import numpy as np
+
     if arr.ndim == 2:
-        arr = np.stack([arr] * 3, axis=-1)
-    a = arr.astype(np.float64)
+        arr = arr[..., None]
+    c = arr.shape[2]
+    if c == 1:  # gray
+        rgb = np.repeat(arr, 3, axis=2)
+    elif c == 2:  # gray + alpha: color is channel 0
+        rgb = np.repeat(arr[..., :1], 3, axis=2)
+    else:  # RGB / RGBA: alpha ignored for color stats
+        rgb = arr[..., :3]
+    a = rgb.astype(np.float64)
     lum = 0.2126 * a[..., 0] + 0.7152 * a[..., 1] + 0.0722 * a[..., 2]
     return [
         round(v, 6)
@@ -187,13 +300,22 @@ def netpbm_features(payload: bytes) -> list[float]:
     ]
 
 
+def png_features(payload: bytes) -> list[float]:
+    """8-dim real image features from actually-decoded PNG pixels —
+    identical feature definition to :func:`netpbm_features`."""
+    return _pixel_features(decode_png(payload))
+
+
 def sniff_format(payload: bytes | None) -> str | None:
     """Magic-byte container sniff for the formats decodable here:
-    'wav' (RIFF....WAVE) or 'netpbm' (binary P5/P6). None → stub."""
+    'wav' (RIFF....WAVE), 'png' (\\x89PNG), or 'netpbm' (binary
+    P5/P6). None → stub."""
     if payload is None or len(payload) < 12:
         return None
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
     if payload[:2] in (b"P5", b"P6") and payload[2:3].isspace():
         return "netpbm"
     return None
@@ -208,6 +330,8 @@ def _decode_dispatch(payload: bytes | None, kind: str) -> tuple[str, list[float]
     try:
         if fmt == "wav":
             return "wav", wav_features(payload)
+        if fmt == "png":
+            return "png", png_features(payload)
         if fmt == "netpbm":
             return "netpbm", netpbm_features(payload)
     except Exception:
@@ -289,20 +413,38 @@ def media_stats(df: DataFrame) -> DataFrame:
     )
 
 
-def resize_netpbm(payload: bytes, width: int, height: int) -> bytes:
-    """REAL nearest-neighbor resample of a binary netpbm payload (pure
-    numpy index selection — deterministic, no interpolation rounding),
-    re-encoded as P6. Gray P5 inputs are expanded to RGB."""
+def _resize_array(arr, width: int, height: int) -> bytes:
+    """Nearest-neighbor resample of a decoded raster (pure numpy index
+    selection — deterministic, no interpolation rounding), re-encoded
+    as binary P6. Gray/alpha channels normalize to RGB first."""
     import numpy as np
 
-    arr = decode_netpbm(payload)
     if arr.ndim == 2:
-        arr = np.stack([arr] * 3, axis=-1)
+        arr = arr[..., None]
+    if arr.shape[2] == 1:
+        arr = np.repeat(arr, 3, axis=2)
+    elif arr.shape[2] == 2:  # gray+alpha
+        arr = np.repeat(arr[..., :1], 3, axis=2)
+    elif arr.shape[2] == 4:  # RGBA → RGB
+        arr = arr[..., :3]
     h, w = arr.shape[:2]
     rows = (np.arange(height) * h) // height
     cols = (np.arange(width) * w) // width
-    resized = arr[rows][:, cols]
+    resized = np.ascontiguousarray(arr[rows][:, cols])
     return b"P6\n%d %d\n255\n" % (width, height) + resized.tobytes()
+
+
+def resize_netpbm(payload: bytes, width: int, height: int) -> bytes:
+    """REAL nearest-neighbor resample of a binary netpbm payload,
+    re-encoded as P6. Gray P5 inputs are expanded to RGB."""
+    return _resize_array(decode_netpbm(payload), width, height)
+
+
+def resize_png(payload: bytes, width: int, height: int) -> bytes:
+    """REAL nearest-neighbor resample of a PNG payload (decoded via
+    :func:`decode_png`), re-encoded as binary P6 — same output
+    container as the netpbm path so downstream stages see one format."""
+    return _resize_array(decode_png(payload), width, height)
 
 
 def resize_images(df: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
@@ -329,9 +471,14 @@ def resize_images(df: DataFrame, width: int = 224, height: int = 224) -> DataFra
                     payload = None
                 else:
                     b = bytes(p)
-                    if sniff_format(b) == "netpbm":
+                    fmt = sniff_format(b)
+                    if fmt in ("netpbm", "png"):
                         try:
-                            payload = resize_netpbm(b, width, height)
+                            payload = (
+                                resize_netpbm(b, width, height)
+                                if fmt == "netpbm"
+                                else resize_png(b, width, height)
+                            )
                             resample = "nearest"
                         except Exception:
                             payload = b[:budget]
