@@ -1506,7 +1506,17 @@ def q37_stream_medallion_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
     recovery + idempotent MERGE + per-date gold recompute), while
     odd-only orders exercise the normal buffered wait. The END STATE is
     unchanged — that determinism under out-of-order delivery is exactly
-    what the oracle verifies."""
+    what the oracle verifies.
+
+    r6 — COMPOUND failure: cycle 1 now also CRASHES between the two
+    staging swap renames (orders staging swapped + silver/gold written,
+    items staging rolled back to its post-quarantine pre-release
+    snapshot). Cycle 2 must absorb, at once: (a) the poison rows
+    already quarantined, (b) the stranded released items — now orphans
+    whose orders live in silver — re-released idempotently by the late
+    path, and (c) the genuinely-late odd wave. One gated run therefore
+    exercises quarantine, late-data release, AND mid-swap crash
+    recovery together, under the exact hash oracle."""
     import tempfile
 
     from ..streaming.pipeline import MedallionPipeline
@@ -1605,9 +1615,31 @@ def q37_stream_medallion_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mode("overwrite")
         .csv(pipe.landing("products"))
     )
-    pipe.run_cycle()
+    # cycle 1, decomposed so a MID-SWAP CRASH can be injected (r6
+    # compound-failure scenario: quarantine + late data + crash in ONE
+    # gated ingest): ingest wave 1 (quarantine drops the poison rows),
+    # snapshot the post-quarantine items staging, promote + refresh,
+    # then roll ONLY the items staging back to the snapshot — exactly
+    # the state a crash between the two staging swap renames leaves
+    # (orders swapped and silver/gold written, items swap lost).
+    import os as _os
+    import shutil as _shutil
+
+    pipe.ingest_available()
+    items_staging = _os.path.join(root, "staging", "order_items")
+    snap = items_staging + "__presnap"
+    _shutil.copytree(items_staging, snap)
+    pipe.refresh_gold(pipe.promote_complete_groups())
+    _shutil.rmtree(items_staging)
+    _os.rename(snap, items_staging)
     # wave 2: the odd-product items arrive LATE (new files, new cycle) —
-    # orphans release against silver, odd-only orders release normally
+    # cycle 2 must CONVERGE THROUGH the crash damage: the stranded
+    # released even items are orphans whose orders live in silver, so
+    # the late path re-releases them (idempotent MERGE, no dups)
+    # alongside the genuinely-late odd items; odd-only orders release
+    # normally. The END STATE is still the pure q04-over-slice oracle —
+    # determinism under poison + disorder + crash is what the hash gate
+    # certifies.
     (
         li_csv.filter(F.col("_pid") % 2 == 1)
         .drop("_pid")
