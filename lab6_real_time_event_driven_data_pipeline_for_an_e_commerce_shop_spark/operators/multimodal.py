@@ -12,8 +12,14 @@ Decode status (r5) — partially REAL, honestly labeled per row:
   IDAT inflate, all five scanline filters reconstructed, color types
   0/2/3/4/6 at 8-bit depth — feeding the same feature/resize paths as
   netpbm. 16-bit and interlaced PNGs fall back to the stub.
-- every other container (jpeg/mp4/...) still goes through the
-  deterministic stub — those codecs need PIL/pyav, absent here. The
+- **JPEG images** (r6, pure numpy + stdlib): real baseline decode —
+  marker walk, DQT/DHT/SOF0/DRI/SOS, canonical Huffman entropy decode
+  with restart-marker segmentation, dequantization, exact 8×8 matrix
+  IDCT, chroma upsampling, JFIF YCbCr→RGB. Progressive (SOF2),
+  arithmetic-coded, and 12-bit variants raise (→ honest stub
+  fallback).
+- every other container (mp4/webp/...) still goes through the
+  deterministic stub — those codecs need pyav/ffmpeg, absent here. The
   ``decoder`` output column records which path produced each row, so
   downstream consumers can filter on provenance. Swapping the stub for
   PIL/librosa is a one-function change; the distributed plan is
@@ -54,7 +60,8 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("kind", T.StringType(), False),
         T.StructField("n_bytes", T.LongType(), True),
         T.StructField("sha_prefix", T.StringType(), True),
-        # which codec produced the feature: 'wav' | 'netpbm' | 'stub'
+        # codec that produced the feature:
+        # 'wav' | 'png' | 'jpeg' | 'netpbm' | 'stub'
         T.StructField("decoder", T.StringType(), True),
         T.StructField("feature", T.ArrayType(T.FloatType()), True),
     ]
@@ -306,16 +313,296 @@ def png_features(payload: bytes) -> list[float]:
     return _pixel_features(decode_png(payload))
 
 
+# --- baseline JPEG (ITU-T T.81 sequential DCT, Huffman) ---------------------
+
+# zigzag index k → natural (row-major) index, per T.81 Figure 5. Embedded
+# as the spec constant; the test suite re-derives it independently from
+# the diagonal-traversal definition.
+_JPEG_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+
+def _jpeg_huff_lut(bits, vals):
+    """Canonical Huffman decode table per T.81 Annex C: {(length, code):
+    symbol}. Codes of each length are consecutive integers; moving to
+    the next length left-shifts the running code."""
+    lut, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            lut[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return lut
+
+
+class _JpegBits:
+    """MSB-first bit reader over one entropy-coded segment (stuffing
+    already removed by the restart-marker split)."""
+
+    __slots__ = ("d", "i", "acc", "n")
+
+    def __init__(self, data: bytes):
+        self.d, self.i, self.acc, self.n = data, 0, 0, 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.i >= len(self.d):
+                raise ValueError("JPEG entropy data exhausted")
+            self.acc = self.d[self.i]
+            self.i += 1
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def huff(self, lut) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bit()
+            sym = lut.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _jpeg_extend(v: int, size: int) -> int:
+    """T.81 EXTEND: map a ``size``-bit magnitude to its signed value."""
+    return v if size == 0 or v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _jpeg_split_entropy(payload: bytes, start: int):
+    """Split the scan's entropy data at restart markers, removing 0xFF00
+    byte stuffing. Returns the list of segments (DC predictors and bit
+    alignment reset at each boundary, per DRI semantics)."""
+    segs, cur, i = [], bytearray(), start
+    n = len(payload)
+    while i < n:
+        b = payload[i]
+        if b == 0xFF:
+            if i + 1 >= n:
+                break
+            m = payload[i + 1]
+            if m == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= m <= 0xD7:  # RSTn
+                segs.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            break  # EOI or any other marker ends the scan
+        cur.append(b)
+        i += 1
+    segs.append(bytes(cur))
+    return segs
+
+
+def decode_jpeg(payload: bytes):
+    """REAL baseline JPEG decode (pure numpy + stdlib, no PIL): returns
+    an (H, W, 3) uint8 RGB array, or (H, W) for single-component
+    grayscale JPEGs.
+
+    Supported: sequential DCT Huffman (SOF0/SOF1), 8-bit precision,
+    1- or 3-component scans, any h×v sampling whose factors divide the
+    maxima (4:4:4 / 4:2:2 / 4:2:0 / grayscale), 8- and 16-bit DQT
+    entries, restart intervals (DRI + RSTn). Progressive (SOF2),
+    arithmetic coding (SOF9+), and 12-bit raise ValueError — the
+    mapInPandas dispatch falls back to the stub with honest provenance.
+
+    The IDCT is the exact orthonormal 8-point DCT-III pair
+    (f = Dᵀ F D with D[k,n] = s(k)·cos((2n+1)kπ/16)), evaluated as two
+    8×8 matmuls per block — no fast-IDCT approximation error."""
+    import struct
+
+    import numpy as np
+
+    if payload is None or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    qt: dict[int, "np.ndarray"] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None  # (H, W, [(cid, h, v, tq), ...])
+    restart_interval = 0
+    scan = None  # ([(comp_idx, td, ta), ...], entropy_start)
+    i = 2
+    n = len(payload)
+    while i + 4 <= n:
+        if payload[i] != 0xFF:
+            raise ValueError("JPEG marker sync lost")
+        marker = payload[i + 1]
+        if marker == 0xFF:  # fill byte before a marker, per T.81 B.1.1.2
+            i += 1
+            continue
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+            i += 2
+            continue
+        (ln,) = struct.unpack(">H", payload[i + 2 : i + 4])
+        data = payload[i + 4 : i + 2 + ln]
+        seg_end = i + 2 + ln
+        if marker == 0xDB:  # DQT — possibly several tables per marker
+            j = 0
+            while j < len(data):
+                pq, tq = data[j] >> 4, data[j] & 15
+                j += 1
+                if pq == 0:
+                    tbl = np.frombuffer(data, np.uint8, 64, j).astype(np.int32)
+                    j += 64
+                else:
+                    tbl = np.frombuffer(data, ">u2", 64, j).astype(np.int32)
+                    j += 128
+                qt[tq] = tbl  # zigzag order, as stored
+        elif marker in (0xC0, 0xC1):  # SOF0/1: baseline / ext. sequential
+            prec, hh, ww, nc = data[0], *struct.unpack(">HH", data[1:5]), data[5]
+            if prec != 8:
+                raise ValueError(f"unsupported JPEG precision {prec}")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq_id = data[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 15, tq_id))
+            frame = (hh, ww, comps)
+        elif marker == 0xC2:
+            raise ValueError("progressive JPEG not supported")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("unsupported JPEG coding process")
+        elif marker == 0xC4:  # DHT — possibly several tables per marker
+            j = 0
+            while j < len(data):
+                tc, th = data[j] >> 4, data[j] & 15
+                bits = list(data[j + 1 : j + 17])
+                nv = sum(bits)
+                vals = list(data[j + 17 : j + 17 + nv])
+                huff[(tc, th)] = _jpeg_huff_lut(bits, vals)
+                j += 17 + nv
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", data[:2])
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = data[0]
+            sel = []
+            for c in range(ns):
+                cs, tda = data[1 + 2 * c], data[2 + 2 * c]
+                idx = next(
+                    k for k, comp in enumerate(frame[2]) if comp[0] == cs
+                )
+                sel.append((idx, tda >> 4, tda & 15))
+            scan = (sel, seg_end)
+            break
+        i = seg_end
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    hh, ww, comps = frame
+    sel, entropy_start = scan
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-ww // (8 * hmax))
+    mcuy = -(-hh // (8 * vmax))
+
+    # orthonormal 8-point DCT matrix, exact float64
+    k = np.arange(8).reshape(8, 1)
+    nn = np.arange(8).reshape(1, 8)
+    D = np.cos((2 * nn + 1) * k * np.pi / 16) * np.sqrt(2.0 / 8)
+    D[0] /= np.sqrt(2.0)
+
+    planes = [
+        np.zeros((mcuy * 8 * v, mcux * 8 * h), np.float64)
+        for (_cid, h, v, _tq) in comps
+    ]
+    segs = _jpeg_split_entropy(payload, entropy_start)
+    zz = _JPEG_ZIGZAG
+    mcus_per_seg = restart_interval if restart_interval else mcux * mcuy
+    mcu = 0
+    for seg in segs:
+        if mcu >= mcux * mcuy:
+            break
+        rd = _JpegBits(seg)
+        pred = [0] * len(comps)
+        for _ in range(min(mcus_per_seg, mcux * mcuy - mcu)):
+            my, mx = divmod(mcu, mcux)
+            for ci, td, ta in sel:
+                _cid, ch, cv, ctq = comps[ci]
+                dc_lut, ac_lut = huff[(0, td)], huff[(1, ta)]
+                q = qt[ctq]
+                for by in range(cv):
+                    for bx in range(ch):
+                        coef = np.zeros(64, np.float64)
+                        t = rd.huff(dc_lut)
+                        diff = _jpeg_extend(rd.bits(t), t) if t else 0
+                        pred[ci] += diff
+                        coef[0] = pred[ci] * q[0]
+                        kk = 1
+                        while kk < 64:
+                            rs = rd.huff(ac_lut)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    kk += 16
+                                    continue
+                                break  # EOB
+                            kk += r
+                            if kk > 63:
+                                raise ValueError("JPEG AC index overflow")
+                            coef[zz[kk]] = (
+                                _jpeg_extend(rd.bits(s), s) * q[kk]
+                            )
+                            kk += 1
+                        blk = D.T @ coef.reshape(8, 8) @ D + 128.0
+                        y0 = (my * cv + by) * 8
+                        x0 = (mx * ch + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = blk
+            mcu += 1
+
+    out_planes = []
+    for (ci, (_cid, ch, cv, _tq)) in enumerate(comps):
+        p = planes[ci]
+        if vmax % cv or hmax % ch:
+            raise ValueError("non-integral JPEG sampling ratio")
+        p = np.repeat(np.repeat(p, vmax // cv, axis=0), hmax // ch, axis=1)
+        out_planes.append(p[:hh, :ww])
+    if len(out_planes) == 1:
+        return np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+    if len(out_planes) != 3:
+        raise ValueError(f"unsupported JPEG component count {len(out_planes)}")
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def jpeg_features(payload: bytes) -> list[float]:
+    """8-dim real image features from actually-decoded JPEG pixels —
+    identical feature definition to :func:`netpbm_features`."""
+    return _pixel_features(decode_jpeg(payload))
+
+
 def sniff_format(payload: bytes | None) -> str | None:
     """Magic-byte container sniff for the formats decodable here:
-    'wav' (RIFF....WAVE), 'png' (\\x89PNG), or 'netpbm' (binary
-    P5/P6). None → stub."""
+    'wav' (RIFF....WAVE), 'png' (\\x89PNG), 'jpeg' (FFD8FF), or
+    'netpbm' (binary P5/P6). None → stub."""
     if payload is None or len(payload) < 12:
         return None
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     if payload[:2] in (b"P5", b"P6") and payload[2:3].isspace():
         return "netpbm"
     return None
@@ -332,6 +619,8 @@ def _decode_dispatch(payload: bytes | None, kind: str) -> tuple[str, list[float]
             return "wav", wav_features(payload)
         if fmt == "png":
             return "png", png_features(payload)
+        if fmt == "jpeg":
+            return "jpeg", jpeg_features(payload)
         if fmt == "netpbm":
             return "netpbm", netpbm_features(payload)
     except Exception:
@@ -447,17 +736,22 @@ def resize_png(payload: bytes, width: int, height: int) -> bytes:
     return _resize_array(decode_png(payload), width, height)
 
 
+def resize_jpeg(payload: bytes, width: int, height: int) -> bytes:
+    """REAL nearest-neighbor resample of a baseline JPEG payload
+    (decoded via :func:`decode_jpeg`), re-encoded as binary P6."""
+    return _resize_array(decode_jpeg(payload), width, height)
+
+
 def resize_images(df: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
     """Image resize (1:1 row transform over image rows): output schema
     carries the resized payload plus the target dims in meta.
 
-    Binary netpbm payloads get a REAL nearest-neighbor resample
-    (:func:`resize_netpbm`, pure numpy) re-encoded as P6. Other image
-    containers (png/jpeg need PIL, absent here) keep the deterministic
-    truncate-to-budget STUB (a ``width*height*3``-byte budget models
-    the decoded RGB size). ``meta['resample']`` records which path ran
-    — the same per-row provenance contract as extract_features'
-    ``decoder`` column."""
+    netpbm, PNG and baseline JPEG payloads get a REAL nearest-neighbor
+    resample (pure numpy) re-encoded as P6. Containers without a local
+    codec keep the deterministic truncate-to-budget STUB (a
+    ``width*height*3``-byte budget models the decoded RGB size).
+    ``meta['resample']`` records which path ran — the same per-row
+    provenance contract as extract_features' ``decoder`` column."""
     out_schema = MEDIA_SCHEMA
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -472,13 +766,14 @@ def resize_images(df: DataFrame, width: int = 224, height: int = 224) -> DataFra
                 else:
                     b = bytes(p)
                     fmt = sniff_format(b)
-                    if fmt in ("netpbm", "png"):
+                    if fmt in ("netpbm", "png", "jpeg"):
                         try:
-                            payload = (
-                                resize_netpbm(b, width, height)
-                                if fmt == "netpbm"
-                                else resize_png(b, width, height)
-                            )
+                            fn = {
+                                "netpbm": resize_netpbm,
+                                "png": resize_png,
+                                "jpeg": resize_jpeg,
+                            }[fmt]
+                            payload = fn(b, width, height)
                             resample = "nearest"
                         except Exception:
                             payload = b[:budget]

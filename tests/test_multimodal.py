@@ -296,3 +296,357 @@ def test_real_png_decode_and_resize(spark):
     # nearest-neighbor col indices for 6->3: [0, 2, 4] -> 0, 80, 160
     assert [int(v) for v in arr[0, :, 0]] == [0, 80, 160]
     assert resized[2].meta["resample"] == "stub"
+
+
+# --- baseline JPEG: independent minimal encoder as the test fixture ---------
+# The encoder below implements the FORWARD path (RGB→YCbCr, optional 2×2
+# chroma decimation, forward DCT, all-ones quantization, canonical
+# Huffman with simple fixed-length-per-class tables, bit stuffing,
+# restart markers) independently of decode_jpeg — encoder and decoder
+# share no code, so a round-trip is a genuine cross-check. The zigzag
+# order is re-derived from the diagonal-traversal definition rather
+# than copied from the decoder's embedded spec constant.
+
+
+def _jpeg_zz_order():
+    out = []
+    for s in range(15):
+        if s % 2 == 0:
+            rr = range(min(s, 7), max(0, s - 7) - 1, -1)
+        else:
+            rr = range(max(0, s - 7), min(s, 7) + 1)
+        for r in rr:
+            out.append(r * 8 + (s - r))
+    return out
+
+
+def _jpeg_fixture_tables():
+    # DC: all 12 size-category symbols at code length 4 (Kraft 12/16);
+    # AC: all 162 run/size symbols at code length 8 (Kraft 162/256).
+    dc_bits = [0, 0, 0, 12] + [0] * 12
+    dc_vals = list(range(12))
+    ac_vals = [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    ac_bits = [0] * 16
+    ac_bits[7] = len(ac_vals)
+    return dc_bits, dc_vals, ac_bits, ac_vals
+
+
+def _jpeg_fixture_codes(bits, vals):
+    m, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            m[vals[k]] = (ln, code)
+            k += 1
+            code += 1
+        code <<= 1
+    return m
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.buf, self.acc, self.n = bytearray(), 0, 0
+
+    def write(self, val, nbits):
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((val >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.buf.append(self.acc)
+                if self.acc == 0xFF:
+                    self.buf.append(0x00)  # byte stuffing
+                self.acc, self.n = 0, 0
+
+    def flush(self):
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)
+
+
+def _jpeg_cat(v):
+    return 0 if v == 0 else int(abs(v)).bit_length()
+
+
+def _encode_jpeg(arr, subsample="444", dri=0, dqt16=False):
+    """Minimal valid baseline JPEG encoder (test fixture; quantization
+    all-ones for max fidelity — round-trip error is then bounded by
+    DCT-coefficient rounding alone, a few counts per pixel)."""
+    import struct
+
+    import numpy as np
+
+    zz = _jpeg_zz_order()
+    k8 = np.arange(8).reshape(8, 1)
+    n8 = np.arange(8).reshape(1, 8)
+    D = np.cos((2 * n8 + 1) * k8 * np.pi / 16) * np.sqrt(2.0 / 8)
+    D[0] /= np.sqrt(2.0)
+
+    def pad_edge(p, mh, mw):
+        h, w = p.shape
+        return np.pad(
+            p, ((0, -(-h // mh) * mh - h), (0, -(-w // mw) * mw - w)), mode="edge"
+        )
+
+    arr = np.asarray(arr)
+    H, W = arr.shape[:2]
+    gray = arr.ndim == 2
+    if gray:
+        planes, samp = [arr.astype(np.float64)], [(1, 1)]
+    else:
+        a = arr.astype(np.float64)
+        R, G, B = a[..., 0], a[..., 1], a[..., 2]
+        Y = 0.299 * R + 0.587 * G + 0.114 * B
+        Cb = 128.0 - 0.168736 * R - 0.331264 * G + 0.5 * B
+        Cr = 128.0 + 0.5 * R - 0.418688 * G - 0.081312 * B
+        if subsample == "420":
+            samp = [(2, 2), (1, 1), (1, 1)]
+            ds = lambda p: p.reshape(  # noqa: E731
+                p.shape[0] // 2, 2, p.shape[1] // 2, 2
+            ).mean(axis=(1, 3))
+            planes = [pad_edge(Y, 16, 16)]
+            planes += [ds(pad_edge(p, 16, 16)) for p in (Cb, Cr)]
+        else:
+            samp, planes = [(1, 1)] * 3, [Y, Cb, Cr]
+    planes = [pad_edge(p, 8 * v, 8 * h) for p, (h, v) in zip(planes, samp)]
+    mcux = planes[0].shape[1] // (8 * samp[0][0])
+    mcuy = planes[0].shape[0] // (8 * samp[0][1])
+
+    dc_bits, dc_vals, ac_bits, ac_vals = _jpeg_fixture_tables()
+    dcc = _jpeg_fixture_codes(dc_bits, dc_vals)
+    acc = _jpeg_fixture_codes(ac_bits, ac_vals)
+
+    nc = 1 if gray else 3
+    out = bytearray(b"\xff\xd8")
+    if dqt16:  # pq=1: 16-bit big-endian entries
+        ones = b"\x00\x01" * 64
+        out += b"\xff\xdb" + struct.pack(">H", 2 + 129 * (1 if gray else 2))
+        out += bytes([0x10]) + ones
+        if not gray:
+            out += bytes([0x11]) + ones
+    else:
+        ones = bytes([1] * 64)
+        out += b"\xff\xdb" + struct.pack(">H", 2 + 65 * (1 if gray else 2))
+        out += bytes([0x00]) + ones
+        if not gray:
+            out += bytes([0x01]) + ones
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, H, W, nc)
+    for ci in range(nc):
+        out += bytes(
+            [ci + 1, (samp[ci][0] << 4) | samp[ci][1], 0 if ci == 0 else 1]
+        )
+
+    def dht(tc, th):
+        bits, vals = (dc_bits, dc_vals) if tc == 0 else (ac_bits, ac_vals)
+        return (
+            b"\xff\xc4"
+            + struct.pack(">H", 19 + len(vals))
+            + bytes([(tc << 4) | th])
+            + bytes(bits)
+            + bytes(vals)
+        )
+
+    out += dht(0, 0) + dht(1, 0)
+    if not gray:
+        out += dht(0, 1) + dht(1, 1)
+    if dri:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, dri)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
+    for ci in range(nc):
+        out += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    out += bytes([0, 63, 0])
+
+    def enc_block(bw, coef_nat, pred):
+        czz = [int(coef_nat.flat[zz[k]]) for k in range(64)]
+        diff = czz[0] - pred
+        s = _jpeg_cat(diff)
+        ln, c = dcc[s]
+        bw.write(c, ln)
+        if s:
+            bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+        last = 0
+        for k in range(63, 0, -1):
+            if czz[k]:
+                last = k
+                break
+        run = 0
+        for k in range(1, last + 1):
+            v = czz[k]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ln, c = acc[0xF0]
+                bw.write(c, ln)
+                run -= 16
+            s = _jpeg_cat(v)
+            ln, c = acc[(run << 4) | s]
+            bw.write(c, ln)
+            bw.write(v if v > 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last < 63:
+            ln, c = acc[0x00]
+            bw.write(c, ln)
+        return czz[0]
+
+    import numpy as np
+
+    bw = _JpegBitWriter()
+    pred = [0] * nc
+    rst = 0
+    for m in range(mcux * mcuy):
+        if dri and m and m % dri == 0:
+            bw.flush()
+            out += bw.buf
+            bw = _JpegBitWriter()
+            out += bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+            pred = [0] * nc
+        my, mx = divmod(m, mcux)
+        for ci in range(nc):
+            h, v = samp[ci]
+            for by in range(v):
+                for bx in range(h):
+                    y0, x0 = (my * v + by) * 8, (mx * h + bx) * 8
+                    blk = np.round(
+                        D @ (planes[ci][y0 : y0 + 8, x0 : x0 + 8] - 128.0) @ D.T
+                    ).astype(np.int64)
+                    pred[ci] = enc_block(bw, blk, pred[ci])
+    bw.flush()
+    out += bw.buf + b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_roundtrip_gray_and_444():
+    """With all-ones quantization the only loss is DCT-coefficient
+    rounding: random rasters must round-trip within a few counts, and
+    a DCT-sparse gradient exactly."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    g = rng.integers(0, 256, size=(13, 21), dtype=np.uint8)
+    dec = multimodal.decode_jpeg(_encode_jpeg(g))
+    assert dec.shape == (13, 21)
+    assert int(np.max(np.abs(dec.astype(int) - g))) <= 3
+
+    c = rng.integers(0, 256, size=(17, 11, 3), dtype=np.uint8)
+    dec = multimodal.decode_jpeg(_encode_jpeg(c))
+    assert dec.shape == (17, 11, 3)
+    assert int(np.max(np.abs(dec.astype(int) - c))) <= 3
+
+    x = np.arange(24, dtype=np.float64)
+    smooth = np.stack(
+        [
+            np.tile(x * 10 % 256, (16, 1)),
+            np.tile((x * 5 + 30) % 256, (16, 1)),
+            np.full((16, 24), 77.0),
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    dec = multimodal.decode_jpeg(_encode_jpeg(smooth))
+    assert int(np.max(np.abs(dec.astype(int) - smooth))) == 0
+
+
+def test_jpeg_420_subsampling_and_odd_dims():
+    """2×2-decimated chroma: constant-color images survive exactly
+    (decimation of a constant is the constant); odd dimensions crop
+    correctly from the padded MCU grid."""
+    import numpy as np
+
+    const = np.full((19, 27, 3), (120, 60, 200), dtype=np.uint8)
+    dec = multimodal.decode_jpeg(_encode_jpeg(const, subsample="420"))
+    assert dec.shape == (19, 27, 3)
+    assert int(np.max(np.abs(dec.astype(int) - const.astype(int)))) <= 1
+
+    # luma channel must stay high-fidelity even on random 4:2:0 input
+    rng = np.random.default_rng(5)
+    c = rng.integers(0, 256, size=(18, 22, 3), dtype=np.uint8)
+    dec = multimodal.decode_jpeg(_encode_jpeg(c, subsample="420"))
+    lum_in = 0.299 * c[..., 0] + 0.587 * c[..., 1] + 0.114 * c[..., 2]
+    lum_out = (
+        0.299 * dec[..., 0].astype(float)
+        + 0.587 * dec[..., 1]
+        + 0.114 * dec[..., 2]
+    )
+    assert float(np.mean(np.abs(lum_in - lum_out))) < 6.0
+
+
+def test_jpeg_restart_markers_and_16bit_dqt():
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    c = rng.integers(0, 256, size=(17, 11, 3), dtype=np.uint8)
+    for dri in (1, 2, 5):
+        dec = multimodal.decode_jpeg(_encode_jpeg(c, dri=dri))
+        assert int(np.max(np.abs(dec.astype(int) - c))) <= 3, f"dri={dri}"
+    g = rng.integers(0, 256, size=(9, 10), dtype=np.uint8)
+    dec = multimodal.decode_jpeg(_encode_jpeg(g, dqt16=True))
+    assert int(np.max(np.abs(dec.astype(int) - g))) <= 3
+
+
+def test_jpeg_zrl_high_frequency():
+    """A pure-checkerboard raster concentrates DCT energy at (7,7) —
+    zigzag index 63 — forcing three ZRL (16-zero-run) codes per block
+    through both encoder and decoder."""
+    import numpy as np
+
+    yy, xx = np.meshgrid(np.arange(16), np.arange(16), indexing="ij")
+    board = (128 + 90 * ((-1.0) ** (yy + xx))).astype(np.uint8)
+    dec = multimodal.decode_jpeg(_encode_jpeg(board))
+    assert int(np.max(np.abs(dec.astype(int) - board))) <= 2
+
+
+def test_jpeg_unsupported_variants_raise():
+    import numpy as np
+    import pytest
+
+    arr = np.zeros((8, 8), np.uint8)
+    jp = _encode_jpeg(arr)
+    # flip SOF0 (FFC0) to SOF2 (FFC2): progressive
+    prog = jp.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError, match="progressive"):
+        multimodal.decode_jpeg(prog)
+    with pytest.raises(ValueError, match="not a JPEG"):
+        multimodal.decode_jpeg(b"\x89PNG1234" + b"\x00" * 16)
+    # truncated mid-entropy: bit reader must raise, not loop
+    with pytest.raises(ValueError):
+        multimodal.decode_jpeg(jp[: len(jp) - (len(jp) - jp.find(b"\xff\xda")) // 2])
+
+
+def test_real_jpeg_decode_and_resize(spark):
+    """End-to-end through the Arrow mapInPandas plumbing: JPEG payloads
+    get decoder='jpeg' provenance with pixel-derived features; resize
+    is a real nearest-neighbor over decoded pixels re-encoded as P6; a
+    progressive JPEG falls back to the stub honestly."""
+    import numpy as np
+
+    w, h = 16, 8
+    grad = np.tile(
+        (np.arange(w, dtype=np.float64) * 16 % 256).astype(np.uint8)[None, :, None],
+        (h, 1, 3),
+    )
+    jp = _encode_jpeg(grad)
+    prog = jp.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    rows = [
+        (1, "image", "image/jpeg", jp, {"src": "t"}),
+        (2, "image", "image/jpeg", prog, None),
+    ]
+    df = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    out = {r.media_id: r for r in multimodal.extract_features(df).collect()}
+    assert out[1].decoder == "jpeg"
+    hh, ww, mr, mg, mb = out[1].feature[:5]
+    assert (hh, ww) == (float(h), float(w))
+    expected = sum((x * 16) % 256 for x in range(w)) / float(w)
+    # equal-channel gradient: decoded means match within DCT rounding
+    assert abs(mr - expected) < 1.0 and abs(mr - mg) < 1.0 and abs(mg - mb) < 1.0
+    assert out[2].decoder == "stub"  # progressive: honest fallback
+
+    resized = {
+        r.media_id: r
+        for r in multimodal.resize_images(df, width=4, height=2).collect()
+    }
+    assert resized[1].meta["resample"] == "nearest"
+    arr = multimodal.decode_netpbm(bytes(resized[1].payload))
+    assert arr.shape == (2, 4, 3)
+    # nearest-neighbor col indices for 16->4: [0,4,8,12] -> 0,64,128,192
+    vals = [int(v) for v in arr[0, :, 0]]
+    assert all(abs(v - e) <= 2 for v, e in zip(vals, [0, 64, 128, 192]))
+    assert resized[2].meta["resample"] == "stub"
