@@ -18,12 +18,16 @@ Decode status (r5) — partially REAL, honestly labeled per row:
   IDCT, chroma upsampling, JFIF YCbCr→RGB. Progressive (SOF2),
   arithmetic-coded, and 12-bit variants raise (→ honest stub
   fallback).
-- every other container (mp4/webp/...) still goes through the
-  deterministic stub — those codecs need pyav/ffmpeg, absent here. The
-  ``decoder`` output column records which path produced each row, so
-  downstream consumers can filter on provenance. Swapping the stub for
-  PIL/librosa is a one-function change; the distributed plan is
-  already correct.
+- **MP4 video** (r6, stdlib struct): real ISO BMFF DEMUX — box walk,
+  mvhd/tkhd/mdhd/hdlr/stsd metadata, and full stsz/stsc/stco/co64
+  sample-table resolution, so ``frame_sample`` slices true per-sample
+  byte ranges out of mdat. Codec decode of the extracted access units
+  (H.264 etc.) stays stubbed — that genuinely needs pyav/ffmpeg.
+- every other container (webp/...) still goes through the
+  deterministic stub. The ``decoder`` output column records which path
+  produced each row, so downstream consumers can filter on
+  provenance. Swapping the stub for PIL/librosa is a one-function
+  change; the distributed plan is already correct.
 
 Scale notes:
 - media blobs ride in parquet binary columns; ``maxPartitionBytes``
@@ -591,6 +595,227 @@ def jpeg_features(payload: bytes) -> list[float]:
     return _pixel_features(decode_jpeg(payload))
 
 
+# --- MP4 / ISO BMFF demux (real box + sample-table parsing, stub decode) ----
+
+
+def _mp4_boxes(data: bytes, start: int, end: int):
+    """Iterate (type, payload_start, box_end) over one box level, per
+    ISO/IEC 14496-12: 32-bit size, size==1 → 64-bit largesize,
+    size==0 → extends to the enclosing container's end."""
+    import struct
+
+    i = start
+    while i + 8 <= end:
+        (size,) = struct.unpack(">I", data[i : i + 4])
+        typ = data[i + 4 : i + 8]
+        hdr = 8
+        if size == 1:
+            (size,) = struct.unpack(">Q", data[i + 8 : i + 16])
+            hdr = 16
+        elif size == 0:
+            size = end - i
+        if size < hdr or i + size > end:
+            raise ValueError("malformed MP4 box")
+        yield typ, i + hdr, i + size
+        i += size
+
+
+def parse_mp4(payload: bytes) -> dict:
+    """REAL ISO BMFF (MP4) metadata parse with stdlib struct only: walks
+    ftyp/moov/mvhd/trak/tkhd/mdia/mdhd/hdlr/stbl and returns
+
+    ``{brand, timescale, duration_s, n_tracks, tracks: [{handler,
+    codec, timescale, duration_s, width, height, n_samples}]}``.
+
+    Handles version-0 and version-1 full boxes (32/64-bit times) and
+    16.16 fixed-point track dimensions. This is demux-level truth — no
+    codec decode — and raises on anything that is not an MP4."""
+    import struct
+
+    if payload is None or len(payload) < 16 or payload[4:8] != b"ftyp":
+        raise ValueError("not an MP4 payload")
+    info: dict = {
+        "brand": payload[8:12].decode("ascii", "replace"),
+        "timescale": 0,
+        "duration_s": 0.0,
+        "n_tracks": 0,
+        "tracks": [],
+    }
+
+    def full_box(d, s):
+        ver = d[s]
+        return ver
+
+    def parse_track(s, e) -> dict:
+        trk = {
+            "handler": None,
+            "codec": None,
+            "timescale": 0,
+            "duration_s": 0.0,
+            "width": 0.0,
+            "height": 0.0,
+            "n_samples": 0,
+        }
+        for typ, ps, pe in _mp4_boxes(payload, s, e):
+            if typ == b"tkhd":
+                ver = full_box(payload, ps)
+                off = ps + (4 + 32 if ver == 1 else 4 + 20)
+                off += 8 + 2 + 2 + 2 + 2 + 36  # reserved..matrix
+                w, h = struct.unpack(">II", payload[off : off + 8])
+                trk["width"], trk["height"] = w / 65536.0, h / 65536.0
+            elif typ == b"mdia":
+                for t2, q2, e2 in _mp4_boxes(payload, ps, pe):
+                    if t2 == b"mdhd":
+                        ver = full_box(payload, q2)
+                        if ver == 1:
+                            ts, dur = struct.unpack(
+                                ">IQ", payload[q2 + 20 : q2 + 32]
+                            )
+                        else:
+                            ts, dur = struct.unpack(
+                                ">II", payload[q2 + 12 : q2 + 20]
+                            )
+                        trk["timescale"] = ts
+                        trk["duration_s"] = dur / ts if ts else 0.0
+                    elif t2 == b"hdlr":
+                        trk["handler"] = payload[q2 + 8 : q2 + 12].decode(
+                            "ascii", "replace"
+                        )
+                    elif t2 == b"minf":
+                        for t3, q3, e3 in _mp4_boxes(payload, q2, e2):
+                            if t3 != b"stbl":
+                                continue
+                            for t4, q4, _e4 in _mp4_boxes(payload, q3, e3):
+                                if t4 == b"stsd":
+                                    trk["codec"] = payload[
+                                        q4 + 12 : q4 + 16
+                                    ].decode("ascii", "replace")
+                                elif t4 == b"stsz":
+                                    (trk["n_samples"],) = struct.unpack(
+                                        ">I", payload[q4 + 8 : q4 + 12]
+                                    )
+        return trk
+
+    for typ, ps, pe in _mp4_boxes(payload, 0, len(payload)):
+        if typ != b"moov":
+            continue
+        for t1, q1, e1 in _mp4_boxes(payload, ps, pe):
+            if t1 == b"mvhd":
+                ver = full_box(payload, q1)
+                if ver == 1:
+                    ts, dur = struct.unpack(">IQ", payload[q1 + 20 : q1 + 32])
+                else:
+                    ts, dur = struct.unpack(">II", payload[q1 + 12 : q1 + 20])
+                info["timescale"] = ts
+                info["duration_s"] = dur / ts if ts else 0.0
+            elif t1 == b"trak":
+                info["tracks"].append(parse_track(q1, e1))
+    info["n_tracks"] = len(info["tracks"])
+    if info["timescale"] == 0 and not info["tracks"]:
+        raise ValueError("MP4 missing moov")
+    return info
+
+
+def mp4_sample_table(payload: bytes, handler: str = "vide"):
+    """REAL sample-table resolution for the first track with the given
+    handler: expands stsc chunk runs against stco/co64 chunk offsets
+    and stsz sizes into a [(byte_offset, byte_size), ...] list — the
+    true per-sample (per-frame, for video) byte ranges inside mdat.
+    This is what a frame sampler actually needs; codec decode of the
+    extracted access units stays out of scope (no pyav here)."""
+    import struct
+
+    if payload is None or len(payload) < 16 or payload[4:8] != b"ftyp":
+        raise ValueError("not an MP4 payload")
+
+    def find(path, s, e):
+        for typ, ps, pe in _mp4_boxes(payload, s, e):
+            if typ == path[0]:
+                if len(path) == 1:
+                    yield ps, pe
+                else:
+                    yield from find(path[1:], ps, pe)
+
+    for trak_s, trak_e in find([b"moov", b"trak"], 0, len(payload)):
+        hd = next(find([b"mdia", b"hdlr"], trak_s, trak_e), None)
+        if hd is None or payload[hd[0] + 8 : hd[0] + 12] != handler.encode():
+            continue
+        stbl = next(find([b"mdia", b"minf", b"stbl"], trak_s, trak_e), None)
+        if stbl is None:
+            continue
+        boxes = {t: (s, e) for t, s, e in _mp4_boxes(payload, *stbl)}
+        if b"stsz" not in boxes or b"stsc" not in boxes:
+            raise ValueError("MP4 stbl missing stsz/stsc")
+        s, _e = boxes[b"stsz"]
+        fixed, count = struct.unpack(">II", payload[s + 4 : s + 12])
+        if fixed:
+            sizes = [fixed] * count
+        else:
+            sizes = list(
+                struct.unpack(f">{count}I", payload[s + 12 : s + 12 + 4 * count])
+            )
+        if b"stco" in boxes:
+            s, _e = boxes[b"stco"]
+            (nch,) = struct.unpack(">I", payload[s + 4 : s + 8])
+            chunks = list(
+                struct.unpack(f">{nch}I", payload[s + 8 : s + 8 + 4 * nch])
+            )
+        elif b"co64" in boxes:
+            s, _e = boxes[b"co64"]
+            (nch,) = struct.unpack(">I", payload[s + 4 : s + 8])
+            chunks = list(
+                struct.unpack(f">{nch}Q", payload[s + 8 : s + 8 + 8 * nch])
+            )
+        else:
+            raise ValueError("MP4 stbl missing stco/co64")
+        s, _e = boxes[b"stsc"]
+        (nsc,) = struct.unpack(">I", payload[s + 4 : s + 8])
+        runs = [
+            struct.unpack(">III", payload[s + 8 + 12 * i : s + 20 + 12 * i])
+            for i in range(nsc)
+        ]
+        out, si = [], 0
+        for ri, (first, per_chunk, _desc) in enumerate(runs):
+            last = runs[ri + 1][0] - 1 if ri + 1 < len(runs) else len(chunks)
+            for ci in range(first - 1, last):
+                off = chunks[ci]
+                for _ in range(per_chunk):
+                    if si >= len(sizes):
+                        return out
+                    out.append((off, sizes[si]))
+                    off += sizes[si]
+                    si += 1
+        return out
+    raise ValueError(f"MP4 has no '{handler}' track")
+
+
+def mp4_features(payload: bytes) -> list[float]:
+    """8-dim real video features from demuxed MP4 metadata: duration_s,
+    n_tracks, width, height, video sample count, video timescale, mean
+    video sample bytes, total sample bytes — all from actual box
+    parsing, no codec decode."""
+    info = parse_mp4(payload)
+    vid = next((t for t in info["tracks"] if t["handler"] == "vide"), None)
+    try:
+        table = mp4_sample_table(payload, "vide")
+    except ValueError:
+        table = []
+    total = float(sum(sz for _off, sz in table))
+    return [
+        round(v, 6)
+        for v in [
+            float(info["duration_s"]),
+            float(info["n_tracks"]),
+            float(vid["width"]) if vid else 0.0,
+            float(vid["height"]) if vid else 0.0,
+            float(vid["n_samples"]) if vid else 0.0,
+            float(vid["timescale"]) if vid else 0.0,
+            total / len(table) if table else 0.0,
+            total,
+        ]
+    ]
+
+
 def sniff_format(payload: bytes | None) -> str | None:
     """Magic-byte container sniff for the formats decodable here:
     'wav' (RIFF....WAVE), 'png' (\\x89PNG), 'jpeg' (FFD8FF), or
@@ -603,6 +828,8 @@ def sniff_format(payload: bytes | None) -> str | None:
         return "png"
     if payload[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if payload[4:8] == b"ftyp":
+        return "mp4"
     if payload[:2] in (b"P5", b"P6") and payload[2:3].isspace():
         return "netpbm"
     return None
@@ -621,6 +848,8 @@ def _decode_dispatch(payload: bytes | None, kind: str) -> tuple[str, list[float]
             return "png", png_features(payload)
         if fmt == "jpeg":
             return "jpeg", jpeg_features(payload)
+        if fmt == "mp4":
+            return "mp4", mp4_features(payload)
         if fmt == "netpbm":
             return "netpbm", netpbm_features(payload)
     except Exception:
@@ -662,22 +891,48 @@ def extract_features(df: DataFrame, batch_hint: int = 256) -> DataFrame:
 
 
 def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
-    """Video frame-sampling SHAPE demo: 1 video row → N frame rows.
-    Decode is stubbed (payload sliced as fake 'frames'); the explode
-    cardinality change and output schema are the real contract."""
+    """Video frame sampling: 1 video row → N frame rows.
+
+    MP4 payloads get REAL demux (r6): every ``every_n``-th entry of the
+    video track's resolved sample table (stsz/stsc/stco via
+    :func:`mp4_sample_table`) is sliced out of the container — true
+    codec access units with their exact byte ranges, ``sampler='mp4'``.
+    Non-MP4 payloads keep the deterministic fixed-stride stub (≤8 fake
+    frames, ``sampler='stub'``). The explode cardinality change and the
+    Arrow iterator contract are identical on both paths."""
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),
             T.StructField("frame_idx", T.IntegerType(), False),
             T.StructField("frame_bytes", T.BinaryType(), True),
+            T.StructField("sampler", T.StringType(), False),
         ]
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "frame_idx", "frame_bytes", "sampler"]
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
                 payload = b"" if r["payload"] is None else bytes(r["payload"])
+                table = None
+                if sniff_format(payload) == "mp4":
+                    try:
+                        table = mp4_sample_table(payload, "vide")
+                    except ValueError:
+                        table = None
+                if table:
+                    step = max(every_n, 1)
+                    for i, (off, sz) in enumerate(table[::step]):
+                        rows.append(
+                            {
+                                "media_id": r["media_id"],
+                                "frame_idx": i,
+                                "frame_bytes": payload[off : off + sz],
+                                "sampler": "mp4",
+                            }
+                        )
+                    continue
                 n_frames = max(1, len(payload) // max(every_n, 1))
                 for i in range(min(n_frames, 8)):  # stub: ≤8 fake frames
                     rows.append(
@@ -685,9 +940,10 @@ def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
                             "media_id": r["media_id"],
                             "frame_idx": i,
                             "frame_bytes": payload[i * every_n : (i + 1) * every_n],
+                            "sampler": "stub",
                         }
                     )
-            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_bytes"])
+            yield pd.DataFrame(rows, columns=cols)
 
     return df.filter(F.col("kind") == "video").mapInPandas(run, schema=out_schema)
 

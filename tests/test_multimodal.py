@@ -650,3 +650,153 @@ def test_real_jpeg_decode_and_resize(spark):
     vals = [int(v) for v in arr[0, :, 0]]
     assert all(abs(v - e) <= 2 for v, e in zip(vals, [0, 64, 128, 192]))
     assert resized[2].meta["resample"] == "stub"
+
+
+# --- MP4: hand-built ISO BMFF fixture (independent of the parser) -----------
+
+
+def _mp4_box(typ: bytes, payload: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+
+def _build_mp4(version=0, co64=False, timescale=1000, duration=2500):
+    """Minimal valid MP4: ftyp + mdat (5 distinctive samples in 2
+    chunks) + moov with a full vide track (tkhd dims, mdhd timescale,
+    stsd codec, stsc runs, stsz sizes, stco/co64 offsets). Returns
+    (payload, samples) where samples are the ground-truth bytes."""
+    import struct
+
+    samples = [b"A" * 3, b"B" * 4, b"C" * 5, b"D" * 6, b"E" * 7]
+    ftyp = _mp4_box(b"ftyp", b"isom" + b"\x00" * 4 + b"isom")
+    mdat_payload = b"".join(samples)
+    chunk1_off = len(ftyp) + 8
+    chunk2_off = chunk1_off + len(samples[0]) + len(samples[1])
+    mdat = _mp4_box(b"mdat", mdat_payload)
+
+    if version == 1:
+        mvhd = bytes([1, 0, 0, 0]) + struct.pack(
+            ">QQIQ", 0, 0, timescale, duration
+        ) + bytes(80)
+        mdhd = bytes([1, 0, 0, 0]) + struct.pack(
+            ">QQIQ", 0, 0, 600, 1500
+        ) + bytes(4)
+        tkhd = bytes([1, 0, 0, 0]) + bytes(32) + bytes(
+            8 + 2 + 2 + 2 + 2 + 36
+        ) + struct.pack(">II", 320 << 16, 240 << 16)
+    else:
+        mvhd = bytes(4) + struct.pack(">IIII", 0, 0, timescale, duration) + bytes(
+            80
+        )
+        mdhd = bytes(4) + struct.pack(">IIII", 0, 0, 600, 1500) + bytes(4)
+        tkhd = bytes(4) + bytes(20) + bytes(8 + 2 + 2 + 2 + 2 + 36) + struct.pack(
+            ">II", 320 << 16, 240 << 16
+        )
+    hdlr = bytes(4) + bytes(4) + b"vide" + bytes(12) + b"\x00"
+    stsd = bytes(4) + struct.pack(">I", 1) + struct.pack(">I", 16) + b"avc1" + bytes(
+        8
+    )
+    stts = bytes(4) + struct.pack(">III", 1, 5, 300)
+    stsc = bytes(4) + struct.pack(">I", 2) + struct.pack(
+        ">III", 1, 2, 1
+    ) + struct.pack(">III", 2, 3, 1)
+    stsz = bytes(4) + struct.pack(">II", 0, 5) + struct.pack(
+        ">5I", *(len(s) for s in samples)
+    )
+    if co64:
+        stco = _mp4_box(
+            b"co64", bytes(4) + struct.pack(">IQQ", 2, chunk1_off, chunk2_off)
+        )
+    else:
+        stco = _mp4_box(
+            b"stco", bytes(4) + struct.pack(">III", 2, chunk1_off, chunk2_off)
+        )
+    stbl = _mp4_box(
+        b"stbl",
+        _mp4_box(b"stsd", stsd)
+        + _mp4_box(b"stts", stts)
+        + _mp4_box(b"stsc", stsc)
+        + _mp4_box(b"stsz", stsz)
+        + stco,
+    )
+    minf = _mp4_box(b"minf", stbl)
+    mdia = _mp4_box(
+        b"mdia", _mp4_box(b"mdhd", mdhd) + _mp4_box(b"hdlr", hdlr) + minf
+    )
+    trak = _mp4_box(b"trak", _mp4_box(b"tkhd", tkhd) + mdia)
+    moov = _mp4_box(b"moov", _mp4_box(b"mvhd", mvhd) + trak)
+    return ftyp + mdat + moov, samples
+
+
+def test_mp4_parse_metadata():
+    for version in (0, 1):
+        payload, _ = _build_mp4(version=version)
+        info = multimodal.parse_mp4(payload)
+        assert info["brand"] == "isom"
+        assert info["duration_s"] == 2.5  # 2500 / 1000
+        assert info["n_tracks"] == 1
+        trk = info["tracks"][0]
+        assert trk["handler"] == "vide"
+        assert trk["codec"] == "avc1"
+        assert trk["timescale"] == 600 and trk["duration_s"] == 2.5
+        assert (trk["width"], trk["height"]) == (320.0, 240.0)
+        assert trk["n_samples"] == 5
+
+
+def test_mp4_sample_table_resolution():
+    """stsc chunk runs × stco offsets × stsz sizes → exact byte ranges:
+    the extracted slices must equal the ground-truth sample bytes."""
+    for co64 in (False, True):
+        payload, samples = _build_mp4(co64=co64)
+        table = multimodal.mp4_sample_table(payload, "vide")
+        assert [sz for _off, sz in table] == [3, 4, 5, 6, 7]
+        extracted = [payload[off : off + sz] for off, sz in table]
+        assert extracted == samples
+    import pytest
+
+    with pytest.raises(ValueError, match="not an MP4"):
+        multimodal.mp4_sample_table(b"\x00" * 32)
+    payload, _ = _build_mp4()
+    with pytest.raises(ValueError, match="no 'soun' track"):
+        multimodal.mp4_sample_table(payload, "soun")
+
+
+def test_mp4_features_and_dispatch(spark):
+    payload, samples = _build_mp4()
+    rows = [
+        (1, "video", "video/mp4", payload, {"src": "cam"}),
+        (2, "video", "video/mp4", b"\x00" * 64, None),  # not MP4 → stub
+    ]
+    df = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    out = {r.media_id: r for r in multimodal.extract_features(df).collect()}
+    assert out[1].decoder == "mp4"
+    dur, ntrk, w, h, nsamp, ts, mean_sz, total = out[1].feature
+    assert (dur, ntrk, w, h, nsamp, ts) == (2.5, 1.0, 320.0, 240.0, 5.0, 600.0)
+    assert total == float(sum(len(s) for s in samples))
+    assert abs(mean_sz - total / 5) < 1e-6
+    assert out[2].decoder == "stub"
+
+
+def test_frame_sample_real_mp4_demux(spark):
+    """MP4 video rows explode into TRUE access-unit byte slices (every
+    2nd sample of the resolved table); non-MP4 rows keep the stub with
+    honest sampler provenance."""
+    payload, samples = _build_mp4()
+    rows = [
+        (1, "video", "video/mp4", payload, None),
+        (2, "video", "video/mp4", bytes(range(100)), None),
+    ]
+    df = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    out = multimodal.frame_sample(df, every_n=2).collect()
+    mp4_frames = sorted(
+        (r for r in out if r.media_id == 1), key=lambda r: r.frame_idx
+    )
+    assert [r.sampler for r in mp4_frames] == ["mp4"] * 3
+    assert [bytes(r.frame_bytes) for r in mp4_frames] == [
+        samples[0],
+        samples[2],
+        samples[4],
+    ]
+    stub_frames = [r for r in out if r.media_id == 2]
+    assert stub_frames and all(r.sampler == "stub" for r in stub_frames)
