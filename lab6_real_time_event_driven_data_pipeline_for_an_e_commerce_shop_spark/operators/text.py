@@ -11,6 +11,8 @@ Operators:
 - language_id      — stopword-marker n-gram heuristic
 - fingerprint      — md5 over whitespace-normalized text (doc identity)
 - shingles         — k-word shingle array (input to MinHash / Jaccard)
+- repetition_profile — Gopher-class repetition/diversity signals
+  (distinct-token ratio, top unigram/bigram fractions)
 """
 
 from __future__ import annotations
@@ -125,6 +127,88 @@ def bpe_ish_tokens(col: Column) -> Column:
     UDF; the pretokenizer is where the row-level compute lives and is
     pure codegen."""
     return F.regexp_extract_all(F.lower(col), F.lit(BPE_ISH_PATTERN), 0)
+
+
+def bigrams(text: Column) -> Column:
+    """Adjacent word-bigram array ('tok[i] tok[i+1]'); empty when the
+    document has fewer than two tokens (unlike :func:`shingles`, which
+    degrades to the whole text — a repetition metric must not count a
+    short doc as its own top bigram)."""
+    toks = tokens(text)
+    n = F.size(toks)
+    return F.when(n < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        )
+    )
+
+
+def repetition_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-class repetition signals per document — the standard
+    pretraining quality filters that catch boilerplate/spam that
+    length-and-punctuation ratios miss (cf. Gopher paper §A1.1's
+    duplicate n-gram fractions):
+
+    - ``n_distinct_tokens`` / ``distinct_token_ratio`` — vocabulary
+      diversity (low ⇒ keyword stuffing).
+    - ``top_token_frac`` — occurrences of the most frequent token over
+      all tokens (high ⇒ single-term spam).
+    - ``top_bigram_frac`` — occurrences of the most frequent adjacent
+      bigram over all bigrams (high ⇒ repeated phrases); 0.0 for docs
+      with <2 tokens.
+
+    Shape: explode → count → per-doc max/distinct — the same bounded
+    (doc, gram) substrate grain as the dedup family; shuffles hashes of
+    grams, never text, and every ratio is exact-int ÷ exact-int double
+    division (engine-portable bit-for-bit). No UDF anywhere."""
+    t = F.col(text_col)
+    base = df.select(F.col(id_col), t.alias("_txt")).withColumn(
+        "_n_tok", F.size(tokens(F.col("_txt"))).cast("long")
+    )
+    uni = (
+        base.select(F.col(id_col), F.explode(tokens(F.col("_txt"))).alias("_g"))
+        .groupBy(id_col, "_g")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct_tokens"),
+            F.max("_c").cast("long").alias("_top_uni"),
+        )
+    )
+    bi = (
+        base.select(F.col(id_col), F.explode(bigrams(F.col("_txt"))).alias("_g"))
+        .groupBy(id_col, "_g")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(id_col)
+        .agg(F.max("_c").cast("long").alias("_top_bi"))
+    )
+    return (
+        base.select(F.col(id_col), F.col("_n_tok"))
+        .join(uni, id_col, "left")
+        .join(bi, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("_n_tok").alias("n_tokens"),
+            F.coalesce(F.col("n_distinct_tokens"), F.lit(0)).alias(
+                "n_distinct_tokens"
+            ),
+            (
+                F.coalesce(F.col("n_distinct_tokens"), F.lit(0)).cast("double")
+                / F.greatest(F.col("_n_tok"), F.lit(1))
+            ).alias("distinct_token_ratio"),
+            (
+                F.coalesce(F.col("_top_uni"), F.lit(0)).cast("double")
+                / F.greatest(F.col("_n_tok"), F.lit(1))
+            ).alias("top_token_frac"),
+            (
+                F.coalesce(F.col("_top_bi"), F.lit(0)).cast("double")
+                / F.greatest(F.col("_n_tok") - 1, F.lit(1))
+            ).alias("top_bigram_frac"),
+        )
+    )
 
 
 def rolling_fingerprint(col: Column, modulus: int = 2_147_483_647) -> Column:

@@ -805,22 +805,31 @@ def _lang_score_sql(markers: list[str]) -> str:
     None,  # assembled below (needs the marker table); see _q22_oracle()
 )
 def q22_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document text profile in ONE scan: quality-scoring features
+    """Per-document text profile: quality-scoring features
     (length/token/punct/digit/upper ratios — regexp-length deltas, one
     codegen stage) plus marker-stopword language ID with deterministic
     argmax (first language in code order wins ties; 'und' when no
-    marker hits)."""
+    marker hits). r6 depth: Gopher-class repetition signals
+    (text.repetition_profile — distinct-token ratio, top unigram and
+    adjacent-bigram fractions over the exploded (doc, gram) substrate;
+    every ratio exact-int ÷ exact-int, engine-portable)."""
     from ..operators import text as text_ops
 
     langs = sorted(text_ops.LANG_MARKERS)
-    profiled = text_ops.language_id(
-        text_ops.quality_features(_t(spark, sf_dir, "documents"))
+    docs = _t(spark, sf_dir, "documents")
+    profiled = text_ops.language_id(text_ops.quality_features(docs))
+    rep = text_ops.repetition_profile(docs).select(
+        "doc_id",
+        "n_distinct_tokens",
+        "distinct_token_ratio",
+        "top_token_frac",
+        "top_bigram_frac",
     )
     return profiled.select(
         "doc_id", "n_chars_actual", "n_tokens",
         "avg_token_len", "punct_ratio", "digit_ratio", "upper_ratio",
         "lang", "predicted_lang", *[f"score_{lang}" for lang in langs],
-    )
+    ).join(rep, "doc_id")
 
 
 def _q22_oracle() -> str:
@@ -845,8 +854,31 @@ def _q22_oracle() -> str:
         FROM documents
     ), m AS (
         SELECT *, {greatest} AS _m FROM base
+    ), unigram AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nd, MAX(c) AS topu
+        FROM (
+            SELECT doc_id, g, COUNT(*) AS c
+            FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(text), '\s+')) AS g
+                FROM documents
+            ) GROUP BY doc_id, g
+        ) GROUP BY doc_id
+    ), bigram AS (
+        SELECT doc_id, MAX(c) AS topb
+        FROM (
+            SELECT doc_id, g, COUNT(*) AS c
+            FROM (
+                SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+                FROM (SELECT doc_id,
+                             string_split_regex(trim(text), '\s+') AS t
+                      FROM documents),
+                     LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) gg
+                WHERE len(t) >= 2
+            ) GROUP BY doc_id, g
+        ) GROUP BY doc_id
     )
-    SELECT doc_id,
+    SELECT m.doc_id,
            CAST(n_chars_actual AS BIGINT) AS n_chars_actual,
            CAST(n_tokens AS BIGINT)       AS n_tokens,
            CAST(n_chars_actual - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_token_len,
@@ -855,8 +887,17 @@ def _q22_oracle() -> str:
            CAST(n_chars_actual - no_upper AS DOUBLE) / n_chars_actual AS upper_ratio,
            lang,
            CASE WHEN _m < 1 THEN 'und' {case} END AS predicted_lang,
-           {", ".join(f"score_{lang}" for lang in langs)}
+           {", ".join(f"score_{lang}" for lang in langs)},
+           CAST(COALESCE(u.nd, 0) AS BIGINT) AS n_distinct_tokens,
+           CAST(COALESCE(u.nd, 0) AS DOUBLE) / GREATEST(n_tokens, 1)
+               AS distinct_token_ratio,
+           CAST(COALESCE(u.topu, 0) AS DOUBLE) / GREATEST(n_tokens, 1)
+               AS top_token_frac,
+           CAST(COALESCE(b.topb, 0) AS DOUBLE) / GREATEST(n_tokens - 1, 1)
+               AS top_bigram_frac
     FROM m
+    LEFT JOIN unigram u ON m.doc_id = u.doc_id
+    LEFT JOIN bigram  b ON m.doc_id = b.doc_id
     """
 
 
@@ -2321,12 +2362,21 @@ _PHASH_SAMPLE = (
     "q52_train_val_test_split",
     f"""
     WITH splits AS (
-        SELECT doc_id, text,
+        SELECT doc_id, text, lang,
                CASE WHEN {_PHASH_ID} % 100 < 10 THEN 'test'
                     WHEN {_PHASH_ID} % 100 < 20 THEN 'val'
                     ELSE 'train' END AS split,
                {_PHASH_SAMPLE} % 100 < 20 AS sampled20
         FROM documents
+    ),
+    strat AS (
+        SELECT doc_id FROM splits
+        QUALIFY row_number() OVER (
+            PARTITION BY split, lang
+            ORDER BY CAST(concat('0x',
+                substr(md5('s1␟' || CAST(doc_id AS VARCHAR)), 1, 12))
+                AS BIGINT), doc_id
+        ) <= 10
     ),
     tok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
     sh AS (
@@ -2352,7 +2402,8 @@ _PHASH_SAMPLE = (
     )
     SELECT sp.doc_id, sp.split, sp.sampled20,
            CASE WHEN sp.split = 'test' THEN CAST(0 AS BIGINT)
-                ELSE CAST(COALESCE(l.n, 0) AS BIGINT) END AS leak_shingles
+                ELSE CAST(COALESCE(l.n, 0) AS BIGINT) END AS leak_shingles,
+           sp.doc_id IN (SELECT doc_id FROM strat) AS strat10
     FROM splits sp LEFT JOIN leak l ON sp.doc_id = l.doc_id
     """,
 )
@@ -2365,20 +2416,33 @@ def q52_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     growth). r3 depth: ``leak_shingles`` — benchmark-decontamination
     counts (curation.contamination_counts): per train/val doc, how many
     of its distinct 3-gram shingle hashes also appear in the test
-    split."""
+    split. r6 depth: ``strat10`` — membership in the deterministic
+    per-(split, lang) stratified sample (curation.stratified_sample,
+    n_per_group=10, salt='s1'): hash-rank selection, so the flag is
+    stable across runs/engines/partitionings and monotone in n."""
     from ..functions.expressions import portable_hash
-    from ..operators.curation import assign_split, contamination_counts
+    from ..operators.curation import (
+        assign_split,
+        contamination_counts,
+        stratified_sample,
+    )
 
     sample_hash = portable_hash(
         F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))
     )
     with_split = assign_split(_t(spark, sf_dir, "documents"))
     leak = contamination_counts(with_split, holdout_split="test")
+    strat = stratified_sample(
+        with_split, ["split", "lang"], "doc_id", n_per_group=10, salt="s1"
+    ).select("doc_id", F.lit(True).alias("_st"))
     return (
         with_split.select(
             "doc_id", "split", (sample_hash % 100 < 20).alias("sampled20")
         )
         .join(leak.select("doc_id", "leak_shingles"), "doc_id")
+        .join(strat, "doc_id", "left")
+        .withColumn("strat10", F.coalesce(F.col("_st"), F.lit(False)))
+        .drop("_st")
     )
 
 

@@ -92,3 +92,38 @@ def test_cosine_identity_and_orthogonal(spark):
     out = [r.c for r in df.select(similarity.cosine(F.col("a"), F.col("b")).alias("c")).collect()]
     assert out[0] == pytest.approx(1.0)
     assert out[1] == pytest.approx(0.0)
+
+
+def test_repetition_profile(spark):
+    """Hand-computable repetition signals: a spammy doc (one token
+    dominating), a diverse doc, and a repeated-phrase doc."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        text as text_ops,
+    )
+
+    rows = [
+        (1, "buy buy buy buy now"),          # 5 tokens, 'buy'×4
+        (2, "a fresh diverse set of words"),  # all distinct
+        (3, "very good very good very good"),  # bigram 'very good'×3
+        (4, "single"),                        # <2 tokens: no bigrams
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in text_ops.repetition_profile(df).collect()}
+
+    assert out[1].n_tokens == 5 and out[1].n_distinct_tokens == 2
+    assert out[1].top_token_frac == 4 / 5
+    assert out[1].distinct_token_ratio == 2 / 5
+    # bigrams of doc1: 'buy buy'×3, 'buy now' → top 3 of 4
+    assert out[1].top_bigram_frac == 3 / 4
+
+    assert out[2].distinct_token_ratio == 1.0
+    assert out[2].top_token_frac == 1 / 6
+    assert out[2].top_bigram_frac == 1 / 5
+
+    # doc3: tokens very×3 good×3 → top 3/6; bigrams: 'very good'×3,
+    # 'good very'×2 → top 3/5
+    assert out[3].top_token_frac == 3 / 6
+    assert out[3].top_bigram_frac == 3 / 5
+
+    assert out[4].n_tokens == 1 and out[4].top_bigram_frac == 0.0
+    assert out[4].top_token_frac == 1.0
