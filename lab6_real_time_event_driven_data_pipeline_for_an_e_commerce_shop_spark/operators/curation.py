@@ -166,6 +166,56 @@ def stratified_sample(
     )
 
 
+# Conservative PII patterns, valid under BOTH Java regex (Spark) and
+# RE2-class engines (DuckDB/Go) — no backreferences, no lookaround —
+# so redaction counts stay oracle-checkable across engines.
+PII_PATTERNS: dict[str, str] = {
+    # local-part@domain.tld
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    # international-ish phone: optional +CC, 3 groups with -/./space
+    # separators (anchored on word boundaries to avoid eating ids)
+    "phone": r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}([-. ][0-9]{2,4})?",
+    # dotted-quad IPv4
+    "ipv4": r"\b(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])){3}\b",
+    # 13-16 digit card-shaped runs with optional -/space group separators
+    "card": r"\b[0-9]{4}([- ]?[0-9]{4}){2}[- ]?[0-9]{1,4}\b",
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    kinds: list[str] | None = None,
+) -> DataFrame:
+    """PII scrubbing for training corpora: replaces each matched span
+    with ``<KIND>`` (e.g. ``<EMAIL>``) and appends per-kind match
+    counts (``n_pii_<kind>`` bigint) for audit/filtering. Pure
+    ``regexp_replace`` / ``regexp_extract_all`` column expressions —
+    JVM codegen, no UDF, linear scan, trivially partitionable.
+
+    Order is deterministic (kinds as given, default sorted): counts are
+    measured on the ORIGINAL text per kind, then replacements applied
+    sequentially — card/phone overlaps therefore count independently
+    but redact left-to-right in kind order. The patterns avoid
+    lookaround/backreferences so an engine-portable oracle can count
+    the same spans."""
+    kinds = sorted(PII_PATTERNS) if kinds is None else kinds
+    t = F.col(text_col)
+    out = df
+    for kind in kinds:
+        pat = PII_PATTERNS[kind]
+        out = out.withColumn(
+            f"n_pii_{kind}",
+            F.size(F.regexp_extract_all(t, F.lit(pat), 0)).cast("long"),
+        )
+    redacted = t
+    for kind in kinds:
+        redacted = F.regexp_replace(
+            redacted, PII_PATTERNS[kind], f"<{kind.upper()}>"
+        )
+    return out.withColumn(f"{text_col}_redacted", redacted)
+
+
 def snapshot_diff(
     old: DataFrame,
     new: DataFrame,

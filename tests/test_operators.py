@@ -1110,3 +1110,72 @@ def test_snapshot_diff_classifies_all_change_types(spark):
     # compare_cols restriction: v-only diff sees k=3 changed, s ignored
     vonly = {r["k"]: r for r in curation.snapshot_diff(old, new, ["k"], ["v"]).collect()}
     assert vonly[3].change_type == "changed" and vonly[3].changed_cols == "v"
+
+
+def test_redact_pii_counts_and_replacement(spark):
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        curation,
+    )
+
+    rows = [
+        (1, "mail me at jo.doe+x@example.co.uk or call +1 555 867-5309 now"),
+        (2, "server 192.168.0.1 billed card 4111 1111 1111 1111 twice"),
+        (3, "nothing sensitive here, order #12 qty 3"),
+        (4, "two mails: a@b.io c@d.org; ip 8.8.8.8"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    out = {r.id: r for r in curation.redact_pii(df).collect()}
+
+    assert out[1].n_pii_email == 1 and out[1].n_pii_phone == 1
+    assert "<EMAIL>" in out[1].text_redacted
+    assert "<PHONE>" in out[1].text_redacted
+    assert "jo.doe" not in out[1].text_redacted
+    assert "5309" not in out[1].text_redacted
+
+    assert out[2].n_pii_ipv4 == 1 and out[2].n_pii_card == 1
+    assert "<IPV4>" in out[2].text_redacted and "<CARD>" in out[2].text_redacted
+    assert "4111" not in out[2].text_redacted
+
+    assert (
+        out[3].n_pii_email
+        == out[3].n_pii_phone
+        == out[3].n_pii_ipv4
+        == out[3].n_pii_card
+        == 0
+    )
+    assert out[3].text_redacted == rows[2][1]  # untouched
+
+    assert out[4].n_pii_email == 2 and out[4].n_pii_ipv4 == 1
+    assert out[4].text_redacted.count("<EMAIL>") == 2
+
+
+def test_redact_pii_counts_match_duckdb_oracle(spark):
+    """Patterns are RE2-safe by design: DuckDB must count the same
+    spans (the property that would make a gated slot oracle-able if
+    the corpus ever carries PII)."""
+    import duckdb
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        curation,
+    )
+
+    rows = [
+        (1, "a@b.io and c.d-e@f.gh.ij plus 10.0.0.255 and +44-020-7946-0958"),
+        (2, "cards 4111-1111-1111-1111 and 5500 0000 0000 0004; ip 1.2.3.4"),
+        (3, "plain text, no identifiers at all"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    spark_counts = {
+        r.id: (r.n_pii_email, r.n_pii_phone, r.n_pii_ipv4, r.n_pii_card)
+        for r in curation.redact_pii(df).collect()
+    }
+    con = duckdb.connect()
+    for rid, text in rows:
+        got = tuple(
+            con.execute(
+                "SELECT len(regexp_extract_all(?, ?))",
+                [text, curation.PII_PATTERNS[k]],
+            ).fetchone()[0]
+            for k in ("email", "phone", "ipv4", "card")
+        )
+        assert got == spark_counts[rid], (rid, got, spark_counts[rid])
