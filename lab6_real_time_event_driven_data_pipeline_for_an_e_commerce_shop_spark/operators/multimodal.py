@@ -184,19 +184,123 @@ def netpbm_features(payload: bytes) -> list[float]:
     return _pixel_features(decode_netpbm(payload))
 
 
+def _png_unfilter(raw: bytes, off: int, h: int, stride: int, bpp: int):
+    """Reconstruct ``h`` scanlines of ``stride`` bytes from ``raw``
+    starting at ``off``. All five filter types per the PNG spec:
+    None(0), Sub(1) and Up(2) vectorized (Sub is a per-byte-lane
+    cumulative sum mod 256), Average(3) and Paeth(4) per-byte within
+    the row (sequentially dependent on the running left neighbour).
+    Returns (uint8 array of shape (h, stride), next offset)."""
+    import numpy as np
+
+    need = (stride + 1) * h
+    if len(raw) - off < need:
+        raise ValueError("truncated PNG raster")
+    arr = np.frombuffer(raw, np.uint8, count=need, offset=off).reshape(
+        h, stride + 1
+    )
+    ftypes, lines = arr[:, 0], arr[:, 1:]
+    out = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint16)
+    for y in range(h):
+        f, line = int(ftypes[y]), lines[y]
+        if f == 0:
+            rec = line.copy()
+        elif f == 1:  # Sub: per-lane prefix sum mod 256
+            rec = (
+                (
+                    np.cumsum(
+                        line.reshape(stride // bpp, bpp).astype(np.uint64),
+                        axis=0,
+                    )
+                    & 0xFF
+                )
+                .astype(np.uint8)
+                .reshape(stride)
+                if stride % bpp == 0
+                else _png_sub_seq(line, bpp)
+            )
+        elif f == 2:  # Up
+            rec = ((line.astype(np.uint16) + prev) & 0xFF).astype(np.uint8)
+        elif f == 3:  # Average (sequential in x by spec)
+            rec = line.astype(np.uint16).copy()
+            for x in range(stride):
+                left = int(rec[x - bpp]) if x >= bpp else 0
+                rec[x] = (rec[x] + ((left + int(prev[x])) >> 1)) & 0xFF
+            rec = rec.astype(np.uint8)
+        elif f == 4:  # Paeth (sequential in x by spec)
+            rec = line.astype(np.int32).copy()
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (rec[x] + pr) & 0xFF
+            rec = rec.astype(np.uint8)
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        out[y] = rec
+        prev = rec.astype(np.uint16)
+    return out, off + need
+
+
+def _png_sub_seq(line, bpp: int):
+    import numpy as np
+
+    rec = line.astype(np.uint16).copy()
+    for x in range(bpp, len(rec)):
+        rec[x] = (rec[x] + rec[x - bpp]) & 0xFF
+    return rec.astype(np.uint8)
+
+
+def _png_rows_to_pixels(rows, w: int, channels: int, depth: int):
+    """Assemble unfiltered scanline bytes into a (h, w, channels)
+    sample array: uint16 for depth 16, uint8 otherwise (sub-byte gray
+    samples are left as raw 0..2^d-1 values; gray scaling and palette
+    expansion happen in the caller)."""
+    import numpy as np
+
+    h = rows.shape[0]
+    if depth == 8:
+        return rows.reshape(h, w, channels)
+    if depth == 16:
+        return (
+            np.frombuffer(rows.tobytes(), ">u2")
+            .reshape(h, w, channels)
+            .astype(np.uint16)
+        )
+    # depth 1/2/4 — only single-channel color types (gray / palette)
+    bits = np.unpackbits(rows, axis=1)[:, : w * depth]
+    weights = 1 << np.arange(depth - 1, -1, -1)
+    vals = (bits.reshape(h, w, depth) * weights).sum(axis=2).astype(np.uint8)
+    return vals[..., None]
+
+
+# Adam7 pass grid: (x0, y0, dx, dy) per PNG spec §8.2
+_PNG_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
 def decode_png(payload: bytes):
-    """REAL PNG decode with stdlib ``zlib`` + numpy only (r6, VERDICT
-    item 3 — no PIL needed): returns an (H, W, C) uint8 array, C per
-    color type (1 gray, 2 gray+alpha, 3 RGB/palette-expanded, 4 RGBA).
+    """REAL PNG decode with stdlib ``zlib`` + numpy only (no PIL):
+    returns an (H, W, C) array, C per color type (1 gray, 2
+    gray+alpha, 3 RGB/palette-expanded, 4 RGBA) — uint8 normally,
+    uint16 for 16-bit-per-sample images (callers normalize).
 
-    Supported: 8-bit depth, color types 0/2/3/4/6, non-interlaced —
-    i.e. what modern encoders emit by default. 16-bit and Adam7
-    interlacing raise (callers fall back to the stub with provenance).
-
-    All five scanline filter types are reconstructed: None(0), Sub(1)
-    and Up(2) vectorized (Sub is a per-byte-lane cumulative sum mod
-    256), Average(3) and Paeth(4) per-pixel within the row (they are
-    sequentially dependent on the running left neighbour by spec)."""
+    Full spec coverage (r6): bit depths 1/2/4/8/16 (sub-byte gray
+    scaled to 8-bit, palette indices unpacked through PLTE), color
+    types 0/2/3/4/6, and Adam7 interlacing (each of the seven passes
+    unfiltered independently, pixels scattered into the output grid).
+    Filter reconstruction lives in :func:`_png_unfilter`."""
     import struct
     import zlib
 
@@ -223,68 +327,53 @@ def decode_png(payload: bytes):
             break
     if w is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
-    if depth != 8:
-        raise ValueError(f"unsupported PNG bit depth {depth}")
-    if interlace != 0:
-        raise ValueError("interlaced PNG not supported")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if channels is None:
         raise ValueError(f"unsupported PNG color type {ctype}")
+    if depth not in (1, 2, 4, 8, 16) or (depth < 8 and ctype not in (0, 3)):
+        raise ValueError(f"unsupported PNG bit depth {depth} for color type {ctype}")
     if ctype == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE")
     raw = zlib.decompress(b"".join(idat))
-    stride = w * channels
-    if len(raw) < (stride + 1) * h:
-        raise ValueError("truncated PNG raster")
-    arr = np.frombuffer(raw, np.uint8, count=(stride + 1) * h).reshape(
-        h, stride + 1
-    )
-    ftypes, lines = arr[:, 0], arr[:, 1:]
-    bpp = channels  # bytes per pixel at depth 8
-    out = np.empty((h, stride), np.uint8)
-    prev = np.zeros(stride, np.uint16)
-    for y in range(h):
-        f, line = int(ftypes[y]), lines[y]
-        if f == 0:
-            rec = line.copy()
-        elif f == 1:  # Sub: per-lane prefix sum mod 256
-            rec = (
-                np.cumsum(line.reshape(w, bpp).astype(np.uint64), axis=0) & 0xFF
-            ).astype(np.uint8).reshape(stride)
-        elif f == 2:  # Up
-            rec = ((line.astype(np.uint16) + prev) & 0xFF).astype(np.uint8)
-        elif f == 3:  # Average (sequential in x by spec)
-            rec = line.astype(np.uint16).copy()
-            for x in range(stride):
-                left = int(rec[x - bpp]) if x >= bpp else 0
-                rec[x] = (rec[x] + ((left + int(prev[x])) >> 1)) & 0xFF
-            rec = rec.astype(np.uint8)
-        elif f == 4:  # Paeth (sequential in x by spec)
-            rec = line.astype(np.int32).copy()
-            for x in range(stride):
-                a = int(rec[x - bpp]) if x >= bpp else 0
-                b = int(prev[x])
-                c = int(prev[x - bpp]) if x >= bpp else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                rec[x] = (rec[x] + pr) & 0xFF
-            rec = rec.astype(np.uint8)
-        else:
-            raise ValueError(f"unknown PNG filter type {f}")
-        out[y] = rec
-        prev = rec.astype(np.uint16)
-    px = out.reshape(h, w, channels)
+    bpp = max(1, channels * depth // 8)  # filter distance in bytes
+
+    def stride_of(width: int) -> int:
+        return (width * channels * depth + 7) // 8
+
+    sample_dtype = np.uint16 if depth == 16 else np.uint8
+    if interlace == 0:
+        rows, _ = _png_unfilter(raw, 0, h, stride_of(w), bpp)
+        px = _png_rows_to_pixels(rows, w, channels, depth)
+    elif interlace == 1:  # Adam7
+        px = np.zeros((h, w, channels), sample_dtype)
+        off = 0
+        for x0, y0, dx, dy in _PNG_ADAM7:
+            wp = (w - x0 + dx - 1) // dx
+            hp = (h - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue
+            rows, off = _png_unfilter(raw, off, hp, stride_of(wp), bpp)
+            px[y0::dy, x0::dx] = _png_rows_to_pixels(rows, wp, channels, depth)
+    else:
+        raise ValueError(f"unknown PNG interlace method {interlace}")
     if ctype == 3:
         px = plte[px[..., 0]]
+    elif depth < 8:  # sub-byte gray: scale 0..2^d-1 to full 0..255
+        px = (px.astype(np.uint16) * (255 // ((1 << depth) - 1))).astype(
+            np.uint8
+        )
     return px
 
 
 def _pixel_features(arr) -> list[float]:
-    """Shared 8-dim image features from a decoded (H,W[,C]) uint8
-    raster: height, width, mean R/G/B, luminance mean/std/median."""
+    """Shared 8-dim image features from a decoded (H,W[,C]) raster:
+    height, width, mean R/G/B, luminance mean/std/median. 16-bit
+    rasters normalize to 8-bit (high byte) so features are comparable
+    across depths."""
     import numpy as np
 
+    if arr.dtype == np.uint16:
+        arr = (arr >> 8).astype(np.uint8)
     if arr.ndim == 2:
         arr = arr[..., None]
     c = arr.shape[2]
@@ -961,9 +1050,12 @@ def media_stats(df: DataFrame) -> DataFrame:
 def _resize_array(arr, width: int, height: int) -> bytes:
     """Nearest-neighbor resample of a decoded raster (pure numpy index
     selection — deterministic, no interpolation rounding), re-encoded
-    as binary P6. Gray/alpha channels normalize to RGB first."""
+    as binary P6. Gray/alpha channels normalize to RGB first; 16-bit
+    samples reduce to their high byte (maxval 255 P6)."""
     import numpy as np
 
+    if arr.dtype == np.uint16:
+        arr = (arr >> 8).astype(np.uint8)
     if arr.ndim == 2:
         arr = arr[..., None]
     if arr.shape[2] == 1:

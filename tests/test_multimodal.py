@@ -241,22 +241,31 @@ def test_png_decode_color_types():
 
 
 def test_png_unsupported_variants_raise():
-    import struct
-    import zlib
-
+    """r6: 16-bit and Adam7 are now SUPPORTED; what must still raise is
+    genuinely out of spec or corrupt — sub-byte color, unknown color
+    type / interlace method, truncated rasters, non-PNG bytes."""
     import numpy as np
     import pytest
 
     arr = np.zeros((2, 2, 3), np.uint8)
     png = bytearray(_encode_png(arr, 2))
-    # IHDR data starts at 8 (sig) + 8 (len+type); depth byte at offset 16+8
-    depth_off = 8 + 8 + 8  # w(4) + h(4) before depth
-    png16 = bytes(png[:depth_off]) + b"\x10" + bytes(png[depth_off + 1:])
+    depth_off = 8 + 8 + 8  # sig + len/type + w(4) + h(4)
+    # depth 4 on truecolor (only gray/palette may be sub-byte)
+    png4 = bytes(png[:depth_off]) + b"\x04" + bytes(png[depth_off + 1 :])
     with pytest.raises(ValueError, match="bit depth"):
-        multimodal.decode_png(png16)
-    interlaced = bytes(png[:depth_off + 4]) + b"\x01" + bytes(png[depth_off + 5:])
-    with pytest.raises(ValueError, match="interlaced"):
-        multimodal.decode_png(interlaced)
+        multimodal.decode_png(png4)
+    # unknown color type 5
+    png5 = bytes(png[: depth_off + 1]) + b"\x05" + bytes(png[depth_off + 2 :])
+    with pytest.raises(ValueError, match="color type"):
+        multimodal.decode_png(png5)
+    # unknown interlace method 2
+    png_i2 = bytes(png[: depth_off + 4]) + b"\x02" + bytes(png[depth_off + 5 :])
+    with pytest.raises(ValueError, match="interlace"):
+        multimodal.decode_png(png_i2)
+    # depth byte flipped to 16 without re-sizing the raster → truncated
+    png16c = bytes(png[:depth_off]) + b"\x10" + bytes(png[depth_off + 1 :])
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.decode_png(png16c)
     with pytest.raises(ValueError, match="not a PNG"):
         multimodal.decode_png(b"\x89PNX" + b"\x00" * 16)
 
@@ -265,7 +274,7 @@ def test_real_png_decode_and_resize(spark):
     """End-to-end through the Arrow mapInPandas plumbing: PNG payloads
     get decoder='png' provenance with pixel-derived features; resize is
     a real nearest-neighbor over decoded PNG pixels re-encoded as P6;
-    an unsupported (16-bit) PNG falls back to the stub honestly."""
+    a corrupt PNG falls back to the stub honestly."""
     import numpy as np
 
     # horizontal gradient, identical channels: x -> (x*40) % 256
@@ -284,7 +293,7 @@ def test_real_png_decode_and_resize(spark):
     assert (hh, ww) == (4.0, 6.0)
     expected = sum((x * 40) % 256 for x in range(w)) / float(w)
     assert abs(mr - expected) < 1e-4 and mr == mg == mb
-    assert out[2].decoder == "stub"  # 16-bit: honest fallback
+    assert out[2].decoder == "stub"  # corrupt (depth-flipped) PNG: honest fallback
 
     resized = {
         r.media_id: r
@@ -800,3 +809,124 @@ def test_frame_sample_real_mp4_demux(spark):
     ]
     stub_frames = [r for r in out if r.media_id == 2]
     assert stub_frames and all(r.sampler == "stub" for r in stub_frames)
+
+
+# --- r6: full-spec PNG (16-bit, sub-byte depths, Adam7) ---------------------
+
+
+def _encode_png_ext(arr, ctype, depth=8, interlace=0, plte=None):
+    """Second independent PNG fixture: filter-0 rows only, but covering
+    16-bit samples, sub-byte packing (MSB-first), and Adam7 pass
+    serialization — the depth/interlace axes _encode_png leaves out."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    adam7 = (
+        (0, 0, 8, 8),
+        (4, 0, 8, 8),
+        (0, 4, 4, 8),
+        (2, 0, 4, 4),
+        (0, 2, 2, 4),
+        (1, 0, 2, 2),
+        (0, 1, 1, 2),
+    )
+    h, w = arr.shape[:2]
+    if arr.ndim == 2:
+        arr = arr[..., None]
+
+    def pack_rows(sub):
+        hp, wp = sub.shape[:2]
+        rows = []
+        for y in range(hp):
+            if depth == 16:
+                rows.append(sub[y].astype(">u2").tobytes())
+            elif depth == 8:
+                rows.append(sub[y].astype(np.uint8).tobytes())
+            else:
+                vals = sub[y].reshape(-1).astype(np.uint8)
+                bits = (
+                    (vals[:, None] >> np.arange(depth - 1, -1, -1)) & 1
+                ).astype(np.uint8).reshape(-1)
+                rows.append(np.packbits(bits).tobytes())
+        return b"".join(b"\x00" + r for r in rows)
+
+    if interlace:
+        raster = b"".join(
+            pack_rows(arr[y0::dy, x0::dx])
+            for x0, y0, dx, dy in adam7
+            if arr[y0::dy, x0::dx].shape[0] and arr[y0::dy, x0::dx].shape[1]
+        )
+    else:
+        raster = pack_rows(arr)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += chunk(b"PLTE", plte.astype(np.uint8).tobytes())
+    return out + chunk(b"IDAT", zlib.compress(raster)) + chunk(b"IEND", b"")
+
+
+def test_png_16bit_decode():
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    g16 = rng.integers(0, 65536, size=(6, 5, 1), dtype=np.uint16)
+    dec = multimodal.decode_png(_encode_png_ext(g16, 0, depth=16))
+    assert dec.dtype == np.uint16 and (dec == g16).all()
+
+    rgb16 = rng.integers(0, 65536, size=(4, 7, 3), dtype=np.uint16)
+    dec = multimodal.decode_png(_encode_png_ext(rgb16, 2, depth=16))
+    assert (dec == rgb16).all()
+    # feature path normalizes to the high byte
+    feats = multimodal.png_features(_encode_png_ext(rgb16, 2, depth=16))
+    assert feats[0] == 4.0 and feats[1] == 7.0
+    expect_r = float((rgb16[..., 0] >> 8).astype(np.uint8).mean())
+    assert abs(feats[2] - expect_r) < 1e-4
+
+
+def test_png_subbyte_depths():
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    # 1-bit gray: 0/1 -> 0/255
+    b1 = rng.integers(0, 2, size=(5, 11, 1), dtype=np.uint8)
+    dec = multimodal.decode_png(_encode_png_ext(b1, 0, depth=1))
+    assert (dec == b1 * 255).all()
+    # 4-bit gray: v -> v*17
+    b4 = rng.integers(0, 16, size=(3, 9, 1), dtype=np.uint8)
+    dec = multimodal.decode_png(_encode_png_ext(b4, 0, depth=4))
+    assert (dec == b4 * 17).all()
+    # 2-bit palette indices expand through PLTE unscaled
+    plte = rng.integers(0, 256, size=(4, 3), dtype=np.uint8)
+    idx = rng.integers(0, 4, size=(4, 13, 1), dtype=np.uint8)
+    dec = multimodal.decode_png(_encode_png_ext(idx, 3, depth=2, plte=plte))
+    assert (dec == plte[idx[..., 0]]).all()
+
+
+def test_png_adam7_interlaced():
+    import numpy as np
+
+    rng = np.random.default_rng(19)
+    # dims chosen to make several passes partial/empty-edge
+    for shape, ctype in (((10, 9, 3), 2), ((3, 3, 1), 0), ((8, 8, 4), 6)):
+        arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        dec = multimodal.decode_png(_encode_png_ext(arr, ctype, interlace=1))
+        assert dec.shape == shape
+        assert (dec == arr).all(), (shape, ctype)
+    # interlaced + 16-bit together
+    g16 = rng.integers(0, 65536, size=(5, 6, 1), dtype=np.uint16)
+    dec = multimodal.decode_png(_encode_png_ext(g16, 0, depth=16, interlace=1))
+    assert (dec == g16).all()
+    # interlaced + 1-bit together (bit-packed partial passes)
+    b1 = rng.integers(0, 2, size=(7, 5, 1), dtype=np.uint8)
+    dec = multimodal.decode_png(_encode_png_ext(b1, 0, depth=1, interlace=1))
+    assert (dec == b1 * 255).all()
