@@ -18,6 +18,10 @@ Decode status (r5) — partially REAL, honestly labeled per row:
   IDCT, chroma upsampling, JFIF YCbCr→RGB. Progressive (SOF2),
   arithmetic-coded, and 12-bit variants raise (→ honest stub
   fallback).
+- **GIF images** (r6, stdlib + numpy): real decode — variable-width
+  LSB-first LZW, global/local color tables, interlaced row order,
+  transparency compositing onto the logical screen, frame selection
+  for animated files.
 - **MP4 video** (r6, stdlib struct): real ISO BMFF DEMUX — box walk,
   mvhd/tkhd/mdhd/hdlr/stsd metadata, and full stsz/stsc/stco/co64
   sample-table resolution, so ``frame_sample`` slices true per-sample
@@ -404,6 +408,180 @@ def png_features(payload: bytes) -> list[float]:
     """8-dim real image features from actually-decoded PNG pixels —
     identical feature definition to :func:`netpbm_features`."""
     return _pixel_features(decode_png(payload))
+
+
+# --- GIF (LZW decode, stdlib + numpy) ---------------------------------------
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, max_pixels: int):
+    """GIF-variant LZW decode (variable code width, CLEAR/EOI codes,
+    early code-width bump at table size 2^width). Returns the index
+    stream as a list[int], capped at ``max_pixels``."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    # bit reader: GIF packs codes LSB-first
+    acc = nbits = pos = 0
+    out: list[int] = []
+    table: list[bytes] = []
+    width = min_code_size + 1
+    prev: bytes | None = None
+
+    def reset_table():
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        width = min_code_size + 1
+        prev = None
+
+    reset_table()
+    n = len(data)
+    while len(out) < max_pixels:
+        while nbits < width:
+            if pos >= n:
+                return out  # truncated stream: return what we have
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            reset_table()
+            continue
+        if code == eoi:
+            return out
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("corrupt GIF LZW stream")
+        out.extend(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return out
+
+
+def _gif_subblocks(payload: bytes, i: int):
+    """Concatenate a GIF sub-block chain starting at ``i``; returns
+    (bytes, index after the 0-terminator)."""
+    parts = []
+    while True:
+        if i >= len(payload):
+            raise ValueError("truncated GIF sub-blocks")
+        ln = payload[i]
+        i += 1
+        if ln == 0:
+            return b"".join(parts), i
+        parts.append(payload[i : i + ln])
+        i += ln
+
+
+def decode_gif(payload: bytes, frame: int = 0):
+    """REAL GIF decode (stdlib + numpy, no PIL): returns the
+    ``frame``-th image as an (H, W, 3) uint8 RGB array.
+
+    Implements the GIF89a/87a structure: logical screen descriptor,
+    global/local color tables, the variable-width LSB-first LZW index
+    stream (CLEAR/EOI handling, 4096-entry table cap), interlaced row
+    ordering, and graphic-control transparency → background fill.
+    Frames are composited naively onto the logical screen (disposal
+    methods treated as 'draw over previous'), which is exact for the
+    single-frame GIFs that dominate image corpora."""
+    import numpy as np
+
+    if payload is None or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw = int.from_bytes(payload[6:8], "little")
+    sh = int.from_bytes(payload[8:10], "little")
+    flags = payload[10]
+    bg_index = payload[11]
+    i = 13
+    gct = None
+    if flags & 0x80:
+        sz = 2 << (flags & 0x07)
+        gct = np.frombuffer(payload, np.uint8, sz * 3, i).reshape(sz, 3)
+        i += sz * 3
+    if gct is not None and bg_index < len(gct):
+        screen = np.tile(gct[bg_index], (sh, sw, 1)).astype(np.uint8)
+    else:
+        screen = np.zeros((sh, sw, 3), np.uint8)
+    transparent: int | None = None
+    seen = -1
+    while i < len(payload):
+        b = payload[i]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension
+            label = payload[i + 1]
+            if label == 0xF9:  # graphic control
+                blk, j = _gif_subblocks(payload, i + 2)
+                transparent = blk[3] if (blk and blk[0] & 1) else None
+                i = j
+            else:
+                _blk, i = _gif_subblocks(payload, i + 2)
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+        # image descriptor
+        x0 = int.from_bytes(payload[i + 1 : i + 3], "little")
+        y0 = int.from_bytes(payload[i + 3 : i + 5], "little")
+        iw = int.from_bytes(payload[i + 5 : i + 7], "little")
+        ih = int.from_bytes(payload[i + 7 : i + 9], "little")
+        iflags = payload[i + 9]
+        i += 10
+        ct = gct
+        if iflags & 0x80:  # local color table
+            sz = 2 << (iflags & 0x07)
+            ct = np.frombuffer(payload, np.uint8, sz * 3, i).reshape(sz, 3)
+            i += sz * 3
+        if ct is None:
+            raise ValueError("GIF image without any color table")
+        min_code = payload[i]
+        i += 1
+        lzw, i = _gif_subblocks(payload, i)
+        idx = np.array(
+            _gif_lzw_decode(lzw, min_code, iw * ih), np.int32
+        )
+        if len(idx) < iw * ih:  # pad truncated streams with background
+            idx = np.concatenate(
+                [idx, np.zeros(iw * ih - len(idx), np.int32)]
+            )
+        grid = idx.reshape(ih, iw)
+        if iflags & 0x40:  # interlaced row order → sequential
+            rows = np.concatenate(
+                [
+                    np.arange(0, ih, 8),
+                    np.arange(4, ih, 8),
+                    np.arange(2, ih, 4),
+                    np.arange(1, ih, 2),
+                ]
+            )
+            deinterlaced = np.empty_like(grid)
+            deinterlaced[rows] = grid
+            grid = deinterlaced
+        rgb = ct[np.clip(grid, 0, len(ct) - 1)]
+        region = screen[y0 : y0 + ih, x0 : x0 + iw]
+        if transparent is not None:
+            mask = (grid == transparent)[..., None]
+            region[:] = np.where(mask, region, rgb)
+        else:
+            region[:] = rgb
+        transparent = None
+        seen += 1
+        if seen == frame:
+            return screen.copy()
+    if seen >= 0:
+        return screen  # requested frame past the end: last composite
+    raise ValueError("GIF contains no image data")
+
+
+def gif_features(payload: bytes) -> list[float]:
+    """8-dim real image features from the actually-decoded first GIF
+    frame — identical feature definition to :func:`netpbm_features`."""
+    return _pixel_features(decode_gif(payload))
 
 
 # --- baseline JPEG (ITU-T T.81 sequential DCT, Huffman) ---------------------
@@ -907,8 +1085,9 @@ def mp4_features(payload: bytes) -> list[float]:
 
 def sniff_format(payload: bytes | None) -> str | None:
     """Magic-byte container sniff for the formats decodable here:
-    'wav' (RIFF....WAVE), 'png' (\\x89PNG), 'jpeg' (FFD8FF), or
-    'netpbm' (binary P5/P6). None → stub."""
+    'wav' (RIFF....WAVE), 'png' (\\x89PNG), 'jpeg' (FFD8FF), 'gif'
+    (GIF87a/89a), 'mp4' (ftyp), or 'netpbm' (binary P5/P6).
+    None → stub."""
     if payload is None or len(payload) < 12:
         return None
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
@@ -917,6 +1096,8 @@ def sniff_format(payload: bytes | None) -> str | None:
         return "png"
     if payload[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if payload[4:8] == b"ftyp":
         return "mp4"
     if payload[:2] in (b"P5", b"P6") and payload[2:3].isspace():
@@ -939,6 +1120,8 @@ def _decode_dispatch(payload: bytes | None, kind: str) -> tuple[str, list[float]
             return "jpeg", jpeg_features(payload)
         if fmt == "mp4":
             return "mp4", mp4_features(payload)
+        if fmt == "gif":
+            return "gif", gif_features(payload)
         if fmt == "netpbm":
             return "netpbm", netpbm_features(payload)
     except Exception:
@@ -1090,6 +1273,12 @@ def resize_jpeg(payload: bytes, width: int, height: int) -> bytes:
     return _resize_array(decode_jpeg(payload), width, height)
 
 
+def resize_gif(payload: bytes, width: int, height: int) -> bytes:
+    """REAL nearest-neighbor resample of a GIF's first frame (decoded
+    via :func:`decode_gif`), re-encoded as binary P6."""
+    return _resize_array(decode_gif(payload), width, height)
+
+
 def resize_images(df: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
     """Image resize (1:1 row transform over image rows): output schema
     carries the resized payload plus the target dims in meta.
@@ -1114,12 +1303,13 @@ def resize_images(df: DataFrame, width: int = 224, height: int = 224) -> DataFra
                 else:
                     b = bytes(p)
                     fmt = sniff_format(b)
-                    if fmt in ("netpbm", "png", "jpeg"):
+                    if fmt in ("netpbm", "png", "jpeg", "gif"):
                         try:
                             fn = {
                                 "netpbm": resize_netpbm,
                                 "png": resize_png,
                                 "jpeg": resize_jpeg,
+                                "gif": resize_gif,
                             }[fmt]
                             payload = fn(b, width, height)
                             resample = "nearest"

@@ -930,3 +930,179 @@ def test_png_adam7_interlaced():
     b1 = rng.integers(0, 2, size=(7, 5, 1), dtype=np.uint8)
     dec = multimodal.decode_png(_encode_png_ext(b1, 0, depth=1, interlace=1))
     assert (dec == b1 * 255).all()
+
+
+# --- GIF: independent encoder fixture (real LZW compressor) -----------------
+
+
+def _gif_lzw_encode(indices, min_code_size):
+    """Real GIF LZW compressor (dict-based), written independently of
+    the decoder. Width grows one step after the table fills the
+    current width (giflib timing — the decoder's table lags one
+    entry), which is the handshake every real GIF uses."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    acc = nbits = 0
+    out = bytearray()
+
+    def emit(code, w):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += w
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear, width)
+    s = b""
+    for px in indices:
+        c = bytes([int(px)])
+        if s + c in table:
+            s = s + c
+            continue
+        emit(table[s], width)
+        if next_code < 4096:
+            table[s + c] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        s = c
+    if s:
+        emit(table[s], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _encode_gif(
+    frames, palette, sw, sh, bg=0, transparent=None, interlace=False
+):
+    """Minimal valid GIF89a: global color table, optional graphic
+    control (transparency on the LAST frame), optional interlacing;
+    ``frames`` is a list of (x0, y0, 2D index array)."""
+    import numpy as np
+
+    ncols = len(palette)
+    ct_bits = max(1, (ncols - 1).bit_length())
+    ct_size = 1 << ct_bits
+    pal = np.zeros((ct_size, 3), np.uint8)
+    pal[:ncols] = palette
+    mcs = max(2, ct_bits)
+    out = bytearray(b"GIF89a")
+    out += sw.to_bytes(2, "little") + sh.to_bytes(2, "little")
+    out += bytes([0x80 | (ct_bits - 1), bg, 0])
+    out += pal.tobytes()
+    for fi, (x0, y0, grid) in enumerate(frames):
+        if transparent is not None and fi == len(frames) - 1:
+            out += bytes([0x21, 0xF9, 4, 0x01, 0, 0, transparent, 0])
+        ih, iw = grid.shape
+        out += bytes([0x2C])
+        out += x0.to_bytes(2, "little") + y0.to_bytes(2, "little")
+        out += iw.to_bytes(2, "little") + ih.to_bytes(2, "little")
+        out += bytes([0x40 if interlace else 0])
+        g = grid
+        if interlace:
+            rows = np.concatenate(
+                [
+                    np.arange(0, ih, 8),
+                    np.arange(4, ih, 8),
+                    np.arange(2, ih, 4),
+                    np.arange(1, ih, 2),
+                ]
+            )
+            g = grid[rows]
+        lzw = _gif_lzw_encode(g.reshape(-1), mcs)
+        out += bytes([mcs])
+        for i in range(0, len(lzw), 255):
+            blk = lzw[i : i + 255]
+            out += bytes([len(blk)]) + blk
+        out += bytes([0])
+    out += bytes([0x3B])
+    return bytes(out)
+
+
+def test_gif_decode_pixel_exact():
+    """Round-trip against the independent LZW compressor: random index
+    grids (8- and 128-color palettes — the latter forces several code
+    -width bumps and thousands of table entries) decode bit-exact."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    pal = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
+    grid = rng.integers(0, 8, size=(13, 17), dtype=np.uint8)
+    dec = multimodal.decode_gif(_encode_gif([(0, 0, grid)], pal, 17, 13))
+    assert dec.shape == (13, 17, 3)
+    assert (dec == pal[grid]).all()
+
+    pal2 = rng.integers(0, 256, size=(128, 3), dtype=np.uint8)
+    grid2 = rng.integers(0, 128, size=(64, 64), dtype=np.uint8)
+    dec2 = multimodal.decode_gif(_encode_gif([(0, 0, grid2)], pal2, 64, 64))
+    assert (dec2 == pal2[grid2]).all()
+
+
+def test_gif_interlace_frames_transparency():
+    import numpy as np
+    import pytest
+
+    rng = np.random.default_rng(29)
+    pal = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
+    grid = rng.integers(0, 8, size=(13, 17), dtype=np.uint8)
+    dec = multimodal.decode_gif(
+        _encode_gif([(0, 0, grid)], pal, 17, 13, interlace=True)
+    )
+    assert (dec == pal[grid]).all()
+
+    # two frames: frame 1 is a 3x3 patch at (2,2) with one transparent
+    # pixel that must keep frame 0's color underneath
+    g0 = np.zeros((6, 6), np.uint8)
+    g1 = np.full((3, 3), 2, np.uint8)
+    g1[1, 1] = 7
+    gif = _encode_gif([(0, 0, g0), (2, 2, g1)], pal, 6, 6, transparent=7)
+    f0 = multimodal.decode_gif(gif, frame=0)
+    assert (f0 == pal[0]).all()
+    f1 = multimodal.decode_gif(gif, frame=1)
+    assert (f1[2, 2] == pal[2]).all()      # patch drawn
+    assert (f1[3, 3] == pal[0]).all()      # transparent: underlying kept
+    assert (f1[0, 0] == pal[0]).all()      # outside patch untouched
+
+    with pytest.raises(ValueError, match="not a GIF"):
+        multimodal.decode_gif(b"GIF90a" + b"\x00" * 32)
+
+
+def test_real_gif_decode_and_resize(spark):
+    """e2e through mapInPandas: decoder='gif' provenance with
+    pixel-true features; resize decodes the palette image and
+    re-encodes P6; junk with a GIF header falls back to the stub."""
+    import numpy as np
+
+    pal = np.array([[0, 0, 0], [255, 0, 0]], np.uint8)
+    grid = np.zeros((4, 6), np.uint8)
+    grid[:, 3:] = 1  # left half black, right half red
+    gif = _encode_gif([(0, 0, grid)], pal, 6, 4)
+    rows = [
+        (1, "image", "image/gif", gif, None),
+        (2, "image", "image/gif", b"GIF89a" + b"\x01" * 40, None),
+    ]
+    df = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    out = {r.media_id: r for r in multimodal.extract_features(df).collect()}
+    assert out[1].decoder == "gif"
+    h, w, mr, mg, mb = out[1].feature[:5]
+    assert (h, w) == (4.0, 6.0)
+    assert abs(mr - 127.5) < 1e-4 and mg == 0.0 and mb == 0.0
+    assert out[2].decoder == "stub"
+
+    resized = {
+        r.media_id: r
+        for r in multimodal.resize_images(df, width=2, height=2).collect()
+    }
+    assert resized[1].meta["resample"] == "nearest"
+    arr = multimodal.decode_netpbm(bytes(resized[1].payload))
+    assert arr.shape == (2, 2, 3)
+    # cols 6->2 pick x=0 (black) and x=3 (red)
+    assert [int(v) for v in arr[0, 0]] == [0, 0, 0]
+    assert [int(v) for v in arr[0, 1]] == [255, 0, 0]
