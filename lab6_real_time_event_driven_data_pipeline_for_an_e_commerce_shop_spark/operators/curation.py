@@ -166,6 +166,93 @@ def stratified_sample(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    budget_tokens: int,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    n_shards: int = 64,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic sequence packing for pretraining: assign whole
+    documents to fixed-token-budget packs (the step that turns a
+    curated corpus into trainer-ready sequences). Output adds
+
+    - ``shard``        — hash shard (packing parallel unit)
+    - ``pack_id``      — pack number within the shard
+    - ``pack_offset``  — token offset of this doc inside its pack
+
+    Semantics: *first-fit-in-hash-order with overflow*. Docs are laid
+    head-to-tail in the deterministic portable-hash order within each
+    shard; a doc whose exclusive running sum falls in pack k belongs to
+    pack k even if it overflows the boundary, so each pack's total is
+    within ±max_doc_tokens of the budget (the trainer truncates or
+    wraps the tail — standard practice). Exact greedy bin-packing is
+    inherently sequential; this relaxation is one window over
+    (shard ⇒ hash, id) — embarrassingly parallel across shards, fully
+    deterministic across runs/engines/partitionings, and oracle-
+    checkable (SUM OVER + integer DIV/MOD).
+
+    Scale: the only exchange is the shard hash-partition; each shard's
+    window is an independent sorted scan. n_shards bounds per-task
+    state; packs never span shards."""
+    from pyspark.sql import Window
+
+    h = portable_hash(
+        F.concat_ws("␟", F.lit(salt), F.col(id_col).cast("string"))
+    )
+    shard = F.pmod(h, F.lit(n_shards)).cast("int")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col("_h"), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tok = F.col(token_col).cast("long")
+    return (
+        df.withColumn("_h", h)
+        .withColumn("shard", shard)
+        .withColumn("_cum_incl", F.sum(tok).over(w))
+        .withColumn(
+            "pack_id",
+            ((F.col("_cum_incl") - tok) / F.lit(budget_tokens))
+            .cast("long"),
+        )
+        .withColumn(
+            "pack_offset",
+            (F.col("_cum_incl") - tok) % F.lit(budget_tokens),
+        )
+        .drop("_h", "_cum_incl")
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "",
+    default_frac: float = 0.0,
+) -> DataFrame:
+    """Domain-mixture downsampling: keep each group at its target
+    fraction (e.g. ``{"web": 0.3, "books": 1.0}``) via the hash-
+    threshold rule keep ⇔ portable_hash(salt‖id) mod 10⁶ < frac·10⁶.
+    Deterministic and stable under corpus growth (a kept doc stays
+    kept), per-doc independent (no shuffle at all — a pure filter),
+    and re-salt for an independent draw. Groups absent from
+    ``weights`` keep ``default_frac``. Thresholds are exact integers
+    (floor of frac·10⁶) so engines agree bit-for-bit."""
+    h = portable_hash(
+        F.concat_ws("␟", F.lit(salt), F.col(id_col).cast("string"))
+    )
+    bucket = F.pmod(h, F.lit(1_000_000))
+    thresh = F.lit(int(default_frac * 1_000_000))
+    for group, frac in sorted(weights.items()):
+        thresh = F.when(
+            F.col(group_col) == group, F.lit(int(frac * 1_000_000))
+        ).otherwise(thresh)
+    return df.filter(bucket < thresh)
+
+
 # Conservative PII patterns, valid under BOTH Java regex (Spark) and
 # RE2-class engines (DuckDB/Go) — no backreferences, no lookaround —
 # so redaction counts stay oracle-checkable across engines.

@@ -1179,3 +1179,119 @@ def test_redact_pii_counts_match_duckdb_oracle(spark):
             for k in ("email", "phone", "ipv4", "card")
         )
         assert got == spark_counts[rid], (rid, got, spark_counts[rid])
+
+
+def test_pack_sequences_invariants(spark):
+    """First-fit-in-hash-order packing: offsets are exclusive running
+    sums mod budget, pack totals stay within budget + max_doc, the
+    layout is deterministic, and packs never span shards."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        curation,
+    )
+
+    rows = [(i, 10 + (i * 37) % 90) for i in range(200)]  # tokens 10..99
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    out = curation.pack_sequences(
+        df, budget_tokens=256, n_shards=4
+    ).collect()
+    assert len(out) == 200
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert set(by_shard) <= set(range(4)) and len(by_shard) == 4
+    max_doc = max(t for _i, t in rows)
+    for shard, docs in by_shard.items():
+        # reconstruct the within-shard order from offsets: exclusive
+        # cumsum = pack_id*256 + pack_offset must be strictly increasing
+        # in steps of each doc's tokens
+        docs = sorted(docs, key=lambda r: (r.pack_id, r.pack_offset))
+        cum = 0
+        for r in docs:
+            assert r.pack_id * 256 + r.pack_offset == cum
+            cum += r.n_tokens
+        # every pack's first doc starts within the budget (overflow
+        # bounded by one doc)
+        totals: dict[int, int] = {}
+        for r in docs:
+            totals[r.pack_id] = totals.get(r.pack_id, 0) + r.n_tokens
+        for pid, tot in totals.items():
+            if pid < max(totals):  # last pack may be underfull
+                assert tot <= 256 + max_doc
+
+    # determinism across repartitionings
+    again = curation.pack_sequences(
+        df.repartition(13), budget_tokens=256, n_shards=4
+    ).collect()
+    assert {(r.doc_id, r.shard, r.pack_id, r.pack_offset) for r in out} == {
+        (r.doc_id, r.shard, r.pack_id, r.pack_offset) for r in again
+    }
+
+
+def test_pack_sequences_matches_duckdb_oracle(spark):
+    import duckdb
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        curation,
+    )
+
+    rows = [(i, 5 + (i * 13) % 50) for i in range(120)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    got = {
+        r.doc_id: (r.shard, r.pack_id, r.pack_offset)
+        for r in curation.pack_sequences(df, 128, n_shards=8).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE docs AS SELECT * FROM (VALUES "
+        + ",".join(f"({i},{t})" for i, t in rows)
+        + ") v(doc_id, n_tokens)"
+    )
+    sql = """
+    SELECT doc_id, shard,
+           (cum - n_tokens) // 128 AS pack_id,
+           (cum - n_tokens) % 128 AS pack_offset
+    FROM (
+        SELECT doc_id, n_tokens, shard,
+               SUM(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY h, doc_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS cum
+        FROM (
+            SELECT doc_id, n_tokens,
+                   CAST(concat('0x', substr(md5('␟' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS h,
+                   ((CAST(concat('0x', substr(md5('␟' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) % 8) + 8) % 8 AS shard
+            FROM docs
+        )
+    )
+    """
+    for doc_id, shard, pack_id, pack_offset in con.execute(sql).fetchall():
+        assert got[doc_id] == (shard, pack_id, pack_offset), doc_id
+
+
+def test_mixture_sample_fractions_and_stability(spark):
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        curation,
+    )
+
+    rows = [(i, ["web", "books", "code"][i % 3]) for i in range(3000)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    kept = curation.mixture_sample(
+        df, {"web": 0.25, "books": 1.0}, default_frac=0.5
+    )
+    counts = {
+        r.source: r.cnt
+        for r in kept.groupBy("source").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert counts["books"] == 1000                       # frac 1.0: all kept
+    assert abs(counts["web"] - 250) < 80                 # ~25%
+    assert abs(counts.get("code", 0) - 500) < 100        # default 50%
+
+    # stability: kept set of a PREFIX corpus is a subset of the full run
+    prefix = curation.mixture_sample(
+        df.filter("doc_id < 1500"), {"web": 0.25, "books": 1.0},
+        default_frac=0.5,
+    )
+    full_ids = {r.doc_id for r in kept.collect()}
+    assert {r.doc_id for r in prefix.collect()} == {
+        i for i in full_ids if i < 1500
+    }
