@@ -211,17 +211,12 @@ def pack_sequences(
     return (
         df.withColumn("_h", h)
         .withColumn("shard", shard)
-        .withColumn("_cum_incl", F.sum(tok).over(w))
-        .withColumn(
-            "pack_id",
-            ((F.col("_cum_incl") - tok) / F.lit(budget_tokens))
-            .cast("long"),
-        )
-        .withColumn(
-            "pack_offset",
-            (F.col("_cum_incl") - tok) % F.lit(budget_tokens),
-        )
-        .drop("_h", "_cum_incl")
+        .withColumn("_excl", F.sum(tok).over(w) - tok)
+        # integer `div`, never `/`: double division would round the
+        # quotient at large cumulative sums (CLAUDE.md float rules)
+        .withColumn("pack_id", F.expr(f"_excl div {int(budget_tokens)}"))
+        .withColumn("pack_offset", F.col("_excl") % F.lit(budget_tokens))
+        .drop("_h", "_excl")
     )
 
 

@@ -745,25 +745,49 @@ def q18_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q20_doc_token_counts",
     r"""
-    SELECT doc_id,
-           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
-           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]+')) AS BIGINT)
-               AS n_bpe_tokens
-    FROM documents
+    WITH tok AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+               CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]+')) AS BIGINT)
+                   AS n_bpe_tokens
+        FROM documents
+    ), hashed AS (
+        SELECT *,
+               CAST(concat('0x', substr(md5('␟' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS h
+        FROM tok
+    ), cum AS (
+        SELECT *, ((h % 8) + 8) % 8 AS shard,
+               SUM(n_tokens) OVER (
+                   PARTITION BY ((h % 8) + 8) % 8 ORDER BY h, doc_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS c
+        FROM hashed
+    )
+    SELECT doc_id, n_tokens, n_bpe_tokens,
+           CAST(shard AS INT) AS shard,
+           (c - n_tokens) // 512 AS pack_id,
+           (c - n_tokens) % 512 AS pack_offset
+    FROM cum
     """,
 )
 def q20_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting, both granularities in one scan: whitespace tokens
     (JVM-side split, no UDF) and BPE-style pre-tokenization (letter/
-    digit/punct runs — the tokenizer-input unit count)."""
+    digit/punct runs — the tokenizer-input unit count). r6 depth: the
+    trainer-ready packing layout (curation.pack_sequences, 512-token
+    budget, 8 hash shards) — shard / pack_id / pack_offset from the
+    exclusive running sum in portable-hash order; all integer
+    arithmetic (`div`, never `/`), window parallel across shards."""
     from ..operators import text as text_ops
+    from ..operators.curation import pack_sequences
 
     toks = text_ops.token_count(_t(spark, sf_dir, "documents"))
-    return toks.select(
+    base = toks.select(
         "doc_id",
         "n_tokens",
         F.size(text_ops.bpe_ish_tokens(F.col("text"))).cast("long").alias("n_bpe_tokens"),
     )
+    return pack_sequences(base, budget_tokens=512, n_shards=8)
 
 
 @query(
