@@ -656,9 +656,12 @@ def _jpeg_extend(v: int, size: int) -> int:
 
 
 def _jpeg_split_entropy(payload: bytes, start: int):
-    """Split the scan's entropy data at restart markers, removing 0xFF00
-    byte stuffing. Returns the list of segments (DC predictors and bit
-    alignment reset at each boundary, per DRI semantics)."""
+    """Split a scan's entropy data at restart markers, removing 0xFF00
+    byte stuffing. Returns (segments, end_index) where end_index is the
+    position of the marker that terminated the scan — so the caller can
+    keep walking a multi-scan (progressive) stream. DC predictors, EOB
+    runs and bit alignment reset at each segment boundary, per DRI
+    semantics."""
     segs, cur, i = [], bytearray(), start
     n = len(payload)
     while i < n:
@@ -680,24 +683,29 @@ def _jpeg_split_entropy(payload: bytes, start: int):
         cur.append(b)
         i += 1
     segs.append(bytes(cur))
-    return segs
+    return segs, i
 
 
 def decode_jpeg(payload: bytes):
-    """REAL baseline JPEG decode (pure numpy + stdlib, no PIL): returns
-    an (H, W, 3) uint8 RGB array, or (H, W) for single-component
+    """REAL JPEG decode (pure numpy + stdlib, no PIL): returns an
+    (H, W, 3) uint8 RGB array, or (H, W) for single-component
     grayscale JPEGs.
 
-    Supported: sequential DCT Huffman (SOF0/SOF1), 8-bit precision,
-    1- or 3-component scans, any h×v sampling whose factors divide the
-    maxima (4:4:4 / 4:2:2 / 4:2:0 / grayscale), 8- and 16-bit DQT
-    entries, restart intervals (DRI + RSTn). Progressive (SOF2),
-    arithmetic coding (SOF9+), and 12-bit raise ValueError — the
-    mapInPandas dispatch falls back to the stub with honest provenance.
+    Supported (r6): sequential DCT Huffman (SOF0/SOF1) AND progressive
+    (SOF2) with both spectral selection and successive approximation —
+    DC first/refinement scans, AC first scans with EOB runs, and AC
+    refinement scans with correction bits (libjpeg jdphuff bitstream
+    semantics, which is what every real encoder emits). 8-bit
+    precision, 1- or 3-component frames, any h×v sampling whose
+    factors divide the maxima, 8-/16-bit DQT entries, per-scan DHT
+    redefinition, restart intervals. Arithmetic coding (SOF9+),
+    hierarchical, and 12-bit raise ValueError — the mapInPandas
+    dispatch falls back to the stub with honest provenance.
 
-    The IDCT is the exact orthonormal 8-point DCT-III pair
-    (f = Dᵀ F D with D[k,n] = s(k)·cos((2n+1)kπ/16)), evaluated as two
-    8×8 matmuls per block — no fast-IDCT approximation error."""
+    Architecture: every scan (sequential = one full-band scan) decodes
+    into per-component zigzag coefficient arrays; dequantization and
+    the exact orthonormal matrix IDCT (f = Dᵀ F D) run once at the
+    end, vectorized over all blocks."""
     import struct
 
     import numpy as np
@@ -708,19 +716,23 @@ def decode_jpeg(payload: bytes):
     huff: dict[tuple[int, int], dict] = {}
     frame = None  # (H, W, [(cid, h, v, tq), ...])
     restart_interval = 0
-    scan = None  # ([(comp_idx, td, ta), ...], entropy_start)
+    scans: list[dict] = []
     i = 2
     n = len(payload)
-    while i + 4 <= n:
+    while i + 2 <= n:
         if payload[i] != 0xFF:
             raise ValueError("JPEG marker sync lost")
         marker = payload[i + 1]
         if marker == 0xFF:  # fill byte before a marker, per T.81 B.1.1.2
             i += 1
             continue
-        if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD8:
             i += 2
             continue
+        if i + 4 > n:
+            break
         (ln,) = struct.unpack(">H", payload[i + 2 : i + 4])
         data = payload[i + 4 : i + 2 + ln]
         seg_end = i + 2 + ln
@@ -736,7 +748,7 @@ def decode_jpeg(payload: bytes):
                     tbl = np.frombuffer(data, ">u2", 64, j).astype(np.int32)
                     j += 128
                 qt[tq] = tbl  # zigzag order, as stored
-        elif marker in (0xC0, 0xC1):  # SOF0/1: baseline / ext. sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
             prec, hh, ww, nc = data[0], *struct.unpack(">HH", data[1:5]), data[5]
             if prec != 8:
                 raise ValueError(f"unsupported JPEG precision {prec}")
@@ -745,8 +757,6 @@ def decode_jpeg(payload: bytes):
                 cid, hv, tq_id = data[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 15, tq_id))
             frame = (hh, ww, comps)
-        elif marker == 0xC2:
-            raise ValueError("progressive JPEG not supported")
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("unsupported JPEG coding process")
         elif marker == 0xC4:  # DHT — possibly several tables per marker
@@ -760,7 +770,7 @@ def decode_jpeg(payload: bytes):
                 j += 17 + nv
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", data[:2])
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS — record the scan, skip its entropy
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = data[0]
@@ -771,79 +781,71 @@ def decode_jpeg(payload: bytes):
                     k for k, comp in enumerate(frame[2]) if comp[0] == cs
                 )
                 sel.append((idx, tda >> 4, tda & 15))
-            scan = (sel, seg_end)
-            break
+            ss, se, ahal = data[1 + 2 * ns : 4 + 2 * ns]
+            segs, seg_end = _jpeg_split_entropy(payload, seg_end)
+            scans.append(
+                {
+                    "sel": sel,
+                    "ss": ss,
+                    "se": se,
+                    "ah": ahal >> 4,
+                    "al": ahal & 15,
+                    "huff": dict(huff),  # tables in effect at this SOS
+                    "dri": restart_interval,
+                    "segs": segs,
+                }
+            )
         i = seg_end
-    if frame is None or scan is None:
+    if frame is None or not scans:
         raise ValueError("JPEG missing SOF/SOS")
     hh, ww, comps = frame
-    sel, entropy_start = scan
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = -(-ww // (8 * hmax))
     mcuy = -(-hh // (8 * vmax))
-
-    # orthonormal 8-point DCT matrix, exact float64
-    k = np.arange(8).reshape(8, 1)
-    nn = np.arange(8).reshape(1, 8)
-    D = np.cos((2 * nn + 1) * k * np.pi / 16) * np.sqrt(2.0 / 8)
-    D[0] /= np.sqrt(2.0)
-
-    planes = [
-        np.zeros((mcuy * 8 * v, mcux * 8 * h), np.float64)
+    # full (MCU-padded) block grid per component; zigzag-order coefs
+    coefs = [
+        np.zeros((mcuy * v, mcux * h, 64), np.int32)
         for (_cid, h, v, _tq) in comps
     ]
-    segs = _jpeg_split_entropy(payload, entropy_start)
-    zz = _JPEG_ZIGZAG
-    mcus_per_seg = restart_interval if restart_interval else mcux * mcuy
-    mcu = 0
-    for seg in segs:
-        if mcu >= mcux * mcuy:
-            break
-        rd = _JpegBits(seg)
-        pred = [0] * len(comps)
-        for _ in range(min(mcus_per_seg, mcux * mcuy - mcu)):
-            my, mx = divmod(mcu, mcux)
-            for ci, td, ta in sel:
-                _cid, ch, cv, ctq = comps[ci]
-                dc_lut, ac_lut = huff[(0, td)], huff[(1, ta)]
-                q = qt[ctq]
-                for by in range(cv):
-                    for bx in range(ch):
-                        coef = np.zeros(64, np.float64)
-                        t = rd.huff(dc_lut)
-                        diff = _jpeg_extend(rd.bits(t), t) if t else 0
-                        pred[ci] += diff
-                        coef[0] = pred[ci] * q[0]
-                        kk = 1
-                        while kk < 64:
-                            rs = rd.huff(ac_lut)
-                            r, s = rs >> 4, rs & 15
-                            if s == 0:
-                                if r == 15:  # ZRL
-                                    kk += 16
-                                    continue
-                                break  # EOB
-                            kk += r
-                            if kk > 63:
-                                raise ValueError("JPEG AC index overflow")
-                            coef[zz[kk]] = (
-                                _jpeg_extend(rd.bits(s), s) * q[kk]
-                            )
-                            kk += 1
-                        blk = D.T @ coef.reshape(8, 8) @ D + 128.0
-                        y0 = (my * cv + by) * 8
-                        x0 = (mx * ch + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = blk
-            mcu += 1
+    # per-component natural block counts (non-interleaved scan extent):
+    # ceil(ceil(dim·sampling/max_sampling) / 8)
+    def _ceil_div(a: int, b: int) -> int:
+        return -(-a // b)
+
+    nat_blocks = [
+        (
+            _ceil_div(_ceil_div(hh * v, vmax), 8),
+            _ceil_div(_ceil_div(ww * h, hmax), 8),
+        )
+        for (_cid, h, v, _tq) in comps
+    ]
+    for scan in scans:
+        _jpeg_decode_scan(scan, comps, coefs, nat_blocks, mcux, mcuy)
+
+    # orthonormal 8-point DCT matrix, exact float64
+    k8 = np.arange(8).reshape(8, 1)
+    n8 = np.arange(8).reshape(1, 8)
+    D = np.cos((2 * n8 + 1) * k8 * np.pi / 16) * np.sqrt(2.0 / 8)
+    D[0] /= np.sqrt(2.0)
+    zz = list(_JPEG_ZIGZAG)
 
     out_planes = []
-    for (ci, (_cid, ch, cv, _tq)) in enumerate(comps):
-        p = planes[ci]
+    for ci, (_cid, ch, cv, ctq) in enumerate(comps):
         if vmax % cv or hmax % ch:
             raise ValueError("non-integral JPEG sampling ratio")
-        p = np.repeat(np.repeat(p, vmax // cv, axis=0), hmax // ch, axis=1)
-        out_planes.append(p[:hh, :ww])
+        q = qt[ctq]
+        cz = coefs[ci]
+        bh, bw = cz.shape[:2]
+        nat = np.zeros(cz.shape, np.float64)
+        nat[..., zz] = cz * q  # nat[ZIGZAG[k]] = coef_zz[k] · q_zz[k]
+        blocks = nat.reshape(bh, bw, 8, 8)
+        px = np.einsum("ij,abjk,kl->abil", D.T, blocks, D) + 128.0
+        plane = px.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        plane = np.repeat(
+            np.repeat(plane, vmax // cv, axis=0), hmax // ch, axis=1
+        )
+        out_planes.append(plane[:hh, :ww])
     if len(out_planes) == 1:
         return np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
     if len(out_planes) != 3:
@@ -854,6 +856,120 @@ def decode_jpeg(payload: bytes):
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _jpeg_decode_scan(scan, comps, coefs, nat_blocks, mcux, mcuy):
+    """Decode ONE scan's entropy segments into the zigzag coefficient
+    arrays. Handles all four progressive scan kinds (DC/AC ×
+    first/refinement) plus sequential scans (ss=0, se=63, ah=0) through
+    the same first-scan path. Restart segments reset DC predictors,
+    the EOB run, and bit alignment."""
+    sel = scan["sel"]
+    ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+    huff = scan["huff"]
+    interleaved = len(sel) > 1
+    if interleaved:
+        units_total = mcux * mcuy
+    else:
+        bh, bw = nat_blocks[sel[0][0]]
+        units_total = bh * bw
+    per_seg = scan["dri"] if scan["dri"] else units_total
+    unit = 0
+
+    def first_block(rd, cf, ci, td, ta, pred, eobrun):
+        k = ss
+        if ss == 0:
+            dc_lut = huff[(0, td)]
+            t = rd.huff(dc_lut)
+            diff = _jpeg_extend(rd.bits(t), t) if t else 0
+            pred[ci] += diff
+            cf[0] = pred[ci] << al
+            k = 1
+        if k > se:
+            return
+        if eobrun[0] > 0:
+            eobrun[0] -= 1
+            return
+        ac_lut = huff[(1, ta)]
+        while k <= se:
+            rs = rd.huff(ac_lut)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r < 15:  # EOBn
+                    eobrun[0] = (1 << r) - 1 + (rd.bits(r) if r else 0)
+                    break
+                k += 16  # ZRL
+                continue
+            k += r
+            if k > se:
+                raise ValueError("JPEG AC index overflow")
+            cf[k] = _jpeg_extend(rd.bits(s), s) << al
+            k += 1
+
+    def refine_block(rd, cf, ci, td, ta, pred, eobrun):
+        if ss == 0:  # DC refinement: one bit per block
+            if rd.bit():
+                cf[0] |= 1 << al
+            return
+        # AC refinement — libjpeg jdphuff semantics
+        p1, m1 = 1 << al, -1 << al
+        ac_lut = huff[(1, ta)]
+        k = ss
+        if eobrun[0] == 0:
+            while k <= se:
+                rs = rd.huff(ac_lut)
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r < 15:
+                        eobrun[0] = (1 << r) + (rd.bits(r) if r else 0)
+                        break
+                    val = 0  # ZRL: skip 16 zero-history coefficients
+                else:
+                    val = p1 if rd.bit() else m1
+                while k <= se:
+                    if cf[k]:
+                        if rd.bit() and (cf[k] & p1) == 0:
+                            cf[k] += p1 if cf[k] >= 0 else m1
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    cf[k] = val
+                k += 1
+        if eobrun[0] > 0:
+            # rest of this block: correction bits only
+            while k <= se:
+                if cf[k]:
+                    if rd.bit() and (cf[k] & p1) == 0:
+                        cf[k] += p1 if cf[k] >= 0 else m1
+                k += 1
+            eobrun[0] -= 1
+
+    block_fn = refine_block if ah else first_block
+    for seg in scan["segs"]:
+        if unit >= units_total:
+            break
+        rd = _JpegBits(seg)
+        pred = [0] * len(comps)
+        eobrun = [0]
+        for _ in range(min(per_seg, units_total - unit)):
+            if interleaved:
+                my, mx = divmod(unit, mcux)
+                for ci, td, ta in sel:
+                    _cid, ch, cv, _ctq = comps[ci]
+                    for by in range(cv):
+                        for bx in range(ch):
+                            cf = coefs[ci][my * cv + by, mx * ch + bx]
+                            block_fn(rd, cf, ci, td, ta, pred, eobrun)
+            else:
+                ci, td, ta = sel[0]
+                _bh, bw = nat_blocks[ci]
+                by, bx = divmod(unit, bw)
+                cf = coefs[ci][by, bx]
+                block_fn(rd, cf, ci, td, ta, pred, eobrun)
+            unit += 1
 
 
 def jpeg_features(payload: bytes) -> list[float]:

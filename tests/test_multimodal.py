@@ -331,10 +331,15 @@ def _jpeg_zz_order():
 
 def _jpeg_fixture_tables():
     # DC: all 12 size-category symbols at code length 4 (Kraft 12/16);
-    # AC: all 162 run/size symbols at code length 8 (Kraft 162/256).
+    # AC: all 162 run/size symbols plus the 14 progressive EOBn symbols
+    # (r<<4 for r=1..14) at code length 8 (Kraft 176/256).
     dc_bits = [0, 0, 0, 12] + [0] * 12
     dc_vals = list(range(12))
-    ac_vals = [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    ac_vals = (
+        [0x00, 0xF0]
+        + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+        + [(r << 4) for r in range(1, 15)]
+    )
     ac_bits = [0] * 16
     ac_bits[7] = len(ac_vals)
     return dc_bits, dc_vals, ac_bits, ac_vals
@@ -609,10 +614,11 @@ def test_jpeg_unsupported_variants_raise():
 
     arr = np.zeros((8, 8), np.uint8)
     jp = _encode_jpeg(arr)
-    # flip SOF0 (FFC0) to SOF2 (FFC2): progressive
-    prog = jp.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(ValueError, match="progressive"):
-        multimodal.decode_jpeg(prog)
+    # flip SOF0 (FFC0) to SOF9 (FFC9): arithmetic coding — genuinely
+    # unsupported (r6: progressive FFC2 now decodes)
+    arith = jp.replace(b"\xff\xc0", b"\xff\xc9", 1)
+    with pytest.raises(ValueError, match="coding process"):
+        multimodal.decode_jpeg(arith)
     with pytest.raises(ValueError, match="not a JPEG"):
         multimodal.decode_jpeg(b"\x89PNG1234" + b"\x00" * 16)
     # truncated mid-entropy: bit reader must raise, not loop
@@ -623,8 +629,8 @@ def test_jpeg_unsupported_variants_raise():
 def test_real_jpeg_decode_and_resize(spark):
     """End-to-end through the Arrow mapInPandas plumbing: JPEG payloads
     get decoder='jpeg' provenance with pixel-derived features; resize
-    is a real nearest-neighbor over decoded pixels re-encoded as P6; a
-    progressive JPEG falls back to the stub honestly."""
+    is a real nearest-neighbor over decoded pixels re-encoded as P6;
+    an arithmetic-coded JPEG falls back to the stub honestly."""
     import numpy as np
 
     w, h = 16, 8
@@ -633,10 +639,10 @@ def test_real_jpeg_decode_and_resize(spark):
         (h, 1, 3),
     )
     jp = _encode_jpeg(grad)
-    prog = jp.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    arith = jp.replace(b"\xff\xc0", b"\xff\xc9", 1)
     rows = [
         (1, "image", "image/jpeg", jp, {"src": "t"}),
-        (2, "image", "image/jpeg", prog, None),
+        (2, "image", "image/jpeg", arith, None),
     ]
     df = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
     out = {r.media_id: r for r in multimodal.extract_features(df).collect()}
@@ -646,7 +652,7 @@ def test_real_jpeg_decode_and_resize(spark):
     expected = sum((x * 16) % 256 for x in range(w)) / float(w)
     # equal-channel gradient: decoded means match within DCT rounding
     assert abs(mr - expected) < 1.0 and abs(mr - mg) < 1.0 and abs(mg - mb) < 1.0
-    assert out[2].decoder == "stub"  # progressive: honest fallback
+    assert out[2].decoder == "stub"  # arithmetic-coded: honest fallback
 
     resized = {
         r.media_id: r
@@ -1106,3 +1112,361 @@ def test_real_gif_decode_and_resize(spark):
     # cols 6->2 pick x=0 (black) and x=3 (red)
     assert [int(v) for v in arr[0, 0]] == [0, 0, 0]
     assert [int(v) for v in arr[0, 1]] == [255, 0, 0]
+
+
+# --- progressive JPEG: independent encoder fixture (jcphuff semantics) ------
+
+
+class _JpegEobState:
+    """EOB-run + correction-bit bookkeeping, libjpeg jcphuff style:
+    ``be`` holds bits of blocks already folded into the pending EOB run
+    (they flush right after the EOBn symbol); ``br`` holds the CURRENT
+    block's bits (they flush after the next emitted symbol, because the
+    decoder reads them during that symbol's skip loop)."""
+
+    def __init__(self, acc, bw):
+        self.run = 0
+        self.be = []
+        self.br = []
+        self.acc = acc
+        self.bw = bw
+
+    def flush_eob(self):
+        if self.run > 0:
+            r = self.run.bit_length() - 1
+            ln, c = self.acc[(r << 4)]
+            self.bw.write(c, ln)
+            if r:
+                self.bw.write(self.run - (1 << r), r)
+            self.run = 0
+            for b in self.be:
+                self.bw.write(b, 1)
+            self.be = []
+
+    def flush_br(self):
+        for b in self.br:
+            self.bw.write(b, 1)
+        self.br = []
+
+    def fold_block(self):
+        self.run += 1
+        self.be.extend(self.br)
+        self.br = []
+
+
+def _encode_jpeg_progressive(arr, script=None, subsample="444"):
+    """Progressive (SOF2) encoder with an arbitrary scan script
+    [(comp_idxs, Ss, Se, Ah, Al), ...] — spectral selection AND
+    successive approximation, independently implementing the libjpeg
+    jcphuff bitstream (EOB runs, ZRL folding, BE/BR correction-bit
+    buffers). All-ones quantization, so a fully-refined script must
+    reproduce the baseline round-trip error exactly."""
+    import struct
+
+    import numpy as np
+
+    def ceil_div(a, b):
+        return -(-a // b)
+
+    zz = _jpeg_zz_order()
+    k8 = np.arange(8).reshape(8, 1)
+    n8 = np.arange(8).reshape(1, 8)
+    D = np.cos((2 * n8 + 1) * k8 * np.pi / 16) * np.sqrt(2.0 / 8)
+    D[0] /= np.sqrt(2.0)
+
+    arr = np.asarray(arr)
+    H, W = arr.shape[:2]
+    gray = arr.ndim == 2
+    nc = 1 if gray else 3
+    if script is None:
+        if gray:
+            script = [
+                ([0], 0, 0, 0, 1),
+                ([0], 1, 5, 0, 2),
+                ([0], 6, 63, 0, 2),
+                ([0], 1, 63, 2, 1),
+                ([0], 0, 0, 1, 0),
+                ([0], 1, 63, 1, 0),
+            ]
+        else:
+            script = [
+                ([0, 1, 2], 0, 0, 0, 1),
+                ([0], 1, 5, 0, 2),
+                ([1], 1, 63, 0, 1),
+                ([2], 1, 63, 0, 1),
+                ([0], 6, 63, 0, 2),
+                ([0], 1, 63, 2, 1),
+                ([0, 1, 2], 0, 0, 1, 0),
+                ([0], 1, 63, 1, 0),
+                ([1], 1, 63, 1, 0),
+                ([2], 1, 63, 1, 0),
+            ]
+    if gray:
+        planes, samp = [arr.astype(np.float64)], [(1, 1)]
+    else:
+        a = arr.astype(np.float64)
+        R, G, B = a[..., 0], a[..., 1], a[..., 2]
+        Y = 0.299 * R + 0.587 * G + 0.114 * B
+        Cb = 128.0 - 0.168736 * R - 0.331264 * G + 0.5 * B
+        Cr = 128.0 + 0.5 * R - 0.418688 * G - 0.081312 * B
+        if subsample == "420":
+            samp = [(2, 2), (1, 1), (1, 1)]
+
+            def pad16(p):
+                h, w = p.shape
+                return np.pad(
+                    p,
+                    (
+                        (0, ceil_div(h, 16) * 16 - h),
+                        (0, ceil_div(w, 16) * 16 - w),
+                    ),
+                    mode="edge",
+                )
+
+            ds = lambda p: p.reshape(  # noqa: E731
+                p.shape[0] // 2, 2, p.shape[1] // 2, 2
+            ).mean(axis=(1, 3))
+            planes = [pad16(Y), ds(pad16(Cb)), ds(pad16(Cr))]
+        else:
+            samp, planes = [(1, 1)] * nc, [Y, Cb, Cr]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux, mcuy = ceil_div(W, 8 * hmax), ceil_div(H, 8 * vmax)
+    coefz = []
+    for p, (h, v) in zip(planes, samp):
+        ph, pw = mcuy * v * 8, mcux * h * 8
+        p = np.pad(
+            p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), mode="edge"
+        )
+        bh, bw2 = ph // 8, pw // 8
+        cz = np.zeros((bh, bw2, 64), np.int64)
+        for by in range(bh):
+            for bx in range(bw2):
+                blk = np.round(
+                    D @ (p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0) @ D.T
+                ).astype(np.int64)
+                cz[by, bx] = blk.flat[zz]
+        coefz.append(cz)
+    nat_blocks = [
+        (ceil_div(ceil_div(H * v, vmax), 8), ceil_div(ceil_div(W * h, hmax), 8))
+        for (h, v) in samp
+    ]
+
+    dc_bits, dc_vals, ac_bits, ac_vals = _jpeg_fixture_tables()
+    dcc = _jpeg_fixture_codes(dc_bits, dc_vals)
+    acc = _jpeg_fixture_codes(ac_bits, ac_vals)
+
+    out = bytearray(b"\xff\xd8")
+    ones = bytes([1] * 64)
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 65 * (1 if gray else 2))
+    out += bytes([0x00]) + ones
+    if not gray:
+        out += bytes([0x01]) + ones
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * nc, 8, H, W, nc)
+    for ci in range(nc):
+        out += bytes(
+            [ci + 1, (samp[ci][0] << 4) | samp[ci][1], 0 if ci == 0 else 1]
+        )
+
+    def dht(tc, th):
+        bits, vals = (dc_bits, dc_vals) if tc == 0 else (ac_bits, ac_vals)
+        return (
+            b"\xff\xc4"
+            + struct.pack(">H", 19 + len(vals))
+            + bytes([(tc << 4) | th])
+            + bytes(bits)
+            + bytes(vals)
+        )
+
+    out += dht(0, 0) + dht(1, 0)
+    if not gray:
+        out += dht(0, 1) + dht(1, 1)
+
+    for comp_idxs, ss, se, ah, al in script:
+        ns = len(comp_idxs)
+        out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ns, ns)
+        for ci in comp_idxs:
+            t = 0 if ci == 0 else 1
+            out += bytes([ci + 1, (t << 4) | t])
+        out += bytes([ss, se, (ah << 4) | al])
+        bw = _JpegBitWriter()
+        if ss == 0 and ah == 0:  # DC first (may be interleaved)
+            pred = {ci: 0 for ci in comp_idxs}
+            inter = len(comp_idxs) > 1
+            for m in range(mcux * mcuy):
+                my, mx = divmod(m, mcux)
+                for ci in comp_idxs:
+                    h, v = samp[ci] if inter else (1, 1)
+                    for by in range(v):
+                        for bx in range(h):
+                            dc = int(coefz[ci][my * v + by, mx * h + bx, 0])
+                            t = dc >> al  # arithmetic, like the decoder's <<
+                            diff = t - pred[ci]
+                            pred[ci] = t
+                            s = _jpeg_cat(diff)
+                            ln, c = dcc[s]
+                            bw.write(c, ln)
+                            if s:
+                                bw.write(
+                                    diff if diff > 0 else diff + (1 << s) - 1, s
+                                )
+        elif ss == 0:  # DC refinement
+            inter = len(comp_idxs) > 1
+            for m in range(mcux * mcuy):
+                my, mx = divmod(m, mcux)
+                for ci in comp_idxs:
+                    h, v = samp[ci] if inter else (1, 1)
+                    for by in range(v):
+                        for bx in range(h):
+                            dc = int(coefz[ci][my * v + by, mx * h + bx, 0])
+                            bw.write((dc >> al) & 1, 1)
+        elif ah == 0:  # AC first
+            ci = comp_idxs[0]
+            bh, bw_n = nat_blocks[ci]
+            st = _JpegEobState(acc, bw)
+            for by in range(bh):
+                for bx in range(bw_n):
+                    block = coefz[ci][by, bx]
+                    r = 0
+                    for k in range(ss, se + 1):
+                        v = int(block[k])
+                        t = (abs(v) >> al) * (1 if v >= 0 else -1)
+                        if t == 0:
+                            r += 1
+                            continue
+                        st.flush_eob()
+                        while r > 15:
+                            ln, c = acc[0xF0]
+                            bw.write(c, ln)
+                            r -= 16
+                        s = _jpeg_cat(t)
+                        ln, c = acc[(r << 4) | s]
+                        bw.write(c, ln)
+                        bw.write(t if t > 0 else t + (1 << s) - 1, s)
+                        r = 0
+                    if r > 0:
+                        st.run += 1
+                        if st.run == 0x7FFF:
+                            st.flush_eob()
+            st.flush_eob()
+        else:  # AC refinement
+            ci = comp_idxs[0]
+            bh, bw_n = nat_blocks[ci]
+            st = _JpegEobState(acc, bw)
+            for by in range(bh):
+                for bx in range(bw_n):
+                    block = coefz[ci][by, bx]
+                    absv = [abs(int(block[k])) >> al for k in range(ss, se + 1)]
+                    eob_idx = 0
+                    for i2, t in enumerate(absv):
+                        if t == 1:
+                            eob_idx = i2 + 1
+                    r = 0
+                    for i2, t in enumerate(absv):
+                        if t == 0:
+                            r += 1
+                            continue
+                        while r > 15 and i2 < eob_idx:
+                            st.flush_eob()
+                            ln, c = acc[0xF0]
+                            bw.write(c, ln)
+                            r -= 16
+                            st.flush_br()
+                        if t > 1:
+                            st.br.append(t & 1)
+                            continue
+                        st.flush_eob()
+                        ln, c = acc[(r << 4) | 1]
+                        bw.write(c, ln)
+                        bw.write(1 if int(block[ss + i2]) > 0 else 0, 1)
+                        r = 0
+                        st.flush_br()
+                    if r > 0 or st.br:
+                        st.fold_block()
+                        if st.run == 0x7FFF:
+                            st.flush_eob()
+            st.flush_eob()
+        bw.flush()
+        out += bw.buf
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_progressive_roundtrip():
+    """Fully-refined progressive scripts (DC+AC successive
+    approximation down to Al=0) must reproduce the baseline
+    coefficients exactly — same DCT-rounding-only error bound."""
+    import numpy as np
+
+    rng = np.random.default_rng(31)
+    g = rng.integers(0, 256, size=(13, 21), dtype=np.uint8)
+    dec = multimodal.decode_jpeg(_encode_jpeg_progressive(g))
+    assert dec.shape == (13, 21)
+    assert int(np.max(np.abs(dec.astype(int) - g))) <= 3
+
+    c = rng.integers(0, 256, size=(17, 11, 3), dtype=np.uint8)
+    dec = multimodal.decode_jpeg(_encode_jpeg_progressive(c))
+    assert int(np.max(np.abs(dec.astype(int) - c))) <= 3
+
+
+def test_jpeg_progressive_scan_kinds():
+    """Each progressive mechanism in isolation: spectral selection
+    only, DC successive approximation, AC successive approximation at
+    one and two refinement levels, split spectral bands."""
+    import numpy as np
+
+    rng = np.random.default_rng(37)
+    g = rng.integers(0, 256, size=(13, 21), dtype=np.uint8)
+    scripts = {
+        "spectral": [([0], 0, 0, 0, 0), ([0], 1, 63, 0, 0)],
+        "dc_sa": [([0], 0, 0, 0, 1), ([0], 0, 0, 1, 0), ([0], 1, 63, 0, 0)],
+        "ac_sa1": [([0], 0, 0, 0, 0), ([0], 1, 63, 0, 1), ([0], 1, 63, 1, 0)],
+        "ac_sa2": [
+            ([0], 0, 0, 0, 0),
+            ([0], 1, 63, 0, 2),
+            ([0], 1, 63, 2, 1),
+            ([0], 1, 63, 1, 0),
+        ],
+        "bands": [
+            ([0], 0, 0, 0, 0),
+            ([0], 1, 5, 0, 2),
+            ([0], 6, 63, 0, 2),
+            ([0], 1, 63, 2, 1),
+            ([0], 1, 63, 1, 0),
+        ],
+    }
+    for name, script in scripts.items():
+        dec = multimodal.decode_jpeg(_encode_jpeg_progressive(g, script=script))
+        assert int(np.max(np.abs(dec.astype(int) - g))) <= 3, name
+
+
+def test_jpeg_progressive_420_noninterleaved_grid(spark):
+    """4:2:0 progressive: single-component AC scans iterate the
+    component's NATURAL block grid (3 luma block-rows for H=20), not
+    the MCU-padded grid (4) — the geometry real progressive files
+    depend on. Plus dispatch provenance through mapInPandas."""
+    import numpy as np
+
+    const = np.full((20, 28, 3), (120, 60, 200), dtype=np.uint8)
+    dec = multimodal.decode_jpeg(
+        _encode_jpeg_progressive(const, subsample="420")
+    )
+    assert dec.shape == (20, 28, 3)
+    assert int(np.max(np.abs(dec.astype(int) - const.astype(int)))) <= 1
+
+    rng = np.random.default_rng(41)
+    c = rng.integers(0, 256, size=(20, 28, 3), dtype=np.uint8)
+    dec = multimodal.decode_jpeg(_encode_jpeg_progressive(c, subsample="420"))
+    lum_in = 0.299 * c[..., 0] + 0.587 * c[..., 1] + 0.114 * c[..., 2]
+    lum_out = (
+        0.299 * dec[..., 0].astype(float)
+        + 0.587 * dec[..., 1]
+        + 0.114 * dec[..., 2]
+    )
+    assert float(np.mean(np.abs(lum_in - lum_out))) < 2.0
+
+    rows = [(1, "image", "image/jpeg", _encode_jpeg_progressive(c), None)]
+    df = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    out = multimodal.extract_features(df).collect()[0]
+    assert out.decoder == "jpeg"
+    assert out.feature[:2] == [20.0, 28.0]
