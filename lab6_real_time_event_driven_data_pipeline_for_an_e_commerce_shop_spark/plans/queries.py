@@ -2511,12 +2511,18 @@ def q52_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                / ((SELECT n FROM sizes WHERE doc_id = a.doc_id)
                   + (SELECT n FROM sizes WHERE doc_id = b.doc_id) - COUNT(*)) >= 0.6
     )
-    SELECT doc_id,
-           CASE WHEN {_PHASH_ID} % 100 < 10 THEN 'test'
-                WHEN {_PHASH_ID} % 100 < 20 THEN 'val'
-                ELSE 'train' END AS split
-    FROM exact_kept
-    WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+    SELECT k.doc_id,
+           CASE WHEN CAST(concat('0x', substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 12)) AS BIGINT) % 100 < 10 THEN 'test'
+                WHEN CAST(concat('0x', substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 12)) AS BIGINT) % 100 < 20 THEN 'val'
+                ELSE 'train' END AS split,
+           ((CAST(concat('0x', substr(md5('m1␟' || CAST(k.doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+             % 1000000) + 1000000) % 1000000
+           < CASE d.source WHEN 'src0' THEN 1000000
+                           WHEN 'src1' THEN 500000
+                           WHEN 'src2' THEN 250000
+                           ELSE 100000 END AS mix_keep
+    FROM exact_kept k JOIN documents d ON k.doc_id = d.doc_id
+    WHERE k.doc_id NOT IN (SELECT doc_id FROM dropped)
     """,
 )
 def q53_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2525,11 +2531,25 @@ def q53_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     declarative plan, oracle-matched end to end. r4: the near-dup step
     opts into the q24 document-frequency cut (max_df_pct=50, mirrored
     in the oracle's QUALIFY), bounding hot-shingle skew at corpus
-    scale."""
-    from ..operators.curation import curate
+    scale. r6 depth: ``mix_keep`` — domain-mixture membership
+    (curation.mixture_sample, per-source target fractions via
+    exact-integer hash thresholds, salt 'm1'): the downsampling
+    decision a mixture-weighted pretraining corpus applies after
+    curation, flagged instead of filtered so the oracle sees both
+    sides."""
+    from ..operators.curation import curate, mixture_sample
 
-    return curate(_t(spark, sf_dir, "documents"), max_df_pct=50).select(
-        "doc_id", "split"
+    docs = _t(spark, sf_dir, "documents")
+    curated = curate(docs, max_df_pct=50)
+    weights = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+    kept = mixture_sample(
+        curated, weights, group_col="source", salt="m1", default_frac=0.1
+    ).select("doc_id", F.lit(True).alias("_mk"))
+    return (
+        curated.select("doc_id", "split")
+        .join(kept, "doc_id", "left")
+        .withColumn("mix_keep", F.coalesce(F.col("_mk"), F.lit(False)))
+        .drop("_mk")
     )
 
 
