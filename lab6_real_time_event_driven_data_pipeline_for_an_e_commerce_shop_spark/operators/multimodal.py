@@ -3,8 +3,11 @@ columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 Decode status (r5) — partially REAL, honestly labeled per row:
 
-- **WAV audio** (RIFF/PCM, stdlib ``wave`` + numpy): real decode →
-  duration / RMS / peak / zero-crossing rate / 4 FFT band energies.
+- **WAV audio** (stdlib ``wave`` + numpy): real decode → duration /
+  RMS / peak / zero-crossing rate / 4 FFT band energies. PCM
+  8/16/32-bit via the stdlib; G.711 μ-law/A-law (format tags 7/6,
+  which the stdlib refuses) via a manual RIFF walk + expansion
+  tables (r6).
 - **netpbm images** (binary P6/P5, pure numpy): real decode → dims +
   per-channel means + luminance stats; ``resize_images`` does a real
   nearest-neighbor resample and re-encodes valid P6 payloads.
@@ -93,24 +96,91 @@ def _decode_stub(payload: bytes, kind: str) -> list[float]:
 # --- real codecs (stdlib + numpy only; no PIL/librosa needed) ---------------
 
 
+def _g711_ulaw_lut():
+    """256-entry μ-law → linear int16 decode table (G.711): complement,
+    then ((mantissa·8 + 0x84) << exponent) − 0x84, sign in bit 7."""
+    import numpy as np
+
+    u = ~np.arange(256, dtype=np.int32) & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 7)
+    t -= 0x84
+    return np.where(u & 0x80, -t, t)
+
+
+def _g711_alaw_lut():
+    """256-entry A-law → linear int16 decode table (G.711): XOR 0x55;
+    exponent 0 → mantissa·16 + 8, else (mantissa·16 + 0x108) <<
+    (exponent − 1). Bit 7 SET (after the XOR) means POSITIVE — the
+    classic Sun/CCITT convention, opposite of μ-law."""
+    import numpy as np
+
+    a = np.arange(256, dtype=np.int32) ^ 0x55
+    exp = (a >> 4) & 7
+    mant = a & 0x0F
+    t = np.where(exp == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << np.maximum(exp - 1, 0))
+    return np.where(a & 0x80, t, -t)
+
+
+def _decode_wav_g711(payload: bytes):
+    """Manual RIFF walk for the compressed-WAV formats the stdlib
+    ``wave`` module refuses: G.711 μ-law (format tag 7) and A-law
+    (tag 6). Returns (mono float64 samples, frame_rate)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i = 12
+    fmt = None
+    data = None
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        (sz,) = struct.unpack("<I", payload[i + 4 : i + 8])
+        body = payload[i + 8 : i + 8 + sz]
+        i += 8 + sz + (sz & 1)  # chunks are word-aligned
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    tag, ch, fr, _brate, _balign, bits = fmt
+    if tag == 7:
+        lut = _g711_ulaw_lut()
+    elif tag == 6:
+        lut = _g711_alaw_lut()
+    else:
+        raise ValueError(f"unsupported WAV format tag {tag}")
+    if bits != 8:
+        raise ValueError(f"G.711 WAV must be 8-bit, got {bits}")
+    x = lut[np.frombuffer(data, np.uint8)].astype(np.float64) / 32768.0
+    if ch > 1:
+        x = x[: len(x) - len(x) % ch].reshape(-1, ch).mean(axis=1)
+    return x, fr
+
+
 def decode_wav(payload: bytes):
-    """REAL RIFF/PCM WAV decode via the stdlib ``wave`` module: returns
-    (mono float64 samples in [-1, 1], frame_rate). Raises on anything
-    that is not an uncompressed PCM wav — callers dispatch via
-    :func:`sniff_format` first."""
+    """REAL WAV decode: stdlib ``wave`` for PCM (8/16/32-bit), manual
+    RIFF walk + G.711 expansion for μ-law/A-law (r6). Returns (mono
+    float64 samples in [-1, 1], frame_rate). Raises on anything else —
+    callers dispatch via :func:`sniff_format` first."""
     import io
     import wave
 
     import numpy as np
 
-    with wave.open(io.BytesIO(payload), "rb") as w:
-        n, ch, sw, fr = (
-            w.getnframes(),
-            w.getnchannels(),
-            w.getsampwidth(),
-            w.getframerate(),
-        )
-        raw = w.readframes(n)
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            n, ch, sw, fr = (
+                w.getnframes(),
+                w.getnchannels(),
+                w.getsampwidth(),
+                w.getframerate(),
+            )
+            raw = w.readframes(n)
+    except wave.Error:
+        return _decode_wav_g711(payload)
     if sw == 2:
         x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
     elif sw == 1:  # 8-bit wav is unsigned
