@@ -220,22 +220,19 @@ def pack_sequences(
     )
 
 
-def mixture_sample(
-    df: DataFrame,
+def mixture_keep_expr(
     weights: dict[str, float],
     group_col: str = "source",
     id_col: str = "doc_id",
     salt: str = "",
     default_frac: float = 0.0,
-) -> DataFrame:
-    """Domain-mixture downsampling: keep each group at its target
-    fraction (e.g. ``{"web": 0.3, "books": 1.0}``) via the hash-
-    threshold rule keep ⇔ portable_hash(salt‖id) mod 10⁶ < frac·10⁶.
-    Deterministic and stable under corpus growth (a kept doc stays
-    kept), per-doc independent (no shuffle at all — a pure filter),
-    and re-salt for an independent draw. Groups absent from
-    ``weights`` keep ``default_frac``. Thresholds are exact integers
-    (floor of frac·10⁶) so engines agree bit-for-bit."""
+):
+    """The mixture-sampling keep predicate as a pure column expression:
+    keep ⇔ portable_hash(salt‖id) mod 10⁶ < frac(group)·10⁶.
+    Thresholds are exact integers (floor of frac·10⁶) so engines agree
+    bit-for-bit. Usable either as a filter (:func:`mixture_sample`) or
+    as a flag column — flagging costs nothing (no join, no shuffle;
+    the decision is a per-row hash compare)."""
     h = portable_hash(
         F.concat_ws("␟", F.lit(salt), F.col(id_col).cast("string"))
     )
@@ -245,7 +242,26 @@ def mixture_sample(
         thresh = F.when(
             F.col(group_col) == group, F.lit(int(frac * 1_000_000))
         ).otherwise(thresh)
-    return df.filter(bucket < thresh)
+    return bucket < thresh
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "",
+    default_frac: float = 0.0,
+) -> DataFrame:
+    """Domain-mixture downsampling: keep each group at its target
+    fraction (e.g. ``{"web": 0.3, "books": 1.0}``) via
+    :func:`mixture_keep_expr`. Deterministic and stable under corpus
+    growth (a kept doc stays kept), per-doc independent (no shuffle at
+    all — a pure filter), and re-salt for an independent draw. Groups
+    absent from ``weights`` keep ``default_frac``."""
+    return df.filter(
+        mixture_keep_expr(weights, group_col, id_col, salt, default_frac)
+    )
 
 
 # Conservative PII patterns, valid under BOTH Java regex (Spark) and

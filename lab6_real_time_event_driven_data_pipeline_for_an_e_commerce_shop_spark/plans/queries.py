@@ -2532,24 +2532,24 @@ def q53_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     opts into the q24 document-frequency cut (max_df_pct=50, mirrored
     in the oracle's QUALIFY), bounding hot-shingle skew at corpus
     scale. r6 depth: ``mix_keep`` — domain-mixture membership
-    (curation.mixture_sample, per-source target fractions via
-    exact-integer hash thresholds, salt 'm1'): the downsampling
-    decision a mixture-weighted pretraining corpus applies after
-    curation, flagged instead of filtered so the oracle sees both
-    sides."""
-    from ..operators.curation import curate, mixture_sample
+    (curation.mixture_keep_expr, the predicate behind mixture_sample:
+    per-source target fractions via exact-integer hash thresholds,
+    salt 'm1'): the downsampling decision a mixture-weighted
+    pretraining corpus applies after curation, flagged instead of
+    filtered so the oracle sees both sides. Flagging is a per-row
+    hash compare — zero extra joins or shuffles on the curation
+    plan."""
+    from ..operators.curation import curate, mixture_keep_expr
 
     docs = _t(spark, sf_dir, "documents")
     curated = curate(docs, max_df_pct=50)
     weights = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
-    kept = mixture_sample(
-        curated, weights, group_col="source", salt="m1", default_frac=0.1
-    ).select("doc_id", F.lit(True).alias("_mk"))
-    return (
-        curated.select("doc_id", "split")
-        .join(kept, "doc_id", "left")
-        .withColumn("mix_keep", F.coalesce(F.col("_mk"), F.lit(False)))
-        .drop("_mk")
+    return curated.select(
+        "doc_id",
+        "split",
+        mixture_keep_expr(weights, salt="m1", default_frac=0.1).alias(
+            "mix_keep"
+        ),
     )
 
 
