@@ -302,3 +302,79 @@ def test_cms_one_sided_and_merge_invariants(spark, vals, width):
         ["g"],
     )
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, sk.collect()))
+
+
+# --- r6: codec and curation properties (pure-python, no spark fixture) ------
+
+
+@given(
+    st.lists(st.integers(0, 255), min_size=0, max_size=400),
+    st.integers(2, 8),
+)
+@settings(max_examples=60, deadline=None)
+def test_gif_lzw_roundtrip_property(indices, ct_bits):
+    """GIF LZW: decode(encode(s)) == s for arbitrary index streams and
+    code sizes — the encoder lives in the test suite, the decoder in
+    the package, so this cross-checks both sides of the width-bump
+    handshake for every table-growth trajectory hypothesis finds."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators.multimodal import (
+        _gif_lzw_decode,
+    )
+
+    from test_multimodal import _gif_lzw_encode
+
+    mcs = max(2, ct_bits)
+    indices = [i % (1 << mcs) for i in indices]
+    enc = _gif_lzw_encode(indices, mcs)
+    assert _gif_lzw_decode(enc, mcs, len(indices)) == indices
+
+
+@given(st.integers(-32768, 32767))
+@settings(max_examples=300, deadline=None)
+def test_g711_companding_bounds_property(x):
+    """decode(encode(x)) stays within one companding segment step of x
+    for BOTH laws across the entire int16 domain."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators.multimodal import (
+        _g711_alaw_lut,
+        _g711_ulaw_lut,
+    )
+
+    from test_multimodal import _linear_to_alaw, _linear_to_ulaw
+
+    u = int(_g711_ulaw_lut()[_linear_to_ulaw(x)])
+    assert abs(u - x) <= max(32, (abs(x) + 132) // 8)
+    a = int(_g711_alaw_lut()[_linear_to_alaw(x)])
+    assert abs(a - x) <= max(32, abs(x) // 8 + 16)
+
+
+@given(
+    st.lists(st.tuples(st.integers(0, 10**6), st.integers(1, 500)),
+             min_size=1, max_size=120, unique_by=lambda t: t[0]),
+    st.integers(32, 1024),
+    st.integers(1, 8),
+)
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pack_sequences_offsets_property(spark, docs, budget, n_shards):
+    """Packing invariants for arbitrary corpora: within every shard the
+    exclusive cumulative sum reconstructs exactly from
+    (pack_id, pack_offset), and offsets stay inside the budget."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        curation,
+    )
+
+    df = spark.createDataFrame(docs, ["doc_id", "n_tokens"])
+    out = curation.pack_sequences(
+        df, budget_tokens=budget, n_shards=n_shards
+    ).collect()
+    assert len(out) == len(docs)
+    by_shard: dict[int, list] = {}
+    for r in out:
+        assert 0 <= r.pack_offset < budget
+        by_shard.setdefault(r.shard, []).append(r)
+    for rows in by_shard.values():
+        rows = sorted(rows, key=lambda r: (r.pack_id, r.pack_offset))
+        cum = 0
+        for r in rows:
+            assert r.pack_id * budget + r.pack_offset == cum
+            cum += r.n_tokens
