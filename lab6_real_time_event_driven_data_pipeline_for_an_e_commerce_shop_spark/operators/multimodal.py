@@ -654,6 +654,98 @@ def gif_features(payload: bytes) -> list[float]:
     return _pixel_features(decode_gif(payload))
 
 
+# --- BMP (Windows DIB, stdlib struct + numpy) -------------------------------
+
+
+def decode_bmp(payload: bytes):
+    """REAL BMP decode: BITMAPINFOHEADER (and the larger V4/V5 headers,
+    which extend it compatibly), bottom-up or top-down rows, 4-byte row
+    padding; 24/32-bit BGR(A), 8-bit paletted, 1/4-bit packed paletted,
+    and RLE8 compression. Returns (H, W, 3) uint8 RGB (alpha of 32-bit
+    images ignored, like the rest of the feature pipeline)."""
+    import struct
+
+    import numpy as np
+
+    if payload is None or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack("<I", payload[10:14])
+    (hdr_size,) = struct.unpack("<I", payload[14:18])
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    w, h, _planes, bpp, comp, _isz, _xp, _yp, used, _imp = struct.unpack(
+        "<iihhIIiiII", payload[18:54]
+    )
+    top_down = h < 0
+    h = abs(h)
+    if comp not in (0, 1) or (comp == 1 and bpp != 8):
+        raise ValueError(f"unsupported BMP compression {comp} at {bpp}bpp")
+    palette = None
+    if bpp <= 8:
+        n_colors = used if used else (1 << bpp)
+        pal_off = 14 + hdr_size
+        raw = np.frombuffer(payload, np.uint8, n_colors * 4, pal_off)
+        palette = raw.reshape(-1, 4)[:, [2, 1, 0]]  # BGRA → RGB
+
+    if comp == 1:  # RLE8
+        grid = np.zeros((h, w), np.uint8)
+        i, x, y = data_off, 0, 0
+        while i + 1 < len(payload):
+            a, b = payload[i], payload[i + 1]
+            i += 2
+            if a > 0:  # run
+                grid[y, x : min(x + a, w)] = b
+                x += a
+            elif b == 0:  # end of line
+                x, y = 0, y + 1
+                if y >= h:
+                    break
+            elif b == 1:  # end of bitmap
+                break
+            elif b == 2:  # delta
+                x += payload[i]
+                y += payload[i + 1]
+                i += 2
+            else:  # absolute mode, word-aligned
+                n = b
+                px = np.frombuffer(payload, np.uint8, n, i)
+                grid[y, x : min(x + n, w)] = px[: max(0, min(n, w - x))]
+                x += n
+                i += n + (n & 1)
+        rgb = palette[grid]
+        return rgb if top_down else rgb[::-1].copy()
+
+    stride = ((w * bpp + 31) // 32) * 4
+    rows = np.frombuffer(payload, np.uint8, stride * h, data_off).reshape(
+        h, stride
+    )
+    if bpp == 24:
+        px = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]
+    elif bpp == 32:
+        px = rows[:, : w * 4].reshape(h, w, 4)[:, :, [2, 1, 0]]
+    elif bpp == 8:
+        px = palette[rows[:, :w]]
+    elif bpp in (1, 4):
+        bits = np.unpackbits(rows, axis=1)[:, : w * bpp]
+        weights = 1 << np.arange(bpp - 1, -1, -1)
+        idx = (bits.reshape(h, w, bpp) * weights).sum(axis=2)
+        px = palette[idx]
+    else:
+        raise ValueError(f"unsupported BMP bit depth {bpp}")
+    px = np.ascontiguousarray(px)
+    return px if top_down else px[::-1].copy()
+
+
+def bmp_features(payload: bytes) -> list[float]:
+    """8-dim real image features from actually-decoded BMP pixels."""
+    return _pixel_features(decode_bmp(payload))
+
+
+def resize_bmp(payload: bytes, width: int, height: int) -> bytes:
+    """REAL nearest-neighbor resample of a BMP payload, re-encoded P6."""
+    return _resize_array(decode_bmp(payload), width, height)
+
+
 # --- baseline JPEG (ITU-T T.81 sequential DCT, Huffman) ---------------------
 
 # zigzag index k → natural (row-major) index, per T.81 Figure 5. Embedded
@@ -1284,6 +1376,12 @@ def sniff_format(payload: bytes | None) -> str | None:
         return "jpeg"
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if (
+        payload[:2] == b"BM"
+        and len(payload) >= 54
+        and payload[6:10] == b"\x00\x00\x00\x00"  # reserved words
+    ):
+        return "bmp"
     if payload[4:8] == b"ftyp":
         return "mp4"
     if payload[:2] in (b"P5", b"P6") and payload[2:3].isspace():
@@ -1308,6 +1406,8 @@ def _decode_dispatch(payload: bytes | None, kind: str) -> tuple[str, list[float]
             return "mp4", mp4_features(payload)
         if fmt == "gif":
             return "gif", gif_features(payload)
+        if fmt == "bmp":
+            return "bmp", bmp_features(payload)
         if fmt == "netpbm":
             return "netpbm", netpbm_features(payload)
     except Exception:
@@ -1489,13 +1589,14 @@ def resize_images(df: DataFrame, width: int = 224, height: int = 224) -> DataFra
                 else:
                     b = bytes(p)
                     fmt = sniff_format(b)
-                    if fmt in ("netpbm", "png", "jpeg", "gif"):
+                    if fmt in ("netpbm", "png", "jpeg", "gif", "bmp"):
                         try:
                             fn = {
                                 "netpbm": resize_netpbm,
                                 "png": resize_png,
                                 "jpeg": resize_jpeg,
                                 "gif": resize_gif,
+                                "bmp": resize_bmp,
                             }[fmt]
                             payload = fn(b, width, height)
                             resample = "nearest"

@@ -1567,3 +1567,143 @@ def test_g711_wav_dispatch(spark):
     out = multimodal.extract_features(df).collect()[0]
     assert out.decoder == "wav"
     assert abs(out.feature[0] - 200 / sr) < 1e-9
+
+
+# --- BMP: independent encoder fixture ---------------------------------------
+
+
+def _encode_bmp(arr, bpp=24, top_down=False, rle=False, palette=None):
+    """Minimal valid BMP writer: BITMAPINFOHEADER, padded rows, BGR
+    order, bottom-up by default; 8-bit paletted with optional RLE8
+    (run + absolute + EOL encoding); 1/4-bit packed paletted."""
+    import struct
+
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    if bpp in (24, 32):
+        rows = []
+        for y in range(h):
+            row = arr[y][:, ::-1] if bpp == 24 else np.concatenate(
+                [arr[y][:, ::-1], np.full((w, 1), 255, np.uint8)], axis=1
+            )
+            raw = row.tobytes()
+            rows.append(raw + b"\x00" * ((-len(raw)) % 4))
+        n_colors = 0
+        pal_bytes = b""
+    else:
+        n_colors = len(palette)
+        pal_bytes = b"".join(
+            bytes([int(b), int(g), int(r), 0]) for r, g, b in palette
+        )
+        if rle:
+            assert bpp == 8
+            body = bytearray()
+            for y in range(h - 1, -1, -1):  # RLE streams are bottom-up
+                xs = arr[y]
+                x = 0
+                while x < w:
+                    run = 1
+                    while x + run < w and xs[x + run] == xs[x] and run < 255:
+                        run += 1
+                    if run >= 2:
+                        body += bytes([run, int(xs[x])])
+                        x += run
+                    else:  # absolute mode for a single pixel: use 1-run
+                        body += bytes([1, int(xs[x])])
+                        x += 1
+                body += b"\x00\x00"  # EOL
+            body += b"\x00\x01"  # EOB
+            rows = None
+            rle_body = bytes(body)
+        if not rle:
+            rows = []
+            for y in range(h):
+                if bpp == 8:
+                    raw = arr[y].astype(np.uint8).tobytes()
+                else:
+                    vals = arr[y].astype(np.uint8)
+                    bits = (
+                        (vals[:, None] >> np.arange(bpp - 1, -1, -1)) & 1
+                    ).astype(np.uint8).reshape(-1)
+                    raw = np.packbits(bits).tobytes()
+                rows.append(raw + b"\x00" * ((-len(raw)) % 4))
+    if not rle:
+        order = rows if top_down else rows[::-1]
+        data = b"".join(order)
+    else:
+        data = rle_body  # RLE is always bottom-up per spec
+    hdr_h = -h if top_down else h
+    if rle:
+        hdr_h = h  # bottom-up only
+    data_off = 14 + 40 + len(pal_bytes)
+    info = struct.pack(
+        "<IiihhIIiiII", 40, w, hdr_h, 1, bpp, 1 if rle else 0,
+        len(data), 2835, 2835, n_colors, 0,
+    )
+    filehdr = struct.pack("<2sIHHI", b"BM", data_off + len(data), 0, 0, data_off)
+    return filehdr + info + pal_bytes + data
+
+
+def test_bmp_decode_variants():
+    import numpy as np
+
+    rng = np.random.default_rng(43)
+    rgb = rng.integers(0, 256, size=(7, 5, 3), dtype=np.uint8)
+    # 24-bit bottom-up and top-down, 32-bit
+    assert (multimodal.decode_bmp(_encode_bmp(rgb, 24)) == rgb).all()
+    assert (
+        multimodal.decode_bmp(_encode_bmp(rgb, 24, top_down=True)) == rgb
+    ).all()
+    assert (multimodal.decode_bmp(_encode_bmp(rgb, 32)) == rgb).all()
+
+    # 8-bit paletted
+    pal = rng.integers(0, 256, size=(17, 3), dtype=np.uint8)
+    idx = rng.integers(0, 17, size=(6, 9), dtype=np.uint8)
+    assert (
+        multimodal.decode_bmp(_encode_bmp(idx, 8, palette=pal)) == pal[idx]
+    ).all()
+
+    # 4-bit and 1-bit packed
+    pal4 = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx4 = rng.integers(0, 16, size=(5, 11), dtype=np.uint8)
+    assert (
+        multimodal.decode_bmp(_encode_bmp(idx4, 4, palette=pal4)) == pal4[idx4]
+    ).all()
+    pal1 = np.array([[0, 0, 0], [255, 255, 255]], np.uint8)
+    idx1 = rng.integers(0, 2, size=(4, 19), dtype=np.uint8)
+    assert (
+        multimodal.decode_bmp(_encode_bmp(idx1, 1, palette=pal1)) == pal1[idx1]
+    ).all()
+
+    # RLE8: runs + EOL/EOB
+    idx_rle = np.repeat(rng.integers(0, 17, size=(6, 3)), 3, axis=1).astype(
+        np.uint8
+    )
+    assert (
+        multimodal.decode_bmp(_encode_bmp(idx_rle, 8, palette=pal, rle=True))
+        == pal[idx_rle]
+    ).all()
+
+    import pytest
+
+    with pytest.raises(ValueError, match="not a BMP"):
+        multimodal.decode_bmp(b"XX" + b"\x00" * 60)
+
+
+def test_bmp_dispatch_and_resize(spark):
+    import numpy as np
+
+    grad = np.tile(
+        (np.arange(8, dtype=np.uint8) * 32)[None, :, None], (4, 1, 3)
+    )
+    bmp = _encode_bmp(grad, 24)
+    rows = [(1, "image", "image/bmp", bmp, None)]
+    df = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    out = multimodal.extract_features(df).collect()[0]
+    assert out.decoder == "bmp"
+    assert out.feature[:2] == [4.0, 8.0]
+    resized = multimodal.resize_images(df, width=4, height=2).collect()[0]
+    assert resized.meta["resample"] == "nearest"
+    arr = multimodal.decode_netpbm(bytes(resized.payload))
+    assert [int(v) for v in arr[0, :, 0]] == [0, 64, 128, 192]
