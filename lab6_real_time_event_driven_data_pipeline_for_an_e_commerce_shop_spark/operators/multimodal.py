@@ -25,6 +25,12 @@ Decode status (r5) — partially REAL, honestly labeled per row:
   LSB-first LZW, global/local color tables, interlaced row order,
   transparency compositing onto the logical screen, frame selection
   for animated files.
+- **BMP images** (r6): real decode — 1/4/8/24/32-bit, palettes,
+  RLE8, bottom-up and top-down rows, 4-byte padding.
+- **TIFF images** (r6): real baseline decode — both byte orders,
+  stripped images, none/PackBits/LZW compression (TIFF's MSB-first
+  early-change LZW, distinct from GIF's), horizontal-differencing
+  predictor, WhiteIsZero/RGB/palette photometrics, 1/8-bit samples.
 - **MP4 video** (r6, stdlib struct): real ISO BMFF DEMUX — box walk,
   mvhd/tkhd/mdhd/hdlr/stsd metadata, and full stsz/stsc/stco/co64
   sample-table resolution, so ``frame_sample`` slices true per-sample
@@ -746,6 +752,189 @@ def resize_bmp(payload: bytes, width: int, height: int) -> bytes:
     return _resize_array(decode_bmp(payload), width, height)
 
 
+# --- TIFF (baseline: strips, PackBits, LZW w/ early change) -----------------
+
+
+def _packbits_decode(data: bytes, expect: int) -> bytes:
+    """Apple PackBits: n∈[0,127] → n+1 literals; n∈[129,255] → repeat
+    the next byte 257−n times; 128 is a no-op."""
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expect:
+        n = data[i]
+        i += 1
+        if n < 128:
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+    return bytes(out)
+
+
+def _tiff_lzw_decode(data: bytes, expect: int) -> bytes:
+    """TIFF-variant LZW: MSB-first bit packing, Clear=256/EOI=257,
+    first free code 258, and the spec's EARLY CHANGE — code width
+    bumps when the next free code equals 2^width − 1 (one code earlier
+    than GIF's handshake), identically on both sides."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = nbits = pos = 0
+    width = 9
+    table: list[bytes] = []
+    prev: bytes | None = None
+
+    def reset():
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+        prev = None
+
+    reset()
+    n = len(data)
+    while len(out) < expect:
+        while nbits < width:
+            if pos >= n:
+                return bytes(out)
+            acc = (acc << 8) | data[pos]
+            nbits += 8
+            pos += 1
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == CLEAR:
+            reset()
+            continue
+        if code == EOI:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("corrupt TIFF LZW stream")
+        out += entry
+        if prev is not None and len(table) < 4094:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) - 1 and width < 12:
+                width += 1  # early change
+        prev = entry
+    return bytes(out)
+
+
+def decode_tiff(payload: bytes):
+    """REAL baseline TIFF decode (stdlib struct + numpy): both byte
+    orders, first IFD, stripped images, compression none(1) /
+    LZW(5, with the spec's early-change width handshake) /
+    PackBits(32773), horizontal-differencing predictor(2), photometric
+    WhiteIsZero/BlackIsZero/RGB/Palette (16-bit colormap scaled to
+    8-bit), 1- and 8-bit samples, 1 or 3+ samples per pixel (extra
+    samples beyond RGB ignored). Returns (H, W) gray or (H, W, 3)
+    uint8 RGB."""
+    import struct
+
+    import numpy as np
+
+    if payload is None or payload[:4] not in (b"II*\x00", b"MM\x00*"):
+        raise ValueError("not a TIFF payload")
+    bo = "<" if payload[:2] == b"II" else ">"
+    (ifd_off,) = struct.unpack(bo + "I", payload[4:8])
+    (n_entries,) = struct.unpack(bo + "H", payload[ifd_off : ifd_off + 2])
+    TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+    TYPE_FMT = {1: "B", 3: "H", 4: "I"}
+    tags: dict[int, list[int]] = {}
+    for e in range(n_entries):
+        off = ifd_off + 2 + 12 * e
+        tag, typ, cnt = struct.unpack(bo + "HHI", payload[off : off + 8])
+        if typ not in TYPE_FMT:
+            continue
+        size = TYPE_SIZE[typ] * cnt
+        if size <= 4:
+            src = off + 8
+        else:
+            (src,) = struct.unpack(bo + "I", payload[off + 8 : off + 12])
+        tags[tag] = list(
+            struct.unpack(
+                bo + TYPE_FMT[typ] * cnt, payload[src : src + size]
+            )
+        )
+
+    def one(tag, default=None):
+        v = tags.get(tag)
+        if v is None:
+            if default is None:
+                raise ValueError(f"TIFF missing required tag {tag}")
+            return default
+        return v[0]
+
+    w, h = one(256), one(257)
+    comp = one(259, 1)
+    photo = one(262, 1)
+    spp = one(277, 1)
+    bits = tags.get(258, [8])[0]
+    predictor = one(317, 1)
+    rows_per_strip = one(278, h)
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if offsets is None or counts is None:
+        raise ValueError("TIFF missing strip offsets/counts")
+    if comp not in (1, 5, 32773):
+        raise ValueError(f"unsupported TIFF compression {comp}")
+    if bits not in (1, 8):
+        raise ValueError(f"unsupported TIFF bits-per-sample {bits}")
+
+    row_bytes = (w * spp * bits + 7) // 8
+    chunks = []
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        nrows = min(rows_per_strip, h - si * rows_per_strip)
+        expect = row_bytes * nrows
+        raw = payload[off : off + cnt]
+        if comp == 5:
+            raw = _tiff_lzw_decode(raw, expect)
+        elif comp == 32773:
+            raw = _packbits_decode(raw, expect)
+        if len(raw) < expect:
+            raise ValueError("truncated TIFF strip")
+        chunks.append(raw[:expect])
+    flat = np.frombuffer(b"".join(chunks), np.uint8)
+    if bits == 1:
+        rows = flat.reshape(h, row_bytes)
+        px = np.unpackbits(rows, axis=1)[:, : w * spp].reshape(h, w, spp)
+        px = (px * 255).astype(np.uint8)
+    else:
+        px = flat.reshape(h, w * spp)
+        if predictor == 2:  # horizontal differencing: per-channel cumsum
+            px = (
+                np.cumsum(
+                    px.reshape(h, w, spp).astype(np.uint64), axis=1
+                )
+                & 0xFF
+            ).astype(np.uint8).reshape(h, w * spp)
+        px = px.reshape(h, w, spp)
+    if photo == 3:  # palette
+        cmap = tags.get(320)
+        if cmap is None:
+            raise ValueError("palette TIFF missing ColorMap")
+        ncol = len(cmap) // 3
+        cm = (np.array(cmap, np.uint32).reshape(3, ncol).T >> 8).astype(
+            np.uint8
+        )
+        return cm[px[..., 0]]
+    if spp == 1:
+        gray = px[..., 0]
+        return (255 - gray) if photo == 0 else gray
+    return np.ascontiguousarray(px[..., :3])
+
+
+def tiff_features(payload: bytes) -> list[float]:
+    """8-dim real image features from actually-decoded TIFF pixels."""
+    return _pixel_features(decode_tiff(payload))
+
+
+def resize_tiff(payload: bytes, width: int, height: int) -> bytes:
+    """REAL nearest-neighbor resample of a TIFF payload, re-encoded P6."""
+    return _resize_array(decode_tiff(payload), width, height)
+
+
 # --- baseline JPEG (ITU-T T.81 sequential DCT, Huffman) ---------------------
 
 # zigzag index k → natural (row-major) index, per T.81 Figure 5. Embedded
@@ -1382,6 +1571,8 @@ def sniff_format(payload: bytes | None) -> str | None:
         and payload[6:10] == b"\x00\x00\x00\x00"  # reserved words
     ):
         return "bmp"
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
     if payload[4:8] == b"ftyp":
         return "mp4"
     if payload[:2] in (b"P5", b"P6") and payload[2:3].isspace():
@@ -1408,6 +1599,8 @@ def _decode_dispatch(payload: bytes | None, kind: str) -> tuple[str, list[float]
             return "gif", gif_features(payload)
         if fmt == "bmp":
             return "bmp", bmp_features(payload)
+        if fmt == "tiff":
+            return "tiff", tiff_features(payload)
         if fmt == "netpbm":
             return "netpbm", netpbm_features(payload)
     except Exception:
@@ -1589,7 +1782,7 @@ def resize_images(df: DataFrame, width: int = 224, height: int = 224) -> DataFra
                 else:
                     b = bytes(p)
                     fmt = sniff_format(b)
-                    if fmt in ("netpbm", "png", "jpeg", "gif", "bmp"):
+                    if fmt in ("netpbm", "png", "jpeg", "gif", "bmp", "tiff"):
                         try:
                             fn = {
                                 "netpbm": resize_netpbm,
@@ -1597,6 +1790,7 @@ def resize_images(df: DataFrame, width: int = 224, height: int = 224) -> DataFra
                                 "jpeg": resize_jpeg,
                                 "gif": resize_gif,
                                 "bmp": resize_bmp,
+                                "tiff": resize_tiff,
                             }[fmt]
                             payload = fn(b, width, height)
                             resample = "nearest"

@@ -1707,3 +1707,243 @@ def test_bmp_dispatch_and_resize(spark):
     assert resized.meta["resample"] == "nearest"
     arr = multimodal.decode_netpbm(bytes(resized.payload))
     assert [int(v) for v in arr[0, :, 0]] == [0, 64, 128, 192]
+
+
+# --- TIFF: independent encoder fixture --------------------------------------
+
+
+def _tiff_lzw_encode(data):
+    """TIFF-variant LZW compressor (MSB-first, Clear/EOI, EARLY
+    CHANGE): the encoder bumps width when its next free code reaches
+    2^width — one entry after the decoder's 2^width−1 trigger, which
+    compensates the decoder's one-entry table lag (the same handshake
+    shape as GIF, shifted one code earlier — hence 'early change')."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = nbits = 0
+    width = 9
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    emit(CLEAR)
+    s = b""
+    for byte in data:
+        c = bytes([byte])
+        if s + c in table:
+            s = s + c
+            continue
+        emit(table[s])
+        if next_code < 4094:
+            table[s + c] = next_code
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        s = c
+    if s:
+        emit(table[s])
+    emit(EOI)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_encode(data):
+    """Independent PackBits writer: literal runs + repeat runs."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and data[i + run] == data[i] and run < 128:
+            run += 1
+        if run >= 2:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        j = i + 1
+        while (
+            j < n
+            and (j + 1 >= n or data[j] != data[j + 1])
+            and j - i < 128
+        ):
+            j += 1
+        out += bytes([j - i - 1]) + data[i:j]
+        i = j
+    return bytes(out)
+
+
+def _encode_tiff(
+    arr,
+    compression=1,
+    predictor=1,
+    byte_order="<",
+    photometric=None,
+    colormap=None,
+    rows_per_strip=None,
+    bits=8,
+):
+    """Minimal valid stripped TIFF writer (independent of the parser):
+    header + pixel strips + one IFD with out-of-line arrays."""
+    import struct
+
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    spp = 1 if arr.ndim == 2 else arr.shape[2]
+    if photometric is None:
+        photometric = 2 if spp == 3 else 1
+    rows_per_strip = rows_per_strip or h
+    flat = arr if arr.ndim == 3 else arr[..., None]
+
+    strips = []
+    for y0 in range(0, h, rows_per_strip):
+        rows = flat[y0 : y0 + rows_per_strip]
+        if bits == 1:
+            packed = b"".join(
+                np.packbits(rows[y].reshape(-1)).tobytes()
+                for y in range(rows.shape[0])
+            )
+            raw = packed
+        elif predictor == 2:
+            d = rows.astype(np.int16)
+            d[:, 1:] = d[:, 1:] - d[:, :-1]
+            raw = (d & 0xFF).astype(np.uint8).tobytes()
+        else:
+            raw = rows.astype(np.uint8).tobytes()
+        if compression == 5:
+            raw = _tiff_lzw_encode(raw)
+        elif compression == 32773:
+            raw = _packbits_encode(raw)
+        strips.append(raw)
+
+    bo = byte_order
+    header_size = 8
+    data = bytearray()
+    strip_offsets = []
+    for s in strips:
+        strip_offsets.append(header_size + len(data))
+        data += s
+    if len(data) & 1:
+        data += b"\x00"
+
+    entries = []  # (tag, type, count, packed-or-(values, array))
+    extra = bytearray()
+
+    def entry(tag, typ, values):
+        fmt = {3: "H", 4: "I"}[typ]
+        size = {3: 2, 4: 4}[typ] * len(values)
+        if size <= 4:
+            packed = struct.pack(bo + fmt * len(values), *values)
+            packed += b"\x00" * (4 - size)
+            entries.append((tag, typ, len(values), packed))
+        else:
+            entries.append((tag, typ, len(values), list(values)))
+
+    entry(256, 4, [w])
+    entry(257, 4, [h])
+    entry(258, 3, [bits] * spp)
+    entry(259, 3, [compression])
+    entry(262, 3, [photometric])
+    entry(273, 4, strip_offsets)
+    entry(277, 3, [spp])
+    entry(278, 4, [rows_per_strip])
+    entry(279, 4, [len(s) for s in strips])
+    if predictor != 1:
+        entry(317, 3, [predictor])
+    if colormap is not None:
+        cm16 = [int(v) << 8 for v in np.asarray(colormap).T.reshape(-1)]
+        entry(320, 3, cm16)
+    entries.sort(key=lambda t: t[0])
+
+    ifd_off = header_size + len(data)
+    ifd_size = 2 + 12 * len(entries) + 4
+    arrays_off = ifd_off + ifd_size
+    ifd = struct.pack(bo + "H", len(entries))
+    for tag, typ, cnt, val in entries:
+        if isinstance(val, bytes):
+            ifd += struct.pack(bo + "HHI", tag, typ, cnt) + val
+        else:
+            fmt = {3: "H", 4: "I"}[typ]
+            ifd += struct.pack(bo + "HHII", tag, typ, cnt, arrays_off + len(extra))
+            extra += struct.pack(bo + fmt * cnt, *val)
+    ifd += struct.pack(bo + "I", 0)  # next IFD
+
+    magic = b"II*\x00" if bo == "<" else b"MM\x00*"
+    head = magic[:2] + struct.pack(bo + "HI", 42, ifd_off)
+    return head + bytes(data) + ifd + bytes(extra)
+
+
+def test_tiff_decode_variants():
+    import numpy as np
+
+    rng = np.random.default_rng(47)
+    rgb = rng.integers(0, 256, size=(9, 7, 3), dtype=np.uint8)
+    gray = rng.integers(0, 256, size=(6, 11), dtype=np.uint8)
+
+    for bo in ("<", ">"):
+        for comp in (1, 5, 32773):
+            dec = multimodal.decode_tiff(
+                _encode_tiff(rgb, compression=comp, byte_order=bo)
+            )
+            assert (dec == rgb).all(), (bo, comp)
+            decg = multimodal.decode_tiff(
+                _encode_tiff(gray, compression=comp, byte_order=bo)
+            )
+            assert (decg == gray).all(), (bo, comp)
+
+    # LZW + horizontal-differencing predictor, multi-strip
+    dec = multimodal.decode_tiff(
+        _encode_tiff(rgb, compression=5, predictor=2, rows_per_strip=4)
+    )
+    assert (dec == rgb).all()
+
+    # big LZW image: force several width bumps through the dictionary
+    big = rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)
+    assert (
+        multimodal.decode_tiff(_encode_tiff(big, compression=5)) == big
+    ).all()
+
+    # WhiteIsZero inverts; palette expands through the 16-bit colormap
+    dec = multimodal.decode_tiff(_encode_tiff(gray, photometric=0))
+    assert (dec == 255 - gray).all()
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(5, 8), dtype=np.uint8)
+    dec = multimodal.decode_tiff(
+        _encode_tiff(idx, photometric=3, colormap=pal)
+    )
+    assert (dec == pal[idx]).all()
+
+    # 1-bit bilevel
+    b1 = rng.integers(0, 2, size=(5, 13), dtype=np.uint8)
+    dec = multimodal.decode_tiff(_encode_tiff(b1, bits=1))
+    assert (dec == b1 * 255).all()
+
+    import pytest
+
+    with pytest.raises(ValueError, match="not a TIFF"):
+        multimodal.decode_tiff(b"II\x00\x00" + b"\x00" * 32)
+
+
+def test_tiff_dispatch_and_resize(spark):
+    import numpy as np
+
+    grad = np.tile(
+        (np.arange(10, dtype=np.uint8) * 25)[None, :, None], (4, 1, 3)
+    )
+    tif = _encode_tiff(grad, compression=5, predictor=2)
+    rows = [(1, "image", "image/tiff", tif, None)]
+    df = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    out = multimodal.extract_features(df).collect()[0]
+    assert out.decoder == "tiff"
+    assert out.feature[:2] == [4.0, 10.0]
+    resized = multimodal.resize_images(df, width=5, height=2).collect()[0]
+    assert resized.meta["resample"] == "nearest"
+    arr = multimodal.decode_netpbm(bytes(resized.payload))
+    assert [int(v) for v in arr[0, :, 0]] == [0, 50, 100, 150, 200]
