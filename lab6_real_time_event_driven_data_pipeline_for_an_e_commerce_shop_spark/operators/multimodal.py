@@ -801,6 +801,7 @@ def _tiff_lzw_decode(data: bytes, expect: int) -> bytes:
             pos += 1
         code = (acc >> (nbits - width)) & ((1 << width) - 1)
         nbits -= width
+        acc &= (1 << nbits) - 1  # keep the accumulator machine-sized
         if code == CLEAR:
             reset()
             continue

@@ -72,6 +72,14 @@ def main() -> None:
     ppm = b"P6\n%d %d\n255\n" % (side, side) + rgb.tobytes()
     out.append(("netpbm", rgb.nbytes, timed(mm.decode_netpbm, ppm)))
 
+    from test_multimodal import _encode_bmp, _encode_tiff  # noqa: E402
+
+    bmp = _encode_bmp(rgb, 24)
+    out.append(("bmp", rgb.nbytes, timed(mm.decode_bmp, bmp)))
+
+    tif = _encode_tiff(rgb, compression=5, predictor=2)
+    out.append(("tiff_lzw", rgb.nbytes, timed(mm.decode_tiff, tif)))
+
     wav = _make_wav(seconds=4.0, sr=44100)
     out.append(("wav_pcm16", len(wav), timed(mm.decode_wav, wav)))
 
