@@ -211,6 +211,196 @@ def repetition_profile(
     )
 
 
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    min_avg_token_len: float = 2.0,
+    max_avg_token_len: float = 12.0,
+    max_punct_ratio: float = 0.3,
+    max_digit_ratio: float = 0.3,
+    min_distinct_token_ratio: float = 0.3,
+    max_top_bigram_frac: float = 0.35,
+) -> DataFrame:
+    """Gopher-style composed document quality gate: every rule is a
+    column predicate over :func:`quality_features` +
+    :func:`repetition_profile`, and the verdict ships with evidence —
+    ``qc_pass`` (boolean) and ``qc_fail_reasons`` (sorted CSV of the
+    rules that fired, '' when clean; a scalar, so downstream stays
+    engine-comparable). The same rules-as-columns pattern as the
+    e-commerce validation operator: filtering discards information,
+    flag-and-explain keeps the audit trail a curation pipeline needs.
+    One join on id between the two profile substrates; no UDF."""
+    q = quality_features(df.select(F.col(id_col), F.col(text_col)), text_col)
+    rep = repetition_profile(df, text_col, id_col).select(
+        id_col, "distinct_token_ratio", "top_bigram_frac"
+    )
+    j = q.join(rep, id_col)
+    rules = {
+        "too_few_tokens": F.col("n_tokens") < min_tokens,
+        "too_many_tokens": F.col("n_tokens") > max_tokens,
+        "avg_token_too_short": F.col("avg_token_len") < min_avg_token_len,
+        "avg_token_too_long": F.col("avg_token_len") > max_avg_token_len,
+        "punct_heavy": F.col("punct_ratio") > max_punct_ratio,
+        "digit_heavy": F.col("digit_ratio") > max_digit_ratio,
+        "low_diversity": F.col("distinct_token_ratio")
+        < min_distinct_token_ratio,
+        "repeated_phrase": F.col("top_bigram_frac") > max_top_bigram_frac,
+    }
+    fired = F.array_sort(
+        F.filter(
+            F.array(
+                *[F.when(cond, F.lit(name)) for name, cond in rules.items()]
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+    return j.select(
+        F.col(id_col),
+        (F.size(fired) == 0).alias("qc_pass"),
+        F.array_join(fired, ",").alias("qc_fail_reasons"),
+    )
+
+
+def train_bpe(
+    df: DataFrame,
+    n_merges: int = 200,
+    text_col: str = "text",
+    min_freq: int = 2,
+    max_words: int = 100_000,
+) -> list[tuple[str, str]]:
+    """Learn BPE merge rules from the corpus — the standard two-phase
+    shape every scalable tokenizer trainer uses (HuggingFace/SentencePiece
+    train on a word-frequency dict, not the raw corpus):
+
+    1. **Distributed** (one Spark job): pretoken frequencies via
+       explode(bpe_ish_tokens) → groupBy → count, with a ``min_freq``
+       cut and a deterministic ``max_words`` cap (freq desc, token asc)
+       — the only part that touches corpus-scale data, and it reduces
+       100 TB of text to a bounded vocabulary.
+    2. **Driver** merge loop over that bounded dict: repeatedly merge
+       the most frequent adjacent symbol pair (ties broken
+       lexicographically, so training is deterministic across runs and
+       partitionings) until ``n_merges`` rules or no pair repeats.
+
+    Returns the ordered merge list — rank i = merge priority i."""
+    freq_rows = (
+        df.select(F.explode(bpe_ish_tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_freq)
+        .orderBy(F.col("c").desc(), F.col("w"))
+        .limit(max_words)
+        .collect()
+    )
+    vocab: dict[tuple[str, ...], int] = {
+        tuple(r.w): r.c for r in freq_rows if r.w
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for word, c in vocab.items():
+            for a, b in zip(word, word[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        if not pairs:
+            break
+        best_count = max(pairs.values())
+        if best_count < 2:
+            break
+        # deterministic tie-break: lexicographically smallest pair
+        pair = min(p for p, c in pairs.items() if c == best_count)
+        merges.append(pair)
+        merged = pair[0] + pair[1]
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for word, c in vocab.items():
+            out, i = [], 0
+            while i < len(word):
+                if (
+                    i + 1 < len(word)
+                    and word[i] == pair[0]
+                    and word[i + 1] == pair[1]
+                ):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(word[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def bpe_segment(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Apply BPE merges to one pretoken (GPT-2 ``bpe()`` algorithm):
+    repeatedly merge the lowest-rank adjacent pair until none apply."""
+    symbols = list(word)
+    while len(symbols) > 1:
+        best_rank, best_i = None, -1
+        for i, pair in enumerate(zip(symbols, symbols[1:])):
+            r = ranks.get(pair)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        symbols[best_i : best_i + 2] = [symbols[best_i] + symbols[best_i + 1]]
+    return symbols
+
+
+def apply_bpe(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document BPE subtoken counts under the learned merges.
+
+    Scale design — Python only at the VOCABULARY grain: pretokens
+    explode relationally, the ``bpe_segment`` loop runs via Arrow
+    ``mapInPandas`` over the *distinct* pretokens (bounded by
+    vocabulary size, not corpus size; merges ride the closure as a
+    rank dict), and per-document totals come back from a relational
+    join + sum. A 100 TB corpus therefore pays Python cost proportional
+    to its distinct-word count only. Output: id_col,
+    ``n_bpe_subtokens`` (bigint; pretokens with no merges count as
+    their own character count — consistent with bpe_segment)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    pre = df.select(
+        F.col(id_col), F.explode(bpe_ish_tokens(F.col(text_col))).alias("_w")
+    )
+    distinct_w = pre.select("_w").distinct()
+
+    out_schema = T.StructType(
+        [
+            T.StructField("_w", T.StringType(), False),
+            T.StructField("_n_sub", T.LongType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            words = pdf["_w"].tolist()
+            yield pd.DataFrame(
+                {
+                    "_w": words,
+                    "_n_sub": [len(bpe_segment(w, ranks)) for w in words],
+                }
+            )
+
+    seg = distinct_w.mapInPandas(run, schema=out_schema)
+    return (
+        pre.join(seg, "_w")
+        .groupBy(id_col)
+        .agg(F.sum("_n_sub").cast("long").alias("n_bpe_subtokens"))
+    )
+
+
 def rolling_fingerprint(col: Column, modulus: int = 2_147_483_647) -> Column:
     """Polynomial rolling hash over the character stream:
     h = (h·31 + codepoint) mod P — the classic content-defined

@@ -127,3 +127,79 @@ def test_repetition_profile(spark):
 
     assert out[4].n_tokens == 1 and out[4].top_bigram_frac == 0.0
     assert out[4].top_token_frac == 1.0
+
+
+def test_bpe_train_and_apply(spark):
+    """BPE end-to-end: training learns the frequent pairs of a
+    hand-built corpus deterministically; application segments by merge
+    rank at the distinct-pretoken grain and sums per document."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        text as text_ops,
+    )
+
+    rows = [
+        (1, "low low low lower lower lowest"),
+        (2, "new newer newest new new"),
+        (3, "low new low new"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    merges = text_ops.train_bpe(df, n_merges=10, min_freq=1)
+    assert merges, "no merges learned"
+    assert merges == text_ops.train_bpe(
+        df.repartition(7), n_merges=10, min_freq=1
+    ), "training must be partition-invariant"
+    # 'low' appears 7 times, 'new' 6: their pairs must merge first
+    first = {("l", "o"), ("o", "w"), ("lo", "w"), ("l", "ow")}
+    assert merges[0] in first
+
+    ranks = {p: i for i, p in enumerate(merges)}
+    # with enough merges 'low' collapses to one token
+    assert text_ops.bpe_segment("low", ranks) == ["low"]
+    # unseen words degrade to finer segments but never crash
+    assert "".join(text_ops.bpe_segment("glower", ranks)) == "glower"
+
+    counts = {
+        r.doc_id: r.n_bpe_subtokens
+        for r in text_ops.apply_bpe(df, merges).collect()
+    }
+    # doc 3: 'low'x2 + 'new'x2; both learned words segment identically
+    n_low = len(text_ops.bpe_segment("low", ranks))
+    n_new = len(text_ops.bpe_segment("new", ranks))
+    assert counts[3] == 2 * n_low + 2 * n_new
+    # sanity: counts bounded by characters and at least pretoken count
+    assert 6 <= counts[1] <= len("lowlowlowlowerlowerlowest")
+
+
+def test_bpe_empty_merges_counts_chars(spark):
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        text as text_ops,
+    )
+
+    df = spark.createDataFrame([(1, "ab cd!")], ["doc_id", "text"])
+    out = text_ops.apply_bpe(df, []).collect()[0]
+    # pretokens: 'ab', 'cd', '!' -> 2 + 2 + 1 characters
+    assert out.n_bpe_subtokens == 5
+
+
+def test_quality_filter_rules_and_reasons(spark):
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        text as text_ops,
+    )
+
+    rows = [
+        (1, "a clean and nicely varied sentence with plenty of words here"),
+        (2, "spam spam spam spam spam spam spam spam"),       # low diversity + phrase
+        (3, "hi"),                                            # too few tokens
+        (4, "1234 5678 9999 0000 1111 2222 3333 4444 55 66"),  # digit heavy
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in text_ops.quality_filter(df).collect()}
+    assert out[1].qc_pass and out[1].qc_fail_reasons == ""
+    assert not out[2].qc_pass
+    assert "low_diversity" in out[2].qc_fail_reasons
+    assert "repeated_phrase" in out[2].qc_fail_reasons
+    # reasons are sorted CSV
+    parts = out[2].qc_fail_reasons.split(",")
+    assert parts == sorted(parts)
+    assert not out[3].qc_pass and "too_few_tokens" in out[3].qc_fail_reasons
+    assert not out[4].qc_pass and "digit_heavy" in out[4].qc_fail_reasons
