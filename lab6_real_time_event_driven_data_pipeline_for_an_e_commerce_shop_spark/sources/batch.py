@@ -121,6 +121,45 @@ def read_orc(
     return reader.orc(path)
 
 
+def read_json(
+    spark: SparkSession,
+    path: str | list[str],
+    schema: T.StructType | None = None,
+    multiline: bool = False,
+) -> DataFrame:
+    """JSON document scan (S11): schema-on-read unless a schema is
+    pinned (pin one in production — inference is an extra pass).
+    ``multiline`` for whole-file documents vs JSON-lines."""
+    reader = spark.read.option("multiLine", multiline)
+    if schema is not None:
+        reader = reader.schema(schema)
+    if isinstance(path, (list, tuple)):
+        return reader.json(*path)
+    return reader.json(path)
+
+
+def write_json(df: DataFrame, path: str, partition_by: str | None = None) -> None:
+    """JSON-lines write (S12), partition-aware."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    writer.json(path)
+
+
+def read_text(
+    spark: SparkSession, path: str | list[str], whole_file: bool = False
+) -> DataFrame:
+    """Raw text scan: one row per line (``value`` string), or one row
+    per FILE with ``wholetext`` — the raw-corpus entry point for the
+    documents pipeline (each crawl file becomes one document row).
+    NB: wholetext must go through the reader kwarg — the bare
+    ``option("wholetext", ...)`` spelling is ignored by the text
+    source (verified against Spark 4.1)."""
+    if isinstance(path, (list, tuple)):
+        return spark.read.text(list(path), wholetext=whole_file)
+    return spark.read.text(path, wholetext=whole_file)
+
+
 def write_orc(df: DataFrame, path: str, partition_by: str | None = None) -> None:
     """ORC write (snappy), partition-aware — the S2 twin for ORC lakes."""
     writer = df.write.mode("overwrite").option("compression", "snappy")

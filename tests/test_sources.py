@@ -229,3 +229,36 @@ def test_file_span_profile_temporal_and_decimal_stats(spark, tmp_path):
     # ready for pyarrow versions that can)
     with _pytest.raises(TypeError, match="unreadable footer"):
         layout.file_span_profile(path, ["dec"])
+
+
+def test_read_write_json_roundtrip(spark, tmp_path):
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.sources import (
+        batch,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], ["id", "name", "v"]
+    )
+    out = str(tmp_path / "j")
+    batch.write_json(df, out)
+    back = batch.read_json(spark, out, schema=df.schema)
+    assert sorted((r.id, r.name, r.v) for r in back.collect()) == [
+        (1, "a", 1.5),
+        (2, "b", 2.5),
+    ]
+
+
+def test_read_text_lines_and_wholefile(spark, tmp_path):
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.sources import (
+        batch,
+    )
+
+    p = tmp_path / "docs"
+    p.mkdir()
+    (p / "a.txt").write_text("line one\nline two\n")
+    (p / "b.txt").write_text("solo doc\n")
+    lines = batch.read_text(spark, str(p)).collect()
+    assert sorted(r.value for r in lines) == ["line one", "line two", "solo doc"]
+    docs = batch.read_text(spark, str(p), whole_file=True).collect()
+    assert len(docs) == 2
+    assert sorted(r.value for r in docs) == ["line one\nline two\n", "solo doc\n"]
