@@ -378,3 +378,50 @@ def test_pack_sequences_offsets_property(spark, docs, budget, n_shards):
         for r in rows:
             assert r.pack_id * budget + r.pack_offset == cum
             cum += r.n_tokens
+
+
+@given(
+    st.sampled_from(
+        [
+            b"\x89PNG\r\n\x1a\n",
+            b"\xff\xd8\xff\xe0",
+            b"GIF89a",
+            b"BM",
+            b"II*\x00",
+            b"MM\x00*",
+            b"RIFF\x00\x00\x00\x00WAVE",
+            b"\x00\x00\x00\x14ftypisom",
+            b"P6\n",
+        ]
+    ),
+    st.binary(min_size=0, max_size=300),
+)
+@settings(max_examples=120, deadline=None)
+def test_decoders_fail_closed_on_fuzzed_payloads(magic, junk):
+    """Every decoder must FAIL CLOSED on arbitrary bytes behind a valid
+    magic: return a decoded array or raise — never hang or corrupt
+    state. (The mapInPandas dispatch catches any exception and falls
+    back to the stub, so 'raises quickly' is the contract that keeps a
+    poisoned corpus from stalling executors.)"""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        multimodal as mm,
+    )
+
+    payload = magic + junk
+    fmt = mm.sniff_format(payload)
+    decoders = {
+        "png": mm.decode_png,
+        "jpeg": mm.decode_jpeg,
+        "gif": mm.decode_gif,
+        "bmp": mm.decode_bmp,
+        "tiff": mm.decode_tiff,
+        "wav": mm.decode_wav,
+        "mp4": mm.parse_mp4,
+        "netpbm": mm.decode_netpbm,
+    }
+    if fmt is None:
+        return
+    try:
+        decoders[fmt](payload)
+    except Exception:
+        pass  # any exception is fine; dispatch quarantines it
