@@ -309,3 +309,74 @@ def duplicate_clusters(
         )
     edges.unpersist()
     return labels.select(F.col("id").alias("node_id"), F.col("label").alias("cluster_id"))
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 5,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MOSS-style winnowing fingerprints — the LOCAL-overlap member of
+    the dedup family (shingle Jaccard measures global set similarity;
+    winnowing catches a copied PASSAGE inside otherwise-different
+    documents, the plagiarism/substring-dedup case).
+
+    Text is normalized (lowercased, non-alphanumerics dropped — so
+    formatting/whitespace edits can't break a match), hashed as
+    character k-grams (portable_hash: engine-portable), and each
+    sliding window of ``window`` gram hashes contributes its minimum.
+    The winnowing guarantee: any shared normalized substring of length
+    ≥ k + window − 1 produces at least one shared fingerprint, while
+    only ~2/(window+1) of all gram hashes are kept.
+
+    Output: distinct (id_col, fp bigint) — the substrate for
+    :func:`winnow_overlap_pairs`. Everything is pure column
+    expressions (transform/slice/array_min) inside codegen; the only
+    shuffle is the final distinct."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]", "")
+    n = F.length(norm)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: norm.substr(i, F.lit(k)),
+    )
+    hashes = F.transform(grams, lambda g: portable_hash(g))
+    g_count = F.size(hashes)
+    mins = F.when(g_count < window, F.array(F.array_min(hashes))).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), g_count - (window - 1)),
+            lambda j: F.array_min(F.slice(hashes, j, window)),
+        )
+    )
+    return (
+        df.filter(n >= k)
+        .select(F.col(id_col), F.explode(F.array_distinct(mins)).alias("fp"))
+        .distinct()
+    )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    min_shared: int = 2,
+    k: int = 5,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Document pairs sharing ≥ ``min_shared`` winnowing fingerprints —
+    local-passage overlap candidates. Same equi-join shape as the
+    shingle family (cost ∝ fingerprint collisions, never n²), but over
+    the ~2/(window+1)-density winnowed substrate, so the join input is
+    a fraction of the full gram relation. Output: (id_a, id_b,
+    shared_fps) with id_a < id_b."""
+    fps = winnow_fingerprints(df, k, window, text_col, id_col)
+    a = fps.select(F.col(id_col).alias("id_a"), "fp")
+    b = fps.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )

@@ -1295,3 +1295,46 @@ def test_mixture_sample_fractions_and_stability(spark):
     assert {r.doc_id for r in prefix.collect()} == {
         i for i in full_ids if i < 1500
     }
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """The winnowing guarantee: documents sharing a normalized
+    substring of length >= k + window - 1 share at least one
+    fingerprint; density stays well below the full gram count; the
+    normalization makes case/whitespace edits invisible."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        dedup,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog repeatedly"
+    rows = [
+        (1, "intro text alpha. " + shared + " closing words one"),
+        (2, "completely different opening! " + shared.upper() + " ending two"),
+        (3, "unrelated content about databases and query optimizers only"),
+        (4, "zzz qqq vvv www kkk jjj hhh"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    k, w = 5, 4
+    fps = dedup.winnow_fingerprints(df, k=k, window=w)
+    by_doc: dict[int, set] = {}
+    for r in fps.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    # guarantee: 1 and 2 share the long passage (case-normalized)
+    assert by_doc[1] & by_doc[2]
+    # density: far fewer fingerprints than grams
+    n_norm = len("".join(c for c in rows[0][1].lower() if c.isalnum()))
+    assert len(by_doc[1]) < (n_norm - k + 1) / 2
+
+    pairs = {
+        (r.id_a, r.id_b): r.shared_fps
+        for r in dedup.winnow_overlap_pairs(df, min_shared=2, k=k, window=w).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    assert all({a, b} == {1, 2} for a, b in pairs), pairs
+
+    # whitespace/case edits leave the fingerprint set unchanged
+    df_edit = spark.createDataFrame(
+        [(1, rows[0][1].upper().replace(" ", "\n  "))], ["doc_id", "text"]
+    )
+    fps_edit = {r.fp for r in dedup.winnow_fingerprints(df_edit, k=k, window=w).collect()}
+    assert fps_edit == by_doc[1]
