@@ -332,26 +332,45 @@ def winnow_fingerprints(
     only ~2/(window+1) of all gram hashes are kept.
 
     Output: distinct (id_col, fp bigint) — the substrate for
-    :func:`winnow_overlap_pairs`. Everything is pure column
-    expressions (transform/slice/array_min) inside codegen; the only
-    shuffle is the final distinct."""
+    :func:`winnow_overlap_pairs`.
+
+    Shape: the gram hashes are built ONCE per document (one transform,
+    one md5 per gram) and then posexploded to (doc, pos, hash) rows;
+    window selection is a single analytic MIN over
+    (doc ⇒ pos, ROWS CURRENT..window−1 FOLLOWING) — the same relation
+    the DuckDB oracle writes. A nested array formulation
+    (transform over array_min(slice(hashes, …))) is a trap: Catalyst
+    inlines the whole hash-array expression into every window lambda,
+    turning O(G·w) into O(G²·w) md5 calls — measured 300× slower."""
+    from pyspark.sql import Window
+
     norm = F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]", "")
-    n = F.length(norm)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
-        lambda i: norm.substr(i, F.lit(k)),
+    n = F.length("_t")
+    base = df.select(F.col(id_col), norm.alias("_t")).filter(n >= k)
+    hashes = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: portable_hash(F.col("_t").substr(i, F.lit(k))),
     )
-    hashes = F.transform(grams, lambda g: portable_hash(g))
-    g_count = F.size(hashes)
-    mins = F.when(g_count < window, F.array(F.array_min(hashes))).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), g_count - (window - 1)),
-            lambda j: F.array_min(F.slice(hashes, j, window)),
-        )
+    g = base.select(
+        F.col(id_col), F.posexplode(hashes).alias("_i", "_h")
     )
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy("_i")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    cnt = Window.partitionBy(id_col)
     return (
-        df.filter(n >= k)
-        .select(F.col(id_col), F.explode(F.array_distinct(mins)).alias("fp"))
+        g.select(
+            F.col(id_col),
+            F.col("_i"),
+            F.min("_h").over(win).alias("fp"),
+            F.count(F.lit(1)).over(cnt).alias("_g"),
+        )
+        .filter(
+            F.col("_i") <= F.greatest(F.col("_g") - window, F.lit(0))
+        )
+        .select(id_col, "fp")
         .distinct()
     )
 

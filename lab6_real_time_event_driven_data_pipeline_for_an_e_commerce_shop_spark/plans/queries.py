@@ -964,13 +964,44 @@ _DOC_SHINGLE_HASH_SQL = f"""
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
         FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
         GROUP BY 1, 2
+    ),
+    jp AS MATERIALIZED (
+        SELECT id_a, id_b,
+               CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+        FROM shared
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.1
+    ),
+    wnorm AS (
+        SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS t
+        FROM documents
+        WHERE doc_id IN (SELECT id_a FROM jp UNION SELECT id_b FROM jp)
+    ),
+    wgram AS (
+        SELECT doc_id, i,
+               CAST(concat('0x', substr(md5(substr(t, CAST(i AS INT), 5)), 1, 12)) AS BIGINT) AS h
+        FROM wnorm,
+             LATERAL (SELECT unnest(generate_series(1, greatest(length(t) - 4, 1))) AS i) g
+        WHERE length(t) >= 5
+    ),
+    wcnt AS (SELECT doc_id, COUNT(*) AS gcnt FROM wgram GROUP BY doc_id),
+    wmin AS (
+        SELECT w.doc_id, i,
+               MIN(h) OVER (PARTITION BY w.doc_id ORDER BY i
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        FROM wgram w JOIN wcnt c ON w.doc_id = c.doc_id
+        QUALIFY i <= greatest(c.gcnt - 3, 1)
+    ),
+    wfp AS (SELECT DISTINCT doc_id, fp FROM wmin),
+    wshared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n
+        FROM wfp a JOIN wfp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
     )
-    SELECT id_a, id_b,
-           CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
-    FROM shared
-    JOIN sizes sa ON sa.doc_id = id_a
-    JOIN sizes sb ON sb.doc_id = id_b
-    WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.1
+    SELECT jp.id_a, jp.id_b, jp.jaccard,
+           CAST(COALESCE(ws.n, 0) AS BIGINT) AS shared_winnow_fps
+    FROM jp LEFT JOIN wshared ws ON ws.id_a = jp.id_a AND ws.id_b = jp.id_b
     """,
 )
 def q24_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -980,11 +1011,49 @@ def q24_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop-shingle in more than half the docs is dropped before the
     self-join; the oracle derives the identical integer-exact cut
     (no shingle in this corpus crosses it, so results are unchanged,
-    but the bound now holds for ANY input distribution)."""
+    but the bound now holds for ANY input distribution). r6 depth:
+    ``shared_winnow_fps`` — MOSS winnowing fingerprint overlap per
+    pair (dedup.winnow_fingerprints, k=5 chars, window=4): the
+    LOCAL-passage evidence next to the global set-similarity score.
+    The winnow substrate is computed only for documents that appear in
+    a pair (semi-join first), so its cost follows the result set, not
+    the corpus."""
     from ..operators import dedup
 
-    return dedup.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), threshold=0.1, k=3, max_df_pct=50
+    from ..functions.cache import bounded_cache
+
+    docs = _t(spark, sf_dir, "documents")
+    # the pair relation feeds THREE consumers below (doc restriction,
+    # overlap count, final join) — materialize once, not thrice
+    pairs = bounded_cache(
+        "q24.pairs",
+        dedup.ngram_jaccard_pairs(docs, threshold=0.1, k=3, max_df_pct=50),
+    )
+    pair_docs = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .union(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    # the fingerprint substrate feeds BOTH sides of the overlap join
+    fps = bounded_cache(
+        "q24.winnow_fps",
+        dedup.winnow_fingerprints(
+            docs.join(pair_docs, "doc_id", "left_semi"), k=5, window=4
+        ),
+    )
+    shared = (
+        pairs.select("id_a", "id_b")
+        .join(fps.select(F.col("doc_id").alias("id_a"), "fp"), "id_a")
+        .join(fps.select(F.col("doc_id").alias("id_b"), "fp"), ["id_b", "fp"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_winnow_fps"))
+    )
+    return (
+        pairs.join(shared, ["id_a", "id_b"], "left")
+        .withColumn(
+            "shared_winnow_fps",
+            F.coalesce(F.col("shared_winnow_fps"), F.lit(0)),
+        )
     )
 
 
