@@ -535,3 +535,189 @@ def label_centroids(
             F.array_sort(F.collect_list(F.struct("pos", "mean_val"))), lambda s: s["mean_val"]
         ).alias("centroid")
     )
+
+
+# --- product quantization (the PQ in IVF-PQ: FAISS's workhorse layout) ------
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    n_samples: int = 512,
+    n_iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Train product-quantization codebooks: split the vector into
+    ``m`` subspaces and k-means each down to ``ksub`` centroids.
+
+    Training is deliberately tiny and deterministic — the sample is
+    the ``n_samples`` LOWEST-id vectors (the same data-sampled
+    convention as the IVF coarse seeds), k-means init is the first
+    ``ksub`` sample subvectors in id order, and Lloyd iterations run a
+    fixed ``n_iters`` with lowest-index tie-breaks. The returned
+    codebooks (m × ksub × dim/m floats) are a driver-side model
+    artifact exactly like FAISS's: at 100 TB you train on a bounded
+    sample and the codebooks (KBs) broadcast into the encode plan."""
+    import numpy as np
+
+    rows = df.select(id_col, vec_col).orderBy(id_col).limit(n_samples).collect()
+    X = np.array([[float(x) for x in r[1]] for r in rows], np.float64)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        S = X[:, j * dsub : (j + 1) * dsub]
+        cent = S[:ksub].copy()
+        for _ in range(n_iters):
+            d2 = ((S[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)  # lowest index on ties
+            for c in range(ksub):
+                members = S[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books.append([[float(v) for v in row] for row in cent])
+    return books
+
+
+def _pq_sub(vec: Column, j: int, dsub: int) -> Column:
+    return F.slice(vec, j * dsub + 1, dsub)
+
+
+def _pq_int_d2(sub: Column, centroid: list[float]) -> Column:
+    """Exact int64 squared-L2 between a floor-quantized subvector and a
+    floor-quantized centroid literal — same integer discipline as
+    ivf_assign (ties can't flip across engines or partitionings)."""
+    qsub = F.transform(sub, lambda x: F.floor(x * F.lit(float(QUANT))).cast("long"))
+    qcent = F.array(
+        *[F.lit(int(v)).cast("long") for v in quantize_floats(centroid)]
+    )
+    return F.aggregate(
+        F.zip_with(qsub, qcent, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "_pq",
+) -> DataFrame:
+    """Encode every vector as ``m`` small code indices (nearest
+    centroid per subspace, integer-exact argmin with first-min
+    tie-break). The code array replaces dim floats with m codes —
+    16× compression at the default 64-dim/m=8/ksub=16 — and is the
+    column an IVF-PQ layout stores per row; encode happens once at
+    ingest, entirely in codegen with the codebooks as literals."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    codes = []
+    for j in range(m):
+        d2s = F.array(
+            *[
+                _pq_int_d2(_pq_sub(F.col(vec_col), j, dsub), cent)
+                for cent in codebooks[j]
+            ]
+        )
+        codes.append(
+            (F.array_position(d2s, F.array_min(d2s)) - 1).cast("int")
+        )
+    return df.withColumn(code_col, F.array(*codes))
+
+
+def pq_topk(
+    df_encoded: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "_pq",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the driver builds
+    the m×ksub lookup table of exact integer squared-L2 between the
+    query's subvectors and every centroid; each row's approximate
+    distance is then m table lookups summed in a fold — no vector
+    arithmetic per row at all, which is why PQ scans run at memory
+    bandwidth at scale. Output: (neighbor_id, approx_d2) ascending,
+    id tie-break."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    qq = quantize_floats([float(x) for x in query_vec])
+    lut = [
+        [
+            sum(
+                (a - b) * (a - b)
+                for a, b in zip(
+                    qq[j * dsub : (j + 1) * dsub], quantize_floats(cent)
+                )
+            )
+            for cent in codebooks[j]
+        ]
+        for j in range(m)
+    ]
+    lut_lit = F.array(
+        *[
+            F.array(*[F.lit(int(v)).cast("long") for v in row])
+            for row in lut
+        ]
+    )
+    score = F.aggregate(
+        F.zip_with(
+            F.col(code_col),
+            F.sequence(F.lit(1), F.lit(m)),
+            lambda code, j: F.element_at(
+                F.element_at(lut_lit, j), code + 1
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        df_encoded.select(
+            F.col(id_col).alias("neighbor_id"), score.alias("approx_d2")
+        )
+        .orderBy(F.col("approx_d2"), F.col("neighbor_id"))
+        .limit(k)
+    )
+
+
+def pq_search_rerank(
+    df: DataFrame,
+    df_encoded: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "_pq",
+) -> DataFrame:
+    """The standard two-stage PQ pipeline: ADC shortlist over the
+    compressed codes (:func:`pq_topk`, memory-bandwidth scan), then
+    EXACT squared-L2 rerank of only the shortlist against the original
+    vectors (semi-join → tiny candidate set). This is how IVF-PQ
+    serves high-recall ANN at 100 TB: the full-precision vectors are
+    touched for ``shortlist`` rows, not the corpus. Output:
+    (neighbor_id, d2) ascending, id tie-break."""
+    short = pq_topk(
+        df_encoded, codebooks, query_vec, k=shortlist,
+        id_col=id_col, code_col=code_col,
+    ).select(F.col("neighbor_id").alias(id_col))
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    d2 = F.aggregate(
+        F.zip_with(F.col(vec_col), qlit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        df.join(short, id_col, "left_semi")
+        .select(F.col(id_col).alias("neighbor_id"), F.round(d2, 6).alias("d2"))
+        .orderBy("d2", "neighbor_id")
+        .limit(k)
+    )

@@ -1338,3 +1338,77 @@ def test_winnowing_guarantee_and_density(spark):
     )
     fps_edit = {r.fp for r in dedup.winnow_fingerprints(df_edit, k=k, window=w).collect()}
     assert fps_edit == by_doc[1]
+
+
+def test_pq_encode_compression_and_determinism(spark):
+    """PQ codes: m small ints replace dim floats (16x+ compression),
+    encoding is integer-exact (partition-invariant), and every code is
+    a valid centroid index."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        similarity as sim,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    books = sim.pq_train(emb, m=8, ksub=16)
+    assert len(books) == 8 and len(books[0]) == 16 and len(books[0][0]) == 8
+    enc = sim.pq_encode(emb, books)
+    rows = enc.select("vec_id", "_pq").collect()
+    assert all(len(r._pq) == 8 for r in rows)
+    assert all(0 <= c < 16 for r in rows for c in r._pq)
+    again = {
+        (r.vec_id, tuple(r._pq))
+        for r in sim.pq_encode(emb.repartition(13), books)
+        .select("vec_id", "_pq")
+        .collect()
+    }
+    assert {(r.vec_id, tuple(r._pq)) for r in rows} == again
+
+
+def test_pq_adc_recall_with_rerank(spark):
+    """Pinned recall on the sf0.01 embeddings (uniform synthetic — the
+    HARD case for quantized ANN): the ADC shortlist alone reaches 8/10
+    at the cheap m=8/ksub=16 config, and the standard
+    shortlist→exact-rerank stage reaches 10/10 at m=16/ksub=64. The
+    exact top-1 must survive every configuration."""
+    import pyspark.sql.functions as F
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        similarity as sim,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").cache()
+    q = emb.orderBy("vec_id").limit(1).collect()[0]
+    qvec = [float(x) for x in q.embedding]
+    qlit = F.array(*[F.lit(x) for x in qvec])
+    d2e = F.aggregate(
+        F.zip_with(F.col("embedding"), qlit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    rest = emb.filter(F.col("vec_id") != q.vec_id)
+    exact = [
+        r.vec_id
+        for r in rest.select("vec_id", d2e.alias("d2"))
+        .orderBy("d2", "vec_id")
+        .limit(10)
+        .collect()
+    ]
+
+    books = sim.pq_train(emb, m=8, ksub=16)
+    enc = sim.pq_encode(rest, books)
+    short = [
+        r.neighbor_id
+        for r in sim.pq_topk(enc, books, qvec, k=50).collect()
+    ]
+    assert len(set(exact) & set(short)) >= 8
+    assert exact[0] in short
+
+    books2 = sim.pq_train(emb, m=16, ksub=64)
+    enc2 = sim.pq_encode(rest, books2)
+    rer = [
+        r.neighbor_id
+        for r in sim.pq_search_rerank(
+            rest, enc2, books2, qvec, k=10, shortlist=50
+        ).collect()
+    ]
+    assert rer == exact  # exact rerank of a 10/10 shortlist IS the truth
