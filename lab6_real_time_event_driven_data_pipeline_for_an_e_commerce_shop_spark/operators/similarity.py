@@ -564,6 +564,10 @@ def pq_train(
 
     rows = df.select(id_col, vec_col).orderBy(id_col).limit(n_samples).collect()
     X = np.array([[float(x) for x in r[1]] for r in rows], np.float64)
+    if len(X) < ksub:
+        raise ValueError(
+            f"PQ training needs >= ksub={ksub} sample vectors, got {len(X)}"
+        )
     dim = X.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")

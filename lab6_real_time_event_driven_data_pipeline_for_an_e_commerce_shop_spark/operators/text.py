@@ -394,10 +394,22 @@ def apply_bpe(
             )
 
     seg = distinct_w.mapInPandas(run, schema=out_schema)
-    return (
+    counts = (
         pre.join(seg, "_w")
         .groupBy(id_col)
         .agg(F.sum("_n_sub").cast("long").alias("n_bpe_subtokens"))
+    )
+    # docs with zero pretokens (empty/whitespace-only text) must still
+    # appear, with count 0 — an inner agg would silently drop them
+    return (
+        df.select(id_col)
+        .join(counts, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_bpe_subtokens"), F.lit(0))
+            .cast("long")
+            .alias("n_bpe_subtokens"),
+        )
     )
 
 

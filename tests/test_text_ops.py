@@ -203,3 +203,16 @@ def test_quality_filter_rules_and_reasons(spark):
     assert parts == sorted(parts)
     assert not out[3].qc_pass and "too_few_tokens" in out[3].qc_fail_reasons
     assert not out[4].qc_pass and "digit_heavy" in out[4].qc_fail_reasons
+
+
+def test_apply_bpe_keeps_empty_documents(spark):
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        text as text_ops,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "some words"), (2, ""), (3, "   ")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r.n_bpe_subtokens for r in text_ops.apply_bpe(df, []).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1] > 0 and out[2] == 0 and out[3] == 0
