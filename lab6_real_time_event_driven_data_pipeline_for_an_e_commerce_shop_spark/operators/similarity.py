@@ -725,3 +725,29 @@ def pq_search_rerank(
         .orderBy("d2", "neighbor_id")
         .limit(k)
     )
+
+
+def pq_codebooks_seeded(
+    m: int = 8, ksub: int = 16, dsub: int = 8
+) -> list[list[list[float]]]:
+    """Data-INDEPENDENT PQ codebooks from the same deterministic _mix
+    stream as the SRP hyperplanes: centroid values in [-1, 1), exactly
+    representable as k/2^20 so :func:`quantize_floats` is lossless on
+    them. Quantization quality is below trained codebooks (use
+    :func:`pq_train` for real search), but encode + ADC become a pure
+    function of published constants — the property that would let a
+    DuckDB oracle reproduce PQ codes bit-for-bit if a driver-gate slot
+    ever wants the machinery under the hash gate (same role
+    PLANE_SEED plays for q29)."""
+    out = []
+    for j in range(m):
+        book = []
+        for c in range(ksub):
+            row = [
+                math.floor(_mix(PLANE_SEED + 7 * j, c * dsub + t) * QUANT)
+                / QUANT
+                for t in range(dsub)
+            ]
+            book.append(row)
+        out.append(book)
+    return out

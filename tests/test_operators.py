@@ -1412,3 +1412,53 @@ def test_pq_adc_recall_with_rerank(spark):
         ).collect()
     ]
     assert rer == exact  # exact rerank of a 10/10 shortlist IS the truth
+
+
+def test_pq_seeded_codebooks_machinery(spark):
+    """Seeded (data-independent) PQ codebooks: quantize-lossless
+    constants, deterministic encode, and ADC ranking that still finds
+    the exact nearest neighbor inside a modest shortlist — the
+    oracle-able twin of the trained path."""
+    import pyspark.sql.functions as F
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        similarity as sim,
+    )
+
+    books = sim.pq_codebooks_seeded(m=8, ksub=16, dsub=8)
+    # constants must be exactly representable under the quantizer
+    for book in books:
+        for cent in book:
+            assert sim.quantize_floats(cent) == [
+                int(v * sim.QUANT) for v in cent
+            ]
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.orderBy("vec_id").limit(1).collect()[0]
+    qvec = [float(x) for x in q.embedding]
+    rest = emb.filter(F.col("vec_id") != q.vec_id)
+    enc = sim.pq_encode(rest, books)
+    a = {(r.vec_id, tuple(r._pq)) for r in enc.select("vec_id", "_pq").collect()}
+    b = {
+        (r.vec_id, tuple(r._pq))
+        for r in sim.pq_encode(rest.repartition(11), books)
+        .select("vec_id", "_pq")
+        .collect()
+    }
+    assert a == b
+    qlit = F.array(*[F.lit(x) for x in qvec])
+    d2e = F.aggregate(
+        F.zip_with(F.col("embedding"), qlit, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    nn1 = (
+        rest.select("vec_id", d2e.alias("d2"))
+        .orderBy("d2", "vec_id")
+        .limit(1)
+        .collect()[0]
+        .vec_id
+    )
+    short = [
+        r.neighbor_id for r in sim.pq_topk(enc, books, qvec, k=100).collect()
+    ]
+    assert nn1 in short
