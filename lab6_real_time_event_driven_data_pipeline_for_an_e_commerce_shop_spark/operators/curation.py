@@ -271,8 +271,15 @@ PII_PATTERNS: dict[str, str] = {
     # local-part@domain.tld
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     # international-ish phone: optional +CC, 3 groups with -/./space
-    # separators (anchored on word boundaries to avoid eating ids)
-    "phone": r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}([-. ][0-9]{2,4})?",
+    # separators. \b after the optional '+' (a leading \b would reject
+    # "+1-..." — space→'+' is not a word boundary) plus a trailing \b:
+    # rejects digit runs glued to letters ("id1-234-5678", "...-9012x").
+    # KNOWN LIMIT: a run preceded by a separator char ("id-345-678-9012")
+    # still matches — '-'→digit IS a word boundary, and the RE2-safe
+    # subset (no lookbehind) cannot express "not preceded by -" without
+    # capturing the previous char, which breaks cross-engine replacement
+    # (Spark $1 vs DuckDB \1 backref syntax in regexp_replace).
+    "phone": r"\+?\b[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}([-. ][0-9]{2,4})?\b",
     # dotted-quad IPv4
     "ipv4": r"\b(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])){3}\b",
     # 13-16 digit card-shaped runs with optional -/space group separators

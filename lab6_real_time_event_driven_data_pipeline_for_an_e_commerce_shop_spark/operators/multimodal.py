@@ -1,7 +1,7 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-Decode status (r5) — partially REAL, honestly labeled per row:
+Decode status (r6) — largely REAL, honestly labeled per row:
 
 - **WAV audio** (stdlib ``wave`` + numpy): real decode → duration /
   RMS / peak / zero-crossing rate / 4 FFT band energies. PCM
@@ -13,14 +13,15 @@ Decode status (r5) — partially REAL, honestly labeled per row:
   nearest-neighbor resample and re-encodes valid P6 payloads.
 - **PNG images** (r6, stdlib zlib + numpy): real decode — chunk walk,
   IDAT inflate, all five scanline filters reconstructed, color types
-  0/2/3/4/6 at 8-bit depth — feeding the same feature/resize paths as
-  netpbm. 16-bit and interlaced PNGs fall back to the stub.
-- **JPEG images** (r6, pure numpy + stdlib): real baseline decode —
-  marker walk, DQT/DHT/SOF0/DRI/SOS, canonical Huffman entropy decode
-  with restart-marker segmentation, dequantization, exact 8×8 matrix
-  IDCT, chroma upsampling, JFIF YCbCr→RGB. Progressive (SOF2),
-  arithmetic-coded, and 12-bit variants raise (→ honest stub
-  fallback).
+  0/2/3/4/6 at 1/2/4/8/16-bit depths, Adam7 interlacing — feeding the
+  same feature/resize paths as netpbm.
+- **JPEG images** (r6, pure numpy + stdlib): real baseline AND
+  progressive decode — marker walk, DQT/DHT/SOF0/SOF2/DRI/SOS,
+  canonical Huffman entropy decode with restart-marker segmentation
+  (progressive: spectral selection + successive approximation incl.
+  AC refinement correction-bit discipline), dequantization, exact 8×8
+  matrix IDCT, chroma upsampling, JFIF YCbCr→RGB. Arithmetic-coded
+  and 12-bit variants raise (→ honest stub fallback).
 - **GIF images** (r6, stdlib + numpy): real decode — variable-width
   LSB-first LZW, global/local color tables, interlaced row order,
   transparency compositing onto the logical screen, frame selection

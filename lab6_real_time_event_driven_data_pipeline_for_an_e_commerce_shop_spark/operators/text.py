@@ -133,7 +133,14 @@ def bigrams(text: Column) -> Column:
     """Adjacent word-bigram array ('tok[i] tok[i+1]'); empty when the
     document has fewer than two tokens (unlike :func:`shingles`, which
     degrades to the whole text — a repetition metric must not count a
-    short doc as its own top bigram)."""
+    short doc as its own top bigram).
+
+    SCALE WARNING: as a column *expression* this nests ``tokens(text)``
+    inside the ``transform()`` lambda, and Catalyst re-inlines the full
+    ``split()`` per element — O(n_tokens × text_len) per document (the
+    winnow_fingerprints nested-array trap). Fine for short rows and
+    unit tests; hot corpus paths must use the posexplode + lead-window
+    shape instead (see :func:`repetition_profile`)."""
     toks = tokens(text)
     n = F.size(toks)
     return F.when(n < 2, F.array().cast("array<string>")).otherwise(
@@ -160,17 +167,27 @@ def repetition_profile(
       bigram over all bigrams (high ⇒ repeated phrases); 0.0 for docs
       with <2 tokens.
 
-    Shape: explode → count → per-doc max/distinct — the same bounded
-    (doc, gram) substrate grain as the dedup family; shuffles hashes of
-    grams, never text, and every ratio is exact-int ÷ exact-int double
-    division (engine-portable bit-for-bit). No UDF anywhere."""
+    Shape: posexplode → lead-window bigram pairing → count → per-doc
+    max/distinct — the same bounded (doc, gram) substrate grain as the
+    dedup family; shuffles hashes of grams, never text, and every ratio
+    is exact-int ÷ exact-int double division (engine-portable
+    bit-for-bit). No UDF anywhere. Bigrams are paired AFTER the
+    explode (lead() over (doc, pos)) rather than via the
+    :func:`bigrams` array expression — transform() lambdas re-inline
+    the split() per element (O(n_tokens × text_len) per doc, the
+    winnow_fingerprints Catalyst trap); the window shape tokenizes
+    each document exactly once."""
+    from pyspark.sql import Window
+
     t = F.col(text_col)
     base = df.select(F.col(id_col), t.alias("_txt")).withColumn(
         "_n_tok", F.size(tokens(F.col("_txt"))).cast("long")
     )
+    tok_pos = base.select(
+        F.col(id_col), F.posexplode(tokens(F.col("_txt"))).alias("_p", "_tok")
+    )
     uni = (
-        base.select(F.col(id_col), F.explode(tokens(F.col("_txt"))).alias("_g"))
-        .groupBy(id_col, "_g")
+        tok_pos.groupBy(id_col, "_tok")
         .agg(F.count(F.lit(1)).alias("_c"))
         .groupBy(id_col)
         .agg(
@@ -178,8 +195,11 @@ def repetition_profile(
             F.max("_c").cast("long").alias("_top_uni"),
         )
     )
+    w = Window.partitionBy(id_col).orderBy("_p")
     bi = (
-        base.select(F.col(id_col), F.explode(bigrams(F.col("_txt"))).alias("_g"))
+        tok_pos.withColumn("_nxt", F.lead("_tok").over(w))
+        .where(F.col("_nxt").isNotNull())
+        .select(F.col(id_col), F.concat_ws(" ", "_tok", "_nxt").alias("_g"))
         .groupBy(id_col, "_g")
         .agg(F.count(F.lit(1)).alias("_c"))
         .groupBy(id_col)

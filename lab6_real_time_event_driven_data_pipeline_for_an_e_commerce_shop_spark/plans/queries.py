@@ -765,8 +765,8 @@ def q18_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, n_tokens, n_bpe_tokens,
            CAST(shard AS INT) AS shard,
-           (c - n_tokens) // 512 AS pack_id,
-           (c - n_tokens) % 512 AS pack_offset
+           CAST((c - n_tokens) // 512 AS BIGINT) AS pack_id,
+           CAST((c - n_tokens) % 512 AS BIGINT) AS pack_offset
     FROM cum
     """,
 )

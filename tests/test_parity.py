@@ -85,6 +85,21 @@ def test_query_matches_oracle(spark, name):
         raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
 
 
+# DuckDB logical types whose pandas .df() rendering is dtype-safe,
+# keyed by the Spark-side type class they must pair with. Anything
+# outside these sets (HUGEINT, DECIMAL, UHUGEINT, INTERVAL, ...) is
+# comparator-unsafe: e.g. HUGEINT -> float64 in .df() while Spark
+# emits int64 -> the driver's value hash mismatches (r6's q20).
+_DUCK_OK = {
+    "integral": {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+                 "UTINYINT", "USMALLINT", "UINTEGER"},
+    "floating": {"FLOAT", "DOUBLE"},
+    "string": {"VARCHAR"},
+    "boolean": {"BOOLEAN"},
+    "date": {"DATE"},
+}
+
+
 @pytest.mark.parametrize("name", QUERY_NAMES)
 def test_gated_output_types_are_comparator_safe(spark, name):
     """The driver canonicalizes both sides through pandas: array/map/
@@ -92,10 +107,17 @@ def test_gated_output_types_are_comparator_safe(spark, name):
     hash differently per engine (DuckDB .df() → float64, Spark
     toPandas() → Decimal objects — r1's q43 mismatch). Gated queries
     therefore emit only scalar, non-decimal columns; rows-only queries
-    are exempt (the driver only counts their rows)."""
+    are exempt (the driver only counts their rows).
+
+    r7: the ORACLE side is swept too (planning-only, `con.sql().types`)
+    — DuckDB must type every column dtype-compatibly with Spark after
+    pandas conversion. r6's q20 shipped a window-SUM HUGEINT (→ float64
+    in .df() vs Spark int64) that fetchall()-based checks cannot see;
+    this closes the whole comparator-dtype class at the source."""
     from pyspark.sql import types as T
 
-    if entrymod.oracle_sql().get(name) is None:
+    oracle = entrymod.oracle_sql().get(name)
+    if oracle is None:
         return
     schema = entrymod.queries()[name](spark, SF_DIR).schema
     banned = (T.DecimalType, T.ArrayType, T.MapType, T.StructType, T.BinaryType)
@@ -104,6 +126,39 @@ def test_gated_output_types_are_comparator_safe(spark, name):
             f"{name}.{field.name}: {field.dataType} is unsafe for the "
             "driver's pandas-based cross-engine comparator"
         )
+
+    con = _duck(SF_DIR)
+    rel = con.sql(oracle)
+    duck_types = dict(zip(rel.columns, (str(t) for t in rel.types)))
+    spark_kind = {
+        f.name: (
+            "integral" if isinstance(
+                f.dataType, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+            )
+            else "floating" if isinstance(f.dataType, (T.DoubleType, T.FloatType))
+            else "string" if isinstance(f.dataType, T.StringType)
+            else "boolean" if isinstance(f.dataType, T.BooleanType)
+            else "date" if isinstance(f.dataType, T.DateType)
+            else "timestamp" if isinstance(
+                f.dataType, (T.TimestampType, T.TimestampNTZType)
+            )
+            else "other"
+        )
+        for f in schema.fields
+    }
+    for col, kind in spark_kind.items():
+        dt = duck_types.get(col)
+        assert dt is not None, f"{name}.{col}: missing from oracle output"
+        if kind == "timestamp":
+            assert dt.startswith("TIMESTAMP"), (
+                f"{name}.{col}: Spark timestamp vs DuckDB {dt}"
+            )
+        elif kind != "other":
+            assert dt in _DUCK_OK[kind], (
+                f"{name}.{col}: Spark {kind} vs DuckDB {dt} — .df() will "
+                "coerce to a different pandas dtype than Spark toPandas() "
+                "(the r6 q20 HUGEINT class)"
+            )
 
 
 def test_catalog_fits_driver_gate():

@@ -9,11 +9,21 @@ Usage:  python tools/driver_sim.py [sf_dir]      (default sf0.01)
 This is the pre-flight for a round close: tests/test_parity.py covers
 the same ground inside the repo's tuned session; THIS script covers it
 under the driver's conditions (default configs, fresh JVM, unknown tz).
+
+r7: comparison goes through PANDAS on both sides — Spark `toPandas()`
+vs DuckDB `.df()` — exactly like the real driver. The r6 fetchall()
+comparator was dtype-blind: DuckDB returns a HUGEINT (window SUM of
+BIGINT) as a Python int via fetchall() but as float64 via .df(), so
+the q20 oracle-dtype bug passed three local sims while failing the
+round gate. Integer cells normalize to `repr(int)` and floats to
+`repr(float)` — "1" vs "1.0" — so any int-vs-float dtype divergence
+between the engines now mismatches here too.
 """
 
 from __future__ import annotations
 
 import datetime
+import decimal
 import json
 import math
 import os
@@ -28,19 +38,45 @@ TABLES = [
 
 
 def _norm_cell(v):
-    if v is None:
+    import numpy as np
+    import pandas as pd
+
+    if isinstance(v, np.ndarray):
+        v = v.tolist()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
+    if v is None or v is pd.NaT:
         return "NULL"
+    if isinstance(v, np.bool_):
+        return repr(bool(v))
+    if isinstance(v, np.integer):
+        return repr(int(v))
+    if isinstance(v, np.floating):
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
         if v == 0.0:
             v = 0.0
         return repr(round(v, 9))
-    if isinstance(v, (datetime.datetime, datetime.date)):
+    if isinstance(v, decimal.Decimal):
+        # faithful to the driver: Decimal objects (Spark toPandas) vs
+        # float64 (DuckDB .df) MUST mismatch — don't coerce.
+        return f"Decimal({v})"
+    if isinstance(v, datetime.datetime):
         return v.isoformat()
-    if isinstance(v, list):
-        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
+    if isinstance(v, datetime.date):
+        # Spark toPandas() gives datetime.date for DateType while DuckDB
+        # .df() gives a midnight Timestamp — the real driver matched
+        # DATE columns across engines every round (q02/q04/q36/... all
+        # green in r1-r6), so canonicalize date == midnight datetime.
+        return datetime.datetime(v.year, v.month, v.day).isoformat()
     return repr(v)
+
+
+def _pandas_rows(pdf):
+    """pandas DataFrame -> list of row tuples (the driver's view)."""
+    return [tuple(rec) for rec in pdf.itertuples(index=False, name=None)]
 
 
 def _normalize(rows, columns):
@@ -79,15 +115,16 @@ def main() -> int:
         rec = {"q": name}
         try:
             sdf = qs[name](spark, sf_dir)
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = sdf.toPandas()
+            srows = _pandas_rows(spdf)
             oracle = oracles.get(name)
             if oracle is None:
                 rec["status"] = f"rows_only({len(srows)})"
                 n_rows_only += 1
             else:
-                res = con.execute(oracle)
-                ocols = [d[0] for d in res.description]
-                orows = res.fetchall()
+                opdf = con.execute(oracle).df()
+                ocols = list(opdf.columns)
+                orows = _pandas_rows(opdf)
                 if sorted(sdf.columns) != sorted(ocols):
                     rec["status"] = "SCHEMA_MISMATCH"
                     rec["spark_cols"] = sorted(sdf.columns)
