@@ -453,6 +453,7 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    extra_cols=None,
 ) -> DataFrame:
     """IVF-flat ANN: coarse-quantize into ``n_cells`` cells (seeds =
     the n_cells lowest-id vectors — deterministic, data-sampled), probe
@@ -461,7 +462,13 @@ def ivf_topk(
     Scale path: cell assignment happens once at ingest (a column), the
     probe is a partition-pruned filter — candidate set ≈ nprobe/n_cells
     of the data, never all-pairs. Driver holds only the tiny coarse
-    quantizer (n_cells vectors), exactly like a FAISS IVF coarse index."""
+    quantizer (n_cells vectors), exactly like a FAISS IVF coarse index.
+
+    ``extra_cols`` (optional): callable receiving the collected query
+    vector and returning ``{name: Column}`` projections evaluated on
+    the candidate rows (``vec_col`` in scope) — e.g. a PQ-ADC column
+    (:func:`pq_adc_expr`) rides the same single-pass scan, which is
+    exactly the IVF-PQ layout."""
     seed_rows = (
         df.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
     )
@@ -496,12 +503,14 @@ def ivf_topk(
         F.col(id_col) != F.lit(int(q["_qid"]))
     )
     # round BEFORE ranking (ulp-stability — same rule as q27/q29)
+    extras = extra_cols(qvec) if extra_cols is not None else {}
     scored = cand.select(
         F.lit(int(q["_qid"])).alias("query_id"),
         F.col(id_col).alias("neighbor_id"),
         F.round(
             dot(F.col(vec_col), qlit) / (norm(F.col(vec_col)) * F.lit(qnorm)), 6
         ).alias("cosine_sim"),
+        *[expr.alias(name) for name, expr in extras.items()],
     )
     return scored.orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id")).limit(k)
 
@@ -725,6 +734,53 @@ def pq_search_rerank(
         .orderBy("d2", "neighbor_id")
         .limit(k)
     )
+
+
+def pq_adc_expr(
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    vec_col: str = "embedding",
+) -> Column:
+    """PQ encode + ADC lookup as ONE pure column expression — the
+    IVF-PQ cell-scan shape: per subspace, argmin over the centroid
+    literals (integer-exact, first-min tie-break — identical to
+    :func:`pq_encode`) indexes straight into the query's ADC lookup
+    table (integer d2 literals built driver-side, like FAISS). No
+    join, no second scan, no Python: the whole thing rides in the same
+    whole-stage-codegen projection as the cosine column, so adding it
+    to an IVF probe keeps the plan single-pass (q42's plan pin: zero
+    Exchange, zero Join). Returns exact int64 (bounded by
+    dim·(2·2^21)² ≈ 2^50 for unit-scale embeddings)."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    qq = quantize_floats([float(x) for x in query_vec])
+    total: Column = F.lit(0).cast("long")
+    for j in range(m):
+        d2s = F.array(
+            *[
+                _pq_int_d2(_pq_sub(F.col(vec_col), j, dsub), cent)
+                for cent in codebooks[j]
+            ]
+        )
+        code = F.array_position(d2s, F.array_min(d2s))  # 1-based, first-min
+        lut = F.array(
+            *[
+                F.lit(
+                    int(
+                        sum(
+                            (a - b) * (a - b)
+                            for a, b in zip(
+                                qq[j * dsub : (j + 1) * dsub],
+                                quantize_floats(cent),
+                            )
+                        )
+                    )
+                ).cast("long")
+                for cent in codebooks[j]
+            ]
+        )
+        total = total + F.element_at(lut, code.cast("int"))
+    return total
 
 
 def pq_codebooks_seeded(

@@ -1914,14 +1914,27 @@ def q39_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q42_oracle(n_cells: int = 16, nprobe: int = 4) -> str:
-    """The IVF pipeline re-expressed relationally. Cell assignment and
-    probe selection use integer squared-L2 over floor-quantized
+    """The IVF-PQ pipeline re-expressed relationally. Cell assignment
+    and probe selection use integer squared-L2 over floor-quantized
     vectors (operators/similarity.ivf_assign), so the seeds (the
     n_cells lowest-id vectors), every cell, the probe set, and the
     round-6 cosine re-rank are all derivable — and identical — in
-    DuckDB, with no model literals in the SQL at all."""
+    DuckDB. r7 adds the PQ-ADC column: the SEEDED codebooks
+    (similarity.pq_codebooks_seeded — data-independent published
+    constants, exactly representable as k/2^20 so floor-quantization
+    is lossless on them) ride in the SQL as a literal (j, c, qcent)
+    table; encode = per-(vec, subspace) integer-d2 argmin with (d2, c)
+    tie-break ≡ Spark's array_position-first-min, ADC = sum of the
+    query-to-centroid integer d2 at the encoded cells, CAST to BIGINT
+    (window/group SUMs of BIGINT are HUGEINT — the q20 lesson)."""
     from ..operators import similarity
 
+    books = similarity.pq_codebooks_seeded(m=8, ksub=16, dsub=8)
+    book_rows = ",\n            ".join(
+        f"({j}, {c}, {similarity.quantize_floats(cent)})"
+        for j, book in enumerate(books)
+        for c, cent in enumerate(book)
+    )
     cosine_cond = (
         "a.vec_id = (SELECT qid FROM qid) AND b.vec_id IN (SELECT vec_id FROM cand)"
     )
@@ -1955,27 +1968,70 @@ def _q42_oracle(n_cells: int = 16, nprobe: int = 4) -> str:
     ),
     scored AS (
         {_COSINE_PAIR_SQL.format(cond=cosine_cond)}
+    ),
+    top10 AS (
+        SELECT a_id AS query_id, b_id AS neighbor_id, ROUND(cos, 6) AS cosine_sim
+        FROM scored
+        ORDER BY ROUND(cos, 6) DESC, b_id
+        LIMIT 10
+    ),
+    books(j, c, qcent) AS (
+        VALUES {book_rows}
+    ),
+    nd2 AS (
+        SELECT t.neighbor_id, b.j, b.c,
+               list_sum(list_transform(b.qcent,
+                   (x, i) -> (q.qv[b.j * 8 + i] - x) * (q.qv[b.j * 8 + i] - x))) AS d2
+        FROM top10 t JOIN quant q ON q.vec_id = t.neighbor_id
+        CROSS JOIN books b
+    ),
+    codes AS (
+        SELECT neighbor_id, j, c AS code FROM (
+            SELECT neighbor_id, j, c,
+                   ROW_NUMBER() OVER (PARTITION BY neighbor_id, j ORDER BY d2, c) AS rn
+            FROM nd2
+        ) WHERE rn = 1
+    ),
+    qd2 AS (
+        SELECT b.j, b.c,
+               list_sum(list_transform(b.qcent,
+                   (x, i) -> (q.qv[b.j * 8 + i] - x) * (q.qv[b.j * 8 + i] - x))) AS d2q
+        FROM quant q JOIN qid ON q.vec_id = qid.qid
+        CROSS JOIN books b
+    ),
+    adc AS (
+        SELECT c.neighbor_id, CAST(SUM(l.d2q) AS BIGINT) AS pq_adc_d2
+        FROM codes c JOIN qd2 l ON l.j = c.j AND l.c = c.code
+        GROUP BY c.neighbor_id
     )
-    SELECT a_id AS query_id, b_id AS neighbor_id, ROUND(cos, 6) AS cosine_sim
-    FROM scored
-    ORDER BY ROUND(cos, 6) DESC, b_id
-    LIMIT 10
+    SELECT t.query_id, t.neighbor_id, t.cosine_sim, a.pq_adc_d2
+    FROM top10 t JOIN adc a USING (neighbor_id)
     """
 
 
 def q42_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-flat ANN top-10 (coarse quantize → probe nearest cells →
-    exact cosine inside). r3: assignment/probe use integer squared-L2
-    over floor-quantized vectors, so the whole pipeline is
-    oracle-verified value-for-value (was rows-only); recall vs brute
-    force stays pinned by unit test."""
+    """IVF-PQ ANN top-10 (coarse quantize → probe nearest cells →
+    exact cosine inside, plus the PQ-ADC distance per survivor). r3:
+    assignment/probe use integer squared-L2 over floor-quantized
+    vectors, so the whole pipeline is oracle-verified value-for-value
+    (was rows-only); recall vs brute force stays pinned by unit test.
+    r7: the seeded-PQ machinery rides the SAME single scan — encode
+    (argmin over the data-independent codebook literals) + ADC lookup
+    as one codegen projection (similarity.pq_adc_expr), the IVF-PQ
+    cell-scan shape — plan stays zero-Exchange / zero-Join."""
     from ..operators import similarity
 
     emb = _t(spark, sf_dir, "embeddings")
     qrow = emb.join(
         F.broadcast(emb.agg(F.min("vec_id").alias("vec_id"))), "vec_id", "left_semi"
     )
-    return similarity.ivf_topk(emb, qrow, k=10, n_cells=16, nprobe=4)
+    books = similarity.pq_codebooks_seeded(m=8, ksub=16, dsub=8)
+    return similarity.ivf_topk(
+        emb, qrow, k=10, n_cells=16, nprobe=4,
+        extra_cols=lambda qvec: {
+            "pq_adc_d2": similarity.pq_adc_expr(books, qvec)
+        },
+    )
 
 
 _REGISTRY["q42_ann_ivf_topk"] = Query("q42_ann_ivf_topk", q42_ann_ivf_topk, _q42_oracle())

@@ -1462,3 +1462,32 @@ def test_pq_seeded_codebooks_machinery(spark):
         r.neighbor_id for r in sim.pq_topk(enc, books, qvec, k=100).collect()
     ]
     assert nn1 in short
+
+
+def test_pq_adc_expr_equals_encode_plus_topk(spark):
+    """pq_adc_expr (the single-projection IVF-PQ cell-scan shape gated
+    in q42) must produce the identical integer ADC distance as the
+    two-stage pq_encode → pq_topk API for every row."""
+    import pyspark.sql.functions as F
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        similarity as sim,
+    )
+
+    books = sim.pq_codebooks_seeded(m=8, ksub=16, dsub=8)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.orderBy("vec_id").limit(1).collect()[0]
+    qvec = [float(x) for x in q.embedding]
+    rest = emb.filter(F.col("vec_id") != q.vec_id)
+    n = rest.count()
+    two_stage = {
+        r.neighbor_id: r.approx_d2
+        for r in sim.pq_topk(sim.pq_encode(rest, books), books, qvec, k=n).collect()
+    }
+    one_proj = {
+        r.vec_id: r.adc
+        for r in rest.select(
+            "vec_id", sim.pq_adc_expr(books, qvec).alias("adc")
+        ).collect()
+    }
+    assert two_stage == one_proj and len(one_proj) == n
