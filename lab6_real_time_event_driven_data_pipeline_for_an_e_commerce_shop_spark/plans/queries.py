@@ -1660,7 +1660,13 @@ def q37_stream_medallion_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose orders live in silver — re-released idempotently by the late
     path, and (c) the genuinely-late odd wave. One gated run therefore
     exercises quarantine, late-data release, AND mid-swap crash
-    recovery together, under the exact hash oracle."""
+    recovery together, under the exact hash oracle.
+
+    r7 — LATE POISON: the second wave itself contains a poison row for
+    an already-released (order, product) pair, so the quarantine gate
+    is exercised ON THE LATE PATH too — a gate that only validated
+    first-arrival data would route it through the silver-attribute
+    re-enrich and corrupt gold."""
     import tempfile
 
     from ..streaming.pipeline import MedallionPipeline
@@ -1781,12 +1787,25 @@ def q37_stream_medallion_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
     # released even items are orphans whose orders live in silver, so
     # the late path re-releases them (idempotent MERGE, no dups)
     # alongside the genuinely-late odd items; odd-only orders release
-    # normally. The END STATE is still the pure q04-over-slice oracle —
-    # determinism under poison + disorder + crash is what the hash gate
-    # certifies.
+    # normally. r7: the late wave ALSO carries a poison row for the
+    # same already-released (order, product) pair — if the quarantine
+    # gate ever ran only on first-cycle ingest, this row would flow
+    # down the LATE-RELEASE path (silver-attribute re-enrich + MERGE)
+    # and shift gold by -999, failing the hash. Quarantine × late data
+    # is thereby under the same exact oracle as everything else. The
+    # END STATE is still the pure q04-over-slice oracle — determinism
+    # under poison + disorder + crash is what the hash gate certifies.
+    late_poison = spark.createDataFrame(
+        [
+            ("poison_late", str(o1_key), "u", str(px), "delivered",
+             "2024-03-01T10:00:00", None, None, None, -999.0),
+        ],
+        wave1.schema,
+    )
     (
         li_csv.filter(F.col("_pid") % 2 == 1)
         .drop("_pid")
+        .unionByName(late_poison)
         .coalesce(1)
         .write.option("header", True)
         .mode("append")

@@ -88,6 +88,37 @@ def test_quarantine_gate(spark, tmp_path):
     assert staged.count() == 1  # only the clean row advanced
 
 
+def test_late_poison_is_quarantined_not_late_released(spark, tmp_path):
+    """Quarantine × late data (r7, gated in q37): a poison row arriving
+    AFTER its order group already released must land in quarantine —
+    never in the late-release path (silver-attribute re-enrich + MERGE),
+    which would corrupt gold. End state == the poison never arrived."""
+    root = str(tmp_path)
+    pipe = MedallionPipeline(spark, root)
+    _drop(root, "orders", "o1.csv", ORDER_HEADER, [f"o1,u1,delivered,{T0},,,,1"])
+    _drop(root, "order_items", "i1.csv", ITEM_HEADER,
+          [f"i1,o1,u1,p1,delivered,{T0},,,,10.0"])
+    _drop(root, "products", "p1.csv", PRODUCT_HEADER,
+          ["p1,sku1,5.0,cat_a,widget,acme,12.0,d1"])
+    assert pipe.run_cycle() == ["2024-03-01"]  # o1 released
+
+    # late wave: a poison item (negative price) for the RELEASED order —
+    # if the gate only guarded first arrivals this would re-enrich from
+    # o1's silver attributes and merge at -5.0
+    _drop(root, "order_items", "late_poison.csv", ITEM_HEADER,
+          [f"ipx,o1,u1,p1,delivered,{T0},,,,-5.0"])
+    pipe.run_cycle()
+
+    quarantined = spark.read.parquet(os.path.join(root, "quarantine", "order_items"))
+    assert quarantined.count() == 1
+    assert quarantined.collect()[0]["id"] == "ipx"
+    silver = pipe.silver().collect()
+    assert [(r.order_id, r.product_id) for r in silver] == [("o1", "p1")]
+    daily = pipe.gold("order_kpis_daily").collect()
+    assert len(daily) == 1
+    assert daily[0].total_revenue == pytest.approx(10.0)
+
+
 def test_late_gold_update_after_second_group(spark, tmp_path):
     """A later release on the SAME order_date must update (not duplicate)
     the gold row — the per-date recompute-and-merge contract."""
