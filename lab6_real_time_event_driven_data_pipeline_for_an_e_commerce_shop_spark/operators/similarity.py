@@ -754,33 +754,69 @@ def pq_adc_expr(
     m = len(codebooks)
     dsub = len(codebooks[0][0])
     qq = quantize_floats([float(x) for x in query_vec])
-    total: Column = F.lit(0).cast("long")
-    for j in range(m):
-        d2s = F.array(
-            *[
-                _pq_int_d2(_pq_sub(F.col(vec_col), j, dsub), cent)
-                for cent in codebooks[j]
-            ]
+
+    # Expression-cost discipline (measured at sf0.1): a per-centroid
+    # unrolled Column tree cost ~3 s of py4j CONSTRUCTION (2048 lit/cast
+    # calls) plus ~3 s of interpreted re-quantization (HOF lambdas
+    # re-evaluate nested expressions per element — the winnowing trap,
+    # arithmetic edition). So the whole thing is ONE generated SQL
+    # string (one py4j call, millisecond parse), and the quantized
+    # vector is LET-BOUND via the transform-over-1-element-array trick
+    # (`transform(array(x), qv -> body)` evaluates x once per row), so
+    # each row quantizes once, not once per (subspace × centroid).
+    books_sql = (
+        "array("
+        + ",".join(
+            "array("
+            + ",".join(
+                "array(" + ",".join(str(int(v)) for v in quantize_floats(cent)) + ")"
+                for cent in book
+            )
+            + ")"
+            for book in codebooks
         )
-        code = F.array_position(d2s, F.array_min(d2s))  # 1-based, first-min
-        lut = F.array(
-            *[
-                F.lit(
+        + ")"
+    )
+    lut_sql = (
+        "array("
+        + ",".join(
+            "array("
+            + ",".join(
+                str(
                     int(
                         sum(
                             (a - b) * (a - b)
                             for a, b in zip(
-                                qq[j * dsub : (j + 1) * dsub],
-                                quantize_floats(cent),
+                                qq[j * dsub : (j + 1) * dsub], quantize_floats(cent)
                             )
                         )
                     )
-                ).cast("long")
+                )
                 for cent in codebooks[j]
-            ]
+            )
+            + ")"
+            for j in range(m)
         )
-        total = total + F.element_at(lut, code.cast("int"))
-    return total
+        + ")"
+    )
+    qv_sql = (
+        f"transform(`{vec_col}`, x -> "
+        f"CAST(floor(CAST(x AS DOUBLE) * {float(QUANT)!r}) AS BIGINT))"
+    )
+    d2s_sql = (
+        f"transform(element_at({books_sql}, j + 1), cent -> "
+        f"aggregate(zip_with(slice(qv, j * {dsub} + 1, {dsub}), cent, "
+        f"(a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (s, v) -> s + v))"
+    )
+    code_sql = (  # 1-based first-min index == pq_encode's tie-break
+        f"element_at(transform(array({d2s_sql}), d2s -> "
+        f"CAST(array_position(d2s, array_min(d2s)) AS INT)), 1)"
+    )
+    return F.expr(
+        f"element_at(transform(array({qv_sql}), qv -> "
+        f"aggregate(sequence(0, {m - 1}), CAST(0 AS BIGINT), (acc, j) -> "
+        f"acc + element_at(element_at({lut_sql}, j + 1), {code_sql}))), 1)"
+    )
 
 
 def pq_codebooks_seeded(
