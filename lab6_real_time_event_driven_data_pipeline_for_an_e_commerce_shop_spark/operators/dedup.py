@@ -23,7 +23,7 @@ engine-private; swap in production if oracle parity isn't needed.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.cache import bounded_cache
@@ -207,6 +207,49 @@ def minhash_lsh_candidates(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+    )
+
+
+def signature_agreement(
+    pairs: DataFrame,
+    sig: DataFrame,
+    k: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-pair MinHash signature agreement: joins a candidate-pair
+    relation (id_a, id_b, …) to a signature relation (id, mh_0..mh_{k-1})
+    on both sides and appends
+
+    - ``n_sig_agree`` (int)   — matching components (the unbiased
+      Jaccard estimator's numerator; ≥ rows-per-band for LSH pairs,
+      since candidates share at least one full band), and
+    - ``est_jaccard`` (double) — n_sig_agree / k, the classic MinHash
+      estimate (E[est] = J; k=16 ⇒ σ ≈ 0.125 at J=0.5). n/k is an
+      exact binary fraction for power-of-two k — engine-portable.
+
+    This is the cheap verify step between LSH candidate generation and
+    exact-Jaccard scoring: signatures are already materialized by the
+    LSH pass, so the estimate costs two joins of the (small) pair set
+    against the signature table — no shingle re-scan, no text touched."""
+    sa = sig.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"mh_{i}").alias(f"_a{i}") for i in range(k)],
+    )
+    sb = sig.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"mh_{i}").alias(f"_b{i}") for i in range(k)],
+    )
+    agree: Column = F.lit(0)
+    for i in range(k):
+        agree = agree + F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0)
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("n_sig_agree", agree.cast("int"))
+        .withColumn(
+            "est_jaccard", F.col("n_sig_agree").cast("double") / F.lit(float(k))
+        )
+        .drop(*[f"_a{i}" for i in range(k)], *[f"_b{i}" for i in range(k)])
     )
 
 

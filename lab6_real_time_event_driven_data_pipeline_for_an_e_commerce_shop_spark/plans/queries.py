@@ -1108,9 +1108,21 @@ def _lsh_bands_sql(bands: int = 4, rows: int = 4) -> str:
         UNION
         SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r
     ),
-    labels AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
-    SELECT p.id_a, p.id_b, l.cluster_id
-    FROM pairs p JOIN labels l ON p.id_a = l.id
+    labels AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+    agree AS (
+        SELECT p.id_a, p.id_b,
+               CAST({" + ".join(f"(CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END)" for i in range(16))}
+                    AS INTEGER) AS n_sig_agree
+        FROM pairs p
+        JOIN sig sa ON sa.doc_id = p.id_a
+        JOIN sig sb ON sb.doc_id = p.id_b
+    )
+    SELECT p.id_a, p.id_b, l.cluster_id,
+           g.n_sig_agree,
+           CAST(g.n_sig_agree AS DOUBLE) / 16 AS est_jaccard
+    FROM pairs p
+    JOIN labels l ON p.id_a = l.id
+    JOIN agree g ON g.id_a = p.id_a AND g.id_b = p.id_b
     """,
 )
 def q26_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1120,20 +1132,33 @@ def q26_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dedup.duplicate_clusters): A~B and B~C collapse to one cluster
     even though (A,C) never co-hashed — the grouping a dedup pass
     actually keys on. Oracle mirrors the fixpoint with a recursive
-    reachability CTE (label = MIN reachable id)."""
+    reachability CTE (label = MIN reachable id).
+
+    r7 depth: ``n_sig_agree`` / ``est_jaccard`` — the MinHash Jaccard
+    ESTIMATE per candidate (dedup.signature_agreement), i.e. the cheap
+    verify stage of the standard LSH → estimate → exact pipeline: the
+    signatures already exist from the banding pass, so the estimate
+    joins the (result-bounded) pair set back to the signature table
+    without touching text or shingles again. n/16 is an exact binary
+    fraction — engine-portable bit-for-bit."""
     from ..functions.cache import bounded_cache
     from ..operators import dedup
 
+    docs = _t(spark, sf_dir, "documents")
     # Two consumers (edge derivation inside duplicate_clusters + the
     # final pair output) — one bounded materialization of the LSH join.
     pairs = bounded_cache(
         "plans.lsh_pairs",
-        dedup.minhash_lsh_candidates(_t(spark, sf_dir, "documents"), bands=4, k=16),
+        dedup.minhash_lsh_candidates(docs, bands=4, k=16),
     )
     clusters = dedup.duplicate_clusters(pairs)
-    return pairs.join(
+    # signature table reuses the warm shingle substrate from the LSH
+    # pass (bounded_cache keyed on the identical input) — no re-scan
+    sig = dedup.minhash_signatures(docs, k=16)
+    enriched = dedup.signature_agreement(pairs, sig, k=16)
+    return enriched.join(
         clusters.select(F.col("node_id").alias("id_a"), "cluster_id"), "id_a"
-    ).select("id_a", "id_b", "cluster_id")
+    ).select("id_a", "id_b", "cluster_id", "n_sig_agree", "est_jaccard")
 
 
 # ---------------------------------------------------------------------------

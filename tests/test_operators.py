@@ -567,6 +567,29 @@ def test_minhash_lsh_bands_collide_for_near_dups(nearly_dup_docs):
     assert sigs[1] != sigs[4]
 
 
+def test_signature_agreement_estimates_jaccard(nearly_dup_docs):
+    """n_sig_agree must equal the hand-counted component matches of the
+    already-materialized signatures; identical docs estimate 1.0, and
+    every LSH candidate agrees on at least one full band (>= k/bands)."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        dedup,
+    )
+
+    pairs = dedup.minhash_lsh_candidates(nearly_dup_docs, bands=4, k=16)
+    sig = dedup.minhash_signatures(nearly_dup_docs, k=16)
+    out = {
+        (r.id_a, r.id_b): (r.n_sig_agree, r.est_jaccard)
+        for r in dedup.signature_agreement(pairs, sig, k=16).collect()
+    }
+    sigs = {r.doc_id: [r[f"mh_{i}"] for i in range(16)] for r in sig.collect()}
+    for (a, b), (n, est) in out.items():
+        expect = sum(x == y for x, y in zip(sigs[a], sigs[b]))
+        assert n == expect
+        assert est == n / 16.0
+        assert n >= 4  # candidates share >= 1 full band of 4 rows
+    assert out[(1, 2)] == (16, 1.0)  # identical docs
+
+
 def test_simhash_hamming_close_for_near_dups(nearly_dup_docs):
     from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
         dedup,
