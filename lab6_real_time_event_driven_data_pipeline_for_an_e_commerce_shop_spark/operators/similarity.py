@@ -249,12 +249,20 @@ def embedding_near_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     probe_hamming: int = 0,
+    band_tables: list[list[list[int]]] | None = None,
 ) -> DataFrame:
     """All near-duplicate candidate pairs within LSH Hamming radius
     ``probe_hamming`` whose round-6 cosine ≥ threshold — blocked by
     integer-exact SRP buckets (the q29 recipe: ±1 planes over
     floor-quantized vectors), so the candidate set is deterministic and
     derivable bit-for-bit in any engine.
+
+    ``band_tables`` (optional, :func:`banded_tables`): appends
+    ``n_band_tables_agree`` — how many multi-table sign-LSH tables the
+    pair fully agrees on (the OR-of-ANDs collision count that decides
+    candidacy in :func:`embedding_near_dups_banded`). Computed from the
+    pair's vectors AFTER the threshold filter, so the 32-plane bucket
+    arithmetic runs on result rows only, never the corpus.
 
     Plan shape (the 100 TB path): one side explodes into its bucket's
     Hamming-≤r mask ring, the pair join is an EQUI-join on the probed
@@ -297,7 +305,7 @@ def embedding_near_dups(
         F.col("_nrm").alias("_nb"),
         F.col("_bkt").alias("_pbkt"),
     )
-    return (
+    scored = (
         a.join(c, "_pbkt")
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
@@ -306,8 +314,68 @@ def embedding_near_dups(
             F.round(
                 dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
             ).alias("cosine_sim"),
+            *(["_va", "_vb"] if band_tables is not None else []),
         )
         .filter(F.col("cosine_sim") >= threshold)
+    )
+    if band_tables is None:
+        return scored
+    agree = F.aggregate(
+        F.zip_with(
+            band_buckets_expr(band_tables, "_va"),
+            band_buckets_expr(band_tables, "_vb"),
+            lambda x, y: F.when(x == y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return scored.select(
+        "id_a", "id_b", "cosine_sim", agree.cast("int").alias("n_band_tables_agree")
+    )
+
+
+def banded_tables(
+    n_tables: int = 16, band_planes: int = 16, dim: int = 64
+) -> list[list[list[int]]]:
+    """The multi-table sign-LSH plane family (±1 ints): table t's
+    planes extend the same deterministic _mix stream as
+    hyperplanes_int (table 0 IS hyperplanes_int's family); the 1009
+    stride keeps table seed ranges disjoint for any band_planes ≤
+    1009. Published constants — any engine re-derives the buckets."""
+    return [
+        [
+            [1 if _mix(t * 1009 + p_ + PLANE_SEED, d) >= 0.0 else -1 for d in range(dim)]
+            for p_ in range(band_planes)
+        ]
+        for t in range(n_tables)
+    ]
+
+
+def band_buckets_expr(tables: list[list[list[int]]], vec_expr: str) -> Column:
+    """array<bigint> of per-TABLE sign-LSH bucket ids for a vector
+    column — one generated SQL expression (single py4j call; the
+    pq_adc_expr lesson) with the quantized vector LET-BOUND via
+    transform-over-1-element-array, so each row quantizes once for all
+    tables. Bit-for-bit the per-table :func:`lsh_bucket_int` value
+    (integer dot signs over floor-quantized vectors)."""
+    qv_sql = (
+        f"transform({vec_expr}, x -> "
+        f"CAST(floor(CAST(x AS DOUBLE) * {float(QUANT)!r}) AS BIGINT))"
+    )
+    buckets = []
+    for planes in tables:
+        terms = []
+        for p, plane in enumerate(planes):
+            w = ",".join(str(int(x)) for x in plane)
+            terms.append(
+                f"(CASE WHEN aggregate(zip_with(qv, array({w}), "
+                f"(a, b) -> a * b), CAST(0 AS BIGINT), (s, v) -> s + v) > 0 "
+                f"THEN CAST({2 ** p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+            )
+        buckets.append(" + ".join(terms))
+    return F.expr(
+        f"element_at(transform(array({qv_sql}), qv -> "
+        f"array({','.join(buckets)})), 1)"
     )
 
 
@@ -335,16 +403,7 @@ def embedding_near_dups_banded(
     in several tables dedups in one candidate-grain shuffle) → exact
     cosine. Everything is the integer-exact plane family, so the
     candidate set is engine-derivable (oracle-able) like q28/q29."""
-    # table t's planes extend the same deterministic _mix stream as
-    # hyperplanes_int (table 0 IS hyperplanes_int's family); the 1009
-    # stride keeps table seed ranges disjoint for any band_planes ≤ 1009
-    tables = [
-        [
-            [1 if _mix(t * 1009 + p_ + PLANE_SEED, d) >= 0.0 else -1 for d in range(dim)]
-            for p_ in range(band_planes)
-        ]
-        for t in range(n_tables)
-    ]
+    tables = banded_tables(n_tables, band_planes, dim)
     keys = F.array(
         *[
             F.struct(

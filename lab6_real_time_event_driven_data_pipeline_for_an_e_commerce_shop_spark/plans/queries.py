@@ -1231,10 +1231,17 @@ def _q28_oracle(n_planes: int = 4, dim: int = 64, probe_hamming: int = 2) -> str
     """The blocked near-dup pipeline re-expressed relationally: bucket
     membership is integer-exact (±1 planes over floor-quantized
     vectors), so DuckDB derives the SAME buckets, the SAME Hamming-≤2
-    candidate pairs, and the SAME round-6 cosine decisions."""
+    candidate pairs, and the SAME round-6 cosine decisions. r7: the
+    multi-table banded family (similarity.banded_tables — published ±1
+    constants) is derived the same way, so the per-pair OR-of-ANDs
+    table-agreement count is exact too."""
     from ..operators import similarity
 
     planes = similarity.hyperplanes_int(n_planes, dim)
+    tables = similarity.banded_tables(n_tables=4, band_planes=8, dim=dim)
+    tbkts = ", ".join(
+        f"({similarity.lsh_bucket_int_sql(t)})" for t in tables
+    )
     return f"""
     WITH quant AS (
         SELECT vec_id, {similarity.quantize_vec_sql("embedding")} AS qv
@@ -1260,9 +1267,16 @@ def _q28_oracle(n_planes: int = 4, dim: int = 64, probe_hamming: int = 2) -> str
                 JOIN embeddings b ON b.vec_id = c.b_id
             ) z GROUP BY a_id, b_id
         ) s
-    )
-    SELECT a_id AS id_a, b_id AS id_b, ROUND(cos, 6) AS cosine_sim
-    FROM scored WHERE ROUND(cos, 6) >= 0.5
+    ),
+    tb AS (SELECT vec_id, [{tbkts}] AS tbkts FROM quant)
+    SELECT s.a_id AS id_a, s.b_id AS id_b, ROUND(s.cos, 6) AS cosine_sim,
+           CAST(list_sum(list_transform(ta.tbkts,
+                (x, i) -> CASE WHEN x = tbb.tbkts[i] THEN 1 ELSE 0 END))
+                AS INTEGER) AS n_band_tables_agree
+    FROM scored s
+    JOIN tb ta  ON ta.vec_id  = s.a_id
+    JOIN tb tbb ON tbb.vec_id = s.b_id
+    WHERE ROUND(s.cos, 6) >= 0.5
     """
 
 
@@ -1284,12 +1298,20 @@ def q28_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     τ≥0.9 where the banded OR-of-ANDs path
     (similarity.embedding_near_dups_banded) is measured flat ~5e-4 work
     ratio; this gated slot keeps τ=0.5 only because the synthetic corpus
-    has no high-sim pairs."""
+    has no high-sim pairs.
+
+    r7 depth: ``n_band_tables_agree`` — for each surviving pair, how
+    many of the 4 multi-table banded-LSH tables (8 planes each,
+    similarity.banded_tables) it fully agrees on: the OR-of-ANDs
+    collision count that decides candidacy on the production-τ path
+    (embedding_near_dups_banded), computed on result rows only and
+    oracle-exact (the table family is published ±1 integer planes)."""
     from ..operators import similarity
 
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.embedding_near_dups(
-        emb, threshold=0.5, n_planes=4, dim=64, probe_hamming=2
+        emb, threshold=0.5, n_planes=4, dim=64, probe_hamming=2,
+        band_tables=similarity.banded_tables(n_tables=4, band_planes=8, dim=64),
     )
 
 

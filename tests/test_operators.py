@@ -1487,6 +1487,36 @@ def test_pq_seeded_codebooks_machinery(spark):
     assert nn1 in short
 
 
+def test_band_buckets_expr_matches_per_table_lsh_bucket(spark):
+    """The single-expression band-bucket array (gated in q28's
+    n_band_tables_agree) must equal lsh_bucket_int applied per table —
+    the two code paths share only the published plane constants."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        similarity as sim,
+    )
+    import pyspark.sql.functions as F
+
+    tables = sim.banded_tables(n_tables=4, band_planes=8, dim=64)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    combined = {
+        r.vec_id: list(r.tb)
+        for r in emb.select(
+            "vec_id", sim.band_buckets_expr(tables, "embedding").alias("tb")
+        ).collect()
+    }
+    per_table = {
+        r.vec_id: [r[f"b{t}"] for t in range(4)]
+        for r in emb.select(
+            "vec_id",
+            *[
+                sim.lsh_bucket_int(F.col("embedding"), tables[t]).alias(f"b{t}")
+                for t in range(4)
+            ],
+        ).collect()
+    }
+    assert combined == per_table and len(combined) > 0
+
+
 def test_pq_adc_expr_equals_encode_plus_topk(spark):
     """pq_adc_expr (the single-projection IVF-PQ cell-scan shape gated
     in q42) must produce the identical integer ADC distance as the
