@@ -354,6 +354,40 @@ def duplicate_clusters(
     return labels.select(F.col("id").alias("node_id"), F.col("label").alias("cluster_id"))
 
 
+def canonical_docs(
+    clusters: DataFrame,
+    df: DataFrame,
+    quality_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-cluster KEEP selection — the final step of the dedup
+    pipeline (pairs → clusters → pick one document per cluster):
+    canonical = the member with the highest ``quality_col``, ties
+    broken by lowest id. Returns (cluster_id, canonical_id).
+
+    Deterministic ranking rule: rank on an exact-comparable column
+    (integer length, integer-cents score, …) — float quality scores
+    must be integerized first (the repo-wide exact-ranking rule), or
+    cross-engine/partitioning ties can flip the keeper.
+
+    Shape: clusters ⋈ quality (node-keyed) → one window per cluster
+    (ROW_NUMBER over (quality DESC, id ASC)). The window partitions on
+    cluster_id, whose cardinality is the number of duplicate groups —
+    result-bounded, orders of magnitude under the corpus."""
+    from pyspark.sql import Window
+
+    q = df.select(F.col(id_col).alias("node_id"), F.col(quality_col).alias("_q"))
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("_q").desc(), F.col("node_id").asc()
+    )
+    return (
+        clusters.join(q, "node_id")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("cluster_id", F.col("node_id").alias("canonical_id"))
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     k: int = 5,

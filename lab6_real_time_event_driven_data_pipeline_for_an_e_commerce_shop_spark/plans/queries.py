@@ -1116,13 +1116,25 @@ def _lsh_bands_sql(bands: int = 4, rows: int = 4) -> str:
         FROM pairs p
         JOIN sig sa ON sa.doc_id = p.id_a
         JOIN sig sb ON sb.doc_id = p.id_b
+    ),
+    canon AS (
+        SELECT cluster_id, id AS canonical_id FROM (
+            SELECT l.cluster_id, l.id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY l.cluster_id
+                       ORDER BY d.n_chars DESC, l.id ASC
+                   ) AS rn
+            FROM labels l JOIN documents d ON d.doc_id = l.id
+        ) WHERE rn = 1
     )
     SELECT p.id_a, p.id_b, l.cluster_id,
            g.n_sig_agree,
-           CAST(g.n_sig_agree AS DOUBLE) / 16 AS est_jaccard
+           CAST(g.n_sig_agree AS DOUBLE) / 16 AS est_jaccard,
+           c.canonical_id
     FROM pairs p
     JOIN labels l ON p.id_a = l.id
     JOIN agree g ON g.id_a = p.id_a AND g.id_b = p.id_b
+    JOIN canon c ON c.cluster_id = l.cluster_id
     """,
 )
 def q26_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1140,7 +1152,10 @@ def q26_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     signatures already exist from the banding pass, so the estimate
     joins the (result-bounded) pair set back to the signature table
     without touching text or shingles again. n/16 is an exact binary
-    fraction — engine-portable bit-for-bit."""
+    fraction — engine-portable bit-for-bit. And ``canonical_id`` —
+    the KEEP document of the pair's cluster (dedup.canonical_docs:
+    max n_chars, id tie-break), closing the pipeline's last step
+    (pairs → clusters → keeper) under the same gate."""
     from ..functions.cache import bounded_cache
     from ..operators import dedup
 
@@ -1156,9 +1171,17 @@ def q26_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pass (bounded_cache keyed on the identical input) — no re-scan
     sig = dedup.minhash_signatures(docs, k=16)
     enriched = dedup.signature_agreement(pairs, sig, k=16)
-    return enriched.join(
-        clusters.select(F.col("node_id").alias("id_a"), "cluster_id"), "id_a"
-    ).select("id_a", "id_b", "cluster_id", "n_sig_agree", "est_jaccard")
+    canon = dedup.canonical_docs(clusters, docs, quality_col="n_chars")
+    return (
+        enriched.join(
+            clusters.select(F.col("node_id").alias("id_a"), "cluster_id"), "id_a"
+        )
+        .join(canon, "cluster_id")
+        .select(
+            "id_a", "id_b", "cluster_id", "n_sig_agree", "est_jaccard",
+            "canonical_id",
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

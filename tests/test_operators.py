@@ -567,6 +567,28 @@ def test_minhash_lsh_bands_collide_for_near_dups(nearly_dup_docs):
     assert sigs[1] != sigs[4]
 
 
+def test_canonical_docs_keeps_highest_quality_with_id_tiebreak(spark):
+    """Keeper selection: max quality wins; equal quality falls back to
+    the lowest id; singleton clusters keep their only member."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        dedup,
+    )
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (20, 20)],
+        "node_id long, cluster_id long",
+    )
+    docs = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (10, 4), (11, 4), (20, 7)],
+        "doc_id long, n_chars long",
+    )
+    out = {r.cluster_id: r.canonical_id
+           for r in dedup.canonical_docs(clusters, docs).collect()}
+    assert out == {1: 2,    # 9 beats 5; id 2 < id 3 at equal quality
+                   10: 10,  # tie on quality -> min id
+                   20: 20}  # singleton
+
+
 def test_signature_agreement_estimates_jaccard(nearly_dup_docs):
     """n_sig_agree must equal the hand-counted component matches of the
     already-materialized signatures; identical docs estimate 1.0, and
