@@ -1,11 +1,13 @@
 """Command-line surface: ``python -m <package> <command>``.
 
 The reference's operational surface is spark-submit + AWS consoles;
-here it's three subcommands over the same engine:
+here it's five subcommands over the same engine:
 
     query <name> [--sf-dir DIR] [-n ROWS]   run a catalog query, show rows
+    sql <statement> [--sf-dir DIR]          ad-hoc Spark SQL over the tables
     pipeline <root> [--watch]               run medallion cycles over a directory
     list                                    list catalog queries (oracle-paired?)
+    validate <table> <path>                 data-quality rules on a parquet table
 """
 
 from __future__ import annotations
@@ -29,6 +31,11 @@ def main(argv: list[str] | None = None) -> int:
     pl.add_argument("--watch", action="store_true",
                     help="keep polling for new files (Ctrl-C to stop)")
     pl.add_argument("--interval", type=float, default=5.0)
+
+    s = sub.add_parser("sql", help="ad-hoc Spark SQL over the analytics tables")
+    s.add_argument("statement")
+    s.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    s.add_argument("-n", "--rows", type=int, default=20)
 
     sub.add_parser("list", help="list catalog queries")
 
@@ -57,6 +64,20 @@ def main(argv: list[str] | None = None) -> int:
             print(f"unknown query {args.name!r}; try: python -m <pkg> list", file=sys.stderr)
             return 2
         catalog[args.name](spark, args.sf_dir).show(args.rows, truncate=False)
+        return 0
+
+    if args.cmd == "sql":
+        import glob
+        import os
+
+        # every parquet table in --sf-dir becomes a temp view named by
+        # its file stem (region, nation, ..., documents, embeddings) —
+        # the ad-hoc surface for anything the 50-query catalog doesn't
+        # pre-package; Catalyst plans it like any catalog query.
+        for path in sorted(glob.glob(os.path.join(args.sf_dir, "*.parquet"))):
+            name = os.path.splitext(os.path.basename(path))[0]
+            spark.read.parquet(path).createOrReplaceTempView(name)
+        spark.sql(args.statement).show(args.rows, truncate=False)
         return 0
 
     if args.cmd == "validate":

@@ -35,6 +35,20 @@ def test_cli_query_runs_and_rejects_unknown():
     assert "unknown query" in bad.stderr
 
 
+def test_cli_sql_adhoc_over_registered_views():
+    """The sql subcommand registers every parquet table in --sf-dir as
+    a temp view and hands the statement to Catalyst — the ad-hoc
+    surface for anything the catalog doesn't pre-package."""
+    r = _run(
+        "sql",
+        "SELECT r_name, COUNT(*) AS n FROM region "
+        "JOIN nation ON n_regionkey = r_regionkey GROUP BY r_name ORDER BY r_name",
+        "--sf-dir", "/root/testdata/sf0.001",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "r_name" in r.stdout and "AFRICA" in r.stdout
+
+
 def test_bench_headline_queries_exist():
     """r2 lost its recorded bench number to a query that raised at plan
     time — pin that every HEADLINE name resolves in the catalog (the
