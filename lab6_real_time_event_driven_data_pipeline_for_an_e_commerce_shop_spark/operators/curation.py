@@ -264,6 +264,40 @@ def mixture_sample(
     )
 
 
+def domain_cap(
+    df: DataFrame,
+    n_per_group: int = 10,
+    group_col: str = "source",
+    quality_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain document cap — the web-corpus curation rule "keep at
+    most N docs per domain, best first" (bounds any single site's
+    influence on the training mix). Appends
+
+    - ``domain_rank`` (int): the doc's 1-based rank within its group,
+      ordered by ``quality_col`` DESC then ``id_col`` ASC, and
+    - ``domain_kept`` (boolean): rank ≤ n_per_group.
+
+    Distinct from :func:`stratified_sample` (hash-rank: uniform,
+    quality-blind) — this is the QUALITY-ranked cap; like all ranking
+    ops it must order on an exact-comparable column (integer length /
+    integer-cents score), never raw floats, so the keep set is
+    identical across engines and partitionings. One window per group;
+    group cardinality = number of domains. At corpus scale a hot
+    domain makes a hot partition — cap the damage by pre-filtering
+    obvious junk before ranking, or rank within (domain, date) shards
+    when a single domain exceeds executor memory."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    return df.withColumn("domain_rank", F.row_number().over(w)).withColumn(
+        "domain_kept", F.col("domain_rank") <= F.lit(int(n_per_group))
+    )
+
+
 # Conservative PII patterns, valid under BOTH Java regex (Spark) and
 # RE2-class engines (DuckDB/Go) — no backreferences, no lookaround —
 # so redaction counts stay oracle-checkable across engines.

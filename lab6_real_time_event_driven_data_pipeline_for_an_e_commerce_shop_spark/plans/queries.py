@@ -2637,12 +2637,23 @@ _PHASH_SAMPLE = (
         FROM sh s JOIN hold_h hh ON s.h = hh.h
         WHERE s.doc_id NOT IN (SELECT doc_id FROM splits WHERE split = 'test')
         GROUP BY s.doc_id
+    ),
+    dcap AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (
+                   PARTITION BY source ORDER BY n_chars DESC, doc_id ASC
+               ) AS INTEGER) AS domain_rank
+        FROM documents
     )
     SELECT sp.doc_id, sp.split, sp.sampled20,
            CASE WHEN sp.split = 'test' THEN CAST(0 AS BIGINT)
                 ELSE CAST(COALESCE(l.n, 0) AS BIGINT) END AS leak_shingles,
-           sp.doc_id IN (SELECT doc_id FROM strat) AS strat10
-    FROM splits sp LEFT JOIN leak l ON sp.doc_id = l.doc_id
+           sp.doc_id IN (SELECT doc_id FROM strat) AS strat10,
+           d.domain_rank,
+           d.domain_rank <= 10 AS domain_kept
+    FROM splits sp
+    LEFT JOIN leak l ON sp.doc_id = l.doc_id
+    JOIN dcap d ON d.doc_id = sp.doc_id
     """,
 )
 def q52_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2657,22 +2668,31 @@ def q52_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     split. r6 depth: ``strat10`` — membership in the deterministic
     per-(split, lang) stratified sample (curation.stratified_sample,
     n_per_group=10, salt='s1'): hash-rank selection, so the flag is
-    stable across runs/engines/partitionings and monotone in n."""
+    stable across runs/engines/partitionings and monotone in n.
+    r7 depth: ``domain_rank`` / ``domain_kept`` — the QUALITY-ranked
+    per-domain cap (curation.domain_cap, n=10 on exact-integer
+    n_chars): the "max N docs per site" web-curation rule, distinct
+    from the hash-uniform stratified sample."""
     from ..functions.expressions import portable_hash
     from ..operators.curation import (
         assign_split,
         contamination_counts,
+        domain_cap,
         stratified_sample,
     )
 
     sample_hash = portable_hash(
         F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))
     )
-    with_split = assign_split(_t(spark, sf_dir, "documents"))
+    docs = _t(spark, sf_dir, "documents")
+    with_split = assign_split(docs)
     leak = contamination_counts(with_split, holdout_split="test")
     strat = stratified_sample(
         with_split, ["split", "lang"], "doc_id", n_per_group=10, salt="s1"
     ).select("doc_id", F.lit(True).alias("_st"))
+    capped = domain_cap(docs, n_per_group=10).select(
+        "doc_id", "domain_rank", "domain_kept"
+    )
     return (
         with_split.select(
             "doc_id", "split", (sample_hash % 100 < 20).alias("sampled20")
@@ -2681,6 +2701,7 @@ def q52_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(strat, "doc_id", "left")
         .withColumn("strat10", F.coalesce(F.col("_st"), F.lit(False)))
         .drop("_st")
+        .join(capped, "doc_id")
     )
 
 

@@ -567,6 +567,26 @@ def test_minhash_lsh_bands_collide_for_near_dups(nearly_dup_docs):
     assert sigs[1] != sigs[4]
 
 
+def test_domain_cap_quality_ranked_per_group(spark):
+    """Per-domain cap: quality-ranked keep set, id tie-break, exact
+    rank values, and groups smaller than the cap keep everything."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        curation,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a", 50), (2, "a", 90), (3, "a", 90), (4, "a", 10), (5, "b", 7)],
+        "doc_id long, source string, n_chars long",
+    )
+    out = {r.doc_id: (r.domain_rank, r.domain_kept)
+           for r in curation.domain_cap(docs, n_per_group=2).collect()}
+    assert out == {2: (1, True),   # 90, id 2 < 3
+                   3: (2, True),
+                   1: (3, False),
+                   4: (4, False),
+                   5: (1, True)}   # small group: all kept
+
+
 def test_canonical_docs_keeps_highest_quality_with_id_tiebreak(spark):
     """Keeper selection: max quality wins; equal quality falls back to
     the lowest id; singleton clusters keep their only member."""
