@@ -1005,3 +1005,71 @@ def test_crash_between_staging_swaps_self_heals(spark, tmp_path):
     assert daily[0].total_revenue == pytest.approx(10.0)
     assert daily[0].total_items_sold == 1
     assert spark.read.parquet(items_staging).count() == 0  # drained
+
+
+# ---------------------------------------------------------------------------
+# Property: arrival-order invariance (hypothesis)
+# ---------------------------------------------------------------------------
+
+_UNIVERSE = {
+    "o1": ("orders", ORDER_HEADER, [f"o1,u1,delivered,{T0},,,,2"]),
+    "o2": ("orders", ORDER_HEADER, [f"o2,u2,delivered,{T0},,,,1"]),
+    "i1": ("order_items", ITEM_HEADER, [f"i1,o1,u1,p1,delivered,{T0},,,,10.0"]),
+    "i2": ("order_items", ITEM_HEADER, [f"i2,o1,u1,p2,delivered,{T0},,,,30.0"]),
+    "i3": ("order_items", ITEM_HEADER, [f"i3,o2,u2,p1,delivered,{T0},,,,20.0"]),
+    "px": ("order_items", ITEM_HEADER, [f"px,o1,u1,p1,delivered,{T0},,,,-5.0"]),
+    "p1": ("products", PRODUCT_HEADER, ["p1,sku1,5.0,cat_a,w,acme,12.0,d1"]),
+    "p2": ("products", PRODUCT_HEADER, ["p2,sku2,9.0,cat_b,g,acme,35.0,d1"]),
+}
+
+
+def _permutation_scenario(spark, tmp_path_factory, order, cuts):
+    import pytest as _pt
+
+    root = str(tmp_path_factory.mktemp("perm"))
+    pipe = MedallionPipeline(spark, root)
+    bounds = sorted(set(cuts) | {len(order)})
+    start = 0
+    for end in bounds:
+        for key in order[start:end]:
+            table, header, lines = _UNIVERSE[key]
+            _drop(root, table, f"{key}.csv", header, lines)
+        pipe.run_cycle()
+        start = end
+    pipe.run_cycle()  # final drain: any still-buffered group releases
+
+    silver = {(r.order_id, r.product_id) for r in pipe.silver().collect()}
+    assert silver == {("o1", "p1"), ("o1", "p2"), ("o2", "p1")}
+    daily = pipe.gold("order_kpis_daily").collect()
+    assert len(daily) == 1
+    assert daily[0].total_orders == 2
+    assert daily[0].total_revenue == _pt.approx(60.0)
+    assert daily[0].total_items_sold == 3
+    quarantined = spark.read.parquet(
+        os.path.join(root, "quarantine", "order_items")
+    )
+    assert [r.id for r in quarantined.collect()] == ["px"]
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    order=st.permutations(sorted(_UNIVERSE)),
+    cuts=st.sets(st.integers(1, len(_UNIVERSE) - 1), max_size=3),
+)
+def test_medallion_end_state_invariant_under_arrival_order(
+    spark, tmp_path_factory, order, cuts
+):
+    """THE determinism claim the medallion pipeline makes, as a
+    property: for ANY arrival permutation of orders/items/products
+    files (poison row included) and ANY grouping of those arrivals
+    into ingest cycles, the end state — silver pairs, gold KPIs,
+    quarantine contents — is identical. Completeness buffering, the
+    late-release path, and the quarantine gate are exercised under
+    whatever interleaving hypothesis invents (specific adversarial
+    orders remain pinned as the named e2e tests above)."""
+    _permutation_scenario(spark, tmp_path_factory, list(order), cuts)
