@@ -1314,9 +1314,9 @@ def q28_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.1, 1/1 at sf0.01 — pinned).
 
     SCALE NOTE (do not "optimize" this into a wrong plan): at τ=0.5 the
-    LSH exponent is ρ≈0.585, so candidate volume grows ~n^1.59 — the r4
-    10× probe measured 11.7×, which is INTRINSIC to the threshold, not a
-    plan defect (SCALING.md "q28 at 10×"). The equi-join shape is already
+    LSH exponent is ρ≈0.585, so candidate volume grows ~n^1.59 — 10×
+    probes measure 11.7× (r4) to 17.4× (r7), inside the intrinsic
+    envelope (≤ ~39×), not a plan defect (SCALING.md). The equi-join shape is already
     the right one (AQE-splittable, no BNLJ). Production corpora dedup at
     τ≥0.9 where the banded OR-of-ANDs path
     (similarity.embedding_near_dups_banded) is measured flat ~5e-4 work
