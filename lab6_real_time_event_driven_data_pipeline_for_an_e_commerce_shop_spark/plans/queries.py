@@ -1291,15 +1291,24 @@ def _q28_oracle(n_planes: int = 4, dim: int = 64, probe_hamming: int = 2) -> str
             ) z GROUP BY a_id, b_id
         ) s
     ),
-    tb AS (SELECT vec_id, [{tbkts}] AS tbkts FROM quant)
-    SELECT s.a_id AS id_a, s.b_id AS id_b, ROUND(s.cos, 6) AS cosine_sim,
+    surv AS (
+        SELECT a_id, b_id, ROUND(cos, 6) AS cosine_sim
+        FROM scored WHERE ROUND(cos, 6) >= 0.5
+    ),
+    -- band buckets ONLY for pair members (the 32-plane expression on
+    -- the full corpus ran ~18 s in DuckDB; on survivors it's free —
+    -- mirroring the Spark side, which computes agree post-filter)
+    tb AS (
+        SELECT vec_id, [{tbkts}] AS tbkts FROM quant
+        WHERE vec_id IN (SELECT a_id FROM surv UNION SELECT b_id FROM surv)
+    )
+    SELECT s.a_id AS id_a, s.b_id AS id_b, s.cosine_sim,
            CAST(list_sum(list_transform(ta.tbkts,
                 (x, i) -> CASE WHEN x = tbb.tbkts[i] THEN 1 ELSE 0 END))
                 AS INTEGER) AS n_band_tables_agree
-    FROM scored s
+    FROM surv s
     JOIN tb ta  ON ta.vec_id  = s.a_id
     JOIN tb tbb ON tbb.vec_id = s.b_id
-    WHERE ROUND(s.cos, 6) >= 0.5
     """
 
 

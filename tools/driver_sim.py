@@ -108,11 +108,14 @@ def main() -> int:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
+    import time
+
     qs = entry.queries()
     oracles = entry.oracle_sql()
     n_match = n_rows_only = n_fail = 0
     for name in sorted(qs):
         rec = {"q": name}
+        t0 = time.perf_counter()
         try:
             sdf = qs[name](spark, sf_dir)
             spdf = sdf.toPandas()
@@ -149,6 +152,7 @@ def main() -> int:
             rec["status"] = "ERROR"
             rec["err"] = f"{type(ex).__name__}: {ex}"[:300]
             n_fail += 1
+        rec["secs"] = round(time.perf_counter() - t0, 2)
         print(json.dumps(rec), flush=True)
 
     print(
