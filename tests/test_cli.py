@@ -72,3 +72,37 @@ def test_driver_contract_shape():
     assert len(qs) == 50
     assert set(os_) <= set(qs)
     assert len(os_) == 50  # r4: q37's end state gained an exact oracle
+
+
+def test_driver_sim_comparator_dtype_semantics():
+    """tools/driver_sim._norm_cell is the local twin of the driver's
+    pandas value hash. Pin the r7 semantics that caught/closed the q20
+    class: int and float cells DIFFER even at equal value (int64 1 vs
+    HUGEINT->float64 1.0), numpy widths collapse to value (int32 5 ==
+    int64 5), dates equal midnight datetimes (Spark date vs DuckDB
+    datetime64 — matched by the real gate in r1-r6), and Decimal stays
+    distinct from float (the r1 q43 class must keep mismatching)."""
+    import datetime
+    import decimal
+
+    import numpy as np
+    import pandas as pd
+
+    sys.path.insert(0, "/root/repo/tools")
+    from driver_sim import _norm_cell
+
+    assert _norm_cell(1) != _norm_cell(1.0)
+    assert _norm_cell(np.int64(1)) != _norm_cell(np.float64(1.0))
+    assert _norm_cell(np.int32(5)) == _norm_cell(np.int64(5)) == _norm_cell(5)
+    assert _norm_cell(datetime.date(1995, 1, 1)) == _norm_cell(
+        pd.Timestamp("1995-01-01 00:00:00")
+    )
+    assert _norm_cell(datetime.date(1995, 1, 1)) != _norm_cell(
+        pd.Timestamp("1995-01-01 00:00:01")
+    )
+    assert _norm_cell(decimal.Decimal("1.5")) != _norm_cell(1.5)
+    assert _norm_cell(None) == _norm_cell(pd.NaT) == "NULL"
+    assert _norm_cell(float("nan")) == "NaN"
+    assert _norm_cell(np.bool_(True)) == _norm_cell(True)
+    # float repr rounding: 9dp canonicalization holds
+    assert _norm_cell(0.1 + 0.2) == _norm_cell(0.3)
