@@ -177,7 +177,15 @@ def minhash_signatures(
         F.min(affine_minhash(F.col("_h"), a, b)).alias(f"mh_{i}")
         for i, (a, b) in enumerate(MINHASH_COEF[:k])
     ]
-    return sh.groupBy(F.col("_id").alias(id_col)).agg(*aggs)
+    # One doc-grain row with k ints — tiny vs the exploded shingle
+    # table, and the natural share point: the LSH banding pass and the
+    # signature-agreement verify stage both re-invoke this function on
+    # the identical input, so a semantically-equal plan lands in the
+    # same slot and the shingle explode + k-way min agg run ONCE.
+    return bounded_cache(
+        "dedup.minhash_signatures",
+        sh.groupBy(F.col("_id").alias(id_col)).agg(*aggs),
+    )
 
 
 def minhash_lsh_candidates(

@@ -73,56 +73,6 @@ def column_stats(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     )
 
 
-def zorder_key(
-    df: DataFrame, cols: list[str], bits: int = 8
-) -> F.Column:
-    """Morton (Z-order) interleave key over ``cols`` for multi-column
-    file clustering — the engine-side equivalent of Delta's
-    ``OPTIMIZE ... ZORDER BY``.
-
-    Sorting a table by ONE column gives tight parquet min/max footers
-    (→ row-group/file skipping) for that column only; range predicates
-    on any OTHER column still scan every file. Interleaving the high
-    bits of each column's normalized position makes every file cover a
-    small hyper-rectangle, so scans filtered on ANY zordered column
-    skip most files.
-
-    Normalization is linear min/max scaling to ``bits`` bits (one
-    distributed agg; no window/rank pass over the data — at 100 TB a
-    percent_rank would itself be a full sort). Skewed columns get
-    proportionally skewed cells, which degrades gracefully: clustering
-    quality drops, correctness never does. Numeric, date and timestamp
-    columns are supported (dates/timestamps via their numeric epoch).
-
-    Pure column expression (shift/mask arithmetic, whole-stage codegen;
-    no UDF anywhere).
-    """
-    stats = df.agg(
-        *[F.min(F.col(c).cast("double")).alias(f"_min_{c}") for c in cols],
-        *[F.max(F.col(c).cast("double")).alias(f"_max_{c}") for c in cols],
-    ).collect()[0]
-
-    scaled = []
-    top = (1 << bits) - 1
-    for c in cols:
-        lo, hi = stats[f"_min_{c}"], stats[f"_max_{c}"]
-        span = (hi - lo) if (hi is not None and lo is not None and hi > lo) else 1.0
-        u = F.floor(
-            (F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * F.lit(float(top))
-        ).cast("long")
-        # clamp (fp edge at max) and null → cell 0 so nulls cluster together
-        u = F.least(F.greatest(F.coalesce(u, F.lit(0)), F.lit(0)), F.lit(top))
-        scaled.append(u)
-
-    n = len(cols)
-    z = F.lit(0).cast("long")
-    for j in range(bits):
-        for ci, u in enumerate(scaled):
-            bit = F.shiftright(u, j).bitwiseAND(F.lit(1))
-            z = z + F.shiftleft(bit, j * n + ci)
-    return z
-
-
 def zorder_compact(
     spark: SparkSession,
     path: str,
@@ -132,7 +82,15 @@ def zorder_compact(
 ) -> int:
     """``compact`` with Z-order clustering: range-partition by the
     Morton key (size-targeted file count), sort within partitions, and
-    swap the rewrite in. Returns the new file count."""
+    swap the rewrite in. Returns the new file count.
+
+    The Morton key comes from :func:`operators.layout.zorder_key` —
+    the single Z-order implementation (broadcast-bounds, no driver
+    collect); this helper only adds size-targeted file-count planning
+    and the atomic directory swap.
+    """
+    from . import layout
+
     total = sum(
         os.path.getsize(os.path.join(dp, f))
         for dp, _, fs in os.walk(path)
@@ -141,12 +99,13 @@ def zorder_compact(
     )
     n_files = max(1, -(-total // target_file_bytes))
     df = spark.read.parquet(path)
-    z = zorder_key(df, cols, bits).alias("_zkey")
+    with_b, z = layout.zorder_key(df, cols, bits)
+    drop = ["_zkey"] + [f"_zmin_{c}" for c in cols] + [f"_zmax_{c}" for c in cols]
     out = (
-        df.withColumn("_zkey", z)
+        with_b.withColumn("_zkey", z)
         .repartitionByRange(n_files, "_zkey")
         .sortWithinPartitions("_zkey")
-        .drop("_zkey")
+        .drop(*drop)
     )
     tmp = f"{path}__zorder_{uuid.uuid4().hex[:8]}"
     out.write.mode("overwrite").parquet(tmp)

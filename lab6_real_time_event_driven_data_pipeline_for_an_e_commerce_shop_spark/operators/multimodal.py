@@ -205,22 +205,10 @@ def wav_features(payload: bytes) -> list[float]:
     """8-dim real audio features: duration_s, rms, peak, zero-crossing
     rate, and 4 log-ish FFT band energies (band edges at 1/64, 1/16,
     1/4 of Nyquist) — the classic cheap audio fingerprint, computed
-    from actually-decoded samples."""
-    import numpy as np
-
+    from actually-decoded samples. Single implementation shared with
+    the FLAC path: delegates to :func:`_audio_features`."""
     x, fr = decode_wav(payload)
-    if len(x) == 0:
-        return [0.0] * 8
-    duration = len(x) / float(fr)
-    rms = float(np.sqrt(np.mean(x * x)))
-    peak = float(np.max(np.abs(x)))
-    zcr = float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8))))) if len(x) > 1 else 0.0
-    spec = np.abs(np.fft.rfft(x)) ** 2
-    total = float(spec.sum()) or 1.0
-    nb = len(spec)
-    edges = [0, max(1, nb // 64), max(2, nb // 16), max(3, nb // 4), nb]
-    bands = [float(spec[edges[i] : edges[i + 1]].sum()) / total for i in range(4)]
-    return [round(v, 6) for v in [duration, rms, peak, zcr, *bands]]
+    return _audio_features(x, fr)
 
 
 class _FlacBits:
@@ -1862,13 +1850,15 @@ def mp4_features(payload: bytes) -> list[float]:
 
 def sniff_format(payload: bytes | None) -> str | None:
     """Magic-byte container sniff for the formats decodable here:
-    'wav' (RIFF....WAVE), 'png' (\\x89PNG), 'jpeg' (FFD8FF), 'gif'
-    (GIF87a/89a), 'mp4' (ftyp), or 'netpbm' (binary P5/P6).
-    None → stub."""
+    'wav' (RIFF....WAVE), 'flac' (fLaC), 'png' (\\x89PNG), 'jpeg'
+    (FFD8FF), 'gif' (GIF87a/89a), 'mp4' (ftyp), or 'netpbm' (binary
+    P5/P6). None → stub."""
     if payload is None or len(payload) < 12:
         return None
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:4] == b"fLaC":
+        return "flac"
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
     if payload[:3] == b"\xff\xd8\xff":
@@ -1899,6 +1889,8 @@ def _decode_dispatch(payload: bytes | None, kind: str) -> tuple[str, list[float]
     try:
         if fmt == "wav":
             return "wav", wav_features(payload)
+        if fmt == "flac":
+            return "flac", flac_features(payload)
         if fmt == "png":
             return "png", png_features(payload)
         if fmt == "jpeg":

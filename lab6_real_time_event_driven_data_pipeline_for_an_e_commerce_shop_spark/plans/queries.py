@@ -1167,8 +1167,11 @@ def q26_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup.minhash_lsh_candidates(docs, bands=4, k=16),
     )
     clusters = dedup.duplicate_clusters(pairs)
-    # signature table reuses the warm shingle substrate from the LSH
-    # pass (bounded_cache keyed on the identical input) — no re-scan
+    # signature table is bounded_cache'd INSIDE minhash_signatures
+    # ("dedup.minhash_signatures", r8): this call lands in the same
+    # slot as the one the LSH pass made, so the shingle explode + k-way
+    # min agg run once and the verify stage reads the warm doc-grain
+    # signature rows.
     sig = dedup.minhash_signatures(docs, k=16)
     enriched = dedup.signature_agreement(pairs, sig, k=16)
     canon = dedup.canonical_docs(clusters, docs, quality_col="n_chars")

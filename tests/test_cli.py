@@ -104,5 +104,7 @@ def test_driver_sim_comparator_dtype_semantics():
     assert _norm_cell(None) == _norm_cell(pd.NaT) == "NULL"
     assert _norm_cell(float("nan")) == "NaN"
     assert _norm_cell(np.bool_(True)) == _norm_cell(True)
-    # float repr rounding: 9dp canonicalization holds
-    assert _norm_cell(0.1 + 0.2) == _norm_cell(0.3)
+    # floats compare EXACT (r8): the real driver hashes exact float64s,
+    # so 0.30000000000000004 must NOT collapse to 0.3
+    assert _norm_cell(0.1 + 0.2) != _norm_cell(0.3)
+    assert _norm_cell(0.25) == _norm_cell(np.float64(0.25))

@@ -1947,3 +1947,411 @@ def test_tiff_dispatch_and_resize(spark):
     assert resized.meta["resample"] == "nearest"
     arr = multimodal.decode_netpbm(bytes(resized.payload))
     assert [int(v) for v in arr[0, :, 0]] == [0, 50, 100, 150, 200]
+
+
+# --- FLAC: independent test-side encoder (r8) ---------------------------
+# Written from the FLAC format spec, structurally independent of the
+# package decoder: table-driven CRCs (decoder is bitwise), numpy k-th
+# difference for FIXED residuals (decoder applies explicit predictor
+# coefficients), and a big-int bit accumulator (decoder walks a byte
+# array). FLAC is lossless, so decode(encode(x)) == x bit-for-bit is a
+# real validation for every subframe type / stereo mode / rice shape.
+
+
+def _flac_crc_tables():
+    t8, t16 = [], []
+    for i in range(256):
+        c = i
+        for _ in range(8):
+            c = ((c << 1) & 0xFF) ^ (0x07 if c & 0x80 else 0)
+        t8.append(c)
+        c = i << 8
+        for _ in range(8):
+            c = ((c << 1) & 0xFFFF) ^ (0x8005 if c & 0x8000 else 0)
+        t16.append(c)
+    return t8, t16
+
+
+_FLAC_T8, _FLAC_T16 = _flac_crc_tables()
+
+
+def _flac_crc8(data):
+    c = 0
+    for b in data:
+        c = _FLAC_T8[c ^ b]
+    return c
+
+
+def _flac_crc16(data):
+    c = 0
+    for b in data:
+        c = _FLAC_T16[((c >> 8) ^ b) & 0xFF] ^ ((c << 8) & 0xFFFF)
+    return c
+
+
+class _FlacWriter:
+    """MSB-first bit writer over a growing big-int accumulator."""
+
+    def __init__(self):
+        self.acc = 0
+        self.n = 0
+
+    def u(self, v, bits):
+        assert 0 <= v < (1 << bits), (v, bits)
+        self.acc = (self.acc << bits) | v
+        self.n += bits
+
+    def s(self, v, bits):
+        self.u(v & ((1 << bits) - 1), bits)
+
+    def unary(self, q):
+        self.u(1, q + 1)  # q zeros then a 1
+
+    def align(self):
+        pad = (-self.n) % 8
+        if pad:
+            self.u(0, pad)
+
+    def to_bytes(self):
+        assert self.n % 8 == 0
+        return self.acc.to_bytes(self.n // 8, "big")
+
+
+def _flac_utf8(n):
+    if n < 0x80:
+        return bytes([n])
+    out = []
+    nbytes = 1
+    while n >= (1 << (5 * nbytes + 6 - nbytes)):
+        nbytes += 1
+    # leading byte: nbytes+1 ones, a zero, then the high payload bits
+    total_cont = nbytes
+    lead_bits = 6 - total_cont
+    lead = ((0xFF << (7 - total_cont)) & 0xFF) | ((n >> (6 * total_cont)) & ((1 << lead_bits) - 1))
+    out.append(lead)
+    for k in range(total_cont - 1, -1, -1):
+        out.append(0x80 | ((n >> (6 * k)) & 0x3F))
+    return bytes(out)
+
+
+def _flac_zigzag(r):
+    return (r << 1) if r >= 0 else (-(r << 1) - 1)
+
+
+def _flac_write_residual(w, resid, order, bs, porder=0, method=0, param=None, escape=False):
+    plen = 4 if method == 0 else 5
+    esc = (1 << plen) - 1
+    w.u(method, 2)
+    w.u(porder, 4)
+    pos = 0
+    for part in range(1 << porder):
+        n = (bs >> porder) - (order if part == 0 else 0)
+        chunk = resid[pos : pos + n]
+        pos += n
+        if escape:
+            raw = max((abs(v).bit_length() + 1 for v in chunk), default=0)
+            if all(v == 0 for v in chunk):
+                raw = 0
+            w.u(esc, plen)
+            w.u(raw, 5)
+            for v in chunk:
+                if raw:
+                    w.s(v, raw)
+        else:
+            if param is None:
+                mx = max((_flac_zigzag(v) for v in chunk), default=0)
+                p = max(0, mx.bit_length() - 3)
+            else:
+                p = param
+            if p >= esc:
+                p = esc - 1
+            w.u(p, plen)
+            for v in chunk:
+                u = _flac_zigzag(v)
+                w.unary(u >> p)
+                if p:
+                    w.u(u & ((1 << p) - 1), p)
+    assert pos == len(resid)
+
+
+def _flac_write_subframe(w, samples, bps, kind, wasted=0, porder=0, method=0,
+                         escape=False, lpc_order=2, lpc_shift=5):
+    import numpy as np
+
+    if wasted:
+        assert all(v % (1 << wasted) == 0 for v in samples)
+        samples = [v >> wasted for v in samples]
+    eff = bps - wasted
+    bs = len(samples)
+    w.u(0, 1)  # padding
+    if kind == "const":
+        w.u(0, 6)
+    elif kind == "verbatim":
+        w.u(1, 6)
+    elif kind.startswith("fixed"):
+        w.u(8 + int(kind[5]), 6)
+    elif kind == "lpc":
+        w.u(31 + lpc_order, 6)
+    else:
+        raise AssertionError(kind)
+    if wasted:
+        w.u(1, 1)
+        w.unary(wasted - 1)
+    else:
+        w.u(0, 1)
+    if kind == "const":
+        assert len(set(samples)) == 1
+        w.s(samples[0], eff)
+        return
+    if kind == "verbatim":
+        for v in samples:
+            w.s(v, eff)
+        return
+    if kind.startswith("fixed"):
+        order = int(kind[5])
+        for v in samples[:order]:
+            w.s(v, eff)
+        # independent residual formulation: FIXED order-k residual IS
+        # the k-th finite difference of the signal
+        arr = np.array(samples, dtype=object)
+        for _ in range(order):
+            arr = arr[1:] - arr[:-1]
+        resid = [int(v) for v in arr]
+        _flac_write_residual(w, resid, order, bs, porder, method, escape=escape)
+        return
+    # LPC: fixed simple coefficients, exact integer residuals
+    order = lpc_order
+    coefs = [(1 << lpc_shift) if j == 0 else (1 if j % 2 else -1) for j in range(order)]
+    prec = max(max(abs(c).bit_length() + 1 for c in coefs), 2)
+    assert prec <= 15
+    for v in samples[:order]:
+        w.s(v, eff)
+    w.u(prec - 1, 4)
+    w.s(lpc_shift, 5)
+    for c in coefs:
+        w.s(c, prec)
+    resid = []
+    for i in range(order, bs):
+        pred = sum(coefs[j] * samples[i - 1 - j] for j in range(order)) >> lpc_shift
+        resid.append(samples[i] - pred)
+    _flac_write_residual(w, resid, order, bs, porder, method, escape=escape)
+
+
+def _encode_flac(channels, sr=8000, bps=16, frames=None, **sub_kw):
+    """channels: list of per-channel sample lists. frames: list of dicts
+    {n, mode, kinds, bs_code, sr_code, ...} splitting the samples; None
+    → one independent-channel frame of everything."""
+    n_ch = len(channels)
+    total = len(channels[0])
+    if frames is None:
+        frames = [{"n": total}]
+    out = bytearray(b"fLaC")
+    si = _FlacWriter()
+    si.u(16, 16)
+    si.u(65535, 16)
+    si.u(0, 24)
+    si.u(0, 24)
+    si.u(sr, 20)
+    si.u(n_ch - 1, 3)
+    si.u(bps - 1, 5)
+    si.u(total, 36)
+    meta = si.to_bytes() + b"\x00" * 16  # md5 unset
+    out += bytes([0x80]) + len(meta).to_bytes(3, "big") + meta
+
+    pos = 0
+    for fno, fr in enumerate(frames):
+        bs = fr["n"]
+        mode = fr.get("mode", "indep")
+        seg = [ch[pos : pos + bs] for ch in channels]
+        pos += bs
+        w = _FlacWriter()
+        w.u(0x3FFE, 14)
+        w.u(0, 1)
+        w.u(0, 1)  # fixed blocking
+        bs_code = fr.get("bs_code")
+        if bs_code is None:
+            bs_code = 7
+        w.u(bs_code, 4)
+        sr_code = fr.get("sr_code", 0)
+        w.u(sr_code, 4)
+        if mode == "indep":
+            ch_code = n_ch - 1
+        else:
+            ch_code = {"ls": 8, "rs": 9, "ms": 10}[mode]
+        w.u(ch_code, 4)
+        w.u(fr.get("ss_code", 0), 3)
+        w.u(0, 1)
+        for b in _flac_utf8(fr.get("number", fno)):
+            w.u(b, 8)
+        if bs_code == 6:
+            w.u(bs - 1, 8)
+        elif bs_code == 7:
+            w.u(bs - 1, 16)
+        else:
+            expect = {1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608}.get(
+                bs_code, 256 << (bs_code - 8) if bs_code >= 8 else None
+            )
+            assert expect == bs, (bs_code, bs)
+        if sr_code == 12:
+            w.u(sr // 1000, 8)
+        elif sr_code == 13:
+            w.u(sr, 16)
+        elif sr_code == 14:
+            w.u(sr // 10, 16)
+        hdr = w.to_bytes()
+        w.u(_flac_crc8(hdr), 8)
+
+        kinds = fr.get("kinds", [sub_kw.get("kind", "fixed2")] * n_ch)
+        kw = {k: v for k, v in sub_kw.items() if k != "kind"}
+        if mode == "indep":
+            for c in range(n_ch):
+                _flac_write_subframe(w, seg[c], bps, kinds[c], **kw)
+        else:
+            assert n_ch == 2
+            left, right = seg
+            side = [a - b for a, b in zip(left, right)]
+            if mode == "ls":
+                _flac_write_subframe(w, left, bps, kinds[0], **kw)
+                _flac_write_subframe(w, side, bps + 1, kinds[1], **kw)
+            elif mode == "rs":
+                _flac_write_subframe(w, side, bps + 1, kinds[0], **kw)
+                _flac_write_subframe(w, right, bps, kinds[1], **kw)
+            else:
+                mid = [(a + b) >> 1 for a, b in zip(left, right)]
+                _flac_write_subframe(w, mid, bps, kinds[0], **kw)
+                _flac_write_subframe(w, side, bps + 1, kinds[1], **kw)
+        w.align()
+        body = w.to_bytes()
+        w.u(_flac_crc16(body), 16)
+        out += w.to_bytes()
+    assert pos == total
+    return bytes(out)
+
+
+def _flac_test_signal(n, seed=7, amp=1000, channels=1):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    base = (
+        amp * np.sin(np.arange(n) * 0.13)
+        + rng.randint(-amp // 4, amp // 4, size=n)
+    ).astype(np.int64)
+    return [list(map(int, base + 17 * c)) for c in range(channels)]
+
+
+def test_flac_roundtrip_subframe_types():
+    import numpy as np
+
+    n = 64
+    sig = _flac_test_signal(n)[0]
+    for kind in ["verbatim", "fixed0", "fixed1", "fixed2", "fixed3", "fixed4", "lpc"]:
+        payload = _encode_flac([sig], kind=kind)
+        arr, sr, bps = multimodal.decode_flac(payload)
+        assert sr == 8000 and bps == 16
+        assert arr.shape == (n, 1)
+        assert [int(v) for v in arr[:, 0]] == sig, kind
+    # CONSTANT needs a constant block
+    payload = _encode_flac([[-123] * n], kind="const")
+    arr, _, _ = multimodal.decode_flac(payload)
+    assert np.all(arr[:, 0] == -123)
+
+
+def test_flac_roundtrip_stereo_modes():
+    n = 96
+    chans = _flac_test_signal(n, channels=2)
+    for mode in ["indep", "ls", "rs", "ms"]:
+        payload = _encode_flac(
+            chans, frames=[{"n": 48, "mode": mode}, {"n": 48, "mode": mode}]
+        )
+        arr, _, _ = multimodal.decode_flac(payload)
+        assert arr.shape == (n, 2), mode
+        for c in range(2):
+            assert [int(v) for v in arr[:, c]] == chans[c], mode
+
+
+def test_flac_rice_shapes_and_wasted_bits():
+    n = 128
+    sig = _flac_test_signal(n, amp=4000)[0]
+    # partition order 2, 5-bit rice method
+    p = _encode_flac([sig], kind="fixed2", porder=2, method=1)
+    arr, _, _ = multimodal.decode_flac(p)
+    assert [int(v) for v in arr[:, 0]] == sig
+    # raw-escape partitions, incl. the raw=0 all-zero case
+    p = _encode_flac([sig], kind="fixed1", porder=1, escape=True)
+    arr, _, _ = multimodal.decode_flac(p)
+    assert [int(v) for v in arr[:, 0]] == sig
+    zeros = [0] * n
+    p = _encode_flac([zeros], kind="fixed1", escape=True)
+    arr, _, _ = multimodal.decode_flac(p)
+    assert all(int(v) == 0 for v in arr[:, 0])
+    # wasted bits: samples share a factor of 2^3
+    shifted = [v << 3 for v in sig]
+    p = _encode_flac([shifted], bps=20, kind="verbatim", wasted=3)
+    arr, _, bps = multimodal.decode_flac(p)
+    assert bps == 20
+    assert [int(v) for v in arr[:, 0]] == shifted
+    # LPC higher order + wasted bits together
+    p = _encode_flac([shifted], bps=20, kind="lpc", wasted=3, lpc_order=4)
+    arr, _, _ = multimodal.decode_flac(p)
+    assert [int(v) for v in arr[:, 0]] == shifted
+
+
+def test_flac_header_variants_and_crc_rejection():
+    import pytest
+
+    # tabled block-size code (192 = code 1), sr codes 12/13/14, 8-bit
+    # bps, multi-frame with a multi-byte utf8 frame number
+    chans = _flac_test_signal(384, amp=100, channels=1)
+    sig = chans[0]
+    p = _encode_flac(
+        [sig],
+        bps=8,
+        sr=32000,
+        frames=[
+            {"n": 192, "bs_code": 1, "sr_code": 12},
+            {"n": 100, "bs_code": 6, "sr_code": 13, "number": 200},
+            {"n": 92, "bs_code": 7, "sr_code": 14},
+        ],
+        kind="fixed3",
+    )
+    arr, sr, bps = multimodal.decode_flac(p)
+    assert (sr, bps) == (32000, 8)
+    assert [int(v) for v in arr[:, 0]] == sig
+    # corrupt one byte in the last frame body → CRC-16 must reject
+    bad = bytearray(p)
+    bad[-20] ^= 0x10
+    with pytest.raises(ValueError):
+        multimodal.decode_flac(bytes(bad))
+    # corrupt the frame header → CRC-8 must reject
+    bad = bytearray(p)
+    # find first frame sync after metadata (fLaC + 4-byte hdr + 34+16)
+    start = 4 + 4 + 34 + 16
+    bad[start + 3] ^= 0x04
+    with pytest.raises(ValueError):
+        multimodal.decode_flac(bytes(bad))
+
+
+def test_flac_features_match_wav_and_dispatch(spark):
+    """The same PCM samples through the FLAC path and the WAV path must
+    yield the IDENTICAL 8-dim fingerprint (both feed _audio_features),
+    and extract_features must route fLaC payloads to the real decoder."""
+    import struct
+
+    n = 2048
+    sig = _flac_test_signal(n, amp=12000)[0]
+    flac = _encode_flac([sig], sr=8000, bps=16, kind="fixed2")
+    pcm = b"".join(struct.pack("<h", v) for v in sig)
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    assert multimodal.sniff_format(flac) == "flac"
+    assert multimodal.flac_features(flac) == multimodal.wav_features(wav)
+
+    rows = [(1, "audio", "audio/flac", flac, None), (2, "audio", "audio/wav", wav, None)]
+    df = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    out = {r.media_id: r for r in multimodal.extract_features(df).collect()}
+    assert out[1].decoder == "flac"
+    assert out[2].decoder == "wav"
+    assert list(out[1].feature) == list(out[2].feature)

@@ -34,9 +34,9 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        if v == 0.0:
-            v = 0.0  # collapse -0.0
-        return repr(round(v, 9))
+        # exact float64 repr — matches the real driver's exact-value
+        # hash (r7 ADVICE removed the 9dp rounding)
+        return repr(v)
     if isinstance(v, (datetime.datetime, datetime.date)):
         return v.isoformat()
     if isinstance(v, list):

@@ -56,9 +56,13 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        if v == 0.0:
-            v = 0.0
-        return repr(round(v, 9))
+        # EXACT repr (shortest round-trip == bit-exact for float64):
+        # the real driver's pandas value hash compares exact float64s,
+        # so the sim must too (r7 ADVICE — the old repr(round(v, 9))
+        # was blind to sub-9dp drift). The repo's exact-sum /
+        # integerize-before-rank rules are what make values
+        # bit-identical across engines; this now verifies them.
+        return repr(v)
     if isinstance(v, decimal.Decimal):
         # faithful to the driver: Decimal objects (Spark toPandas) vs
         # float64 (DuckDB .df) MUST mismatch — don't coerce.
