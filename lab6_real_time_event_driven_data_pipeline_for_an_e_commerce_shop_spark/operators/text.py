@@ -135,19 +135,27 @@ def bigrams(text: Column) -> Column:
     degrades to the whole text — a repetition metric must not count a
     short doc as its own top bigram).
 
-    SCALE WARNING: as a column *expression* this nests ``tokens(text)``
-    inside the ``transform()`` lambda, and Catalyst re-inlines the full
-    ``split()`` per element — O(n_tokens × text_len) per document (the
-    winnow_fingerprints nested-array trap). Fine for short rows and
-    unit tests; hot corpus paths must use the posexplode + lead-window
-    shape instead (see :func:`repetition_profile`)."""
-    toks = tokens(text)
-    n = F.size(toks)
-    return F.when(n < 2, F.array().cast("array<string>")).otherwise(
+    Shape (r8): the token array is LET-BOUND once via
+    ``transform(array(tokens), t -> …)`` and paired with its own
+    tail through ``zip_with`` — O(n_tokens) per document. The previous
+    form nested ``tokens(text)`` inside a ``transform()`` lambda,
+    which Catalyst re-inlines per element (O(n_tokens × text_len),
+    the winnow_fingerprints nested-array trap); the aggregate-grain
+    corpus path still prefers posexplode + lead
+    (see :func:`repetition_profile`)."""
+    return F.get(
         F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
-        )
+            F.array(tokens(text)),
+            lambda t: F.filter(
+                F.zip_with(
+                    t,
+                    F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                ),
+                lambda x: x.isNotNull(),
+            ),
+        ),
+        F.lit(0),
     )
 
 

@@ -2607,6 +2607,16 @@ _PHASH_SAMPLE = (
     "CAST(concat('0x', substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)"
 )
 
+# second-version salts for the snapshot-diff enrichment (r8): a
+# re-rolled split/sample assignment standing in for "corpus version 2"
+_PHASH_V2 = (
+    "CAST(concat('0x', substr(md5('v2:' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)"
+)
+
+_PHASH_SAMPLE2 = (
+    "CAST(concat('0x', substr(md5('sample2:' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)"
+)
+
 
 @query(
     "q52_train_val_test_split",
@@ -2656,16 +2666,45 @@ _PHASH_SAMPLE = (
                    PARTITION BY source ORDER BY n_chars DESC, doc_id ASC
                ) AS INTEGER) AS domain_rank
         FROM documents
+    ),
+    v_old AS (
+        SELECT doc_id, split, sampled20 FROM splits WHERE doc_id % 97 <> 0
+    ),
+    v_new AS (
+        SELECT doc_id,
+               CASE WHEN {_PHASH_V2} % 100 < 10 THEN 'test'
+                    WHEN {_PHASH_V2} % 100 < 20 THEN 'val'
+                    ELSE 'train' END AS split,
+               {_PHASH_SAMPLE2} % 100 < 20 AS sampled20
+        FROM documents WHERE doc_id % 89 <> 0
+    ),
+    sdiff AS (
+        SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    WHEN o.split <> n.split OR o.sampled20 <> n.sampled20
+                         THEN 'changed'
+                    ELSE 'unchanged' END AS change_type,
+               CASE WHEN o.doc_id IS NULL OR n.doc_id IS NULL THEN ''
+                    WHEN o.sampled20 <> n.sampled20 AND o.split <> n.split
+                         THEN 'sampled20,split'
+                    WHEN o.sampled20 <> n.sampled20 THEN 'sampled20'
+                    WHEN o.split <> n.split THEN 'split'
+                    ELSE '' END AS changed_cols
+        FROM v_old o FULL OUTER JOIN v_new n ON o.doc_id = n.doc_id
     )
     SELECT sp.doc_id, sp.split, sp.sampled20,
            CASE WHEN sp.split = 'test' THEN CAST(0 AS BIGINT)
                 ELSE CAST(COALESCE(l.n, 0) AS BIGINT) END AS leak_shingles,
            sp.doc_id IN (SELECT doc_id FROM strat) AS strat10,
            d.domain_rank,
-           d.domain_rank <= 10 AS domain_kept
+           d.domain_rank <= 10 AS domain_kept,
+           COALESCE(sd.change_type, 'absent') AS change_type,
+           COALESCE(sd.changed_cols, '') AS changed_cols
     FROM splits sp
     LEFT JOIN leak l ON sp.doc_id = l.doc_id
     JOIN dcap d ON d.doc_id = sp.doc_id
+    LEFT JOIN sdiff sd ON sd.doc_id = sp.doc_id
     """,
 )
 def q52_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2684,18 +2723,31 @@ def q52_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     r7 depth: ``domain_rank`` / ``domain_kept`` — the QUALITY-ranked
     per-domain cap (curation.domain_cap, n=10 on exact-integer
     n_chars): the "max N docs per site" web-curation rule, distinct
-    from the hash-uniform stratified sample."""
+    from the hash-uniform stratified sample.
+
+    r8 depth: ``change_type`` / ``changed_cols`` — dataset-version diff
+    (curation.snapshot_diff, one full-outer join) between two derived
+    corpus versions: v1 = this split/sample assignment restricted to
+    doc_id % 97 ≠ 0, v2 = a re-salted assignment ('v2:'/'sample2:'
+    keys) restricted to doc_id % 89 ≠ 0. The overlap/re-roll mix
+    exercises every change class (added / removed / changed /
+    unchanged, plus 'absent' for docs in neither version) and all
+    four changed_cols CSVs under the hash gate."""
     from ..functions.expressions import portable_hash
     from ..operators.curation import (
         assign_split,
         contamination_counts,
         domain_cap,
+        snapshot_diff,
         stratified_sample,
     )
 
-    sample_hash = portable_hash(
-        F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))
-    )
+    def _salted(prefix: str):
+        return portable_hash(
+            F.concat(F.lit(prefix), F.col("doc_id").cast("string"))
+        )
+
+    sample_hash = _salted("sample:")
     docs = _t(spark, sf_dir, "documents")
     with_split = assign_split(docs)
     leak = contamination_counts(with_split, holdout_split="test")
@@ -2705,6 +2757,19 @@ def q52_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped = domain_cap(docs, n_per_group=10).select(
         "doc_id", "domain_rank", "domain_kept"
     )
+    v_old = with_split.filter(F.col("doc_id") % 97 != 0).select(
+        "doc_id", "split", (sample_hash % 100 < 20).alias("sampled20")
+    )
+    h2 = _salted("v2:") % 100
+    v_new = docs.filter(F.col("doc_id") % 89 != 0).select(
+        "doc_id",
+        F.when(h2 < 10, F.lit("test"))
+        .when(h2 < 20, F.lit("val"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+        (_salted("sample2:") % 100 < 20).alias("sampled20"),
+    )
+    sdiff = snapshot_diff(v_old, v_new, ["doc_id"], ["sampled20", "split"])
     return (
         with_split.select(
             "doc_id", "split", (sample_hash % 100 < 20).alias("sampled20")
@@ -2714,7 +2779,46 @@ def q52_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("strat10", F.coalesce(F.col("_st"), F.lit(False)))
         .drop("_st")
         .join(capped, "doc_id")
+        .join(sdiff, "doc_id", "left")
+        .withColumn(
+            "change_type", F.coalesce(F.col("change_type"), F.lit("absent"))
+        )
+        .withColumn(
+            "changed_cols", F.coalesce(F.col("changed_cols"), F.lit(""))
+        )
     )
+
+
+def _pii_oracle_cols() -> tuple[str, str]:
+    """(count_cols, redacted_len_col) DuckDB fragments built FROM
+    PII_PATTERNS itself (single source of truth — the oracle regex can
+    never drift from the shipped one). Patterns are RE2-safe by design
+    (operators/curation.py): both engines enumerate identical spans."""
+    from ..operators.curation import PII_PATTERNS
+
+    kinds = sorted(PII_PATTERNS)
+    counts = ",\n           ".join(
+        f"CAST(len(regexp_extract_all(pii_src, '{PII_PATTERNS[k]}')) AS BIGINT)"
+        f" AS n_pii_{k}"
+        for k in kinds
+    )
+    red = "pii_src"
+    for k in kinds:
+        red = f"regexp_replace({red}, '{PII_PATTERNS[k]}', '<{k.upper()}>', 'g')"
+    return counts, f"CAST(length({red}) AS BIGINT) AS redacted_len"
+
+
+_PII_COUNT_COLS, _PII_RED_COL = _pii_oracle_cols()
+
+# deterministic synthetic PII footer (the corpus itself is PII-free):
+# one email / phone / ipv4 / card per doc, parameterized by doc_id so
+# counts and redacted lengths vary per row and both engines can build
+# the identical source text.
+_PII_FOOTER_SQL = (
+    "' contact doc' || CAST(doc_id AS VARCHAR) || '@example.com or +1-555-' || "
+    "CAST(1000 + doc_id % 9000 AS VARCHAR) || ' ip 10.7.' || "
+    "CAST(doc_id % 250 AS VARCHAR) || '.9 card 4111-1111-1111-1111'"
+)
 
 
 @query(
@@ -2757,6 +2861,15 @@ def q52_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         HAVING CAST(COUNT(*) AS DOUBLE)
                / ((SELECT n FROM sizes WHERE doc_id = a.doc_id)
                   + (SELECT n FROM sizes WHERE doc_id = b.doc_id) - COUNT(*)) >= 0.6
+    ),
+    pii AS (
+        SELECT doc_id, text || {_PII_FOOTER_SQL} AS pii_src FROM exact_kept
+    ),
+    pii_cols AS (
+        SELECT doc_id,
+           {_PII_COUNT_COLS},
+           {_PII_RED_COL}
+        FROM pii
     )
     SELECT k.doc_id,
            CASE WHEN CAST(concat('0x', substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 12)) AS BIGINT) % 100 < 10 THEN 'test'
@@ -2767,8 +2880,11 @@ def q52_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
            < CASE d.source WHEN 'src0' THEN 1000000
                            WHEN 'src1' THEN 500000
                            WHEN 'src2' THEN 250000
-                           ELSE 100000 END AS mix_keep
+                           ELSE 100000 END AS mix_keep,
+           p.n_pii_card, p.n_pii_email, p.n_pii_ipv4, p.n_pii_phone,
+           p.redacted_len
     FROM exact_kept k JOIN documents d ON k.doc_id = d.doc_id
+    JOIN pii_cols p ON p.doc_id = k.doc_id
     WHERE k.doc_id NOT IN (SELECT doc_id FROM dropped)
     """,
 )
@@ -2785,18 +2901,44 @@ def q53_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     pretraining corpus applies after curation, flagged instead of
     filtered so the oracle sees both sides. Flagging is a per-row
     hash compare — zero extra joins or shuffles on the curation
-    plan."""
-    from ..operators.curation import curate, mixture_keep_expr
+    plan.
+
+    r8 depth: PII redaction (curation.redact_pii) under the hash gate.
+    The corpus carries no real PII, so each kept doc gets a
+    deterministic synthetic footer (one email/phone/ipv4/card shaped
+    by doc_id — both engines build the identical source text) and the
+    slot emits the four per-kind match counts plus the REDACTED-text
+    length: counts gate span enumeration parity, the length gates the
+    sequential replacement itself (any span disagreement shifts it).
+    Pure regexp column expressions — per-row JVM codegen work, no new
+    join or shuffle on the curation plan."""
+    from ..operators.curation import curate, mixture_keep_expr, redact_pii
 
     docs = _t(spark, sf_dir, "documents")
     curated = curate(docs, max_df_pct=50)
     weights = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
-    return curated.select(
+    footer = F.concat(
+        F.col("text"),
+        F.lit(" contact doc"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+        F.lit(" ip 10.7."),
+        (F.col("doc_id") % 250).cast("string"),
+        F.lit(".9 card 4111-1111-1111-1111"),
+    )
+    pii = redact_pii(curated.withColumn("pii_src", footer), text_col="pii_src")
+    return pii.select(
         "doc_id",
         "split",
         mixture_keep_expr(weights, salt="m1", default_frac=0.1).alias(
             "mix_keep"
         ),
+        "n_pii_card",
+        "n_pii_email",
+        "n_pii_ipv4",
+        "n_pii_phone",
+        F.length("pii_src_redacted").cast("long").alias("redacted_len"),
     )
 
 
