@@ -1572,7 +1572,8 @@ def _q35_oracle() -> str:
     {cms},
     {kmv}
     SELECT hll.order_date, hll.approx_customers, hll.n_zero_registers,
-           cms_est.cms_orders, kmv_est.kmv_customers
+           cms_est.cms_orders, kmv_est.kmv_customers,
+           kmv_est.kmv_customers AS kmv_customers_merged
     FROM hll
     JOIN cms_est ON hll.order_date = cms_est.v
     JOIN kmv_est ON hll.order_date = kmv_est.order_date
@@ -1628,8 +1629,46 @@ def q35_approx_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         estimate_col="kmv_customers",
     ).select("order_date", "kmv_customers")  # the hash ARRAY stays out
     # of the gated output (the driver comparator can't sort arrays)
-    return hll.join(F.broadcast(est), "order_date").join(
-        F.broadcast(kmv), "order_date"
+
+    # r8: kmv_customers_merged — the MERGE path under the same gate.
+    # Per-date sub-sketches over two disjoint customer halves
+    # (custkey mod 2) are kmv_merge'd and re-estimated; KMV merge is
+    # LOSSLESS for union (bottom-k of a union lives inside the union
+    # of the inputs' bottom-ks), so the oracle is simply the direct
+    # estimate again — any merge bug (ordering, slicing, dedup)
+    # breaks the hash equality.
+    sub = sketches.kmv_sketch(
+        orders.select(
+            F.to_date("o_orderdate").alias("order_date"),
+            (F.col("o_custkey") % 2).alias("seg"),
+            "o_custkey",
+        ),
+        group_cols=["order_date", "seg"],
+        value_col="o_custkey",
+        k=64,
+    )
+    halves = sub.groupBy("order_date").agg(
+        F.first(
+            F.when(F.col("seg") == 0, F.col("kmv_hashes")), ignorenulls=True
+        ).alias("_ka"),
+        F.first(
+            F.when(F.col("seg") == 1, F.col("kmv_hashes")), ignorenulls=True
+        ).alias("_kb"),
+    )
+    empty = F.array().cast("array<bigint>")
+    msk = sketches.kmv_merge(
+        F.coalesce(F.col("_ka"), empty), F.coalesce(F.col("_kb"), empty), k=64
+    )
+    merged = halves.select(
+        "order_date",
+        sketches.kmv_estimate_from_sketch(msk, k=64).alias(
+            "kmv_customers_merged"
+        ),
+    )
+    return (
+        hll.join(F.broadcast(est), "order_date")
+        .join(F.broadcast(kmv), "order_date")
+        .join(F.broadcast(merged), "order_date")
     )
 
 
@@ -2978,32 +3017,72 @@ def q54_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _zkey_oracle_interleave(qc: str, qk: str, bits: int = 16) -> str:
+    """Morton interleave of two pre-quantized BIGINT expressions as
+    DuckDB bit arithmetic — mirrors operators/layout._interleave (bit i
+    of column j lands at position i*n + j; column 0 even, column 1
+    odd)."""
+    terms = [f"((({qc} >> {i}) & 1) << {2 * i})" for i in range(bits)]
+    terms += [f"((({qk} >> {i}) & 1) << {2 * i + 1})" for i in range(bits)]
+    return " | ".join(terms)
+
+
 @query(
     "q55_customer_spend_quartiles",
-    """
+    f"""
     WITH spend AS (
         SELECT o_custkey AS cust_key,
                SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents
         FROM orders GROUP BY o_custkey
+    ),
+    bounds AS (
+        SELECT MIN(CAST(cents AS DOUBLE)) AS lo_c, MAX(CAST(cents AS DOUBLE)) AS hi_c,
+               MIN(CAST(cust_key AS DOUBLE)) AS lo_k, MAX(CAST(cust_key AS DOUBLE)) AS hi_k
+        FROM spend
+    ),
+    qz AS (
+        SELECT s.cust_key, s.cents,
+               CAST(CASE WHEN b.hi_c - b.lo_c > 0
+                    THEN floor((CAST(s.cents AS DOUBLE) - b.lo_c) / (b.hi_c - b.lo_c) * 65535.0)
+                    ELSE 0 END AS BIGINT) AS qc,
+               CAST(CASE WHEN b.hi_k - b.lo_k > 0
+                    THEN floor((CAST(s.cust_key AS DOUBLE) - b.lo_k) / (b.hi_k - b.lo_k) * 65535.0)
+                    ELSE 0 END AS BIGINT) AS qk
+        FROM spend s, bounds b
     )
     SELECT cust_key,
            CAST(cents AS DOUBLE) / 100 AS total_spend,
-           CAST(NTILE(4) OVER (ORDER BY cents DESC, cust_key) AS INT) AS quartile
-    FROM spend
+           CAST(NTILE(4) OVER (ORDER BY cents DESC, cust_key) AS INT) AS quartile,
+           CAST({_zkey_oracle_interleave("qc", "qk")} AS BIGINT) AS zkey
+    FROM qz
     """,
 )
 def q55_customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NTILE quartiles over exact per-customer spend — deterministic
-    bucket boundaries (exact cents ordering + cust_key tie-break)."""
+    bucket boundaries (exact cents ordering + cust_key tie-break).
+
+    r8 depth: ``zkey`` — the Z-order (Morton) clustering key from
+    operators/layout.zorder_key over (cents, cust_key), bits=16, under
+    the hash gate: the oracle re-derives min-max quantization (the
+    identical IEEE expression (x−lo)/span·65535 on both engines —
+    deterministic because floor() of the same well-defined double
+    chain is midpoint-free) and the 32-bit interleave as pure SQL bit
+    arithmetic. This is the key a ``write_zordered`` layout pass would
+    range-partition on — its math now carries driver proof, not just
+    unit pins."""
+    from ..operators.layout import zorder_key
+
     o = _t(spark, sf_dir, "orders")
     spend = o.groupBy(F.col("o_custkey").alias("cust_key")).agg(
         F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")).alias("cents")
     )
+    with_b, z = zorder_key(spend, ["cents", "cust_key"], bits=16)
     w = Window.orderBy(F.col("cents").desc(), F.col("cust_key"))
-    return spend.select(
+    return with_b.select(
         "cust_key",
         (F.col("cents").cast("double") / 100).alias("total_spend"),
         F.ntile(4).over(w).cast("int").alias("quartile"),
+        z.alias("zkey"),
     )
 
 

@@ -2355,3 +2355,38 @@ def test_flac_features_match_wav_and_dispatch(spark):
     assert out[1].decoder == "flac"
     assert out[2].decoder == "wav"
     assert list(out[1].feature) == list(out[2].feature)
+
+
+def test_flac_roundtrip_property_fuzz():
+    """Hypothesis sweep: arbitrary int16 signals through randomized
+    encoder configurations (subframe type x partition order x rice
+    method x stereo mode) must decode bit-exact."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        data=st.lists(
+            st.integers(min_value=-32768, max_value=32767),
+            min_size=64, max_size=64,
+        ),
+        kind=st.sampled_from(
+            ["verbatim", "fixed0", "fixed1", "fixed2", "fixed3", "fixed4", "lpc"]
+        ),
+        porder=st.sampled_from([0, 1, 2]),
+        method=st.sampled_from([0, 1]),
+        escape=st.booleans(),
+        mode=st.sampled_from(["indep", "ls", "rs", "ms"]),
+    )
+    def run(data, kind, porder, method, escape, mode):
+        chans = [data, data[::-1]]
+        payload = _encode_flac(
+            chans,
+            frames=[{"n": 64, "mode": mode}],
+            kind=kind, porder=porder, method=method, escape=escape,
+        )
+        arr, _, _ = multimodal.decode_flac(payload)
+        assert [int(v) for v in arr[:, 0]] == chans[0]
+        assert [int(v) for v in arr[:, 1]] == chans[1]
+
+    run()
