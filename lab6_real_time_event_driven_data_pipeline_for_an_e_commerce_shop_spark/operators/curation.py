@@ -414,3 +414,68 @@ def snapshot_diff(
             change == "changed", F.array_join(diff_names, ",")
         ).otherwise(F.lit("")).alias("changed_cols"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 128,
+    stride: int | None = None,
+) -> DataFrame:
+    """Token-window chunking — the long-document → context-window
+    splitter every pretraining/RAG ingest runs before tokenization:
+    each document becomes ceil(max(n_tokens − overlap, 1) / stride)
+    rows of ``chunk_tokens`` whitespace tokens, windows starting every
+    ``stride`` tokens (stride < chunk_tokens ⇒ overlapping windows;
+    default stride = chunk_tokens ⇒ disjoint). Output grain:
+    (id, chunk_idx, n_chunk_tokens, chunk_text); docs shorter than one
+    window yield exactly one chunk.
+
+    Spark-first shape: the token array is LET-BOUND once per row
+    (``transform(array(tokens), t -> …)`` — the r6 winnowing lesson:
+    a bare ``slice(tokens(text), …)`` inside a per-chunk lambda would
+    re-run the whitespace split per window) and the window starts are
+    a ``sequence(1, n, stride)``; total work is O(output tokens), pure
+    codegen'd SQL expressions, no UDF, chunking never shuffles (the
+    explode is pipelined into the scan)."""
+    from .text import tokens
+
+    if stride is None:
+        stride = chunk_tokens
+    if stride < 1 or chunk_tokens < 1:
+        raise ValueError("chunk_tokens and stride must be >= 1")
+    t = F.col(text_col)
+    chunks = F.get(
+        F.transform(
+            F.array(tokens(t)),
+            lambda tk: F.transform(
+                F.sequence(
+                    F.lit(1),
+                    # last start: the stride step that still reaches a
+                    # not-yet-covered token (≤ n for gap strides, i.e.
+                    # stride > chunk); short docs (n <= chunk) collapse
+                    # to the single start 1
+                    F.greatest(
+                        F.least(
+                            F.size(tk) - (chunk_tokens - stride), F.size(tk)
+                        ),
+                        F.lit(1),
+                    ),
+                    F.lit(stride),
+                ),
+                lambda s: F.slice(tk, s, chunk_tokens),
+            ),
+        ),
+        F.lit(0),
+    )
+    out = df.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_idx", "_ctoks"),
+    )
+    return out.select(
+        id_col,
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size("_ctoks").cast("int").alias("n_chunk_tokens"),
+        F.array_join("_ctoks", " ").alias("chunk_text"),
+    )

@@ -1573,7 +1573,8 @@ def _q35_oracle() -> str:
     {kmv}
     SELECT hll.order_date, hll.approx_customers, hll.n_zero_registers,
            cms_est.cms_orders, kmv_est.kmv_customers,
-           kmv_est.kmv_customers AS kmv_customers_merged
+           kmv_est.kmv_customers AS kmv_customers_merged,
+           cms_est.cms_orders AS cms_orders_merged
     FROM hll
     JOIN cms_est ON hll.order_date = cms_est.v
     JOIN kmv_est ON hll.order_date = kmv_est.order_date
@@ -1603,7 +1604,16 @@ def q35_approx_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
       always ≥ the true count, reproduced cell-for-cell by the DuckDB
       oracle (cms_oracle_sql — same md5 affine family as the Bloom
       filter). Sketch-sized sides ride broadcast joins; the HLL branch
-      keeps its two bounded shuffles (plan-pinned)."""
+      keeps its two bounded shuffles (plan-pinned).
+
+    - r8: ``kmv_customers_merged`` / ``cms_orders_merged`` — the MERGE
+      paths of both families under the same gate: per-date sub-sketches
+      over disjoint customer halves are merged (KMV: bottom-k of the
+      array union, lossless for union cardinality; CMS: cell-wise sum,
+      linear) and re-estimated. Each merged estimate must equal the
+      direct one, so the oracle simply aliases the direct column — the
+      hash gate thereby proves the merge operators, the property every
+      cross-partition/cross-batch 100 TB aggregation relies on."""
     from ..operators import sketches
 
     orders = _t(spark, sf_dir, "orders")
@@ -1665,10 +1675,31 @@ def q35_approx_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kmv_customers_merged"
         ),
     )
+
+    # r8: cms_orders_merged — CMS merge is cell-wise SUM (counts are
+    # linear), so merging the two halves' cell tables reproduces the
+    # direct global cell table exactly; the re-estimate must equal
+    # cms_orders cell-for-cell.
+    d_even = orders.filter(F.col("o_custkey") % 2 == 0).select(
+        F.to_date("o_orderdate").alias("order_date")
+    )
+    d_odd = orders.filter(F.col("o_custkey") % 2 == 1).select(
+        F.to_date("o_orderdate").alias("order_date")
+    )
+    mcells = sketches.cms_merge(
+        sketches.cms_sketch(d_even, [], "order_date", width=256),
+        sketches.cms_sketch(d_odd, [], "order_date", width=256),
+        group_cols=[],
+    )
+    mest = sketches.cms_estimate(
+        mcells, dates.distinct(), [], "order_date", width=256,
+        estimate_col="cms_orders_merged",
+    )
     return (
         hll.join(F.broadcast(est), "order_date")
         .join(F.broadcast(kmv), "order_date")
         .join(F.broadcast(merged), "order_date")
+        .join(F.broadcast(mest), "order_date")
     )
 
 

@@ -1586,3 +1586,72 @@ def test_pq_adc_expr_equals_encode_plus_topk(spark):
         ).collect()
     }
     assert two_stage == one_proj and len(one_proj) == n
+
+
+def test_chunk_documents_parity_and_invariants(spark):
+    """Token-window chunking (r8): disjoint, overlapping, and gap
+    strides match a DuckDB re-derivation row-for-row, disjoint chunks
+    reassemble the document exactly, and no chunk exceeds the window."""
+    import duckdb
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        curation,
+    )
+
+    rows = [
+        (1, ""),                                    # degenerate
+        (2, "one"),                                 # single token
+        (3, " ".join(f"t{i}" for i in range(7))),   # < chunk
+        (4, " ".join(f"t{i}" for i in range(8))),   # == chunk
+        (5, " ".join(f"t{i}" for i in range(9))),   # chunk + 1
+        (6, " ".join(f"t{i}" for i in range(45))),  # long
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE docs AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in rows)
+        + ") v(doc_id, text)"
+    )
+
+    for chunk, stride in [(8, 8), (8, 4), (8, 12)]:
+        got = sorted(
+            tuple(r)
+            for r in curation.chunk_documents(
+                df, chunk_tokens=chunk, stride=stride
+            ).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in con.execute(f"""
+                WITH tok AS (
+                  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+                  FROM docs
+                ),
+                st AS (
+                  SELECT doc_id, t,
+                         unnest(generate_series(
+                             1,
+                             GREATEST(LEAST(len(t) - ({chunk} - {stride}), len(t)), 1),
+                             {stride})) AS s
+                  FROM tok
+                )
+                SELECT doc_id,
+                       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS INT),
+                       CAST(len(t[s:s+{chunk}-1]) AS INT),
+                       array_to_string(t[s:s+{chunk}-1], ' ')
+                FROM st
+            """).fetchall()
+        )
+        assert got == want, (chunk, stride)
+        assert all(r[2] <= chunk for r in got)
+
+    # disjoint chunks reassemble the exact token stream
+    disjoint = curation.chunk_documents(df, chunk_tokens=8, stride=8).collect()
+    doc6 = sorted((r.chunk_idx, r.chunk_text) for r in disjoint if r.doc_id == 6)
+    assert " ".join(t for _, t in doc6) == rows[5][1]
+    assert [n for n in (r.n_chunk_tokens for r in disjoint if r.doc_id == 6)] \
+        and sum(r.n_chunk_tokens for r in disjoint if r.doc_id == 6) == 45
+    # overlap: stride 4 with chunk 8 duplicates interior tokens
+    overlap = curation.chunk_documents(df, chunk_tokens=8, stride=4).collect()
+    assert sum(r.n_chunk_tokens for r in overlap if r.doc_id == 6) > 45
