@@ -1757,6 +1757,12 @@ def q36_date_formatting(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q37_stream_medallion_gold",
     f"""
     WITH keys AS (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 40),
+         li1 AS (
+           SELECT * FROM lineitem
+           QUALIFY row_number() OVER (
+               PARTITION BY l_orderkey, l_partkey ORDER BY l_linenumber
+           ) = 1
+         ),
          enriched AS (
            SELECT CAST(o.o_orderdate AS DATE) AS order_date,
                   o.o_orderkey AS order_id,
@@ -1765,7 +1771,7 @@ def q36_date_formatting(spark: SparkSession, sf_dir: str) -> DataFrame:
                   l.l_extendedprice AS sale_price,
                   CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS returned
            FROM orders o
-           JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+           JOIN li1 l ON o.o_orderkey = l.l_orderkey
            JOIN part p     ON l.l_partkey = p.p_partkey
            WHERE o.o_orderkey IN (SELECT o_orderkey FROM keys)
          )
@@ -1829,8 +1835,41 @@ def q37_stream_medallion_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _orders(spark, sf_dir).join(
         F.broadcast(keys.withColumnRenamed("o_orderkey", "order_id")), "order_id", "left_semi"
     )
-    li = _items(spark, sf_dir).join(
-        F.broadcast(keys.withColumnRenamed("o_orderkey", "order_id")), "order_id", "left_semi"
+    # NOT _items(): the synthesized feed must honor the UPSTREAM PK
+    # CONTRACT the reference's silver MERGE assumes — transform.py:
+    # 331-336 keys on (order_id, product_id), i.e. the reference's
+    # order_items carries at most one row per pair. TPC-H lineitem
+    # legitimately repeats (l_orderkey, l_partkey) across line numbers
+    # (sf0.001's 40-orderkey slice has 2 such pairs; sf0.01/sf0.1
+    # happen to have 0 — found by the r8 off-gate-SF driver-sim
+    # sweep), and feeding both rows would hit ambiguous multi-source-
+    # row MERGE semantics (real Delta ERRORS on it). So the slice
+    # keeps the FIRST line number per pair, and the oracle applies the
+    # identical QUALIFY cut (li1).
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("order_id"),
+            F.col("l_partkey").alias("product_id"),
+            F.col("l_linenumber").alias("line_no"),
+            F.col("l_extendedprice").alias("sale_price"),
+            F.when(F.col("l_returnflag") == "R", F.col("l_shipdate")).alias(
+                "returned_at"
+            ),
+        )
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("order_id", "product_id").orderBy("line_no")
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .join(
+            F.broadcast(keys.withColumnRenamed("o_orderkey", "order_id")),
+            "order_id",
+            "left_semi",
+        )
     )
     prod = _products(spark, sf_dir)
 
@@ -1853,7 +1892,9 @@ def q37_stream_medallion_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
         .csv(pipe.landing("orders"))
     )
     li_csv = li.select(
-        F.concat_ws("_", F.col("order_id"), F.col("product_id")).alias("id"),
+        F.concat_ws(
+            "_", F.col("order_id"), F.col("product_id"), F.col("line_no")
+        ).alias("id"),
         F.col("order_id").cast("string"),
         F.lit("u").alias("user_id"),
         F.col("product_id").cast("string"),

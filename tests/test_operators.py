@@ -1655,3 +1655,48 @@ def test_chunk_documents_parity_and_invariants(spark):
     # overlap: stride 4 with chunk 8 duplicates interior tokens
     overlap = curation.chunk_documents(df, chunk_tokens=8, stride=4).collect()
     assert sum(r.n_chunk_tokens for r in overlap if r.doc_id == 6) > 45
+
+
+def test_chunk_documents_property_coverage(spark):
+    """Property sweep: for arbitrary doc lengths and (chunk, stride)
+    combos, every token lands in ≥1 chunk, chunk widths never exceed
+    the window, disjoint strides reassemble exactly, and chunk 0
+    always starts at token 0."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        curation,
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        n=st.integers(min_value=0, max_value=60),
+        chunk=st.integers(min_value=1, max_value=12),
+        stride=st.integers(min_value=1, max_value=16),
+    )
+    def run(n, chunk, stride):
+        text = " ".join(f"w{i}" for i in range(n))
+        df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+        out = sorted(
+            curation.chunk_documents(
+                df, chunk_tokens=chunk, stride=stride
+            ).collect(),
+            key=lambda r: r.chunk_idx,
+        )
+        assert out, (n, chunk, stride)  # never zero chunks
+        toks = text.split(" ") if n else [""]
+        seen = set()
+        for r in out:
+            ct = r.chunk_text.split(" ") if r.chunk_text else [""]
+            assert len(ct) == r.n_chunk_tokens <= chunk
+            start = r.chunk_idx * stride
+            assert ct == toks[start : start + chunk], (n, chunk, stride)
+            seen.update(range(start, start + len(ct)))
+        if stride <= chunk:
+            assert seen == set(range(len(toks)))  # full coverage
+        if stride == chunk:
+            joined = " ".join(r.chunk_text for r in out)
+            assert joined == (text if n else "")
+
+    run()
