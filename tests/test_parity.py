@@ -200,3 +200,32 @@ def test_query_matches_oracle_sf01(spark, name):
     assert sorted(sdf.columns) == sorted(duck_cols)
     assert len(spark_rows) == len(duck_rows)
     assert _normalize(spark_rows, sdf.columns) == _normalize(duck_rows, duck_cols)
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_FULL_PARITY"),
+    reason="off-gate-SF parity sweep; enable with SPARK_GRAFT_FULL_PARITY=1",
+)
+@pytest.mark.parametrize("name", QUERY_NAMES)
+def test_query_matches_oracle_sf0001(spark, name):
+    """Same oracle gate at sf0.001 (a DIFFERENT slice of the key space,
+    not just a smaller one) — r8 found a real latent bug this way:
+    sf0.001's 40-orderkey q37 slice contains duplicate
+    (l_orderkey, l_partkey) pairs that sf0.01/sf0.1's slices happen to
+    lack, which silently collapsed in the (order_id, product_id)-keyed
+    silver MERGE. Every query must match its oracle on every testdata
+    SF, not only the driver's gate SF."""
+    qfn = entrymod.queries()[name]
+    oracle = entrymod.oracle_sql().get(name)
+    sf_dir = "/root/testdata/sf0.001"
+    sdf = qfn(spark, sf_dir)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    if oracle is None:
+        return
+    con = _duck(sf_dir)
+    res = con.execute(oracle)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    assert sorted(sdf.columns) == sorted(duck_cols)
+    assert len(spark_rows) == len(duck_rows)
+    assert _normalize(spark_rows, sdf.columns) == _normalize(duck_rows, duck_cols)

@@ -101,8 +101,13 @@ def main() -> int:
     spark = (
         SparkSession.builder.master("local[8]")
         # hostile probe: driver session tz is unknown; results must be
-        # tz-invariant (testdata timestamps are NTZ)
-        .config("spark.sql.session.timeZone", "America/New_York")
+        # tz-invariant (testdata timestamps are NTZ). Override with
+        # SPARK_GRAFT_SIM_TZ to sweep nastier offsets (e.g.
+        # Asia/Kathmandu's +05:45).
+        .config(
+            "spark.sql.session.timeZone",
+            os.environ.get("SPARK_GRAFT_SIM_TZ", "America/New_York"),
+        )
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
