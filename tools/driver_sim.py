@@ -99,7 +99,13 @@ def main() -> int:
     import __spark_entry__ as entry
 
     spark = (
-        SparkSession.builder.master("local[8]")
+        SparkSession.builder.master(
+            # SPARK_GRAFT_SIM_MASTER sweeps parallelism: exact-integer/
+            # decimal aggregation discipline means results must be
+            # IDENTICAL at any partitioning (a raw double sum would
+            # differ in the last ulp between local[2] and local[32])
+            os.environ.get("SPARK_GRAFT_SIM_MASTER", "local[8]")
+        )
         # hostile probe: driver session tz is unknown; results must be
         # tz-invariant (testdata timestamps are NTZ). Override with
         # SPARK_GRAFT_SIM_TZ to sweep nastier offsets (e.g.
