@@ -2729,6 +2729,38 @@ _PHASH_SAMPLE2 = (
 )
 
 
+def _pii_oracle_cols() -> tuple[str, str]:
+    """(count_cols, redacted_len_col) DuckDB fragments built FROM
+    PII_PATTERNS itself (single source of truth — the oracle regex can
+    never drift from the shipped one). Patterns are RE2-safe by design
+    (operators/curation.py): both engines enumerate identical spans."""
+    from ..operators.curation import PII_PATTERNS
+
+    kinds = sorted(PII_PATTERNS)
+    counts = ",\n           ".join(
+        f"CAST(len(regexp_extract_all(pii_src, '{PII_PATTERNS[k]}')) AS BIGINT)"
+        f" AS n_pii_{k}"
+        for k in kinds
+    )
+    red = "pii_src"
+    for k in kinds:
+        red = f"regexp_replace({red}, '{PII_PATTERNS[k]}', '<{k.upper()}>', 'g')"
+    return counts, f"CAST(length({red}) AS BIGINT) AS redacted_len"
+
+
+_PII_COUNT_COLS, _PII_RED_COL = _pii_oracle_cols()
+
+# deterministic synthetic PII footer (the corpus itself is PII-free):
+# one email / phone / ipv4 / card per doc, parameterized by doc_id so
+# counts and redacted lengths vary per row and both engines can build
+# the identical source text.
+_PII_FOOTER_SQL = (
+    "' contact doc' || CAST(doc_id AS VARCHAR) || '@example.com or +1-555-' || "
+    "CAST(1000 + doc_id % 9000 AS VARCHAR) || ' ip 10.7.' || "
+    "CAST(doc_id % 250 AS VARCHAR) || '.9 card 4111-1111-1111-1111'"
+)
+
+
 @query(
     "q52_train_val_test_split",
     f"""
@@ -2803,6 +2835,15 @@ _PHASH_SAMPLE2 = (
                     WHEN o.split <> n.split THEN 'split'
                     ELSE '' END AS changed_cols
         FROM v_old o FULL OUTER JOIN v_new n ON o.doc_id = n.doc_id
+    ),
+    pii AS (
+        SELECT doc_id, text || {_PII_FOOTER_SQL} AS pii_src FROM documents
+    ),
+    pii_cols AS (
+        SELECT doc_id,
+           {_PII_COUNT_COLS},
+           {_PII_RED_COL}
+        FROM pii
     )
     SELECT sp.doc_id, sp.split, sp.sampled20,
            CASE WHEN sp.split = 'test' THEN CAST(0 AS BIGINT)
@@ -2811,11 +2852,14 @@ _PHASH_SAMPLE2 = (
            d.domain_rank,
            d.domain_rank <= 10 AS domain_kept,
            COALESCE(sd.change_type, 'absent') AS change_type,
-           COALESCE(sd.changed_cols, '') AS changed_cols
+           COALESCE(sd.changed_cols, '') AS changed_cols,
+           p.n_pii_card, p.n_pii_email, p.n_pii_ipv4, p.n_pii_phone,
+           p.redacted_len
     FROM splits sp
     LEFT JOIN leak l ON sp.doc_id = l.doc_id
     JOIN dcap d ON d.doc_id = sp.doc_id
     LEFT JOIN sdiff sd ON sd.doc_id = sp.doc_id
+    JOIN pii_cols p ON p.doc_id = sp.doc_id
     """,
 )
 def q52_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2843,12 +2887,25 @@ def q52_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys) restricted to doc_id % 89 ≠ 0. The overlap/re-roll mix
     exercises every change class (added / removed / changed /
     unchanged, plus 'absent' for docs in neither version) and all
-    four changed_cols CSVs under the hash gate."""
+    four changed_cols CSVs under the hash gate.
+
+    r8 depth (2): PII redaction (curation.redact_pii) under the hash
+    gate. The corpus carries no real PII, so every doc gets a
+    deterministic synthetic footer (one email/phone/ipv4/card shaped
+    by doc_id — both engines build the identical source text) and the
+    slot emits the four per-kind match counts plus the REDACTED-text
+    length: counts gate span-enumeration parity, the length gates the
+    sequential replacement itself (any span disagreement shifts it).
+    Pure regexp column expressions, no new join or shuffle. Hosted
+    HERE rather than on q53 because q53 is a bench headline and the
+    regex projection costs ~1 s of one-time codegen/JIT per JVM —
+    q52 is gate-only, where one-time cost is irrelevant."""
     from ..functions.expressions import portable_hash
     from ..operators.curation import (
         assign_split,
         contamination_counts,
         domain_cap,
+        redact_pii,
         snapshot_diff,
         stratified_sample,
     )
@@ -2881,9 +2938,29 @@ def q52_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         (_salted("sample2:") % 100 < 20).alias("sampled20"),
     )
     sdiff = snapshot_diff(v_old, v_new, ["doc_id"], ["sampled20", "split"])
+    footer = F.concat(
+        F.col("text"),
+        F.lit(" contact doc"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+        F.lit(" ip 10.7."),
+        (F.col("doc_id") % 250).cast("string"),
+        F.lit(".9 card 4111-1111-1111-1111"),
+    )
+    pii = redact_pii(
+        with_split.withColumn("pii_src", footer), text_col="pii_src"
+    )
     return (
-        with_split.select(
-            "doc_id", "split", (sample_hash % 100 < 20).alias("sampled20")
+        pii.select(
+            "doc_id",
+            "split",
+            (sample_hash % 100 < 20).alias("sampled20"),
+            "n_pii_card",
+            "n_pii_email",
+            "n_pii_ipv4",
+            "n_pii_phone",
+            F.length("pii_src_redacted").cast("long").alias("redacted_len"),
         )
         .join(leak.select("doc_id", "leak_shingles"), "doc_id")
         .join(strat, "doc_id", "left")
@@ -2898,38 +2975,6 @@ def q52_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             "changed_cols", F.coalesce(F.col("changed_cols"), F.lit(""))
         )
     )
-
-
-def _pii_oracle_cols() -> tuple[str, str]:
-    """(count_cols, redacted_len_col) DuckDB fragments built FROM
-    PII_PATTERNS itself (single source of truth — the oracle regex can
-    never drift from the shipped one). Patterns are RE2-safe by design
-    (operators/curation.py): both engines enumerate identical spans."""
-    from ..operators.curation import PII_PATTERNS
-
-    kinds = sorted(PII_PATTERNS)
-    counts = ",\n           ".join(
-        f"CAST(len(regexp_extract_all(pii_src, '{PII_PATTERNS[k]}')) AS BIGINT)"
-        f" AS n_pii_{k}"
-        for k in kinds
-    )
-    red = "pii_src"
-    for k in kinds:
-        red = f"regexp_replace({red}, '{PII_PATTERNS[k]}', '<{k.upper()}>', 'g')"
-    return counts, f"CAST(length({red}) AS BIGINT) AS redacted_len"
-
-
-_PII_COUNT_COLS, _PII_RED_COL = _pii_oracle_cols()
-
-# deterministic synthetic PII footer (the corpus itself is PII-free):
-# one email / phone / ipv4 / card per doc, parameterized by doc_id so
-# counts and redacted lengths vary per row and both engines can build
-# the identical source text.
-_PII_FOOTER_SQL = (
-    "' contact doc' || CAST(doc_id AS VARCHAR) || '@example.com or +1-555-' || "
-    "CAST(1000 + doc_id % 9000 AS VARCHAR) || ' ip 10.7.' || "
-    "CAST(doc_id % 250 AS VARCHAR) || '.9 card 4111-1111-1111-1111'"
-)
 
 
 @query(
@@ -2972,15 +3017,6 @@ _PII_FOOTER_SQL = (
         HAVING CAST(COUNT(*) AS DOUBLE)
                / ((SELECT n FROM sizes WHERE doc_id = a.doc_id)
                   + (SELECT n FROM sizes WHERE doc_id = b.doc_id) - COUNT(*)) >= 0.6
-    ),
-    pii AS (
-        SELECT doc_id, text || {_PII_FOOTER_SQL} AS pii_src FROM exact_kept
-    ),
-    pii_cols AS (
-        SELECT doc_id,
-           {_PII_COUNT_COLS},
-           {_PII_RED_COL}
-        FROM pii
     )
     SELECT k.doc_id,
            CASE WHEN CAST(concat('0x', substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 12)) AS BIGINT) % 100 < 10 THEN 'test'
@@ -2991,11 +3027,8 @@ _PII_FOOTER_SQL = (
            < CASE d.source WHEN 'src0' THEN 1000000
                            WHEN 'src1' THEN 500000
                            WHEN 'src2' THEN 250000
-                           ELSE 100000 END AS mix_keep,
-           p.n_pii_card, p.n_pii_email, p.n_pii_ipv4, p.n_pii_phone,
-           p.redacted_len
+                           ELSE 100000 END AS mix_keep
     FROM exact_kept k JOIN documents d ON k.doc_id = d.doc_id
-    JOIN pii_cols p ON p.doc_id = k.doc_id
     WHERE k.doc_id NOT IN (SELECT doc_id FROM dropped)
     """,
 )
@@ -3012,44 +3045,22 @@ def q53_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     pretraining corpus applies after curation, flagged instead of
     filtered so the oracle sees both sides. Flagging is a per-row
     hash compare — zero extra joins or shuffles on the curation
-    plan.
-
-    r8 depth: PII redaction (curation.redact_pii) under the hash gate.
-    The corpus carries no real PII, so each kept doc gets a
-    deterministic synthetic footer (one email/phone/ipv4/card shaped
-    by doc_id — both engines build the identical source text) and the
-    slot emits the four per-kind match counts plus the REDACTED-text
-    length: counts gate span enumeration parity, the length gates the
-    sequential replacement itself (any span disagreement shifts it).
-    Pure regexp column expressions — per-row JVM codegen work, no new
-    join or shuffle on the curation plan."""
-    from ..operators.curation import curate, mixture_keep_expr, redact_pii
+    plan. (The r8 PII-redaction enrichment lives on q52, NOT here:
+    q53 is a bench headline, and the regex-heavy projection costs
+    ~1 s of one-time codegen/JIT per JVM — real cost in a
+    run-once-per-JVM benchmark, noise in a long-lived deployment.
+    Same precedent as r6's mix_keep inline-flag decision.)"""
+    from ..operators.curation import curate, mixture_keep_expr
 
     docs = _t(spark, sf_dir, "documents")
     curated = curate(docs, max_df_pct=50)
     weights = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
-    footer = F.concat(
-        F.col("text"),
-        F.lit(" contact doc"),
-        F.col("doc_id").cast("string"),
-        F.lit("@example.com or +1-555-"),
-        (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
-        F.lit(" ip 10.7."),
-        (F.col("doc_id") % 250).cast("string"),
-        F.lit(".9 card 4111-1111-1111-1111"),
-    )
-    pii = redact_pii(curated.withColumn("pii_src", footer), text_col="pii_src")
-    return pii.select(
+    return curated.select(
         "doc_id",
         "split",
         mixture_keep_expr(weights, salt="m1", default_frac=0.1).alias(
             "mix_keep"
         ),
-        "n_pii_card",
-        "n_pii_email",
-        "n_pii_ipv4",
-        "n_pii_phone",
-        F.length("pii_src_redacted").cast("long").alias("redacted_len"),
     )
 
 
