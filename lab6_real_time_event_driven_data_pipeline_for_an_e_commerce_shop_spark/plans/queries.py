@@ -1857,6 +1857,13 @@ def q37_stream_medallion_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "returned_at"
             ),
         )
+        # broadcast semi-join BEFORE the dedup window: the window then
+        # shuffles only the sliced rows, never the full fact table
+        .join(
+            F.broadcast(keys.withColumnRenamed("o_orderkey", "order_id")),
+            "order_id",
+            "left_semi",
+        )
         .withColumn(
             "_rn",
             F.row_number().over(
@@ -1865,11 +1872,6 @@ def q37_stream_medallion_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("_rn") == 1)
         .drop("_rn")
-        .join(
-            F.broadcast(keys.withColumnRenamed("o_orderkey", "order_id")),
-            "order_id",
-            "left_semi",
-        )
     )
     prod = _products(spark, sf_dir)
 
