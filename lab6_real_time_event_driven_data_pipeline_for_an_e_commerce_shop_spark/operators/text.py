@@ -453,3 +453,73 @@ def rolling_fingerprint(col: Column, modulus: int = 2_147_483_647) -> Column:
         F.lit(0).cast("long"),
         lambda acc, c: (acc * 31 + F.ascii(c)) % modulus,
     )
+
+
+# Published model artifact for model-based quality scoring (the same
+# pattern as the SRP PLANE_SEED and the seeded PQ codebooks): the
+# weights are fixed, documented constants so the score is a pure
+# function of the text — reproducible across engines, runs, and
+# cluster sizes. Units: features are exact integers (chars/tokens
+# capped; ratios in parts-per-million via integer division), weights
+# are small ints, the logit is an int64. Swapping in weights trained
+# offline (e.g. a fastText/CCNet-style classifier distilled to a
+# linear head) changes ONLY this table, not the plan.
+QUALITY_LOGIT_WEIGHTS: dict[str, int] = {
+    "len_capped": 500,      # + per char up to 2000 (substance)
+    "tokens_capped": 2500,  # + per token up to 400
+    "ttr_micro": 2,         # + type-token ratio (vocabulary diversity)
+    "punct_micro": -3,      # - punctuation excess
+    "digit_micro": -4,      # - digit excess (tables/serial dumps)
+    "upper_micro": -3,      # - uppercase excess (shouting/headers)
+    "bias": -800_000_000,
+}
+
+
+def _idiv(a: Column, b: Column) -> Column:
+    """Exact floor division for NON-NEGATIVE int64 columns without
+    leaving integer arithmetic: (a - a mod b) is exactly divisible by
+    b, so the double division is exact (results < 2^53). A plain
+    floor(a / b) risks the classic double-rounding misfloor when the
+    true quotient sits just below an integer."""
+    return ((a - F.pmod(a, b)) / b).cast("long")
+
+
+def quality_logit(
+    df: DataFrame,
+    text_col: str = "text",
+    distinct_col: str = "n_distinct_tokens",
+) -> DataFrame:
+    """Model-based quality score (CCNet/fastText-classifier stage of a
+    pretraining pipeline) as ONE integer-exact column expression:
+    ``quality_logit_micro`` = Σ wᵢ·fᵢ + bias over capped counts and
+    ppm-ratios (see QUALITY_LOGIT_WEIGHTS). All arithmetic is int64 —
+    no float enters the computation, so the score is bit-identical on
+    any engine/partitioning and a DuckDB oracle reproduces it with
+    `//` integer division. Requires ``distinct_col`` (per-doc distinct
+    token count, e.g. from repetition_profile) to be present."""
+    t = F.col(text_col)
+    length = F.length(t).cast("long")
+    n_tok = F.size(tokens(t)).cast("long")
+    no_punct = F.length(F.regexp_replace(t, r"[^\w\s]", "")).cast("long")
+    no_digit = F.length(F.regexp_replace(t, r"[0-9]", "")).cast("long")
+    no_upper = F.length(F.regexp_replace(t, r"[A-Z]", "")).cast("long")
+    lg = F.greatest(length, F.lit(1).cast("long"))
+    tg = F.greatest(n_tok, F.lit(1).cast("long"))
+    m = F.lit(1_000_000).cast("long")
+    w = QUALITY_LOGIT_WEIGHTS
+    logit = (
+        F.lit(w["len_capped"]).cast("long")
+        * F.least(length, F.lit(2000).cast("long"))
+        + F.lit(w["tokens_capped"]).cast("long")
+        * F.least(n_tok, F.lit(400).cast("long"))
+        + F.lit(w["ttr_micro"]).cast("long")
+        * _idiv(F.col(distinct_col).cast("long") * m, tg)
+        + F.lit(w["punct_micro"]).cast("long")
+        * _idiv((length - no_punct) * m, lg)
+        + F.lit(w["digit_micro"]).cast("long")
+        * _idiv((length - no_digit) * m, lg)
+        + F.lit(w["upper_micro"]).cast("long")
+        * _idiv((length - no_upper) * m, lg)
+        + F.lit(w["bias"]).cast("long")
+    )
+    return df.withColumn("quality_logit_micro", logit.cast("long"))

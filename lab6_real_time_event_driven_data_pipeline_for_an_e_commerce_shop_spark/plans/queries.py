@@ -836,7 +836,17 @@ def q22_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     marker hits). r6 depth: Gopher-class repetition signals
     (text.repetition_profile — distinct-token ratio, top unigram and
     adjacent-bigram fractions over the exploded (doc, gram) substrate;
-    every ratio exact-int ÷ exact-int, engine-portable)."""
+    every ratio exact-int ÷ exact-int, engine-portable).
+
+    r8 depth: ``quality_logit_micro`` — MODEL-BASED quality scoring
+    (the CCNet/fastText-classifier stage of a pretraining pipeline) as
+    one integer-exact expression: a linear model over capped counts
+    and ppm-ratios with published weights
+    (text.QUALITY_LOGIT_WEIGHTS, the PLANE_SEED pattern for model
+    artifacts). No float enters the computation, so the logit is
+    bit-identical across engines and partitionings; the oracle
+    reproduces it with `//` integer division from the same weight
+    table (single source of truth)."""
     from ..operators import text as text_ops
 
     langs = sorted(text_ops.LANG_MARKERS)
@@ -849,11 +859,15 @@ def q22_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top_token_frac",
         "top_bigram_frac",
     )
-    return profiled.select(
+    scored = text_ops.quality_logit(profiled.join(rep, "doc_id"))
+    return scored.select(
         "doc_id", "n_chars_actual", "n_tokens",
         "avg_token_len", "punct_ratio", "digit_ratio", "upper_ratio",
         "lang", "predicted_lang", *[f"score_{lang}" for lang in langs],
-    ).join(rep, "doc_id")
+        "n_distinct_tokens", "distinct_token_ratio",
+        "top_token_frac", "top_bigram_frac",
+        "quality_logit_micro",
+    )
 
 
 def _q22_oracle() -> str:
@@ -866,6 +880,14 @@ def _q22_oracle() -> str:
     )
     greatest = "GREATEST(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
     case = " ".join(f"WHEN score_{lang} = _m THEN '{lang}'" for lang in langs)
+    w = text_ops.QUALITY_LOGIT_WEIGHTS  # single source of truth
+    logit_sql = f"""CAST({w['len_capped']} * LEAST(n_chars_actual, 2000)
+           + {w['tokens_capped']} * LEAST(n_tokens, 400)
+           + {w['ttr_micro']} * ((COALESCE(u.nd, 0) * 1000000) // GREATEST(n_tokens, 1))
+           + ({w['punct_micro']}) * (((n_chars_actual - no_punct) * 1000000) // GREATEST(n_chars_actual, 1))
+           + ({w['digit_micro']}) * (((n_chars_actual - no_digit) * 1000000) // GREATEST(n_chars_actual, 1))
+           + ({w['upper_micro']}) * (((n_chars_actual - no_upper) * 1000000) // GREATEST(n_chars_actual, 1))
+           + ({w['bias']}) AS BIGINT) AS quality_logit_micro"""
     return rf"""
     WITH base AS (
         SELECT doc_id, lang,
@@ -918,7 +940,8 @@ def _q22_oracle() -> str:
            CAST(COALESCE(u.topu, 0) AS DOUBLE) / GREATEST(n_tokens, 1)
                AS top_token_frac,
            CAST(COALESCE(b.topb, 0) AS DOUBLE) / GREATEST(n_tokens - 1, 1)
-               AS top_bigram_frac
+               AS top_bigram_frac,
+           {logit_sql}
     FROM m
     LEFT JOIN unigram u ON m.doc_id = u.doc_id
     LEFT JOIN bigram  b ON m.doc_id = b.doc_id

@@ -216,3 +216,38 @@ def test_apply_bpe_keeps_empty_documents(spark):
     out = {r.doc_id: r.n_bpe_subtokens for r in text_ops.apply_bpe(df, []).collect()}
     assert set(out) == {1, 2, 3}
     assert out[1] > 0 and out[2] == 0 and out[3] == 0
+
+
+def test_quality_logit_idiv_and_edges(spark):
+    """quality_logit (r8): _idiv must equal Python // for nonneg int64
+    operands (the double-misfloor hazard it exists to avoid), and the
+    logit is defined for degenerate docs (empty / all-punct / caps)."""
+    import pyspark.sql.functions as F
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        text as text_ops,
+    )
+
+    pairs = [
+        (0, 1), (1, 3), (10**15 + 1, 3), (2**52 + 1, 10**6),
+        (999_999_999_999, 7), (1_000_000, 1_000_000), (5, 10**12),
+    ]
+    df = spark.createDataFrame(pairs, ["a", "b"])
+    got = {
+        (r.a, r.b): r.q
+        for r in df.select(
+            "a", "b", text_ops._idiv(F.col("a"), F.col("b")).alias("q")
+        ).collect()
+    }
+    for a, b in pairs:
+        assert got[(a, b)] == a // b, (a, b)
+
+    rows = [(1, ""), (2, "!!! ??? ..."), (3, "ALL CAPS SHOUTING"),
+            (4, "a normal little sentence with words")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    base = docs.withColumn("n_distinct_tokens", F.lit(3).cast("long"))
+    out = {r.doc_id: r.quality_logit_micro
+           for r in text_ops.quality_logit(base).collect()}
+    assert all(isinstance(v, int) for v in out.values())
+    # ordering sanity: normal text beats punctuation soup and shouting
+    assert out[4] > out[2] and out[4] > out[3]
