@@ -902,3 +902,119 @@ def pq_codebooks_seeded(
             book.append(row)
         out.append(book)
     return out
+
+
+# --- Scalar quantization (int8-class SQ) --------------------------------
+# The memory tier between raw float vectors and PQ codes: per-dimension
+# min-max quantization to [0, 255] cuts vector storage 4x vs float32
+# and turns distance kernels into small-integer dot products (the
+# SIMD-friendly form every production ANN store ships as "SQ8").
+# Everything here is engine-portable by the zkey/PLANE_SEED argument:
+# the quantizer is floor((x - lo)/span * 255) — one well-defined IEEE
+# double chain, midpoint-free under floor — and every score after
+# quantization is exact int64 arithmetic.
+
+SQ_LEVELS = 255
+
+
+def sq_train(df: DataFrame, vec_col: str = "embedding") -> tuple[list[float], list[float]]:
+    """Train the SQ model: per-dimension (min, max) over the corpus —
+    a BOUNDED driver-side artifact (2 × dim doubles, the FAISS
+    ScalarQuantizer train step; same class of collect as the IVF/PQ
+    codebook samples). The distributed work is one posexplode + agg;
+    only the dim-sized bounds row reaches the driver."""
+    flat = df.select(F.posexplode(F.col(vec_col)).alias("pos", "x"))
+    rows = (
+        flat.groupBy("pos")
+        .agg(
+            F.min(F.col("x").cast("double")).alias("lo"),
+            F.max(F.col("x").cast("double")).alias("hi"),
+        )
+        .orderBy("pos")
+        .collect()
+    )
+    return [r.lo for r in rows], [r.hi for r in rows]
+
+
+def _dlit(v: float) -> str:
+    """Exact Spark-SQL DOUBLE literal (repr is shortest-round-trip;
+    the D suffix forces DOUBLE — a bare decimal literal would parse as
+    DECIMAL, the r5 KMV-constant lesson)."""
+    return f"{v!r}D"
+
+
+def sq_encode(
+    df: DataFrame,
+    lo: list[float],
+    hi: list[float],
+    vec_col: str = "embedding",
+    code_col: str = "sq_code",
+) -> DataFrame:
+    """Append ``code_col``: per-dimension [0, 255] quantization of
+    ``vec_col`` against the TRAINED bounds, which live in the plan as
+    literal arrays (the q42 IVF pattern: model artifacts as constants
+    in ONE generated SQL expression — no join, no shuffle, scan-local;
+    and no thousands of py4j-built Column nodes). In-domain values
+    land in [0, 255] exactly (x = hi → 255); out-of-sample clamps.
+    The quantizer chain (x − lo)/span·255 + floor is one well-defined
+    IEEE expression — bit-identical cross-engine (zkey argument)."""
+    lo_sql = "array(" + ", ".join(_dlit(v) for v in lo) + ")"
+    hi_sql = "array(" + ", ".join(_dlit(v) for v in hi) + ")"
+    expr = f"""
+        transform(sequence(1, size({vec_col})), i ->
+            least(greatest(
+                CASE WHEN element_at({hi_sql}, i) - element_at({lo_sql}, i) > 0D
+                     THEN CAST(floor(
+                            (CAST(element_at({vec_col}, i) AS DOUBLE)
+                             - element_at({lo_sql}, i))
+                            / (element_at({hi_sql}, i) - element_at({lo_sql}, i))
+                            * {float(SQ_LEVELS)!r}D) AS BIGINT)
+                     ELSE 0L END,
+                0L), {SQ_LEVELS}L))
+    """
+    return df.withColumn(code_col, F.expr(expr))
+
+
+def sq_dot(a: Column, b: Column) -> Column:
+    """Exact int64 dot product of two SQ code arrays — the integer
+    kernel an SQ-ANN scan runs instead of float cosine (64 dims ×
+    255² ≈ 4.2e6 max per term: far inside int64)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def sq_bounds_sql(vec_expr: str = "embedding", table: str = "embeddings") -> str:
+    """DuckDB CTE fragment: per-dimension bounds as aligned arrays
+    (columns sq_lo, sq_hi — 1 row). The oracle re-derives the bounds
+    RELATIONALLY (no literals — a 17-digit double literal would parse
+    as DECIMAL in DuckDB and double-round); MIN/MAX of the same data
+    are bit-identical to the trained artifact."""
+    return f"""
+    sq_flat AS (
+        SELECT CAST(generate_subscripts({vec_expr}, 1) AS INT) - 1 AS pos,
+               CAST(unnest({vec_expr}) AS DOUBLE) AS x
+        FROM {table}
+    ),
+    sq_b AS (
+        SELECT pos, MIN(x) AS lo, MAX(x) AS hi FROM sq_flat GROUP BY pos
+    ),
+    sq_bounds AS (
+        SELECT list(lo ORDER BY pos) AS sq_lo, list(hi ORDER BY pos) AS sq_hi
+        FROM sq_b
+    )"""
+
+
+def sq_code_sql(vec_expr: str = "embedding") -> str:
+    """DuckDB expression: the SQ code list for ``vec_expr`` given the
+    sq_bounds CTE is in scope (cross-joined). Identical IEEE chain to
+    sq_encode's quantizer."""
+    return f"""
+        list_transform(
+            generate_series(1, len({vec_expr})),
+            i -> GREATEST(LEAST(CASE WHEN sq_hi[i] - sq_lo[i] > 0
+                 THEN CAST(floor((CAST({vec_expr}[i] AS DOUBLE) - sq_lo[i])
+                           / (sq_hi[i] - sq_lo[i]) * {float(SQ_LEVELS)}) AS BIGINT)
+                 ELSE 0 END, {SQ_LEVELS}), 0))"""

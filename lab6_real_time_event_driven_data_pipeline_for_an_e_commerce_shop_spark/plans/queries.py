@@ -1409,9 +1409,19 @@ def _q29_oracle(n_planes: int = 4, dim: int = 64, probe_hamming: int = 2) -> str
     ),
     scored AS (
         {_COSINE_PAIR_SQL.format(cond=cosine_cond)}
+    ),
+    {similarity.sq_bounds_sql()},
+    sq_codes AS (
+        SELECT vec_id, {similarity.sq_code_sql()} AS code
+        FROM embeddings, sq_bounds
     )
-    SELECT a_id AS query_id, b_id AS neighbor_id, ROUND(cos, 6) AS cosine_sim
+    SELECT a_id AS query_id, b_id AS neighbor_id, ROUND(cos, 6) AS cosine_sim,
+           CAST(list_sum(list_transform(
+               generate_series(1, len(ca.code)),
+               i -> ca.code[i] * cb.code[i])) AS BIGINT) AS sq_dot
     FROM scored
+    JOIN sq_codes ca ON ca.vec_id = a_id
+    JOIN sq_codes cb ON cb.vec_id = b_id
     ORDER BY ROUND(cos, 6) DESC, b_id
     LIMIT 10
     """
@@ -1423,14 +1433,47 @@ def q29_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the probe set explodes only on the broadcast query side). r3:
     buckets are integer-exact (±1 planes × floor-quantized vectors), so
     the whole pipeline — bucketing, probing, candidate set, round-6
-    cosine re-rank — is oracle-verified value-for-value (was rows-only)."""
+    cosine re-rank — is oracle-verified value-for-value (was rows-only).
+
+    r8 depth: ``sq_dot`` — the int8-class SCALAR-QUANTIZATION kernel
+    (similarity.sq_train/sq_encode/sq_dot) under the same gate: per-
+    dimension min-max codes in [0, 255] (4× smaller vectors, the "SQ8"
+    tier every production ANN store ships) and the exact int64 code
+    dot product per result pair. The trained bounds live in the plan
+    as literal arrays (the q42 IVF "model artifact as constants"
+    pattern — no join, the q29 no-BNLJ plan pin stays intact); the
+    quantizer is the zkey IEEE-chain argument (floor of an identical
+    double expression) and everything after quantization is integer —
+    bit-portable. The oracle re-derives the bounds RELATIONALLY
+    (double literals would parse as DECIMAL in DuckDB — the r5 KMV
+    lesson) and must agree bit-for-bit."""
     from ..operators import similarity
 
     emb = _t(spark, sf_dir, "embeddings")
     qrow = emb.join(
         F.broadcast(emb.agg(F.min("vec_id").alias("vec_id"))), "vec_id", "left_semi"
     )
-    return similarity.ann_lsh_topk(emb, qrow, k=10, n_planes=4, dim=64, probe_hamming=2)
+    res = similarity.ann_lsh_topk(
+        emb, qrow, k=10, n_planes=4, dim=64, probe_hamming=2
+    )
+    lo, hi = similarity.sq_train(emb)
+    coded = similarity.sq_encode(emb, lo, hi).select("vec_id", "sq_code")
+    qc = coded.select(
+        F.col("vec_id").alias("query_id"), F.col("sq_code").alias("_qc")
+    )
+    nc = coded.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("sq_code").alias("_nc")
+    )
+    return (
+        res.join(qc, "query_id")
+        .join(nc, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cosine_sim",
+            similarity.sq_dot(F.col("_qc"), F.col("_nc")).alias("sq_dot"),
+        )
+    )
 
 
 _REGISTRY["q29_ann_lsh_topk"] = Query("q29_ann_lsh_topk", q29_ann_lsh_topk, _q29_oracle())

@@ -1700,3 +1700,59 @@ def test_chunk_documents_property_coverage(spark):
             assert joined == (text if n else "")
 
     run()
+
+
+def test_sq_quantization_duckdb_parity(spark):
+    """int8-class scalar quantization (r8): codes and integer dot
+    products must match a DuckDB re-derivation exactly (the zkey
+    argument: floor of an identical IEEE chain + pure int64 after),
+    and in-domain codes span [0, 255] with hi mapping to 255."""
+    import duckdb
+
+    import pyspark.sql.functions as F
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        similarity,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    lo, hi = similarity.sq_train(emb)
+    assert len(lo) == len(hi) == 64
+    coded = similarity.sq_encode(emb, lo, hi)
+    got = {
+        r.vec_id: list(r.sq_code)
+        for r in coded.select("vec_id", "sq_code").collect()
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        "'/root/testdata/sf0.001/embeddings.parquet'"
+    )
+    want = dict(
+        con.execute(f"""
+        WITH {similarity.sq_bounds_sql()}
+        SELECT vec_id, {similarity.sq_code_sql()} AS code
+        FROM embeddings, sq_bounds
+        """).fetchall()
+    )
+    assert set(got) == set(want)
+    for vid in got:
+        assert got[vid] == list(want[vid]), vid
+    flat = [c for v in got.values() for c in v]
+    assert min(flat) == 0 and max(flat) == 255
+
+    # integer dot product parity on a few pairs
+    ids = sorted(got)[:4]
+    a = coded.filter(F.col("vec_id") == ids[0]).select(
+        F.col("sq_code").alias("ca")
+    )
+    for other in ids[1:]:
+        b = coded.filter(F.col("vec_id") == other).select(
+            F.col("sq_code").alias("cb")
+        )
+        spark_dot = a.crossJoin(b).select(
+            similarity.sq_dot(F.col("ca"), F.col("cb")).alias("d")
+        ).collect()[0].d
+        py_dot = sum(x * y for x, y in zip(got[ids[0]], got[other]))
+        assert spark_dot == py_dot, other
