@@ -762,12 +762,27 @@ def q18_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ROWS UNBOUNDED PRECEDING
                ) AS c
         FROM hashed
+    ), tokc AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents
+    ), chunk_starts AS (
+        SELECT doc_id, t,
+               unnest(generate_series(
+                   1,
+                   GREATEST(LEAST(len(t) - (128 - 96), len(t)), 1),
+                   96)) AS s
+        FROM tokc
+    ), chunk_stats AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(len(t[s:s+127])) AS BIGINT) AS chunk_tokens_total
+        FROM chunk_starts GROUP BY doc_id
     )
-    SELECT doc_id, n_tokens, n_bpe_tokens,
+    SELECT cum.doc_id, n_tokens, n_bpe_tokens,
            CAST(shard AS INT) AS shard,
            CAST((c - n_tokens) // 512 AS BIGINT) AS pack_id,
-           CAST((c - n_tokens) % 512 AS BIGINT) AS pack_offset
-    FROM cum
+           CAST((c - n_tokens) % 512 AS BIGINT) AS pack_offset,
+           cs.n_chunks, cs.chunk_tokens_total
+    FROM cum JOIN chunk_stats cs ON cs.doc_id = cum.doc_id
     """,
 )
 def q20_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -777,17 +792,36 @@ def q20_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     trainer-ready packing layout (curation.pack_sequences, 512-token
     budget, 8 hash shards) — shard / pack_id / pack_offset from the
     exclusive running sum in portable-hash order; all integer
-    arithmetic (`div`, never `/`), window parallel across shards."""
-    from ..operators import text as text_ops
-    from ..operators.curation import pack_sequences
+    arithmetic (`div`, never `/`), window parallel across shards.
 
-    toks = text_ops.token_count(_t(spark, sf_dir, "documents"))
+    r8 depth: ``n_chunks`` / ``chunk_tokens_total`` — the token-window
+    CHUNKING layer (curation.chunk_documents, chunk=128, stride=96:
+    overlapping context windows) aggregated back to doc grain, so the
+    real chunk operator (let-bound token array, window-start sequence,
+    slice widths) runs end-to-end under the hash gate; the oracle
+    re-derives the identical start/width arithmetic with DuckDB list
+    slicing."""
+    from ..operators import text as text_ops
+    from ..operators.curation import chunk_documents, pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = text_ops.token_count(docs)
     base = toks.select(
         "doc_id",
         "n_tokens",
         F.size(text_ops.bpe_ish_tokens(F.col("text"))).cast("long").alias("n_bpe_tokens"),
     )
-    return pack_sequences(base, budget_tokens=512, n_shards=8)
+    chunk_stats = (
+        chunk_documents(docs, chunk_tokens=128, stride=96)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum("n_chunk_tokens").cast("long").alias("chunk_tokens_total"),
+        )
+    )
+    return pack_sequences(base, budget_tokens=512, n_shards=8).join(
+        chunk_stats, "doc_id"
+    )
 
 
 @query(
