@@ -1018,3 +1018,41 @@ def sq_code_sql(vec_expr: str = "embedding") -> str:
                  THEN CAST(floor((CAST({vec_expr}[i] AS DOUBLE) - sq_lo[i])
                            / (sq_hi[i] - sq_lo[i]) * {float(SQ_LEVELS)}) AS BIGINT)
                  ELSE 0 END, {SQ_LEVELS}), 0))"""
+
+
+def sq_topk(
+    df_coded: DataFrame,
+    lo: list[float],
+    hi: list[float],
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "sq_code",
+) -> DataFrame:
+    """Asymmetric SQ top-k: rank corpus CODES against an exact query
+    vector without decoding. With reconstruction x̂ᵢ = loᵢ + cᵢ·sᵢ
+    (sᵢ = spanᵢ/255), the query inner product ⟨q, x̂⟩ differs from
+    Σ (qᵢ·sᵢ)·cᵢ only by a row-independent constant — so ranking needs
+    just per-dim weights wᵢ = qᵢ·sᵢ. Those are integerized driver-side
+    (floor(w·2²⁰), the QUANT pattern), making the row score an EXACT
+    int64 fold over the int codes: deterministic on any engine or
+    partitioning, and the same m-lookups-per-row cost shape as the PQ
+    ADC scan. Output: (neighbor_id, sq_score) descending, id
+    tie-break."""
+    lvl = float(SQ_LEVELS)
+    w_int = [
+        int(math.floor(q * ((h - l) / lvl) * QUANT))
+        for q, l, h in zip(query_vec, lo, hi)
+    ]
+    w_sql = "array(" + ", ".join(f"{w}L" for w in w_int) + ")"
+    score = F.expr(
+        f"""aggregate(zip_with({code_col}, {w_sql}, (c, w) -> c * w),
+                      0L, (acc, v) -> acc + v)"""
+    )
+    return (
+        df_coded.select(
+            F.col(id_col).alias("neighbor_id"), score.alias("sq_score")
+        )
+        .orderBy(F.col("sq_score").desc(), F.col("neighbor_id"))
+        .limit(k)
+    )

@@ -1756,3 +1756,99 @@ def test_sq_quantization_duckdb_parity(spark):
         ).collect()[0].d
         py_dot = sum(x * y for x, y in zip(got[ids[0]], got[other]))
         assert spark_dot == py_dot, other
+
+
+def test_sq_topk_recall_vs_exact_cosine(spark):
+    """Asymmetric SQ search (r8): the integer-weight SQ scan's top-10
+    must recover most of the exact-cosine top-10 (8-bit quantization
+    loses little), deterministically. Pinned recall on the fixed
+    corpus; also checks the score is exactly the integer fold it
+    claims to be."""
+    import math as _math
+
+    import pyspark.sql.functions as F
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        similarity,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    lo, hi = similarity.sq_train(emb)
+    coded = similarity.sq_encode(emb, lo, hi)
+
+    qrow = emb.orderBy("vec_id").limit(1).collect()[0]
+    qvec = [float(x) for x in qrow.embedding]
+
+    exact = similarity.cosine_topk(
+        emb, emb.filter(F.col("vec_id") == qrow.vec_id)
+    )
+    exact_ids = {r.neighbor_id for r in exact.collect()}
+
+    got = similarity.sq_topk(
+        coded.filter(F.col("vec_id") != qrow.vec_id), lo, hi, qvec, k=10
+    ).collect()
+    got_ids = [r.neighbor_id for r in got]
+    recall = len(exact_ids & set(got_ids))
+    assert recall >= 7, (recall, got_ids, sorted(exact_ids))
+
+    # score is the exact integer fold of codes x integerized weights
+    codes = {
+        r.vec_id: list(r.sq_code)
+        for r in coded.filter(F.col("vec_id").isin(got_ids)).collect()
+    }
+    lvl = 255.0
+    w_int = [
+        int(_math.floor(q * ((h - l) / lvl) * similarity.QUANT))
+        for q, l, h in zip(qvec, lo, hi)
+    ]
+    for r in got:
+        assert r.sq_score == sum(
+            c * w for c, w in zip(codes[r.neighbor_id], w_int)
+        ), r.neighbor_id
+
+
+def test_chunk_then_dedup_subdocument_composition(spark):
+    """Composition: chunk_documents -> fingerprint -> exact dedup at
+    CHUNK grain finds sub-document duplication that doc-level exact
+    dedup misses (two docs sharing a plagiarized window dedupe at the
+    window, not the doc)."""
+    import pyspark.sql.functions as F
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        curation, dedup,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(8))
+    rows = [
+        (1, shared + " " + " ".join(f"a{i}" for i in range(8))),
+        (2, shared + " " + " ".join(f"b{i}" for i in range(8))),
+        (3, " ".join(f"c{i}" for i in range(16))),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    # doc-level exact dedup: all three distinct
+    kept = dedup.exact_duplicates(docs).select("keep_id").collect()
+    assert len(kept) == 3
+
+    # chunk grain (disjoint 8-token windows): docs 1 and 2 share their
+    # first chunk exactly
+    chunks = curation.chunk_documents(docs, chunk_tokens=8, stride=8)
+    chunk_docs = chunks.select(
+        F.concat_ws("#", "doc_id", "chunk_idx").alias("cid"),
+        F.col("chunk_text"),
+    )
+    groups = (
+        dedup.exact_duplicates(chunk_docs, text_col="chunk_text", id_col="cid")
+        .select("keep_id")
+        .collect()
+    )
+    # 6 chunks total, one duplicated pair -> 5 kept
+    assert len(groups) == 5
+    dup_pair = (
+        chunks.filter(F.col("chunk_idx") == 0)
+        .filter(F.col("doc_id").isin(1, 2))
+        .select("chunk_text")
+        .distinct()
+        .count()
+    )
+    assert dup_pair == 1
