@@ -105,6 +105,11 @@ def test_driver_sim_comparator_dtype_semantics():
     assert _norm_cell(float("nan")) == "NaN"
     assert _norm_cell(np.bool_(True)) == _norm_cell(True)
     # floats compare EXACT (r8): the real driver hashes exact float64s,
-    # so 0.30000000000000004 must NOT collapse to 0.3
+    # so 0.30000000000000004 must NOT collapse to 0.3, and even a
+    # single-ulp divergence must be detected (the sim's whole job is
+    # matching the real gate's sensitivity)
     assert _norm_cell(0.1 + 0.2) != _norm_cell(0.3)
     assert _norm_cell(0.25) == _norm_cell(np.float64(0.25))
+    import math as _math
+
+    assert _norm_cell(1.0) != _norm_cell(_math.nextafter(1.0, 2.0))
