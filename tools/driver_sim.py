@@ -98,7 +98,7 @@ def main() -> int:
 
     import __spark_entry__ as entry
 
-    spark = (
+    spark_builder = (
         SparkSession.builder.master(
             # SPARK_GRAFT_SIM_MASTER sweeps parallelism: exact-integer/
             # decimal aggregation discipline means results must be
@@ -114,6 +114,17 @@ def main() -> int:
             "spark.sql.session.timeZone",
             os.environ.get("SPARK_GRAFT_SIM_TZ", "America/New_York"),
         )
+    )
+    # SPARK_GRAFT_SIM_EXTRA_CONF="k=v;k=v" sweeps engine-mode axes the
+    # results must be invariant to: ANSI on/off, whole-stage codegen
+    # off (interpreted expression eval must agree with generated code),
+    # AQE off (plan reshaping must not change values).
+    for kv in os.environ.get("SPARK_GRAFT_SIM_EXTRA_CONF", "").split(";"):
+        if "=" in kv:
+            k, _, v = kv.partition("=")
+            spark_builder = spark_builder.config(k.strip(), v.strip())
+    spark = (
+        spark_builder
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
