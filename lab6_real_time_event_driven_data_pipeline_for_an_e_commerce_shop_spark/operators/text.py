@@ -174,6 +174,11 @@ def repetition_profile(
     - ``top_bigram_frac`` — occurrences of the most frequent adjacent
       bigram over all bigrams (high ⇒ repeated phrases); 0.0 for docs
       with <2 tokens.
+    - ``dup_trigram_frac`` (r8) — fraction of trigram OCCURRENCES that
+      belong to a repeated trigram (Gopher's duplicate n-gram family
+      proper: Σ c over trigrams with c ≥ 2, ÷ total trigrams); 0.0 for
+      docs with <3 tokens. Catches long-range copy-paste repetition
+      that a single top-gram fraction underweights.
 
     Shape: posexplode → lead-window bigram pairing → count → per-doc
     max/distinct — the same bounded (doc, gram) substrate grain as the
@@ -213,10 +218,27 @@ def repetition_profile(
         .groupBy(id_col)
         .agg(F.max("_c").cast("long").alias("_top_bi"))
     )
+    tri = (
+        tok_pos.withColumn("_n1", F.lead("_tok", 1).over(w))
+        .withColumn("_n2", F.lead("_tok", 2).over(w))
+        .where(F.col("_n2").isNotNull())
+        .select(
+            F.col(id_col), F.concat_ws(" ", "_tok", "_n1", "_n2").alias("_g")
+        )
+        .groupBy(id_col, "_g")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.when(F.col("_c") >= 2, F.col("_c")).otherwise(0))
+            .cast("long")
+            .alias("_dup_tri")
+        )
+    )
     return (
         base.select(F.col(id_col), F.col("_n_tok"))
         .join(uni, id_col, "left")
         .join(bi, id_col, "left")
+        .join(tri, id_col, "left")
         .select(
             F.col(id_col),
             F.col("_n_tok").alias("n_tokens"),
@@ -235,6 +257,10 @@ def repetition_profile(
                 F.coalesce(F.col("_top_bi"), F.lit(0)).cast("double")
                 / F.greatest(F.col("_n_tok") - 1, F.lit(1))
             ).alias("top_bigram_frac"),
+            (
+                F.coalesce(F.col("_dup_tri"), F.lit(0)).cast("double")
+                / F.greatest(F.col("_n_tok") - 2, F.lit(1))
+            ).alias("dup_trigram_frac"),
         )
     )
 

@@ -892,6 +892,7 @@ def q22_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "distinct_token_ratio",
         "top_token_frac",
         "top_bigram_frac",
+        "dup_trigram_frac",
     )
     scored = text_ops.quality_logit(profiled.join(rep, "doc_id"))
     return scored.select(
@@ -899,7 +900,7 @@ def q22_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avg_token_len", "punct_ratio", "digit_ratio", "upper_ratio",
         "lang", "predicted_lang", *[f"score_{lang}" for lang in langs],
         "n_distinct_tokens", "distinct_token_ratio",
-        "top_token_frac", "top_bigram_frac",
+        "top_token_frac", "top_bigram_frac", "dup_trigram_frac",
         "quality_logit_micro",
     )
 
@@ -957,6 +958,20 @@ def _q22_oracle() -> str:
                 WHERE len(t) >= 2
             ) GROUP BY doc_id, g
         ) GROUP BY doc_id
+    ), trigram AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dupt
+        FROM (
+            SELECT doc_id, g, COUNT(*) AS c
+            FROM (
+                SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+                FROM (SELECT doc_id,
+                             string_split_regex(trim(text), '\s+') AS t
+                      FROM documents),
+                     LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) gg
+                WHERE len(t) >= 3
+            ) GROUP BY doc_id, g
+        ) GROUP BY doc_id
     )
     SELECT m.doc_id,
            CAST(n_chars_actual AS BIGINT) AS n_chars_actual,
@@ -975,10 +990,13 @@ def _q22_oracle() -> str:
                AS top_token_frac,
            CAST(COALESCE(b.topb, 0) AS DOUBLE) / GREATEST(n_tokens - 1, 1)
                AS top_bigram_frac,
+           CAST(COALESCE(tr.dupt, 0) AS DOUBLE) / GREATEST(n_tokens - 2, 1)
+               AS dup_trigram_frac,
            {logit_sql}
     FROM m
     LEFT JOIN unigram u ON m.doc_id = u.doc_id
     LEFT JOIN bigram  b ON m.doc_id = b.doc_id
+    LEFT JOIN trigram tr ON m.doc_id = tr.doc_id
     """
 
 

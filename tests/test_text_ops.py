@@ -128,6 +128,14 @@ def test_repetition_profile(spark):
     assert out[4].n_tokens == 1 and out[4].top_bigram_frac == 0.0
     assert out[4].top_token_frac == 1.0
 
+    # dup_trigram_frac (r8): doc1 trigrams = 'buy buy buy'x2 + 'buy buy
+    # now' -> 2 duplicated occurrences of 3; doc2 all distinct -> 0;
+    # doc3 'very good very'x2 + 'good very good'x2 -> 4/4; <3 tokens -> 0
+    assert out[1].dup_trigram_frac == 2 / 3
+    assert out[2].dup_trigram_frac == 0.0
+    assert out[3].dup_trigram_frac == 1.0
+    assert out[4].dup_trigram_frac == 0.0
+
 
 def test_bpe_train_and_apply(spark):
     """BPE end-to-end: training learns the frequent pairs of a
