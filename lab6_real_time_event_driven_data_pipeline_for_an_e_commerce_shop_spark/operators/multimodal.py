@@ -201,6 +201,76 @@ def decode_wav(payload: bytes):
     return x, fr
 
 
+def _f80_to_float(b: bytes) -> float:
+    """80-bit IEEE 754 extended float → python float (the COMM chunk's
+    sample-rate field — AIFF's one non-trivial encoding; fully
+    algorithmic: 1 sign + 15 exponent (bias 16383) + 64 explicit-
+    leading-bit mantissa)."""
+    import struct
+
+    (se,) = struct.unpack(">H", b[:2])
+    (mant,) = struct.unpack(">Q", b[2:10])
+    sign = -1.0 if se & 0x8000 else 1.0
+    exp = se & 0x7FFF
+    if exp == 0 and mant == 0:
+        return 0.0
+    return sign * mant * 2.0 ** (exp - 16383 - 63)
+
+
+def decode_aiff(payload: bytes):
+    """REAL AIFF decode, manual IFF chunk walk (no deprecated stdlib
+    aifc): FORM/AIFF container, COMM (channels, frames, bits, 80-bit
+    extended-float rate), SSND (offset/blocksize header + big-endian
+    two's-complement PCM, 8/16/32-bit). Returns (mono float64 samples
+    in [-1, 1], frame_rate). Validation: round-tripped against an
+    independently written test-side encoder (tests/test_multimodal.py)
+    — like FLAC, every constant here is algorithmic (IFF layout, the
+    f80 encoding), no empirical table to misremember."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"FORM" or payload[8:12] != b"AIFF":
+        raise ValueError("not an AIFF payload")
+    i = 12
+    comm = None
+    ssnd = None
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        (sz,) = struct.unpack(">I", payload[i + 4 : i + 8])
+        body = payload[i + 8 : i + 8 + sz]
+        i += 8 + sz + (sz & 1)  # chunks are word-aligned
+        if cid == b"COMM":
+            ch, nframes, bits = struct.unpack(">hLh", body[:8])
+            fr = _f80_to_float(body[8:18])
+            comm = (ch, nframes, bits, int(round(fr)))
+        elif cid == b"SSND":
+            off, _blk = struct.unpack(">LL", body[:8])
+            ssnd = body[8 + off :]
+    if comm is None or ssnd is None:
+        raise ValueError("AIFF missing COMM/SSND chunk")
+    ch, nframes, bits, fr = comm
+    if bits == 16:
+        x = np.frombuffer(ssnd, dtype=">i2").astype(np.float64) / 32768.0
+    elif bits == 8:  # AIFF 8-bit is SIGNED (unlike WAV)
+        x = np.frombuffer(ssnd, dtype=np.int8).astype(np.float64) / 128.0
+    elif bits == 32:
+        x = np.frombuffer(ssnd, dtype=">i4").astype(np.float64) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported AIFF sample width {bits}")
+    x = x[: nframes * ch]
+    if ch > 1:
+        x = x[: len(x) - len(x) % ch].reshape(-1, ch).mean(axis=1)
+    return x, fr
+
+
+def aiff_features(payload: bytes) -> list[float]:
+    """Same 8-dim audio fingerprint as :func:`wav_features`, from real
+    AIFF-decoded samples (single implementation: _audio_features)."""
+    x, fr = decode_aiff(payload)
+    return _audio_features(x, fr)
+
+
 def wav_features(payload: bytes) -> list[float]:
     """8-dim real audio features: duration_s, rms, peak, zero-crossing
     rate, and 4 log-ish FFT band energies (band edges at 1/64, 1/16,
@@ -1850,15 +1920,17 @@ def mp4_features(payload: bytes) -> list[float]:
 
 def sniff_format(payload: bytes | None) -> str | None:
     """Magic-byte container sniff for the formats decodable here:
-    'wav' (RIFF....WAVE), 'flac' (fLaC), 'png' (\\x89PNG), 'jpeg'
-    (FFD8FF), 'gif' (GIF87a/89a), 'mp4' (ftyp), or 'netpbm' (binary
-    P5/P6). None → stub."""
+    'wav' (RIFF....WAVE), 'flac' (fLaC), 'aiff' (FORM....AIFF), 'png'
+    (\\x89PNG), 'jpeg' (FFD8FF), 'gif' (GIF87a/89a), 'mp4' (ftyp), or
+    'netpbm' (binary P5/P6). None → stub."""
     if payload is None or len(payload) < 12:
         return None
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
     if payload[:4] == b"fLaC":
         return "flac"
+    if payload[:4] == b"FORM" and payload[8:12] == b"AIFF":
+        return "aiff"
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
     if payload[:3] == b"\xff\xd8\xff":
@@ -1891,6 +1963,8 @@ def _decode_dispatch(payload: bytes | None, kind: str) -> tuple[str, list[float]
             return "wav", wav_features(payload)
         if fmt == "flac":
             return "flac", flac_features(payload)
+        if fmt == "aiff":
+            return "aiff", aiff_features(payload)
         if fmt == "png":
             return "png", png_features(payload)
         if fmt == "jpeg":

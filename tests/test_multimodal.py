@@ -2390,3 +2390,84 @@ def test_flac_roundtrip_property_fuzz():
         assert [int(v) for v in arr[:, 1]] == chans[1]
 
     run()
+
+
+# --- AIFF: independent test-side encoder (r8) ---------------------------
+
+
+def _f80_encode(v):
+    """80-bit extended float via math.frexp — independent of the
+    decoder's integer reconstruction."""
+    import math
+    import struct
+
+    if v == 0:
+        return b"\x00" * 10
+    sign = 0x8000 if v < 0 else 0
+    m, e = math.frexp(abs(v))  # v = m * 2^e, 0.5 <= m < 1
+    return struct.pack(">HQ", sign | ((e - 1) + 16383), int(m * (1 << 64)))
+
+
+def _encode_aiff(channels, sr=8000, bits=16):
+    import struct
+
+    n_ch = len(channels)
+    nframes = len(channels[0])
+    fmt = {8: "b", 16: "h", 32: "i"}[bits]
+    frames = bytearray()
+    for i in range(nframes):
+        for c in range(n_ch):
+            frames += struct.pack(">" + fmt, channels[c][i])
+    comm = struct.pack(">hLh", n_ch, nframes, bits) + _f80_encode(float(sr))
+    ssnd = struct.pack(">LL", 0, 0) + bytes(frames)
+    chunks = b""
+    for cid, body in ((b"COMM", comm), (b"SSND", ssnd)):
+        chunks += cid + struct.pack(">I", len(body)) + body
+        if len(body) & 1:
+            chunks += b"\x00"  # word alignment pad
+    return b"FORM" + struct.pack(">I", 4 + len(chunks)) + b"AIFF" + chunks
+
+
+def test_aiff_roundtrip_and_f80():
+    import numpy as np
+
+    sig = [int(12000 * np.sin(i * 0.21)) for i in range(101)]  # odd length
+    for sr in [8000, 44100, 22050]:
+        p = _encode_aiff([sig], sr=sr, bits=16)
+        x, fr = multimodal.decode_aiff(p)
+        assert fr == sr
+        assert np.allclose(x, np.array(sig) / 32768.0)
+    # stereo averages; 8-bit SIGNED (unlike WAV); 32-bit
+    l = [100, -100, 50]
+    r = [-100, 100, -50]
+    x, _ = multimodal.decode_aiff(_encode_aiff([l, r], bits=16))
+    assert np.allclose(x, [0.0, 0.0, 0.0])
+    x, _ = multimodal.decode_aiff(_encode_aiff([[-128, 0, 127]], bits=8))
+    assert np.allclose(x, [-1.0, 0.0, 127 / 128])
+    big = [2**30, -(2**30)]
+    x, _ = multimodal.decode_aiff(_encode_aiff([big], bits=32))
+    assert np.allclose(x, [0.5, -0.5])
+
+
+def test_aiff_features_match_wav_and_dispatch(spark):
+    """Identical PCM through AIFF and WAV must give the IDENTICAL
+    fingerprint (shared _audio_features), and extract_features routes
+    FORM/AIFF payloads to the real decoder."""
+    import struct
+
+    import numpy as np
+
+    sig = [int(9000 * np.sin(i * 0.13)) for i in range(2048)]
+    aiff = _encode_aiff([sig], sr=8000, bits=16)
+    pcm = b"".join(struct.pack("<h", v) for v in sig)
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    assert multimodal.sniff_format(aiff) == "aiff"
+    assert multimodal.aiff_features(aiff) == multimodal.wav_features(wav)
+    rows = [(1, "audio", "audio/aiff", aiff, None)]
+    df = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    out = multimodal.extract_features(df).collect()[0]
+    assert out.decoder == "aiff"
