@@ -277,6 +277,7 @@ def quality_filter(
     max_digit_ratio: float = 0.3,
     min_distinct_token_ratio: float = 0.3,
     max_top_bigram_frac: float = 0.35,
+    max_dup_trigram_frac: float | None = None,
 ) -> DataFrame:
     """Gopher-style composed document quality gate: every rule is a
     column predicate over :func:`quality_features` +
@@ -289,7 +290,7 @@ def quality_filter(
     One join on id between the two profile substrates; no UDF."""
     q = quality_features(df.select(F.col(id_col), F.col(text_col)), text_col)
     rep = repetition_profile(df, text_col, id_col).select(
-        id_col, "distinct_token_ratio", "top_bigram_frac"
+        id_col, "distinct_token_ratio", "top_bigram_frac", "dup_trigram_frac"
     )
     j = q.join(rep, id_col)
     rules = {
@@ -303,6 +304,10 @@ def quality_filter(
         < min_distinct_token_ratio,
         "repeated_phrase": F.col("top_bigram_frac") > max_top_bigram_frac,
     }
+    if max_dup_trigram_frac is not None:  # opt-in 9th rule (r8)
+        rules["copy_paste_repetition"] = (
+            F.col("dup_trigram_frac") > max_dup_trigram_frac
+        )
     fired = F.array_sort(
         F.filter(
             F.array(

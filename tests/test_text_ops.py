@@ -259,3 +259,30 @@ def test_quality_logit_idiv_and_edges(spark):
     assert all(isinstance(v, int) for v in out.values())
     # ordering sanity: normal text beats punctuation soup and shouting
     assert out[4] > out[2] and out[4] > out[3]
+
+
+def test_quality_filter_copy_paste_rule(spark):
+    """Opt-in 9th rule (r8): dup_trigram_frac gate fires on copy-paste
+    repetition that the top-bigram rule alone can miss; default (None)
+    leaves the 8-rule behavior untouched."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        text as text_ops,
+    )
+
+    # two distinct sentences alternated: top bigram frac stays modest,
+    # but every trigram inside each sentence repeats
+    s1 = "alpha beta gamma delta"
+    s2 = "omega psi chi phi"
+    spam = " ".join([s1, s2] * 6)
+    clean = " ".join(f"w{i} x{i} y{i}" for i in range(8))
+    df = spark.createDataFrame([(1, spam), (2, clean)], ["doc_id", "text"])
+
+    default = {r.doc_id: r for r in text_ops.quality_filter(df).collect()}
+    strict = {
+        r.doc_id: r
+        for r in text_ops.quality_filter(df, max_dup_trigram_frac=0.5).collect()
+    }
+    assert "copy_paste_repetition" not in default[1].qc_fail_reasons
+    assert "copy_paste_repetition" in strict[1].qc_fail_reasons
+    assert not strict[1].qc_pass
+    assert "copy_paste_repetition" not in strict[2].qc_fail_reasons
