@@ -264,6 +264,43 @@ def decode_aiff(payload: bytes):
     return x, fr
 
 
+def decode_au(payload: bytes):
+    """REAL AU / Sun audio decode (.snd): magic '.snd', big-endian
+    header (data offset, size, encoding, rate, channels), then
+    big-endian payload. Encodings: 1 = G.711 μ-law (shared LUT with
+    the WAV path), 27 = G.711 A-law, 2/3/5 = 8/16/32-bit linear PCM.
+    Returns (mono float64 samples in [-1, 1], frame_rate)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b".snd":
+        raise ValueError("not an AU payload")
+    off, size, enc, fr, ch = struct.unpack(">IIIII", payload[4:24])
+    data = payload[off : off + size if size != 0xFFFFFFFF else len(payload)]
+    if enc == 1:
+        x = _g711_ulaw_lut()[np.frombuffer(data, np.uint8)].astype(np.float64) / 32768.0
+    elif enc == 27:
+        x = _g711_alaw_lut()[np.frombuffer(data, np.uint8)].astype(np.float64) / 32768.0
+    elif enc == 2:
+        x = np.frombuffer(data, np.int8).astype(np.float64) / 128.0
+    elif enc == 3:
+        x = np.frombuffer(data, dtype=">i2").astype(np.float64) / 32768.0
+    elif enc == 5:
+        x = np.frombuffer(data, dtype=">i4").astype(np.float64) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported AU encoding {enc}")
+    if ch > 1:
+        x = x[: len(x) - len(x) % ch].reshape(-1, ch).mean(axis=1)
+    return x, fr
+
+
+def au_features(payload: bytes) -> list[float]:
+    """Same 8-dim audio fingerprint, from real AU-decoded samples."""
+    x, fr = decode_au(payload)
+    return _audio_features(x, fr)
+
+
 def aiff_features(payload: bytes) -> list[float]:
     """Same 8-dim audio fingerprint as :func:`wav_features`, from real
     AIFF-decoded samples (single implementation: _audio_features)."""
@@ -1920,9 +1957,9 @@ def mp4_features(payload: bytes) -> list[float]:
 
 def sniff_format(payload: bytes | None) -> str | None:
     """Magic-byte container sniff for the formats decodable here:
-    'wav' (RIFF....WAVE), 'flac' (fLaC), 'aiff' (FORM....AIFF), 'png'
-    (\\x89PNG), 'jpeg' (FFD8FF), 'gif' (GIF87a/89a), 'mp4' (ftyp), or
-    'netpbm' (binary P5/P6). None → stub."""
+    'wav' (RIFF....WAVE), 'flac' (fLaC), 'aiff' (FORM....AIFF), 'au'
+    (.snd), 'png' (\\x89PNG), 'jpeg' (FFD8FF), 'gif' (GIF87a/89a),
+    'mp4' (ftyp), or 'netpbm' (binary P5/P6). None → stub."""
     if payload is None or len(payload) < 12:
         return None
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
@@ -1931,6 +1968,8 @@ def sniff_format(payload: bytes | None) -> str | None:
         return "flac"
     if payload[:4] == b"FORM" and payload[8:12] == b"AIFF":
         return "aiff"
+    if payload[:4] == b".snd":
+        return "au"
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
     if payload[:3] == b"\xff\xd8\xff":
@@ -1965,6 +2004,8 @@ def _decode_dispatch(payload: bytes | None, kind: str) -> tuple[str, list[float]
             return "flac", flac_features(payload)
         if fmt == "aiff":
             return "aiff", aiff_features(payload)
+        if fmt == "au":
+            return "au", au_features(payload)
         if fmt == "png":
             return "png", png_features(payload)
         if fmt == "jpeg":

@@ -2471,3 +2471,63 @@ def test_aiff_features_match_wav_and_dispatch(spark):
     df = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
     out = multimodal.extract_features(df).collect()[0]
     assert out.decoder == "aiff"
+
+
+def _encode_au(samples, enc, sr=8000, channels=1):
+    """Independent AU encoder: 24-byte big-endian header + payload.
+    enc 1/27 expect already-companded uint8 bytes; 2/3/5 linear ints."""
+    import struct
+
+    if enc in (1, 27, 2):
+        body = bytes((v if enc != 2 else v & 0xFF) for v in samples)
+    elif enc == 3:
+        body = b"".join(struct.pack(">h", v) for v in samples)
+    else:
+        body = b"".join(struct.pack(">i", v) for v in samples)
+    return struct.pack(">IIIII", 24, len(body), enc, sr, channels).join(
+        [b".snd", body]
+    )
+
+
+def test_au_decode_variants():
+    import numpy as np
+
+    sig16 = [int(11000 * np.sin(i * 0.17)) for i in range(64)]
+    x, fr = multimodal.decode_au(_encode_au(sig16, enc=3))
+    assert fr == 8000
+    assert np.allclose(x, np.array(sig16) / 32768.0)
+    x, _ = multimodal.decode_au(_encode_au([-128, 0, 127], enc=2))
+    assert np.allclose(x, [-1.0, 0.0, 127 / 128])
+    x, _ = multimodal.decode_au(_encode_au([2**30, -(2**30)], enc=5))
+    assert np.allclose(x, [0.5, -0.5])
+    # mu-law AND A-law: companded with the INDEPENDENT test-side G.711
+    # encoders, decoded through the shared LUTs
+    lin = [0, 1000, -1000, 30000, -30000, 8]
+    ul = [_linear_to_ulaw(v) for v in lin]
+    x, _ = multimodal.decode_au(_encode_au(ul, enc=1))
+    assert np.max(np.abs(x * 32768.0 - np.array(lin))) < 1000  # companding error bound
+    al = [_linear_to_alaw(v) for v in lin]
+    x, _ = multimodal.decode_au(_encode_au(al, enc=27))
+    assert np.max(np.abs(x * 32768.0 - np.array(lin))) < 1000
+    import pytest
+
+    with pytest.raises(ValueError, match="not an AU"):
+        multimodal.decode_au(b"RIFFxxxx" + b"\x00" * 32)
+
+
+def test_au_dispatch_and_wav_parity(spark):
+    """The same mu-law byte stream through AU and through a G.711 WAV
+    container must produce the IDENTICAL fingerprint (same LUT, same
+    _audio_features)."""
+    import numpy as np
+
+    lin = [int(9000 * np.sin(i * 0.11)) for i in range(512)]
+    comp = [_linear_to_ulaw(v) for v in lin]
+    au = _encode_au(comp, enc=1)
+    wav = _make_g711_wav(lin, tag=7)  # compands internally → same bytes
+    assert multimodal.sniff_format(au) == "au"
+    assert multimodal.au_features(au) == multimodal.wav_features(wav)
+    df = spark.createDataFrame(
+        [(1, "audio", "audio/basic", au, None)], schema=multimodal.MEDIA_SCHEMA
+    )
+    assert multimodal.extract_features(df).collect()[0].decoder == "au"
