@@ -95,6 +95,23 @@ def main() -> None:
     mp4, _samples = _build_mp4()
     out.append(("mp4_demux", len(mp4), timed(mm.parse_mp4, mp4)))
 
+    from test_multimodal import (  # noqa: E402
+        _encode_aiff,
+        _encode_au,
+        _encode_flac,
+        _linear_to_ulaw,
+    )
+
+    out.append(("aiff_pcm16", len(ref) * 2, timed(mm.decode_aiff, _encode_aiff([ref]))))
+    au = _encode_au([_linear_to_ulaw(v) for v in ref], enc=1)
+    out.append(("au_ulaw", len(au), timed(mm.decode_au, au)))
+    flac = _encode_flac(
+        [ref[:16000]],
+        frames=[{"n": 4000} for _ in range(4)],
+        kind="fixed2",
+    )
+    out.append(("flac_fixed2", 16000 * 2, timed(mm.decode_flac, flac, repeats=1)))
+
     for codec, nbytes, sec in out:
         mb = nbytes / 1e6
         print(
