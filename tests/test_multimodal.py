@@ -2531,3 +2531,118 @@ def test_au_dispatch_and_wav_parity(spark):
         [(1, "audio", "audio/basic", au, None)], schema=multimodal.MEDIA_SCHEMA
     )
     assert multimodal.extract_features(df).collect()[0].decoder == "au"
+
+
+# --- TGA: independent test-side encoder (r8) ----------------------------
+
+
+def _tga_rle(pixels, ps):
+    """Independent RLE packer: greedy runs (>=2 identical) else raw
+    literals, both capped at 128."""
+    out = bytearray()
+    i = 0
+    n = len(pixels) // ps
+    px = [bytes(pixels[k * ps : (k + 1) * ps]) for k in range(n)]
+    while i < n:
+        j = i
+        while j + 1 < n and px[j + 1] == px[i] and j - i < 127:
+            j += 1
+        if j > i:  # run of j-i+1
+            out.append(0x80 | (j - i))
+            out += px[i]
+            i = j + 1
+        else:
+            k = i
+            while (
+                k + 1 < n and (k + 1 >= n - 1 or px[k + 1] != px[k + 2])
+                and k - i < 127
+            ):
+                k += 1
+            out.append(k - i)
+            for t in range(i, k + 1):
+                out += px[t]
+            i = k + 1
+    return bytes(out)
+
+
+def _encode_tga(arr, itype=2, rle=False, top_down=False, palette=None):
+    """arr: HxWx3 RGB (itype 2/10), HxW gray (3/11), or HxW indices
+    with palette (1/9)."""
+    import struct
+
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    if itype in (2, 10):
+        body = arr[:, :, [2, 1, 0]].astype(np.uint8)  # RGB -> BGR
+        ps, bpp = 3, 24
+        flat = body if top_down else body[::-1]
+        pix = flat.tobytes()
+    elif itype in (3, 11):
+        ps, bpp = 1, 8
+        flat = arr if top_down else arr[::-1]
+        pix = flat.astype(np.uint8).tobytes()
+    else:
+        ps, bpp = 1, 8
+        flat = arr if top_down else arr[::-1]
+        pix = flat.astype(np.uint8).tobytes()
+    use_rle = itype in (9, 10, 11)
+    data = _tga_rle(pix, ps) if use_rle else pix
+    cmap_type = 1 if palette is not None else 0
+    cmap_len = len(palette) if palette is not None else 0
+    hdr = struct.pack(
+        "<BBBHHBHHHHBB", 0, cmap_type, itype, 0, cmap_len,
+        24 if palette is not None else 0, 0, 0, w, h, bpp,
+        0x20 if top_down else 0,
+    )
+    pal = b""
+    if palette is not None:
+        pal = b"".join(bytes([b, g, r]) for r, g, b in palette)
+    return hdr + pal + data + b"\x00" * 8 + b"TRUEVISION-XFILE.\x00"
+
+
+def test_tga_decode_variants():
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    rgb = rng.randint(0, 256, (7, 9, 3), np.uint8)
+    for itype, rle in [(2, False), (10, True)]:
+        for td in [False, True]:
+            got = multimodal.decode_tga(_encode_tga(rgb, itype=itype, top_down=td))
+            assert np.array_equal(got, rgb), (itype, td)
+    # runs compress well and round-trip
+    flat = np.tile(np.array([[10, 200, 30]], np.uint8), (6, 16, 1))
+    assert np.array_equal(multimodal.decode_tga(_encode_tga(flat, itype=10)), flat)
+    # gray
+    g = rng.randint(0, 256, (5, 4), np.uint8)
+    got = multimodal.decode_tga(_encode_tga(g, itype=11))
+    assert np.array_equal(got, np.repeat(g[:, :, None], 3, axis=2))
+    # palette
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9)]
+    idx = rng.randint(0, 4, (6, 6), np.uint8)
+    got = multimodal.decode_tga(_encode_tga(idx, itype=1, palette=pal))
+    want = np.array(pal, np.uint8)[idx]
+    assert np.array_equal(got, want)
+    import pytest
+
+    with pytest.raises(ValueError):
+        multimodal.decode_tga(b"\x00" * 10)
+
+
+def test_tga_dispatch_and_resize(spark):
+    import numpy as np
+
+    grad = np.tile(
+        (np.arange(10, dtype=np.uint8) * 25)[None, :, None], (4, 1, 3)
+    )
+    tga = _encode_tga(grad, itype=10)
+    assert multimodal.sniff_format(tga) == "tga"
+    rows = [(1, "image", "image/x-tga", tga, None)]
+    df = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    out = multimodal.extract_features(df).collect()[0]
+    assert out.decoder == "tga"
+    assert out.feature[:2] == [4.0, 10.0]
+    resized = multimodal.resize_images(df, width=5, height=2).collect()[0]
+    assert resized.meta["resample"] == "nearest"
+    arr = multimodal.decode_netpbm(bytes(resized.payload))
+    assert [int(v) for v in arr[0, :, 0]] == [0, 50, 100, 150, 200]
