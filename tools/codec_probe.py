@@ -112,6 +112,11 @@ def main() -> None:
     )
     out.append(("flac_fixed2", 16000 * 2, timed(mm.decode_flac, flac, repeats=1)))
 
+    from test_multimodal import _encode_tga  # noqa: E402
+
+    tga = _encode_tga(rgb, itype=10)
+    out.append(("tga_rle", rgb.nbytes, timed(mm.decode_tga, tga)))
+
     for codec, nbytes, sec in out:
         mb = nbytes / 1e6
         print(
