@@ -426,9 +426,12 @@ def chunk_documents(
     """Token-window chunking — the long-document → context-window
     splitter every pretraining/RAG ingest runs before tokenization:
     each document becomes ceil(max(n_tokens − overlap, 1) / stride)
-    rows of ``chunk_tokens`` whitespace tokens, windows starting every
-    ``stride`` tokens (stride < chunk_tokens ⇒ overlapping windows;
-    default stride = chunk_tokens ⇒ disjoint). Output grain:
+    rows of ``chunk_tokens`` whitespace tokens (that count formula
+    holds for stride ≤ chunk_tokens; for gap strides the start list is
+    additionally capped at n_tokens, yielding fewer chunks), windows
+    starting every ``stride`` tokens (stride < chunk_tokens ⇒
+    overlapping windows; default stride = chunk_tokens ⇒ disjoint).
+    Output grain:
     (id, chunk_idx, n_chunk_tokens, chunk_text); docs shorter than one
     window yield exactly one chunk.
 

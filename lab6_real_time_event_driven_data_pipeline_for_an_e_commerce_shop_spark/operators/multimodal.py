@@ -212,8 +212,12 @@ def _f80_to_float(b: bytes) -> float:
     (mant,) = struct.unpack(">Q", b[2:10])
     sign = -1.0 if se & 0x8000 else 1.0
     exp = se & 0x7FFF
-    if exp == 0 and mant == 0:
-        return 0.0
+    if exp == 0x7FFF:
+        raise ValueError("non-finite 80-bit float (Inf/NaN)")
+    if exp == 0:
+        # denormal: exponent field 0 encodes 2^(1-16383), not 2^(-16383);
+        # values are below the double denormal range so this rounds to ±0.0
+        return sign * mant * 2.0 ** (1 - 16383 - 63)
     return sign * mant * 2.0 ** (exp - 16383 - 63)
 
 
@@ -277,7 +281,10 @@ def decode_au(payload: bytes):
     if payload[:4] != b".snd":
         raise ValueError("not an AU payload")
     off, size, enc, fr, ch = struct.unpack(">IIIII", payload[4:24])
-    data = payload[off : off + size if size != 0xFFFFFFFF else len(payload)]
+    end = len(payload) if size == 0xFFFFFFFF else off + size
+    if end > len(payload):
+        raise ValueError("AU data size exceeds payload")
+    data = payload[off:end]
     if enc == 1:
         x = _g711_ulaw_lut()[np.frombuffer(data, np.uint8)].astype(np.float64) / 32768.0
     elif enc == 27:
@@ -1215,7 +1222,13 @@ def decode_tga(payload: bytes):
     if itype in (3, 11):
         rgb = np.repeat(a, 3, axis=2)
     elif itype in (1, 9):
-        rgb = palette[a[:, :, 0] - cmap_first][:, :, :3]
+        # widen before subtracting: uint8 arithmetic wraps on indices
+        # below cmap_first, and a wrapped index into a >256-entry palette
+        # would resolve silently to the wrong color
+        idx = a[:, :, 0].astype(np.int32) - cmap_first
+        if idx.size and (idx.min() < 0 or idx.max() >= len(palette)):
+            raise ValueError("TGA palette index out of range")
+        rgb = palette[idx][:, :, :3]
     else:
         rgb = a[:, :, [2, 1, 0]]  # BGR(A) → RGB, drop alpha
     rgb = np.ascontiguousarray(rgb)

@@ -2646,3 +2646,61 @@ def test_tga_dispatch_and_resize(spark):
     assert resized.meta["resample"] == "nearest"
     arr = multimodal.decode_netpbm(bytes(resized.payload))
     assert [int(v) for v in arr[0, :, 0]] == [0, 50, 100, 150, 200]
+
+
+def test_f80_nonnormal_edge_cases():
+    """r8 ADVICE pins: denormal 80-bit floats (exp field 0) use exponent
+    1-16383, whose values all underflow double to ±0.0 — NOT 2^-16383
+    (which would be off by 2x before underflow anyway); Inf/NaN
+    (exp field 0x7FFF) must be rejected, not read as a huge finite rate."""
+    import struct
+
+    import pytest
+
+    # true zero and a denormal (both round to 0.0 in double)
+    assert multimodal._f80_to_float(struct.pack(">HQ", 0, 0)) == 0.0
+    assert multimodal._f80_to_float(struct.pack(">HQ", 0, 12345)) == 0.0
+    assert multimodal._f80_to_float(struct.pack(">HQ", 0x8000, 7)) == 0.0
+    # Inf (mant 0 w/ explicit leading bit set is the x87 form; any mant)
+    for mant in (0, 1 << 63, 123):
+        with pytest.raises(ValueError):
+            multimodal._f80_to_float(struct.pack(">HQ", 0x7FFF, mant))
+    # sanity: a normal value still decodes exactly
+    enc = struct.pack(">HQ", 16383 + 15, 44100 << 48)
+    assert multimodal._f80_to_float(enc) == 44100.0
+
+
+def test_tga_palette_index_bounds_checked():
+    """r8 ADVICE pin: palette indices below cmap_first must raise, not
+    wrap through uint8 arithmetic into a silently-wrong color."""
+    import numpy as np
+    import pytest
+
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9)]
+    idx = np.zeros((3, 3), np.uint8)  # all index 0
+    p = bytearray(_encode_tga(idx, itype=1, palette=pal))
+    assert p[3] == 0 and p[4] == 0  # cmap_first field
+    p[3] = 1  # first palette entry now maps index 1 -> index 0 is OOB
+    with pytest.raises(ValueError):
+        multimodal.decode_tga(bytes(p))
+    # indices past cmap_len must also raise, not wrap
+    q = bytearray(_encode_tga(idx + 200, itype=1, palette=pal))
+    with pytest.raises(ValueError):
+        multimodal.decode_tga(bytes(q))
+
+
+def test_au_oversized_data_size_rejected():
+    """r8 ADVICE pin: an AU header claiming more data than the payload
+    holds must error, not silently truncate."""
+    import struct
+
+    import pytest
+
+    p = bytearray(_encode_au([0, 1, 2, 3], enc=3))
+    struct.pack_into(">I", p, 8, 10_000)  # size field >> actual body
+    with pytest.raises(ValueError):
+        multimodal.decode_au(bytes(p))
+    # the 0xFFFFFFFF "unknown size" sentinel still means rest-of-payload
+    struct.pack_into(">I", p, 8, 0xFFFFFFFF)
+    x, _ = multimodal.decode_au(bytes(p))
+    assert len(x) == 4

@@ -188,11 +188,11 @@ def test_query_matches_oracle_sf01(spark, name):
     double-rounding that only appears once scaled sums pass 2^53)."""
     qfn = entrymod.queries()[name]
     oracle = entrymod.oracle_sql().get(name)
+    if oracle is None:
+        pytest.skip("no oracle for this query (rows-only at the gate)")
     sf_dir = "/root/testdata/sf0.1"
     sdf = qfn(spark, sf_dir)
     spark_rows = [tuple(r) for r in sdf.collect()]
-    if oracle is None:
-        return
     con = _duck(sf_dir)
     res = con.execute(oracle)
     duck_cols = [d[0] for d in res.description]
@@ -217,11 +217,11 @@ def test_query_matches_oracle_sf0001(spark, name):
     SF, not only the driver's gate SF."""
     qfn = entrymod.queries()[name]
     oracle = entrymod.oracle_sql().get(name)
+    if oracle is None:
+        pytest.skip("no oracle for this query (rows-only at the gate)")
     sf_dir = "/root/testdata/sf0.001"
     sdf = qfn(spark, sf_dir)
     spark_rows = [tuple(r) for r in sdf.collect()]
-    if oracle is None:
-        return
     con = _duck(sf_dir)
     res = con.execute(oracle)
     duck_cols = [d[0] for d in res.description]
