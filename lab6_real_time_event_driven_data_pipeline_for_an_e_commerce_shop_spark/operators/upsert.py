@@ -63,6 +63,38 @@ def enumerate_partitions(
     return [r[0] for r in rows]
 
 
+def check_source_unique(source: DataFrame, keys: list[str]) -> None:
+    """Raise if the MERGE source carries more than one row per key.
+
+    Real Delta MERGE errors on ambiguous multi-source-row matches
+    ("multiple source rows matched and attempted to modify the same
+    target row") but only for keys that hit the target — duplicate keys
+    that are all NEW insert twice and corrupt the table's PK silently.
+    The engine is stricter AND deterministic: any duplicate-key source
+    is a contract violation, matched or not. This is the r8 q37 lesson
+    institutionalized — the old ``dropDuplicates(keys)`` belt-and-braces
+    HID upstream PK violations by collapsing them nondeterministically
+    (TPC-H lineitem repeats (l_orderkey, l_partkey) across line numbers;
+    the gate SFs' slices happened to contain zero such pairs).
+
+    Cost: one map-side-combinable aggregation over the increment (never
+    the table), with an early-exit limit(1) — bounded driver read."""
+    dup = (
+        source.groupBy(*keys)
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        vals = {k: dup[0][k] for k in keys}
+        raise ValueError(
+            f"MERGE source has multiple rows for key {vals}; sources must "
+            "be key-unique (dedupe upstream, e.g. first-line-number per "
+            "pair) or pass on_duplicate_source='dedupe' explicitly"
+        )
+
+
 def merge_delta(spark: SparkSession, target_path: str, source: DataFrame, keys: list[str]) -> None:
     """Real Delta MERGE (reference transform.py:331-336), used when
     delta-spark is installed."""
@@ -88,6 +120,7 @@ def merge_parquet(
     source: DataFrame,
     keys: list[str],
     partition_col: str | None = None,
+    on_duplicate_source: str = "error",
 ) -> None:
     """Pure-Spark keyed MERGE with whenMatchedUpdateAll /
     whenNotMatchedInsertAll semantics over a parquet directory.
@@ -96,8 +129,18 @@ def merge_parquet(
     merge, and overwrite just those partitions (dynamic partition
     overwrite) — incremental cost proportional to the increment, not the
     table.
+
+    ``on_duplicate_source``: "error" (default) raises on a source with
+    more than one row per key — see :func:`check_source_unique`;
+    "dedupe" keeps the pre-r9 nondeterministic dropDuplicates collapse
+    for callers that explicitly want last-writer-undefined semantics.
     """
-    source = source.dropDuplicates(keys)  # a MERGE source must be key-unique
+    if on_duplicate_source == "error":
+        check_source_unique(source, keys)
+    elif on_duplicate_source == "dedupe":
+        source = source.dropDuplicates(keys)
+    else:
+        raise ValueError(f"unknown on_duplicate_source={on_duplicate_source!r}")
     if not os.path.exists(target_path):
         writer = source.write.mode("overwrite")
         if partition_col:
@@ -215,8 +258,12 @@ def merge(
     keys: list[str],
     partition_col: str | None = None,
 ) -> None:
-    """Dispatch: Delta when available, parquet fallback otherwise."""
+    """Dispatch: Delta when available, parquet fallback otherwise. The
+    source-uniqueness contract is enforced on BOTH branches: Delta's own
+    multi-match error fires only for duplicate keys that hit existing
+    target rows — all-new duplicates would double-insert silently."""
     if delta_available():
+        check_source_unique(source, keys)
         merge_delta(spark, target_path, source, keys)
     else:
         merge_parquet(spark, target_path, source, keys, partition_col)

@@ -49,6 +49,22 @@ from ..operators import enrich as enrich_op
 from ..operators import kpis, setops, upsert, validation
 
 
+def _first_item_per_pair(items: DataFrame, id_col: str = "id") -> DataFrame:
+    """Deterministic item dedup to the silver PK grain: one row per
+    (order_id, product_id), keeping the LOWEST item id — the same
+    first-line-number policy the q37 feed applies to TPC-H lineitem's
+    repeated (l_orderkey, l_partkey) pairs. The window shuffles only
+    the release increment, never a full table."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("order_id", "product_id").orderBy(id_col)
+    return (
+        items.withColumn("_pair_rn", F.row_number().over(w))
+        .filter(F.col("_pair_rn") == 1)
+        .drop("_pair_rn")
+    )
+
+
 class MedallionPipeline:
     """Micro-batch medallion pipeline over a directory layout:
 
@@ -209,7 +225,17 @@ class MedallionPipeline:
             )
             late = self.spark.read.parquet(late_tmp) if has_files else None
             if late is not None and late.count() > 0:
-                late_enriched = late.drop("_item_id")
+                # first-item-per-pair (silver PK contract): two late
+                # items for the SAME (order_id, product_id) in one wave
+                # would be an ambiguous multi-source MERGE — keep the
+                # lowest item id (the q37 first-line-number policy) and
+                # drop the rest as superseded. late_ids keeps ALL
+                # matched ids so dropped duplicates leave staging too
+                # (a lingering dup would re-release next cycle and
+                # break replay-is-a-no-op).
+                late_enriched = _first_item_per_pair(late, "_item_id").drop(
+                    "_item_id"
+                )
                 late_ids = late.select(F.col("_item_id").alias("id")).distinct()
             else:
                 import shutil
@@ -224,7 +250,17 @@ class MedallionPipeline:
         parts_frames = []
         if has_complete:
             rel_orders = orders.join(complete, "order_id", "left_semi")
-            rel_items = items.join(complete, "order_id", "left_semi")
+            # first-item-per-pair BEFORE enrichment: the silver MERGE
+            # keys on (order_id, product_id) (reference transform.py:
+            # 331-336) and — since r9 — ERRORS on duplicate-key sources
+            # instead of collapsing them nondeterministically. A feed
+            # that repeats a pair (re-dropped file, row-repetition
+            # quantity encoding) resolves deterministically to the
+            # lowest item id; the whole group leaves staging on release
+            # so dropped duplicates don't linger.
+            rel_items = _first_item_per_pair(
+                items.join(complete, "order_id", "left_semi")
+            )
             parts_frames.append(
                 enrich_op.enrich_orders(rel_orders, rel_items, products)
             )

@@ -229,3 +229,60 @@ def test_query_matches_oracle_sf0001(spark, name):
     assert sorted(sdf.columns) == sorted(duck_cols)
     assert len(spark_rows) == len(duck_rows)
     assert _normalize(spark_rows, sdf.columns) == _normalize(duck_rows, duck_cols)
+
+
+def test_q37_merge_pk_contract_with_synthesized_duplicate_pairs(spark, tmp_path):
+    """r8 VERDICT ask: pin the silver-MERGE PK contract INDEPENDENT of
+    testdata luck. The r8 q37 bug (feed rows violating the reference's
+    (order_id, product_id) MERGE key, transform.py:331-336) was latent
+    because the gate SFs' 40-orderkey slices happened to contain zero
+    duplicate (l_orderkey, l_partkey) pairs. Here the duplicates are
+    INJECTED directly: a copy of sf0.001 whose lineitem gains two extra
+    line numbers for an existing pair inside the q37 slice, with
+    different prices and a flipped return flag. The test fails two ways
+    if the first-line-number QUALIFY is removed:
+      - from the feed builder: the duplicate-pair source now trips the
+        strict merge (upsert.check_source_unique raises), and
+      - from the oracle only: values diverge (the extra rows carry
+        different sale prices).
+    """
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = "/root/testdata/sf0.001"
+    sf_dir = str(tmp_path / "sf_dup")
+    os.makedirs(sf_dir)
+    for t in TABLES:
+        shutil.copy(f"{src}/{t}.parquet", f"{sf_dir}/{t}.parquet")
+
+    li = pq.read_table(f"{sf_dir}/lineitem.parquet")
+    orders = pq.read_table(f"{src}/orders.parquet", columns=["o_orderkey"])
+    k = min(orders.column("o_orderkey").to_pylist())  # guaranteed in the 40-key slice
+    df = li.to_pandas()
+    rows = df[df.l_orderkey == k]
+    assert len(rows) > 0
+    base = rows.iloc[0].copy()
+    maxln = int(rows.l_linenumber.max())
+    extra1, extra2 = base.copy(), base.copy()
+    extra1.l_linenumber, extra1.l_extendedprice = maxln + 1, 111.11
+    extra1.l_returnflag = "R" if base.l_returnflag != "R" else "N"
+    extra2.l_linenumber, extra2.l_extendedprice = maxln + 2, 222.22
+    import pandas as pd
+
+    out = pd.concat([df, extra1.to_frame().T, extra2.to_frame().T], ignore_index=True)
+    pq.write_table(
+        pa.Table.from_pandas(out, schema=li.schema, preserve_index=False),
+        f"{sf_dir}/lineitem.parquet",
+    )
+
+    name = "q37_stream_medallion_gold"
+    sdf = entrymod.queries()[name](spark, sf_dir)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    res = _duck(sf_dir).execute(entrymod.oracle_sql()[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    assert sorted(sdf.columns) == sorted(duck_cols)
+    assert len(spark_rows) == len(duck_rows) > 0
+    assert _normalize(spark_rows, sdf.columns) == _normalize(duck_rows, duck_cols)

@@ -3,6 +3,8 @@ replaying a batch must leave serving tables unchanged)."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
@@ -63,10 +65,25 @@ def test_partitioned_merge_touches_only_source_partitions(spark, target):
     assert out[("o2", "p1")] == 99.0
 
 
-def test_source_with_duplicate_keys_collapses(spark, target):
+def test_source_with_duplicate_keys_errors_by_default(spark, target):
+    """r9: a duplicate-key MERGE source is a loud contract violation
+    (real Delta errors on ambiguous multi-source matches; the pre-r9
+    dropDuplicates collapse was nondeterministic AND hid the r8 q37
+    feed bug). The old collapse survives only as an explicit opt-in."""
     batch = _df(spark, [("o1", "p1", "2024-01-01", 1.0), ("o1", "p1", "2024-01-01", 2.0)])
-    upsert.merge(spark, target, batch, ["order_id", "product_id"])
+    with pytest.raises(ValueError, match="multiple rows for key"):
+        upsert.merge(spark, target, batch, ["order_id", "product_id"])
+    assert not os.path.exists(target)  # nothing written on violation
+    upsert.merge_parquet(
+        spark, target, batch, ["order_id", "product_id"],
+        on_duplicate_source="dedupe",
+    )
     assert len(_read_sorted(spark, target)) == 1
+    with pytest.raises(ValueError, match="on_duplicate_source"):
+        upsert.merge_parquet(
+            spark, target, batch, ["order_id", "product_id"],
+            on_duplicate_source="bogus",
+        )
 
 
 def test_delta_merge_when_available(spark, target):
