@@ -2125,7 +2125,23 @@ def q37_stream_medallion_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
         .csv(pipe.landing("order_items"))
     )
     pipe.run_cycle()
-    return pipe.gold("order_kpis_daily")
+    # r9 — the LATE-DATA CONTRACT under the hash gate: gold/late_audit
+    # counts rows absorbed via the late-release path per date. In this
+    # scenario the late set is a pure function of the views — the crash
+    # strands ALL cycle-1 released items (every item of an order with
+    # ≥1 even-product item released in cycle 1), so cycle 2's late wave
+    # is exactly {items of even-containing orders}: stranded evens +
+    # genuinely-late odds. The oracle derives the identical per-date
+    # count relationally (evenord CTE). Dates with no late rows (odd-
+    # only orders) emit 0 via the left join.
+    gold = pipe.gold("order_kpis_daily")
+    audit = pipe.gold("late_audit")
+    return gold.join(audit, "order_date", "left").select(
+        *[F.col(c) for c in gold.columns],
+        F.coalesce(F.col("late_items_absorbed"), F.lit(0))
+        .cast("long")
+        .alias("late_items_absorbed"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -305,6 +305,8 @@ class MedallionPipeline:
         for table, _ in tables:
             self._swap(self._path("staging", table))
         complete.unpersist()
+        if late_enriched is not None:
+            self._record_late_audit(late_enriched)
         if late is not None:
             # every consumer of the temp-materialized late frame has run
             # its action (silver merge + staging rewrites) — safe to drop
@@ -312,6 +314,33 @@ class MedallionPipeline:
 
             shutil.rmtree(late_tmp, ignore_errors=True)
         return dates
+
+    def _record_late_audit(self, late_released: DataFrame) -> None:
+        """Per-date running count of rows absorbed via the LATE-RELEASE
+        path — the watermark/late-data contract made auditable: gold
+        aggregates already absorb late VALUES; this gold table proves
+        HOW MANY rows arrived through the late path (r8 VERDICT ask).
+        Additive MERGE keyed on order_date (source = new counts + the
+        existing row's count). Runs AFTER the staging swaps, so a crash
+        in the window UNDERCOUNTS (at-most-once) rather than
+        double-counts: once staging drained, a released item can never
+        re-release, keeping the metric convergent under replay."""
+        counts = late_released.groupBy("order_date").agg(
+            F.count(F.lit(1)).alias("late_items_absorbed")
+        )
+        path = self._path("gold", "late_audit")
+        if os.path.isdir(path):
+            prev = self.spark.read.parquet(path).select(
+                "order_date", F.col("late_items_absorbed").alias("_prev")
+            )
+            counts = counts.join(prev, "order_date", "left").select(
+                "order_date",
+                (
+                    F.col("late_items_absorbed")
+                    + F.coalesce(F.col("_prev"), F.lit(0))
+                ).cast("long").alias("late_items_absorbed"),
+            )
+        upsert.merge(self.spark, path, counts, keys=["order_date"])
 
     def _swap(self, path: str) -> None:
         """3-step swap mirroring upsert.merge_parquet: the old directory
