@@ -482,3 +482,27 @@ def chunk_documents(
         F.size("_ctoks").cast("int").alias("n_chunk_tokens"),
         F.array_join("_ctoks", " ").alias("chunk_text"),
     )
+
+
+def repeat_factor_expand(
+    df: DataFrame,
+    factor_col: str = "repeat_factor",
+    epoch_col: str = "epoch_idx",
+) -> DataFrame:
+    """Epoch-style UPSAMPLING (the mixture-weights-to-rows step of a
+    training run): emit each row ``factor`` times, tagged with
+    ``epoch_col`` in [0, factor) — the Llama/Gopher data-mixing
+    pattern where high-quality domains are repeated for multiple
+    epochs while bulk crawl runs once. A factor ≤ 0 (or NULL) drops
+    the row, so one integer column expresses keep/drop/repeat at once;
+    non-integral factors belong upstream (combine an integer floor
+    here with :func:`mixture_sample` on the fractional remainder).
+
+    Pure explode(sequence) — no shuffle, no UDF; output size is
+    sum(factor), i.e. exactly the token-budget accounting the caller
+    already did to choose the factors. Deterministic: the same input
+    always yields the same (row, epoch_idx) set, so a re-run of a
+    training-data build is byte-identical."""
+    f = F.col(factor_col).cast("long")
+    epochs = F.when(f > 0, F.sequence(F.lit(0).cast("long"), f - 1))
+    return df.withColumn(epoch_col, F.explode(epochs))

@@ -484,3 +484,64 @@ def winnow_overlap_pairs(
         .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    sep: str = "\n\n",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-corpus PARAGRAPH-level exact dedup (the RefinedWeb /
+    FineWeb pipeline stage): split every document on ``sep``, keep only
+    the FIRST corpus-wide occurrence of each distinct paragraph (first
+    = lowest (doc id, position) — deterministic), and reassemble each
+    document from its surviving paragraphs in original order. The
+    document-grain result keeps EVERY input document (a fully-duplicate
+    document comes back with empty text), so the op composes with
+    downstream doc-grain stages:
+
+        doc_id, text (cleaned), n_paras, n_paras_dropped
+
+    Boilerplate paragraphs repeated across a crawl (nav bars, cookie
+    banners, license headers) are exactly what this removes — document-
+    level dedup (exact_duplicates / MinHash) never catches them because
+    the HOST documents differ.
+
+    Shape, and why it scales: paragraphs shuffle once keyed on their
+    md5 (128-bit — collision-free in practice; the window partitions by
+    hash so a hot boilerplate paragraph lands on ONE reducer but only
+    with (id, pos, hash) rows, text rides separately), then once more
+    on doc id for reassembly. No UDFs, no driver state; both shuffles
+    are key-balanced except genuine boilerplate pile-ups, which are
+    rank-1-per-group windows — cheap even when hot. The dedup KEY is
+    the raw paragraph string (no normalization): exactness keeps the
+    op oracle-checkable; compose with text normalization upstream when
+    whitespace-insensitive matching is wanted."""
+    from pyspark.sql import Window
+
+    # split()'s pattern is a Java REGEX — \Q..\E-quote so the separator
+    # is matched literally ("." or "||" separators would otherwise be
+    # metacharacters); limit -1 (default) keeps trailing empties, the
+    # same contract as Python str.split / DuckDB string_split.
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.col(text_col), F.lit("\\Q" + sep + "\\E"))
+        ).alias("_pos", "_para"),
+    )
+    w = Window.partitionBy("_h").orderBy(id_col, "_pos")
+    flagged = paras.withColumn("_h", F.md5("_para")).withColumn(
+        "_keep", (F.row_number().over(w) == 1).cast("int")
+    )
+    kept_structs = F.filter(
+        F.array_sort(F.collect_list(F.struct("_pos", "_keep", "_para"))),
+        lambda s: s["_keep"] == 1,
+    )
+    return flagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(kept_structs, lambda s: s["_para"]), sep
+        ).alias(text_col),
+        F.count(F.lit(1)).cast("long").alias("n_paras"),
+        F.sum(1 - F.col("_keep")).cast("long").alias("n_paras_dropped"),
+    )

@@ -12,6 +12,17 @@ row of the hot key to the same salt and spreads nothing); the build
 side is exploded n× (one copy per salt); the join key becomes
 (key, salt), spreading each hot key over n reducers. The salt only
 affects routing, so results are identical for any salt assignment.
+
+Crossover (measured, tools/skew_probe.py, SCALING.md r10): at a
+10^6:1 hot key on a pure equi-join, AQE's skew split beats salting
+(5.65× vs 3.52× over the unmitigated SMJ at n_salts=32) — it splits
+the hot partition at map-output granularity with no replication,
+while salting caps the spread at n_salts and replicates the dim n×.
+So: ship the plain join and let AQE split (the session default)
+UNLESS AQE can't act — stream-stream joins (no AQE per micro-batch
+plan reuse), a join whose output partitioning must survive for a
+downstream op AQE would reshape, or an AQE-disabled stage. Those are
+this function's use cases.
 """
 
 from __future__ import annotations

@@ -257,13 +257,27 @@ def merge(
     source: DataFrame,
     keys: list[str],
     partition_col: str | None = None,
+    on_duplicate_source: str = "error",
 ) -> None:
     """Dispatch: Delta when available, parquet fallback otherwise. The
     source-uniqueness contract is enforced on BOTH branches: Delta's own
     multi-match error fires only for duplicate keys that hit existing
-    target rows — all-new duplicates would double-insert silently."""
+    target rows — all-new duplicates would double-insert silently.
+    ``on_duplicate_source='dedupe'`` (explicit opt-in) collapses
+    duplicate-key sources via dropDuplicates on either branch — callers
+    keep the Delta path instead of having to call merge_parquet directly
+    (r9 ADVICE)."""
     if delta_available():
-        check_source_unique(source, keys)
+        if on_duplicate_source == "error":
+            check_source_unique(source, keys)
+        elif on_duplicate_source == "dedupe":
+            source = source.dropDuplicates(keys)
+        else:
+            raise ValueError(
+                f"unknown on_duplicate_source={on_duplicate_source!r}"
+            )
         merge_delta(spark, target_path, source, keys)
     else:
-        merge_parquet(spark, target_path, source, keys, partition_col)
+        merge_parquet(
+            spark, target_path, source, keys, partition_col, on_duplicate_source
+        )

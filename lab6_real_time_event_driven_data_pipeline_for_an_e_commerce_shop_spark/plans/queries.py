@@ -1892,16 +1892,40 @@ def q36_date_formatting(spark: SparkSession, sf_dir: str) -> DataFrame:
            JOIN li1 l ON o.o_orderkey = l.l_orderkey
            JOIN part p     ON l.l_partkey = p.p_partkey
            WHERE o.o_orderkey IN (SELECT o_orderkey FROM keys)
+         ),
+         g AS (
+           SELECT order_date,
+                  CAST(COUNT(DISTINCT order_id) AS BIGINT) AS total_orders,
+                  {_dsum('sale_price')}                    AS total_revenue,
+                  COUNT(product_id)                        AS total_items_sold,
+                  CAST(SUM(returned) AS DOUBLE)
+                        / COUNT(DISTINCT order_id)         AS return_rate,
+                  CAST(COUNT(DISTINCT user_id) AS BIGINT)  AS unique_customers
+           FROM enriched
+           GROUP BY order_date
+         ),
+         -- the r9 late-data contract column: the mid-swap crash strands
+         -- EVERY cycle-1 released item (all items of orders with >=1
+         -- even-product item), so cycle 2's late-release set is exactly
+         -- the li1 items of those even-containing orders (stranded evens
+         -- re-released + genuinely-late odds); odd-only orders release
+         -- through the normal staging path and never hit the audit.
+         evenord AS (
+           SELECT DISTINCT l_orderkey FROM li1
+           WHERE l_orderkey IN (SELECT o_orderkey FROM keys)
+             AND l_partkey % 2 = 0
+         ),
+         late AS (
+           SELECT CAST(o.o_orderdate AS DATE) AS order_date,
+                  CAST(COUNT(*) AS BIGINT) AS late_cnt
+           FROM li1 l
+           JOIN orders o ON o.o_orderkey = l.l_orderkey
+           WHERE l.l_orderkey IN (SELECT l_orderkey FROM evenord)
+           GROUP BY 1
          )
-    SELECT order_date,
-           CAST(COUNT(DISTINCT order_id) AS BIGINT) AS total_orders,
-           {_dsum('sale_price')}                    AS total_revenue,
-           COUNT(product_id)                        AS total_items_sold,
-           CAST(SUM(returned) AS DOUBLE)
-                 / COUNT(DISTINCT order_id)         AS return_rate,
-           CAST(COUNT(DISTINCT user_id) AS BIGINT)  AS unique_customers
-    FROM enriched
-    GROUP BY order_date
+    SELECT g.*,
+           CAST(COALESCE(late.late_cnt, 0) AS BIGINT) AS late_items_absorbed
+    FROM g LEFT JOIN late USING (order_date)
     """,
 )
 def q37_stream_medallion_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2125,23 +2149,27 @@ def q37_stream_medallion_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
         .csv(pipe.landing("order_items"))
     )
     pipe.run_cycle()
-    # r9 — the LATE-DATA CONTRACT under the hash gate: gold/late_audit
+    # r9/r10 — the LATE-DATA CONTRACT under the hash gate: gold/late_audit
     # counts rows absorbed via the late-release path per date. In this
     # scenario the late set is a pure function of the views — the crash
     # strands ALL cycle-1 released items (every item of an order with
     # ≥1 even-product item released in cycle 1), so cycle 2's late wave
     # is exactly {items of even-containing orders}: stranded evens +
     # genuinely-late odds. The oracle derives the identical per-date
-    # count relationally (evenord CTE). Dates with no late rows (odd-
-    # only orders) emit 0 via the left join.
+    # count relationally (evenord/late CTEs). Dates with no late rows
+    # (odd-only orders) emit 0 via the left join. The audit table only
+    # exists once a late wave has been absorbed — a slice with no
+    # even-product items would have none (r9 ADVICE guard).
     gold = pipe.gold("order_kpis_daily")
-    audit = pipe.gold("late_audit")
-    return gold.join(audit, "order_date", "left").select(
-        *[F.col(c) for c in gold.columns],
-        F.coalesce(F.col("late_items_absorbed"), F.lit(0))
-        .cast("long")
-        .alias("late_items_absorbed"),
-    )
+    if _os.path.isdir(_os.path.join(root, "gold", "late_audit")):
+        audit = pipe.gold("late_audit")
+        return gold.join(audit, "order_date", "left").select(
+            *[F.col(c) for c in gold.columns],
+            F.coalesce(F.col("late_items_absorbed"), F.lit(0))
+            .cast("long")
+            .alias("late_items_absorbed"),
+        )
+    return gold.withColumn("late_items_absorbed", F.lit(0).cast("long"))
 
 
 # ---------------------------------------------------------------------------

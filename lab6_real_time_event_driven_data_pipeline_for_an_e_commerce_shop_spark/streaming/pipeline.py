@@ -269,6 +269,13 @@ class MedallionPipeline:
         enriched = parts_frames[0]
         for extra in parts_frames[1:]:
             enriched = enriched.unionByName(extra)
+        # the enriched frame is consumed by THREE actions per cycle
+        # (partition enumeration, the MERGE's source-uniqueness check,
+        # the MERGE write itself) — persist so the joins + dedup window
+        # run once, not three times (r9 ADVICE). All three actions
+        # complete before the staging swaps below, so a cache-miss
+        # recompute can never observe a swapped directory.
+        enriched = enriched.persist()
 
         # bounded enumeration (r3 VERDICT watch item): a normal release
         # touches a few dates; a historical backfill past the cap returns
@@ -307,6 +314,7 @@ class MedallionPipeline:
         complete.unpersist()
         if late_enriched is not None:
             self._record_late_audit(late_enriched)
+        enriched.unpersist()
         if late is not None:
             # every consumer of the temp-materialized late frame has run
             # its action (silver merge + staging rewrites) — safe to drop

@@ -1852,3 +1852,119 @@ def test_chunk_then_dedup_subdocument_composition(spark):
         .count()
     )
     assert dup_pair == 1
+
+
+def test_paragraph_dedup_exact_semantics(spark):
+    """Cross-corpus paragraph dedup (r10): boilerplate shared across
+    documents is dropped everywhere but its first (doc, pos)
+    occurrence; in-document repeats drop too; a fully-duplicate
+    document survives at doc grain with empty text; reassembly
+    preserves original paragraph order."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        dedup,
+    )
+
+    rows = [
+        (1, "intro A\n\nBOILER\n\nbody one"),
+        (2, "BOILER\n\nbody two\n\nbody two"),  # cross-doc + in-doc dup
+        (3, "intro A\n\nBOILER\n\nbody one"),   # fully duplicate doc
+        (4, ""),                                  # degenerate: one empty para
+        (5, "body one\n\nfresh tail"),           # leading dup, unique tail
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in dedup.paragraph_dedup(df).collect()}
+
+    assert set(out) == {1, 2, 3, 4, 5}  # doc grain preserved
+    assert out[1].text == "intro A\n\nBOILER\n\nbody one"
+    assert (out[1].n_paras, out[1].n_paras_dropped) == (3, 0)
+    assert out[2].text == "body two"
+    assert (out[2].n_paras, out[2].n_paras_dropped) == (3, 2)
+    assert out[3].text == ""
+    assert (out[3].n_paras, out[3].n_paras_dropped) == (3, 3)
+    assert out[4].text == ""            # its single empty para is FIRST
+    assert (out[4].n_paras, out[4].n_paras_dropped) == (1, 0)
+    assert out[5].text == "fresh tail"
+    assert (out[5].n_paras, out[5].n_paras_dropped) == (2, 1)
+
+    # conservation: paragraphs kept + dropped == paragraphs in
+    total = sum(r.n_paras for r in out.values())
+    assert total == sum(len(t.split("\n\n")) for _, t in rows)
+
+    # regex-metachar separator is treated literally (the \Q\E quote)
+    df2 = spark.createDataFrame([(1, "a.b.a"), (2, "b.c")], ["doc_id", "text"])
+    out2 = {r.doc_id: r for r in dedup.paragraph_dedup(df2, sep=".").collect()}
+    assert out2[1].text == "a.b"       # second 'a' is an in-doc dup
+    assert out2[2].text == "c"         # 'b' already seen in doc 1
+
+
+def test_paragraph_dedup_matches_naive_reference(spark):
+    """paragraph_dedup ≡ the obvious sequential algorithm (global seen-
+    set walked in (doc_id, pos) order) on a seeded pseudo-random corpus
+    with heavy paragraph reuse, including empty paragraphs."""
+    import random
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        dedup,
+    )
+
+    rng = random.Random(42)
+    alphabet = [f"para {i} text" for i in range(12)] + [""]
+    rows = [
+        (d, "\n\n".join(rng.choice(alphabet)
+                         for _ in range(rng.randint(1, 8))))
+        for d in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: (r.text, r.n_paras, r.n_paras_dropped)
+           for r in dedup.paragraph_dedup(df).collect()}
+
+    seen: set[str] = set()
+    want = {}
+    for d, text in rows:           # rows are already in doc_id order
+        paras = text.split("\n\n")
+        kept = []
+        for p in paras:
+            if p in seen:
+                continue
+            seen.add(p)
+            kept.append(p)
+        want[d] = ("\n\n".join(kept), len(paras), len(paras) - len(kept))
+    assert got == want
+
+
+def test_repeat_factor_expand_counts_and_duckdb_parity(spark):
+    """Epoch upsampling (r10): each row repeats factor times with
+    epoch_idx 0..factor-1; factor <= 0 or NULL drops the row; the
+    expansion matches DuckDB's range()-unnest re-derivation exactly."""
+    import duckdb
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        curation,
+    )
+
+    rows = [(1, 3), (2, 1), (3, 0), (4, -2), (5, None), (6, 5)]
+    df = spark.createDataFrame(rows, "doc_id int, repeat_factor int")
+    got = sorted(
+        (r.doc_id, r.epoch_idx)
+        for r in curation.repeat_factor_expand(df).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(f"({d}, {f if f is not None else 'NULL'})" for d, f in rows)
+        + ") v(doc_id, repeat_factor)"
+    )
+    want = sorted(
+        (d, e)
+        for d, e in con.execute(
+            "SELECT doc_id, unnest(range(0, repeat_factor)) FROM t"
+        ).fetchall()
+    )
+    assert got == want
+    assert len(got) == 3 + 1 + 5   # sum of positive factors
+    # deterministic: a second run is identical (no randomness anywhere)
+    again = sorted(
+        (r.doc_id, r.epoch_idx)
+        for r in curation.repeat_factor_expand(df).collect()
+    )
+    assert again == got

@@ -10,6 +10,7 @@
 from __future__ import annotations
 
 import datetime as dt
+import os
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -95,7 +96,12 @@ merge_batch = st.lists(
 @given(st.lists(merge_batch, min_size=1, max_size=4))
 def test_merge_equals_dict_semantics(spark, tmp_path_factory, batches):
     """Sequential keyed merges must equal last-writer-wins dict
-    semantics regardless of batch composition."""
+    semantics regardless of batch composition. Sources are made
+    KEY-UNIQUE first (first row per key) — the r9 contract: merge()
+    raises on duplicate-key sources instead of collapsing them, so the
+    dict-equivalence property holds over exactly the inputs merge()
+    accepts, and values can be checked EXACTLY (no arbitrary-winner
+    slack)."""
     from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
         upsert,
     )
@@ -103,18 +109,58 @@ def test_merge_equals_dict_semantics(spark, tmp_path_factory, batches):
     target = str(tmp_path_factory.mktemp("merge_prop") / "t")
     expected = {}
     for batch in batches:
-        rows = [(f"o{o}", f"p{p}", float(round(v, 2))) for o, p, v in batch]
+        seen = {}
+        for o, p, v in batch:
+            seen.setdefault((f"o{o}", f"p{p}"), float(round(v, 2)))
+        rows = [(o, p, v) for (o, p), v in seen.items()]
         df = spark.createDataFrame(rows, "order_id string, product_id string, v double")
         upsert.merge(spark, target, df, ["order_id", "product_id"])
-        # merge drops duplicate keys within a batch via dropDuplicates
-        # (arbitrary winner) — build expectation from the surviving keys
-        seen = {}
-        for o, p, v in rows:
-            seen.setdefault((o, p), v)  # dropDuplicates keeps SOME row; value checked loosely below
-        for k in seen:
-            expected[k] = "set"
-    got = {(r.order_id, r.product_id) for r in spark.read.parquet(target).collect()}
-    assert got == set(expected)
+        expected.update(seen)
+    got = {(r.order_id, r.product_id): r.v
+           for r in spark.read.parquet(target).collect()}
+    assert got == expected
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(merge_batch)
+def test_merge_duplicate_key_sources_raise_and_dedupe_converges(
+    spark, tmp_path_factory, batch
+):
+    """The r9 uniqueness contract, property-pinned: ANY source carrying
+    a duplicate key makes merge() raise (matched or not — a fresh
+    target has no matches, the case real Delta would silently
+    double-insert), and the explicit on_duplicate_source='dedupe'
+    opt-in converges to a key-unique table over the same source."""
+    import pytest as _pytest
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        upsert,
+    )
+
+    rows = [(f"o{o}", f"p{p}", float(round(v, 2))) for o, p, v in batch]
+    rows.append(rows[0])  # force at least one duplicate key
+    df = spark.createDataFrame(rows, "order_id string, product_id string, v double")
+    target = str(tmp_path_factory.mktemp("merge_dup") / "t")
+    with _pytest.raises(ValueError, match="key-unique"):
+        upsert.merge(spark, target, df, ["order_id", "product_id"])
+    assert not os.path.exists(target)  # the raise preceded any write
+
+    upsert.merge(
+        spark, target, df, ["order_id", "product_id"],
+        on_duplicate_source="dedupe",
+    )
+    got = [(r.order_id, r.product_id) for r in spark.read.parquet(target).collect()]
+    assert sorted(got) == sorted({(o, p) for o, p, _ in rows})  # key-unique
+    # dedupe is idempotent: replaying the same duplicate-key source
+    # leaves the key set unchanged
+    upsert.merge(
+        spark, target, df, ["order_id", "product_id"],
+        on_duplicate_source="dedupe",
+    )
+    assert sorted(
+        (r.order_id, r.product_id) for r in spark.read.parquet(target).collect()
+    ) == sorted(got)
 
 
 join_rows = st.lists(

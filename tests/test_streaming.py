@@ -207,6 +207,118 @@ def test_late_items_release_after_group_published(spark, tmp_path):
     assert sorted(map(tuple, pipe.silver().collect())) == before
 
 
+def _late_audit(spark, root):
+    path = os.path.join(root, "gold", "late_audit")
+    if not os.path.isdir(path):
+        return {}
+    return {str(r.order_date): r.late_items_absorbed
+            for r in spark.read.parquet(path).collect()}
+
+
+def test_late_audit_counts_exact_and_replay_stable(spark, tmp_path):
+    """gold/late_audit (r9 feature, r10 pinned): per-date counts of rows
+    absorbed via the LATE-RELEASE path, exact, additive across cycles,
+    and invariant under replay. Normal-path releases never count."""
+    root = str(tmp_path)
+    pipe = MedallionPipeline(spark, root)
+
+    # cycle 1: normal release (o1/i1/p1) — NO audit table yet
+    _drop(root, "orders", "o1.csv", ORDER_HEADER, [f"o1,u1,delivered,{T0},,,,2"])
+    _drop(root, "order_items", "i1.csv", ITEM_HEADER,
+          [f"i1,o1,u1,p1,delivered,{T0},,,,10.0"])
+    _drop(root, "products", "p1.csv", PRODUCT_HEADER,
+          ["p1,sku1,5.0,cat_a,widget,acme,12.0,d1"])
+    pipe.run_cycle()
+    assert _late_audit(spark, root) == {}
+
+    # cycle 2: TWO late items for the published o1 on 2024-03-01, plus a
+    # normal release (o2/i9/p1 on a DIFFERENT date) that must NOT count
+    _drop(root, "order_items", "late1.csv", ITEM_HEADER,
+          [f"i2,o1,u1,p2,delivered,{T0},,,,30.0",
+           f"i3,o1,u1,p3,delivered,{T0},,,,5.0"])
+    _drop(root, "products", "p23.csv", PRODUCT_HEADER,
+          ["p2,sku2,9.0,cat_a,gadget,acme,35.0,d1",
+           "p3,sku3,1.0,cat_b,gizmo,acme,9.0,d1"])
+    _drop(root, "orders", "o2.csv", ORDER_HEADER,
+          ["o2,u2,delivered,2024-03-05T10:00:00,,,,1"])
+    _drop(root, "order_items", "i9.csv", ITEM_HEADER,
+          ["i9,o2,u2,p1,delivered,2024-03-05T10:00:00,,,,7.0"])
+    pipe.run_cycle()
+    assert _late_audit(spark, root) == {"2024-03-01": 2}
+
+    # cycle 3: one more late item for the same date — ADDITIVE merge
+    _drop(root, "order_items", "late2.csv", ITEM_HEADER,
+          [f"i4,o1,u1,p1,delivered,{T0},,,,1.0"])
+    pipe.run_cycle()
+    assert _late_audit(spark, root) == {"2024-03-01": 3}
+
+    # replay: empty cycles never move the counter (the checkpoint skips
+    # seen files; drained staging can never re-release)
+    pipe.run_cycle()
+    pipe.run_cycle()
+    assert _late_audit(spark, root) == {"2024-03-01": 3}
+
+
+def test_late_audit_crash_undercounts_never_double_counts(spark, tmp_path):
+    """The at-most-once placement claim (pipeline._record_late_audit
+    docstring): the audit MERGE runs AFTER the staging swaps, so a crash
+    in between loses that cycle's count (undercount) — but can never
+    double-count, because the drained staging can't re-release the rows.
+    Silver stays correct and gold converges when the date is touched
+    again."""
+    root = str(tmp_path)
+    pipe = MedallionPipeline(spark, root)
+    _drop(root, "orders", "o1.csv", ORDER_HEADER, [f"o1,u1,delivered,{T0},,,,2"])
+    _drop(root, "order_items", "i1.csv", ITEM_HEADER,
+          [f"i1,o1,u1,p1,delivered,{T0},,,,10.0"])
+    _drop(root, "products", "p1.csv", PRODUCT_HEADER,
+          ["p1,sku1,5.0,cat_a,widget,acme,12.0,d1"])
+    pipe.run_cycle()
+
+    # late wave, then CRASH between the staging swaps and the audit MERGE
+    _drop(root, "order_items", "late1.csv", ITEM_HEADER,
+          [f"i2,o1,u1,p2,delivered,{T0},,,,30.0"])
+    _drop(root, "products", "p2.csv", PRODUCT_HEADER,
+          ["p2,sku2,9.0,cat_a,gadget,acme,35.0,d1"])
+    pipe.ingest_available()
+    real_audit = MedallionPipeline._record_late_audit
+
+    def _boom(self, frame):
+        raise RuntimeError("crash before audit merge")
+
+    MedallionPipeline._record_late_audit = _boom
+    try:
+        with pytest.raises(RuntimeError, match="crash before audit"):
+            pipe.promote_complete_groups()
+    finally:
+        MedallionPipeline._record_late_audit = real_audit
+
+    # the late row reached silver (swap happened), the audit did not
+    silver = {(r.order_id, r.product_id) for r in pipe.silver().collect()}
+    assert silver == {("o1", "p1"), ("o1", "p2")}
+    assert _late_audit(spark, root) == {}
+
+    # replay cycle: staging is drained — the lost count is NOT recovered
+    # (at-most-once) and nothing double-counts
+    pipe.run_cycle()
+    assert _late_audit(spark, root) == {}
+    assert pipe.silver().count() == 2
+
+    # a LATER late release on the same date counts ONLY itself, and its
+    # per-date gold recompute folds the crash-stranded row's value in —
+    # gold converges even though the audit undercounts by design
+    _drop(root, "order_items", "late2.csv", ITEM_HEADER,
+          [f"i3,o1,u1,p3,delivered,{T0},,,,2.0"])
+    _drop(root, "products", "p3.csv", PRODUCT_HEADER,
+          ["p3,sku3,1.0,cat_b,gizmo,acme,9.0,d1"])
+    pipe.run_cycle()
+    assert _late_audit(spark, root) == {"2024-03-01": 1}
+    daily = pipe.gold("order_kpis_daily").collect()
+    assert len(daily) == 1
+    assert daily[0].total_revenue == pytest.approx(42.0)
+    assert daily[0].total_items_sold == 3
+
+
 def _event_rows(spark):
     base = dt.datetime(2024, 1, 1, 0, 0, 0)
     rows = [
