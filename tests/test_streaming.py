@@ -1185,3 +1185,90 @@ def test_medallion_end_state_invariant_under_arrival_order(
     whatever interleaving hypothesis invents (specific adversarial
     orders remain pinned as the named e2e tests above)."""
     _permutation_scenario(spark, tmp_path_factory, list(order), cuts)
+
+
+def test_dedup_ingest_gate_streamed_equals_batch(spark, tmp_path, monkeypatch):
+    """Dedup-on-ingest (r10): a checkpointed stream admits only the
+    first-arrival copy of each distinct normalized text. Invariants:
+    (1) after any sequence of waves, kept ids == the BATCH
+    exact_duplicates keep set over the union of all inputs (ids arrive
+    in order, so first arrival == min id); (2) replay with no new files
+    is a no-op; (3) a crash between the kept and fingerprint MERGEs
+    converges on replay — never losing or duplicating a doc; (4) the
+    seen-set store holds exactly one row per distinct text."""
+    import json as _json
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        dedup,
+        upsert,
+    )
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.ingest_dedup import (
+        DedupIngest,
+    )
+
+    root = str(tmp_path)
+    gate = DedupIngest(
+        spark, root, schema="doc_id long, text string", fmt="json"
+    )
+
+    def _wave(name, docs):
+        with open(os.path.join(root, "landing", name), "w") as f:
+            for d, t in docs:
+                f.write(_json.dumps({"doc_id": d, "text": t}) + "\n")
+
+    all_docs = []
+
+    def _drop_wave(name, docs):
+        all_docs.extend(docs)
+        _wave(name, docs)
+
+    # wave 1: in-batch duplicate (1 vs 3) + distinct texts
+    _drop_wave("w1.json", [
+        (1, "alpha beta"), (2, "gamma"), (3, "alpha beta"),
+    ])
+    gate.run_available()
+    assert {r.doc_id for r in gate.kept().collect()} == {1, 2}
+
+    # wave 2: cross-wave dup (text of doc 1), a WHITESPACE/CASE variant
+    # (normalization: "  Alpha   BETA " == "alpha beta"), and new text
+    _drop_wave("w2.json", [
+        (4, "gamma"), (5, "  Alpha   BETA "), (6, "delta"),
+    ])
+    gate.run_available()
+    assert {r.doc_id for r in gate.kept().collect()} == {1, 2, 6}
+
+    # invariant (1): streamed kept == batch keep set over ALL inputs
+    batch = spark.createDataFrame(all_docs, "doc_id long, text string")
+    want_keep = {r.keep_id for r in dedup.exact_duplicates(batch).collect()}
+    assert {r.doc_id for r in gate.kept().collect()} == want_keep
+    # invariant (4): one fingerprint row per distinct normalized text
+    assert gate.fingerprints().count() == len(want_keep)
+
+    # invariant (2): replay with no new files is a byte-stable no-op
+    before = sorted(map(tuple, gate.kept().collect()))
+    gate.run_available()
+    assert sorted(map(tuple, gate.kept().collect())) == before
+
+    # invariant (3): crash BETWEEN the kept merge and the fingerprint
+    # merge — the worst window (rows kept but not yet marked seen)
+    _drop_wave("w3.json", [(7, "epsilon"), (8, "delta")])
+    real_merge = upsert.merge
+    calls = {"n": 0}
+
+    def _crashing_merge(spark_, path, source, keys, **kw):
+        if path.endswith("fingerprints"):
+            raise RuntimeError("crash before fingerprint merge")
+        return real_merge(spark_, path, source, keys, **kw)
+
+    monkeypatch.setattr(upsert, "merge", _crashing_merge)
+    with pytest.raises(Exception, match="crash before fingerprint merge"):
+        gate.run_available()
+    monkeypatch.setattr(upsert, "merge", real_merge)
+
+    gate.run_available()  # replay the uncommitted batch
+    batch = spark.createDataFrame(all_docs, "doc_id long, text string")
+    want_keep = {r.keep_id for r in dedup.exact_duplicates(batch).collect()}
+    kept_rows = gate.kept().collect()
+    assert {r.doc_id for r in kept_rows} == want_keep  # 7 in, 8 deduped
+    assert len(kept_rows) == len(want_keep)            # no duplicates
+    assert gate.fingerprints().count() == len(want_keep)
