@@ -506,3 +506,48 @@ def repeat_factor_expand(
     f = F.col(factor_col).cast("long")
     epochs = F.when(f > 0, F.sequence(F.lit(0).cast("long"), f - 1))
     return df.withColumn(epoch_col, F.explode(epochs))
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budget_tokens: int,
+    n_tokens_col: str = "n_tokens",
+    group_col: str = "source",
+    quality_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain TOKEN-budget fill — the other half of the mixing
+    arithmetic :func:`domain_cap` starts (that op caps document COUNT;
+    a training mix is specified in TOKENS): rank each group's docs by
+    ``quality_col`` DESC (ties → ``id_col`` ASC), and keep the rank
+    prefix whose RUNNING token total stays within ``budget_tokens``.
+    Appends
+
+    - ``budget_rank`` (int): 1-based quality rank within the group,
+    - ``cum_tokens`` (long): inclusive running token total in rank
+      order, and
+    - ``budget_kept`` (boolean): cum_tokens ≤ budget_tokens.
+
+    The prefix rule is deliberate: a small low-quality doc that would
+    still "fit" after a big one overflowed is NOT back-filled —
+    back-filling (knapsack) would make the keep set depend on
+    solver details; the prefix rule is a pure window expression,
+    deterministic across engines and partitionings (ranking on exact
+    integers only, the domain_cap discipline). One window per group;
+    same hot-domain caveat as domain_cap."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    cum = (
+        F.sum(F.col(n_tokens_col).cast("long"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    )
+    return (
+        df.withColumn("budget_rank", F.row_number().over(w))
+        .withColumn("cum_tokens", cum)
+        .withColumn(
+            "budget_kept", F.col("cum_tokens") <= F.lit(int(budget_tokens))
+        )
+    )

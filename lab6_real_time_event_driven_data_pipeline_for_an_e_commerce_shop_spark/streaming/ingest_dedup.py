@@ -137,3 +137,195 @@ class DedupIngest:
 
     def fingerprints(self) -> DataFrame:
         return self.spark.read.parquet(self._path("fingerprints"))
+
+
+def _banded(sig: DataFrame, k: int, bands: int, id_col: str) -> DataFrame:
+    """(id, mh_0..mh_{k-1}) → (id, band, sig): the LSH band relation,
+    derived from a signature frame (same banding as
+    dedup.minhash_lsh_candidates — bands of k/bands contiguous rows,
+    band signature = '_'-joined component values)."""
+    rows = k // bands
+    band_cols = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.concat_ws(
+                "_", *[F.col(f"mh_{bi * rows + r}") for r in range(rows)]
+            ).alias("sig"),
+        )
+        for bi in range(bands)
+    ]
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("_b")
+    ).select(id_col, F.col("_b.band").alias("band"), F.col("_b.sig").alias("sig"))
+
+
+class NearDupIngest:
+    """NEAR-dup dedup on ingest — the MinHash-LSH twin of
+    :class:`DedupIngest` (exact hashes can't catch lightly-edited
+    re-crawls; this gate drops them as they land).
+
+    Admission contract (deterministic, pinned by a naive-reference
+    test): a new doc is REJECTED iff it shares ≥1 LSH band with an
+    already-KEPT doc AND their MinHash signatures agree on ≥
+    ``min_agree`` of ``k`` components (the integer form of the Jaccard
+    threshold — never a float compare); among the survivors of that
+    cross-corpus filter, each micro-batch is canonicalized in-batch
+    (verified pairs → connected components → min-id keep). First
+    arrival wins across batches; min doc id wins within a batch.
+    Rejections are LSH-mediated: a true near-dup pair that collides in
+    no band is admitted — the standard LSH false-negative envelope,
+    identical to the batch pipeline's (tune bands/k against τ exactly
+    as there). A doc too short to produce a single shingle has no
+    signature — it is uncomparable, always admitted, and contributes
+    no state.
+
+    State: one k-component signature row per KEPT doc (ints, never
+    text) — the minimum a near-dup gate must remember; band rows are
+    derived on read. Crash convergence: kept is MERGEd BEFORE the
+    signature store (same argument as DedupIngest — the reverse order
+    could register a doc's signature and then lose the doc, after
+    which the replayed doc would be rejected AGAINST ITSELF)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        schema,
+        k: int = 16,
+        bands: int = 4,
+        min_agree: int = 8,
+        shingle_k: int = 3,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        fmt: str = "json",
+    ):
+        self.spark = spark
+        self.root = root
+        self.schema = schema
+        self.k, self.bands, self.min_agree = k, bands, min_agree
+        self.shingle_k = shingle_k
+        self.text_col = text_col
+        self.id_col = id_col
+        self.fmt = fmt
+        os.makedirs(self.landing(), exist_ok=True)
+
+    landing = DedupIngest.landing
+    _path = DedupIngest._path
+    run_available = DedupIngest.run_available
+    kept = DedupIngest.kept
+
+    def signatures(self) -> DataFrame:
+        return self.spark.read.parquet(self._path("signatures"))
+
+    def _process(self, batch: DataFrame, batch_id: int) -> None:
+        from ..operators import dedup
+
+        mh_cols = [f"mh_{i}" for i in range(self.k)]
+        sigs_all = dedup.minhash_signatures(
+            batch, self.k, self.shingle_k, self.text_col, self.id_col
+        )
+        sigs_new = sigs_all
+        # cross-corpus rejection: band equi-join against the kept
+        # store, verified by integer signature agreement
+        store_path = self._path("signatures")
+        if os.path.isdir(store_path):
+            store_sigs = self.spark.read.parquet(store_path)
+            cands = (
+                _banded(sigs_new, self.k, self.bands, self.id_col)
+                .withColumnRenamed(self.id_col, "id_a")
+                .join(
+                    _banded(store_sigs, self.k, self.bands, self.id_col)
+                    .withColumnRenamed(self.id_col, "id_b"),
+                    ["band", "sig"],
+                )
+                .select("id_a", "id_b")
+                .distinct()
+            )
+            rejected = self._agreement(cands, sigs_new, store_sigs)
+            sigs_new = sigs_new.join(
+                rejected.select(F.col("id_a").alias(self.id_col)).distinct(),
+                self.id_col,
+                "left_anti",
+            )
+        # in-batch canonicalization among the survivors: verified band
+        # pairs → connected components → min-id keep
+        pairs = (
+            _banded(sigs_new, self.k, self.bands, self.id_col)
+            .withColumnRenamed(self.id_col, "id_a")
+            .join(
+                _banded(sigs_new, self.k, self.bands, self.id_col)
+                .withColumnRenamed(self.id_col, "id_b"),
+                ["band", "sig"],
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        verified = self._agreement(pairs, sigs_new, sigs_new)
+        clusters = dedup.duplicate_clusters(verified)
+        losers = clusters.filter(
+            F.col("cluster_id") != F.col("node_id")
+        ).select(F.col("node_id").alias(self.id_col))
+        admitted_sigs = sigs_new.join(losers, self.id_col, "left_anti")
+        # admitted = [docs with no signature at all: too short to
+        # shingle, uncomparable, always admitted, no state] ∪ [docs
+        # whose signature survived both the cross-corpus rejection and
+        # the in-batch canonicalization]. The no-signature test uses
+        # sigs_ALL (pre-rejection) — testing against the filtered
+        # frame would re-admit every cross-corpus rejection.
+        admitted = batch.join(
+            sigs_all.select(self.id_col), self.id_col, "left_anti"
+        ).unionByName(
+            batch.join(
+                admitted_sigs.select(self.id_col), self.id_col, "left_semi"
+            )
+        )
+
+        # materialize before the merges (lineage reads the sig store)
+        tmp_rows = self._path("_admitted__tmp")
+        tmp_sigs = self._path("_admitted_sigs__tmp")
+        admitted.write.mode("overwrite").parquet(tmp_rows)
+        admitted_sigs.select(self.id_col, *mh_cols).write.mode(
+            "overwrite"
+        ).parquet(tmp_sigs)
+        if glob.glob(os.path.join(tmp_rows, "part-*")):
+            fresh = self.spark.read.parquet(tmp_rows)
+            if fresh.limit(1).count() > 0:
+                # kept FIRST, signatures second (see class docstring)
+                upsert.merge(
+                    self.spark, self._path("kept"), fresh, keys=[self.id_col]
+                )
+                upsert.merge(
+                    self.spark,
+                    self._path("signatures"),
+                    self.spark.read.parquet(tmp_sigs),
+                    keys=[self.id_col],
+                )
+        shutil.rmtree(tmp_rows, ignore_errors=True)
+        shutil.rmtree(tmp_sigs, ignore_errors=True)
+
+    def _agreement(
+        self, pairs: DataFrame, sigs_a: DataFrame, sigs_b: DataFrame
+    ) -> DataFrame:
+        """Pairs whose signatures agree on ≥ min_agree components —
+        dedup.signature_agreement generalized to two signature tables
+        (id_a from sigs_a, id_b from sigs_b), integer threshold only."""
+        sa = sigs_a.select(
+            F.col(self.id_col).alias("id_a"),
+            *[F.col(f"mh_{i}").alias(f"_a{i}") for i in range(self.k)],
+        )
+        sb = sigs_b.select(
+            F.col(self.id_col).alias("id_b"),
+            *[F.col(f"mh_{i}").alias(f"_b{i}") for i in range(self.k)],
+        )
+        agree = F.lit(0)
+        for i in range(self.k):
+            agree = agree + F.when(
+                F.col(f"_a{i}") == F.col(f"_b{i}"), 1
+            ).otherwise(0)
+        return (
+            pairs.join(sa, "id_a")
+            .join(sb, "id_b")
+            .filter(agree >= F.lit(int(self.min_agree)))
+            .select("id_a", "id_b")
+        )

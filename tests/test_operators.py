@@ -1968,3 +1968,59 @@ def test_repeat_factor_expand_counts_and_duckdb_parity(spark):
         for r in curation.repeat_factor_expand(df).collect()
     )
     assert again == got
+
+
+def test_token_budget_sample_prefix_rule_and_duckdb_parity(spark):
+    """Per-domain token-budget fill (r10): quality-ranked inclusive
+    prefix sums, no back-filling past the first overflow; matches a
+    DuckDB window re-derivation column-for-column."""
+    import duckdb
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        curation,
+    )
+
+    rows = [
+        # (doc_id, source, n_tokens, quality)
+        (1, "a", 40, 9),
+        (2, "a", 50, 8),
+        (3, "a", 20, 7),   # cum 110 > 100 → first overflow, dropped
+        (4, "a", 5, 7),    # would fit after 1+2 (95) — prefix rule says NO;
+                           # quality tie with 3 → id breaks it (3 ranks first)
+        (5, "b", 200, 5),  # single doc over budget alone → dropped
+        (6, "b", 30, 4),
+        (7, "c", 100, 1),  # exactly == budget → kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, source string, n_tokens int, q int")
+    got = sorted(
+        (r.doc_id, r.budget_rank, r.cum_tokens, r.budget_kept)
+        for r in curation.token_budget_sample(
+            df, budget_tokens=100, quality_col="q"
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(f"({d}, '{s}', {n}, {q})" for d, s, n, q in rows)
+        + ") v(doc_id, source, n_tokens, q)"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute("""
+            SELECT doc_id,
+                   CAST(row_number() OVER w AS INT) AS budget_rank,
+                   SUM(CAST(n_tokens AS BIGINT)) OVER
+                       (w ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+                   SUM(CAST(n_tokens AS BIGINT)) OVER
+                       (w ROWS UNBOUNDED PRECEDING) <= 100 AS budget_kept
+            FROM t WINDOW w AS (PARTITION BY source
+                                ORDER BY q DESC, doc_id ASC)
+        """).fetchall()
+    )
+    assert got == want
+    by_id = {g[0]: g for g in got}
+    assert by_id[1][3] and by_id[2][3]          # 40 + 50 = 90 kept
+    assert not by_id[3][3] and not by_id[4][3]  # prefix rule: no back-fill
+    assert not by_id[5][3] and not by_id[6][3]  # 200 alone overflows; 6 behind it
+    assert by_id[7][3]                          # cum == budget is kept
+    assert by_id[3][1] < by_id[4][1]            # tie broken by id

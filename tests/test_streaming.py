@@ -1272,3 +1272,155 @@ def test_dedup_ingest_gate_streamed_equals_batch(spark, tmp_path, monkeypatch):
     assert {r.doc_id for r in kept_rows} == want_keep  # 7 in, 8 deduped
     assert len(kept_rows) == len(want_keep)            # no duplicates
     assert gate.fingerprints().count() == len(want_keep)
+
+
+def test_neardup_ingest_gate_matches_naive_reference(spark, tmp_path):
+    """Near-dup-on-ingest (r10): the gate's admission decisions over a
+    multi-wave corpus — cross-corpus LSH rejection, in-batch connected-
+    component canonicalization, short-doc pass-through — must equal a
+    naive sequential reference computed from the SAME MinHash
+    signatures (collected once from the batch operator, so the two
+    sides share shingling/hashing exactly). Replay is a no-op."""
+    import itertools
+    import json as _json
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        dedup,
+    )
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.ingest_dedup import (
+        NearDupIngest,
+    )
+
+    K, BANDS, MIN_AGREE, SH = 16, 4, 8, 3
+    base1 = "the quick brown fox jumps over the lazy dog near the river bank every single morning"
+    base2 = "completely different content about spark shuffle partitions and adaptive query execution plans"
+    base3 = "a third unrelated corpus document discussing parquet footers statistics and column pruning"
+    waves = [
+        [(1, base1), (2, base1 + " tail edited"), (3, base2)],
+        [(4, base1 + " second edit"), (5, base2 + " with a suffix"),
+         (6, base3), (7, "hi"),                       # 7: too short to shingle
+         (8, base3 + " in the same batch")],          # in-batch pair with 6
+        [(9, base3 + " third arrival"), (10, "entirely novel text about bloom filters and bucketed joins here")],
+    ]
+
+    root = str(tmp_path)
+    gate = NearDupIngest(
+        spark, root, schema="doc_id long, text string",
+        k=K, bands=BANDS, min_agree=MIN_AGREE, shingle_k=SH, fmt="json",
+    )
+    for i, wave in enumerate(waves):
+        with open(os.path.join(root, "landing", f"w{i}.json"), "w") as f:
+            for d, t in wave:
+                f.write(_json.dumps({"doc_id": d, "text": t}) + "\n")
+        gate.run_available()
+
+    # ---- naive reference over the SAME signatures -----------------------
+    all_docs = [d for w in waves for d in w]
+    sig_rows = dedup.minhash_signatures(
+        spark.createDataFrame(all_docs, "doc_id long, text string"),
+        K, SH,
+    ).collect()
+    sigs = {r.doc_id: tuple(r[f"mh_{i}"] for i in range(K)) for r in sig_rows}
+    rows = K // BANDS
+
+    def bands_of(s):
+        return {(b, s[b * rows:(b + 1) * rows]) for b in range(BANDS)}
+
+    def near(a, b):
+        return bool(bands_of(sigs[a]) & bands_of(sigs[b])) and sum(
+            x == y for x, y in zip(sigs[a], sigs[b])
+        ) >= MIN_AGREE
+
+    kept_ref: list[int] = []
+    for wave in waves:
+        ids = [d for d, _ in wave]
+        remaining = [
+            d for d in ids
+            if d not in sigs or not any(near(d, kd) for kd in kept_ref if kd in sigs)
+        ]
+        comparable = [d for d in remaining if d in sigs]
+        # connected components over verified in-batch edges
+        parent = {d: d for d in comparable}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in itertools.combinations(comparable, 2):
+            if near(a, b):
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+        batch_kept = [d for d in remaining
+                      if d not in sigs or find(d) == d]
+        kept_ref.extend(batch_kept)
+
+    got = {r.doc_id for r in gate.kept().collect()}
+    assert got == set(kept_ref)
+    # sanity on the scenario itself: the edits deduped, the novel and
+    # short docs survived
+    assert {3, 6, 7, 10} <= got and 1 in got
+    assert 2 not in got or not near(1, 2)  # 2 admitted only if LSH missed it
+    # signature store: one row per kept COMPARABLE doc
+    assert gate.signatures().count() == len([d for d in got if d in sigs])
+
+    # replay with no new files: byte-stable no-op
+    before = sorted(map(tuple, gate.kept().collect()))
+    gate.run_available()
+    assert sorted(map(tuple, gate.kept().collect())) == before
+
+
+def test_neardup_ingest_crash_window_converges(spark, tmp_path, monkeypatch):
+    """The worst crash window for the near-dup gate: kept MERGEd but the
+    signature store not yet — on replay the batch must NOT reject its
+    own docs against their half-written state (the self-rejection
+    hazard the kept-before-signatures order exists to prevent), and the
+    end state equals the no-crash run."""
+    import json as _json
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        upsert,
+    )
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.ingest_dedup import (
+        NearDupIngest,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank every single morning"
+    root = str(tmp_path)
+    gate = NearDupIngest(spark, root, schema="doc_id long, text string")
+
+    def _wave(name, docs):
+        with open(os.path.join(root, "landing", name), "w") as f:
+            for d, t in docs:
+                f.write(_json.dumps({"doc_id": d, "text": t}) + "\n")
+
+    _wave("w1.json", [(1, base), (2, "unrelated text about parquet column pruning and row groups")])
+    real_merge = upsert.merge
+
+    def _crashing_merge(spark_, path, source, keys, **kw):
+        if path.endswith("signatures"):
+            raise RuntimeError("crash before signature merge")
+        return real_merge(spark_, path, source, keys, **kw)
+
+    monkeypatch.setattr(upsert, "merge", _crashing_merge)
+    with pytest.raises(Exception, match="crash before signature merge"):
+        gate.run_available()
+    monkeypatch.setattr(upsert, "merge", real_merge)
+
+    # kept was written, signatures were not — the replay must re-admit
+    # the same docs (idempotent) and complete the store
+    assert {r.doc_id for r in gate.kept().collect()} == {1, 2}
+    assert not os.path.isdir(os.path.join(root, "signatures"))
+    gate.run_available()
+    assert {r.doc_id for r in gate.kept().collect()} == {1, 2}
+    assert gate.signatures().count() == 2
+
+    # and the gate still works across batches after the recovery: a
+    # near-dup of doc 1 arriving later is rejected against the store
+    _wave("w2.json", [(3, base + " tail edited"), (4, "novel content about bloom filters and salted joins")])
+    gate.run_available()
+    kept = {r.doc_id for r in gate.kept().collect()}
+    assert 4 in kept and {1, 2} <= kept
+    assert 3 not in kept  # rejected vs the recovered signature store
