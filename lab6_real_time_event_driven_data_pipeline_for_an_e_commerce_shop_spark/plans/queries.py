@@ -3008,6 +3008,18 @@ _PII_FOOTER_SQL = (
            {_PII_COUNT_COLS},
            {_PII_RED_COL}
         FROM pii
+    ),
+    tb AS (
+        SELECT doc_id,
+               CAST(row_number() OVER w AS INTEGER) AS budget_rank,
+               CAST(SUM(CAST(len(string_split_regex(trim(text), '\\s+'))
+                        AS BIGINT)) OVER (w ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cum_tokens,
+               CAST(SUM(CAST(len(string_split_regex(trim(text), '\\s+'))
+                        AS BIGINT)) OVER (w ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) <= 800 AS budget_kept
+        FROM documents
+        WINDOW w AS (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC)
     )
     SELECT sp.doc_id, sp.split, sp.sampled20,
            CASE WHEN sp.split = 'test' THEN CAST(0 AS BIGINT)
@@ -3018,12 +3030,14 @@ _PII_FOOTER_SQL = (
            COALESCE(sd.change_type, 'absent') AS change_type,
            COALESCE(sd.changed_cols, '') AS changed_cols,
            p.n_pii_card, p.n_pii_email, p.n_pii_ipv4, p.n_pii_phone,
-           p.redacted_len
+           p.redacted_len,
+           tb.budget_rank, tb.cum_tokens, tb.budget_kept
     FROM splits sp
     LEFT JOIN leak l ON sp.doc_id = l.doc_id
     JOIN dcap d ON d.doc_id = sp.doc_id
     LEFT JOIN sdiff sd ON sd.doc_id = sp.doc_id
     JOIN pii_cols p ON p.doc_id = sp.doc_id
+    JOIN tb ON tb.doc_id = sp.doc_id
     """,
 )
 def q52_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3063,7 +3077,17 @@ def q52_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pure regexp column expressions, no new join or shuffle. Hosted
     HERE rather than on q53 because q53 is a bench headline and the
     regex projection costs ~1 s of one-time codegen/JIT per JVM —
-    q52 is gate-only, where one-time cost is irrelevant."""
+    q52 is gate-only, where one-time cost is irrelevant.
+
+    r10 depth: ``budget_rank`` / ``cum_tokens`` / ``budget_kept`` —
+    the per-domain TOKEN-budget fill (curation.token_budget_sample,
+    800 tokens/source on exact whitespace token counts, quality =
+    n_chars DESC): the mixing spec in tokens that domain_cap's
+    doc-count cap approximates. Inclusive running sums on exact
+    integers; the prefix rule (no knapsack back-fill) makes the keep
+    set a pure window expression both engines evaluate identically.
+    Budget 800 < every domain's total at every gate SF, so both
+    branches of budget_kept are exercised at sf0.001/0.01/0.1."""
     from ..functions.expressions import portable_hash
     from ..operators.curation import (
         assign_split,
@@ -3072,6 +3096,7 @@ def q52_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         redact_pii,
         snapshot_diff,
         stratified_sample,
+        token_budget_sample,
     )
 
     def _salted(prefix: str):
@@ -3089,6 +3114,12 @@ def q52_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped = domain_cap(docs, n_per_group=10).select(
         "doc_id", "domain_rank", "domain_kept"
     )
+    budget = token_budget_sample(
+        docs.withColumn(
+            "n_tokens", F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        ),
+        budget_tokens=800,
+    ).select("doc_id", "budget_rank", "cum_tokens", "budget_kept")
     v_old = with_split.filter(F.col("doc_id") % 97 != 0).select(
         "doc_id", "split", (sample_hash % 100 < 20).alias("sampled20")
     )
@@ -3138,6 +3169,7 @@ def q52_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "changed_cols", F.coalesce(F.col("changed_cols"), F.lit(""))
         )
+        .join(budget, "doc_id")
     )
 
 
