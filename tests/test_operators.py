@@ -2024,3 +2024,85 @@ def test_token_budget_sample_prefix_rule_and_duckdb_parity(spark):
     assert not by_id[5][3] and not by_id[6][3]  # 200 alone overflows; 6 behind it
     assert by_id[7][3]                          # cum == budget is kept
     assert by_id[3][1] < by_id[4][1]            # tie broken by id
+
+
+def test_training_corpus_build_composition_end_to_end(spark):
+    """The full r10 training-corpus build, composed from the shipped
+    operators in pipeline order over a multi-paragraph corpus with
+    planted boilerplate, exact dups, near-dups, and junk:
+
+        paragraph_dedup → curate (quality → exact → near-dup → split)
+        → token_budget_sample → pack_sequences → repeat_factor_expand
+
+    Pins the INTERFACES compose (column contracts survive each stage)
+    and the end-state invariants: boilerplate gone, dups collapsed,
+    junk filtered, budgets respected, every kept doc packed, epoch
+    expansion exact."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        curation,
+        dedup,
+    )
+
+    boiler = "subscribe to our newsletter for updates and offers today"
+    body = [
+        f"document body {i} with several informative words about topic {i % 3} and details"
+        for i in range(12)
+    ]
+    rows = (
+        # 12 docs from 2 domains, each with boilerplate + unique body
+        [(i, f"d{i % 2}", boiler + "\n\n" + body[i]) for i in range(12)]
+        # exact duplicate of doc 0 (post-paragraph-dedup text differs,
+        # so plant it as a duplicate of the deduped form: body only)
+        + [(20, "d0", body[0])]
+        # junk: too short to survive the quality gate
+        + [(21, "d1", "tiny")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    # 1) paragraph dedup: boilerplate survives only in doc 0
+    paras = dedup.paragraph_dedup(df)
+    cleaned = df.select("doc_id", "source").join(paras, "doc_id")
+    kept_text = {r.doc_id: r.text for r in cleaned.collect()}
+    assert kept_text[0].startswith(boiler)
+    assert all(boiler not in kept_text[i] for i in range(1, 12))
+    # doc 20 is now an EXACT duplicate of doc 0's body? no — doc 0 kept
+    # its boilerplate; doc 20 duplicates doc 1..11's SHAPE: its single
+    # para 'body[0]' was already seen inside doc 0 → doc 20 empties out
+    assert kept_text[20] == ""
+
+    # 2) curate: quality gate drops the emptied doc 20 and junk doc 21;
+    # remaining docs are all distinct
+    curated = curation.curate(cleaned, min_chars=20, min_tokens=5)
+    kept_ids = {r.doc_id for r in curated.collect()}
+    assert kept_ids == set(range(12))
+
+    # 3) token budget per domain over the curated set
+    with_tok = (
+        cleaned.join(curated.select("doc_id", "split"), "doc_id")
+        .withColumn("n_tokens", F.size(F.split(F.trim(F.col("text")), r"\s+")))
+    )
+    budgeted = curation.token_budget_sample(
+        with_tok, budget_tokens=40, quality_col="n_tokens"
+    )
+    kept_budget = budgeted.filter("budget_kept")
+    for r in kept_budget.groupBy("source").agg(
+        F.max("cum_tokens").alias("m")
+    ).collect():
+        assert r.m <= 40
+
+    # 4) pack the surviving docs into 16-token packs
+    packed = curation.pack_sequences(
+        kept_budget.select("doc_id", "n_tokens"), budget_tokens=16
+    )
+    assert packed.count() == kept_budget.count()      # every doc packed
+    assert packed.filter("pack_offset < 0").count() == 0
+
+    # 5) epoch expansion: domain d0 twice, d1 once
+    mix = kept_budget.withColumn(
+        "repeat_factor", F.when(F.col("source") == "d0", 2).otherwise(1)
+    )
+    expanded = curation.repeat_factor_expand(mix)
+    n_d0 = kept_budget.filter("source = 'd0'").count()
+    n_d1 = kept_budget.filter("source = 'd1'").count()
+    assert expanded.count() == 2 * n_d0 + n_d1
+    assert expanded.filter("epoch_idx = 1").count() == n_d0

@@ -471,3 +471,37 @@ def test_decoders_fail_closed_on_fuzzed_payloads(magic, junk):
         decoders[fmt](payload)
     except Exception:
         pass  # any exception is fine; dispatch quarantines it
+
+
+_para = st.sampled_from(
+    ["alpha one", "beta two", "gamma", "", "delta four five", "beta two "]
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.lists(_para, min_size=1, max_size=6),
+                min_size=1, max_size=12))
+def test_paragraph_dedup_equals_sequential_reference(spark, docs):
+    """paragraph_dedup ≡ the sequential global-seen-set algorithm on
+    arbitrary corpora from a small paragraph alphabet (heavy reuse,
+    empty paragraphs, whitespace-distinct variants stay distinct —
+    the dedup key is the RAW paragraph)."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        dedup,
+    )
+
+    rows = [(i, "\n\n".join(ps)) for i, ps in enumerate(docs)]
+    got = {
+        r.doc_id: (r.text, r.n_paras, r.n_paras_dropped)
+        for r in dedup.paragraph_dedup(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    seen: set = set()
+    want = {}
+    for i, text in rows:
+        paras = text.split("\n\n")
+        kept = [p for p in paras if p not in seen and not seen.add(p)]
+        want[i] = ("\n\n".join(kept), len(paras), len(paras) - len(kept))
+    assert got == want
