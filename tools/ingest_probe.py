@@ -1,0 +1,135 @@
+"""Ingest-gate scale probe: drive DedupIngest / NearDupIngest over
+successive same-size waves and measure (a) per-wave wall time as the
+kept store GROWS — the number that must stay flat-ish for the gate to
+be a viable standing service — and (b) the state actually stored per
+kept doc.
+
+Corpus per wave: ``dup_pct`` of docs duplicate texts from earlier
+waves (the exact gate must reject them), the rest are novel. For the
+near-dup gate the duplicates are light EDITS of earlier docs (tail
+token changed) so rejection has to travel the LSH band + signature
+path, not the md5 short-circuit.
+
+Usage: python tools/ingest_probe.py [wave_docs] [n_waves] [dup_pct]
+Prints one JSON line per (gate, wave) plus a summary.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.session import (  # noqa: E402
+    build_session,
+)
+from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.ingest_dedup import (  # noqa: E402
+    DedupIngest,
+    NearDupIngest,
+)
+
+
+def _wave_df(spark, wave: int, n: int, dup_pct: int, edit: bool):
+    """Wave w's docs: ids [w*n, (w+1)*n). The first dup_pct% of every
+    wave past the first duplicate WAVE-0 docs (src = id % n — always an
+    admitted doc, so the expected-reject arithmetic is exact); all
+    other docs are novel. Text = 12 tokens hashed from (src, pos), so
+    DISTINCT docs are near-orthogonal (no accidental near-dups) while
+    a duplicate reproduces its source's tokens exactly. The near-gate
+    variant appends one token to each duplicate: 3-shingle Jaccard
+    10/11 ≈ 0.91 — above any sane τ, with a ~1% LSH miss rate at
+    k=16/bands=4 (the probe's tolerance)."""
+    df = spark.range(wave * n, (wave + 1) * n).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            (F.col("id") % 100 < dup_pct) & (F.col("id") >= n),
+            F.col("id") % n,
+        )
+        .otherwise(F.col("id"))
+        .alias("src"),
+        ((F.col("id") % 100 < dup_pct) & (F.col("id") >= n)).alias("_isdup"),
+    )
+    toks = F.transform(
+        F.sequence(F.lit(0), F.lit(11)),
+        lambda i: F.concat(
+            F.lit("w"),
+            F.pmod(F.xxhash64(F.col("src"), i), F.lit(100000)).cast("string"),
+        ),
+    )
+    text = F.array_join(toks, " ")
+    if edit:
+        text = F.when(
+            F.col("_isdup"), F.concat(text, F.lit(" edited"))
+        ).otherwise(text)
+    return df.select("doc_id", text.alias("text"))
+
+
+def probe(gate_cls, name: str, spark, wave_docs: int, n_waves: int,
+          dup_pct: int, **gate_kw) -> dict:
+    root = tempfile.mkdtemp(prefix=f"ingest_probe_{name}_")
+    gate = gate_cls(spark, root, schema="doc_id long, text string",
+                    fmt="json", **gate_kw)
+    per_wave = []
+    for w in range(n_waves):
+        df = _wave_df(spark, w, wave_docs, dup_pct, edit=(name == "near"))
+        df.coalesce(1).write.mode("overwrite").json(
+            os.path.join(root, "landing", f"w{w}")
+        )
+        # the file source needs files directly under landing/ — move
+        for f in os.listdir(os.path.join(root, "landing", f"w{w}")):
+            if f.endswith(".json"):
+                os.rename(
+                    os.path.join(root, "landing", f"w{w}", f),
+                    os.path.join(root, "landing", f"wave{w}.json"),
+                )
+        shutil.rmtree(os.path.join(root, "landing", f"w{w}"))
+        t0 = time.perf_counter()
+        gate.run_available()
+        secs = round(time.perf_counter() - t0, 2)
+        kept = gate.kept().count()
+        per_wave.append({"wave": w, "secs": secs, "kept_total": kept})
+        print(json.dumps({"gate": name, **per_wave[-1]}), flush=True)
+    n_dups = (n_waves - 1) * wave_docs * dup_pct // 100
+    out = {
+        "gate": name,
+        "kept_final": per_wave[-1]["kept_total"],
+        "expected_kept": n_waves * wave_docs - n_dups,
+        # the near gate is LSH-mediated: ~1% of true dups miss every
+        # band at J≈0.91, k=16/bands=4 — allow that envelope
+        "tolerance": 0 if name == "exact" else max(2, n_dups * 3 // 100),
+        "wave_secs": [p["secs"] for p in per_wave],
+    }
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def main() -> None:
+    wave_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
+    n_waves = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    dup_pct = int(sys.argv[3]) if len(sys.argv) > 3 else 30
+
+    spark = build_session(app_name="ingest-probe", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+    print(json.dumps({"probe": "ingest", "wave_docs": wave_docs,
+                      "n_waves": n_waves, "dup_pct": dup_pct}), flush=True)
+    results = [
+        probe(DedupIngest, "exact", spark, wave_docs, n_waves, dup_pct),
+        probe(NearDupIngest, "near", spark, max(wave_docs // 4, 1000),
+              n_waves, dup_pct),
+    ]
+    for r in results:
+        ok = abs(r["kept_final"] - r["expected_kept"]) <= r["tolerance"]
+        print(json.dumps({**r, "kept_matches_expected": ok}), flush=True)
+        if not ok:
+            raise SystemExit(f"FAIL: {r['gate']} kept mismatch")
+
+
+if __name__ == "__main__":
+    main()
