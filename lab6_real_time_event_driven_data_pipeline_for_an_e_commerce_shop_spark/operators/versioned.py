@@ -1,0 +1,201 @@
+"""Versioned parquet tables: snapshot-isolated publish + keyed MERGE +
+time travel + vacuum, with zero table-format dependencies.
+
+Why: :func:`upsert.merge_parquet`'s directory swap is atomic for the
+WRITER, but a reader that resolved the directory just before the swap
+can find its files deleted mid-scan — acceptable inside one driver
+(the repo's plans all materialize before swapping), wrong for a table
+SERVED to concurrent readers. The lakehouse fix (Delta/Iceberg) is a
+log of immutable snapshots; this module is that idea reduced to its
+load-bearing minimum (SCALING.md "what we'd change on a real
+cluster" — gold serving):
+
+    <root>/gen=N/...parquet     immutable snapshot N (never rewritten)
+    <root>/_LATEST              pointer file: the serving generation
+
+- :func:`publish` writes gen N+1 COMPLETELY, then flips the pointer
+  with an atomic rename. A crash before the flip leaves a dangling
+  gen directory that the next publish simply supersedes; readers can
+  never observe a partial table.
+- :func:`read_latest` / :func:`read_version` — serve / time-travel.
+  A reader that resolved generation N keeps a valid immutable
+  snapshot for as long as N survives vacuum, regardless of how many
+  publishes happen meanwhile — the snapshot-isolation contract the
+  swap cannot give.
+- :func:`merge_versioned` — the keyed MERGE (whenMatchedUpdateAll /
+  whenNotMatchedInsertAll, same contract as upsert.merge incl. the
+  source key-uniqueness check), expressed as read-latest → merge →
+  publish. Optional ``delete_col``: source rows flagged true are
+  TOMBSTONES — the matched target rows are deleted instead of
+  updated (Delta's whenMatchedDelete; the CDC apply-changes shape).
+- :func:`vacuum` — drop generations older than ``keep_last``, never
+  the pointed one. Retention bounds storage exactly like Delta's
+  VACUUM bounds the log.
+- :func:`history` — generation listing with file counts and bytes.
+
+Pointer atomicity: the pointer is a one-line file updated via
+``os.replace`` (atomic on POSIX and NTFS). On an object store the
+equivalent is a conditional PUT of the pointer object — the same
+single-object commit point.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import upsert
+
+_POINTER = "_LATEST"
+
+
+def _gen_dir(root: str, gen: int) -> str:
+    return os.path.join(root, f"gen={gen}")
+
+
+def current_version(root: str) -> int | None:
+    """The pointed generation, or None for an empty/unborn table."""
+    try:
+        with open(os.path.join(root, _POINTER)) as f:
+            return int(f.read().strip())
+    except (FileNotFoundError, ValueError):
+        return None
+
+
+def _list_gens(root: str) -> list[int]:
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for name in os.listdir(root):
+        if name.startswith("gen="):
+            try:
+                out.append(int(name[4:]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def publish(spark: SparkSession, root: str, df: DataFrame) -> int:
+    """Write ``df`` as the next generation and flip the pointer.
+    Returns the new generation number. The write happens entirely in
+    the (not-yet-referenced) gen directory; the pointer flip is the
+    single atomic commit point, so readers see either the old complete
+    snapshot or the new complete snapshot, never a mixture."""
+    os.makedirs(root, exist_ok=True)
+    cur = current_version(root)
+    # a dangling gen dir beyond the pointer = a crashed publish; the
+    # next publish supersedes it (write into a FRESH number so a
+    # half-written directory is never re-served)
+    next_gen = max([cur if cur is not None else -1, *_list_gens(root), -1]) + 1
+    df.write.mode("overwrite").parquet(_gen_dir(root, next_gen))
+    tmp = os.path.join(root, _POINTER + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(str(next_gen))
+    os.replace(tmp, os.path.join(root, _POINTER))  # atomic commit
+    return next_gen
+
+
+def read_version(spark: SparkSession, root: str, gen: int) -> DataFrame:
+    """Time travel: the immutable snapshot ``gen`` (raises if vacuumed)."""
+    path = _gen_dir(root, gen)
+    if not os.path.isdir(path):
+        raise FileNotFoundError(
+            f"generation {gen} of {root} does not exist (vacuumed?)"
+        )
+    return spark.read.parquet(path)
+
+
+def read_latest(spark: SparkSession, root: str) -> DataFrame:
+    cur = current_version(root)
+    if cur is None:
+        raise FileNotFoundError(f"{root} has no published generation")
+    return read_version(spark, root, cur)
+
+
+def merge_versioned(
+    spark: SparkSession,
+    root: str,
+    source: DataFrame,
+    keys: list[str],
+    delete_col: str | None = None,
+    on_duplicate_source: str = "error",
+) -> int:
+    """Keyed MERGE as read-latest → merge → publish. Same semantics as
+    upsert.merge (update-all / insert-all, key-unique source enforced)
+    plus the CDC shape: with ``delete_col``, source rows where that
+    boolean column is true DELETE their matched target rows (and are
+    never inserted) — Delta's whenMatchedDelete. Returns the new
+    generation; the previous generation keeps serving any reader that
+    already resolved it."""
+    if on_duplicate_source == "error":
+        upsert.check_source_unique(source, keys)
+    elif on_duplicate_source == "dedupe":
+        source = source.dropDuplicates(keys)
+    else:
+        raise ValueError(f"unknown on_duplicate_source={on_duplicate_source!r}")
+
+    if delete_col is not None:
+        tombstones = source.filter(F.col(delete_col)).select(keys)
+        source = source.filter(
+            ~F.coalesce(F.col(delete_col), F.lit(False))
+        ).drop(delete_col)
+    else:
+        tombstones = None
+
+    cur = current_version(root)
+    if cur is None:
+        return publish(spark, root, source)
+    target = read_version(spark, root, cur)
+    kept = target.join(source.select(keys), keys, "left_anti")
+    if tombstones is not None:
+        kept = kept.join(tombstones, keys, "left_anti")
+    cols = [c for c in target.columns] + [
+        c for c in source.columns if c not in target.columns
+    ]
+    merged = kept.unionByName(source, allowMissingColumns=True).select(cols)
+    return publish(spark, root, merged)
+
+
+def vacuum(root: str, keep_last: int = 2) -> list[int]:
+    """Delete all generations except the pointed one and the
+    ``keep_last``-1 most recent before it (so keep_last snapshots
+    survive, supporting time travel that far back). Dangling gens
+    NEWER than the pointer (crashed publishes) are dropped too.
+    Returns the removed generation numbers."""
+    cur = current_version(root)
+    if cur is None:
+        return []
+    keep = {g for g in _list_gens(root) if g <= cur}
+    keep = set(sorted(keep)[-keep_last:]) | {cur}
+    removed = []
+    for g in _list_gens(root):
+        if g not in keep:
+            shutil.rmtree(_gen_dir(root, g), ignore_errors=True)
+            removed.append(g)
+    return removed
+
+
+def history(root: str) -> list[dict]:
+    """Generation audit: number, file count, bytes, is_current."""
+    cur = current_version(root)
+    out = []
+    for g in _list_gens(root):
+        d = _gen_dir(root, g)
+        files = [
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(d)
+            for f in fs
+            if not f.startswith(("_", "."))
+        ]
+        out.append(
+            {
+                "generation": g,
+                "n_files": len(files),
+                "bytes": sum(os.path.getsize(f) for f in files),
+                "is_current": g == cur,
+            }
+        )
+    return out

@@ -1,0 +1,120 @@
+"""Versioned parquet tables (r10): snapshot-isolated publish, keyed
+MERGE with CDC tombstones, time travel, vacuum retention, and crash
+behavior at the pointer commit point."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+    versioned,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k string, v long")
+
+
+def test_publish_read_history_roundtrip(spark, tmp_path):
+    root = str(tmp_path / "t")
+    g0 = versioned.publish(spark, root, _df(spark, [("a", 1), ("b", 2)]))
+    assert g0 == 0 and versioned.current_version(root) == 0
+    assert {(r.k, r.v) for r in versioned.read_latest(spark, root).collect()} \
+        == {("a", 1), ("b", 2)}
+    g1 = versioned.publish(spark, root, _df(spark, [("a", 9)]))
+    assert g1 == 1
+    hist = versioned.history(root)
+    assert [h["generation"] for h in hist] == [0, 1]
+    assert [h["is_current"] for h in hist] == [False, True]
+    assert all(h["n_files"] > 0 and h["bytes"] > 0 for h in hist)
+
+
+def test_merge_versioned_semantics_and_snapshot_isolation(spark, tmp_path):
+    root = str(tmp_path / "t")
+    versioned.merge_versioned(
+        spark, root, _df(spark, [("a", 1), ("b", 2)]), ["k"]
+    )
+    # a reader resolves generation 0 BEFORE the next merge...
+    old = versioned.read_version(spark, root, 0)
+    versioned.merge_versioned(
+        spark, root, _df(spark, [("b", 20), ("c", 3)]), ["k"]
+    )
+    # ...and still reads the complete old snapshot AFTER it (the
+    # isolation the in-place swap cannot give)
+    assert {(r.k, r.v) for r in old.collect()} == {("a", 1), ("b", 2)}
+    assert {(r.k, r.v) for r in versioned.read_latest(spark, root).collect()} \
+        == {("a", 1), ("b", 20), ("c", 3)}
+
+    # duplicate-key sources violate the same contract as upsert.merge
+    with pytest.raises(ValueError, match="key-unique"):
+        versioned.merge_versioned(
+            spark, root, _df(spark, [("x", 1), ("x", 2)]), ["k"]
+        )
+
+
+def test_merge_versioned_tombstones_delete(spark, tmp_path):
+    root = str(tmp_path / "t")
+    versioned.merge_versioned(
+        spark, root, _df(spark, [("a", 1), ("b", 2), ("c", 3)]), ["k"]
+    )
+    cdc = spark.createDataFrame(
+        [("a", 0, True),     # delete a
+         ("b", 20, False),   # update b
+         ("d", 4, False),    # insert d
+         ("z", 0, True)],    # tombstone for an absent key: no-op
+        "k string, v long, _deleted boolean",
+    )
+    versioned.merge_versioned(spark, root, cdc, ["k"], delete_col="_deleted")
+    got = {(r.k, r.v) for r in versioned.read_latest(spark, root).collect()}
+    assert got == {("b", 20), ("c", 3), ("d", 4)}
+    assert "_deleted" not in versioned.read_latest(spark, root).columns
+
+
+def test_vacuum_retention_and_time_travel_expiry(spark, tmp_path):
+    root = str(tmp_path / "t")
+    for i in range(4):
+        versioned.publish(spark, root, _df(spark, [("a", i)]))
+    assert versioned.current_version(root) == 3
+    removed = versioned.vacuum(root, keep_last=2)
+    assert removed == [0, 1]
+    # time travel inside the retention window works, beyond it raises
+    assert versioned.read_version(spark, root, 2).collect()[0].v == 2
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        versioned.read_version(spark, root, 0)
+    assert versioned.read_latest(spark, root).collect()[0].v == 3
+
+
+def test_crash_before_pointer_flip_never_serves_partial(
+    spark, tmp_path, monkeypatch
+):
+    """A publish that dies after writing its gen directory but before
+    the pointer flip leaves the table serving the OLD snapshot; the
+    next publish supersedes the dangling directory with a fresh
+    generation number and vacuum sweeps it."""
+    root = str(tmp_path / "t")
+    versioned.publish(spark, root, _df(spark, [("a", 1)]))
+
+    real_replace = os.replace
+
+    def _boom(src, dst):
+        if dst.endswith(versioned._POINTER):
+            raise RuntimeError("crash before pointer flip")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(versioned.os, "replace", _boom)
+    with pytest.raises(RuntimeError, match="crash before pointer flip"):
+        versioned.publish(spark, root, _df(spark, [("a", 2)]))
+    monkeypatch.setattr(versioned.os, "replace", real_replace)
+
+    # still serving the old complete snapshot
+    assert versioned.current_version(root) == 0
+    assert versioned.read_latest(spark, root).collect()[0].v == 1
+    # recovery: the next publish lands on a FRESH number (the dangling
+    # gen=1 is never re-pointed) and becomes current
+    g = versioned.publish(spark, root, _df(spark, [("a", 3)]))
+    assert g == 2 and versioned.read_latest(spark, root).collect()[0].v == 3
+    # vacuum sweeps the dangling crashed generation
+    removed = versioned.vacuum(root, keep_last=1)
+    assert 1 in removed
