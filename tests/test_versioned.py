@@ -118,3 +118,22 @@ def test_crash_before_pointer_flip_never_serves_partial(
     # vacuum sweeps the dangling crashed generation
     removed = versioned.vacuum(root, keep_last=1)
     assert 1 in removed
+
+
+def test_merge_versioned_schema_evolution(spark, tmp_path):
+    """A source with a NEW column widens the table (old rows read it
+    as null) and a source MISSING a column fills nulls — the
+    mergeSchema semantics merge_parquet already has, preserved through
+    the versioned path."""
+    root = str(tmp_path / "t")
+    versioned.merge_versioned(spark, root, _df(spark, [("a", 1)]), ["k"])
+    wide = spark.createDataFrame([("b", 2, "x")], "k string, v long, extra string")
+    versioned.merge_versioned(spark, root, wide, ["k"])
+    got = {(r.k, r.v, r.extra)
+           for r in versioned.read_latest(spark, root).collect()}
+    assert got == {("a", 1, None), ("b", 2, "x")}
+    # and a narrow source against the widened table back-fills null
+    versioned.merge_versioned(spark, root, _df(spark, [("c", 3)]), ["k"])
+    got = {(r.k, r.v, r.extra)
+           for r in versioned.read_latest(spark, root).collect()}
+    assert got == {("a", 1, None), ("b", 2, "x"), ("c", 3, None)}
