@@ -554,3 +554,71 @@ def quality_logit(
         + F.lit(w["bias"]).cast("long")
     )
     return df.withColumn("quality_logit_micro", logit.cast("long"))
+
+
+def corpus_bigram_coverage(
+    df: DataFrame,
+    threshold_ppm: int = 400,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CORPUS-TRAINED fluency scoring — the CCNet/KenLM perplexity-
+    filter shape with the neural/ngram LM replaced by exact corpus
+    statistics (so the score is bit-identical across engines, the
+    quality_logit discipline): a document scores by the fraction of
+    its positional adjacent bigrams whose RELATIVE corpus frequency
+    is at least ``threshold_ppm`` parts-per-million. Text full of
+    corpus-typical transitions scores near 1.0; machine garbage,
+    boilerplate keyboard-mash, and wrong-language text score low —
+    precisely the docs an LM filter prunes. Unlike the fixed-weight
+    quality_logit, the statistics are LEARNED from the corpus itself,
+    so the op is the engine's first train-on-corpus → score-corpus
+    feedback stage.
+
+    Returns (id, n_bigrams, n_covered_bigrams, bigram_cov_micro) at
+    doc grain — every input doc appears; docs with <2 tokens have no
+    bigrams and score 0. All arithmetic integer: cc·10⁶ ≥ ppm·total
+    for coverage, n_covered·10⁶ DIV n_bigrams for the score.
+
+    Shape: one explode, ONE shuffle on the bigram for a window count
+    (the q24 DF-cut pattern — a hot bigram pools on one reducer but
+    carries only (id, bigram) rows through a sort-free COUNT), one
+    groupBy back to doc grain. The corpus total is a single bounded
+    driver read (the q24 n_docs pattern) inlined as a literal so the
+    coverage predicate stays a pure integer comparison."""
+    from pyspark.sql.window import Window as _W
+
+    bgpos = df.select(
+        F.col(id_col), F.explode(bigrams(F.col(text_col))).alias("_bg")
+    )
+    total = bgpos.count()  # one scalar to the driver, never a row set
+    counted = bgpos.withColumn(
+        "_cc", F.count(F.lit(1)).over(_W.partitionBy("_bg"))
+    )
+    per_doc = counted.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum(
+            F.when(
+                F.col("_cc") * F.lit(1_000_000)
+                >= F.lit(int(threshold_ppm)) * F.lit(int(total)),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_covered_bigrams"),
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("n_covered_bigrams", F.lit(0))
+            .cast("long")
+            .alias("n_covered_bigrams"),
+            F.expr(
+                "CAST(coalesce(n_covered_bigrams, 0) * 1000000"
+                " DIV greatest(coalesce(n_bigrams, 0), 1) AS BIGINT)"
+            ).alias("bigram_cov_micro"),
+        )
+    )

@@ -880,7 +880,17 @@ def q22_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     artifacts). No float enters the computation, so the logit is
     bit-identical across engines and partitionings; the oracle
     reproduces it with `//` integer division from the same weight
-    table (single source of truth)."""
+    table (single source of truth).
+
+    r10 depth: ``n_covered_bigrams`` / ``bigram_cov_micro`` —
+    CORPUS-TRAINED fluency scoring (text.corpus_bigram_coverage,
+    threshold 400 ppm): the LM-filter stage of CCNet with the language
+    model replaced by exact corpus bigram statistics, so the score is
+    integer-exact and the statistics are LEARNED from the corpus
+    (train-on-corpus → score-corpus, unlike the fixed-weight logit).
+    400 ppm discriminates at every gate SF (per-doc coverage spans
+    0.90-1.0 with ~2 dozen distinct micro values; measured at
+    sf0.001/sf0.01 before gating)."""
     from ..operators import text as text_ops
 
     langs = sorted(text_ops.LANG_MARKERS)
@@ -894,14 +904,18 @@ def q22_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top_bigram_frac",
         "dup_trigram_frac",
     )
+    cov = text_ops.corpus_bigram_coverage(docs, threshold_ppm=400).select(
+        "doc_id", "n_covered_bigrams", "bigram_cov_micro"
+    )
     scored = text_ops.quality_logit(profiled.join(rep, "doc_id"))
-    return scored.select(
+    return scored.join(cov, "doc_id").select(
         "doc_id", "n_chars_actual", "n_tokens",
         "avg_token_len", "punct_ratio", "digit_ratio", "upper_ratio",
         "lang", "predicted_lang", *[f"score_{lang}" for lang in langs],
         "n_distinct_tokens", "distinct_token_ratio",
         "top_token_frac", "top_bigram_frac", "dup_trigram_frac",
         "quality_logit_micro",
+        "n_covered_bigrams", "bigram_cov_micro",
     )
 
 
@@ -972,6 +986,19 @@ def _q22_oracle() -> str:
                 WHERE len(t) >= 3
             ) GROUP BY doc_id, g
         ) GROUP BY doc_id
+    ), bgpos AS (
+        SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+              FROM documents),
+             LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) gg
+        WHERE len(t) >= 2
+    ), bgtot AS (SELECT COUNT(*) AS t FROM bgpos),
+    bgcov AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nbg,
+               CAST(SUM(CASE WHEN cc * 1000000 >= 400 * (SELECT t FROM bgtot)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS ncov
+        FROM (SELECT doc_id, COUNT(*) OVER (PARTITION BY g) AS cc FROM bgpos)
+        GROUP BY doc_id
     )
     SELECT m.doc_id,
            CAST(n_chars_actual AS BIGINT) AS n_chars_actual,
@@ -992,11 +1019,16 @@ def _q22_oracle() -> str:
                AS top_bigram_frac,
            CAST(COALESCE(tr.dupt, 0) AS DOUBLE) / GREATEST(n_tokens - 2, 1)
                AS dup_trigram_frac,
-           {logit_sql}
+           {logit_sql},
+           CAST(COALESCE(bc.ncov, 0) AS BIGINT) AS n_covered_bigrams,
+           CAST(COALESCE(bc.ncov, 0) * 1000000
+                // GREATEST(COALESCE(bc.nbg, 0), 1) AS BIGINT)
+               AS bigram_cov_micro
     FROM m
     LEFT JOIN unigram u ON m.doc_id = u.doc_id
     LEFT JOIN bigram  b ON m.doc_id = b.doc_id
     LEFT JOIN trigram tr ON m.doc_id = tr.doc_id
+    LEFT JOIN bgcov  bc ON m.doc_id = bc.doc_id
     """
 
 

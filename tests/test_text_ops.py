@@ -286,3 +286,78 @@ def test_quality_filter_copy_paste_rule(spark):
     assert "copy_paste_repetition" in strict[1].qc_fail_reasons
     assert not strict[1].qc_pass
     assert "copy_paste_repetition" not in strict[2].qc_fail_reasons
+
+
+def test_corpus_bigram_coverage_exact_and_duckdb_parity(spark):
+    """Corpus-trained bigram coverage (r10): common transitions count
+    as covered, rare ones don't, short docs score 0, and the whole
+    computation matches a DuckDB re-derivation integer-for-integer."""
+    import duckdb
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        text as text_ops,
+    )
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the rug"),
+        (3, "the cat sat quietly here"),
+        (4, "zz qq xx vv"),          # all-rare transitions → coverage 0
+        (5, "one"),                   # single token → no bigrams → 0
+        (6, "the cat"),               # one bigram, frequent → 1.0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # threshold: 120000 ppm of 17 total bigrams = 2.04 → covered iff
+    # the bigram occurs >= 3 times? cc*1e6 >= 120000*17 = 2040000 →
+    # cc >= 2.04 → cc >= 3
+    got = {
+        r.doc_id: (r.n_bigrams, r.n_covered_bigrams, r.bigram_cov_micro)
+        for r in text_ops.corpus_bigram_coverage(
+            df, threshold_ppm=120_000
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in rows)
+        + ") v(doc_id, text)"
+    )
+    want = {
+        d: (nb, nc, cov)
+        for d, nb, nc, cov in con.execute(r"""
+        WITH bg AS (
+          SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+          FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                FROM documents),
+               LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) gg
+          WHERE len(t) >= 2
+        ), tot AS (SELECT COUNT(*) AS t FROM bg),
+        cc AS (SELECT doc_id, g, COUNT(*) OVER (PARTITION BY g) AS c FROM bg),
+        cov AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nbg,
+                 CAST(SUM(CASE WHEN c * 1000000 >= 120000 * (SELECT t FROM tot)
+                               THEN 1 ELSE 0 END) AS BIGINT) AS ncov
+          FROM cc GROUP BY doc_id
+        )
+        SELECT d.doc_id, COALESCE(cov.nbg, 0), COALESCE(cov.ncov, 0),
+               COALESCE(cov.ncov, 0) * 1000000
+                   // GREATEST(COALESCE(cov.nbg, 0), 1)
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        LEFT JOIN cov ON cov.doc_id = d.doc_id
+        """).fetchall()
+    }
+    assert got == want
+    # semantic spot checks: 'the cat' (3x) and 'cat sat' (3x) are
+    # covered; doc 4 is all-rare; doc 5 has no bigrams; doc 6 is 100%
+    assert got[4] == (3, 0, 0)
+    assert got[5] == (0, 0, 0)
+    assert got[6] == (1, 1, 1_000_000)
+    assert got[1][0] == 5 and 0 < got[1][1] < 5
+    # determinism across partitionings
+    again = {
+        r.doc_id: (r.n_bigrams, r.n_covered_bigrams, r.bigram_cov_micro)
+        for r in text_ops.corpus_bigram_coverage(
+            df.repartition(7), threshold_ppm=120_000
+        ).collect()
+    }
+    assert again == got
