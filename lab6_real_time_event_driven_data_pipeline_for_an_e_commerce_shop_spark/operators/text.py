@@ -622,3 +622,177 @@ def corpus_bigram_coverage(
             ).alias("bigram_cov_micro"),
         )
     )
+
+
+def _doc_terms(
+    df: DataFrame, text_col: str, id_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared lexical-retrieval substrate: ((id, dl), (id, term, tf)).
+
+    One tokenize per doc (let-bound array — the array is built once,
+    never re-inlined per element), one explode, one (id, term) groupBy
+    for term frequencies. Both frames stay at bounded grain: dl at doc
+    grain, tf at doc×distinct-term grain."""
+    toks = df.select(
+        F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_t")
+    )
+    dl = toks.select("_id", F.size("_t").cast("long").alias("dl"))
+    tf = (
+        toks.select("_id", F.explode("_t").alias("term"))
+        .groupBy("_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    return dl, tf
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document keyword extraction: top-``k`` terms by an
+    integer-exact tf·idf. The idf is the LN-FREE rational surrogate
+    ``(2N − 2df + 1)·10⁶ DIV (2df + 1)`` — the Robertson-Spärck-Jones
+    weight's argument without the log. ln is monotone, so for a FIXED
+    term the surrogate orders documents identically to classic
+    BM25-idf; across terms it stretches the tail (rare terms weigh
+    relatively more), which for keyword extraction is the desired
+    bias. Staying in integers keeps the ranking bit-identical across
+    engines (no libm, no double rounding) — the quality_logit
+    discipline applied to retrieval.
+
+    Returns (id, term_rank, term, tf, df_docs, tfidf_micro); ties
+    broken by term ASC. N (corpus doc count) is one collected scalar
+    inlined as a literal.
+
+    Scale: tf groupBy keys on (doc, term) — no hot key; the df groupBy
+    pools a stopword's rows on one reducer but each row is just
+    (term), count-only (the q24 DF-cut shape); the rank window
+    partitions by doc (bounded groups). Integer headroom: tf·idf ≤
+    dl·(2N·10⁶ DIV 3); int64-safe while dl·N < ~1.3e13 — at larger
+    corpora drop the 10⁶ idf scale (the knob is the literal below)."""
+    dl, tf = _doc_terms(df, text_col, id_col)
+    n_docs = int(dl.count())  # one scalar to the driver, never rows
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df_docs")
+    )
+    scored = tf.join(dfreq, "term").withColumn(
+        "tfidf_micro",
+        F.expr(
+            f"tf * (((2 * {n_docs} - 2 * df_docs + 1) * 1000000)"
+            " DIV (2 * df_docs + 1))"
+        ),
+    )
+    from pyspark.sql.window import Window as _W
+
+    w = _W.partitionBy("_id").orderBy(
+        F.col("tfidf_micro").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("term_rank") <= k)
+        .select(
+            F.col("_id").alias(id_col),
+            "term_rank",
+            "term",
+            "tf",
+            "df_docs",
+            "tfidf_micro",
+        )
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pre_topk_buckets: int = 32,
+) -> DataFrame:
+    """Quantized BM25 retrieval: top-``k`` documents per query,
+    integer-exact end to end (the curation stage that selects
+    domain-relevant training docs by lexical similarity to a target
+    description, and the retrieval half of decontamination-by-search).
+
+    Scoring is BM25 (Robertson/Walker Okapi, k1=1.2 b=0.75 — public
+    constants) with two deterministic quantizations so the score is
+    bit-identical across engines and partitionings:
+    - idf: the ln-free rational surrogate
+      ``(2N − 2df + 1)·10⁶ DIV (2df + 1)`` (ln's argument; see
+      tfidf_top_terms for the monotonicity note);
+    - tf saturation: ``tf·(k1+1)/(tf + k1(1 − b + b·dl/avgdl))``
+      cleared of fractions with k1=6/5, b=3/4:
+      ``(2200000·tf·10⁶) DIV (10⁶·tf + 300000 + (9·10¹¹·dl) DIV
+      avgdl_micro)`` where ``avgdl_micro = 10⁶·T DIV N`` (T, N =
+      corpus token/doc totals, two collected scalars inlined as
+      literals).
+    Per-term contribution = idf_micro · sat_micro (micro²); summed
+    per (query, doc); emitted as ``score_micro = sum DIV 10⁶``.
+
+    Duplicate query terms count once (set semantics). Terms absent
+    from the corpus contribute 0. Docs sharing no term with a query
+    don't appear. Ties rank by doc id ASC.
+
+    Shape: the query→term list is a tiny in-memory frame joined
+    BROADCAST on term (equi-join, never BNLJ); candidate scoring is
+    one (query, doc) groupBy; the final top-k uses TWO-LEVEL rank —
+    a per-(query, doc-hash-bucket) row_number keeps only
+    ``pre_topk_buckets·k`` survivors before the per-query window, so
+    no single reducer ever sees the full candidate set (same ordering
+    both levels ⇒ the pre-cut provably contains the global top-k).
+    Integer headroom: idf·sat ≤ (2N·10⁶ DIV 3)·2.2·10⁶ — int64-safe
+    while N < ~6·10⁶ docs; at larger corpora drop the idf scale to
+    10³ on both sides."""
+    from pyspark.sql.window import Window as _W
+
+    qterms = sorted({(int(qid), t) for qid, qtext in queries
+                     for t in str(qtext).split()})
+    if not qterms:
+        raise ValueError("bm25_topk: empty query set")
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(qterms, "query_id long, term string")
+
+    dl, tf = _doc_terms(df, text_col, id_col)
+    n_docs = int(dl.count())
+    total_tokens = int(dl.agg(F.sum("dl")).collect()[0][0] or 0)
+    if n_docs == 0 or total_tokens == 0:
+        raise ValueError("bm25_topk: empty corpus")
+    avgdl_micro = (1_000_000 * total_tokens) // n_docs
+
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df_docs")
+    )
+    contrib = (
+        tf.join(F.broadcast(qdf), "term")
+        .join(dfreq, "term")
+        .join(dl, "_id")
+        .withColumn(
+            "_mm",
+            F.expr(
+                f"(((2 * {n_docs} - 2 * df_docs + 1) * 1000000)"
+                " DIV (2 * df_docs + 1))"
+                " * ((2200000 * tf * 1000000)"
+                f" DIV (1000000 * tf + 300000"
+                f" + (900000000000 * dl) DIV {avgdl_micro}))"
+            ),
+        )
+    )
+    scored = contrib.groupBy("query_id", "_id").agg(
+        F.expr("CAST(SUM(_mm) DIV 1000000 AS BIGINT)").alias("score_micro")
+    )
+    order = [F.col("score_micro").desc(), F.col("_id").asc()]
+    pre_w = _W.partitionBy(
+        "query_id", F.pmod(F.xxhash64("_id"), F.lit(pre_topk_buckets))
+    ).orderBy(*order)
+    final_w = _W.partitionBy("query_id").orderBy(*order)
+    return (
+        scored.withColumn("_pre", F.row_number().over(pre_w))
+        .filter(F.col("_pre") <= k)
+        .withColumn("rank", F.row_number().over(final_w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "rank", F.col("_id").alias(id_col), "score_micro"
+        )
+    )

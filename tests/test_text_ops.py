@@ -361,3 +361,170 @@ def test_corpus_bigram_coverage_exact_and_duckdb_parity(spark):
         ).collect()
     }
     assert again == got
+
+
+def _bm25_duckdb(con, queries, k):
+    qvals = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, qt in queries
+        for t in sorted(set(qt.split()))
+    )
+    return con.execute(rf"""
+    WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+               FROM documents),
+    dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM d),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM (SELECT doc_id, unnest(t) AS term FROM d) GROUP BY 1, 2),
+    dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS dfd FROM tf GROUP BY 1),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    avg AS (SELECT (1000000 * CAST(SUM(dl) AS BIGINT)) // (SELECT n FROM n)
+                AS avgdl FROM dl),
+    q(query_id, term) AS (VALUES {qvals}),
+    scored AS (
+      SELECT q.query_id, tf.doc_id,
+        SUM((((2 * (SELECT n FROM n) - 2 * dfd + 1) * 1000000)
+                 // (2 * dfd + 1))
+            * ((2200000 * tf * 1000000)
+                 // (1000000 * tf + 300000
+                     + (900000000000 * dl.dl) // (SELECT avgdl FROM avg)))
+        ) AS mm
+      FROM q JOIN tf USING (term) JOIN dfq USING (term)
+             JOIN dl ON dl.doc_id = tf.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, rnk, doc_id, CAST(mm // 1000000 AS BIGINT)
+    FROM (SELECT *, row_number() OVER
+            (PARTITION BY query_id ORDER BY mm DESC, doc_id) AS rnk
+          FROM scored)
+    WHERE rnk <= {k} ORDER BY query_id, rnk
+    """).fetchall()
+
+
+def test_bm25_topk_duckdb_parity_and_semantics(spark):
+    """Quantized BM25 (r10): the full integer pipeline — ln-free idf,
+    fraction-cleared tf saturation, micro² sum — matches a DuckDB
+    re-derivation row-for-row on a synthetic corpus AND on the real
+    sf0.01 documents table; the two-level top-k equals the naive
+    single-window form; results are partitioning-invariant."""
+    import os
+
+    import duckdb
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        text as text_ops,
+    )
+
+    rows = [
+        (1, "spark shuffle join broadcast join"),
+        (2, "spark window rank partition"),
+        (3, "duck db oracle parity check"),
+        (4, "join join join shuffle"),          # tf saturation visible
+        (5, "broadcast"),                        # short doc, low dl
+        (6, "totally unrelated words here now"),
+    ]
+    queries = [(10, "spark join"), (20, "broadcast"), (30, "absentterm")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r.query_id, r.rank, r.doc_id, r.score_micro)
+        for r in text_ops.bm25_topk(df, queries, k=3)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in rows)
+        + ") v(doc_id, text)"
+    )
+    assert got == _bm25_duckdb(con, queries, 3)
+    # semantics: absent term -> query 30 returns nothing; doc 6 never
+    # appears; the all-join doc ranks first for "spark join" despite
+    # saturation only damping (not erasing) its tf=3
+    by_q = {}
+    for qid, rank, doc, score in got:
+        by_q.setdefault(qid, []).append((rank, doc, score))
+    assert 30 not in by_q
+    assert all(doc != 6 for v in by_q.values() for _, doc, _ in v)
+    assert {doc for _, doc, _ in by_q[20]} == {1, 5}
+    # short doc 5 outranks doc 1 for "broadcast": same tf, smaller dl
+    assert by_q[20][0][1] == 5
+    # partitioning + bucket-count invariance (two-level == global topk)
+    again = [
+        (r.query_id, r.rank, r.doc_id, r.score_micro)
+        for r in text_ops.bm25_topk(
+            df.repartition(7), queries, k=3, pre_topk_buckets=1
+        ).orderBy("query_id", "rank").collect()
+    ]
+    assert again == got
+
+    # real-corpus parity at sf0.01
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.01")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    real_q = [(1, "scan filter pushdown"), (2, "join broadcast table")]
+    got_real = [
+        (r.query_id, r.rank, r.doc_id, r.score_micro)
+        for r in text_ops.bm25_topk(docs, real_q, k=10)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    con2 = duckdb.connect()
+    con2.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    assert got_real == _bm25_duckdb(con2, real_q, 10)
+    assert len(got_real) == 20
+
+
+def test_tfidf_top_terms_duckdb_parity(spark):
+    import duckdb
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        text as text_ops,
+    )
+
+    rows = [
+        (1, "alpha beta beta gamma"),
+        (2, "alpha alpha delta"),
+        (3, "gamma gamma gamma epsilon"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r.doc_id, r.term_rank, r.term, r.tf, r.df_docs, r.tfidf_micro)
+        for r in text_ops.tfidf_top_terms(df, k=2)
+        .orderBy("doc_id", "term_rank")
+        .collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in rows)
+        + ") v(doc_id, text)"
+    )
+    want = con.execute(r"""
+    WITH tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\s+')) AS term
+            FROM documents) GROUP BY 1, 2),
+    dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS dfd FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n FROM documents)
+    SELECT doc_id, rnk, term, tf, dfd,
+           tf * (((2 * (SELECT n FROM n) - 2 * dfd + 1) * 1000000)
+                     // (2 * dfd + 1)) AS w
+    FROM (SELECT tf.*, dfd, row_number() OVER (PARTITION BY doc_id
+            ORDER BY tf * (((2 * (SELECT n FROM n) - 2 * dfd + 1) * 1000000)
+                     // (2 * dfd + 1)) DESC, term) AS rnk
+          FROM tf JOIN dfq USING (term))
+    WHERE rnk <= 2 ORDER BY doc_id, rnk
+    """).fetchall()
+    assert got == want
+    # doc 1's top term is 'beta' (tf=2, df=1) over stopword-ish 'alpha'
+    assert got[0][2] == "beta"
+    # determinism across partitionings
+    again = [
+        (r.doc_id, r.term_rank, r.term, r.tf, r.df_docs, r.tfidf_micro)
+        for r in text_ops.tfidf_top_terms(df.repartition(5), k=2)
+        .orderBy("doc_id", "term_rank")
+        .collect()
+    ]
+    assert again == got
