@@ -108,3 +108,56 @@ def to_serving_decimal(col: Column | str, precision: int = 38, scale: int = 6) -
     serving-edge cast)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.coalesce(c, F.lit(0)).cast(f"decimal({precision},{scale})")
+
+
+# Fixed-point base-2 log for POSITIVE int64 values, exact-portable
+# across engines: log2_micro(c) = ilog2(c)·10⁶ + TABLE[mantissa],
+# where ilog2 comes from the engine's exact integer bin()-length and
+# the 256-entry mantissa table holds round(log2(1 + i/256)·10⁶) as
+# INTEGER LITERALS shared by every implementation (the PLANE_SEED /
+# quality-logit pattern: libm values enter the computation only as
+# pre-published constants, so Spark, DuckDB, and Python agree
+# bit-for-bit). Truncating the mantissa to 8 bits quantizes the log —
+# deterministically, max error < log2(257/256) ≈ 0.0056 — which is
+# the same "quantize first, then all decisions on integers" move as
+# cents/SRP/zkey. Exact at powers of two (mantissa index 0 → 0).
+LOG2_TABLE_MICRO: tuple[int, ...] = tuple(
+    round(__import__("math").log2(1 + i / 256) * 1_000_000) for i in range(256)
+)
+
+
+def log2_micro_int(c: int) -> int:
+    """Python twin of :data:`LOG2_TABLE_MICRO` lookup (driver-side
+    scalars: corpus totals, smoothing denominators)."""
+    if c <= 0:
+        raise ValueError("log2_micro_int requires a positive integer")
+    il = c.bit_length() - 1
+    m = (c << (8 - il)) if il <= 8 else (c >> (il - 8))
+    return il * 1_000_000 + LOG2_TABLE_MICRO[m - 256]
+
+
+def log2_micro_sql(expr: str, engine: str = "spark") -> str:
+    """Generated-SQL form of log2_micro over a positive BIGINT
+    expression — ONE string (the q42 expression-cost lesson), emitted
+    for either engine. ``expr`` is re-referenced five times, so pass a
+    simple column reference (evaluate complex inputs into a column
+    first); intended for SMALL frames (bucket/stat tables), where the
+    corpus side consumes only the resulting integers."""
+    table = ", ".join(str(v) for v in LOG2_TABLE_MICRO)
+    il = f"(length(bin({expr})) - 1)"
+    if engine == "spark":
+        m = (
+            f"CASE WHEN {il} <= 8 THEN {expr} * shiftleft(1, 8 - {il})"
+            f" ELSE shiftright({expr}, {il} - 8) END"
+        )
+        return (
+            f"(CAST({il} AS BIGINT) * 1000000"
+            f" + element_at(array({table}), CAST({m} - 255 AS INT)))"
+        )
+    if engine == "duckdb":
+        m = (
+            f"CASE WHEN {il} <= 8 THEN {expr} * (1 << CAST(8 - {il} AS INT))"
+            f" ELSE {expr} >> CAST({il} - 8 AS INT) END"
+        )
+        return f"(CAST({il} AS BIGINT) * 1000000 + ([{table}])[CAST({m} - 255 AS INT)])"
+    raise ValueError(f"unknown engine: {engine}")

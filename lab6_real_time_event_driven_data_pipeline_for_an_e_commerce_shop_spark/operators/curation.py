@@ -551,3 +551,121 @@ def token_budget_sample(
             "budget_kept", F.col("cum_tokens") <= F.lit(int(budget_tokens))
         )
     )
+
+
+def dsir_features(
+    df: DataFrame,
+    n_buckets: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hashed n-gram featurization for importance resampling (DSIR,
+    Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling"): unigrams and word-bigrams hashed into
+    ``n_buckets`` buckets with the engine's PORTABLE hash (md5-prefix,
+    so an oracle reproduces every bucket id exactly). Returns
+    (id, bucket, cnt) at doc×bucket grain — the only thing that ever
+    shuffles is (id, bucket-int, count); document text stays in the
+    scan stage."""
+    from ..operators.text import bigrams, tokens
+
+    uni = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(tokens(F.col(text_col))).alias("_g"),
+    )
+    bi = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(bigrams(F.col(text_col))).alias("_g"),
+    )
+    return (
+        uni.unionAll(bi)
+        .select(
+            "_id",
+            F.pmod(portable_hash(F.col("_g")), F.lit(int(n_buckets))).alias(
+                "bucket"
+            ),
+        )
+        .groupBy("_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def dsir_logweights(
+    raw: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR importance log-weights, integer-exact: score every RAW doc
+    by how much more likely its hashed-ngram features are under the
+    TARGET corpus than under the raw corpus —
+    ``w(doc) = Σ_b cnt_b · (log p_t(b) − log p_r(b))`` with add-one
+    smoothing ``p(b) = (c_b + 1)/(N + B)``. High-weight docs are the
+    ones importance resampling keeps when pointing a 100 TB crawl at a
+    small high-quality target (the published method behind
+    quality-targeted pretraining mixes; selection itself is the
+    deterministic caller's move — rank on the weight with an id
+    tie-break, or feed token_budget_sample).
+
+    All logs are fixed-point ``log2_micro`` lookups
+    (functions.expressions.LOG2_TABLE_MICRO — published integer
+    constants, so the score is bit-identical in any engine): the
+    per-bucket delta ``L(c_t+1) − L(c_r+1)`` is computed ON THE
+    BUCKET TABLE (≤ n_buckets rows — the expensive generated-SQL log
+    runs over thousands of rows, never the corpus), broadcast, and
+    each doc folds ``Σ cnt·delta + n_features·const`` in pure int64
+    multiply-adds, where ``const = L(N_r+B) − L(N_t+B)`` is a
+    driver-side Python scalar from the SAME table.
+
+    Returns (id, n_features, dsir_logweight_micro) — every raw doc
+    appears (a doc sharing no bucket with the target still gets its
+    smoothed score). Headroom: |delta| < 63·10⁶, so int64 is safe to
+    ~10¹¹ features per doc.
+
+    Scale: two feature passes (raw + target) each one hash-groupBy;
+    the stats join is bucket-grain (≤ n_buckets rows, broadcast); no
+    window, no collect beyond four scalars."""
+    from ..functions.expressions import log2_micro_int, log2_micro_sql
+
+    fr = dsir_features(raw, n_buckets, text_col, id_col)
+    ft = dsir_features(target, n_buckets, text_col, id_col)
+    cr = fr.groupBy("bucket").agg(F.sum("cnt").cast("long").alias("c_r"))
+    ct = ft.groupBy("bucket").agg(F.sum("cnt").cast("long").alias("c_t"))
+    n_r = int(fr.agg(F.sum("cnt")).collect()[0][0] or 0)
+    n_t = int(ft.agg(F.sum("cnt")).collect()[0][0] or 0)
+    if n_r == 0 or n_t == 0:
+        raise ValueError("dsir_logweights: empty raw or target corpus")
+    const_micro = log2_micro_int(n_r + n_buckets) - log2_micro_int(
+        n_t + n_buckets
+    )
+    delta = (
+        cr.join(ct, "bucket", "full_outer")
+        .select(
+            "bucket",
+            (F.coalesce("c_t", F.lit(0)) + F.lit(1)).alias("_t1"),
+            (F.coalesce("c_r", F.lit(0)) + F.lit(1)).alias("_r1"),
+        )
+        .select(
+            "bucket",
+            F.expr(
+                f"{log2_micro_sql('_t1')} - {log2_micro_sql('_r1')}"
+            ).alias("delta_micro"),
+        )
+    )
+    return (
+        fr.join(F.broadcast(delta), "bucket")
+        .groupBy("_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_features"),
+            (
+                F.sum(F.col("cnt") * F.col("delta_micro"))
+                + F.sum("cnt") * F.lit(const_micro)
+            )
+            .cast("long")
+            .alias("dsir_logweight_micro"),
+        )
+        .select(
+            F.col("_id").alias(id_col), "n_features", "dsir_logweight_micro"
+        )
+    )

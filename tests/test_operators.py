@@ -2106,3 +2106,168 @@ def test_training_corpus_build_composition_end_to_end(spark):
     n_d1 = kept_budget.filter("source = 'd1'").count()
     assert expanded.count() == 2 * n_d0 + n_d1
     assert expanded.filter("epoch_idx = 1").count() == n_d0
+
+
+def test_log2_micro_three_way_agreement(spark):
+    """Fixed-point log2 (r10): the Spark generated SQL, the DuckDB
+    generated SQL, and the Python twin agree on every probe value;
+    exact at powers of two; monotone non-decreasing."""
+    import duckdb
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.functions.expressions import (
+        log2_micro_int,
+        log2_micro_sql,
+    )
+
+    vals = (
+        list(range(1, 600))
+        + [2**k for k in range(63)]
+        + [2**k - 1 for k in range(2, 63)]
+        + [2**k + 1 for k in range(2, 62)]
+        + [10**j for j in range(1, 19)]
+    )
+    want = [log2_micro_int(v) for v in vals]
+    con = duckdb.connect()
+    got_duck = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {log2_micro_sql('c', 'duckdb')} FROM (SELECT "
+            "unnest(?::BIGINT[]) AS c)",
+            [vals],
+        ).fetchall()
+    ]
+    assert got_duck == want
+    sdf = spark.createDataFrame([(v,) for v in vals], "c long")
+    got_spark = [
+        r[0]
+        for r in sdf.select(
+            __import__("pyspark.sql.functions", fromlist=["expr"]).expr(
+                log2_micro_sql("c", "spark")
+            ).alias("l")
+        ).collect()
+    ]
+    assert got_spark == want
+    # exact at powers of two, monotone overall
+    for k in range(63):
+        assert log2_micro_int(2**k) == k * 1_000_000
+    ordered = sorted(set(vals))
+    lm = [log2_micro_int(v) for v in ordered]
+    assert all(a <= b for a, b in zip(lm, lm[1:]))
+
+
+def test_log2_micro_hypothesis_portability():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import duckdb
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.functions.expressions import (
+        log2_micro_int,
+        log2_micro_sql,
+    )
+
+    con = duckdb.connect()
+    sql = f"SELECT {log2_micro_sql('c', 'duckdb')} FROM (SELECT ?::BIGINT AS c)"
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(min_value=1, max_value=2**62))
+    def check(c):
+        assert con.execute(sql, [c]).fetchone()[0] == log2_micro_int(c)
+
+    check()
+
+
+def test_dsir_logweights_duckdb_parity_and_semantics(spark):
+    """DSIR importance weights (r10): the full pipeline — portable
+    hashed ngram buckets, add-one smoothed counts, fixed-point log
+    deltas — matches a DuckDB re-derivation integer-for-integer, and
+    target-like raw docs outscore off-target ones."""
+    import duckdb
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        curation,
+    )
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.functions.expressions import (
+        log2_micro_sql,
+    )
+
+    raw_rows = [
+        (1, "spark shuffle join broadcast plan"),
+        (2, "spark window rank partition plan"),
+        (3, "cheap viagra casino bonus click now"),
+        (4, "click here casino bonus win big"),
+        (5, "the spark plan shuffles a join"),
+        (6, "alpha beta gamma delta epsilon"),
+    ]
+    tgt_rows = [
+        (101, "spark join plan shuffle broadcast"),
+        (102, "partition plan spark window"),
+    ]
+    B = 64
+    raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+    tgt = spark.createDataFrame(tgt_rows, "doc_id long, text string")
+    out = curation.dsir_logweights(raw, tgt, n_buckets=B)
+    got = {
+        r.doc_id: (r.n_features, r.dsir_logweight_micro) for r in out.collect()
+    }
+
+    con = duckdb.connect()
+    for name, rows in (("raw_docs", raw_rows), ("tgt_docs", tgt_rows)):
+        con.execute(
+            f"CREATE TABLE {name} AS SELECT * FROM (VALUES "
+            + ", ".join(f"({i}, '{t}')" for i, t in rows)
+            + ") v(doc_id, text)"
+        )
+    feat = r"""
+      SELECT doc_id,
+             CAST('0x' || substr(md5(g), 1, 12) AS BIGINT) % {B} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (
+        SELECT doc_id, unnest(t) AS g
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+              FROM {tbl})
+        UNION ALL
+        SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+              FROM {tbl}),
+             LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) gg
+        WHERE len(t) >= 2
+      ) GROUP BY 1, 2
+    """
+    want = {
+        d: (nf, w)
+        for d, nf, w in con.execute(f"""
+        WITH fr AS ({feat.format(B=B, tbl='raw_docs')}),
+        ft AS ({feat.format(B=B, tbl='tgt_docs')}),
+        cr AS (SELECT bucket, SUM(cnt) AS c_r FROM fr GROUP BY 1),
+        ct AS (SELECT bucket, SUM(cnt) AS c_t FROM ft GROUP BY 1),
+        nn AS (SELECT (SELECT SUM(cnt) FROM fr) + {B} AS _r1,
+                      (SELECT SUM(cnt) FROM ft) + {B} AS _t1),
+        konst AS (SELECT {log2_micro_sql('_r1', 'duckdb')}
+                       - {log2_micro_sql('_t1', 'duckdb')} AS c FROM nn),
+        delta AS (
+          SELECT bucket, {log2_micro_sql('_t1', 'duckdb')}
+                       - {log2_micro_sql('_r1', 'duckdb')} AS d
+          FROM (SELECT bucket,
+                       COALESCE(c_t, 0) + 1 AS _t1,
+                       COALESCE(c_r, 0) + 1 AS _r1
+                FROM cr FULL OUTER JOIN ct USING (bucket))
+        )
+        SELECT fr.doc_id, CAST(SUM(cnt) AS BIGINT),
+               CAST(SUM(cnt * d) + SUM(cnt) * (SELECT c FROM konst)
+                    AS BIGINT)
+        FROM fr JOIN delta USING (bucket) GROUP BY 1
+        """).fetchall()
+    }
+    assert got == want
+    # semantics: spark-plan docs (1, 2, 5) all outscore spam (3, 4)
+    spam_max = max(got[3][1], got[4][1])
+    assert min(got[1][1], got[2][1], got[5][1]) > spam_max
+    # partitioning invariance
+    again = {
+        r.doc_id: (r.n_features, r.dsir_logweight_micro)
+        for r in curation.dsir_logweights(
+            raw.repartition(5), tgt.repartition(3), n_buckets=B
+        ).collect()
+    }
+    assert again == got
