@@ -796,3 +796,61 @@ def bm25_topk(
             "query_id", "rank", F.col("_id").alias(id_col), "score_micro"
         )
     )
+
+
+def token_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document unigram Shannon entropy in FIXED-POINT micro-bits
+    (integer-exact, engine-portable): with per-token counts c and
+    n = Σc,
+
+        entropy_micro = L(n) − (Σ c·L(c)) DIV n,   L = log2_micro
+
+    — algebraically ``−Σ (c/n)·log2(c/n)`` with every log a
+    LOG2_TABLE_MICRO lookup and every decision on integers, so the
+    value is bit-identical across engines (the quality_logit
+    discipline; quantization error bounded by the table's <0.0056-bit
+    mantissa truncation). Low entropy ⇒ repetitive/keyword-stuffed
+    text (the information-theoretic generalization of Gopher's
+    top_token_frac: sensitive to the WHOLE count distribution, not
+    just the mode). Returns (id, entropy_micro); 0 for empty or
+    single-distinct-token docs.
+
+    Shape: one (doc, token) groupBy (bounded grain, hashes shuffle —
+    never text), the log lookup is one constant-array element_at per
+    row, one groupBy back to doc grain. Headroom: Σ c·L(c) ≤ n·63·10⁶
+    — int64-safe to ~10¹¹ tokens per document."""
+    from ..functions.expressions import log2_micro_sql
+
+    cnt = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(tokens(F.col(text_col))).alias("_tok"),
+        )
+        .groupBy("_id", "_tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+        .withColumn("_l", F.expr(log2_micro_sql("_c", "spark")))
+    )
+    agg = cnt.groupBy("_id").agg(
+        F.sum("_c").cast("long").alias("_n"),
+        F.sum(F.col("_c") * F.col("_l")).cast("long").alias("_s"),
+    )
+    ent = agg.select(
+        "_id",
+        F.expr(
+            "CASE WHEN _n <= 0 THEN CAST(0 AS BIGINT) ELSE "
+            + log2_micro_sql("_n", "spark")
+            + " - (_s DIV _n) END"
+        ).cast("long").alias("entropy_micro"),
+    )
+    return (
+        df.select(F.col(id_col).alias("_id"))
+        .join(ent, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("entropy_micro", F.lit(0)).cast("long").alias(
+                "entropy_micro"
+            ),
+        )
+    )

@@ -890,7 +890,13 @@ def q22_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     (train-on-corpus → score-corpus, unlike the fixed-weight logit).
     400 ppm discriminates at every gate SF (per-doc coverage spans
     0.90-1.0 with ~2 dozen distinct micro values; measured at
-    sf0.001/sf0.01 before gating)."""
+    sf0.001/sf0.01 before gating).
+
+    r10 depth: ``entropy_micro`` — per-doc unigram Shannon entropy in
+    fixed-point micro-bits (text.token_entropy): every log is a
+    LOG2_TABLE_MICRO lookup (published integer constants), so the
+    driver hash gate now certifies the portable-log machinery DSIR
+    importance weights are built on."""
     from ..operators import text as text_ops
 
     langs = sorted(text_ops.LANG_MARKERS)
@@ -907,15 +913,16 @@ def q22_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov = text_ops.corpus_bigram_coverage(docs, threshold_ppm=400).select(
         "doc_id", "n_covered_bigrams", "bigram_cov_micro"
     )
+    ent = text_ops.token_entropy(docs)
     scored = text_ops.quality_logit(profiled.join(rep, "doc_id"))
-    return scored.join(cov, "doc_id").select(
+    return scored.join(cov, "doc_id").join(ent, "doc_id").select(
         "doc_id", "n_chars_actual", "n_tokens",
         "avg_token_len", "punct_ratio", "digit_ratio", "upper_ratio",
         "lang", "predicted_lang", *[f"score_{lang}" for lang in langs],
         "n_distinct_tokens", "distinct_token_ratio",
         "top_token_frac", "top_bigram_frac", "dup_trigram_frac",
         "quality_logit_micro",
-        "n_covered_bigrams", "bigram_cov_micro",
+        "n_covered_bigrams", "bigram_cov_micro", "entropy_micro",
     )
 
 
@@ -937,6 +944,10 @@ def _q22_oracle() -> str:
            + ({w['digit_micro']}) * (((n_chars_actual - no_digit) * 1000000) // GREATEST(n_chars_actual, 1))
            + ({w['upper_micro']}) * (((n_chars_actual - no_upper) * 1000000) // GREATEST(n_chars_actual, 1))
            + ({w['bias']}) AS BIGINT) AS quality_logit_micro"""
+    from ..functions.expressions import log2_micro_sql
+
+    log2c = log2_micro_sql("_c", "duckdb")
+    log2n = log2_micro_sql("e._n", "duckdb")
     return rf"""
     WITH base AS (
         SELECT doc_id, lang,
@@ -999,6 +1010,16 @@ def _q22_oracle() -> str:
                              THEN 1 ELSE 0 END) AS BIGINT) AS ncov
         FROM (SELECT doc_id, COUNT(*) OVER (PARTITION BY g) AS cc FROM bgpos)
         GROUP BY doc_id
+    ), entc AS (
+        SELECT doc_id, CAST(SUM(_c) AS BIGINT) AS _n,
+               CAST(SUM(_c * {log2c}) AS BIGINT) AS _s
+        FROM (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS _c
+            FROM (SELECT doc_id,
+                         unnest(string_split_regex(trim(text), '\s+')) AS tok
+                  FROM documents)
+            GROUP BY doc_id, tok
+        ) GROUP BY doc_id
     )
     SELECT m.doc_id,
            CAST(n_chars_actual AS BIGINT) AS n_chars_actual,
@@ -1023,12 +1044,16 @@ def _q22_oracle() -> str:
            CAST(COALESCE(bc.ncov, 0) AS BIGINT) AS n_covered_bigrams,
            CAST(COALESCE(bc.ncov, 0) * 1000000
                 // GREATEST(COALESCE(bc.nbg, 0), 1) AS BIGINT)
-               AS bigram_cov_micro
+               AS bigram_cov_micro,
+           CAST(CASE WHEN COALESCE(e._n, 0) <= 0 THEN 0
+                     ELSE {log2n} - (e._s // e._n) END AS BIGINT)
+               AS entropy_micro
     FROM m
     LEFT JOIN unigram u ON m.doc_id = u.doc_id
     LEFT JOIN bigram  b ON m.doc_id = b.doc_id
     LEFT JOIN trigram tr ON m.doc_id = tr.doc_id
     LEFT JOIN bgcov  bc ON m.doc_id = bc.doc_id
+    LEFT JOIN entc   e  ON m.doc_id = e.doc_id
     """
 
 

@@ -528,3 +528,47 @@ def test_tfidf_top_terms_duckdb_parity(spark):
         .collect()
     ]
     assert again == got
+
+
+def test_token_entropy_exact_values(spark):
+    """Fixed-point entropy (r10): uniform distributions hit exactly
+    log2(n) micro-bits (table exact at powers of two), constant docs
+    score 0, and values agree with a direct Python re-derivation."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.functions.expressions import (
+        log2_micro_int,
+    )
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        text as text_ops,
+    )
+
+    rows = [
+        (1, "a b c d"),              # uniform over 4 -> exactly 2 bits
+        (2, "x x x x"),              # constant -> 0
+        (3, "a a b b c c d d"),      # uniform over 4, n=8 -> 2 bits
+        (4, "a a a b"),              # skewed
+        (5, "solo"),                 # single token -> 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.entropy_micro for r in text_ops.token_entropy(df).collect()
+    }
+
+    def ref(text):
+        from collections import Counter
+
+        c = Counter(text.split())
+        n = sum(c.values())
+        return log2_micro_int(n) - sum(
+            v * log2_micro_int(v) for v in c.values()
+        ) // n
+
+    assert got == {i: ref(t) for i, t in rows}
+    assert got[1] == 2_000_000 and got[3] == 2_000_000
+    assert got[2] == 0 and got[5] == 0
+    assert 0 < got[4] < 2_000_000
+    # partitioning invariance
+    again = {
+        r.doc_id: r.entropy_micro
+        for r in text_ops.token_entropy(df.repartition(4)).collect()
+    }
+    assert again == got
