@@ -1056,3 +1056,77 @@ def sq_topk(
         .orderBy(F.col("sq_score").desc(), F.col("neighbor_id"))
         .limit(k)
     )
+
+
+def semdedup(
+    df: DataFrame,
+    n_cells: int = 16,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster-scoped
+    semantic dedup — assign every embedding to a coarse cell, compare
+    pairs ONLY within a cell, drop any vector that has an
+    above-threshold partner with a LOWER id in its cell (the engine's
+    standard star-collapse keep policy from curation.curate; the
+    paper's keep-farthest-from-centroid variant is one ORDER BY swap
+    away and deliberately not the default — lowest-id is
+    corpus-growth-stable).
+
+    The whole point is the candidate bound: all-pairs cosine is
+    O(n²); cell-scoped pairing is O(Σ cᵢ²) ≈ n²/n_cells for balanced
+    cells — and the pair join is an EQUI-join on the cell id
+    (AQE-splittable, never BNLJ). Cross-cell near-dups are the
+    documented recall loss (the paper's trade); the recall pin against
+    embedding_near_dups_exact is in the tests.
+
+    Determinism: cell assignment is :func:`ivf_assign` over the
+    n_cells lowest-id vectors (integer-exact squared-L2, the q42
+    oracle-proven quantizer); cosine rounds to 6 dp BEFORE the
+    threshold decision (the q27/q28 ulp rule); norms are computed once
+    per vector BEFORE the pair join (the r4 hoist — norm cost is
+    O(n·dim), never O(pairs·dim)).
+
+    Returns (id, cell, kept) for EVERY input row."""
+    seed_rows = (
+        df.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
+    )
+    seeds = [(int(r[0]), [float(x) for x in r[1]]) for r in seed_rows]
+    assigned = ivf_assign(df, seeds, id_col, vec_col).select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), "_cell"
+    ).withColumn("_n", norm(F.col("_v")))
+    a = assigned.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"), "_cell",
+    )
+    b = assigned.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"), "_cell",
+    )
+    dropped = (
+        a.join(b, ["_cell"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "_cos",
+            F.round(
+                dot(F.col("_va"), F.col("_vb"))
+                / (F.col("_na") * F.col("_nb")),
+                6,
+            ),
+        )
+        .filter(F.col("_cos") >= F.lit(float(threshold)))
+        .select(F.col("id_b").alias("_dropped"))
+        .distinct()
+    )
+    return (
+        assigned.join(
+            dropped, assigned._id == dropped._dropped, "left"
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_cell").alias("cell"),
+            F.col("_dropped").isNull().alias("kept"),
+        )
+    )

@@ -2271,3 +2271,105 @@ def test_dsir_logweights_duckdb_parity_and_semantics(spark):
         ).collect()
     }
     assert again == got
+
+
+def test_semdedup_cluster_scoped_semantics_and_identity(spark):
+    """SemDeDup (r10): planted near-dup groups collapse to their
+    lowest id, singletons survive, the result equals the same policy
+    applied to exact all-pairs RESTRICTED to same-cell pairs, and the
+    pair join is an equi-join (no BNLJ/cartesian)."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        similarity as sim,
+    )
+
+    # ids 1-4 are FAR-apart singletons (they become the data-sampled
+    # seeds — semdedup takes the n_cells lowest ids as the coarse
+    # quantizer); each planted group sits near one seed (same cell
+    # guaranteed) but below-threshold vs the seed itself (0.3 offset
+    # -> cos ~0.958 < 0.99), while group members are ~identical
+    # (0.001 nudges -> cos > 0.999).
+    def seed(base):
+        v = [0.0] * 8
+        v[base] = 1.0
+        return v
+
+    def member(base, nudge):
+        v = seed(base)
+        v[base + 1] = 0.3 + 0.001 * nudge
+        return v
+
+    rows = (
+        [(i, seed(2 * (i - 1))) for i in range(1, 5)]      # seeds 1-4
+        + [(i, member(0, i)) for i in range(10, 13)]       # group A
+        + [(i, member(2, i)) for i in range(20, 24)]       # group B
+        + [(i, member(4, i)) for i in range(30, 32)]       # group C
+    )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = sim.semdedup(df, n_cells=4, threshold=0.99)
+    kept = {r.vec_id for r in out.collect() if r.kept}
+    assert {1, 2, 3, 4, 10, 20, 30} <= kept       # seeds + group minima
+    assert kept.isdisjoint({11, 12, 21, 22, 23, 31})
+    assert out.count() == len(rows)  # every input row appears
+
+    # compositional identity: kept == lowest-id star-collapse over the
+    # exact pair set restricted to same-cell pairs
+    from pyspark.sql import functions as F
+
+    seeds_rows = (
+        df.orderBy("vec_id").limit(4).collect()
+    )
+    seeds = [(int(r.vec_id), [float(x) for x in r.embedding])
+             for r in seeds_rows]
+    cells = {
+        r.vec_id: r._cell
+        for r in sim.ivf_assign(df, seeds).select("vec_id", "_cell").collect()
+    }
+    exact = sim.embedding_near_dups_exact(df, threshold=0.99).collect()
+    dropped_ref = {
+        p.id_b for p in exact if cells[p.id_a] == cells[p.id_b]
+    }
+    assert kept == {i for i, _ in rows} - dropped_ref
+
+    # plan: cell equi-join, never BNLJ/cartesian
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semdedup_real_corpus_identity(spark, sf_dir):
+    """On the real embeddings table (plus three planted exact
+    duplicates, so the drop path is guaranteed non-vacuous) the
+    same-cell star-collapse identity holds at tau=0.5."""
+    from pyspark.sql import functions as F
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        similarity as sim,
+    )
+
+    base = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    max_id = base.agg(F.max("vec_id")).collect()[0][0]
+    planted = base.orderBy("vec_id").limit(3).select(
+        (F.col("vec_id") + F.lit(int(max_id) + 1)).alias("vec_id"),
+        "embedding",
+    )
+    emb = base.unionAll(planted)
+    out = {r.vec_id: r.kept for r in sim.semdedup(
+        emb, n_cells=8, threshold=0.5).collect()}
+    seeds_rows = emb.select("vec_id", "embedding").orderBy("vec_id").limit(8).collect()
+    seeds = [(int(r.vec_id), [float(x) for x in r.embedding])
+             for r in seeds_rows]
+    cells = {
+        r.vec_id: r._cell
+        for r in sim.ivf_assign(emb, seeds).select("vec_id", "_cell").collect()
+    }
+    exact = sim.embedding_near_dups_exact(emb, threshold=0.5).collect()
+    same_cell_dropped = {
+        p.id_b for p in exact if cells[p.id_a] == cells[p.id_b]
+    }
+    assert len(out) == len(cells)
+    for vid, kept in out.items():
+        assert kept == (vid not in same_cell_dropped)
+    # each planted duplicate shares its original's cell -> dropped
+    assert len(same_cell_dropped) >= 3
