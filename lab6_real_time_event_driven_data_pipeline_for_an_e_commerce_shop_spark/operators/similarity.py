@@ -1130,3 +1130,70 @@ def semdedup(
             F.col("_dropped").isNull().alias("kept"),
         )
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k_rrf: int = 60,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009 — the
+    standard score-free way to combine heterogeneous retrievers, e.g.
+    :func:`text.bm25_topk` lexical lists with :func:`cosine_topk` /
+    :func:`ivf_topk` semantic lists for hybrid curation search):
+
+        rrf_micro(d) = Σ_lists 10⁶ DIV (k_rrf + rank_list(d))
+
+    — the classic Σ 1/(k+r) with each reciprocal quantized to integer
+    micro-units BEFORE summing, so fusion is bit-identical across
+    engines and needs no score normalization (ranks are already
+    integers; k_rrf=60 is the published constant). Ties on the fused
+    score break by id ASC.
+
+    Input frames need (query_col, id_col, rank_col); a doc missing
+    from a list simply contributes nothing (the RRF convention).
+    Returns (query, id, n_lists, rrf_micro, fused_rank).
+
+    Shape: one unionAll, one (query, doc) groupBy, one per-query
+    window over the ALREADY per-query-bounded fused candidates (each
+    input list is a top-k, so the window group is ≤ Σ k rows — no
+    two-level rank needed)."""
+    if not rankings:
+        raise ValueError("rrf_fuse: no rankings")
+    from functools import reduce
+
+    from pyspark.sql.window import Window as _W
+
+    parts = [
+        r.select(
+            F.col(query_col).alias("_q"),
+            F.col(id_col).alias("_d"),
+            F.col(rank_col).cast("long").alias("_r"),
+        )
+        for r in rankings
+    ]
+    u = reduce(lambda x, y: x.unionAll(y), parts)
+    fused = (
+        u.withColumn(
+            "_c", F.expr(f"CAST(1000000 DIV ({int(k_rrf)} + _r) AS BIGINT)")
+        )
+        .groupBy("_q", "_d")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lists"),
+            F.sum("_c").cast("long").alias("rrf_micro"),
+        )
+    )
+    w = _W.partitionBy("_q").orderBy(
+        F.col("rrf_micro").desc(), F.col("_d").asc()
+    )
+    return fused.withColumn(
+        "fused_rank", F.row_number().over(w).cast("long")
+    ).select(
+        F.col("_q").alias(query_col),
+        F.col("_d").alias(id_col),
+        "n_lists",
+        "rrf_micro",
+        "fused_rank",
+    )

@@ -2373,3 +2373,52 @@ def test_semdedup_real_corpus_identity(spark, sf_dir):
         assert kept == (vid not in same_cell_dropped)
     # each planted duplicate shares its original's cell -> dropped
     assert len(same_cell_dropped) >= 3
+
+
+def test_rrf_fuse_hand_checked_and_hybrid(spark):
+    """RRF fusion (r10): hand-computable integer scores, the RRF
+    convention for docs missing from a list, id tie-break — and an
+    end-to-end hybrid fuse of a real bm25_topk lexical list with a
+    same-shape second list."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        similarity as sim,
+        text as text_ops,
+    )
+
+    lex = spark.createDataFrame(
+        [(1, 100, 1), (1, 101, 2), (1, 102, 3)],
+        "query_id long, doc_id long, rank long",
+    )
+    sem = spark.createDataFrame(
+        [(1, 101, 1), (1, 103, 2), (1, 100, 3)],
+        "query_id long, doc_id long, rank long",
+    )
+    got = {
+        r.doc_id: (r.n_lists, r.rrf_micro, r.fused_rank)
+        for r in sim.rrf_fuse([lex, sem]).collect()
+    }
+    c = lambda r: 1_000_000 // (60 + r)
+    want = {
+        100: (2, c(1) + c(3)),
+        101: (2, c(2) + c(1)),
+        102: (1, c(3)),
+        103: (1, c(2)),
+    }
+    assert {d: v[:2] for d, v in got.items()} == want
+    # 101 (ranks 2+1) beats 100 (ranks 1+3); singles trail; 103 (rank
+    # 2) beats 102 (rank 3)
+    order = sorted(got, key=lambda d: got[d][2])
+    assert order == [101, 100, 103, 102]
+
+    # hybrid: fuse two real bm25 lists (different query phrasings act
+    # as two retrievers); fused ranks are deterministic and complete
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    l1 = text_ops.bm25_topk(docs, [(1, "scan filter pushdown")], k=5)
+    l2 = text_ops.bm25_topk(docs, [(1, "filter scan predicate")], k=5)
+    fused = sim.rrf_fuse([l1, l2]).orderBy("fused_rank").collect()
+    assert 5 <= len(fused) <= 10
+    assert [r.fused_rank for r in fused] == list(range(1, len(fused) + 1))
+    again = sim.rrf_fuse([l2, l1]).orderBy("fused_rank").collect()
+    assert [(r.doc_id, r.rrf_micro) for r in again] == [
+        (r.doc_id, r.rrf_micro) for r in fused
+    ]
