@@ -2981,6 +2981,13 @@ _PII_FOOTER_SQL = (
     "CAST(doc_id % 250 AS VARCHAR) || '.9 card 4111-1111-1111-1111'"
 )
 
+# DSIR oracle pieces (r10): fixed-point log2 deltas from the SAME
+# published table as the Spark side (single source of truth).
+from ..functions.expressions import log2_micro_sql as _l2  # noqa: E402
+
+_DSIR_DELTA = f"{_l2('_t1', 'duckdb')} - {_l2('_r1', 'duckdb')}"
+_DSIR_CONST = f"{_l2('_r1', 'duckdb')} - {_l2('_t1', 'duckdb')}"
+
 
 @query(
     "q52_train_val_test_split",
@@ -3077,6 +3084,45 @@ _PII_FOOTER_SQL = (
                     AS BIGINT) <= 800 AS budget_kept
         FROM documents
         WINDOW w AS (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC)
+    ),
+    dsg AS (
+        SELECT doc_id, unnest(t) AS g FROM tok
+        UNION ALL
+        SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+        FROM tok,
+             LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) gg
+        WHERE len(t) >= 2
+    ),
+    dsf AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(g), 1, 12)) AS BIGINT) % 256
+                   AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM dsg GROUP BY 1, 2
+    ),
+    dsr AS (SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS c_r
+            FROM dsf GROUP BY 1),
+    dst AS (SELECT bucket, CAST(SUM(f.cnt) AS BIGINT) AS c_t
+            FROM dsf f JOIN splits s
+                 ON s.doc_id = f.doc_id AND s.split = 'val'
+            GROUP BY 1),
+    dsn AS (SELECT CAST((SELECT SUM(cnt) FROM dsf) AS BIGINT) + 256 AS _r1,
+                   CAST((SELECT SUM(f.cnt) FROM dsf f JOIN splits s
+                         ON s.doc_id = f.doc_id AND s.split = 'val')
+                        AS BIGINT) + 256 AS _t1),
+    dsk AS (SELECT {_DSIR_CONST} AS c FROM dsn),
+    dsd AS (
+        SELECT bucket, {_DSIR_DELTA} AS d
+        FROM (SELECT r.bucket,
+                     COALESCE(t.c_t, 0) + 1 AS _t1,
+                     r.c_r + 1 AS _r1
+              FROM dsr r LEFT JOIN dst t USING (bucket))
+    ),
+    dsw AS (
+        SELECT f.doc_id, CAST(SUM(f.cnt) AS BIGINT) AS nf,
+               CAST(SUM(f.cnt * d.d)
+                    + SUM(f.cnt) * (SELECT c FROM dsk) AS BIGINT) AS w
+        FROM dsf f JOIN dsd d USING (bucket) GROUP BY 1
     )
     SELECT sp.doc_id, sp.split, sp.sampled20,
            CASE WHEN sp.split = 'test' THEN CAST(0 AS BIGINT)
@@ -3088,13 +3134,16 @@ _PII_FOOTER_SQL = (
            COALESCE(sd.changed_cols, '') AS changed_cols,
            p.n_pii_card, p.n_pii_email, p.n_pii_ipv4, p.n_pii_phone,
            p.redacted_len,
-           tb.budget_rank, tb.cum_tokens, tb.budget_kept
+           tb.budget_rank, tb.cum_tokens, tb.budget_kept,
+           dw.nf AS dsir_n_features,
+           dw.w AS dsir_logweight_micro
     FROM splits sp
     LEFT JOIN leak l ON sp.doc_id = l.doc_id
     JOIN dcap d ON d.doc_id = sp.doc_id
     LEFT JOIN sdiff sd ON sd.doc_id = sp.doc_id
     JOIN pii_cols p ON p.doc_id = sp.doc_id
     JOIN tb ON tb.doc_id = sp.doc_id
+    JOIN dsw dw ON dw.doc_id = sp.doc_id
     """,
 )
 def q52_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3144,12 +3193,23 @@ def q52_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers; the prefix rule (no knapsack back-fill) makes the keep
     set a pure window expression both engines evaluate identically.
     Budget 800 < every domain's total at every gate SF, so both
-    branches of budget_kept are exercised at sf0.001/0.01/0.1."""
+    branches of budget_kept are exercised at sf0.001/0.01/0.1.
+
+    r10 depth (2): ``dsir_n_features`` / ``dsir_logweight_micro`` —
+    DSIR importance resampling (curation.dsir_logweights, Xie et al.
+    2023) UNDER the hash gate: every doc's hashed-ngram
+    likelihood-ratio weight toward the VAL split's distribution (the
+    natural in-corpus target — "which training docs look like my
+    held-out slice"), n_buckets=256. All logs are LOG2_TABLE_MICRO
+    lookups; the oracle re-derives buckets, smoothed counts, deltas,
+    and the constant from the same published table (dsg/dsf/dsr/dst/
+    dsn/dsk/dsd/dsw CTEs)."""
     from ..functions.expressions import portable_hash
     from ..operators.curation import (
         assign_split,
         contamination_counts,
         domain_cap,
+        dsir_logweights,
         redact_pii,
         snapshot_diff,
         stratified_sample,
@@ -3177,6 +3237,13 @@ def q52_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         budget_tokens=800,
     ).select("doc_id", "budget_rank", "cum_tokens", "budget_kept")
+    dsir = dsir_logweights(
+        docs, with_split.filter(F.col("split") == "val"), n_buckets=256
+    ).select(
+        "doc_id",
+        F.col("n_features").alias("dsir_n_features"),
+        "dsir_logweight_micro",
+    )
     v_old = with_split.filter(F.col("doc_id") % 97 != 0).select(
         "doc_id", "split", (sample_hash % 100 < 20).alias("sampled20")
     )
@@ -3227,6 +3294,7 @@ def q52_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             "changed_cols", F.coalesce(F.col("changed_cols"), F.lit(""))
         )
         .join(budget, "doc_id")
+        .join(dsir, "doc_id")
     )
 
 
