@@ -745,14 +745,55 @@ def bm25_topk(
     Integer headroom: idf·sat ≤ (2N·10⁶ DIV 3)·2.2·10⁶ — int64-safe
     while N < ~6·10⁶ docs; at larger corpora drop the idf scale to
     10³ on both sides."""
-    from pyspark.sql.window import Window as _W
-
     qterms = sorted({(int(qid), t) for qid, qtext in queries
                      for t in str(qtext).split()})
     if not qterms:
         raise ValueError("bm25_topk: empty query set")
     spark = df.sparkSession
     qdf = spark.createDataFrame(qterms, "query_id long, term string")
+    return _bm25_rank(
+        df, F.broadcast(qdf), k, text_col, id_col, pre_topk_buckets
+    )
+
+
+def bm25_topk_df(
+    df: DataFrame,
+    queries_df: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    pre_topk_buckets: int = 32,
+) -> DataFrame:
+    """DataFrame-native :func:`bm25_topk` — the query SET is a
+    DataFrame, so retrieval scales to corpus-sized query sets with no
+    driver collect: decontamination-by-search runs the whole TEST
+    SPLIT as queries against the train corpus in one relational plan.
+    Scoring, quantization, set-semantics, and tie-breaks are the list
+    form's exactly (one shared core); the only difference is the
+    query-terms join is left to the optimizer (broadcast when small,
+    shuffle equi-join when the query set is itself a corpus — still
+    never BNLJ) instead of forced broadcast."""
+    qterms = queries_df.select(
+        F.col(query_id_col).cast("long").alias("query_id"),
+        F.explode(
+            F.array_distinct(tokens(F.col(query_text_col)))
+        ).alias("term"),
+    )
+    return _bm25_rank(df, qterms, k, text_col, id_col, pre_topk_buckets)
+
+
+def _bm25_rank(
+    df: DataFrame,
+    qterms: DataFrame,
+    k: int,
+    text_col: str,
+    id_col: str,
+    pre_topk_buckets: int,
+) -> DataFrame:
+    """Shared BM25 core: (query_id, term) frame → ranked top-k."""
+    from pyspark.sql.window import Window as _W
 
     dl, tf = _doc_terms(df, text_col, id_col)
     n_docs = int(dl.count())
@@ -765,7 +806,7 @@ def bm25_topk(
         F.count(F.lit(1)).cast("long").alias("df_docs")
     )
     contrib = (
-        tf.join(F.broadcast(qdf), "term")
+        tf.join(qterms, "term")
         .join(dfreq, "term")
         .join(dl, "_id")
         .withColumn(

@@ -572,3 +572,69 @@ def test_token_entropy_exact_values(spark):
         for r in text_ops.token_entropy(df.repartition(4)).collect()
     }
     assert again == got
+
+
+def test_bm25_topk_df_equals_list_form_and_decontaminates(spark):
+    """DataFrame-native BM25 (r10): identical output to the list form
+    on the same queries, and the decontamination-by-search
+    composition — run the whole test split as queries against the
+    train corpus — surfaces a planted contaminated pair as its
+    query's top hit."""
+    from pyspark.sql import functions as F
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        text as text_ops,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    queries = [(1, "scan filter pushdown"), (2, "join broadcast table")]
+    got_list = [
+        (r.query_id, r.rank, r.doc_id, r.score_micro)
+        for r in text_ops.bm25_topk(docs, queries, k=7)
+        .orderBy("query_id", "rank").collect()
+    ]
+    qdf = spark.createDataFrame(
+        [(q, " ".join(t.split())) for q, t in queries],
+        "query_id long, query_text string",
+    )
+    got_df = [
+        (r.query_id, r.rank, r.doc_id, r.score_micro)
+        for r in text_ops.bm25_topk_df(docs, qdf, k=7)
+        .orderBy("query_id", "rank").collect()
+    ]
+    assert got_df == got_list
+
+    # decontamination-by-search: train = the corpus plus one doc that
+    # IS a test doc's text; test split = 3 docs as queries.
+    test_rows = docs.orderBy("doc_id").limit(3).select("doc_id", "text").collect()
+    contaminated = spark.createDataFrame(
+        [(999_999, test_rows[1].text)], "doc_id long, text string"
+    )
+    train = docs.select("doc_id", "text").unionAll(contaminated)
+    hits = text_ops.bm25_topk_df(
+        train,
+        spark.createDataFrame(
+            [(r.doc_id, r.text) for r in test_rows],
+            "query_id long, query_text string",
+        ),
+        k=3,
+    ).collect()
+    by_q = {}
+    for r in hits:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.doc_id, r.score_micro))
+    top1 = {q: sorted(v)[0] for q, v in by_q.items()}
+    mid = test_rows[1].doc_id
+    # the contaminated query's two top hits are its own copy pair --
+    # the original (lower id) first, the planted copy right behind
+    # with the IDENTICAL score
+    assert top1[mid][1] == mid
+    pair = sorted(by_q[mid])[:2]
+    assert pair[1][1] == 999_999 and pair[0][2] == pair[1][2]
+    # uncontaminated queries show NO copy signature: their top two
+    # hits have strictly different scores (an exact copy would tie
+    # bit-for-bit). Note BM25 does NOT guarantee a long doc ranks
+    # itself first — saturation caps per-term credit, so a shorter
+    # term-dense doc can legitimately outrank the query's source.
+    for q in (test_rows[0].doc_id, test_rows[2].doc_id):
+        ranked = sorted(by_q[q])
+        assert ranked[0][2] > ranked[1][2]
