@@ -895,3 +895,75 @@ def token_entropy(
             ),
         )
     )
+
+
+def bigram_cross_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The CCNet/KenLM perplexity filter PROPER, engine-portable: per
+    document, the average negative log2 probability of its token
+    transitions under an add-one-smoothed corpus bigram LM —
+
+        p(b|a)   = (c(a b) + 1) / (c(a) + V)
+        xent     = (Σ over doc bigrams [L(c(a)+V) − L(c(a b)+1)])
+                   DIV n_bigrams          (micro-bits, L = log2_micro)
+
+    where c(·) are CORPUS counts and V the corpus unigram vocabulary
+    size. Low cross-entropy = fluent, corpus-typical text; high =
+    garbage/wrong-language — the actual quantity CCNet thresholds,
+    not the coverage proxy (:func:`corpus_bigram_coverage` survives
+    as the cheaper screen). Every log is a LOG2_TABLE_MICRO lookup,
+    so the score is bit-identical across engines.
+
+    Returns (id, n_bigrams, xent_micro_bits); docs with <2 tokens
+    emit (0, 0) — nothing to score.
+
+    Shape: the LM "training" is two corpus groupBys (bigram counts,
+    unigram counts — counts only, never text); the log lookups run on
+    the COUNT tables (vocabulary grain); the doc side joins its
+    bigram occurrences to the two stat tables by gram key (hash
+    equi-joins; a hot transition is count-carrying, not pair-
+    exploding) and folds integer sums. Headroom: per-bigram cost
+    ≤ 63·10⁶, so Σ is int64-safe to ~10¹¹ bigrams per doc."""
+    from ..functions.expressions import log2_micro_sql
+
+    bg = df.select(
+        F.col(id_col).alias("_id"), F.explode(bigrams(F.col(text_col))).alias("_g")
+    ).withColumn("_a", F.split(F.col("_g"), " ", 2).getItem(0))
+    uni = df.select(
+        F.col(id_col).alias("_id"), F.explode(tokens(F.col(text_col))).alias("_t")
+    )
+    vocab = int(uni.select("_t").distinct().count())
+    uni_c = (
+        uni.groupBy(F.col("_t").alias("_a"))
+        .agg(F.count(F.lit(1)).cast("long").alias("_ca"))
+        .withColumn("_cav", F.col("_ca") + F.lit(vocab))
+        .select("_a", F.expr(log2_micro_sql("_cav", "spark")).alias("_la"))
+    )
+    bg_c = (
+        bg.groupBy("_g")
+        .agg(F.count(F.lit(1)).cast("long").alias("_cg"))
+        .withColumn("_cg1", F.col("_cg") + F.lit(1))
+        .select("_g", F.expr(log2_micro_sql("_cg1", "spark")).alias("_lg"))
+    )
+    scored = (
+        bg.join(bg_c, "_g")
+        .join(uni_c, "_a")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum(F.col("_la") - F.col("_lg")).cast("long").alias("_s"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("_id"))
+        .join(scored, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.expr(
+                "CAST(coalesce(_s, 0) DIV greatest(coalesce(n_bigrams, 0), 1)"
+                " AS BIGINT)"
+            ).alias("xent_micro_bits"),
+        )
+    )

@@ -638,3 +638,80 @@ def test_bm25_topk_df_equals_list_form_and_decontaminates(spark):
     for q in (test_rows[0].doc_id, test_rows[2].doc_id):
         ranked = sorted(by_q[q])
         assert ranked[0][2] > ranked[1][2]
+
+
+def test_bigram_cross_entropy_duckdb_parity_and_semantics(spark):
+    """True bigram-LM scoring (r10): the add-one-smoothed corpus LM
+    cross-entropy matches a DuckDB re-derivation built from the SAME
+    log table integer-for-integer; fluent (corpus-typical) docs score
+    LOWER than keyboard mash; short docs emit (0, 0)."""
+    import duckdb
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.functions.expressions import (
+        log2_micro_sql,
+    )
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        text as text_ops,
+    )
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the rug"),
+        (3, "the cat sat on the mat again"),
+        (4, "zz qq xx vv pp"),       # transitions unseen elsewhere
+        (5, "one"),                   # no bigrams
+        (6, "the cat sat on the mat"),  # exact repeat of 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_bigrams, r.xent_micro_bits)
+        for r in text_ops.bigram_cross_entropy(df).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in rows)
+        + ") v(doc_id, text)"
+    )
+    la = log2_micro_sql("_cav", "duckdb")
+    lg = log2_micro_sql("_cg1", "duckdb")
+    want = {
+        d: (nb, x)
+        for d, nb, x in con.execute(rf"""
+        WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                     FROM documents),
+        uni AS (SELECT doc_id, unnest(t) AS a FROM tok),
+        bg AS (
+          SELECT doc_id, t[i] AS a, t[i] || ' ' || t[i+1] AS g
+          FROM tok, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i) gg
+          WHERE len(t) >= 2
+        ),
+        v AS (SELECT COUNT(DISTINCT a) AS v FROM uni),
+        uc AS (SELECT a, CAST(COUNT(*) AS BIGINT) + (SELECT v FROM v) AS _cav
+               FROM uni GROUP BY 1),
+        bc AS (SELECT g, CAST(COUNT(*) AS BIGINT) + 1 AS _cg1
+               FROM bg GROUP BY 1),
+        sc AS (
+          SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS nb,
+                 CAST(SUM({la} - {lg}) AS BIGINT) AS s
+          FROM bg JOIN bc USING (g) JOIN uc USING (a)
+          GROUP BY 1
+        )
+        SELECT d.doc_id, COALESCE(sc.nb, 0),
+               COALESCE(sc.s, 0) // GREATEST(COALESCE(sc.nb, 0), 1)
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        LEFT JOIN sc USING (doc_id)
+        """).fetchall()
+    }
+    assert got == want
+    assert got[5] == (0, 0)
+    # fluent docs (shared transitions) beat the all-rare doc 4
+    assert max(got[1][1], got[2][1], got[3][1], got[6][1]) < got[4][1]
+    # exact repeats score identically (same transitions, same LM)
+    assert got[1] == got[6]
+    # partitioning invariance
+    again = {
+        r.doc_id: (r.n_bigrams, r.xent_micro_bits)
+        for r in text_ops.bigram_cross_entropy(df.repartition(5)).collect()
+    }
+    assert again == got
