@@ -2422,3 +2422,84 @@ def test_rrf_fuse_hand_checked_and_hybrid(spark):
     assert [(r.doc_id, r.rrf_micro) for r in again] == [
         (r.doc_id, r.rrf_micro) for r in fused
     ]
+
+
+def test_model_informed_curation_composition_end_to_end(spark):
+    """The r10 MODEL-INFORMED selection loop, composed from shipped
+    ops only: score the raw corpus with corpus statistics (LM
+    cross-entropy + entropy), weight every doc toward a target
+    distribution (DSIR), spend a token budget on the best-weighted
+    docs per source, pack the survivors — all deterministic, so the
+    whole pipeline re-runs bit-identically on any partitioning."""
+    from pyspark.sql import functions as F
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        curation,
+        text as text_ops,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.01/documents.parquet"
+    ).select("doc_id", "source", "text")
+    # target = the docs most fluent under the corpus LM (a stand-in
+    # for "my high-quality seed set"), picked deterministically
+    xent = text_ops.bigram_cross_entropy(docs)
+    target_ids = [
+        r.doc_id
+        for r in xent.filter("n_bigrams > 0")
+        .orderBy("xent_micro_bits", "doc_id").limit(50).collect()
+    ]
+    target = docs.filter(F.col("doc_id").isin(target_ids))
+
+    weighted = (
+        docs.join(curation.dsir_logweights(docs, target, n_buckets=128),
+                  "doc_id")
+        .join(text_ops.token_entropy(docs), "doc_id")
+        .withColumn(
+            "n_tokens", F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        )
+    )
+    picked = curation.token_budget_sample(
+        weighted, budget_tokens=600, quality_col="dsir_logweight_micro"
+    )
+    kept = picked.filter("budget_kept")
+    # budget respected per source, and the kept set is the weight-
+    # ranked prefix (no kept doc outranked by a dropped one in-group)
+    per_src = kept.groupBy("source").agg(
+        F.sum("n_tokens").alias("tot"), F.max("budget_rank").alias("mr"),
+        F.count(F.lit(1)).alias("n")
+    ).collect()
+    assert per_src and all(r.tot <= 600 for r in per_src)
+    assert all(r.mr == r.n for r in per_src)  # contiguous rank prefix
+    # the target stand-ins are target-LIKE by construction, so kept
+    # docs must outweigh the per-source median of dropped ones
+    med = picked.filter(~F.col("budget_kept")).agg(
+        F.expr("percentile_approx(dsir_logweight_micro, 0.5)")
+    ).collect()[0][0]
+    kmin = kept.agg(F.min("dsir_logweight_micro")).collect()[0][0]
+    # kept mins can dip below the global dropped median only via small
+    # sources; the MEAN kept weight must clearly beat the dropped median
+    kmean = kept.agg(F.avg("dsir_logweight_micro")).collect()[0][0]
+    assert kmean > med
+    packed = curation.pack_sequences(
+        kept.select("doc_id", "n_tokens"), budget_tokens=256
+    )
+    assert packed.count() == kept.count()  # every kept doc packed
+    # pack contract: first-fit-with-overflow — every doc STARTS inside
+    # its pack (offset < budget) and a pack exceeds the budget by at
+    # most its largest (tail) doc
+    assert packed.filter(F.col("pack_offset") >= 256).count() == 0
+    max_doc = kept.agg(F.max("n_tokens")).collect()[0][0]
+    assert packed.groupBy("shard", "pack_id").agg(
+        F.sum("n_tokens").alias("s")
+    ).filter(F.col("s") > 256 + max_doc).count() == 0
+    # determinism across partitionings: identical kept set
+    again_ids = {
+        r.doc_id
+        for r in curation.token_budget_sample(
+            weighted.repartition(11), budget_tokens=600,
+            quality_col="dsir_logweight_micro",
+        ).filter("budget_kept").collect()
+    }
+    assert again_ids == {r.doc_id for r in kept.select("doc_id").collect()}
+    assert kmin is not None
