@@ -485,23 +485,33 @@ def ivf_assign(df: DataFrame, seeds: list[tuple[int, list[float]]],
     coarse quantizer: (seed_id, vector) pairs, sorted by id — small
     enough to live in the plan as literals (a model artifact, like LSH
     planes). argmin via array_position(array_min) → first-min, which
-    equals the (d², seed_id) tie-break because seeds are id-ordered."""
-    qv = quantize_vec(F.col(vec_col))
-    d2s = F.array(*[
-        F.aggregate(
-            F.zip_with(
-                qv,
-                F.array(*[F.lit(int(x)).cast("long") for x in quantize_floats(vec)]),
-                lambda a, b: (a - b) * (a - b),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
+    equals the (d², seed_id) tie-break because seeds are id-ordered.
+
+    r10: built as ONE generated SQL string (the q42 expression-cost
+    lesson — the old Column-tree form cost n_cells·dim py4j lit()
+    round-trips to BUILD and re-evaluated quantize_vec per seed at
+    RUNTIME); the quantized vector and the d² array are each
+    LET-BOUND once via transform(array(x), v -> body)."""
+    seeds_sql = "array(" + ", ".join(
+        "array(" + ", ".join(f"{int(x)}L" for x in quantize_floats(vec)) + ")"
         for _, vec in seeds
-    ])
-    seed_ids = F.array(*[F.lit(sid) for sid, _ in seeds])
-    idx = F.array_position(d2s, F.array_min(d2s))
-    return df.withColumn("_cell", F.element_at(seed_ids, idx.cast("int")))
+    ) + ")"
+    ids_sql = "array(" + ", ".join(f"{int(sid)}L" for sid, _ in seeds) + ")"
+    qv_sql = (
+        f"transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE)"
+        f" * CAST({int(QUANT)} AS DOUBLE)) AS BIGINT))"
+    )
+    return df.withColumn(
+        "_cell",
+        F.expr(
+            f"get(transform(array({qv_sql}), qv -> "
+            f"get(transform(array(transform({seeds_sql}, s -> "
+            "aggregate(zip_with(qv, s, (a, b) -> (a - b) * (a - b)), "
+            "CAST(0 AS BIGINT), (acc, v) -> acc + v))), d2 -> "
+            f"element_at({ids_sql}, "
+            "CAST(array_position(d2, array_min(d2)) AS INT))), 0)), 0)"
+        ),
+    )
 
 
 def ivf_topk(
