@@ -1207,3 +1207,80 @@ def rrf_fuse(
         "rrf_micro",
         "fused_rank",
     )
+
+
+def hard_negatives(
+    df: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training-set construction:
+    for every anchor vector, the ``k`` most-cosine-similar vectors
+    carrying a DIFFERENT label — the pairs a contrastive/embedding
+    trainer learns the most from (easy negatives are already far).
+
+    Candidates come from the anchor's IVF cell only (the semdedup
+    scoping argument is even stronger here: a hard negative is BY
+    DEFINITION nearby, so cross-cell misses are the soft negatives we
+    deliberately skip). The pair join is an equi-join on the cell id —
+    never all-pairs, AQE-splittable; norms are hoisted per vector
+    before the join; cosine rounds to 6 dp BEFORE ranking (the
+    q27/q28/q29 ulp rule) with a neighbor-id tie-break, so the mined
+    set is deterministic across engines and partitionings.
+
+    Returns (anchor id, anchor_label, neg_rank, neighbor id,
+    neighbor_label, cosine_sim). Anchors whose cell holds no
+    other-label vector emit nothing."""
+    from pyspark.sql.window import Window as _W
+
+    seed_rows = (
+        df.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
+    )
+    seeds = [(int(r[0]), [float(x) for x in r[1]]) for r in seed_rows]
+    assigned = (
+        ivf_assign(df, seeds, id_col, vec_col)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            F.col(label_col).alias("_lbl"),
+            "_cell",
+        )
+        .withColumn("_n", norm(F.col("_v")))
+    )
+    a = assigned.select(
+        F.col("_id").alias("_aid"), F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"), F.col("_lbl").alias("anchor_label"),
+        "_cell",
+    )
+    b = assigned.select(
+        F.col("_id").alias("_bid"), F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"), F.col("_lbl").alias("neighbor_label"),
+        "_cell",
+    )
+    w = _W.partitionBy("_aid").orderBy(
+        F.col("cosine_sim").desc(), F.col("_bid").asc()
+    )
+    return (
+        a.join(b, ["_cell"])
+        .filter(F.col("anchor_label") != F.col("neighbor_label"))
+        .withColumn(
+            "cosine_sim",
+            F.round(
+                dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
+                6,
+            ),
+        )
+        .withColumn("neg_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("neg_rank") <= k)
+        .select(
+            F.col("_aid").alias(id_col),
+            "anchor_label",
+            "neg_rank",
+            F.col("_bid").alias("neighbor_id"),
+            "neighbor_label",
+            "cosine_sim",
+        )
+    )

@@ -2503,3 +2503,88 @@ def test_model_informed_curation_composition_end_to_end(spark):
     }
     assert again_ids == {r.doc_id for r in kept.select("doc_id").collect()}
     assert kmin is not None
+
+
+def test_hard_negatives_semantics_and_identity(spark, sf_dir):
+    """Hard-negative mining (r10): same-label neighbors are never
+    mined however close; the nearest other-label vector in the cell
+    ranks first; the result equals the exact same-cell computation on
+    the real corpus; plan is equi-join only."""
+    from pyspark.sql import functions as F
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        similarity as sim,
+    )
+
+    # planted: ids 1-2 far seeds; anchors 10 (label 0) with a nearly
+    # identical SAME-label twin 11 and a slightly-farther OTHER-label
+    # vector 12, all in seed 1's cell.
+    def v(base, second):
+        x = [0.0] * 8
+        x[base] = 1.0
+        x[base + 1] = second
+        return x
+
+    rows = [
+        (1, v(0, 0.0), 9), (2, v(4, 0.0), 9),
+        (10, v(0, 0.30), 0), (11, v(0, 0.301), 0), (12, v(0, 0.34), 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = sim.hard_negatives(df, k=2, n_cells=2)
+    mined = {
+        r.vec_id: [(r.neg_rank, r.neighbor_id, r.neighbor_label)]
+        for r in out.collect() if r.vec_id == 10
+    }
+    got10 = sorted(
+        (r.neg_rank, r.neighbor_id) for r in out.collect() if r.vec_id == 10
+    )
+    # anchor 10's top negative is 12 (other label), NEVER 11 (same
+    # label, closer); seed 1 (label 9) trails 12
+    assert got10[0] == (1, 12)
+    assert all(nid != 11 for _, nid in got10)
+    assert mined
+
+    # real-corpus identity vs exact same-cell other-label top-k
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out_real = sim.hard_negatives(emb, k=3, n_cells=8)
+    got = {
+        (r.vec_id, r.neg_rank): (r.neighbor_id, r.cosine_sim)
+        for r in out_real.collect()
+    }
+    seeds_rows = emb.select("vec_id", "embedding").orderBy("vec_id").limit(8).collect()
+    seeds = [(int(r.vec_id), [float(x) for x in r.embedding]) for r in seeds_rows]
+    cells = sim.ivf_assign(emb, seeds).select("vec_id", "label", "embedding", "_cell")
+    a = cells.select(
+        F.col("vec_id").alias("aid"), F.col("label").alias("la"),
+        F.col("embedding").alias("va"), "_cell",
+    )
+    b = cells.select(
+        F.col("vec_id").alias("bid"), F.col("label").alias("lb"),
+        F.col("embedding").alias("vb"), "_cell",
+    )
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.functions.expressions import (
+        cosine,
+    )
+
+    ref_pairs = (
+        a.join(b, "_cell")
+        .filter(F.col("la") != F.col("lb"))
+        .select(
+            "aid", "bid",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("c"),
+        )
+        .collect()
+    )
+    by_anchor = {}
+    for p in ref_pairs:
+        by_anchor.setdefault(p.aid, []).append((-p.c, p.bid))
+    want = {}
+    for aid, cands in by_anchor.items():
+        for rank, (negc, bid) in enumerate(sorted(cands)[:3], start=1):
+            want[(aid, rank)] = (bid, -negc)
+    assert got == want
+    plan = out_real._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
