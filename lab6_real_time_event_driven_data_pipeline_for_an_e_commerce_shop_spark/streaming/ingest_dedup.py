@@ -329,3 +329,102 @@ class NearDupIngest:
             .filter(agree >= F.lit(int(self.min_agree)))
             .select("id_a", "id_b")
         )
+
+
+class QualityIngest:
+    """Quality gate ON INGEST — the third member of the ingest-gate
+    family (exact-dedup, near-dup, quality): every landed document is
+    scored by the Gopher-style composed gate
+    (:func:`operators.text.quality_filter`) as it arrives, and the
+    verdict ships WITH evidence (qc_pass + qc_fail_reasons CSV) into
+    one MERGE-by-id ``verdicts`` table; ``kept()``/``quarantined()``
+    are filters over it.
+
+    Simpler convergence story than the dedup gates BY DESIGN: the
+    verdict is a PURE per-row function of the batch (no cross-batch
+    state, no store to race), so exactly-once needs only the one
+    idempotent MERGE — any crash window replays the batch into the
+    same rows. A doc RESENT with edited text gets a fresh verdict that
+    OVERWRITES its row (last-verdict-wins), so a fixed doc moves from
+    quarantine to kept atomically — the single-table shape is what
+    makes that move race-free (two tables would need a cross-table
+    delete).
+
+    Layout under ``root``: landing/ (stream source), verdicts/
+    (MERGE-by-id), _checkpoints/ (exactly-once file tracking)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        schema,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        fmt: str = "json",
+        **rules,
+    ):
+        self.spark = spark
+        self.root = root
+        self.schema = schema
+        self.text_col = text_col
+        self.id_col = id_col
+        self.fmt = fmt
+        self.rules = rules
+        os.makedirs(self.landing(), exist_ok=True)
+
+    def landing(self) -> str:
+        return os.path.join(self.root, "landing")
+
+    def _path(self, *parts: str) -> str:
+        return os.path.join(self.root, *parts)
+
+    def _process(self, batch: DataFrame, batch_id: int) -> None:
+        from ..operators import text as text_ops
+
+        if batch.isEmpty():
+            return
+        # a file resent inside one batch: last id wins deterministically
+        # (highest-text-hash tie-break is NOT needed — ids are the key;
+        # dedupe so the MERGE source is key-unique)
+        w = Window.partitionBy(self.id_col).orderBy(
+            F.md5(F.col(self.text_col)).desc()
+        )
+        uniq = (
+            batch.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        verdict = text_ops.quality_filter(
+            uniq, text_col=self.text_col, id_col=self.id_col, **self.rules
+        ).select(self.id_col, "qc_pass", "qc_fail_reasons")
+        scored = uniq.select(self.id_col, self.text_col).join(
+            verdict, self.id_col
+        )
+        upsert.merge(
+            self.spark, self._path("verdicts"), scored, keys=[self.id_col]
+        )
+
+    def run_available(self) -> None:
+        stream = (
+            self.spark.readStream.schema(self.schema)
+            .option("maxFilesPerTrigger", 16)
+            .format(self.fmt)
+            .option("header", True)
+            .load(self.landing())
+        )
+        q = (
+            stream.writeStream.foreachBatch(self._process)
+            .option("checkpointLocation", self._path("_checkpoints"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def verdicts(self) -> DataFrame:
+        return self.spark.read.parquet(self._path("verdicts"))
+
+    def kept(self) -> DataFrame:
+        return self.verdicts().filter(F.col("qc_pass"))
+
+    def quarantined(self) -> DataFrame:
+        return self.verdicts().filter(~F.col("qc_pass"))

@@ -1424,3 +1424,82 @@ def test_neardup_ingest_crash_window_converges(spark, tmp_path, monkeypatch):
     kept = {r.doc_id for r in gate.kept().collect()}
     assert 4 in kept and {1, 2} <= kept
     assert 3 not in kept  # rejected vs the recovered signature store
+
+
+def test_quality_ingest_gate_streamed_equals_batch(spark, tmp_path):
+    """Quality-on-ingest (r10, the third ingest gate): after any wave
+    sequence the verdicts table equals the BATCH quality_filter over
+    the LATEST text per id; a resent-and-fixed doc MOVES from
+    quarantine to kept (last-verdict-wins, single-table atomicity);
+    replay with no new files is a no-op; a replayed crash window
+    (the MERGE re-run) changes nothing."""
+    import json as _json
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        text as text_ops,
+    )
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.ingest_dedup import (
+        QualityIngest,
+    )
+
+    root = str(tmp_path)
+    gate = QualityIngest(
+        spark, root, schema="doc_id long, text string", fmt="json",
+        min_tokens=3,
+    )
+
+    def _wave(name, docs):
+        with open(os.path.join(root, "landing", name), "w") as f:
+            for d, t in docs:
+                f.write(_json.dumps({"doc_id": d, "text": t}) + "\n")
+
+    good = "a fresh diverse set of clean words arranged plainly here"
+    spam = "buy buy buy buy buy buy buy buy"
+    short = "too short"
+    # wave 1: one clean, one repetitive-spam, one too-short
+    _wave("w1.json", [(1, good), (2, spam), (3, short)])
+    gate.run_available()
+    assert {r.doc_id for r in gate.kept().collect()} == {1}
+    q1 = {r.doc_id: r.qc_fail_reasons for r in gate.quarantined().collect()}
+    assert set(q1) == {2, 3} and all(q1.values())
+
+    # wave 2: doc 3 RESENT fixed (crosses into kept), doc 1 resent
+    # broken (crosses into quarantine), plus a new clean doc
+    fixed = "formerly short now a perfectly reasonable document of words"
+    _wave("w2.json", [(3, fixed), (1, spam), (4, good + " again")])
+    gate.run_available()
+    latest = {1: spam, 2: spam, 3: fixed, 4: good + " again"}
+    want = {
+        r.doc_id: (r.qc_pass, r.qc_fail_reasons)
+        for r in text_ops.quality_filter(
+            spark.createDataFrame(
+                sorted(latest.items()), "doc_id long, text string"
+            ),
+            min_tokens=3,
+        ).select("doc_id", "qc_pass", "qc_fail_reasons").collect()
+    }
+    got = {
+        r.doc_id: (r.qc_pass, r.qc_fail_reasons)
+        for r in gate.verdicts().collect()
+    }
+    assert got == want
+    assert {r.doc_id for r in gate.kept().collect()} == {3, 4}
+
+    # replay with nothing new: a no-op
+    gate.run_available()
+    assert {
+        r.doc_id: (r.qc_pass, r.qc_fail_reasons)
+        for r in gate.verdicts().collect()
+    } == want
+
+    # crash-window replay: re-running the batch body over an already-
+    # processed batch converges (idempotent MERGE by id)
+    batch = spark.createDataFrame(
+        [(3, fixed), (1, spam), (4, good + " again")],
+        "doc_id long, text string",
+    )
+    gate._process(batch, 999)
+    assert {
+        r.doc_id: (r.qc_pass, r.qc_fail_reasons)
+        for r in gate.verdicts().collect()
+    } == want
