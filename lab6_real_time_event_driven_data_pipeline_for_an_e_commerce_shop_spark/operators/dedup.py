@@ -520,14 +520,18 @@ def paragraph_dedup(
     whitespace-insensitive matching is wanted."""
     from pyspark.sql import Window
 
-    # split()'s pattern is a Java REGEX — \Q..\E-quote so the separator
-    # is matched literally ("." or "||" separators would otherwise be
-    # metacharacters); limit -1 (default) keeps trailing empties, the
-    # same contract as Python str.split / DuckDB string_split.
+    # split()'s pattern is a Java REGEX — quote the separator the way
+    # java.util.regex.Pattern.quote does: \Q..\E, with any literal "\E"
+    # inside the separator broken out as \E\\E\Q (a bare "\Q"+sep+"\E"
+    # wrap would let a separator CONTAINING "\E" terminate the quote
+    # early and run the remainder as live regex). limit -1 (default)
+    # keeps trailing empties, the same contract as Python str.split /
+    # DuckDB string_split.
+    quoted = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     paras = df.select(
         F.col(id_col),
         F.posexplode(
-            F.split(F.col(text_col), F.lit("\\Q" + sep + "\\E"))
+            F.split(F.col(text_col), F.lit(quoted))
         ).alias("_pos", "_para"),
     )
     w = Window.partitionBy("_h").orderBy(id_col, "_pos")

@@ -133,7 +133,25 @@ def merge_versioned(
     if on_duplicate_source == "error":
         upsert.check_source_unique(source, keys)
     elif on_duplicate_source == "dedupe":
-        source = source.dropDuplicates(keys)
+        # deterministic winner per key (dropDuplicates keeps an
+        # arbitrary row, so two identical runs could publish different
+        # generations — counter to the repo's determinism discipline):
+        # highest md5 of the JSON-serialized non-key payload wins, a
+        # total order over row CONTENT, independent of partitioning.
+        non_keys = [c for c in source.columns if c not in keys]
+        if non_keys:
+            from pyspark.sql.window import Window
+
+            w = Window.partitionBy(*keys).orderBy(
+                F.md5(F.to_json(F.struct(*non_keys))).desc()
+            )
+            source = (
+                source.withColumn("_dup_rn", F.row_number().over(w))
+                .filter(F.col("_dup_rn") == 1)
+                .drop("_dup_rn")
+            )
+        else:
+            source = source.dropDuplicates(keys)
     else:
         raise ValueError(f"unknown on_duplicate_source={on_duplicate_source!r}")
 

@@ -1896,6 +1896,21 @@ def test_paragraph_dedup_exact_semantics(spark):
     assert out2[1].text == "a.b"       # second 'a' is an in-doc dup
     assert out2[2].text == "c"         # 'b' already seen in doc 1
 
+    # ADVICE r10: a separator CONTAINING the two-char sequence "\E" must
+    # not terminate the \Q..\E quote early (Pattern.quote-style escape).
+    # "x\Ey" as a bare "\Qx\Ey\E" would run "y\E" as live regex.
+    sep = "x\\Ey"
+    df3 = spark.createDataFrame(
+        [(1, f"one{sep}two{sep}one"), (2, f"two{sep}three")],
+        ["doc_id", "text"],
+    )
+    out3 = {
+        r.doc_id: r for r in dedup.paragraph_dedup(df3, sep=sep).collect()
+    }
+    assert out3[1].text == f"one{sep}two"
+    assert (out3[1].n_paras, out3[1].n_paras_dropped) == (3, 1)
+    assert out3[2].text == "three"
+
 
 def test_paragraph_dedup_matches_naive_reference(spark):
     """paragraph_dedup ≡ the obvious sequential algorithm (global seen-

@@ -1503,3 +1503,341 @@ def test_quality_ingest_gate_streamed_equals_batch(spark, tmp_path):
         r.doc_id: (r.qc_pass, r.qc_fail_reasons)
         for r in gate.verdicts().collect()
     } == want
+
+
+def test_ingest_gates_same_id_twice_in_one_batch(spark, tmp_path):
+    """ADVICE r10 (medium): a doc id landing TWICE in ONE micro-batch
+    with DIFFERENT texts used to put two rows with the same id into the
+    kept MERGE source — check_source_unique raised and the checkpointed
+    stream replayed the poison batch forever. All three gates must now
+    admit exactly one row per id, with the shared deterministic winner
+    (highest md5(text), the QualityIngest rule)."""
+    import hashlib
+    import json as _json
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.ingest_dedup import (
+        DedupIngest,
+        NearDupIngest,
+        QualityIngest,
+    )
+
+    ta = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    tb = "one two three four five six seven eight nine ten eleven"
+    winner = max([ta, tb], key=lambda t: hashlib.md5(t.encode()).hexdigest())
+
+    def _wave(root, name, docs):
+        with open(os.path.join(root, "landing", name), "w") as f:
+            for d, t in docs:
+                f.write(_json.dumps({"doc_id": d, "text": t}) + "\n")
+
+    # exact-dedup gate: id 1 twice (different texts) + a clean doc
+    d_root = str(tmp_path / "exact")
+    gate = DedupIngest(spark, d_root, schema="doc_id long, text string")
+    _wave(d_root, "w1.json", [(1, ta), (1, tb), (2, "something else")])
+    gate.run_available()  # must NOT raise / poison-loop
+    kept = {r.doc_id: r.text for r in gate.kept().collect()}
+    assert set(kept) == {1, 2}
+    assert kept[1] == winner
+    # the winner's fingerprint is the one registered
+    assert gate.fingerprints().count() == 2
+    # replay converges (checkpoint committed, nothing new)
+    gate.run_available()
+    assert {r.doc_id: r.text for r in gate.kept().collect()} == kept
+
+    # near-dup gate: same poison shape (ta/tb are near-orthogonal so
+    # neither LSH-rejects the other; the per-id dedup is what saves it)
+    n_root = str(tmp_path / "near")
+    ngate = NearDupIngest(spark, n_root, schema="doc_id long, text string")
+    _wave(n_root, "w1.json", [(1, ta), (1, tb), (2, tb + " with a tail")])
+    ngate.run_available()  # must NOT raise
+    nkept = {r.doc_id: r.text for r in ngate.kept().collect()}
+    assert nkept[1] == winner
+    assert ngate.signatures().count() == len(
+        [r for r in ngate.kept().collect()]
+    )
+
+    # quality gate (already handled pre-fix; pin it stays handled)
+    q_root = str(tmp_path / "qual")
+    qgate = QualityIngest(
+        spark, q_root, schema="doc_id long, text string", min_tokens=3
+    )
+    _wave(q_root, "w1.json", [(1, ta), (1, tb)])
+    qgate.run_available()
+    verd = {r.doc_id: r.text for r in qgate.verdicts().collect()}
+    assert verd == {1: winner}
+
+
+def test_quality_ingest_readers_before_any_batch(spark, tmp_path):
+    """ADVICE r10 (low): verdicts()/kept()/quarantined() on a gate whose
+    landing dir never produced a batch must return EMPTY frames with the
+    verdict schema (id/text types from the landing schema), not raise a
+    raw AnalysisException."""
+    from pyspark.sql import types as T
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.ingest_dedup import (
+        QualityIngest,
+    )
+
+    # DDL-string schema
+    gate = QualityIngest(
+        spark, str(tmp_path / "a"), schema="doc_id long, text string"
+    )
+    gate.run_available()  # empty landing: drains zero files
+    for frame in (gate.verdicts(), gate.kept(), gate.quarantined()):
+        assert frame.count() == 0
+    assert [f.name for f in gate.verdicts().schema.fields] == [
+        "doc_id", "text", "qc_pass", "qc_fail_reasons",
+    ]
+    assert isinstance(gate.verdicts().schema["doc_id"].dataType, T.LongType)
+
+    # StructType schema with a STRING id — types must follow the schema
+    st = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    gate2 = QualityIngest(spark, str(tmp_path / "b"), schema=st)
+    assert isinstance(
+        gate2.verdicts().schema["doc_id"].dataType, T.StringType
+    )
+    assert gate2.kept().count() == 0
+
+
+def test_chained_ingest_equals_batch_composition(spark, tmp_path):
+    """ChainedIngest (r11): ONE checkpointed landing stream through all
+    three gates (exact → near-dup → quality). After any wave sequence
+    the chain's verdicts table must equal the naive sequential
+    composition computed from the SAME MinHash signatures: exact
+    first-arrival-per-fingerprint, then cross-corpus/ in-batch LSH
+    admission, then quality_filter over each admitted doc's kept
+    text."""
+    import hashlib
+    import itertools
+    import json as _json
+    import re
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        dedup,
+        text as text_ops,
+    )
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.ingest_dedup import (
+        ChainedIngest,
+    )
+
+    K, BANDS, MIN_AGREE, SH = 16, 4, 8, 3
+    base1 = "the quick brown fox jumps over the lazy dog near the river bank every single morning"
+    base2 = "completely different content about spark shuffle partitions and adaptive query execution plans"
+    spam = "buy buy buy buy buy buy buy buy buy buy buy buy"
+    waves = [
+        # wave 1: clean, an EXACT dup of it (whitespace variant), a
+        # near-dup (caught at stage 2), spam (caught at stage 3)
+        [(1, base1), (2, "  THE   quick brown fox jumps over the lazy dog near the river bank every single morning"),
+         (3, base1 + " tail edited"), (4, spam)],
+        # wave 2: novel clean, cross-wave near-dup of base1, short doc
+        [(5, base2), (6, base1 + " second edit"), (7, "hi")],
+        # wave 3: exact dup of wave-2 text, novel clean
+        [(8, base2), (9, "a third unrelated corpus document discussing parquet footers statistics and column pruning")],
+    ]
+
+    root = str(tmp_path)
+    chain = ChainedIngest(
+        spark, root, schema="doc_id long, text string",
+        k=K, bands=BANDS, min_agree=MIN_AGREE, shingle_k=SH,
+        min_tokens=3,
+    )
+    for i, wave in enumerate(waves):
+        with open(os.path.join(root, "landing", f"w{i}.json"), "w") as f:
+            for d, t in wave:
+                f.write(_json.dumps({"doc_id": d, "text": t}) + "\n")
+        chain.run_available()
+
+    # ---- naive sequential composition -----------------------------------
+    def norm_fp(t):
+        return hashlib.md5(re.sub(r"\s+", " ", t.strip()).lower().encode()).hexdigest()
+
+    # stage 1: exact first-arrival per normalized fingerprint
+    exact_kept: dict[int, str] = {}
+    seen_fps: set[str] = set()
+    stage1_waves = []
+    for wave in waves:
+        for d, t in sorted(wave):
+            if norm_fp(t) not in seen_fps:
+                exact_kept[d] = t
+                seen_fps.add(norm_fp(t))
+        stage1_waves.append(
+            [(d, exact_kept[d]) for d, _ in wave if d in exact_kept]
+        )
+
+    # stage 2: near-dup admission over the SAME signatures (collected
+    # once from the batch operator so shingling/hashing match exactly)
+    all_stage1 = sorted({p for w in stage1_waves for p in w})
+    sig_rows = dedup.minhash_signatures(
+        spark.createDataFrame(all_stage1, "doc_id long, text string"), K, SH
+    ).collect()
+    sigs = {r.doc_id: tuple(r[f"mh_{i}"] for i in range(K)) for r in sig_rows}
+    rows = K // BANDS
+
+    def bands_of(s):
+        return {(b, s[b * rows:(b + 1) * rows]) for b in range(BANDS)}
+
+    def near(a, b):
+        return bool(bands_of(sigs[a]) & bands_of(sigs[b])) and sum(
+            x == y for x, y in zip(sigs[a], sigs[b])
+        ) >= MIN_AGREE
+
+    near_kept: dict[int, str] = {}
+    for wave in stage1_waves:
+        ids = [d for d, _ in wave if d not in near_kept]
+        texts = dict(wave)
+        remaining = [
+            d for d in ids
+            if d not in sigs
+            or not any(near(d, kd) for kd in near_kept if kd in sigs)
+        ]
+        comparable = [d for d in remaining if d in sigs]
+        parent = {d: d for d in comparable}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in itertools.combinations(comparable, 2):
+            if near(a, b):
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+        for d in remaining:
+            if d not in sigs or find(d) == d:
+                near_kept[d] = texts[d]
+
+    # stage 3: quality verdicts over every near-admitted doc's text
+    want = {
+        r.doc_id: (r.qc_pass, r.qc_fail_reasons)
+        for r in text_ops.quality_filter(
+            spark.createDataFrame(
+                sorted(near_kept.items()), "doc_id long, text string"
+            ),
+            min_tokens=3,
+        ).select("doc_id", "qc_pass", "qc_fail_reasons").collect()
+    }
+    got = {
+        r.doc_id: (r.qc_pass, r.qc_fail_reasons)
+        for r in chain.verdicts().collect()
+    }
+    assert got == want
+
+    # scenario sanity: the exact dup (2) and near-dups (3, 6, 8) are
+    # gone before quality; spam (4) is quarantined WITH evidence; the
+    # short doc (7) passed the dedup gates and was quality-judged
+    assert 2 not in got and 8 not in got
+    assert 3 not in got or not near(1, 3)
+    assert 6 not in got or not near(1, 6)
+    assert got[4][0] is False and got[4][1]
+    assert 7 in got
+    kept_ids = {r.doc_id for r in chain.kept().collect()}
+    assert {1, 5, 9} <= kept_ids and 4 not in kept_ids
+
+    # replay with nothing new: byte-stable no-op at every stage
+    before = (
+        sorted(map(tuple, chain.exact.kept().collect())),
+        sorted(map(tuple, chain.near.kept().collect())),
+        sorted(map(tuple, chain.verdicts().collect())),
+    )
+    chain.run_available()
+    after = (
+        sorted(map(tuple, chain.exact.kept().collect())),
+        sorted(map(tuple, chain.near.kept().collect())),
+        sorted(map(tuple, chain.verdicts().collect())),
+    )
+    assert after == before
+
+
+def test_chained_ingest_crash_between_gates_converges(
+    spark, tmp_path, monkeypatch
+):
+    """The chain's distinctive crash window: the exact gate COMMITTED
+    its state but a downstream gate died. On replay the exact gate
+    no-ops (its per-batch delta is EMPTY) — rows must still flow to the
+    near/quality gates via the kept-table stage handoff, and the end
+    state must equal a clean run's. A naive delta handoff would
+    silently drop the whole batch here."""
+    import json as _json
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.ingest_dedup import (
+        ChainedIngest,
+        NearDupIngest,
+        QualityIngest,
+    )
+
+    good = "a fresh diverse set of clean words arranged plainly here today"
+    root = str(tmp_path / "crash")
+    chain = ChainedIngest(
+        spark, root, schema="doc_id long, text string", min_tokens=3
+    )
+
+    def _wave(name, docs):
+        with open(os.path.join(root, "landing", name), "w") as f:
+            for d, t in docs:
+                f.write(_json.dumps({"doc_id": d, "text": t}) + "\n")
+
+    # crash at gate 2 (near), after gate 1 (exact) fully committed
+    _wave("w1.json", [(1, good), (2, good), (3, "novel text about bloom filters and bucketed joins in query engines")])
+    real_near = NearDupIngest._process
+
+    def _boom_near(self, batch, batch_id):
+        raise RuntimeError("crash inside near gate")
+
+    monkeypatch.setattr(NearDupIngest, "_process", _boom_near)
+    with pytest.raises(Exception, match="crash inside near gate"):
+        chain.run_available()
+    monkeypatch.setattr(NearDupIngest, "_process", real_near)
+
+    # exact committed (1 kept, 2 deduped); near/quality empty
+    assert {r.doc_id for r in chain.exact.kept().collect()} == {1, 3}
+    assert not os.path.isdir(os.path.join(root, "near", "kept"))
+
+    chain.run_available()  # replay: rows must reach the downstream gates
+    assert {r.doc_id for r in chain.near.kept().collect()} == {1, 3}
+    assert {r.doc_id for r in chain.kept().collect()} == {1, 3}
+
+    # crash at gate 3 (quality), after gates 1-2 committed
+    doc4 = "entirely separate prose concerning orc stripes vectorized readers and codegen stages"
+    _wave("w2.json", [(4, doc4), (5, "buy buy buy buy buy buy buy buy buy buy")])
+    real_q = QualityIngest._process
+
+    def _boom_q(self, batch, batch_id):
+        raise RuntimeError("crash inside quality gate")
+
+    monkeypatch.setattr(QualityIngest, "_process", _boom_q)
+    with pytest.raises(Exception, match="crash inside quality gate"):
+        chain.run_available()
+    monkeypatch.setattr(QualityIngest, "_process", real_q)
+
+    assert 4 in {r.doc_id for r in chain.near.kept().collect()}
+    assert 4 not in {r.doc_id for r in chain.verdicts().collect()}
+
+    chain.run_available()  # replay completes the quality stage
+    verd = {r.doc_id: r.qc_pass for r in chain.verdicts().collect()}
+    assert verd[4] is True and verd[5] is False
+    assert {r.doc_id for r in chain.kept().collect()} == {1, 3, 4}
+
+    # end state == a clean (crash-free) run over the same waves
+    clean_root = str(tmp_path / "clean")
+    clean = ChainedIngest(
+        spark, clean_root, schema="doc_id long, text string", min_tokens=3
+    )
+    for name, docs in [
+        ("w1.json", [(1, good), (2, good), (3, "novel text about bloom filters and bucketed joins in query engines")]),
+        ("w2.json", [(4, doc4), (5, "buy buy buy buy buy buy buy buy buy buy")]),
+    ]:
+        with open(os.path.join(clean_root, "landing", name), "w") as f:
+            for d, t in docs:
+                f.write(_json.dumps({"doc_id": d, "text": t}) + "\n")
+        clean.run_available()
+    assert sorted(map(tuple, chain.verdicts().collect())) == \
+        sorted(map(tuple, clean.verdicts().collect()))
+    assert sorted(map(tuple, chain.near.signatures().collect())) == \
+        sorted(map(tuple, clean.near.signatures().collect()))

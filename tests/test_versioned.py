@@ -137,3 +137,44 @@ def test_merge_versioned_schema_evolution(spark, tmp_path):
     got = {(r.k, r.v, r.extra)
            for r in versioned.read_latest(spark, root).collect()}
     assert got == {("a", 1, None), ("b", 2, "x"), ("c", 3, None)}
+
+
+def test_merge_versioned_dedupe_is_deterministic(spark, tmp_path):
+    """ADVICE r10 (low): on_duplicate_source='dedupe' used dropDuplicates
+    — an arbitrary surviving row per key, so two identical runs could
+    publish DIFFERENT generations. The winner is now deterministic:
+    highest md5 of the JSON-serialized non-key payload, independent of
+    partitioning."""
+    import hashlib
+    import json
+
+    dup_rows = [("a", 1), ("a", 2), ("a", 3), ("b", 7), ("b", 8)]
+    want = {}
+    for k, v in dup_rows:
+        # Spark to_json emits compact separators: {"v":1}
+        h = hashlib.md5(
+            json.dumps({"v": v}, separators=(",", ":")).encode()
+        ).hexdigest()
+        if k not in want or h > want[k][0]:
+            want[k] = (h, v)
+    expect = {(k, hv[1]) for k, hv in want.items()}
+
+    for trial, parts in enumerate([1, 7]):  # partitioning-invariant
+        root = str(tmp_path / f"t{trial}")
+        src = _df(spark, dup_rows).repartition(parts)
+        versioned.merge_versioned(
+            spark, root, src, ["k"], on_duplicate_source="dedupe"
+        )
+        got = {(r.k, r.v)
+               for r in versioned.read_latest(spark, root).collect()}
+        assert got == expect
+
+    # all-key sources (no payload): duplicates are identical rows,
+    # plain dropDuplicates is already deterministic
+    root = str(tmp_path / "allkeys")
+    src = spark.createDataFrame([("a",), ("a",), ("b",)], "k string")
+    versioned.merge_versioned(
+        spark, root, src, ["k"], on_duplicate_source="dedupe"
+    )
+    assert {r.k for r in versioned.read_latest(spark, root).collect()} \
+        == {"a", "b"}
