@@ -645,6 +645,35 @@ def _doc_terms(
     return dl, tf
 
 
+def _doc_shingle_terms(
+    df: DataFrame, text_col: str, id_col: str, k: int
+) -> tuple[DataFrame, DataFrame]:
+    """:func:`_doc_terms` with k-word SHINGLES as the term unit
+    (:func:`shingles` — whole-text fallback for docs shorter than k,
+    the q24/q52 shingle convention). Document length = shingle count.
+
+    Why a retrieval op would want this: on a corpus whose UNIGRAM
+    vocabulary is small relative to the doc count (every word is a
+    stopword by document frequency — true of this repo's synthetic
+    corpus, vocab 31, and of any heavily templated real corpus),
+    unigram candidate generation is all-pairs no matter the df cut.
+    The shingle vocabulary is combinatorially larger (|V|^k), so
+    shingle df IS discriminative and candidate generation touches only
+    docs sharing an exact k-gram — the same sparsity leak_shingles
+    exploits."""
+    arr = df.select(
+        F.col(id_col).alias("_id"),
+        shingles(F.col(text_col), k).alias("_t"),
+    )
+    dl = arr.select("_id", F.size("_t").cast("long").alias("dl"))
+    tf = (
+        arr.select("_id", F.explode("_t").alias("term"))
+        .groupBy("_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    return dl, tf
+
+
 def tfidf_top_terms(
     df: DataFrame,
     k: int = 5,
@@ -710,6 +739,8 @@ def bm25_topk(
     text_col: str = "text",
     id_col: str = "doc_id",
     pre_topk_buckets: int = 32,
+    max_df_ppm: int | None = None,
+    shingle_k: int | None = None,
 ) -> DataFrame:
     """Quantized BM25 retrieval: top-``k`` documents per query,
     integer-exact end to end (the curation stage that selects
@@ -745,14 +776,26 @@ def bm25_topk(
     Integer headroom: idf·sat ≤ (2N·10⁶ DIV 3)·2.2·10⁶ — int64-safe
     while N < ~6·10⁶ docs; at larger corpora drop the idf scale to
     10³ on both sides."""
+    def _qterms(qtext: str) -> set[str]:
+        toks = str(qtext).split()
+        if shingle_k is None:
+            return set(toks)
+        if len(toks) < shingle_k:          # the shingles() short-doc
+            return {" ".join(toks)}        # whole-text fallback
+        return {
+            " ".join(toks[i:i + shingle_k])
+            for i in range(len(toks) - shingle_k + 1)
+        }
+
     qterms = sorted({(int(qid), t) for qid, qtext in queries
-                     for t in str(qtext).split()})
+                     for t in _qterms(qtext)})
     if not qterms:
         raise ValueError("bm25_topk: empty query set")
     spark = df.sparkSession
     qdf = spark.createDataFrame(qterms, "query_id long, term string")
     return _bm25_rank(
-        df, F.broadcast(qdf), k, text_col, id_col, pre_topk_buckets
+        df, F.broadcast(qdf), k, text_col, id_col, pre_topk_buckets,
+        max_df_ppm, shingle_k,
     )
 
 
@@ -765,6 +808,8 @@ def bm25_topk_df(
     query_id_col: str = "query_id",
     query_text_col: str = "query_text",
     pre_topk_buckets: int = 32,
+    max_df_ppm: int | None = None,
+    shingle_k: int | None = None,
 ) -> DataFrame:
     """DataFrame-native :func:`bm25_topk` — the query SET is a
     DataFrame, so retrieval scales to corpus-sized query sets with no
@@ -775,13 +820,19 @@ def bm25_topk_df(
     query-terms join is left to the optimizer (broadcast when small,
     shuffle equi-join when the query set is itself a corpus — still
     never BNLJ) instead of forced broadcast."""
+    unit = (
+        tokens(F.col(query_text_col))
+        if shingle_k is None
+        else shingles(F.col(query_text_col), shingle_k)
+    )
     qterms = queries_df.select(
         F.col(query_id_col).cast("long").alias("query_id"),
-        F.explode(
-            F.array_distinct(tokens(F.col(query_text_col)))
-        ).alias("term"),
+        F.explode(F.array_distinct(unit)).alias("term"),
     )
-    return _bm25_rank(df, qterms, k, text_col, id_col, pre_topk_buckets)
+    return _bm25_rank(
+        df, qterms, k, text_col, id_col, pre_topk_buckets, max_df_ppm,
+        shingle_k,
+    )
 
 
 def _bm25_rank(
@@ -791,11 +842,35 @@ def _bm25_rank(
     text_col: str,
     id_col: str,
     pre_topk_buckets: int,
+    max_df_ppm: int | None = None,
+    shingle_k: int | None = None,
 ) -> DataFrame:
-    """Shared BM25 core: (query_id, term) frame → ranked top-k."""
+    """Shared BM25 core: (query_id, term) frame → ranked top-k.
+
+    ``shingle_k`` switches the term unit from unigrams to k-word
+    shingles (see :func:`_doc_shingle_terms` for when that is the only
+    scale-sane choice); the scoring arithmetic is unchanged — dl
+    becomes the shingle count.
+
+    ``max_df_ppm`` is the IMPACT-PRUNING knob (the WAND-class
+    approximation a corpus-sized query set needs): query terms whose
+    document frequency exceeds ``max_df_ppm`` parts-per-million of the
+    corpus are dropped BEFORE candidate generation. Without it, every
+    stopword a query shares with every document generates a candidate
+    row — |queries| × |docs| grain, quadratic when the query set is
+    itself a corpus (measured 4.4× at 10× on q52 before the cut).
+    High-df terms carry near-zero idf, so the cut removes the terms
+    that cost the most and score the least; it is integer-exact
+    (df·10⁶ ≤ ppm·N) and replicated verbatim in oracles — both engines
+    drop the identical term set. The cut is applied to the PRUNED
+    query-term frame joined FIRST (qterms ⋈ dfreq before ⋈ tf), so the
+    quadratic join never materializes."""
     from pyspark.sql.window import Window as _W
 
-    dl, tf = _doc_terms(df, text_col, id_col)
+    if shingle_k is None:
+        dl, tf = _doc_terms(df, text_col, id_col)
+    else:
+        dl, tf = _doc_shingle_terms(df, text_col, id_col, shingle_k)
     n_docs = int(dl.count())
     total_tokens = int(dl.agg(F.sum("dl")).collect()[0][0] or 0)
     if n_docs == 0 or total_tokens == 0:
@@ -805,9 +880,15 @@ def _bm25_rank(
     dfreq = tf.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("df_docs")
     )
+    if max_df_ppm is not None:
+        # threshold folded driver-side: ppm·N as two int literals would
+        # overflow INT32 under ANSI at corpus scale
+        dfreq = dfreq.filter(
+            F.col("df_docs") * F.lit(1_000_000)
+            <= F.lit(int(max_df_ppm) * n_docs)
+        )
     contrib = (
-        tf.join(qterms, "term")
-        .join(dfreq, "term")
+        tf.join(qterms.join(dfreq, "term"), "term")
         .join(dl, "_id")
         .withColumn(
             "_mm",

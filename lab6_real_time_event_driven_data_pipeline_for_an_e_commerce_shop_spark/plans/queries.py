@@ -896,7 +896,14 @@ def q22_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-point micro-bits (text.token_entropy): every log is a
     LOG2_TABLE_MICRO lookup (published integer constants), so the
     driver hash gate now certifies the portable-log machinery DSIR
-    importance weights are built on."""
+    importance weights are built on.
+
+    r11 depth: ``n_bigrams`` / ``xent_micro`` — the CCNet perplexity
+    filter PROPER (text.bigram_cross_entropy): average −log2 p(b|a)
+    under the add-one-smoothed CORPUS bigram LM, in micro-bits. The
+    coverage columns above are the cheap screen; this is the actual
+    quantity CCNet thresholds, integer-exact end to end (log lookups
+    at vocabulary grain, int64 sums, DIV)."""
     from ..operators import text as text_ops
 
     langs = sorted(text_ops.LANG_MARKERS)
@@ -914,15 +921,26 @@ def q22_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_covered_bigrams", "bigram_cov_micro"
     )
     ent = text_ops.token_entropy(docs)
+    xent = text_ops.bigram_cross_entropy(docs).select(
+        "doc_id",
+        "n_bigrams",
+        F.col("xent_micro_bits").alias("xent_micro"),
+    )
     scored = text_ops.quality_logit(profiled.join(rep, "doc_id"))
-    return scored.join(cov, "doc_id").join(ent, "doc_id").select(
-        "doc_id", "n_chars_actual", "n_tokens",
-        "avg_token_len", "punct_ratio", "digit_ratio", "upper_ratio",
-        "lang", "predicted_lang", *[f"score_{lang}" for lang in langs],
-        "n_distinct_tokens", "distinct_token_ratio",
-        "top_token_frac", "top_bigram_frac", "dup_trigram_frac",
-        "quality_logit_micro",
-        "n_covered_bigrams", "bigram_cov_micro", "entropy_micro",
+    return (
+        scored.join(cov, "doc_id")
+        .join(ent, "doc_id")
+        .join(xent, "doc_id")
+        .select(
+            "doc_id", "n_chars_actual", "n_tokens",
+            "avg_token_len", "punct_ratio", "digit_ratio", "upper_ratio",
+            "lang", "predicted_lang", *[f"score_{lang}" for lang in langs],
+            "n_distinct_tokens", "distinct_token_ratio",
+            "top_token_frac", "top_bigram_frac", "dup_trigram_frac",
+            "quality_logit_micro",
+            "n_covered_bigrams", "bigram_cov_micro", "entropy_micro",
+            "n_bigrams", "xent_micro",
+        )
     )
 
 
@@ -948,6 +966,8 @@ def _q22_oracle() -> str:
 
     log2c = log2_micro_sql("_c", "duckdb")
     log2n = log2_micro_sql("e._n", "duckdb")
+    xla = log2_micro_sql("_cav", "duckdb")
+    xlg = log2_micro_sql("_cg1", "duckdb")
     return rf"""
     WITH base AS (
         SELECT doc_id, lang,
@@ -1020,6 +1040,26 @@ def _q22_oracle() -> str:
                   FROM documents)
             GROUP BY doc_id, tok
         ) GROUP BY doc_id
+    ), xbg AS (
+        SELECT doc_id, t[i] AS a, t[i] || ' ' || t[i+1] AS g
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+              FROM documents),
+             LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) gg
+        WHERE len(t) >= 2
+    ), xuni AS (
+        SELECT unnest(string_split_regex(trim(text), '\s+')) AS a
+        FROM documents
+    ), xv AS (SELECT COUNT(DISTINCT a) AS v FROM xuni),
+    xuc AS (
+        SELECT a, CAST(COUNT(*) AS BIGINT) + (SELECT v FROM xv) AS _cav
+        FROM xuni GROUP BY 1
+    ), xbc AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) + 1 AS _cg1 FROM xbg GROUP BY 1
+    ), xsc AS (
+        SELECT xbg.doc_id, CAST(COUNT(*) AS BIGINT) AS nb,
+               CAST(SUM({xla} - {xlg}) AS BIGINT) AS s
+        FROM xbg JOIN xbc USING (g) JOIN xuc USING (a)
+        GROUP BY 1
     )
     SELECT m.doc_id,
            CAST(n_chars_actual AS BIGINT) AS n_chars_actual,
@@ -1047,13 +1087,17 @@ def _q22_oracle() -> str:
                AS bigram_cov_micro,
            CAST(CASE WHEN COALESCE(e._n, 0) <= 0 THEN 0
                      ELSE {log2n} - (e._s // e._n) END AS BIGINT)
-               AS entropy_micro
+               AS entropy_micro,
+           CAST(COALESCE(x.nb, 0) AS BIGINT) AS n_bigrams,
+           CAST(COALESCE(x.s, 0) // GREATEST(COALESCE(x.nb, 0), 1)
+                AS BIGINT) AS xent_micro
     FROM m
     LEFT JOIN unigram u ON m.doc_id = u.doc_id
     LEFT JOIN bigram  b ON m.doc_id = b.doc_id
     LEFT JOIN trigram tr ON m.doc_id = tr.doc_id
     LEFT JOIN bgcov  bc ON m.doc_id = bc.doc_id
     LEFT JOIN entc   e  ON m.doc_id = e.doc_id
+    LEFT JOIN xsc    x  ON m.doc_id = x.doc_id
     """
 
 
@@ -3123,6 +3167,59 @@ _DSIR_CONST = f"{_l2('_r1', 'duckdb')} - {_l2('_t1', 'duckdb')}"
                CAST(SUM(f.cnt * d.d)
                     + SUM(f.cnt) * (SELECT c FROM dsk) AS BIGINT) AS w
         FROM dsf f JOIN dsd d USING (bucket) GROUP BY 1
+    ),
+    bsh AS (
+        -- BM25 term unit = 3-word shingle occurrences (whole-text
+        -- fallback under 3 tokens — the sh-CTE convention); the corpus
+        -- unigram vocabulary is 31 words, all stopwords by df, so
+        -- unigram retrieval would be all-pairs
+        SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS term
+        FROM tok, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) gg
+        WHERE len(t) >= 3
+        UNION ALL
+        SELECT doc_id, array_to_string(t, ' ') AS term FROM tok
+        WHERE len(t) < 3
+    ),
+    bdl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM bsh GROUP BY 1),
+    btf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM bsh GROUP BY 1, 2),
+    bdf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS dfd FROM btf GROUP BY 1
+            HAVING COUNT(*) * 1000000
+                   <= 100000 * (SELECT COUNT(*) FROM documents)),
+    bn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    bavg AS (SELECT (1000000 * CAST(SUM(dl) AS BIGINT)) // (SELECT n FROM bn)
+                 AS avgdl FROM bdl),
+    bq AS (SELECT DISTINCT s.doc_id AS query_id, b.term
+           FROM bsh b JOIN splits s
+                ON s.doc_id = b.doc_id AND s.split = 'val'),
+    bsc AS (
+        SELECT bq.query_id, btf.doc_id,
+               SUM((((2 * (SELECT n FROM bn) - 2 * dfd + 1) * 1000000)
+                        // (2 * dfd + 1))
+                   * ((2200000 * tf * 1000000)
+                        // (1000000 * tf + 300000
+                            + (900000000000 * bdl.dl)
+                                // (SELECT avgdl FROM bavg)))) AS mm
+        FROM bq JOIN btf USING (term) JOIN bdf USING (term)
+             JOIN bdl ON bdl.doc_id = btf.doc_id
+        GROUP BY 1, 2
+    ),
+    bhits AS (
+        -- rank on the POST-DIV score (Spark ranks score_micro, not mm)
+        SELECT query_id, doc_id, score
+        FROM (SELECT query_id, doc_id,
+                     CAST(mm // 1000000 AS BIGINT) AS score,
+                     row_number() OVER
+                         (PARTITION BY query_id
+                          ORDER BY CAST(mm // 1000000 AS BIGINT) DESC,
+                                   doc_id) AS rnk
+              FROM bsc)
+        WHERE rnk <= 10
+    ),
+    bdecon AS (
+        SELECT doc_id, CAST(MAX(score) AS BIGINT) AS mx,
+               CAST(COUNT(*) AS BIGINT) AS nh
+        FROM bhits WHERE query_id <> doc_id GROUP BY 1
     )
     SELECT sp.doc_id, sp.split, sp.sampled20,
            CASE WHEN sp.split = 'test' THEN CAST(0 AS BIGINT)
@@ -3136,7 +3233,9 @@ _DSIR_CONST = f"{_l2('_r1', 'duckdb')} - {_l2('_t1', 'duckdb')}"
            p.redacted_len,
            tb.budget_rank, tb.cum_tokens, tb.budget_kept,
            dw.nf AS dsir_n_features,
-           dw.w AS dsir_logweight_micro
+           dw.w AS dsir_logweight_micro,
+           CAST(COALESCE(bd.mx, 0) AS BIGINT) AS decon_max_bm25_micro,
+           CAST(COALESCE(bd.nh, 0) AS BIGINT) AS decon_val_hits
     FROM splits sp
     LEFT JOIN leak l ON sp.doc_id = l.doc_id
     JOIN dcap d ON d.doc_id = sp.doc_id
@@ -3144,6 +3243,7 @@ _DSIR_CONST = f"{_l2('_r1', 'duckdb')} - {_l2('_t1', 'duckdb')}"
     JOIN pii_cols p ON p.doc_id = sp.doc_id
     JOIN tb ON tb.doc_id = sp.doc_id
     JOIN dsw dw ON dw.doc_id = sp.doc_id
+    LEFT JOIN bdecon bd ON bd.doc_id = sp.doc_id
     """,
 )
 def q52_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3203,7 +3303,20 @@ def q52_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     held-out slice"), n_buckets=256. All logs are LOG2_TABLE_MICRO
     lookups; the oracle re-derives buckets, smoothed counts, deltas,
     and the constant from the same published table (dsg/dsf/dsr/dst/
-    dsn/dsk/dsd/dsw CTEs)."""
+    dsn/dsk/dsd/dsw CTEs).
+
+    r11 depth: ``decon_max_bm25_micro`` / ``decon_val_hits`` —
+    decontamination-by-SEARCH (text.bm25_topk_df) next to the shingle
+    counts: the whole VAL split runs as queries against the corpus in
+    one relational plan (k=10); per doc, the max quantized-BM25 score
+    and hit count over NON-SELF val queries that retrieved it. Search-
+    based and shingle-based decontamination side by side under one
+    oracle. Term unit = 3-word SHINGLES (shingle_k=3) with a 10%
+    max_df cut: this corpus's unigram vocabulary is 31 words — every
+    word is a stopword by df, so unigram candidate generation is
+    all-pairs (measured 29× at 10× before the switch); the shingle
+    vocabulary is |V|³-sparse, so candidates touch only docs sharing
+    an exact 3-gram, the same sparsity leak_shingles exploits."""
     from ..functions.expressions import portable_hash
     from ..operators.curation import (
         assign_split,
@@ -3243,6 +3356,23 @@ def q52_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("n_features").alias("dsir_n_features"),
         "dsir_logweight_micro",
+    )
+    from ..operators import text as text_ops
+
+    val_queries = with_split.filter(F.col("split") == "val").select(
+        F.col("doc_id").alias("query_id"),
+        F.col("text").alias("query_text"),
+    )
+    decon = (
+        text_ops.bm25_topk_df(
+            docs, val_queries, k=10, max_df_ppm=100_000, shingle_k=3
+        )
+        .filter(F.col("query_id") != F.col("doc_id"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("score_micro").cast("long").alias("decon_max_bm25_micro"),
+            F.count(F.lit(1)).cast("long").alias("decon_val_hits"),
+        )
     )
     v_old = with_split.filter(F.col("doc_id") % 97 != 0).select(
         "doc_id", "split", (sample_hash % 100 < 20).alias("sampled20")
@@ -3295,6 +3425,15 @@ def q52_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(budget, "doc_id")
         .join(dsir, "doc_id")
+        .join(decon, "doc_id", "left")
+        .withColumn(
+            "decon_max_bm25_micro",
+            F.coalesce(F.col("decon_max_bm25_micro"), F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "decon_val_hits",
+            F.coalesce(F.col("decon_val_hits"), F.lit(0)).cast("long"),
+        )
     )
 
 

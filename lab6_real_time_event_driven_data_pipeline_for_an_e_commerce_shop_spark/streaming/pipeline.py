@@ -76,9 +76,22 @@ class MedallionPipeline:
         <root>/_checkpoints/<table>/                         (exactly-once)
     """
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(
+        self, spark: SparkSession, root: str, versioned_gold: bool = False
+    ):
+        """``versioned_gold=True`` publishes every gold refresh as a new
+        immutable GENERATION (operators.versioned) instead of merging in
+        place: a reader that resolved the serving table just before a
+        refresh keeps a complete consistent snapshot — the serving race
+        the reference's DynamoDB batch writes suffer from
+        (transform.py:374-402, readers observing a half-applied batch).
+        The in-place default remains for single-driver use where the
+        repo's plans materialize before swapping. Only the two serving
+        KPI tables are versioned; the late-data AUDIT table stays an
+        in-place merge (additive counts, not a snapshot-served table)."""
         self.spark = spark
         self.root = root
+        self.versioned_gold = versioned_gold
         for t in schemas.ECOMMERCE_SCHEMAS:
             os.makedirs(self.landing(t), exist_ok=True)
 
@@ -383,14 +396,26 @@ class MedallionPipeline:
             silver = silver.filter(F.col("order_date").isin(dates))
         silver = silver.cache()
         cat, daily = kpis.category_kpis(silver), kpis.order_kpis_daily(silver)
-        upsert.merge(
-            self.spark, self._path("gold", "category_kpis"), cat,
-            keys=["category", "order_date"],
-        )
-        upsert.merge(
-            self.spark, self._path("gold", "order_kpis_daily"), daily,
-            keys=["order_date"],
-        )
+        if self.versioned_gold:
+            from ..operators import versioned
+
+            versioned.merge_versioned(
+                self.spark, self._path("gold", "category_kpis"), cat,
+                keys=["category", "order_date"],
+            )
+            versioned.merge_versioned(
+                self.spark, self._path("gold", "order_kpis_daily"), daily,
+                keys=["order_date"],
+            )
+        else:
+            upsert.merge(
+                self.spark, self._path("gold", "category_kpis"), cat,
+                keys=["category", "order_date"],
+            )
+            upsert.merge(
+                self.spark, self._path("gold", "order_kpis_daily"), daily,
+                keys=["order_date"],
+            )
         silver.unpersist()
 
     # -- one end-to-end cycle ------------------------------------------------
@@ -426,6 +451,12 @@ class MedallionPipeline:
 
     # -- serving readers -------------------------------------------------------
     def gold(self, table: str) -> DataFrame:
+        if self.versioned_gold:
+            from ..operators import versioned
+
+            return versioned.read_latest(
+                self.spark, self._path("gold", table)
+            )
         return self.spark.read.parquet(self._path("gold", table))
 
     def silver(self) -> DataFrame:

@@ -1841,3 +1841,98 @@ def test_chained_ingest_crash_between_gates_converges(
         sorted(map(tuple, clean.verdicts().collect()))
     assert sorted(map(tuple, chain.near.signatures().collect())) == \
         sorted(map(tuple, clean.near.signatures().collect()))
+
+
+def test_versioned_gold_snapshot_isolation_and_equality(spark, tmp_path):
+    """versioned_gold=True (r11, VERDICT #5): gold refreshes publish
+    immutable generations via operators.versioned instead of merging in
+    place. Pins: (1) gold CONTENT is identical to the in-place mode over
+    the same waves; (2) a reader that resolved generation N before a
+    refresh still reads the complete old snapshot after it (gen N or
+    N+1, never a mix); (3) replay with no new files publishes nothing
+    new; (4) late releases update the served snapshot exactly like the
+    in-place path."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        versioned,
+    )
+
+    wave1 = dict(
+        orders=("o1.csv", ORDER_HEADER, [f"o1,u1,delivered,{T0},,,,1"]),
+        order_items=("i1.csv", ITEM_HEADER,
+                     [f"i1,o1,u1,p1,delivered,{T0},,,,10.0"]),
+        products=("p1.csv", PRODUCT_HEADER,
+                  ["p1,sku1,5.0,cat_a,widget,acme,12.0,d1"]),
+    )
+    wave2 = dict(
+        orders=("o2.csv", ORDER_HEADER,
+                [f"o2,u2,delivered,2024-03-02T09:00:00,,,,1"]),
+        order_items=("i2.csv", ITEM_HEADER,
+                     [f"i2,o2,u2,p1,delivered,2024-03-02T09:00:00,,,,30.0"]),
+    )
+    # late wave: an item for the ALREADY-RELEASED o1 (same date) — the
+    # late-release path must refresh the served snapshot
+    late = dict(
+        order_items=("late.csv", ITEM_HEADER,
+                     [f"i3,o1,u1,p1,delivered,{T0},,,,5.0"]),
+    )
+
+    roots = {m: str(tmp_path / m) for m in ("versioned", "plain")}
+    pipes = {
+        "versioned": MedallionPipeline(
+            spark, roots["versioned"], versioned_gold=True
+        ),
+        "plain": MedallionPipeline(spark, roots["plain"]),
+    }
+
+    def run_wave(wave):
+        for mode, pipe in pipes.items():
+            for table, (name, header, lines) in wave.items():
+                _drop(roots[mode], table, name, header, lines)
+            pipe.run_cycle()
+
+    run_wave(wave1)
+    cat_root = os.path.join(roots["versioned"], "gold", "category_kpis")
+    daily_root = os.path.join(roots["versioned"], "gold", "order_kpis_daily")
+    gen0 = versioned.current_version(daily_root)
+    assert gen0 is not None
+
+    # (2) resolve the CURRENT snapshot, then refresh underneath it
+    old_reader = versioned.read_version(spark, daily_root, gen0)
+    old_want = sorted(map(tuple, old_reader.collect()))
+
+    run_wave(wave2)
+    assert versioned.current_version(daily_root) > gen0
+    # the old reader still sees the complete gen-N snapshot...
+    assert sorted(map(tuple, old_reader.collect())) == old_want
+    # ...while the serving pointer reads the refreshed table
+    assert {r.order_date for r in pipes["versioned"].gold(
+        "order_kpis_daily").collect()} == {
+        dt.date(2024, 3, 1), dt.date(2024, 3, 2)}
+
+    run_wave(late)
+
+    # (1)+(4): content identical to the in-place mode after every wave,
+    # including the late absorption. Note the silver PK contract keys
+    # on (order_id, product_id): i3 shares o1/p1 with i1, so the late
+    # MERGE REPLACES the pair row (revenue 10 -> 5), not adds to it —
+    # the reference's transform.py:331-336 semantics, pinned in r8.
+    for table in ("category_kpis", "order_kpis_daily"):
+        got = sorted(map(tuple, pipes["versioned"].gold(table).collect()))
+        want = sorted(map(tuple, pipes["plain"].gold(table).collect()))
+        assert got == want
+    d1 = {r.order_date: r.total_revenue
+          for r in pipes["versioned"].gold("order_kpis_daily").collect()}
+    assert d1[dt.date(2024, 3, 1)] == pytest.approx(5.0)
+
+    # (3) replay with nothing new: no new generation published
+    before = versioned.current_version(daily_root)
+    pipes["versioned"].run_cycle()
+    assert versioned.current_version(daily_root) == before
+
+    # vacuum keeps serving intact
+    versioned.vacuum(cat_root, keep_last=1)
+    versioned.vacuum(daily_root, keep_last=1)
+    for table in ("category_kpis", "order_kpis_daily"):
+        got = sorted(map(tuple, pipes["versioned"].gold(table).collect()))
+        want = sorted(map(tuple, pipes["plain"].gold(table).collect()))
+        assert got == want

@@ -715,3 +715,46 @@ def test_bigram_cross_entropy_duckdb_parity_and_semantics(spark):
         for r in text_ops.bigram_cross_entropy(df.repartition(5)).collect()
     }
     assert again == got
+
+
+def test_bm25_max_df_ppm_impact_pruning(spark):
+    """r11: the impact-pruning knob drops query terms with corpus df
+    above the ppm threshold BEFORE candidate generation. Semantics pin:
+    pruned scoring == unpruned scoring over queries with those terms
+    REMOVED (same idf/sat arithmetic, smaller candidate set), and a
+    query whose every term is pruned retrieves nothing."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        text as text_ops,
+    )
+
+    # 'the' in 5/6 docs (df 833333 ppm); content words are rare
+    docs = spark.createDataFrame(
+        [
+            (1, "the parquet footer stores column statistics"),
+            (2, "the shuffle service moves map output blocks"),
+            (3, "the optimizer prunes partitions at plan time"),
+            (4, "the broadcast join avoids the exchange"),
+            (5, "the codegen stage fuses operators"),
+            (6, "vectorized readers batch decode pages"),
+        ],
+        "doc_id long, text string",
+    )
+    queries = [(100, "the parquet statistics"), (200, "the the the")]
+    got = sorted(
+        tuple(r)
+        for r in text_ops.bm25_topk(
+            docs, queries, k=6, max_df_ppm=500_000
+        ).collect()
+    )
+    # reference: same op, NO cut, queries with the high-df term removed
+    want = sorted(
+        tuple(r)
+        for r in text_ops.bm25_topk(
+            docs, [(100, "parquet statistics")], k=6
+        ).collect()
+    )
+    assert got == want          # query 200 (all terms pruned) vanishes
+    assert {r[0] for r in got} == {100}
+    # default (None) is exact: the stopword still contributes
+    full = text_ops.bm25_topk(docs, queries, k=6)
+    assert {r.query_id for r in full.collect()} == {100, 200}
