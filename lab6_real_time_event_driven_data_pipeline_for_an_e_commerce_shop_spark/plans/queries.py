@@ -903,7 +903,17 @@ def q22_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     under the add-one-smoothed CORPUS bigram LM, in micro-bits. The
     coverage columns above are the cheap screen; this is the actual
     quantity CCNet thresholds, integer-exact end to end (log lookups
-    at vocabulary grain, int64 sums, DIV)."""
+    at vocabulary grain, int64 sums, DIV).
+
+    r11 depth (2): ``xent_bucket`` — CCNet's head/middle/tail
+    perplexity TERCILES (1=head/fluent, 2=middle, 3=tail, 0=not
+    scoreable), the mechanism CCNet actually ships (keep head+middle,
+    drop tail). Thresholds are order statistics of the PORTABLE
+    bottom-256 hash sample of distinct xent values (the q46
+    bottom-k-quantile discipline; integer rank ``max(1, (j·n+2) DIV
+    3)``, never a float ceil) — scale-sane (TakeOrderedAndProject,
+    no global sort) and inlined as literals (a 1-row broadcast-
+    threshold join would plan as BNLJ — the r8 sq_encode lesson)."""
     from ..operators import text as text_ops
 
     langs = sorted(text_ops.LANG_MARKERS)
@@ -926,6 +936,28 @@ def q22_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bigrams",
         F.col("xent_micro_bits").alias("xent_micro"),
     )
+    from ..functions.expressions import portable_hash as _phash
+
+    xv = (
+        xent.filter(F.col("n_bigrams") > 0)
+        .select(F.col("xent_micro").alias("_v"))
+        .distinct()
+        .withColumn("_h", _phash(F.col("_v").cast("string")))
+        .orderBy("_h", "_v")
+        .limit(256)
+    )
+    vals = sorted(r._v for r in xv.collect())
+    n_s = len(vals)
+    t1 = vals[max(1, (n_s + 2) // 3) - 1] if vals else 0
+    t2 = vals[max(1, (2 * n_s + 2) // 3) - 1] if vals else 0
+    xent = xent.withColumn(
+        "xent_bucket",
+        F.when(F.col("n_bigrams") <= 0, F.lit(0))
+        .when(F.col("xent_micro") <= F.lit(t1), F.lit(1))
+        .when(F.col("xent_micro") <= F.lit(t2), F.lit(2))
+        .otherwise(F.lit(3))
+        .cast("long"),
+    )
     scored = text_ops.quality_logit(profiled.join(rep, "doc_id"))
     return (
         scored.join(cov, "doc_id")
@@ -939,7 +971,7 @@ def q22_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_token_frac", "top_bigram_frac", "dup_trigram_frac",
             "quality_logit_micro",
             "n_covered_bigrams", "bigram_cov_micro", "entropy_micro",
-            "n_bigrams", "xent_micro",
+            "n_bigrams", "xent_micro", "xent_bucket",
         )
     )
 
@@ -1060,6 +1092,22 @@ def _q22_oracle() -> str:
                CAST(SUM({xla} - {xlg}) AS BIGINT) AS s
         FROM xbg JOIN xbc USING (g) JOIN xuc USING (a)
         GROUP BY 1
+    ), xdistinct AS (
+        SELECT DISTINCT (s // nb) AS v FROM xsc WHERE nb > 0
+    ), xsamp AS (
+        SELECT v FROM (
+            SELECT v, CAST(concat('0x', substr(md5(CAST(v AS VARCHAR)),
+                           1, 12)) AS BIGINT) AS hh
+            FROM xdistinct)
+        QUALIFY row_number() OVER (ORDER BY hh, v) <= 256
+    ), xthr AS (
+        SELECT MAX(CASE WHEN rn = GREATEST(1, (n + 2) // 3)
+                        THEN v END) AS t1,
+               MAX(CASE WHEN rn = GREATEST(1, (2 * n + 2) // 3)
+                        THEN v END) AS t2
+        FROM (SELECT v, row_number() OVER (ORDER BY v) AS rn,
+                     COUNT(*) OVER () AS n
+              FROM xsamp)
     )
     SELECT m.doc_id,
            CAST(n_chars_actual AS BIGINT) AS n_chars_actual,
@@ -1090,7 +1138,11 @@ def _q22_oracle() -> str:
                AS entropy_micro,
            CAST(COALESCE(x.nb, 0) AS BIGINT) AS n_bigrams,
            CAST(COALESCE(x.s, 0) // GREATEST(COALESCE(x.nb, 0), 1)
-                AS BIGINT) AS xent_micro
+                AS BIGINT) AS xent_micro,
+           CAST(CASE WHEN COALESCE(x.nb, 0) <= 0 THEN 0
+                     WHEN (x.s // x.nb) <= (SELECT t1 FROM xthr) THEN 1
+                     WHEN (x.s // x.nb) <= (SELECT t2 FROM xthr) THEN 2
+                     ELSE 3 END AS BIGINT) AS xent_bucket
     FROM m
     LEFT JOIN unigram u ON m.doc_id = u.doc_id
     LEFT JOIN bigram  b ON m.doc_id = b.doc_id
@@ -3220,6 +3272,12 @@ _DSIR_CONST = f"{_l2('_r1', 'duckdb')} - {_l2('_t1', 'duckdb')}"
         SELECT doc_id, CAST(MAX(score) AS BIGINT) AS mx,
                CAST(COUNT(*) AS BIGINT) AS nh
         FROM bhits WHERE query_id <> doc_id GROUP BY 1
+    ),
+    rare AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nrare
+        FROM sh
+        WHERE h IN (SELECT h FROM sh GROUP BY h HAVING COUNT(*) <= 2)
+        GROUP BY doc_id
     )
     SELECT sp.doc_id, sp.split, sp.sampled20,
            CASE WHEN sp.split = 'test' THEN CAST(0 AS BIGINT)
@@ -3235,7 +3293,8 @@ _DSIR_CONST = f"{_l2('_r1', 'duckdb')} - {_l2('_t1', 'duckdb')}"
            dw.nf AS dsir_n_features,
            dw.w AS dsir_logweight_micro,
            CAST(COALESCE(bd.mx, 0) AS BIGINT) AS decon_max_bm25_micro,
-           CAST(COALESCE(bd.nh, 0) AS BIGINT) AS decon_val_hits
+           CAST(COALESCE(bd.nh, 0) AS BIGINT) AS decon_val_hits,
+           CAST(COALESCE(ra.nrare, 0) AS BIGINT) AS n_rare_shingles
     FROM splits sp
     LEFT JOIN leak l ON sp.doc_id = l.doc_id
     JOIN dcap d ON d.doc_id = sp.doc_id
@@ -3244,6 +3303,7 @@ _DSIR_CONST = f"{_l2('_r1', 'duckdb')} - {_l2('_t1', 'duckdb')}"
     JOIN tb ON tb.doc_id = sp.doc_id
     JOIN dsw dw ON dw.doc_id = sp.doc_id
     LEFT JOIN bdecon bd ON bd.doc_id = sp.doc_id
+    LEFT JOIN rare ra ON ra.doc_id = sp.doc_id
     """,
 )
 def q52_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3316,7 +3376,14 @@ def q52_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     word is a stopword by df, so unigram candidate generation is
     all-pairs (measured 29× at 10× before the switch); the shingle
     vocabulary is |V|³-sparse, so candidates touch only docs sharing
-    an exact 3-gram, the same sparsity leak_shingles exploits."""
+    an exact 3-gram, the same sparsity leak_shingles exploits.
+
+    r11 depth (2): ``n_rare_shingles`` — memorization-risk audit
+    (Kandpal et al. 2022: duplication drives memorization, so the
+    RARE sequence is the canary a privacy audit counts): per doc, its
+    distinct 3-gram shingles appearing in ≤2 corpus documents. Reuses
+    the leak_shingles substrate (the oracle's sh CTE) — one extra
+    count-grain groupBy, no new explode."""
     from ..functions.expressions import portable_hash
     from ..operators.curation import (
         assign_split,
@@ -3373,6 +3440,29 @@ def q52_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("score_micro").cast("long").alias("decon_max_bm25_micro"),
             F.count(F.lit(1)).cast("long").alias("decon_val_hits"),
         )
+    )
+    # memorization-risk audit (Kandpal et al. 2022: duplication drives
+    # memorization; a RARE sequence is the canary): per doc, how many
+    # of its distinct 3-gram shingles appear in ≤2 corpus documents
+    shh = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(text_ops.shingles(F.col("text")))
+            ).alias("_s"),
+        )
+        .select("doc_id", portable_hash(F.col("_s")).alias("_h"))
+        .distinct()
+    )
+    rare = (
+        shh.join(
+            shh.groupBy("_h")
+            .agg(F.count(F.lit(1)).cast("long").alias("_df"))
+            .filter(F.col("_df") <= 2),
+            "_h",
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rare_shingles"))
     )
     v_old = with_split.filter(F.col("doc_id") % 97 != 0).select(
         "doc_id", "split", (sample_hash % 100 < 20).alias("sampled20")
@@ -3433,6 +3523,11 @@ def q52_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "decon_val_hits",
             F.coalesce(F.col("decon_val_hits"), F.lit(0)).cast("long"),
+        )
+        .join(rare, "doc_id", "left")
+        .withColumn(
+            "n_rare_shingles",
+            F.coalesce(F.col("n_rare_shingles"), F.lit(0)).cast("long"),
         )
     )
 
