@@ -447,7 +447,7 @@ class QualityIngest:
             landing = (
                 self.schema
                 if isinstance(self.schema, T.StructType)
-                else T._parse_datatype_string(self.schema)
+                else T.StructType.fromDDL(self.schema)
             )
             empty = T.StructType(
                 [

@@ -758,3 +758,48 @@ def test_bm25_max_df_ppm_impact_pruning(spark):
     # default (None) is exact: the stopword still contributes
     full = text_ops.bm25_topk(docs, queries, k=6)
     assert {r.query_id for r in full.collect()} == {100, 200}
+
+
+def test_q22_xent_bucket_zero_and_tercile_edges(spark, tmp_path):
+    """r11: q22's xent_bucket 0-branch (docs with no bigrams are not
+    scoreable) and the tercile thresholds on a corpus small enough to
+    verify by hand. q22 reads only the documents table, so a synthetic
+    sf_dir with just documents.parquet exercises the real gated plan."""
+    import math
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.plans.queries import (
+        catalog,
+    )
+
+    rows = [
+        (1, "the cat sat on the mat", "en", "s1", 22),
+        (2, "the cat sat on the rug today", "en", "s1", 28),
+        (3, "zz qq xx vv pp ww", "en", "s2", 17),
+        (4, "one", "en", "s2", 3),          # single token: no bigrams
+        (5, "the cat sat on the mat", "en", "s1", 22),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    out = {
+        r.doc_id: (r.n_bigrams, r.xent_micro, r.xent_bucket)
+        for r in catalog()["q22_doc_quality"](spark, str(tmp_path)).collect()
+    }
+    assert out[4] == (0, 0, 0)              # unscoreable → bucket 0
+    # identical docs share bucket; the all-rare doc lands in the tail
+    assert out[1][2] == out[5][2]
+    scored = sorted(
+        (x, b) for nb, x, b in out.values() if nb > 0
+    )
+    # buckets are monotone in xent
+    assert [b for _, b in scored] == sorted(b for _, b in scored)
+    assert out[3][2] == 3                   # highest xent → tail
+    # thresholds replicate the integer rank rule over distinct values
+    distinct = sorted({x for nb, x, _ in out.values() if nb > 0})
+    n = len(distinct)
+    t1 = distinct[max(1, (n + 2) // 3) - 1]
+    t2 = distinct[max(1, (2 * n + 2) // 3) - 1]
+    for nb, x, b in out.values():
+        if nb > 0:
+            assert b == (1 if x <= t1 else 2 if x <= t2 else 3)
