@@ -920,6 +920,47 @@ def _bm25_rank(
     )
 
 
+def portable_bucket_thresholds(
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int = 3,
+    k: int = 256,
+) -> list[int]:
+    """The (n_buckets−1) integer bucket thresholds CCNet-style
+    perplexity bucketing needs (head/middle/tail at n_buckets=3):
+    order statistics of the PORTABLE bottom-``k`` hash sample of the
+    column's DISTINCT values. Threshold j (1-based) = the value at
+    integer rank ``max(1, (j·n + n_buckets − 1) DIV n_buckets)`` of
+    the sorted sample — never a float ceil (the misfloor rule).
+
+    Scale shape: distinct substrate → TakeOrderedAndProject on
+    (portable hash, value) — a distributed partial top-k, no global
+    sort; the ≤k sample collects to the driver and the thresholds ship
+    as LITERALS (a 1-row broadcast-threshold join would plan as BNLJ —
+    the r8 sq_encode lesson). Deterministic across engines,
+    partitionings, and runs; an oracle re-derives the sample with the
+    md5-prefix hash and the same rank arithmetic (q22's xsamp/xthr
+    CTEs). Values must be integral (the sketch float rule). Returns
+    [] for an empty frame — callers bucket everything as 0."""
+    from ..functions.expressions import portable_hash
+
+    samp = (
+        df.select(F.col(value_col).alias("_v"))
+        .distinct()
+        .withColumn("_h", portable_hash(F.col("_v").cast("string")))
+        .orderBy("_h", "_v")
+        .limit(k)
+    )
+    vals = sorted(r._v for r in samp.collect())
+    if not vals:
+        return []
+    n = len(vals)
+    return [
+        vals[max(1, (j * n + n_buckets - 1) // n_buckets) - 1]
+        for j in range(1, n_buckets)
+    ]
+
+
 def token_entropy(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

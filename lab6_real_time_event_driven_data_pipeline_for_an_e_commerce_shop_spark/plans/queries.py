@@ -936,20 +936,10 @@ def q22_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bigrams",
         F.col("xent_micro_bits").alias("xent_micro"),
     )
-    from ..functions.expressions import portable_hash as _phash
-
-    xv = (
-        xent.filter(F.col("n_bigrams") > 0)
-        .select(F.col("xent_micro").alias("_v"))
-        .distinct()
-        .withColumn("_h", _phash(F.col("_v").cast("string")))
-        .orderBy("_h", "_v")
-        .limit(256)
+    thr = text_ops.portable_bucket_thresholds(
+        xent.filter(F.col("n_bigrams") > 0), "xent_micro", n_buckets=3
     )
-    vals = sorted(r._v for r in xv.collect())
-    n_s = len(vals)
-    t1 = vals[max(1, (n_s + 2) // 3) - 1] if vals else 0
-    t2 = vals[max(1, (2 * n_s + 2) // 3) - 1] if vals else 0
+    t1, t2 = (thr[0], thr[1]) if thr else (0, 0)
     xent = xent.withColumn(
         "xent_bucket",
         F.when(F.col("n_bigrams") <= 0, F.lit(0))

@@ -84,6 +84,8 @@ _SLOW_TESTS = {
     # test_text_ops
     "test_bm25_topk_duckdb_parity_and_semantics",
     "test_bm25_max_df_ppm_impact_pruning",
+    "test_ccnet_bucketing_composition_end_to_end",
+    "test_bm25_shingle_form_list_equals_df",
 }
 
 

@@ -803,3 +803,100 @@ def test_q22_xent_bucket_zero_and_tercile_edges(spark, tmp_path):
     for nb, x, b in out.values():
         if nb > 0:
             assert b == (1 if x <= t1 else 2 if x <= t2 else 3)
+
+
+def test_ccnet_bucketing_composition_end_to_end(spark):
+    """The CCNet pipeline shape proper (r11): score every doc under the
+    corpus bigram LM (bigram_cross_entropy) → tercile thresholds from
+    the portable bottom-k sample (portable_bucket_thresholds) → KEEP
+    head+middle, drop the tail — then the survivors flow into sequence
+    packing. Pins: thresholds equal the naive integer-rank selection
+    over distinct values; the garbage docs (all-rare transitions) land
+    in the tail and are dropped; fluent docs survive; the composition
+    feeds pack_sequences without loss."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        curation,
+        text as text_ops,
+    )
+
+    fluent = [
+        (i, "the cat sat on the mat and the dog sat on the rug " + tail)
+        for i, tail in [
+            (1, "every day"), (2, "every night"), (3, "all morning"),
+            (4, "all evening"), (5, "in the sun"), (6, "in the rain"),
+        ]
+    ]
+    garbage = [(7, "zq wv xk pj qn br vt lz"), (8, "mm kk zz vv qq ww xx")]
+    df = spark.createDataFrame(
+        fluent + garbage, "doc_id long, text string"
+    )
+    xent = text_ops.bigram_cross_entropy(df)
+    scoreable = xent.filter(F.col("n_bigrams") > 0)
+    thr = text_ops.portable_bucket_thresholds(
+        scoreable, "xent_micro_bits", n_buckets=3
+    )
+    assert len(thr) == 2 and thr[0] <= thr[1]
+
+    # naive reference: same integer rank rule over distinct values
+    distinct = sorted({r.xent_micro_bits for r in scoreable.collect()})
+    n = len(distinct)
+    want = [distinct[max(1, (j * n + 2) // 3) - 1] for j in (1, 2)]
+    assert thr == want
+
+    kept = df.join(
+        xent.filter(F.col("xent_micro_bits") <= thr[1]).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    kept_ids = {r.doc_id for r in kept.collect()}
+    # the all-rare docs score highest and fall in the dropped tail
+    assert not ({7, 8} & kept_ids)
+    assert {1, 2, 3} <= kept_ids
+
+    # survivors pack without loss: every kept doc appears in a pack
+    packed = curation.pack_sequences(
+        kept.withColumn(
+            "n_tokens", F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        ),
+        budget_tokens=64,
+    )
+    assert {r.doc_id for r in packed.collect()} == kept_ids
+
+
+def test_bm25_shingle_form_list_equals_df(spark):
+    """r11: the shingle_k term unit must behave identically through the
+    list and DataFrame query APIs (the Python-side shingler vs the
+    shingles() column expression), including the whole-text fallback
+    for queries shorter than k."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        text as text_ops,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the parquet footer stores column statistics for pruning"),
+            (2, "the shuffle service moves map output blocks to reducers"),
+            (3, "the parquet footer stores row group metadata"),
+            (4, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    queries = [
+        (100, "the parquet footer stores column statistics"),
+        (200, "tiny doc"),                     # < k tokens: fallback
+    ]
+    got_list = sorted(
+        tuple(r)
+        for r in text_ops.bm25_topk(docs, queries, k=4, shingle_k=3).collect()
+    )
+    qdf = spark.createDataFrame(queries, "query_id long, query_text string")
+    got_df = sorted(
+        tuple(r)
+        for r in text_ops.bm25_topk_df(docs, qdf, k=4, shingle_k=3).collect()
+    )
+    assert got_list == got_df and got_list
+    # the fallback query matches exactly its whole-text twin (doc 4)
+    assert {r[2] for r in got_list if r[0] == 200} == {4}
+    # shingle retrieval separates the sharing docs from the disjoint one
+    hits_100 = {r[2] for r in got_list if r[0] == 100}
+    assert 1 in hits_100 and 2 not in hits_100
