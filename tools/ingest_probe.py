@@ -31,6 +31,7 @@ from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.sess
     build_session,
 )
 from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.ingest_dedup import (  # noqa: E402
+    ChainedIngest,
     DedupIngest,
     NearDupIngest,
 )
@@ -72,13 +73,20 @@ def _wave_df(spark, wave: int, n: int, dup_pct: int, edit: bool):
 
 
 def probe(gate_cls, name: str, spark, wave_docs: int, n_waves: int,
-          dup_pct: int, **gate_kw) -> dict:
+          dup_pct: int, count_fn=None, **gate_kw) -> dict:
+    """count_fn overrides how the 'kept' total is read (the chain's
+    final table is the quality VERDICTS — every admitted doc gets a
+    row regardless of its verdict, which is the admission count the
+    expected-kept arithmetic predicts)."""
+    if count_fn is None:
+        count_fn = lambda g: g.kept().count()  # noqa: E731
     root = tempfile.mkdtemp(prefix=f"ingest_probe_{name}_")
     gate = gate_cls(spark, root, schema="doc_id long, text string",
                     fmt="json", **gate_kw)
     per_wave = []
     for w in range(n_waves):
-        df = _wave_df(spark, w, wave_docs, dup_pct, edit=(name == "near"))
+        df = _wave_df(spark, w, wave_docs, dup_pct,
+                      edit=(name in ("near", "chain")))
         df.coalesce(1).write.mode("overwrite").json(
             os.path.join(root, "landing", f"w{w}")
         )
@@ -93,7 +101,7 @@ def probe(gate_cls, name: str, spark, wave_docs: int, n_waves: int,
         t0 = time.perf_counter()
         gate.run_available()
         secs = round(time.perf_counter() - t0, 2)
-        kept = gate.kept().count()
+        kept = count_fn(gate)
         per_wave.append({"wave": w, "secs": secs, "kept_total": kept})
         print(json.dumps({"gate": name, **per_wave[-1]}), flush=True)
     n_dups = (n_waves - 1) * wave_docs * dup_pct // 100
@@ -104,6 +112,7 @@ def probe(gate_cls, name: str, spark, wave_docs: int, n_waves: int,
         # the near gate is LSH-mediated: ~1% of true dups miss every
         # band at J≈0.91, k=16/bands=4 — allow that envelope
         "tolerance": 0 if name == "exact" else max(2, n_dups * 3 // 100),
+        # (chain: same LSH envelope — its rejections are the near stage's)
         "wave_secs": [p["secs"] for p in per_wave],
     }
     shutil.rmtree(root, ignore_errors=True)
@@ -123,6 +132,12 @@ def main() -> None:
         probe(DedupIngest, "exact", spark, wave_docs, n_waves, dup_pct),
         probe(NearDupIngest, "near", spark, max(wave_docs // 4, 1000),
               n_waves, dup_pct),
+        # the full three-gate chain: edited dups pass the exact stage
+        # (texts differ) and must be caught by the near stage; every
+        # admitted doc gets a quality verdict row
+        probe(ChainedIngest, "chain", spark, max(wave_docs // 4, 1000),
+              n_waves, dup_pct,
+              count_fn=lambda g: g.verdicts().count(), min_tokens=3),
     ]
     for r in results:
         ok = abs(r["kept_final"] - r["expected_kept"]) <= r["tolerance"]
