@@ -900,3 +900,41 @@ def test_bm25_shingle_form_list_equals_df(spark):
     # shingle retrieval separates the sharing docs from the disjoint one
     hits_100 = {r[2] for r in got_list if r[0] == 100}
     assert 1 in hits_100 and 2 not in hits_100
+
+
+def test_portable_bucket_thresholds_per_group_composition(spark):
+    """r12 precursor (library-only): CCNet buckets are per LANGUAGE in
+    the real pipeline. portable_bucket_thresholds takes any frame, so
+    per-group thresholds are one call per group over a filtered frame —
+    pin that the per-group thresholds differ from the global ones when
+    the groups' score distributions differ, and that each group's
+    thresholds replicate the naive integer-rank selection over that
+    group's distinct values."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        text as text_ops,
+    )
+
+    rows = [("en", v) for v in (10, 20, 30, 40, 50, 60)] + [
+        ("de", v) for v in (1000, 2000, 3000, 4000, 5000, 6000)
+    ]
+    df = spark.createDataFrame(rows, "lang string, score long")
+    per_lang = {
+        lang: text_ops.portable_bucket_thresholds(
+            df.filter(F.col("lang") == lang), "score", n_buckets=3
+        )
+        for lang in ("en", "de")
+    }
+    for lang in ("en", "de"):
+        distinct = sorted({v for lg, v in rows if lg == lang})
+        n = len(distinct)
+        want = [distinct[max(1, (j * n + 2) // 3) - 1] for j in (1, 2)]
+        assert per_lang[lang] == want
+    # global thresholds are a different (cross-language) split: the
+    # global tail boundary sits inside de's range, far above en's
+    global_thr = text_ops.portable_bucket_thresholds(df, "score", 3)
+    assert global_thr not in (per_lang["en"], per_lang["de"])
+    assert global_thr[1] > per_lang["en"][1]
+    # empty group: no thresholds, caller buckets as 0
+    assert text_ops.portable_bucket_thresholds(
+        df.filter(F.col("lang") == "fr"), "score", 3
+    ) == []
