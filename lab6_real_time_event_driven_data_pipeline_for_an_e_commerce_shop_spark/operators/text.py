@@ -961,6 +961,78 @@ def portable_bucket_thresholds(
     ]
 
 
+def portable_bucket_thresholds_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    n_buckets: int = 3,
+    k: int = 256,
+) -> DataFrame:
+    """Per-GROUP portable bucket thresholds — CCNet's actual mechanism
+    (perplexity terciles per LANGUAGE, not globally): for every group,
+    exactly the thresholds ``portable_bucket_thresholds`` returns on
+    that group's filtered frame (pinned by the per-group composition
+    test), computed in ONE distributed pass with no driver loop.
+
+    Returns a DataFrame ``(group_col, t1..t{n_buckets-1})`` — one row
+    per group that has ≥1 value; a group absent from the result has no
+    scoreable rows (callers bucket those 0 via a left join's NULLs).
+    Unlike the scalar version this never collects: the threshold table
+    is group-grain (bounded by the number of languages/domains), so
+    consumers join it back with a **broadcast EQUI-join on the group
+    key** — a real join key, so it plans as BroadcastHashJoin, never
+    the BNLJ a 1-row threshold join would degenerate to (the r8
+    sq_encode lesson only bites keyless joins).
+
+    Shape: distinct (group, value) substrate → per-group bottom-k by
+    (portable hash, value) via one row_number window → per-group rank
+    + count windows → conditional-max rollup. Two shuffles on the
+    group key over a distinct-values-sized frame; no global sort, no
+    collect. Same integer rank arithmetic as the scalar version —
+    ``max(1, (j·n + n_buckets − 1) DIV n_buckets)``, never a float
+    ceil."""
+    from pyspark.sql.window import Window as _W
+
+    from ..functions.expressions import portable_hash
+
+    samp = (
+        df.select(
+            F.col(group_col).alias("_g"), F.col(value_col).alias("_v")
+        )
+        .distinct()
+        .withColumn("_h", portable_hash(F.col("_v").cast("string")))
+        .withColumn(
+            "_kr",
+            F.row_number().over(_W.partitionBy("_g").orderBy("_h", "_v")),
+        )
+        .filter(F.col("_kr") <= k)
+    )
+    ranked = samp.select(
+        "_g",
+        "_v",
+        F.row_number().over(_W.partitionBy("_g").orderBy("_v")).alias("_rn"),
+        F.count(F.lit(1)).over(_W.partitionBy("_g")).alias("_n"),
+    )
+    aggs = [
+        F.max(
+            F.when(
+                F.col("_rn")
+                == F.greatest(
+                    F.lit(1),
+                    F.expr(
+                        f"({j} * _n + {n_buckets - 1}) DIV {n_buckets}"
+                    ),
+                ),
+                F.col("_v"),
+            )
+        )
+        .cast("long")
+        .alias(f"t{j}")
+        for j in range(1, n_buckets)
+    ]
+    return ranked.groupBy("_g").agg(*aggs).withColumnRenamed("_g", group_col)
+
+
 def token_entropy(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -913,7 +913,19 @@ def q22_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     bottom-k-quantile discipline; integer rank ``max(1, (j·n+2) DIV
     3)``, never a float ceil) — scale-sane (TakeOrderedAndProject,
     no global sort) and inlined as literals (a 1-row broadcast-
-    threshold join would plan as BNLJ — the r8 sq_encode lesson)."""
+    threshold join would plan as BNLJ — the r8 sq_encode lesson).
+
+    r12 depth: ``xent_bucket_lang`` — CCNet's ACTUAL mechanism:
+    perplexity terciles per LANGUAGE (the global bucket above is the
+    approximation; CCNet trains one LM per language and buckets within
+    it). Thresholds come from portable_bucket_thresholds_by_group —
+    ONE distributed pass, per-group bottom-256 hash sample + integer
+    rank order statistics, equal by construction to the scalar
+    function per filtered group (composition-pinned). The per-lang
+    threshold table is language-grain (bounded), joined back as a
+    broadcast EQUI-join on lang — a real join key, so it plans as
+    BroadcastHashJoin, not the BNLJ a keyless 1-row threshold join
+    degenerates to."""
     from ..operators import text as text_ops
 
     langs = sorted(text_ops.LANG_MARKERS)
@@ -948,6 +960,29 @@ def q22_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(3))
         .cast("long"),
     )
+    doc_lang = docs.select("doc_id", "lang")
+    lang_thr = text_ops.portable_bucket_thresholds_by_group(
+        xent.filter(F.col("n_bigrams") > 0).join(doc_lang, "doc_id"),
+        "lang",
+        "xent_micro",
+        n_buckets=3,
+    )
+    xent = (
+        xent.join(doc_lang, "doc_id")
+        .join(F.broadcast(lang_thr), "lang", "left")
+        .withColumn(
+            "xent_bucket_lang",
+            F.when(F.col("n_bigrams") <= 0, F.lit(0))
+            .when(F.col("xent_micro") <= F.col("t1"), F.lit(1))
+            .when(F.col("xent_micro") <= F.col("t2"), F.lit(2))
+            .otherwise(F.lit(3))
+            .cast("long"),
+        )
+        .select(
+            "doc_id", "n_bigrams", "xent_micro", "xent_bucket",
+            "xent_bucket_lang",
+        )
+    )
     scored = text_ops.quality_logit(profiled.join(rep, "doc_id"))
     return (
         scored.join(cov, "doc_id")
@@ -961,7 +996,7 @@ def q22_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_token_frac", "top_bigram_frac", "dup_trigram_frac",
             "quality_logit_micro",
             "n_covered_bigrams", "bigram_cov_micro", "entropy_micro",
-            "n_bigrams", "xent_micro", "xent_bucket",
+            "n_bigrams", "xent_micro", "xent_bucket", "xent_bucket_lang",
         )
     )
 
@@ -1098,6 +1133,27 @@ def _q22_oracle() -> str:
         FROM (SELECT v, row_number() OVER (ORDER BY v) AS rn,
                      COUNT(*) OVER () AS n
               FROM xsamp)
+    ), xldistinct AS (
+        SELECT DISTINCT d.lang, (s // nb) AS v
+        FROM xsc JOIN documents d ON xsc.doc_id = d.doc_id
+        WHERE nb > 0
+    ), xlsamp AS (
+        SELECT lang, v FROM (
+            SELECT lang, v, CAST(concat('0x', substr(md5(CAST(v AS VARCHAR)),
+                           1, 12)) AS BIGINT) AS hh
+            FROM xldistinct)
+        QUALIFY row_number() OVER (PARTITION BY lang ORDER BY hh, v) <= 256
+    ), xlthr AS (
+        SELECT lang,
+               MAX(CASE WHEN rn = GREATEST(1, (n + 2) // 3)
+                        THEN v END) AS t1,
+               MAX(CASE WHEN rn = GREATEST(1, (2 * n + 2) // 3)
+                        THEN v END) AS t2
+        FROM (SELECT lang, v,
+                     row_number() OVER (PARTITION BY lang ORDER BY v) AS rn,
+                     COUNT(*) OVER (PARTITION BY lang) AS n
+              FROM xlsamp)
+        GROUP BY lang
     )
     SELECT m.doc_id,
            CAST(n_chars_actual AS BIGINT) AS n_chars_actual,
@@ -1106,7 +1162,7 @@ def _q22_oracle() -> str:
            CAST(n_chars_actual - no_punct AS DOUBLE) / n_chars_actual AS punct_ratio,
            CAST(n_chars_actual - no_digit AS DOUBLE) / n_chars_actual AS digit_ratio,
            CAST(n_chars_actual - no_upper AS DOUBLE) / n_chars_actual AS upper_ratio,
-           lang,
+           m.lang AS lang,
            CASE WHEN _m < 1 THEN 'und' {case} END AS predicted_lang,
            {", ".join(f"score_{lang}" for lang in langs)},
            CAST(COALESCE(u.nd, 0) AS BIGINT) AS n_distinct_tokens,
@@ -1132,7 +1188,11 @@ def _q22_oracle() -> str:
            CAST(CASE WHEN COALESCE(x.nb, 0) <= 0 THEN 0
                      WHEN (x.s // x.nb) <= (SELECT t1 FROM xthr) THEN 1
                      WHEN (x.s // x.nb) <= (SELECT t2 FROM xthr) THEN 2
-                     ELSE 3 END AS BIGINT) AS xent_bucket
+                     ELSE 3 END AS BIGINT) AS xent_bucket,
+           CAST(CASE WHEN COALESCE(x.nb, 0) <= 0 THEN 0
+                     WHEN (x.s // x.nb) <= lt.t1 THEN 1
+                     WHEN (x.s // x.nb) <= lt.t2 THEN 2
+                     ELSE 3 END AS BIGINT) AS xent_bucket_lang
     FROM m
     LEFT JOIN unigram u ON m.doc_id = u.doc_id
     LEFT JOIN bigram  b ON m.doc_id = b.doc_id
@@ -1140,6 +1200,7 @@ def _q22_oracle() -> str:
     LEFT JOIN bgcov  bc ON m.doc_id = bc.doc_id
     LEFT JOIN entc   e  ON m.doc_id = e.doc_id
     LEFT JOIN xsc    x  ON m.doc_id = x.doc_id
+    LEFT JOIN xlthr  lt ON m.lang = lt.lang
     """
 
 

@@ -149,11 +149,19 @@ class DedupIngest:
 
 def _one_row_per_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """One deterministic row per id: highest md5(text) wins (the same
-    rule QualityIngest uses). Guards every ingest gate against a doc id
-    arriving twice in ONE micro-batch with different text — without it
-    the kept MERGE source has duplicate ids, check_source_unique raises,
-    and the checkpointed stream replays the poison batch forever."""
-    w = Window.partitionBy(id_col).orderBy(F.md5(F.col(text_col)).desc())
+    rule QualityIngest uses), ties broken by the md5 of the full
+    non-id payload serialized to JSON (the merge_versioned dedupe
+    rule) — two rows with identical id AND text but differing in any
+    other column would otherwise get a partitioning-dependent winner.
+    Guards every ingest gate against a doc id arriving twice in ONE
+    micro-batch with different text — without it the kept MERGE source
+    has duplicate ids, check_source_unique raises, and the checkpointed
+    stream replays the poison batch forever."""
+    payload = [c for c in df.columns if c != id_col]
+    w = Window.partitionBy(id_col).orderBy(
+        F.md5(F.col(text_col)).desc(),
+        F.md5(F.to_json(F.struct(*[F.col(c) for c in payload]))).desc(),
+    )
     return (
         df.withColumn("_idrn", F.row_number().over(w))
         .filter(F.col("_idrn") == 1)

@@ -218,6 +218,35 @@ def test_q52_contamination_is_equijoin_only(spark):
     assert "EvalPython" not in plan
 
 
+def test_q22_quality_plan_is_equijoin_only(spark):
+    """r12 (VERDICT r11 #3): q22 is now one of the two densest gated
+    plans (language-ID + repetition + coverage + entropy + bigram-LM
+    cross-entropy + global AND per-language terciles) and had no pin.
+    Everything joins at doc or vocabulary grain: no cartesian/
+    nested-loop fallback anywhere, no Python evaluation, and the
+    per-language threshold table (language-grain, bounded) must come
+    back via a BROADCAST equi-join on lang — the keyed join is what
+    keeps it off the BNLJ path a keyless 1-row threshold join
+    degenerates to (the r8 sq_encode lesson)."""
+    plan = _formatted(q.q22_doc_quality(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    # the lang-threshold join is present and broadcast: some broadcast
+    # hash join keys on lang
+    import re
+
+    bhj_keys = re.findall(
+        r"BroadcastHashJoin[^\n]*\n(?:[^\n]*\n)*?[^\n]*?Left keys \[\d+\]: \[([^\]]*)\]",
+        plan,
+    )
+    assert any("lang" in k for k in bhj_keys), (
+        "no BroadcastHashJoin keyed on lang:\n"
+        + "\n".join(bhj_keys[:20])
+    )
+
+
 def test_q28_blocked_near_dup_is_equijoin_only(spark):
     """r4: the gated near-dup plan is the mask-ring EQUI-join over
     integer-exact SRP buckets. The r3 all-pairs form planned a

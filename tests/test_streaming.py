@@ -1936,3 +1936,51 @@ def test_versioned_gold_snapshot_isolation_and_equality(spark, tmp_path):
         got = sorted(map(tuple, pipes["versioned"].gold(table).collect()))
         want = sorted(map(tuple, pipes["plain"].gold(table).collect()))
         assert got == want
+
+
+def test_one_row_per_id_full_payload_tiebreak(spark):
+    """ADVICE r11 (low): two rows with the same id AND identical text
+    but differing in another column used to tie on md5(text) and get a
+    partitioning-dependent winner for that column. The tie now breaks
+    on md5(to_json(struct(non-id payload))) — the merge_versioned
+    dedupe rule — so the winner is deterministic for ANY gate schema.
+    Pinned at 1 and 7 partitions against a Python replica of the
+    rule."""
+    import hashlib
+    import json as _json
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.ingest_dedup import (
+        _one_row_per_id,
+    )
+
+    rows = [
+        (1, "same text", "src-a"),
+        (1, "same text", "src-b"),   # md5(text) ties; payload differs
+        (1, "same text", "src-c"),
+        (2, "other", "src-a"),
+    ]
+    # replicate: winner = max by (md5(text), md5(json{text,source}))
+    def key(t, s):
+        return (
+            hashlib.md5(t.encode()).hexdigest(),
+            hashlib.md5(
+                _json.dumps(
+                    {"text": t, "source": s}, separators=(",", ":")
+                ).encode()
+            ).hexdigest(),
+        )
+
+    want = {}
+    for d, t, s in rows:
+        if d not in want or key(t, s) > key(*want[d]):
+            want[d] = (t, s)
+
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    for parts in (1, 7):
+        got = {
+            r.doc_id: (r.text, r.source)
+            for r in _one_row_per_id(
+                df.repartition(parts), "doc_id", "text"
+            ).collect()
+        }
+        assert got == {d: v for d, v in want.items()}, f"parts={parts}"

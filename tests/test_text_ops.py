@@ -938,3 +938,110 @@ def test_portable_bucket_thresholds_per_group_composition(spark):
     assert text_ops.portable_bucket_thresholds(
         df.filter(F.col("lang") == "fr"), "score", 3
     ) == []
+
+
+def test_portable_bucket_thresholds_by_group_equals_scalar(spark):
+    """r12: the distributed per-group threshold table equals the scalar
+    function called once per filtered group — same distinct substrate,
+    same bottom-k hash sample, same integer rank arithmetic — and a
+    group with no rows is simply absent (callers bucket 0 via the left
+    join's NULLs). Partitioning-invariance checked at 1 and 7
+    partitions."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        text as text_ops,
+    )
+
+    rows = (
+        [("en", v) for v in (10, 20, 30, 40, 50, 60)]
+        + [("de", v) for v in (1000, 2000, 3000, 4000, 5000, 6000)]
+        + [("zh", 777)]                      # single-value group
+        + [("en", 10), ("de", 3000)]         # duplicates: distinct grain
+    )
+    df = spark.createDataFrame(rows, "lang string, score long")
+    for parts in (1, 7):
+        got = {
+            r.lang: (r.t1, r.t2)
+            for r in text_ops.portable_bucket_thresholds_by_group(
+                df.repartition(parts), "lang", "score", n_buckets=3
+            ).collect()
+        }
+        want = {
+            lang: tuple(
+                text_ops.portable_bucket_thresholds(
+                    df.filter(F.col("lang") == lang), "score", n_buckets=3
+                )
+            )
+            for lang in ("en", "de", "zh")
+        }
+        assert got == want
+    # single-value group: both thresholds are that value
+    assert got["zh"] == (777, 777)
+    # empty input: empty table, not an error
+    assert (
+        text_ops.portable_bucket_thresholds_by_group(
+            df.filter(F.col("lang") == "fr"), "lang", "score", 3
+        ).count()
+        == 0
+    )
+
+
+def test_q22_xent_bucket_lang_per_language_terciles(spark, tmp_path):
+    """r12: q22's xent_bucket_lang buckets within each LANGUAGE (the
+    CCNet mechanism proper). Synthetic sf_dir with two languages whose
+    xent distributions are disjoint: globally, one language's docs all
+    land in the head and the other's in the tail; per-language, EACH
+    language spans head/middle/tail. Also pins the 0-branch and that
+    per-lang thresholds replicate the integer rank rule per group."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.plans.queries import (
+        catalog,
+    )
+
+    fluent = "the cat sat on the mat and the dog sat on the rug"
+    rows = [
+        # en: shared fluent base with varying rare tails
+        (1, fluent + " every day", "en"),
+        (2, fluent + " every night", "en"),
+        (3, fluent + " zq wv xk", "en"),
+        (4, fluent + " zq wv xk pj qn br", "en"),
+        # de: all-rare transitions (high xent), with internal spread
+        (5, "aa bb aa bb aa bb aa bb", "de"),
+        (6, "aa bb cc dd aa bb cc dd", "de"),
+        (7, "qq ww ee rr tt yy uu ii", "de"),
+        (8, "zz xx cc vv bn nm mk kl", "de"),
+        # unscoreable
+        (9, "one", "en"),
+    ]
+    spark.createDataFrame(
+        [(i, t, lg, "s1", len(t)) for i, t, lg in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    out = {
+        r.doc_id: r
+        for r in catalog()["q22_doc_quality"](spark, str(tmp_path)).collect()
+    }
+    assert out[9].xent_bucket_lang == 0          # no bigrams → 0
+    # per-lang thresholds replicate the rank rule within each language
+    for lg in ("en", "de"):
+        scored = {
+            i: out[i].xent_micro
+            for i, _, g in [(r[0], r[1], r[2]) for r in rows]
+            if g == lg and out[i].n_bigrams > 0
+        }
+        distinct = sorted(set(scored.values()))
+        n = len(distinct)
+        t1 = distinct[max(1, (n + 2) // 3) - 1]
+        t2 = distinct[max(1, (2 * n + 2) // 3) - 1]
+        for i, x in scored.items():
+            assert out[i].xent_bucket_lang == (
+                1 if x <= t1 else 2 if x <= t2 else 3
+            ), f"doc {i} lang {lg}"
+        # each language spans more than one bucket on its own scale
+        assert len({out[i].xent_bucket_lang for i in scored}) >= 2
+    # the mechanism matters: per-language bucketing must actually
+    # disagree with the global tercile split somewhere on this corpus
+    assert any(
+        out[i].xent_bucket_lang != out[i].xent_bucket
+        for i, _, g in rows
+        if out[i].n_bigrams > 0
+    )

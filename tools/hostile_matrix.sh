@@ -4,9 +4,26 @@
 # root on an otherwise-idle machine (load skews per-query secs, not
 # correctness). Takes ~40-50 min; run under tmux/nohup — each cell is a
 # fresh JVM.
+#
+# r12 (ADVICE): machine-checkable — each cell's exit status is captured
+# and its output grepped for '"verdict": "PASS"'; failures accumulate
+# and the script exits non-zero, so a timeout-killed or crashed cell
+# can never read as a pass.
 set -u
 cd "$(dirname "$0")/.."
-run() { echo "=== $1"; shift; timeout 900 "$@" 2>&1 | tail -1; }
+FAILS=0
+run() {
+    local name="$1"; shift
+    echo "=== $name"
+    local out rc
+    out=$(timeout 900 "$@" 2>&1)
+    rc=$?
+    echo "$out" | tail -1
+    if [ $rc -ne 0 ] || ! echo "$out" | grep -q '"verdict": "PASS"'; then
+        echo "!!! FAIL cell '$name' (exit $rc)"
+        FAILS=$((FAILS + 1))
+    fi
+}
 run "sf0.001"            python tools/driver_sim.py /root/testdata/sf0.001
 run "sf0.1"              python tools/driver_sim.py /root/testdata/sf0.1
 run "tz=Asia/Kathmandu"  env SPARK_GRAFT_SIM_TZ=Asia/Kathmandu python tools/driver_sim.py /root/testdata/sf0.01
@@ -15,3 +32,8 @@ run "codegen off"        env SPARK_GRAFT_SIM_EXTRA_CONF='spark.sql.codegen.whole
 run "ansi off"           env SPARK_GRAFT_SIM_EXTRA_CONF='spark.sql.ansi.enabled=false' python tools/driver_sim.py /root/testdata/sf0.01
 run "aqe off"            env SPARK_GRAFT_SIM_EXTRA_CONF='spark.sql.adaptive.enabled=false' python tools/driver_sim.py /root/testdata/sf0.01
 run "vectorized off"     env SPARK_GRAFT_SIM_EXTRA_CONF='spark.sql.parquet.enableVectorizedReader=false' python tools/driver_sim.py /root/testdata/sf0.01
+if [ $FAILS -ne 0 ]; then
+    echo "MATRIX: $FAILS cell(s) FAILED"
+    exit 1
+fi
+echo "MATRIX: 8/8 PASS"
