@@ -1984,3 +1984,105 @@ def test_one_row_per_id_full_payload_tiebreak(spark):
             ).collect()
         }
         assert got == {d: v for d, v in want.items()}, f"parts={parts}"
+
+
+def test_chained_ingest_rejected_then_admitted_across_waves(
+    spark, tmp_path
+):
+    """r12 (VERDICT r11 #4): the DUAL of the pinned light-edit
+    self-handoff — a doc REJECTED by the near gate (near-dup of an
+    already-kept doc) is later re-sent with text edited PAST the
+    threshold. The rejected doc left no near-gate state (no signature,
+    no kept row), so the re-send must flow: exact gate updates the
+    doc's kept text (new fingerprint), the stage handoff hands the
+    NEW text to the near gate (kept TABLE authoritative, not a stale
+    delta), the near gate compares it afresh against the store — no
+    stored self-signature to self-reject against — and admits it
+    through to quality. Scenario preconditions are hard-asserted from
+    the SAME deterministic MinHash signatures the gates use."""
+    import json as _json
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        dedup,
+    )
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.ingest_dedup import (
+        ChainedIngest,
+    )
+
+    K, BANDS, MIN_AGREE, SH = 16, 4, 8, 3
+    base = (
+        "the quick brown fox jumps over the lazy dog near the river "
+        "bank every single morning without fail"
+    )
+    light = base + " indeed"     # near-dup of base: must be rejected
+    heavy = (
+        "parquet footers carry column statistics that enable partition "
+        "pruning and predicate pushdown inside modern query engines"
+    )
+
+    # -- preconditions from the operator's own signatures ----------------
+    sig_rows = dedup.minhash_signatures(
+        spark.createDataFrame(
+            [(1, base), (2, light), (3, heavy)], "doc_id long, text string"
+        ),
+        K,
+        SH,
+    ).collect()
+    sigs = {r.doc_id: tuple(r[f"mh_{i}"] for i in range(K)) for r in sig_rows}
+    rows = K // BANDS
+
+    def bands_of(s):
+        return {(b, s[b * rows:(b + 1) * rows]) for b in range(BANDS)}
+
+    def near(a, b):
+        return bool(bands_of(sigs[a]) & bands_of(sigs[b])) and sum(
+            x == y for x, y in zip(sigs[a], sigs[b])
+        ) >= MIN_AGREE
+
+    assert near(1, 2), "scenario needs the light edit to be a near-dup"
+    assert not near(1, 3), "scenario needs the heavy edit to clear the gate"
+
+    root = str(tmp_path)
+    chain = ChainedIngest(
+        spark, root, schema="doc_id long, text string",
+        k=K, bands=BANDS, min_agree=MIN_AGREE, shingle_k=SH, min_tokens=3,
+    )
+
+    def _wave(name, docs):
+        with open(os.path.join(root, "landing", name), "w") as f:
+            for d, t in docs:
+                f.write(_json.dumps({"doc_id": d, "text": t}) + "\n")
+
+    # wave 1: the original. wave 2: doc 2 as a light edit → REJECTED.
+    _wave("w1.json", [(1, base)])
+    chain.run_available()
+    _wave("w2.json", [(2, light)])
+    chain.run_available()
+    assert {r.doc_id for r in chain.exact.kept().collect()} == {1, 2}
+    assert {r.doc_id for r in chain.near.kept().collect()} == {1}
+    assert {r.doc_id for r in chain.near.signatures().collect()} == {1}
+    assert {r.doc_id for r in chain.verdicts().collect()} == {1}
+
+    # wave 3: doc 2 re-sent, edited past the threshold → ADMITTED
+    _wave("w3.json", [(2, heavy)])
+    chain.run_available()
+    exact_kept = {r.doc_id: r.text for r in chain.exact.kept().collect()}
+    near_kept = {r.doc_id: r.text for r in chain.near.kept().collect()}
+    assert exact_kept[2] == heavy
+    assert near_kept == {1: base, 2: heavy}
+    assert {r.doc_id for r in chain.near.signatures().collect()} == {1, 2}
+    verd = {r.doc_id: r.qc_pass for r in chain.verdicts().collect()}
+    assert verd == {1: True, 2: True}
+    assert {r.doc_id for r in chain.kept().collect()} == {1, 2}
+
+    # replay: byte-stable no-op (the transition is checkpoint-durable)
+    before = (
+        sorted(map(tuple, chain.near.kept().collect())),
+        sorted(map(tuple, chain.verdicts().collect())),
+    )
+    chain.run_available()
+    after = (
+        sorted(map(tuple, chain.near.kept().collect())),
+        sorted(map(tuple, chain.verdicts().collect())),
+    )
+    assert after == before
