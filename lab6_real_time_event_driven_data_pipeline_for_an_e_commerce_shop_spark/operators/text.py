@@ -920,6 +920,216 @@ def _bm25_rank(
     )
 
 
+def bm25_topk_maxscore(
+    df: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pre_topk_buckets: int = 32,
+    split_df_ppm: int = 100_000,
+    shingle_k: int | None = None,
+    diagnostics: bool = False,
+) -> DataFrame:
+    """EXACT BM25 top-k with MaxScore/WAND-class upper-bound pruning —
+    returns bit-identically what :func:`bm25_topk` returns with NO df
+    cut, while only generating candidates from the rare ("essential")
+    query terms (`max_df_ppm` is the lossy approximation: it DROPS
+    high-df terms, so a high-df-but-discriminative term changes
+    results; this operator keeps them exact).
+
+    The mechanism (Turtle & Flood MaxScore, relationally):
+
+    1. **Corpus artifact** — per-term score upper bound
+       ``ub_mm(t) = max over t's postings of idf(t)·sat(tf, dl)``
+       (the "max impact" real impact-ordered indexes store per posting
+       list). Query-independent, term grain, ONE extra groupBy over
+       the posting contributions.
+    2. **Split** — query terms partition by document frequency at
+       ``split_df_ppm`` (a pure performance heuristic: ANY split is
+       correct; df is the standard proxy for cheap-vs-expensive
+       posting lists).
+    3. **Phase 1** — candidates = docs sharing ≥1 rare query term
+       (the small join).
+    4. **Phase 2** — each candidate's high-df contributions are ADDED
+       BACK via (candidate × its query's high terms) ⋈ postings on
+       (term, doc) — an equi-join at candidate×|q_high| grain, never
+       |corpus|×|q_high|. Candidate totals now EQUAL unpruned scores.
+    5. **Bound check** — a non-candidate doc contains only high-df
+       query terms, so its score ≤ B_q = (Σ ub_mm over the query's
+       high terms) DIV 10⁶. If ``B_q < θ_q`` (the candidate set's
+       k-th-ranked score, STRICT — ties at θ_q could win the id
+       tie-break) and the query has ≥ k candidates, pruning is PROVEN
+       exact for that query.
+    6. **Fallback** — queries failing the proof are re-scored
+       unpruned (restricted by semi-join), so the result is exact for
+       EVERY query, not just the provable ones. On a healthy Zipf
+       corpus the fallback set is empty; on a degenerate one (this
+       repo's 31-word unigram corpus) the operator degrades to
+       correct-but-unpruned instead of silently wrong — the honest
+       dual of ``max_df_ppm``.
+
+    Scale shape: everything is equi-joins at posting / candidate /
+    term grain; the ub artifact is one corpus-linear pass amortized
+    across the whole query set. Same two-level top-k windows, same
+    integer arithmetic, same tie-breaks as :func:`bm25_topk`.
+
+    ``diagnostics=True`` returns ``(result, verdicts)`` where verdicts
+    is (query_id, _nc candidates, _theta, _b bound, _valid) — the
+    no-silent-caps rule: at scale, log how many queries fell back."""
+    def _qterms(qtext: str) -> set[str]:
+        toks = str(qtext).split()
+        if shingle_k is None:
+            return set(toks)
+        if len(toks) < shingle_k:
+            return {" ".join(toks)}
+        return {
+            " ".join(toks[i:i + shingle_k])
+            for i in range(len(toks) - shingle_k + 1)
+        }
+
+    qterms = sorted({(int(qid), t) for qid, qtext in queries
+                     for t in _qterms(qtext)})
+    if not qterms:
+        raise ValueError("bm25_topk_maxscore: empty query set")
+    spark = df.sparkSession
+    qdf = F.broadcast(
+        spark.createDataFrame(qterms, "query_id long, term string")
+    )
+
+    from pyspark.sql.window import Window as _W
+
+    if shingle_k is None:
+        dl, tf = _doc_terms(df, text_col, id_col)
+    else:
+        dl, tf = _doc_shingle_terms(df, text_col, id_col, shingle_k)
+    n_docs = int(dl.count())
+    total_tokens = int(dl.agg(F.sum("dl")).collect()[0][0] or 0)
+    if n_docs == 0 or total_tokens == 0:
+        raise ValueError("bm25_topk_maxscore: empty corpus")
+    avgdl_micro = (1_000_000 * total_tokens) // n_docs
+    mm_expr = (
+        f"(((2 * {n_docs} - 2 * df_docs + 1) * 1000000)"
+        " DIV (2 * df_docs + 1))"
+        " * ((2200000 * tf * 1000000)"
+        f" DIV (1000000 * tf + 300000"
+        f" + (900000000000 * dl) DIV {avgdl_micro}))"
+    )
+
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df_docs")
+    )
+    # corpus-side posting contributions (term×doc grain, linear) —
+    # shared by the ub artifact and (via the qt joins) both phases
+    postings = (
+        tf.join(dfreq, "term").join(dl, "_id")
+        .withColumn("_mm", F.expr(mm_expr))
+        .select("term", "_id", "_mm")
+    )
+    ub = postings.groupBy("term").agg(F.max("_mm").alias("ub_mm"))
+
+    qt = qdf.join(dfreq, "term")  # absent terms contribute 0, as before
+    split_cond = (
+        F.col("df_docs") * F.lit(1_000_000)
+        <= F.lit(int(split_df_ppm) * n_docs)
+    )
+    q_low = qt.filter(split_cond).select("query_id", "term")
+    q_high = qt.filter(~split_cond).select("query_id", "term")
+
+    low_contrib = postings.join(q_low, "term").select(
+        "query_id", "_id", "_mm"
+    )
+    cand_ids = low_contrib.select("query_id", "_id").distinct()
+    high_contrib = (
+        cand_ids.join(q_high, "query_id")
+        .join(postings, ["term", "_id"])
+        .select("query_id", "_id", "_mm")
+    )
+    totals = (
+        low_contrib.unionByName(high_contrib)
+        .groupBy("query_id", "_id")
+        .agg(
+            F.expr("CAST(SUM(_mm) DIV 1000000 AS BIGINT)").alias(
+                "score_micro"
+            )
+        )
+    )
+
+    order = [F.col("score_micro").desc(), F.col("_id").asc()]
+    pre_w = _W.partitionBy(
+        "query_id", F.pmod(F.xxhash64("_id"), F.lit(pre_topk_buckets))
+    ).orderBy(*order)
+    final_w = _W.partitionBy("query_id").orderBy(*order)
+    ranked = (
+        totals.withColumn("_pre", F.row_number().over(pre_w))
+        .filter(F.col("_pre") <= k)
+        .withColumn("rank", F.row_number().over(final_w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "_id", "score_micro")
+    )
+
+    # per-query exactness proof: θ_q (k-th ranked candidate score,
+    # exists iff ≥ k candidates) vs B_q (sum of high-term upper bounds)
+    theta = ranked.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("_nc"),
+        F.min(
+            F.when(F.col("rank") == F.lit(k), F.col("score_micro"))
+        ).alias("_theta"),
+    )
+    bound = (
+        q_high.join(ub, "term")
+        .groupBy("query_id")
+        .agg(
+            F.expr("CAST(SUM(ub_mm) DIV 1000000 AS BIGINT)").alias("_b")
+        )
+    )
+    # every query with ≥1 corpus-present term gets a verdict row
+    verdicts = (
+        qt.select("query_id").distinct()
+        .join(theta, "query_id", "left")
+        .join(bound, "query_id", "left")
+        .withColumn(
+            "_valid",
+            F.col("_b").isNull()  # no high terms → nothing was pruned
+            | (
+                (F.coalesce(F.col("_nc"), F.lit(0)) >= F.lit(k))
+                & F.col("_theta").isNotNull()
+                & (F.col("_b") < F.col("_theta"))
+            ),
+        )
+    )
+    invalid = F.broadcast(
+        verdicts.filter(~F.col("_valid")).select("query_id")
+    )
+
+    # fallback: exact unpruned scoring, restricted to the unprovable
+    # queries (their candidate sets were incomplete — recompute whole)
+    fb_contrib = postings.join(
+        qt.join(invalid, "query_id").select("query_id", "term"), "term"
+    )
+    fb_totals = fb_contrib.groupBy("query_id", "_id").agg(
+        F.expr("CAST(SUM(_mm) DIV 1000000 AS BIGINT)").alias("score_micro")
+    )
+    fb_ranked = (
+        fb_totals.withColumn("_pre", F.row_number().over(pre_w))
+        .filter(F.col("_pre") <= k)
+        .withColumn("rank", F.row_number().over(final_w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "_id", "score_micro")
+    )
+
+    result = (
+        ranked.join(invalid, "query_id", "left_anti")
+        .unionByName(fb_ranked)
+        .select(
+            "query_id", "rank", F.col("_id").alias(id_col), "score_micro"
+        )
+    )
+    if diagnostics:
+        return result, verdicts
+    return result
+
+
 def portable_bucket_thresholds(
     df: DataFrame,
     value_col: str,

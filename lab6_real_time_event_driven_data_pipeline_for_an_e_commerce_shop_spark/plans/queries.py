@@ -59,6 +59,29 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {q.name: q.fn for q in _REGISTRY.values()}
 
 
+# Gate-READY queries that do not occupy one of the 50 driver slots
+# (the driver gates at most 50 — r1 lesson). A parked query carries a
+# full oracle and is pinned by the same synthetic-sf_dir edge tests as
+# gated slots; promoting one is a single _REGISTRY move the day a slot
+# frees up or the corpus gains the structure that makes it
+# informative (r11 measured the embeddings corpus has exactly ONE
+# ≥0.5-cosine pair — semdedup flags would be near-constant under the
+# gate, so they wait here, exercised on planted-structure corpora).
+_PARKED: dict[str, Query] = {}
+
+
+def parked_query(name: str, oracle: str | None):
+    def deco(fn):
+        _PARKED[name] = Query(name, fn, oracle)
+        return fn
+
+    return deco
+
+
+def parked() -> dict[str, Query]:
+    return dict(_PARKED)
+
+
 def oracles(sf_dir: str | None = None) -> dict[str, str]:
     # events oracles are authored against epoch_us(ts); if the driver
     # regenerates events.ts as raw int64 (any epoch unit), rewrite them
@@ -3965,4 +3988,85 @@ def q61_events_by_customer_segment(spark: SparkSession, sf_dir: str) -> DataFram
             _sdsum(F.col("value")).alias("total_value"),
             F.sum(F.get_json_object("props", "$.k").cast("long")).cast("long").alias("k_sum"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q62 (PARKED, r12) — SemDeDup keep flags
+# ---------------------------------------------------------------------------
+
+
+def _q62_oracle(n_cells: int = 16, threshold: float = 0.5) -> str:
+    """SemDeDup relationally: the q42 integer-L2 IVF assignment CTEs
+    verbatim (quantize → 16 lowest-id seeds → per-vector argmin cell),
+    then within-cell pairs scored by round-6 cosine (the q27/q28 ulp
+    rule) and the star-collapse keep policy (drop any vector with an
+    above-threshold partner of LOWER id in its cell)."""
+    from ..operators import similarity
+
+    return f"""
+    WITH quant AS (
+        SELECT vec_id, {similarity.quantize_vec_sql("embedding")} AS qv
+        FROM embeddings
+    ),
+    seeds AS (SELECT vec_id AS seed_id, qv AS sqv FROM quant ORDER BY vec_id LIMIT {n_cells}),
+    d2 AS (
+        SELECT q.vec_id, s.seed_id,
+               list_sum(list_transform(q.qv, (x, i) -> (x - s.sqv[i]) * (x - s.sqv[i]))) AS d2
+        FROM quant q CROSS JOIN seeds s
+    ),
+    assign AS (
+        SELECT vec_id, seed_id AS cell FROM (
+            SELECT vec_id, seed_id,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, seed_id) AS rn
+            FROM d2
+        ) WHERE rn = 1
+    ),
+    cellpairs AS (
+        SELECT a.vec_id AS pa, b.vec_id AS pb
+        FROM assign a JOIN assign b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+    ),
+    scored AS (
+        SELECT a_id, b_id, dot / (sqrt(na) * sqrt(nb)) AS cos FROM (
+            SELECT a_id, b_id,
+                   SUM(xa * xb) AS dot, SUM(xa * xa) AS na, SUM(xb * xb) AS nb
+            FROM (
+                SELECT p.pa AS a_id, p.pb AS b_id,
+                       CAST(unnest(ea.embedding) AS DOUBLE) AS xa,
+                       CAST(unnest(eb.embedding) AS DOUBLE) AS xb
+                FROM cellpairs p
+                JOIN embeddings ea ON ea.vec_id = p.pa
+                JOIN embeddings eb ON eb.vec_id = p.pb
+            ) z GROUP BY a_id, b_id
+        ) s
+    ),
+    dropped AS (
+        SELECT DISTINCT b_id FROM scored
+        WHERE ROUND(cos, 6) >= {float(threshold)!r}
+    )
+    SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
+           CAST(CASE WHEN d.b_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+    FROM assign a LEFT JOIN dropped d ON d.b_id = a.vec_id
+    """
+
+
+@parked_query("q62_semdedup_flags", _q62_oracle())
+def q62_semdedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) keep flags per vector — PARKED
+    gate-ready (VERDICT r11 #6): exact under the driver comparator
+    (integer-L2 cell assignment + round-6 within-cell cosine + lowest-
+    id star collapse, all engine-portable), but near-constant on the
+    CURRENT driver corpus (exactly one ≥0.5-cosine pair measured r11),
+    so it holds no slot. The synthetic planted-structure edge test
+    (tests/test_parity.py) runs THIS function against THIS oracle the
+    same way the driver would; promotion is a registry move."""
+    from ..operators import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.semdedup(emb, n_cells=16, threshold=0.5)
+    return out.select(
+        "vec_id",
+        F.col("cell").cast("long").alias("cell"),
+        F.col("kept").cast("long").alias("kept"),
     )

@@ -286,3 +286,132 @@ def test_q37_merge_pk_contract_with_synthesized_duplicate_pairs(spark, tmp_path)
     assert sorted(sdf.columns) == sorted(duck_cols)
     assert len(spark_rows) == len(duck_rows) > 0
     assert _normalize(spark_rows, sdf.columns) == _normalize(duck_rows, duck_cols)
+
+
+# ---------------------------------------------------------------------------
+# Parked (gate-ready, unslotted) queries — r12
+# ---------------------------------------------------------------------------
+
+
+def _duck_one(path: str, table: str):
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW {table} AS SELECT * FROM '{path}'")
+    return con
+
+
+def _run_parked(spark, name, sf_dir, con):
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.plans import (
+        queries as q,
+    )
+
+    pq = q.parked()[name]
+    sdf = pq.fn(spark, sf_dir)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    res = con.execute(pq.oracle)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    assert sorted(sdf.columns) == sorted(duck_cols)
+    assert len(spark_rows) == len(duck_rows)
+    s = _normalize(spark_rows, sdf.columns)
+    d = _normalize(duck_rows, duck_cols)
+    assert s == d, f"{name}: value mismatch, first diffs: "\
+        f"{[(a, b) for a, b in zip(s, d) if a != b][:5]}"
+    return spark_rows, sdf.columns
+
+
+def test_parked_semdedup_flags_planted_structure(spark, tmp_path):
+    """r12 (VERDICT r11 #6): the parked q62 SemDeDup flags are
+    GATE-READY — on a synthetic embeddings corpus WITH planted
+    near-dup structure (the real corpus has exactly one ≥0.5-cos pair,
+    measured r11), the Spark plan and the DuckDB oracle must agree
+    value-for-value under the driver-faithful comparator, and the
+    structure must actually engage (drops happen, multiple cells)."""
+    import pyspark.sql.types as T
+
+    dim = 16
+    # each cluster has ONE dominant coordinate (argmin cell unique and
+    # perturbation-stable: gap 0.4 ≫ eps) and cosine ≤ 0.395 to every
+    # axis seed — inside its cell but below τ vs the seed vector
+    base_a = [1.0 if i == 0 else 0.6 for i in range(dim)]
+    base_b = [1.0 if i == 8 else 0.6 for i in range(dim)]
+
+    def perturb(v, eps):
+        return [float(x + eps * ((j % 5) - 2)) for j, x in enumerate(v)]
+
+    rows = []
+    # 16 scaled one-hot vectors (ids 0-15 — exactly the IVF seeds):
+    # mutually orthogonal, and cos(one-hot, base_a) ≤ 0.39 < τ=0.5,
+    # cos(one-hot, base_b) ≤ 0.33 — no accidental cross-cluster drops
+    for i in range(16):
+        rows.append(
+            (i, [9.0 if j == i else 0.0 for j in range(dim)], 0)
+        )
+    # planted cluster A: ids 20-23 near-identical
+    for j, eps in enumerate((0.0, 0.001, 0.002, 0.003)):
+        rows.append((20 + j, perturb(base_a, eps), 1))
+    # planted cluster B: ids 30-31
+    for j, eps in enumerate((0.0, 0.002)):
+        rows.append((30 + j, perturb(base_b, eps), 2))
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ])
+    path = str(tmp_path / "embeddings.parquet")
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(path)
+
+    # Spark writes a directory of part files — glob it for DuckDB
+    con = _duck_one(f"{path}/*.parquet", "embeddings")
+    got, cols = _run_parked(
+        spark, "q62_semdedup_flags", str(tmp_path), con
+    )
+    by_id = {r[cols.index("vec_id")]: r for r in got}
+    kept_i = cols.index("kept")
+    cell_i = cols.index("cell")
+    # planted near-dups collapse to the lowest id in each cluster
+    assert by_id[20][kept_i] == 1
+    assert all(by_id[i][kept_i] == 0 for i in (21, 22, 23))
+    assert by_id[30][kept_i] == 1 and by_id[31][kept_i] == 0
+    # the seed sharing each cluster's cell survives (cos ≈ 0.395 < τ)
+    assert by_id[0][kept_i] == 1 and by_id[8][kept_i] == 1
+    # clusters are cell-coherent and the corpus spans multiple cells
+    assert len({by_id[i][cell_i] for i in (20, 21, 22, 23)}) == 1
+    assert len({r[cell_i] for r in got}) > 1
+    # every vector gets a verdict
+    assert len(got) == len(rows)
+
+
+def test_parked_semdedup_flags_real_corpus(spark):
+    """The parked query must ALSO match its oracle on the real (near-
+    degenerate) corpus — exactness does not depend on the corpus having
+    structure."""
+    con = _duck(SF_DIR)
+    got, cols = _run_parked(spark, "q62_semdedup_flags", SF_DIR, con)
+    assert len(got) > 0
+
+
+def test_parked_output_types_are_comparator_safe(spark):
+    """Parked queries hold themselves to the same comparator-dtype bar
+    as gated ones — promotion must never reopen the r6 q20 class."""
+    from pyspark.sql import types as T
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.plans import (
+        queries as q,
+    )
+
+    banned = (T.DecimalType, T.ArrayType, T.MapType, T.StructType, T.BinaryType)
+    con = _duck(SF_DIR)
+    for name, pq in q.parked().items():
+        schema = pq.fn(spark, SF_DIR).schema
+        for field in schema.fields:
+            assert not isinstance(field.dataType, banned), (
+                f"{name}.{field.name}: {field.dataType} comparator-unsafe"
+            )
+        if pq.oracle is not None:
+            rel = con.sql(pq.oracle)
+            for c, t in zip(rel.columns, rel.types):
+                assert str(t) in {
+                    "TINYINT", "SMALLINT", "INTEGER", "BIGINT", "UTINYINT",
+                    "USMALLINT", "UINTEGER", "FLOAT", "DOUBLE", "VARCHAR",
+                    "BOOLEAN", "DATE",
+                }, f"{name}.{c}: DuckDB {t} comparator-unsafe"

