@@ -4070,3 +4070,51 @@ def q62_semdedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cell").cast("long").alias("cell"),
         F.col("kept").cast("long").alias("kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q63 (PARKED, r12) — cross-corpus paragraph dedup
+# ---------------------------------------------------------------------------
+
+
+_Q63_ORACLE = r"""
+    WITH paras AS (
+        SELECT doc_id, i - 1 AS pos, p[i] AS para
+        FROM (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS p
+              FROM documents),
+             LATERAL (SELECT unnest(generate_series(1, len(p))) AS i) g
+    ), flagged AS (
+        SELECT doc_id, pos, para,
+               CASE WHEN row_number() OVER (
+                        PARTITION BY md5(para) ORDER BY doc_id, pos
+                    ) = 1 THEN 1 ELSE 0 END AS keep
+        FROM paras
+    )
+    SELECT doc_id,
+           COALESCE(string_agg(CASE WHEN keep = 1 THEN para END,
+                               chr(10) || chr(10) ORDER BY pos),
+                    '') AS text,
+           CAST(COUNT(*) AS BIGINT) AS n_paras,
+           CAST(SUM(1 - keep) AS BIGINT) AS n_paras_dropped
+    FROM flagged
+    GROUP BY doc_id
+"""
+
+
+@parked_query("q63_paragraph_dedup", _Q63_ORACLE)
+def q63_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-class cross-corpus paragraph dedup (dedup.
+    paragraph_dedup) — PARKED gate-ready: the driver corpus has ZERO
+    newline-bearing documents (checked every round since r10), so on
+    it the op degenerates to exact full-text dedup (each doc is one
+    paragraph; still exact, still oracle-matched — just low-info).
+    The planted-boilerplate synthetic edge test exercises the real
+    mechanism (shared nav-bar paragraphs dropped from every doc but
+    the first, originals reassembled in order, fully-duplicate docs
+    emptied). Promotion trigger: documents.parquet gains separators."""
+    from ..operators import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.paragraph_dedup(
+        docs.select("doc_id", "text"), sep="\n\n"
+    ).select("doc_id", "text", "n_paras", "n_paras_dropped")

@@ -88,6 +88,7 @@ _SLOW_TESTS = {
     "test_ccnet_bucketing_composition_end_to_end",
     "test_bm25_shingle_form_list_equals_df",
     "test_bm25_maxscore_matches_unpruned_on_real_corpus",
+    "test_bm25_maxscore_exactness_randomized_sweep",
     "test_portable_bucket_thresholds_per_group_composition",
 }
 

@@ -415,3 +415,54 @@ def test_parked_output_types_are_comparator_safe(spark):
                     "USMALLINT", "UINTEGER", "FLOAT", "DOUBLE", "VARCHAR",
                     "BOOLEAN", "DATE",
                 }, f"{name}.{c}: DuckDB {t} comparator-unsafe"
+
+
+def test_parked_paragraph_dedup_planted_boilerplate(spark, tmp_path):
+    """r12: the parked q63 paragraph dedup on a synthetic corpus WITH
+    separators (the real corpus has none — checked every round): shared
+    boilerplate paragraphs survive only in the lowest-(doc,pos) host,
+    unique paragraphs all survive, a fully-duplicate doc comes back
+    empty, and the Spark plan matches the DuckDB oracle
+    value-for-value."""
+    rows = [
+        (1, "COOKIE BANNER\n\nalpha unique content\n\nFOOTER NAV"),
+        (2, "COOKIE BANNER\n\nbeta different words\n\nFOOTER NAV"),
+        (3, "gamma standalone paragraph"),
+        (4, "COOKIE BANNER\n\nFOOTER NAV"),       # fully boilerplate
+        (5, "alpha unique content"),              # dup of doc 1's middle
+        # empty-paragraph edges: doc 6 has a mid empty (first empty
+        # corpus-wide → kept), doc 7 a trailing separator (trailing
+        # empty must survive the split in BOTH engines, then dedup
+        # against doc 6's)
+        (6, "delta text\n\n\n\nepsilon text"),
+        (7, "zeta text\n\n"),
+    ]
+    path = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(path)
+    con = _duck_one(f"{path}/*.parquet", "documents")
+    got, cols = _run_parked(spark, "q63_paragraph_dedup", str(tmp_path), con)
+    by_id = {r[cols.index("doc_id")]: r for r in got}
+    t, np, nd = (cols.index(c) for c in ("text", "n_paras", "n_paras_dropped"))
+    assert by_id[1][t] == "COOKIE BANNER\n\nalpha unique content\n\nFOOTER NAV"
+    assert by_id[2][t] == "beta different words"
+    assert by_id[2][np] == 3 and by_id[2][nd] == 2
+    assert by_id[3][t] == "gamma standalone paragraph"
+    assert by_id[4][t] == "" and by_id[4][nd] == 2
+    assert by_id[5][t] == "" and by_id[5][nd] == 1
+    # doc 6 keeps its mid empty (first '' in the corpus); doc 7's
+    # trailing empty dedups against it
+    assert by_id[6][t] == "delta text\n\n\n\nepsilon text"
+    assert by_id[6][np] == 3 and by_id[6][nd] == 0
+    assert by_id[7][t] == "zeta text"
+    assert by_id[7][np] == 2 and by_id[7][nd] == 1
+
+
+def test_parked_paragraph_dedup_real_corpus(spark):
+    """On the separator-free real corpus q63 degenerates to exact
+    full-text dedup (one paragraph per doc) — still oracle-exact."""
+    con = _duck(SF_DIR)
+    got, cols = _run_parked(spark, "q63_paragraph_dedup", SF_DIR, con)
+    np = cols.index("n_paras")
+    assert got and all(r[np] == 1 for r in got)

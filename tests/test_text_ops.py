@@ -1131,3 +1131,102 @@ def test_bm25_maxscore_matches_unpruned_on_real_corpus(spark, sf_smoke):
             )
         )
         assert pruned == exact, f"shingle_k={sk}"
+
+
+def test_bm25_maxscore_exactness_randomized_sweep(spark):
+    """r12: the MaxScore proof/fallback machinery must equal unpruned
+    BM25 for ANY corpus shape and ANY split point — 6 seeded random
+    corpora (Zipf-ish token draws so df spans the whole range) × 3
+    split_df_ppm settings, k=3. A single mismatch means the bound
+    arithmetic (B_q vs θ_q, strict tie handling) is wrong somewhere."""
+    import random
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        text as text_ops,
+    )
+
+    vocab = [f"t{i}" for i in range(30)]
+    for seed in range(6):
+        rng = random.Random(seed)
+        docs = []
+        for d in range(rng.randint(8, 18)):
+            n = rng.randint(3, 25)
+            # Zipf-ish: low indices drawn far more often
+            toks = [
+                vocab[min(int(rng.expovariate(0.25)), len(vocab) - 1)]
+                for _ in range(n)
+            ]
+            docs.append((d, " ".join(toks)))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        queries = [
+            (qi, " ".join(rng.sample(vocab, rng.randint(1, 4))))
+            for qi in range(3)
+        ]
+        want = sorted(
+            map(tuple, text_ops.bm25_topk(df, queries, k=3).collect())
+        )
+        for ppm in (50_000, 300_000, 900_000):
+            got = sorted(
+                map(
+                    tuple,
+                    text_ops.bm25_topk_maxscore(
+                        df, queries, k=3, split_df_ppm=ppm
+                    ).collect(),
+                )
+            )
+            assert got == want, f"seed={seed} ppm={ppm}"
+
+
+def test_ccnet_per_language_keep_composition(spark):
+    """r12: the per-LANGUAGE CCNet pipeline shape — score under the
+    corpus bigram LM, tercile thresholds PER LANGUAGE via the
+    distributed by-group table joined back on lang, keep head+middle
+    within each language. The point of per-lang calibration: a language
+    whose xent distribution sits wholly above another's still keeps its
+    own head+middle (global terciles would drop it entirely)."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        text as text_ops,
+    )
+
+    fluent = "the cat sat on the mat and the dog sat on the rug"
+    rows = (
+        [(i, fluent + f" tail{i}", "en") for i in range(1, 7)]
+        # de: all-rare transitions → every de doc scores far above en
+        + [(i, f"q{i}a w{i}b e{i}c r{i}d t{i}e y{i}f", "de")
+           for i in range(11, 17)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    xent = text_ops.bigram_cross_entropy(df).filter(F.col("n_bigrams") > 0)
+    xl = xent.join(df.select("doc_id", "lang"), "doc_id")
+    thr = text_ops.portable_bucket_thresholds_by_group(
+        xl, "lang", "xent_micro_bits", n_buckets=3
+    )
+    kept = (
+        xl.join(F.broadcast(thr), "lang")
+        .filter(F.col("xent_micro_bits") <= F.col("t2"))
+    )
+    kept_by_lang = {
+        lg: {r.doc_id for r in kept.filter(F.col("lang") == lg).collect()}
+        for lg in ("en", "de")
+    }
+    # each language keeps SOME of its own docs (per-lang head+middle)
+    assert kept_by_lang["en"] and kept_by_lang["de"]
+    # global terciles would have dropped the entire de split: every de
+    # xent exceeds every en xent on this corpus
+    en_max = xl.filter(F.col("lang") == "en").agg(
+        F.max("xent_micro_bits")
+    ).collect()[0][0]
+    de_min = xl.filter(F.col("lang") == "de").agg(
+        F.min("xent_micro_bits")
+    ).collect()[0][0]
+    assert de_min > en_max
+    # and within each language the drop is its own tail: every kept
+    # xent ≤ every dropped xent, per language
+    for lg in ("en", "de"):
+        part = [
+            (r.doc_id, r.xent_micro_bits)
+            for r in xl.filter(F.col("lang") == lg).collect()
+        ]
+        kept_x = [x for d, x in part if d in kept_by_lang[lg]]
+        drop_x = [x for d, x in part if d not in kept_by_lang[lg]]
+        assert kept_x and (not drop_x or max(kept_x) <= min(drop_x))
