@@ -1016,15 +1016,25 @@ def bm25_topk_maxscore(
         f" + (900000000000 * dl) DIV {avgdl_micro}))"
     )
 
-    dfreq = tf.groupBy("term").agg(
-        F.count(F.lit(1)).cast("long").alias("df_docs")
+    from ..functions.cache import bounded_cache
+
+    dfreq = bounded_cache(
+        "text.maxscore_dfreq",
+        tf.groupBy("term").agg(
+            F.count(F.lit(1)).cast("long").alias("df_docs")
+        ),
     )
     # corpus-side posting contributions (term×doc grain, linear) —
-    # shared by the ub artifact and (via the qt joins) both phases
-    postings = (
+    # shared by the ub artifact, both phases, and the fallback. Spark
+    # does NOT common-subexpression-eliminate identical subtrees across
+    # joins (the uncached plan repeats the corpus scan per use-site),
+    # so the substrate is bounded_cache'd like q24/q52's shingle caches
+    # — ONE tokenize+scan, every consumer reads the cache.
+    postings = bounded_cache(
+        "text.maxscore_postings",
         tf.join(dfreq, "term").join(dl, "_id")
         .withColumn("_mm", F.expr(mm_expr))
-        .select("term", "_id", "_mm")
+        .select("term", "_id", "_mm"),
     )
     ub = postings.groupBy("term").agg(F.max("_mm").alias("ub_mm"))
 

@@ -138,6 +138,18 @@ def main() -> int:
 
     qs = entry.queries()
     oracles = entry.oracle_sql()
+    # SPARK_GRAFT_SIM_PARKED=1 also sweeps the PARKED (gate-ready,
+    # unslotted) queries under the identical comparator — they hold
+    # themselves to the gate's bar even while holding no slot (r12).
+    if os.environ.get("SPARK_GRAFT_SIM_PARKED"):
+        from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.plans import (
+            queries as _plans_q,
+        )
+
+        for pname, pq in _plans_q.parked().items():
+            qs[pname] = pq.fn
+            if pq.oracle is not None:
+                oracles[pname] = pq.oracle
     n_match = n_rows_only = n_fail = 0
     for name in sorted(qs):
         rec = {"q": name}
