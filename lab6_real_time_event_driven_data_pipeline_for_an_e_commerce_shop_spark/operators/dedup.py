@@ -549,3 +549,138 @@ def paragraph_dedup(
         F.count(F.lit(1)).cast("long").alias("n_paras"),
         F.sum(1 - F.col("_keep")).cast("long").alias("n_paras_dropped"),
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    min_len: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ExactSubstr-class duplicate-passage detection (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    MAXIMAL token run of length ≥ ``min_len`` whose every
+    ``min_len``-token window occurs MORE THAN ONCE in the corpus
+    (another document, or another position in the same document — both
+    count, as in the paper's suffix-array formulation). The reference
+    implementation builds a corpus-wide suffix array — inherently
+    sequential; this is the relational equivalent at token-window
+    granularity: a duplicated substring of length L ≥ min_len is
+    exactly L−min_len+1 consecutive duplicated windows, so maximal
+    covered-window islands ARE the maximal duplicated runs (overlapping
+    duplicates from different sources merge into one island — the same
+    union-of-spans the paper removes).
+
+    Output: (id_col, span_start, span_end, span_tokens) — 0-based
+    INCLUSIVE token offsets, one row per maximal span.
+
+    Shape: token arrays built once per doc (the array column stays an
+    attribute — CollapseProject will not re-inline a non-cheap split
+    into the lambda; the r6 winnowing trap was nesting the ARRAY
+    EXPRESSION itself), window hashes posexploded to (doc, pos, h)
+    rows, ONE corpus groupBy on the 48-bit portable hash for
+    occurrence counts, a semi-join back, and the textbook
+    gaps-and-islands window (pos − row_number) per doc. Everything
+    shuffles on hash or doc id; the hot-hash skew ceiling is the same
+    rank-window shape q24 bounds with its df cut. Hash grain is
+    md5-48bit (collision-free in practice, oracle-portable)."""
+    from pyspark.sql import Window
+    from .text import tokens
+
+    k = int(min_len)
+    arr = df.select(F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_t"))
+    hashes = F.when(
+        F.size("_t") >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_t") - (k - 1)),
+            lambda i: portable_hash(F.concat_ws(" ", F.slice("_t", i, k))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    w = arr.select("_id", F.posexplode(hashes).alias("_pos", "_h"))
+    dup = (
+        w.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= 2)
+        .select("_h")
+    )
+    cov = w.join(dup, "_h", "left_semi")
+    isl = cov.withColumn(
+        "_grp",
+        F.col("_pos")
+        - F.row_number().over(Window.partitionBy("_id").orderBy("_pos")),
+    )
+    return (
+        isl.groupBy("_id", "_grp")
+        .agg(
+            F.min("_pos").cast("long").alias("span_start"),
+            (F.max("_pos") + (k - 1)).cast("long").alias("span_end"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("long")
+            .alias("span_tokens"),
+        )
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    min_len: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cut every :func:`duplicate_spans` passage out of the corpus —
+    the removal half of ExactSubstr dedup: tokens inside any duplicated
+    span are dropped, survivors reassemble in original order (the
+    paragraph_dedup reassembly shape). Every input document survives
+    (a fully-duplicated document comes back with empty text).
+
+    Output: (id_col, text cleaned, n_tokens, n_tokens_dropped).
+
+    Shape: the token relation left-anti-joins the span relation on
+    (doc id, span_start ≤ pos ≤ span_end) — an EQUI-join on the doc id
+    with the range as a residual condition (the engine's outer-join
+    rule: residual range predicates belong IN the join condition), at
+    tokens × spans-per-doc grain, never tokens × corpus-spans."""
+    from .text import tokens
+
+    spans = duplicate_spans(df, min_len, text_col, id_col)
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("_pos", "_tok"),
+    )
+    sp = spans.select(
+        F.col(id_col).alias("_sid"), "span_start", "span_end"
+    )
+    kept = toks.join(
+        sp,
+        (F.col("_id") == F.col("_sid"))
+        & (F.col("_pos") >= F.col("span_start"))
+        & (F.col("_pos") <= F.col("span_end")),
+        "left_anti",
+    )
+    kept_structs = F.array_sort(F.collect_list(F.struct("_pos", "_tok")))
+    rebuilt = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(kept_structs, lambda s: s["_tok"]), " "
+        ).alias("_cleaned"),
+        F.count(F.lit(1)).cast("long").alias("_nk"),
+    )
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("_n"),
+    )
+    return (
+        base.join(rebuilt, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("_cleaned", F.lit("")).alias(text_col),
+            F.col("_n").alias("n_tokens"),
+            (F.col("_n") - F.coalesce("_nk", F.lit(0)))
+            .cast("long")
+            .alias("n_tokens_dropped"),
+        )
+    )

@@ -996,7 +996,62 @@ def bm25_topk_maxscore(
     qdf = F.broadcast(
         spark.createDataFrame(qterms, "query_id long, term string")
     )
+    return _maxscore_rank(
+        df, qdf, k, text_col, id_col, pre_topk_buckets, split_df_ppm,
+        shingle_k, diagnostics,
+    )
 
+
+def bm25_topk_maxscore_df(
+    df: DataFrame,
+    queries_df: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    pre_topk_buckets: int = 32,
+    split_df_ppm: int = 100_000,
+    shingle_k: int | None = None,
+    diagnostics: bool = False,
+):
+    """DataFrame-native :func:`bm25_topk_maxscore` — the query set is a
+    DataFrame (no driver collect), which is exactly the workload where
+    MaxScore's corpus-linear ub artifact amortizes: decontamination-by-
+    search with the whole held-out split as queries, EXACT scores (the
+    lossy max_df_ppm form is :func:`bm25_topk_df`). Same core, same
+    proof/fallback semantics; the query-terms join strategy is left to
+    the optimizer (broadcast when small, shuffle equi-join when the
+    query set is corpus-sized — never BNLJ)."""
+    unit = (
+        tokens(F.col(query_text_col))
+        if shingle_k is None
+        else shingles(F.col(query_text_col), shingle_k)
+    )
+    qterms = queries_df.select(
+        F.col(query_id_col).cast("long").alias("query_id"),
+        F.explode(F.array_distinct(unit)).alias("term"),
+    )
+    return _maxscore_rank(
+        df, qterms, k, text_col, id_col, pre_topk_buckets, split_df_ppm,
+        shingle_k, diagnostics,
+    )
+
+
+def _maxscore_rank(
+    df: DataFrame,
+    qdf: DataFrame,
+    k: int,
+    text_col: str,
+    id_col: str,
+    pre_topk_buckets: int,
+    split_df_ppm: int,
+    shingle_k: int | None,
+    diagnostics: bool,
+):
+    """Shared MaxScore core: (query_id, term) frame → exact ranked
+    top-k with upper-bound pruning + per-query fallback (see
+    :func:`bm25_topk_maxscore` for the mechanism)."""
     from pyspark.sql.window import Window as _W
 
     if shingle_k is None:

@@ -4118,3 +4118,53 @@ def q63_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.paragraph_dedup(
         docs.select("doc_id", "text"), sep="\n\n"
     ).select("doc_id", "text", "n_paras", "n_paras_dropped")
+
+
+# ---------------------------------------------------------------------------
+# q64 (PARKED, r12) — ExactSubstr duplicate token spans
+# ---------------------------------------------------------------------------
+
+
+_Q64_ORACLE = r"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        FROM documents
+    ), w AS (
+        SELECT doc_id, i - 1 AS pos,
+               CAST(concat('0x', substr(md5(
+                   array_to_string(tk[i:i+4], ' ')), 1, 12)) AS BIGINT) AS h
+        FROM t, LATERAL (
+            SELECT unnest(generate_series(1, len(tk) - 4)) AS i) g
+        WHERE len(tk) >= 5
+    ), dup AS (
+        SELECT h FROM w GROUP BY h HAVING COUNT(*) >= 2
+    ), cov AS (
+        SELECT doc_id, pos FROM w WHERE h IN (SELECT h FROM dup)
+    ), isl AS (
+        SELECT doc_id, pos,
+               pos - row_number() OVER (
+                   PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM cov
+    )
+    SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + 4 AS BIGINT) AS span_end,
+           CAST(MAX(pos) - MIN(pos) + 5 AS BIGINT) AS span_tokens
+    FROM isl GROUP BY doc_id, grp
+"""
+
+
+@parked_query("q64_duplicate_spans", _Q64_ORACLE)
+def q64_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-class duplicate token spans (dedup.duplicate_spans,
+    Lee et al. 2021) at min_len=5 — PARKED gate-ready. Unlike the other
+    parked queries this one is NON-degenerate on the real corpus (the
+    31-word vocabulary repeats 5-grams across docs), so it is a direct
+    candidate for a slot swap if one frees: the oracle is the pure
+    gaps-and-islands relational form, already parity-pinned on both
+    planted and real corpora."""
+    from ..operators import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.duplicate_spans(
+        docs.select("doc_id", "text"), min_len=5
+    )

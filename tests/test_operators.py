@@ -2603,3 +2603,103 @@ def test_hard_negatives_semantics_and_identity(spark, sf_dir):
     plan = out_real._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_duplicate_spans_planted_passages(spark):
+    """r12: ExactSubstr-class duplicate spans — hand-verifiable corpus:
+    a 6-token passage shared by two docs (cross-doc), an exact full-doc
+    copy (whole-doc span), within-doc repetition (the paper counts
+    same-doc recurrences), and a unique doc (no spans). Partitioning-
+    invariant at 1 and 7 partitions."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        dedup,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta"          # 6 tokens
+    rows = [
+        (1, f"one two {shared} three four"),                 # span 2..7
+        (2, f"{shared} nine ten eleven twelve"),             # span 0..5
+        (3, "unique words only here nothing repeats ever"),
+        (4, "unique words only here nothing repeats ever"),  # copy of 3
+        (5, "rep one rep one rep one rep one rep one"),      # self-rep
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for parts in (1, 7):
+        spans = {
+            (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+            for r in dedup.duplicate_spans(
+                df.repartition(parts), min_len=5
+            ).collect()
+        }
+        assert (1, 2, 7, 6) in spans
+        assert (2, 0, 5, 6) in spans
+        # docs 3 and 4 are full 7-token duplicates
+        assert (3, 0, 6, 7) in spans and (4, 0, 6, 7) in spans
+        # doc 5: every 5-token window recurs within the doc → full span
+        assert (5, 0, 9, 10) in spans
+        assert all(s[0] != 3 or s == (3, 0, 6, 7) for s in spans)
+        assert len(spans) == 5
+
+    cleaned = {
+        r.doc_id: (r.text, r.n_tokens, r.n_tokens_dropped)
+        for r in dedup.remove_duplicate_spans(df, min_len=5).collect()
+    }
+    assert cleaned[1] == ("one two three four", 10, 6)
+    assert cleaned[2] == ("nine ten eleven twelve", 10, 6)
+    assert cleaned[3] == ("", 7, 7)
+    assert cleaned[4] == ("", 7, 7)
+    assert cleaned[5] == ("", 10, 10)
+    # every doc survives removal (doc grain preserved)
+    assert set(cleaned) == {1, 2, 3, 4, 5}
+
+
+def test_duplicate_spans_duckdb_parity(spark, sf_smoke):
+    """The span relation is pure relational algebra — DuckDB replicates
+    it exactly (same portable hash, same gaps-and-islands) on the REAL
+    corpus; k=5 so the 31-word vocabulary actually produces spans."""
+    import duckdb
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        dedup,
+    )
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    got = sorted(
+        tuple(r)
+        for r in dedup.duplicate_spans(docs, min_len=5).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_smoke}/documents.parquet'"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(r"""
+        WITH t AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+            FROM documents
+        ), w AS (
+            SELECT doc_id, i - 1 AS pos,
+                   CAST(concat('0x', substr(md5(
+                       array_to_string(tk[i:i+4], ' ')), 1, 12)) AS BIGINT) AS h
+            FROM t, LATERAL (
+                SELECT unnest(generate_series(1, len(tk) - 4)) AS i) g
+            WHERE len(tk) >= 5
+        ), dup AS (
+            SELECT h FROM w GROUP BY h HAVING COUNT(*) >= 2
+        ), cov AS (
+            SELECT doc_id, pos FROM w WHERE h IN (SELECT h FROM dup)
+        ), isl AS (
+            SELECT doc_id, pos,
+                   pos - row_number() OVER (
+                       PARTITION BY doc_id ORDER BY pos) AS grp
+            FROM cov
+        )
+        SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+               CAST(MAX(pos) + 4 AS BIGINT) AS span_end,
+               CAST(MAX(pos) - MIN(pos) + 5 AS BIGINT) AS span_tokens
+        FROM isl GROUP BY doc_id, grp
+        """).fetchall()
+    )
+    assert got == want
+    assert got, "expected real duplicated 5-grams on this corpus"

@@ -1230,3 +1230,33 @@ def test_ccnet_per_language_keep_composition(spark):
         kept_x = [x for d, x in part if d in kept_by_lang[lg]]
         drop_x = [x for d, x in part if d not in kept_by_lang[lg]]
         assert kept_x and (not drop_x or max(kept_x) <= min(drop_x))
+
+
+def test_bm25_maxscore_list_equals_df(spark):
+    """r12: the DataFrame-native MaxScore form must rank identically to
+    the list form (shared core; only the query-term derivation
+    differs), in both term regimes."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        text as text_ops,
+    )
+
+    rows = []
+    for i in range(30):
+        hub = "hub " * (15 if i < 2 else 1)
+        rows.append((i, (hub + f"uniq{i} marker{i % 5} filler words").strip()))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    queries = [(100, "hub uniq5 marker2"), (200, "uniq7 filler")]
+    qdf = spark.createDataFrame(queries, "query_id long, query_text string")
+    for sk in (None, 2):
+        want = sorted(map(tuple, text_ops.bm25_topk_maxscore(
+            df, queries, k=4, split_df_ppm=400_000, shingle_k=sk
+        ).collect()))
+        got = sorted(map(tuple, text_ops.bm25_topk_maxscore_df(
+            df, qdf, k=4, split_df_ppm=400_000, shingle_k=sk
+        ).collect()))
+        assert got == want, f"shingle_k={sk}"
+        # and both equal the unpruned exact ranking
+        exact = sorted(map(tuple, text_ops.bm25_topk(
+            df, queries, k=4, shingle_k=sk
+        ).collect()))
+        assert got == exact, f"shingle_k={sk} vs unpruned"
