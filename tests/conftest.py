@@ -89,6 +89,7 @@ _SLOW_TESTS = {
     "test_bm25_shingle_form_list_equals_df",
     "test_bm25_maxscore_matches_unpruned_on_real_corpus",
     "test_bm25_maxscore_exactness_randomized_sweep",
+    "test_duplicate_spans_matches_naive_reference_randomized",
     "test_portable_bucket_thresholds_per_group_composition",
 }
 

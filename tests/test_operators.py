@@ -2703,3 +2703,73 @@ def test_duplicate_spans_duckdb_parity(spark, sf_smoke):
     )
     assert got == want
     assert got, "expected real duplicated 5-grams on this corpus"
+
+
+def test_duplicate_spans_matches_naive_reference_randomized(spark):
+    """r12: duplicate_spans == a brute-force Python reference on seeded
+    random corpora over a tiny alphabet (dense natural duplicates), and
+    remove_duplicate_spans reconstructs exactly the tokens outside the
+    reference spans, in order. 5 seeds × k=3."""
+    import random
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        dedup,
+    )
+
+    K = 3
+    alphabet = ["a", "b", "c", "d"]
+    for seed in range(5):
+        rng = random.Random(seed)
+        docs = {
+            d: [rng.choice(alphabet) for _ in range(rng.randint(1, 14))]
+            for d in range(rng.randint(3, 8))
+        }
+        df = spark.createDataFrame(
+            [(d, " ".join(t)) for d, t in docs.items()],
+            "doc_id long, text string",
+        )
+        # naive: window multiset over the whole corpus
+        from collections import Counter
+
+        wins = Counter()
+        for t in docs.values():
+            for i in range(len(t) - K + 1):
+                wins[tuple(t[i:i + K])] += 1
+        want_spans = set()
+        drop_pos = {}
+        for d, t in docs.items():
+            covered = [
+                i for i in range(len(t) - K + 1)
+                if wins[tuple(t[i:i + K])] >= 2
+            ]
+            drop = set()
+            runs = []
+            for i in covered:
+                if runs and i == runs[-1][1] + 1:
+                    runs[-1][1] = i
+                else:
+                    runs.append([i, i])
+            for s, e in runs:
+                want_spans.add((d, s, e + K - 1, e + K - s))
+                drop.update(range(s, e + K))
+            drop_pos[d] = drop
+        got_spans = {
+            tuple(r)
+            for r in dedup.duplicate_spans(df, min_len=K).collect()
+        }
+        assert got_spans == want_spans, f"seed={seed}"
+        got_clean = {
+            r.doc_id: (r.text, r.n_tokens, r.n_tokens_dropped)
+            for r in dedup.remove_duplicate_spans(df, min_len=K).collect()
+        }
+        want_clean = {
+            d: (
+                " ".join(
+                    tok for i, tok in enumerate(t) if i not in drop_pos[d]
+                ),
+                len(t),
+                len(drop_pos[d]),
+            )
+            for d, t in docs.items()
+        }
+        assert got_clean == want_clean, f"seed={seed}"

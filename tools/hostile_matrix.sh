@@ -32,8 +32,11 @@ run "codegen off"        env SPARK_GRAFT_SIM_EXTRA_CONF='spark.sql.codegen.whole
 run "ansi off"           env SPARK_GRAFT_SIM_EXTRA_CONF='spark.sql.ansi.enabled=false' python tools/driver_sim.py /root/testdata/sf0.01
 run "aqe off"            env SPARK_GRAFT_SIM_EXTRA_CONF='spark.sql.adaptive.enabled=false' python tools/driver_sim.py /root/testdata/sf0.01
 run "vectorized off"     env SPARK_GRAFT_SIM_EXTRA_CONF='spark.sql.parquet.enableVectorizedReader=false' python tools/driver_sim.py /root/testdata/sf0.01
+# r12: 9th cell — the PARKED gate-ready queries under the identical
+# comparator (they hold the gate's bar while holding no slot)
+run "parked"             env SPARK_GRAFT_SIM_PARKED=1 python tools/driver_sim.py /root/testdata/sf0.01
 if [ $FAILS -ne 0 ]; then
     echo "MATRIX: $FAILS cell(s) FAILED"
     exit 1
 fi
-echo "MATRIX: 8/8 PASS"
+echo "MATRIX: 9/9 PASS"
