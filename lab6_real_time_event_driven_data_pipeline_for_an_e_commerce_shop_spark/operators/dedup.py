@@ -584,19 +584,8 @@ def duplicate_spans(
     shuffles on hash or doc id; the hot-hash skew ceiling is the same
     rank-window shape q24 bounds with its df cut. Hash grain is
     md5-48bit (collision-free in practice, oracle-portable)."""
-    from pyspark.sql import Window
-    from .text import tokens
-
     k = int(min_len)
-    arr = df.select(F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_t"))
-    hashes = F.when(
-        F.size("_t") >= k,
-        F.transform(
-            F.sequence(F.lit(1), F.size("_t") - (k - 1)),
-            lambda i: portable_hash(F.concat_ws(" ", F.slice("_t", i, k))),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
-    w = arr.select("_id", F.posexplode(hashes).alias("_pos", "_h"))
+    w = _window_hashes(df, k, text_col, id_col)
     dup = (
         w.groupBy("_h")
         .agg(F.count(F.lit(1)).alias("_c"))
@@ -604,6 +593,37 @@ def duplicate_spans(
         .select("_h")
     )
     cov = w.join(dup, "_h", "left_semi")
+    return _spans_from_covered(cov, k, id_col)
+
+
+def _window_hashes(
+    df: DataFrame, k: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(_id, _pos, _h): the portable 48-bit hash of the k-token window
+    starting at each 0-based token position — the shared substrate of
+    :func:`duplicate_spans` and the span-dedup ingest gate. The token
+    array stays an attribute (non-cheap split is not re-inlined into
+    the lambda by CollapseProject — the r6 winnowing trap)."""
+    from .text import tokens
+
+    arr = df.select(
+        F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_t")
+    )
+    hashes = F.when(
+        F.size("_t") >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_t") - (k - 1)),
+            lambda i: portable_hash(F.concat_ws(" ", F.slice("_t", i, k))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return arr.select("_id", F.posexplode(hashes).alias("_pos", "_h"))
+
+
+def _spans_from_covered(cov: DataFrame, k: int, id_col: str) -> DataFrame:
+    """Covered window starts (_id, _pos) → maximal spans via the
+    textbook gaps-and-islands window (pos − row_number)."""
+    from pyspark.sql import Window
+
     isl = cov.withColumn(
         "_grp",
         F.col("_pos")
@@ -626,28 +646,19 @@ def duplicate_spans(
     )
 
 
-def remove_duplicate_spans(
+def remove_spans(
     df: DataFrame,
-    min_len: int = 50,
+    spans: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Cut every :func:`duplicate_spans` passage out of the corpus —
-    the removal half of ExactSubstr dedup: tokens inside any duplicated
-    span are dropped, survivors reassemble in original order (the
-    paragraph_dedup reassembly shape). Every input document survives
-    (a fully-duplicated document comes back with empty text).
-
-    Output: (id_col, text cleaned, n_tokens, n_tokens_dropped).
-
-    Shape: the token relation left-anti-joins the span relation on
-    (doc id, span_start ≤ pos ≤ span_end) — an EQUI-join on the doc id
-    with the range as a residual condition (the engine's outer-join
-    rule: residual range predicates belong IN the join condition), at
-    tokens × spans-per-doc grain, never tokens × corpus-spans."""
+    """Cut an arbitrary (id, span_start, span_end) relation out of the
+    corpus: tokens inside any span are dropped, survivors reassemble in
+    original order, every input document survives. The join is an
+    EQUI-join on the doc id with the range as a residual condition (the
+    engine's outer-join rule), at tokens × spans-per-doc grain."""
     from .text import tokens
 
-    spans = duplicate_spans(df, min_len, text_col, id_col)
     toks = df.select(
         F.col(id_col).alias("_id"),
         F.posexplode(tokens(F.col(text_col))).alias("_pos", "_tok"),
@@ -683,4 +694,29 @@ def remove_duplicate_spans(
             .cast("long")
             .alias("n_tokens_dropped"),
         )
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    min_len: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cut every :func:`duplicate_spans` passage out of the corpus —
+    the removal half of ExactSubstr dedup: tokens inside any duplicated
+    span are dropped, survivors reassemble in original order (the
+    paragraph_dedup reassembly shape). Every input document survives
+    (a fully-duplicated document comes back with empty text).
+
+    Output: (id_col, text cleaned, n_tokens, n_tokens_dropped).
+
+    Shape: the token relation left-anti-joins the span relation on
+    (doc id, span_start ≤ pos ≤ span_end) — an EQUI-join on the doc id
+    with the range as a residual condition (the engine's outer-join
+    rule: residual range predicates belong IN the join condition), at
+    tokens × spans-per-doc grain, never tokens × corpus-spans."""
+    return remove_spans(
+        df, duplicate_spans(df, min_len, text_col, id_col),
+        text_col, id_col,
     )

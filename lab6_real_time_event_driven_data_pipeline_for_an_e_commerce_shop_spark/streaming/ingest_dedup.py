@@ -475,6 +475,137 @@ class QualityIngest:
         return self.verdicts().filter(~F.col("qc_pass"))
 
 
+class SpanDedupIngest:
+    """ExactSubstr-class SPAN dedup ON INGEST — the fourth gate of the
+    family (exact / near-dup / quality / spans): duplicated passages
+    are CUT OUT of documents as they land (dedup.duplicate_spans /
+    remove_spans semantics), so the curated corpus never contains a
+    min_len-token run twice — the boilerplate/license-header class of
+    duplication document-level gates cannot touch.
+
+    Admission contract (deterministic, naive-reference-pinned): for
+    each micro-batch, a window is COVERED iff it occurs ≥2 times
+    within the batch (total over (doc, pos) — within-doc repetition
+    counts, the duplicate_spans batch semantics; a batch on an empty
+    store therefore equals remove_duplicate_spans of that batch
+    exactly) OR its hash is in the store from a DIFFERENT document.
+    Covered islands are removed; EVERY document is kept (possibly with
+    empty text), at remove_spans grain (id, text, n_tokens,
+    n_tokens_dropped). Re-sent ids update their kept row
+    (last-writer-wins per id) and are deduped against the REST of the
+    corpus only.
+
+    State: winhashes/ = (_h, src_id) — one row per (cleaned-text
+    window, contributing doc). Storing CLEANED-text windows keeps the
+    store equal to "what the corpus now contains"; carrying src_id and
+    excluding src_id == current doc from coverage makes replay exact:
+    after a crash ANYWHERE the batch reruns against either the
+    pre-batch store (identical inputs ⇒ identical cleaned rows, both
+    merges idempotent) or the post-batch store (own hashes
+    self-excluded, other batch docs' shared passages were removed from
+    their cleaned texts too ⇒ identical again). The store is ADDITIVE
+    (a superseded version's windows linger — the DedupIngest
+    fingerprints contract).
+
+    Scale: window hashing is corpus-linear (the duplicate_spans
+    substrate); the store probe is an equi-join on the 48-bit hash
+    with the src exclusion as a residual; islands are per-doc windows.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        schema,
+        min_len: int = 5,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        fmt: str = "json",
+    ):
+        self.spark = spark
+        self.root = root
+        self.schema = schema
+        self.min_len = int(min_len)
+        self.text_col = text_col
+        self.id_col = id_col
+        self.fmt = fmt
+        os.makedirs(self.landing(), exist_ok=True)
+
+    landing = DedupIngest.landing
+    _path = DedupIngest._path
+    run_available = DedupIngest.run_available
+    kept = DedupIngest.kept
+
+    def winhashes(self) -> DataFrame:
+        return self.spark.read.parquet(self._path("winhashes"))
+
+    def _process(self, batch: DataFrame, batch_id: int) -> None:
+        from ..operators import dedup
+
+        batch = _one_row_per_id(batch, self.id_col, self.text_col)
+        k = self.min_len
+        w = dedup._window_hashes(batch, k, self.text_col, self.id_col)
+        dup_in_batch = (
+            w.groupBy("_h")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .filter(F.col("_c") >= 2)
+            .select("_h")
+        )
+        covered = w.join(dup_in_batch, "_h", "left_semi")
+        store_path = self._path("winhashes")
+        if os.path.isdir(store_path):
+            store = self.spark.read.parquet(store_path)
+            hit = w.join(
+                store,
+                (w["_h"] == store["_h"])
+                & (store["src_id"] != w["_id"]),
+                "left_semi",
+            )
+            covered = covered.unionByName(hit).distinct()
+        spans = dedup._spans_from_covered(covered, k, self.id_col)
+        cleaned = dedup.remove_spans(
+            batch.select(self.id_col, self.text_col),
+            spans,
+            self.text_col,
+            self.id_col,
+        )
+        new_hashes = dedup._window_hashes(
+            cleaned, k, self.text_col, self.id_col
+        ).select(
+            "_h", F.col("_id").alias("src_id")
+        ).distinct()
+
+        # materialize BEFORE the merges (cleaned/new_hashes lineage
+        # reads the winhashes store, which the store MERGE swaps out)
+        tmp_rows = self._path("_cleaned__tmp")
+        tmp_hashes = self._path("_winhashes__tmp")
+        cleaned.write.mode("overwrite").parquet(tmp_rows)
+        new_hashes.write.mode("overwrite").parquet(tmp_hashes)
+        if glob.glob(os.path.join(tmp_rows, "part-*")):
+            fresh = self.spark.read.parquet(tmp_rows)
+            if fresh.limit(1).count() > 0:
+                # kept FIRST, hash store second (a crash between the
+                # two replays the batch against the pre-batch store —
+                # identical cleaned rows, both merges idempotent)
+                upsert.merge(
+                    self.spark,
+                    self._path("kept"),
+                    fresh,
+                    keys=[self.id_col],
+                )
+                if glob.glob(os.path.join(tmp_hashes, "part-*")):
+                    hashes_fresh = self.spark.read.parquet(tmp_hashes)
+                    if hashes_fresh.limit(1).count() > 0:
+                        upsert.merge(
+                            self.spark,
+                            self._path("winhashes"),
+                            hashes_fresh,
+                            keys=["_h", "src_id"],
+                        )
+        shutil.rmtree(tmp_rows, ignore_errors=True)
+        shutil.rmtree(tmp_hashes, ignore_errors=True)
+
+
 class ChainedIngest:
     """The composed landing pipeline: exact-dedup → near-dup → quality
     over ONE checkpointed stream — the production shape of the ingest-

@@ -48,6 +48,8 @@ _SLOW_TESTS = {
     "test_versioned_gold_snapshot_isolation_and_equality",
     "test_late_audit_counts_exact_and_replay_stable",
     "test_neardup_ingest_gate_matches_naive_reference",
+    "test_span_dedup_ingest_matches_naive_reference",
+    "test_span_dedup_ingest_crash_window_converges",
     "test_neardup_ingest_crash_window_converges",
     "test_late_items_release_after_group_published",
     "test_ingest_gates_same_id_twice_in_one_batch",

@@ -2086,3 +2086,194 @@ def test_chained_ingest_rejected_then_admitted_across_waves(
         sorted(map(tuple, chain.verdicts().collect())),
     )
     assert after == before
+
+
+def _naive_span_gate(waves, k):
+    """Sequential Python reference for SpanDedupIngest: store of
+    (window tuple, src id); coverage = in-batch count ≥ 2 OR store hit
+    from another doc; islands removed; cleaned windows enter the
+    store."""
+    from collections import Counter
+
+    store = set()
+    kept = {}
+    for wave in waves:
+        docs = {d: t.split() for d, t in wave}
+        wins = {
+            d: [tuple(t[i:i + k]) for i in range(len(t) - k + 1)]
+            for d, t in docs.items()
+        }
+        cnt = Counter(w for ws in wins.values() for w in ws)
+        srcs = {}
+        for ww, s in store:
+            srcs.setdefault(ww, set()).add(s)
+        for d, t in docs.items():
+            covered = [
+                i for i, w in enumerate(wins[d])
+                if cnt[w] >= 2 or (srcs.get(w, set()) - {d})
+            ]
+            drop = set()
+            runs = []
+            for i in covered:
+                if runs and i == runs[-1][1] + 1:
+                    runs[-1][1] = i
+                else:
+                    runs.append([i, i])
+            for s, e in runs:
+                drop.update(range(s, e + k))
+            cleaned = [tok for i, tok in enumerate(t) if i not in drop]
+            kept[d] = " ".join(cleaned)
+            for i in range(len(cleaned) - k + 1):
+                store.add((tuple(cleaned[i:i + k]), d))
+    return kept
+
+
+def test_span_dedup_ingest_matches_naive_reference(spark, tmp_path):
+    """r12: the span-dedup ingest gate (ExactSubstr at the landing
+    edge) equals the sequential naive reference across waves: in-batch
+    shared passages removed from BOTH hosts (batch semantics — wave 1
+    on an empty store equals remove_duplicate_spans exactly),
+    cross-wave passages removed against the curated store, re-sent
+    docs deduped against the REST of the corpus only (self-exclusion),
+    replay a byte-stable no-op."""
+    import json as _json
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        dedup,
+    )
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.ingest_dedup import (
+        SpanDedupIngest,
+    )
+
+    K = 4
+    passage = "alpha beta gamma delta epsilon"          # 5 tokens
+    w1 = [
+        (1, f"one two {passage} three"),
+        (2, f"{passage} nine ten"),
+        (3, "rep one rep one rep one rep one"),          # self-rep
+        (4, "totally unique words that stay whole here"),
+        (5, "too short"),                                # < K tokens
+    ]
+    # doc 6 repeats 5 tokens of doc 4's KEPT text; doc 7 novel
+    w2 = [
+        (6, "unique words that stay whole plus extra thoughts"),
+        (7, "novel second wave content entirely fresh"),
+    ]
+    # re-send doc 4 (self-excluded → unchanged), doc 8 copies doc 7
+    w3 = [
+        (4, "totally unique words that stay whole here"),
+        (8, "novel second wave content entirely fresh"),
+    ]
+    waves = [w1, w2, w3]
+
+    root = str(tmp_path)
+    gate = SpanDedupIngest(
+        spark, root, schema="doc_id long, text string", min_len=K
+    )
+    for i, wave in enumerate(waves):
+        with open(os.path.join(root, "landing", f"w{i}.json"), "w") as f:
+            for d, t in wave:
+                f.write(_json.dumps({"doc_id": d, "text": t}) + "\n")
+        gate.run_available()
+        want = _naive_span_gate(waves[: i + 1], K)
+        got = {r.doc_id: r.text for r in gate.kept().collect()}
+        assert got == want, f"after wave {i}"
+        if i == 0:
+            batch_equiv = {
+                r.doc_id: r.text
+                for r in dedup.remove_duplicate_spans(
+                    spark.createDataFrame(w1, "doc_id long, text string"),
+                    min_len=K,
+                ).collect()
+            }
+            assert got == batch_equiv
+
+    # scenario sanity: the shared passage is gone from BOTH wave-1
+    # hosts; doc 6 lost the doc-4 passage; doc 8 lost doc 7's text;
+    # the short doc and the re-sent doc are intact
+    got = {r.doc_id: r.text for r in gate.kept().collect()}
+    assert passage not in got[1] and passage not in got[2]
+    assert "unique words that stay whole" not in got[6]
+    assert got[8] == ""
+    assert got[5] == "too short"
+    assert got[4] == "totally unique words that stay whole here"
+
+    # replay with nothing new: byte-stable at both stores
+    before = (
+        sorted(map(tuple, gate.kept().collect())),
+        sorted(map(tuple, gate.winhashes().collect())),
+    )
+    gate.run_available()
+    after = (
+        sorted(map(tuple, gate.kept().collect())),
+        sorted(map(tuple, gate.winhashes().collect())),
+    )
+    assert after == before
+
+
+def test_span_dedup_ingest_crash_window_converges(
+    spark, tmp_path, monkeypatch
+):
+    """The gate's crash window: kept MERGEd, winhashes merge dies. The
+    replay reruns the batch against the PRE-batch store (identical
+    cleaned rows — kept merge idempotent) and completes the hash
+    store; end state equals a clean run's."""
+    import json as _json
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        upsert,
+    )
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.ingest_dedup import (
+        SpanDedupIngest,
+    )
+
+    K = 4
+    w1 = [
+        (1, "alpha beta gamma delta epsilon one two"),
+        (2, "alpha beta gamma delta epsilon nine ten"),
+    ]
+    w2 = [(3, "gamma delta epsilon one two extra tail words")]
+
+    def _feed(root, name, docs):
+        with open(os.path.join(root, "landing", name), "w") as f:
+            for d, t in docs:
+                f.write(_json.dumps({"doc_id": d, "text": t}) + "\n")
+
+    crash_root = str(tmp_path / "crash")
+    gate = SpanDedupIngest(
+        spark, crash_root, schema="doc_id long, text string", min_len=K
+    )
+    _feed(crash_root, "w1.json", w1)
+    gate.run_available()
+
+    real_merge = upsert.merge
+
+    def _boom(spark_, path, src, **kw):
+        if "winhashes" in path:
+            raise RuntimeError("crash before hash-store merge")
+        return real_merge(spark_, path, src, **kw)
+
+    _feed(crash_root, "w2.json", w2)
+    monkeypatch.setattr(upsert, "merge", _boom)
+    with pytest.raises(Exception, match="crash before hash-store merge"):
+        gate.run_available()
+    monkeypatch.setattr(upsert, "merge", real_merge)
+    # kept has doc 3 (merged before the crash); replay completes
+    assert 3 in {r.doc_id for r in gate.kept().collect()}
+    gate.run_available()
+
+    clean_root = str(tmp_path / "clean")
+    clean = SpanDedupIngest(
+        spark, clean_root, schema="doc_id long, text string", min_len=K
+    )
+    _feed(clean_root, "w1.json", w1)
+    clean.run_available()
+    _feed(clean_root, "w2.json", w2)
+    clean.run_available()
+
+    assert sorted(map(tuple, gate.kept().collect())) == sorted(
+        map(tuple, clean.kept().collect())
+    )
+    assert sorted(map(tuple, gate.winhashes().collect())) == sorted(
+        map(tuple, clean.winhashes().collect())
+    )
