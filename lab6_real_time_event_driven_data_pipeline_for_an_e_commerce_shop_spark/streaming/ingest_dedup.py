@@ -648,6 +648,7 @@ class ChainedIngest:
         bands: int = 4,
         min_agree: int = 8,
         shingle_k: int = 3,
+        span_min_len: int | None = None,
         **quality_rules,
     ):
         self.spark = spark
@@ -659,6 +660,26 @@ class ChainedIngest:
         self.exact = DedupIngest(
             spark, os.path.join(root, "exact"), schema,
             text_col=text_col, id_col=id_col, fmt=fmt,
+        )
+        # optional TRANSFORM stage between exact and near (r12):
+        # span_min_len inserts SpanDedupIngest — duplicated passages are
+        # cut out BEFORE near-dup comparison, the production landing
+        # order (exact → spans → near → quality). Downstream stages see
+        # the span gate's kept (CLEANED) rows via the same kept-table
+        # handoff; a fully-duplicated doc arrives at quality with empty
+        # text and is quarantined there (min_tokens), not silently
+        # dropped. Note the documented interplay: span removal can
+        # PREEMPT near-dup detection (two docs whose whole overlap was
+        # an exact passage are no longer near once it is cut) — that is
+        # the intended semantics of running spans first.
+        self.span = (
+            SpanDedupIngest(
+                spark, os.path.join(root, "spans"), schema,
+                min_len=span_min_len, text_col=text_col, id_col=id_col,
+                fmt=fmt,
+            )
+            if span_min_len is not None
+            else None
         )
         self.near = NearDupIngest(
             spark, os.path.join(root, "near"), schema,
@@ -691,6 +712,11 @@ class ChainedIngest:
         stage1 = self._stage_input(batch, self.exact._path("kept"))
         if stage1 is None:
             return
+        if self.span is not None:
+            self.span._process(stage1, batch_id)
+            stage1 = self._stage_input(batch, self.span._path("kept"))
+            if stage1 is None:
+                return
         self.near._process(stage1, batch_id)
         stage2 = self._stage_input(batch, self.near._path("kept"))
         if stage2 is None:

@@ -2277,3 +2277,176 @@ def test_span_dedup_ingest_crash_window_converges(
     assert sorted(map(tuple, gate.winhashes().collect())) == sorted(
         map(tuple, clean.winhashes().collect())
     )
+
+
+def test_chained_ingest_with_span_stage_composition(spark, tmp_path):
+    """r12: ChainedIngest(span_min_len=8) — the four-stage landing
+    pipeline (exact → SPANS → near → quality). The chain must equal the
+    sequential composition of the four naive references: exact
+    first-arrival per normalized fingerprint, THEN the span gate's
+    naive (in-batch + store coverage with self-exclusion), THEN
+    LSH/agreement admission over the SPAN-CLEANED texts, THEN
+    quality_filter. Scenario exercises: exact drop, in-batch passage
+    cut from BOTH hosts, self-repetition emptying a doc before quality
+    (quarantined there, not silently dropped), a cross-wave store-hit
+    cut, and a near-dup whose shared runs are all BELOW the span
+    threshold (spans leave it intact, the near gate rejects it —
+    hard-asserted from the operator's own signatures)."""
+    import hashlib
+    import itertools
+    import json as _json
+    import re
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        dedup,
+        text as text_ops,
+    )
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.ingest_dedup import (
+        ChainedIngest,
+    )
+
+    SPAN_K, MH_K, BANDS, MIN_AGREE, SH = 8, 16, 4, 8, 3
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    e_doc = "parquet footers carry column statistics enabling partition pruning inside modern engines quickly"
+    e_toks = e_doc.split()
+    g_toks = list(e_toks)
+    g_toks[6] = "bucketed"            # breaks every run ≥ 8, keeps shingles
+    waves = [
+        [
+            (1, base),
+            (2, "  THE   quick brown fox jumps over the lazy dog near the river bank today"),
+            (3, " ".join(base.split()[:10]) + " unique ending here completely"),
+            (4, "buy now buy now buy now buy now buy now buy now"),
+            (5, e_doc),
+        ],
+        [
+            (6, " ".join(e_toks[:9]) + " plus fresh trailing commentary words"),
+            (7, " ".join(g_toks)),
+        ],
+    ]
+
+    root = str(tmp_path)
+    chain = ChainedIngest(
+        spark, root, schema="doc_id long, text string",
+        k=MH_K, bands=BANDS, min_agree=MIN_AGREE, shingle_k=SH,
+        span_min_len=SPAN_K, min_tokens=3,
+    )
+    for i, wave in enumerate(waves):
+        with open(os.path.join(root, "landing", f"w{i}.json"), "w") as f:
+            for d, t in wave:
+                f.write(_json.dumps({"doc_id": d, "text": t}) + "\n")
+        chain.run_available()
+
+    # ---- naive four-stage composition --------------------------------
+    def norm_fp(t):
+        return hashlib.md5(
+            re.sub(r"\s+", " ", t.strip()).lower().encode()
+        ).hexdigest()
+
+    exact_kept, seen_fps, stage1_waves = {}, set(), []
+    for wave in waves:
+        for d, t in sorted(wave):
+            if norm_fp(t) not in seen_fps:
+                exact_kept[d] = t
+                seen_fps.add(norm_fp(t))
+        stage1_waves.append(
+            [(d, exact_kept[d]) for d, _ in wave if d in exact_kept]
+        )
+
+    span_waves = []
+    for i in range(len(stage1_waves)):
+        span_waves.append(
+            _naive_span_gate(stage1_waves[: i + 1], SPAN_K)
+        )
+    span_final = span_waves[-1]
+    stage2_waves = [
+        [(d, span_waves[i][d]) for d, _ in stage1_waves[i]]
+        for i in range(len(stage1_waves))
+    ]
+
+    all_stage2 = sorted({p for w in stage2_waves for p in w})
+    sig_rows = dedup.minhash_signatures(
+        spark.createDataFrame(all_stage2, "doc_id long, text string"),
+        MH_K, SH,
+    ).collect()
+    sigs = {r.doc_id: tuple(r[f"mh_{i}"] for i in range(MH_K)) for r in sig_rows}
+    rows = MH_K // BANDS
+
+    def bands_of(s):
+        return {(b, s[b * rows:(b + 1) * rows]) for b in range(BANDS)}
+
+    def near(a, b):
+        return bool(bands_of(sigs[a]) & bands_of(sigs[b])) and sum(
+            x == y for x, y in zip(sigs[a], sigs[b])
+        ) >= MIN_AGREE
+
+    # scenario preconditions: G survives the span stage untouched and
+    # is a near-dup of E's cleaned text
+    assert span_final[7] == " ".join(g_toks)
+    assert 5 in sigs and 7 in sigs and near(5, 7)
+    # the cross-wave store hit actually cut F
+    assert span_final[6] == "plus fresh trailing commentary words"
+    # the in-batch passage was cut from BOTH hosts; spam emptied
+    assert span_final[1] == "the river bank today"
+    assert span_final[3] == "unique ending here completely"
+    assert span_final[4] == ""
+
+    near_kept = {}
+    for wave in stage2_waves:
+        ids = [d for d, _ in wave if d not in near_kept]
+        texts = dict(wave)
+        remaining = [
+            d for d in ids
+            if d not in sigs
+            or not any(near(d, kd) for kd in near_kept if kd in sigs)
+        ]
+        comparable = [d for d in remaining if d in sigs]
+        parent = {d: d for d in comparable}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in itertools.combinations(comparable, 2):
+            if near(a, b):
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+        for d in remaining:
+            if d not in sigs or find(d) == d:
+                near_kept[d] = texts[d]
+
+    want = {
+        r.doc_id: (r.qc_pass, r.qc_fail_reasons)
+        for r in text_ops.quality_filter(
+            spark.createDataFrame(
+                sorted(near_kept.items()), "doc_id long, text string"
+            ),
+            min_tokens=3,
+        ).select("doc_id", "qc_pass", "qc_fail_reasons").collect()
+    }
+    got = {
+        r.doc_id: (r.qc_pass, r.qc_fail_reasons)
+        for r in chain.verdicts().collect()
+    }
+    assert got == want
+
+    # composition sanity: exact dup gone before spans; near-dup G gone
+    # before quality; emptied spam reached quality and was quarantined
+    assert 2 not in got and 7 not in got
+    assert got[4][0] is False
+    # replay: byte-stable at every stage
+    before = (
+        sorted(map(tuple, chain.span.kept().collect())),
+        sorted(map(tuple, chain.near.kept().collect())),
+        sorted(map(tuple, chain.verdicts().collect())),
+    )
+    chain.run_available()
+    after = (
+        sorted(map(tuple, chain.span.kept().collect())),
+        sorted(map(tuple, chain.near.kept().collect())),
+        sorted(map(tuple, chain.verdicts().collect())),
+    )
+    assert after == before
