@@ -34,6 +34,7 @@ from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.stre
     ChainedIngest,
     DedupIngest,
     NearDupIngest,
+    SpanDedupIngest,
 )
 
 
@@ -86,7 +87,7 @@ def probe(gate_cls, name: str, spark, wave_docs: int, n_waves: int,
     per_wave = []
     for w in range(n_waves):
         df = _wave_df(spark, w, wave_docs, dup_pct,
-                      edit=(name in ("near", "chain")))
+                      edit=(name in ("near", "chain", "chain4")))
         df.coalesce(1).write.mode("overwrite").json(
             os.path.join(root, "landing", f"w{w}")
         )
@@ -108,10 +109,24 @@ def probe(gate_cls, name: str, spark, wave_docs: int, n_waves: int,
     out = {
         "gate": name,
         "kept_final": per_wave[-1]["kept_total"],
-        "expected_kept": n_waves * wave_docs - n_dups,
+        # chain4: spans strip every dup to the IDENTICAL 1-token stub
+        # ("edited" is a constant), so the near gate collapses all
+        # stubs to ONE first-arrival — spans-preempt-near measured:
+        # non-dups + exactly one stub, and the 3-stage chain's ~1% LSH
+        # miss envelope disappears (window hashes are exact)
+        "expected_kept": (
+            n_waves * wave_docs - n_dups + (1 if n_dups else 0)
+            if name == "chain4"
+            else n_waves * wave_docs - n_dups
+        ),
         # the near gate is LSH-mediated: ~1% of true dups miss every
-        # band at J≈0.91, k=16/bands=4 — allow that envelope
-        "tolerance": 0 if name == "exact" else max(2, n_dups * 3 // 100),
+        # band at J≈0.91, k=16/bands=4 — allow that envelope; exact,
+        # span, and chain4 are hash-exact (identical stubs always
+        # collide and agree 16/16 — zero tolerance)
+        "tolerance": (
+            0 if name in ("exact", "span", "chain4")
+            else max(2, n_dups * 3 // 100)
+        ),
         # (chain: same LSH envelope — its rejections are the near stage's)
         "wave_secs": [p["secs"] for p in per_wave],
     }
@@ -138,6 +153,23 @@ def main() -> None:
         probe(ChainedIngest, "chain", spark, max(wave_docs // 4, 1000),
               n_waves, dup_pct,
               count_fn=lambda g: g.verdicts().count(), min_tokens=3),
+        # span gate (r12): exact-copy dups are EMPTIED, not dropped —
+        # count the docs that kept any text; expected equals the exact
+        # gate's kept arithmetic with zero tolerance (no LSH, exact
+        # window hashes; novel docs are token-disjoint by construction)
+        probe(SpanDedupIngest, "span", spark, max(wave_docs // 4, 1000),
+              n_waves, dup_pct,
+              count_fn=lambda g: g.kept().filter(
+                  F.col("text") != "").count(),
+              min_len=5),
+        # four-stage chain (r12): edited dups lose their whole shared
+        # body at the SPAN stage (cleaned to the 1-token novel tail) and
+        # then pass the near gate as unique stubs — the documented
+        # spans-preempt-near interplay — so EVERY doc gets a verdict row
+        probe(ChainedIngest, "chain4", spark, max(wave_docs // 4, 1000),
+              n_waves, dup_pct,
+              count_fn=lambda g: g.verdicts().count(),
+              span_min_len=5, min_tokens=3),
     ]
     for r in results:
         ok = abs(r["kept_final"] - r["expected_kept"]) <= r["tolerance"]
