@@ -45,6 +45,7 @@ _SLOW_TESTS = {
     "test_chained_ingest_crash_between_gates_converges",
     "test_chained_ingest_rejected_then_admitted_across_waves",
     "test_chained_ingest_with_span_stage_composition",
+    "test_chained_ingest_crash_at_span_stage_converges",
     "test_medallion_end_state_invariant_under_arrival_order",
     "test_versioned_gold_snapshot_isolation_and_equality",
     "test_late_audit_counts_exact_and_replay_stable",

@@ -2450,3 +2450,74 @@ def test_chained_ingest_with_span_stage_composition(spark, tmp_path):
         sorted(map(tuple, chain.verdicts().collect())),
     )
     assert after == before
+
+
+def test_chained_ingest_crash_at_span_stage_converges(
+    spark, tmp_path, monkeypatch
+):
+    """r12: the four-stage chain's distinctive crash window — exact
+    committed, the SPAN stage dies. On replay the exact gate no-ops
+    (its delta is empty) but the kept-table handoff must still deliver
+    the batch to the span gate, and the end state must equal a clean
+    run's (the same argument as the 3-stage kill-at-near pin, now with
+    the transform stage in the path)."""
+    import json as _json
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.ingest_dedup import (
+        ChainedIngest,
+        SpanDedupIngest,
+    )
+
+    w1 = [
+        (1, "alpha beta gamma delta epsilon one two three"),
+        (2, "alpha beta gamma delta epsilon nine ten eleven"),
+        (3, "a clean unrelated document about parquet footer statistics"),
+    ]
+
+    def _feed(root, name, docs):
+        with open(os.path.join(root, "landing", name), "w") as f:
+            for d, t in docs:
+                f.write(_json.dumps({"doc_id": d, "text": t}) + "\n")
+
+    crash_root = str(tmp_path / "crash")
+    chain = ChainedIngest(
+        spark, crash_root, schema="doc_id long, text string",
+        span_min_len=5, min_tokens=3,
+    )
+    _feed(crash_root, "w1.json", w1)
+
+    real_span = SpanDedupIngest._process
+
+    def _boom(self, batch, batch_id):
+        raise RuntimeError("crash inside span gate")
+
+    monkeypatch.setattr(SpanDedupIngest, "_process", _boom)
+    with pytest.raises(Exception, match="crash inside span gate"):
+        chain.run_available()
+    monkeypatch.setattr(SpanDedupIngest, "_process", real_span)
+
+    # exact committed all three (distinct texts); spans never ran
+    assert {r.doc_id for r in chain.exact.kept().collect()} == {1, 2, 3}
+    assert not os.path.isdir(os.path.join(crash_root, "spans", "kept"))
+
+    chain.run_available()  # replay: handoff must reach spans + beyond
+
+    clean_root = str(tmp_path / "clean")
+    clean = ChainedIngest(
+        spark, clean_root, schema="doc_id long, text string",
+        span_min_len=5, min_tokens=3,
+    )
+    _feed(clean_root, "w1.json", w1)
+    clean.run_available()
+
+    for reader in ("span", "near"):
+        assert sorted(
+            map(tuple, getattr(chain, reader).kept().collect())
+        ) == sorted(map(tuple, getattr(clean, reader).kept().collect()))
+    assert sorted(map(tuple, chain.verdicts().collect())) == sorted(
+        map(tuple, clean.verdicts().collect())
+    )
+    # the shared 5-token passage was cut from both docs on both paths
+    span_kept = {r.doc_id: r.text for r in chain.span.kept().collect()}
+    assert "alpha beta gamma delta epsilon" not in span_kept[1]
+    assert "alpha beta gamma delta epsilon" not in span_kept[2]
