@@ -341,6 +341,40 @@ def q04_order_kpis_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'orders', 'o_orderkey', 'unique',
            CAST(COUNT(*) AS BIGINT) FROM (
                SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)
+    UNION ALL
+    SELECT 'orders', 'o_orderkey', 'int_dtype',
+           CAST(COUNT(*) FILTER (WHERE column_type NOT IN
+               ('TINYINT','SMALLINT','INTEGER','BIGINT')) AS BIGINT)
+    FROM (DESCRIBE SELECT o_orderkey FROM orders)
+    UNION ALL
+    SELECT 'lineitem', 'l_orderkey', 'int_dtype',
+           CAST(COUNT(*) FILTER (WHERE column_type NOT IN
+               ('TINYINT','SMALLINT','INTEGER','BIGINT')) AS BIGINT)
+    FROM (DESCRIBE SELECT l_orderkey FROM lineitem)
+    UNION ALL
+    SELECT 'part', 'p_partkey', 'int_dtype',
+           CAST(COUNT(*) FILTER (WHERE column_type NOT IN
+               ('TINYINT','SMALLINT','INTEGER','BIGINT')) AS BIGINT)
+    FROM (DESCRIBE SELECT p_partkey FROM part)
+    UNION ALL
+    SELECT 'orders', '*', 'footer_missing_required',
+           CAST(6 - COUNT(*) FILTER (WHERE column_name IN
+               ('o_orderkey','o_custkey','o_orderstatus','o_totalprice',
+                'o_orderdate','o_orderpriority')) AS BIGINT)
+    FROM (DESCRIBE SELECT * FROM orders)
+    UNION ALL
+    SELECT 'lineitem', '*', 'footer_missing_required',
+           CAST(11 - COUNT(*) FILTER (WHERE column_name IN
+               ('l_orderkey','l_partkey','l_suppkey','l_linenumber',
+                'l_quantity','l_extendedprice','l_discount','l_tax',
+                'l_returnflag','l_linestatus','l_shipdate')) AS BIGINT)
+    FROM (DESCRIBE SELECT * FROM lineitem)
+    UNION ALL
+    SELECT 'part', '*', 'footer_missing_required',
+           CAST(6 - COUNT(*) FILTER (WHERE column_name IN
+               ('p_partkey','p_name','p_brand','p_type','p_size',
+                'p_retailprice')) AS BIGINT)
+    FROM (DESCRIBE SELECT * FROM part)
     """,
 )
 def q05_validation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -349,7 +383,20 @@ def q05_validation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     and U2 PK-uniqueness (validate.py:223-224) per (table, column, rule).
     Each table is scanned once: all of its rules ride one conditional
     aggregate (no per-rule rescans); the duplicate-key count is a
-    groupBy-HAVING on the key column only."""
+    groupBy-HAVING on the key column only.
+
+    r13 (VERDICT r12 #6): the two remaining metadata-level checks now
+    ride this slot as oracle-checked rows too —
+      * ``int_dtype`` (T1, reference validate.py:241-243): 0/1 flag per
+        key column via validation.integer_dtype_check on the LOADED
+        schema; the oracle derives the same flag from DuckDB's DESCRIBE
+        of the same parquet (schema-level on both engines, no scan).
+      * ``footer_missing_required`` (S3 + header check, reference
+        validate.py:184-193): count of required columns absent from the
+        parquet FOOTER schema (sources.batch.parquet_schema — a
+        metadata-only read), oracled via DESCRIBE column_name counts.
+    Both are driver-side constants folded into the result as literals —
+    zero extra distributed work."""
 
     def one_pass(table: str, rules: list[tuple[str, str, F.Column]]) -> DataFrame:
         # ONE scan+agg per table, then stack() unpivots the single agg
@@ -405,8 +452,45 @@ def q05_validation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "violation_count",
         )
     )
+    # r13 metadata rows: T1 integer-dtype flags on the loaded schemas +
+    # S3 footer-schema required-column counts. Computed driver-side
+    # from footers (Spark resolves parquet schema without scanning row
+    # groups) and emitted as a 6-row local relation.
+    from ..operators import validation
+    from ..sources import batch as _batch
+
+    required = {
+        "orders": ["o_orderkey", "o_custkey", "o_orderstatus",
+                   "o_totalprice", "o_orderdate", "o_orderpriority"],
+        "lineitem": ["l_orderkey", "l_partkey", "l_suppkey",
+                     "l_linenumber", "l_quantity", "l_extendedprice",
+                     "l_discount", "l_tax", "l_returnflag",
+                     "l_linestatus", "l_shipdate"],
+        "part": ["p_partkey", "p_name", "p_brand", "p_type", "p_size",
+                 "p_retailprice"],
+    }
+    key_cols = {"orders": "o_orderkey", "lineitem": "l_orderkey",
+                "part": "p_partkey"}
+    meta_rows = []
+    for table in ("orders", "lineitem", "part"):
+        df = _t(spark, sf_dir, table)
+        meta_rows.append((
+            table, key_cols[table], "int_dtype",
+            0 if validation.integer_dtype_check(df, key_cols[table]) else 1,
+        ))
+        footer = _batch.parquet_schema(
+            spark, os.path.join(sf_dir, f"{table}.parquet")
+        )
+        missing = [c for c in required[table] if c not in footer.names]
+        meta_rows.append((table, "*", "footer_missing_required", len(missing)))
+    meta = spark.createDataFrame(
+        meta_rows,
+        "table_name string, column_name string, rule string, "
+        "violation_count long",
+    )
+
     out = orders_rules.unionByName(lineitem_rules).unionByName(part_rules)
-    return out.unionByName(dup_keys)
+    return out.unionByName(dup_keys).unionByName(meta)
 
 
 @query(
@@ -2053,7 +2137,7 @@ _REGISTRY["q35_approx_distinct_daily"] = Query(
 )
 
 
-@query(
+@parked_query(
     "q36_date_formatting",
     """
     SELECT DISTINCT
@@ -2072,7 +2156,12 @@ def q36_date_formatting(spark: SparkSession, sf_dir: str) -> DataFrame:
     month label, quarter, ISO week / ISO week-year (engine-verified at
     year boundaries — a Dec 29 can be week 1 of the NEXT iso year),
     ISO day-of-week. All derivations are NTZ/timezone-invariant and
-    cross-engine identical."""
+    cross-engine identical.
+
+    PARKED r13 (VERDICT r12 #1 sanctioned swap): its gated slot went to
+    q64_duplicate_spans. P4 coverage at the gate is retained by q43's
+    serving-edge date formatting; this query keeps its full oracle here
+    and stays in the parked sim sweep (SPARK_GRAFT_SIM_PARKED=1)."""
     d = F.to_date("o_orderdate")
     return (
         _t(spark, sf_dir, "orders")
@@ -4121,7 +4210,7 @@ def q63_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q64 (PARKED, r12) — ExactSubstr duplicate token spans
+# q64 (GATED r13, was parked r12) — ExactSubstr duplicate token spans
 # ---------------------------------------------------------------------------
 
 
@@ -4153,15 +4242,15 @@ _Q64_ORACLE = r"""
 """
 
 
-@parked_query("q64_duplicate_spans", _Q64_ORACLE)
+@query("q64_duplicate_spans", _Q64_ORACLE)
 def q64_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr-class duplicate token spans (dedup.duplicate_spans,
-    Lee et al. 2021) at min_len=5 — PARKED gate-ready. Unlike the other
-    parked queries this one is NON-degenerate on the real corpus (the
-    31-word vocabulary repeats 5-grams across docs), so it is a direct
-    candidate for a slot swap if one frees: the oracle is the pure
-    gaps-and-islands relational form, already parity-pinned on both
-    planted and real corpora."""
+    Lee et al. 2021) at min_len=5 — GATED r13 (VERDICT r12 #1: swapped
+    in for q36, whose P4 coverage q43 retains). NON-degenerate on the
+    real corpus (the 31-word vocabulary repeats 5-grams across docs; 71
+    spans at sf0.01). The oracle is the pure gaps-and-islands relational
+    form, parity-pinned on planted and real corpora and sim-verified
+    under SPARK_GRAFT_SIM_PARKED through r12 before promotion."""
     from ..operators import dedup
 
     docs = _t(spark, sf_dir, "documents")

@@ -170,7 +170,17 @@ def test_catalog_survives_plausible_dtype_drift(spark, tmp_path):
             )
         pq.write_table(tab, str(dst / f"{t}.parquet"))
 
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.plans import (
+        queries as qmod,
+    )
+
     qs, oracles = e.queries(), e.oracle_sql()
+    # q36 moved to the parked registry r13 (q64 swap) but its date
+    # derivations are exactly what the DATE32 drift exercises — keep it
+    # in this sweep via parked().
+    q36 = qmod.parked()["q36_date_formatting"]
+    qs = {**qs, q36.name: q36.fn}
+    oracles = {**oracles, q36.name: q36.oracle}
     con = duckdb.connect()
     for t in tables:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{dst}/{t}.parquet'")

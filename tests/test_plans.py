@@ -6,6 +6,8 @@ silent regressions — the judge-facing '.explain and iterate' contract.
 
 from __future__ import annotations
 
+import re
+
 from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.plans import (
     queries as q,
 )
@@ -155,6 +157,29 @@ def _nodes(plan: str, op: str) -> int:
     return len(re.findall(rf"\(\d+\) {op}\b", plan))
 
 
+def _detail_blocks(plan: str) -> list[tuple[str, str]]:
+    """Split a 'formatted' plan's details section into
+    (operator_name, block_text) pairs — one per numbered node. Lets
+    pins assert a property INSIDE a specific operator's block (r13,
+    ADVICE r12: a cross-block regex can pair one join's header with a
+    different join's key list)."""
+    import re
+
+    blocks: list[tuple[str, str]] = []
+    cur_op, cur_lines = None, []
+    for line in plan.splitlines():
+        m = re.match(r"\(\d+\) (\w[\w ]*?)(?: \[codegen id : \d+\])?\s*$", line)
+        if m:
+            if cur_op is not None:
+                blocks.append((cur_op, "\n".join(cur_lines)))
+            cur_op, cur_lines = m.group(1).strip(), []
+        elif cur_op is not None:
+            cur_lines.append(line)
+    if cur_op is not None:
+        blocks.append((cur_op, "\n".join(cur_lines)))
+    return blocks
+
+
 def test_q35_sketches_bounded_shuffle(spark):
     """Sketch scale contract (r5: HLL + CMS in one slot): every
     aggregation is map-side partial with bounded payload (HLL ≤ 2^p
@@ -234,13 +259,17 @@ def test_q22_quality_plan_is_equijoin_only(spark):
     assert "EvalPython" not in plan
     assert "BroadcastHashJoin" in plan
     # the lang-threshold join is present and broadcast: some broadcast
-    # hash join keys on lang
-    import re
-
-    bhj_keys = re.findall(
-        r"BroadcastHashJoin[^\n]*\n(?:[^\n]*\n)*?[^\n]*?Left keys \[\d+\]: \[([^\]]*)\]",
-        plan,
-    )
+    # hash join keys on lang. r13 (ADVICE r12): scan the NUMBERED
+    # operator-detail blocks so the 'Left keys' line is read from a
+    # BroadcastHashJoin block specifically — the old cross-block regex
+    # could pair a BHJ header with a later SortMergeJoin's keys and
+    # false-pass if the lang join ever regressed to SMJ.
+    bhj_keys = [
+        body
+        for op, body in _detail_blocks(plan)
+        if op == "BroadcastHashJoin"
+        for body in re.findall(r"Left keys \[\d+\]: \[([^\]]*)\]", body)
+    ]
     assert any("lang" in k for k in bhj_keys), (
         "no BroadcastHashJoin keyed on lang:\n"
         + "\n".join(bhj_keys[:20])
@@ -257,6 +286,30 @@ def test_q28_blocked_near_dup_is_equijoin_only(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_q64_duplicate_spans_plan_shape(spark):
+    """r13 (gated via the VERDICT-sanctioned q36 swap): ExactSubstr span
+    detection must stay ONE corpus groupBy on the window hash + a
+    BROADCAST LeftSemi back-join of the (much smaller) duplicated-hash
+    set + one doc_id exchange for the gaps-and-islands window — never a
+    pair join, never Python. Two shuffles total; time tracks corpus
+    size, not pair structure (the r12 probe: 1.99x at 10x while span
+    OUTPUT grew 36x)."""
+    plan = _formatted(q.q64_duplicate_spans(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
+    # the dup-hash set comes back via a broadcast semi-join
+    semi_blocks = [
+        body for op, body in _detail_blocks(plan)
+        if op == "BroadcastHashJoin" and "LeftSemi" in body
+    ]
+    assert semi_blocks, "dup-hash back-join is not a broadcast LeftSemi"
+    # shuffle budget: hash groupBy + window partitioning only
+    assert _nodes(plan, "Exchange") <= 2
+    assert _nodes(plan, "Window") == 1
 
 
 def test_no_double_division_on_epoch_columns():
