@@ -656,12 +656,37 @@ def remove_spans(
     corpus: tokens inside any span are dropped, survivors reassemble in
     original order, every input document survives. The join is an
     EQUI-join on the doc id with the range as a residual condition (the
-    engine's outer-join rule), at tokens × spans-per-doc grain."""
+    engine's outer-join rule), at tokens × spans-per-doc grain.
+
+    Whitespace contract (ADVICE r12, documented deliberately): output
+    text is rebuilt by joining surviving TOKENS with single spaces, so
+    ALL original whitespace (tabs, newlines, runs of spaces) is
+    normalized — including in documents with zero removed spans. This
+    diverges from ExactSubstr's in-place byte-span removal by design:
+    the span relation is defined over the whitespace-token sequence
+    (that is what the window hashes cover), and emitting the canonical
+    token join keeps cleaned text == f(token survivors) — replay- and
+    engine-portable, and idempotent under re-cleaning. Callers that
+    must preserve raw bytes for untouched docs should anti-join the
+    span relation and only route SPANNED docs through here.
+
+    Empty/whitespace-only input (ADVICE r12): reported as n_tokens=0
+    (Spark's split('') yields [''] — one phantom empty token — which
+    previously counted as 1)."""
     from .text import tokens
+
+    def _nonempty_tokens(col: F.Column) -> F.Column:
+        # split(trim('')) is [''] — a phantom token; an empty or
+        # whitespace-only doc has ZERO tokens. NB Spark's trim() strips
+        # SPACES only, so emptiness is tested by deleting every \s run.
+        return F.when(
+            F.regexp_replace(col, r"\s", "") == "",
+            F.array().cast("array<string>"),
+        ).otherwise(tokens(col))
 
     toks = df.select(
         F.col(id_col).alias("_id"),
-        F.posexplode(tokens(F.col(text_col))).alias("_pos", "_tok"),
+        F.posexplode(_nonempty_tokens(F.col(text_col))).alias("_pos", "_tok"),
     )
     sp = spans.select(
         F.col(id_col).alias("_sid"), "span_start", "span_end"
@@ -682,7 +707,7 @@ def remove_spans(
     )
     base = df.select(
         F.col(id_col).alias("_id"),
-        F.size(tokens(F.col(text_col))).cast("long").alias("_n"),
+        F.size(_nonempty_tokens(F.col(text_col))).cast("long").alias("_n"),
     )
     return (
         base.join(rebuilt, "_id", "left")

@@ -883,13 +883,49 @@ def q18_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
                CAST(SUM(len(t[s:s+127])) AS BIGINT) AS chunk_tokens_total
         FROM chunk_starts GROUP BY doc_id
+    ), sw AS (
+        SELECT doc_id, i - 1 AS pos,
+               CAST(concat('0x', substr(md5(
+                   array_to_string(t[i:i+4], ' ')), 1, 12)) AS BIGINT) AS h
+        FROM tokc, LATERAL (
+            SELECT unnest(generate_series(1, len(t) - 4)) AS i) g
+        WHERE len(t) >= 5
+    ), sdup AS (
+        SELECT h FROM sw GROUP BY h HAVING COUNT(*) >= 2
+    ), sisl AS (
+        SELECT doc_id, pos,
+               pos - row_number() OVER (
+                   PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM sw WHERE h IN (SELECT h FROM sdup)
+    ), sspans AS (
+        SELECT doc_id, MIN(pos) AS s, MAX(pos) + 4 AS e
+        FROM sisl GROUP BY doc_id, grp
+    ), stoks AS (
+        SELECT doc_id, i - 1 AS pos, t[i] AS tok
+        FROM tokc, LATERAL (
+            SELECT unnest(generate_series(1, len(t))) AS i) g
+    ), scleaned AS (
+        SELECT st.doc_id,
+               md5(string_agg(st.tok, ' ' ORDER BY st.pos))
+                   AS cleaned_fingerprint,
+               CAST(COUNT(*) AS BIGINT) AS kept_n
+        FROM stoks st
+        WHERE NOT EXISTS (
+            SELECT 1 FROM sspans sp
+            WHERE sp.doc_id = st.doc_id
+              AND st.pos BETWEEN sp.s AND sp.e)
+        GROUP BY st.doc_id
     )
     SELECT cum.doc_id, n_tokens, n_bpe_tokens,
            CAST(shard AS INT) AS shard,
            CAST((c - n_tokens) // 512 AS BIGINT) AS pack_id,
            CAST((c - n_tokens) % 512 AS BIGINT) AS pack_offset,
-           cs.n_chunks, cs.chunk_tokens_total
+           cs.n_chunks, cs.chunk_tokens_total,
+           CAST(n_tokens - COALESCE(sc.kept_n, 0) AS BIGINT)
+               AS span_tokens_dropped,
+           COALESCE(sc.cleaned_fingerprint, md5('')) AS cleaned_fingerprint
     FROM cum JOIN chunk_stats cs ON cs.doc_id = cum.doc_id
+    LEFT JOIN scleaned sc ON sc.doc_id = cum.doc_id
     """,
 )
 def q20_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -907,8 +943,18 @@ def q20_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     real chunk operator (let-bound token array, window-start sequence,
     slice widths) runs end-to-end under the hash gate; the oracle
     re-derives the identical start/width arithmetic with DuckDB list
-    slicing."""
-    from ..operators import text as text_ops
+    slicing.
+
+    r13 depth: ``span_tokens_dropped`` / ``cleaned_fingerprint`` — the
+    REMOVAL half of ExactSubstr dedup (dedup.remove_duplicate_spans at
+    min_len=5; q64 gates the detection half) end-to-end under the hash
+    gate: per doc, the tokens inside any duplicated span, and the md5
+    of the REASSEMBLED cleaned text (surviving tokens joined by single
+    spaces — the documented remove_spans whitespace contract). The
+    oracle rebuilds the identical cleaned string with an ordered
+    string_agg over the NOT EXISTS anti-join of token positions to
+    span ranges."""
+    from ..operators import dedup, text as text_ops
     from ..operators.curation import chunk_documents, pack_sequences
 
     docs = _t(spark, sf_dir, "documents")
@@ -926,8 +972,17 @@ def q20_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chunk_tokens").cast("long").alias("chunk_tokens_total"),
         )
     )
-    return pack_sequences(base, budget_tokens=512, n_shards=8).join(
-        chunk_stats, "doc_id"
+    cleaned = dedup.remove_duplicate_spans(
+        docs.select("doc_id", "text"), min_len=5
+    ).select(
+        "doc_id",
+        F.col("n_tokens_dropped").alias("span_tokens_dropped"),
+        F.md5(F.col("text")).alias("cleaned_fingerprint"),
+    )
+    return (
+        pack_sequences(base, budget_tokens=512, n_shards=8)
+        .join(chunk_stats, "doc_id")
+        .join(cleaned, "doc_id")
     )
 
 

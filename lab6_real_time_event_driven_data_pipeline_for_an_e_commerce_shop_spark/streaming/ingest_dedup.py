@@ -26,7 +26,10 @@ State is bounded: the fingerprint store holds one 32-char row per
 DISTINCT text ever seen (the minimum any exact dedup must remember),
 never the texts. A doc id re-sent with EDITED text hashes fresh and
 UPDATES its kept row (last-writer-wins per id); the superseded text
-stays in the seen set — re-sending the old bytes still dedups.
+stays in the seen set — re-sending the old bytes still dedups — until
+:meth:`DedupIngest.compact` rebuilds the store from the live corpus
+(r13: the between-waves GC that keeps a years-long landing service's
+state proportional to kept docs, not ingest history).
 """
 
 from __future__ import annotations
@@ -77,11 +80,7 @@ class DedupIngest:
         # a deterministic winner (highest text hash, the QualityIngest
         # rule), THEN pick the first arrival per fingerprint.
         batch = _one_row_per_id(batch, self.id_col, self.text_col)
-        fp = F.md5(
-            F.lower(
-                F.regexp_replace(F.trim(F.col(self.text_col)), r"\s+", " ")
-            )
-        )
+        fp = _exact_fp(F.col(self.text_col))
         # in-batch first arrival: lowest id per fingerprint (with the
         # per-id dedup above, the kept MERGE source is key-unique per
         # fp AND per id)
@@ -93,6 +92,7 @@ class DedupIngest:
             .drop("_rn")
         )
         store_path = self._path("fingerprints")
+        _finish_store_compaction(store_path)
         if os.path.isdir(store_path):
             seen = self.spark.read.parquet(store_path).select("_fp")
             firsts = firsts.join(seen, "_fp", "left_anti")
@@ -144,7 +144,86 @@ class DedupIngest:
         return self.spark.read.parquet(self._path("kept"))
 
     def fingerprints(self) -> DataFrame:
+        _finish_store_compaction(self._path("fingerprints"))
         return self.spark.read.parquet(self._path("fingerprints"))
+
+    # -- maintenance ---------------------------------------------------------
+    def compact(self) -> None:
+        """Rebuild the fingerprint store from the CURRENT kept texts —
+        store size tracks the live corpus, not ingest history (VERDICT
+        r12 #3: the additive store keeps one row per distinct text EVER
+        seen, so superseded doc versions' fingerprints linger forever
+        in a long-lived landing service).
+
+        Contract change, by design: after compaction, re-sending a
+        SUPERSEDED version's bytes is no longer deduped against history
+        (its fingerprint was dropped) — "remember what the corpus now
+        contains" replaces "remember everything ever seen". Current
+        kept texts still dedup exactly.
+
+        Safe to run BETWEEN waves only (never concurrent with
+        run_available). Crash-recoverable at every step via the fixed
+        sibling-dir swap; a compaction run right after a crash BETWEEN
+        the kept and fingerprint merges absorbs the missing fingerprint
+        rows (kept is merged first), and the replayed batch then
+        no-ops. Kept texts carry pairwise-distinct fingerprints by the
+        admission invariant (a text is only merged when its fingerprint
+        was absent from the store), so the rebuilt store is key-unique.
+        """
+        store_path = self._path("fingerprints")
+        _finish_store_compaction(store_path)
+        if not os.path.isdir(store_path):
+            return
+        compacted = self.kept().select(
+            _exact_fp(F.col(self.text_col)).alias("_fp"),
+            F.col(self.id_col).alias("keep_id"),
+        )
+        _swap_store(compacted, store_path)
+
+
+def _exact_fp(text: F.Column) -> F.Column:
+    """The exact-dedup fingerprint: md5 of the whitespace-normalized,
+    lowercased text — shared by the per-batch gate and compaction (the
+    rebuilt store must hash EXACTLY like the additive one)."""
+    return F.md5(F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")))
+
+
+def _finish_store_compaction(store_path: str) -> None:
+    """Recover a store from a crash inside :func:`_swap_store`. The
+    swap uses FIXED sibling names so recovery is decidable from the
+    directory state alone:
+
+      store missing + __compact_new present  → the old store was moved
+        aside but the new one not yet moved in: finish the swap.
+      store missing + only __compact_old     → cannot happen (the new
+        dir is written before the old is moved) — restore the old
+        store defensively anyway.
+      store present                          → any leftover __compact_*
+        dirs are orphans from a crash before/after the swap: drop them.
+    """
+    new, old = store_path + "__compact_new", store_path + "__compact_old"
+    if not os.path.isdir(store_path):
+        if os.path.isdir(new):
+            os.rename(new, store_path)
+        elif os.path.isdir(old):
+            os.rename(old, store_path)
+    for p in (new, old):
+        if os.path.isdir(p):
+            shutil.rmtree(p, ignore_errors=True)
+
+
+def _swap_store(compacted: DataFrame, store_path: str) -> None:
+    """Replace ``store_path`` with ``compacted``, crash-recoverable at
+    every step (finish with :func:`_finish_store_compaction`):
+    write the new generation to a sibling dir first, then two renames.
+    The only window where ``store_path`` itself is absent is between
+    the renames, and recovery completes the swap from the fixed
+    sibling names."""
+    new, old = store_path + "__compact_new", store_path + "__compact_old"
+    compacted.write.mode("overwrite").parquet(new)
+    os.rename(store_path, old)
+    os.rename(new, store_path)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def _one_row_per_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -491,9 +570,14 @@ class SpanDedupIngest:
     exactly) OR its hash is in the store from a DIFFERENT document.
     Covered islands are removed; EVERY document is kept (possibly with
     empty text), at remove_spans grain (id, text, n_tokens,
-    n_tokens_dropped). Re-sent ids update their kept row
-    (last-writer-wins per id) and are deduped against the REST of the
-    corpus only.
+    n_tokens_dropped). Kept text carries remove_spans' WHITESPACE
+    contract (documented there): it is the single-space join of
+    surviving tokens, so tabs/newlines/space-runs are normalized even
+    in documents with zero removed spans — cleaned text is a canonical
+    function of the token survivors, which is what makes replay and
+    the store's "windows of what the corpus contains" invariant exact.
+    Re-sent ids update their kept row (last-writer-wins per id) and
+    are deduped against the REST of the corpus only.
 
     State: winhashes/ = (_h, src_id) — one row per (cleaned-text
     window, contributing doc). Storing CLEANED-text windows keeps the
@@ -504,8 +588,9 @@ class SpanDedupIngest:
     merges idempotent) or the post-batch store (own hashes
     self-excluded, other batch docs' shared passages were removed from
     their cleaned texts too ⇒ identical again). The store is ADDITIVE
-    (a superseded version's windows linger — the DedupIngest
-    fingerprints contract).
+    between compactions (a superseded version's windows linger — the
+    DedupIngest fingerprints contract); :meth:`compact` (r13) rebuilds
+    it from the live kept texts between waves.
 
     Scale: window hashing is corpus-linear (the duplicate_spans
     substrate); the store probe is an equi-join on the 48-bit hash
@@ -537,7 +622,32 @@ class SpanDedupIngest:
     kept = DedupIngest.kept
 
     def winhashes(self) -> DataFrame:
+        _finish_store_compaction(self._path("winhashes"))
         return self.spark.read.parquet(self._path("winhashes"))
+
+    def compact(self) -> None:
+        """Rebuild the winhashes store from the CURRENT kept CLEANED
+        texts (VERDICT r12 #3) — drops superseded doc versions' window
+        rows, so store size tracks the live corpus. Because the store's
+        contract is already "windows of what the corpus now contains"
+        (cleaned-text windows, src_id-excluded on probe), compaction
+        here is a pure garbage collection: coverage decisions against
+        the rebuilt store are identical to the additive store for every
+        text currently kept. Safe BETWEEN waves only; crash-recoverable
+        via the fixed sibling-dir swap; a compaction right after a
+        crash between the kept and store merges absorbs the missing
+        window rows (kept merges first), and the replayed batch then
+        recomputes identical cleaned rows (src_id self-exclusion)."""
+        store_path = self._path("winhashes")
+        _finish_store_compaction(store_path)
+        if not os.path.isdir(store_path):
+            return
+        from ..operators import dedup
+
+        compacted = dedup._window_hashes(
+            self.kept(), self.min_len, self.text_col, self.id_col
+        ).select("_h", F.col("_id").alias("src_id")).distinct()
+        _swap_store(compacted, store_path)
 
     def _process(self, batch: DataFrame, batch_id: int) -> None:
         from ..operators import dedup
@@ -553,6 +663,7 @@ class SpanDedupIngest:
         )
         covered = w.join(dup_in_batch, "_h", "left_semi")
         store_path = self._path("winhashes")
+        _finish_store_compaction(store_path)
         if os.path.isdir(store_path):
             store = self.spark.read.parquet(store_path)
             hit = w.join(
@@ -569,19 +680,24 @@ class SpanDedupIngest:
             self.text_col,
             self.id_col,
         )
-        new_hashes = dedup._window_hashes(
-            cleaned, k, self.text_col, self.id_col
-        ).select(
-            "_h", F.col("_id").alias("src_id")
-        ).distinct()
 
-        # materialize BEFORE the merges (cleaned/new_hashes lineage
-        # reads the winhashes store, which the store MERGE swaps out)
+        # materialize BEFORE the merges (cleaned lineage reads the
+        # winhashes store, which the store MERGE swaps out). new_hashes
+        # is derived from the MATERIALIZED rows, not the lazy `cleaned`
+        # frame — deriving from the lazy frame re-executed the whole
+        # window-hash + store-probe + span + removal pipeline a second
+        # time per micro-batch (ADVICE r12: correct but ~2x batch work).
         tmp_rows = self._path("_cleaned__tmp")
         tmp_hashes = self._path("_winhashes__tmp")
         cleaned.write.mode("overwrite").parquet(tmp_rows)
-        new_hashes.write.mode("overwrite").parquet(tmp_hashes)
         if glob.glob(os.path.join(tmp_rows, "part-*")):
+            new_hashes = dedup._window_hashes(
+                self.spark.read.parquet(tmp_rows), k, self.text_col,
+                self.id_col,
+            ).select(
+                "_h", F.col("_id").alias("src_id")
+            ).distinct()
+            new_hashes.write.mode("overwrite").parquet(tmp_hashes)
             fresh = self.spark.read.parquet(tmp_rows)
             if fresh.limit(1).count() > 0:
                 # kept FIRST, hash store second (a crash between the
@@ -649,6 +765,7 @@ class ChainedIngest:
         min_agree: int = 8,
         shingle_k: int = 3,
         span_min_len: int | None = None,
+        order: tuple[str, ...] | None = None,
         **quality_rules,
     ):
         self.spark = spark
@@ -690,11 +807,53 @@ class ChainedIngest:
             spark, os.path.join(root, "quality"), schema,
             text_col=text_col, id_col=id_col, fmt=fmt, **quality_rules,
         )
+        # r13 (VERDICT r12 #5, chain-order study): the stage ORDER is a
+        # parameter. Default = the production order (exact → spans →
+        # near → quality: each stage cheapens the next's input, and
+        # quality LAST judges the text the corpus will actually
+        # contain). Any permutation of the enabled stages is accepted
+        # so orderings can be measured; the measured + e2e-pinned
+        # hazard of non-default orders: a stage that judges text
+        # (quality) placed BEFORE a stage that REWRITES text (spans)
+        # issues verdicts on text the corpus will never contain — a
+        # fully-duplicated doc passes quality on its raw bytes, is
+        # emptied at the span stage afterwards, and the emptied doc
+        # ends up kept (the default order quarantines it at min_tokens).
+        enabled = [
+            "exact",
+            *(("spans",) if self.span is not None else ()),
+            "near", "quality",
+        ]
+        self.order = tuple(order) if order is not None else tuple(enabled)
+        if sorted(self.order) != sorted(enabled):
+            raise ValueError(
+                f"order must be a permutation of {enabled}, got {self.order}"
+            )
         os.makedirs(self.landing(), exist_ok=True)
 
     landing = DedupIngest.landing
     _path = DedupIngest._path
     run_available = DedupIngest.run_available
+
+    def _gate(self, name: str):
+        return {
+            "exact": self.exact, "spans": self.span,
+            "near": self.near, "quality": self.quality,
+        }[name]
+
+    def _stage_kept(self, name: str) -> DataFrame | None:
+        """The stage's authoritative admitted rows (None before its
+        first batch). For the quality gate 'admitted' = qc_pass
+        verdicts, projected back to (id, text) so downstream gates see
+        landing-schema rows."""
+        g = self._gate(name)
+        if name == "quality":
+            if not os.path.isdir(g._path("verdicts")):
+                return None
+            return g.kept().select(self.id_col, self.text_col)
+        if not os.path.isdir(g._path("kept")):
+            return None
+        return self.spark.read.parquet(g._path("kept"))
 
     def _stage_input(self, batch: DataFrame, kept_path: str) -> DataFrame | None:
         """(this batch's ids) ∩ (upstream kept table), upstream rows
@@ -708,28 +867,36 @@ class ChainedIngest:
         )
 
     def _process(self, batch: DataFrame, batch_id: int) -> None:
-        self.exact._process(batch, batch_id)
-        stage1 = self._stage_input(batch, self.exact._path("kept"))
-        if stage1 is None:
-            return
-        if self.span is not None:
-            self.span._process(stage1, batch_id)
-            stage1 = self._stage_input(batch, self.span._path("kept"))
-            if stage1 is None:
+        cur = batch
+        for name in self.order:
+            self._gate(name)._process(cur, batch_id)
+            kept = self._stage_kept(name)
+            if kept is None:
                 return
-        self.near._process(stage1, batch_id)
-        stage2 = self._stage_input(batch, self.near._path("kept"))
-        if stage2 is None:
-            return
-        self.quality._process(stage2, batch_id)
+            cur = kept.join(
+                batch.select(self.id_col).distinct(),
+                self.id_col,
+                "left_semi",
+            )
 
     # -- readers: the chain's curated output is the quality verdicts
-    # over near-admitted, exact-deduped text --------------------------------
+    # over the stages that ran before it; when quality is not LAST, the
+    # chain's kept set is the final stage's admitted rows restricted to
+    # qc_pass ids (and the verdicts were issued on pre-rewrite text —
+    # the documented ordering hazard) -----------------------------------
     def verdicts(self) -> DataFrame:
         return self.quality.verdicts()
 
     def kept(self) -> DataFrame:
-        return self.quality.kept()
+        if self.order[-1] == "quality":
+            return self.quality.kept()
+        last = self._stage_kept(self.order[-1])
+        if last is None:  # nothing reached the final stage yet
+            return self.quality.kept().select(
+                self.id_col, self.text_col
+            ).limit(0)
+        ok = self.quality.kept().select(self.id_col)
+        return last.join(ok, self.id_col, "left_semi")
 
     def quarantined(self) -> DataFrame:
         return self.quality.quarantined()

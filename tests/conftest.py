@@ -52,6 +52,9 @@ _SLOW_TESTS = {
     "test_neardup_ingest_gate_matches_naive_reference",
     "test_span_dedup_ingest_matches_naive_reference",
     "test_span_dedup_ingest_crash_window_converges",
+    "test_dedup_ingest_store_compaction_tracks_live_corpus",
+    "test_span_dedup_ingest_store_compaction_tracks_live_corpus",
+    "test_chained_ingest_order_study_quality_first_leaks_emptied_docs",
     "test_neardup_ingest_crash_window_converges",
     "test_late_items_release_after_group_published",
     "test_ingest_gates_same_id_twice_in_one_batch",

@@ -2773,3 +2773,30 @@ def test_duplicate_spans_matches_naive_reference_randomized(spark):
             for d, t in docs.items()
         }
         assert got_clean == want_clean, f"seed={seed}"
+
+
+def test_remove_spans_empty_and_whitespace_docs(spark):
+    """r13 (ADVICE r12): an empty or whitespace-only document reports
+    n_tokens=0 (Spark's split('') yields [''] — one phantom token that
+    previously counted as 1) and n_tokens_dropped=0; normal docs are
+    unchanged. The single-space whitespace normalization of untouched
+    docs is the DOCUMENTED contract (see remove_spans docstring)."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        dedup,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   \t \n "), (3, "alpha  beta\tgamma")],
+        "doc_id long, text string",
+    )
+    no_spans = spark.createDataFrame(
+        [], "doc_id long, span_start long, span_end long",
+    )
+    got = {
+        r.doc_id: (r.text, r.n_tokens, r.n_tokens_dropped)
+        for r in dedup.remove_spans(df, no_spans).collect()
+    }
+    assert got[1] == ("", 0, 0)
+    assert got[2] == ("", 0, 0)
+    # documented normalization: runs of whitespace become single spaces
+    assert got[3] == ("alpha beta gamma", 3, 0)

@@ -2521,3 +2521,344 @@ def test_chained_ingest_crash_at_span_stage_converges(
     span_kept = {r.doc_id: r.text for r in chain.span.kept().collect()}
     assert "alpha beta gamma delta epsilon" not in span_kept[1]
     assert "alpha beta gamma delta epsilon" not in span_kept[2]
+
+
+# ---------------------------------------------------------------------------
+# r13: ingest-gate store compaction (VERDICT r12 #3)
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_ingest_store_compaction_tracks_live_corpus(
+    spark, tmp_path, monkeypatch
+):
+    """r13 (VERDICT r12 #3): DedupIngest.compact() rebuilds the
+    fingerprint store from the CURRENT kept texts. Pins, in order:
+    (1) after supersedes, the additive store exceeds the live corpus
+    and compaction shrinks it to exactly one row per kept doc, with the
+    fingerprints equal to the kept texts' (store tracks live corpus,
+    not ingest history);
+    (2) the documented contract change: a superseded version's bytes,
+    re-sent under a NEW id after compaction, are ADMITTED (they would
+    have been deduped before);
+    (3) replay convergence ACROSS the compaction boundary: a crash
+    between the kept and fingerprint merges, followed by compact()
+    (which absorbs the kept-but-unfingerprinted rows), followed by the
+    checkpointed replay — ends byte-identical to a clean run's kept
+    set, with no duplicate rows and store == kept."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        upsert,
+    )
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.ingest_dedup import (
+        DedupIngest,
+        _exact_fp,
+    )
+
+    root = str(tmp_path)
+    gate = DedupIngest(spark, root, schema="doc_id long, text string")
+
+    def _feed(name, docs):
+        with open(os.path.join(root, "landing", name), "w") as f:
+            for d, t in docs:
+                f.write(_json.dumps({"doc_id": d, "text": t}) + "\n")
+
+    _feed("w1.json", [(1, "alpha beta"), (2, "gamma")])
+    gate.run_available()
+    # doc 1 re-sent EDITED (supersedes "alpha beta"); doc 3 new
+    _feed("w2.json", [(1, "alpha beta version two"), (3, "delta")])
+    gate.run_available()
+
+    kept = {r.doc_id: r.text for r in gate.kept().collect()}
+    assert kept == {1: "alpha beta version two", 2: "gamma", 3: "delta"}
+    # additive store: 4 fingerprints (incl. the superseded "alpha beta")
+    assert gate.fingerprints().count() == 4
+
+    # (1) compaction: store == fingerprints of current kept texts
+    gate.compact()
+    store = {r._fp for r in gate.fingerprints().collect()}
+    want = {
+        r._fp
+        for r in gate.kept()
+        .select(_exact_fp(F.col("text")).alias("_fp"))
+        .collect()
+    }
+    assert store == want and len(store) == 3
+
+    # (2) contract change: superseded bytes under a new id now admitted
+    _feed("w3.json", [(9, "alpha beta")])
+    gate.run_available()
+    assert 9 in {r.doc_id for r in gate.kept().collect()}
+
+    # (3) crash between merges → compact → replay converges
+    _feed("w4.json", [(10, "epsilon"), (11, "gamma")])
+    real_merge = upsert.merge
+
+    def _boom(spark_, path, src, **kw):
+        if path.endswith("fingerprints"):
+            raise RuntimeError("crash before fingerprint merge")
+        return real_merge(spark_, path, src, **kw)
+
+    monkeypatch.setattr(upsert, "merge", _boom)
+    with pytest.raises(Exception, match="crash before fingerprint merge"):
+        gate.run_available()
+    monkeypatch.setattr(upsert, "merge", real_merge)
+
+    gate.compact()  # compaction over the half-committed state
+    # the crash window left doc 10 kept but unfingerprinted; compaction
+    # absorbed its fingerprint from the kept table
+    assert 10 in {r.doc_id for r in gate.kept().collect()}
+    assert gate.fingerprints().count() == gate.kept().count()
+
+    gate.run_available()  # checkpointed replay of the crashed batch
+    kept_rows = gate.kept().collect()
+    assert {r.doc_id for r in kept_rows} == {1, 2, 3, 9, 10}  # 11 deduped
+    assert len(kept_rows) == 5
+    assert gate.fingerprints().count() == 5
+
+    # replay again: byte-stable no-op
+    before = sorted(map(tuple, kept_rows))
+    gate.run_available()
+    assert sorted(map(tuple, gate.kept().collect())) == before
+
+
+def test_span_dedup_ingest_store_compaction_tracks_live_corpus(
+    spark, tmp_path, monkeypatch
+):
+    """r13 (VERDICT r12 #3): SpanDedupIngest.compact() rebuilds the
+    winhashes store from the CURRENT kept cleaned texts — a pure GC
+    here, because the store's contract is already 'windows of what the
+    corpus now contains'. Pins: (1) superseded versions' window rows
+    are dropped and the rebuilt store equals the window relation of the
+    live kept texts exactly; (2) coverage decisions after compaction
+    are unchanged (a later wave repeating a LIVE passage is still cut);
+    (3) crash between the kept and winhashes merges, then compact(),
+    then replay — kept AND store end byte-identical to a clean
+    (crash-free, compaction-free) twin run."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        dedup,
+        upsert,
+    )
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.ingest_dedup import (
+        SpanDedupIngest,
+    )
+
+    K = 4
+
+    def _feed(root, name, docs):
+        with open(os.path.join(root, "landing", name), "w") as f:
+            for d, t in docs:
+                f.write(_json.dumps({"doc_id": d, "text": t}) + "\n")
+
+    root = str(tmp_path / "main")
+    gate = SpanDedupIngest(
+        spark, root, schema="doc_id long, text string", min_len=K
+    )
+    _feed(root, "w1.json", [
+        (1, "alpha beta gamma delta epsilon unique tail"),
+        (2, "totally different second document body here"),
+    ])
+    gate.run_available()
+    # supersede doc 1 with disjoint text: its old windows linger
+    _feed(root, "w2.json", [(1, "replacement words with no overlap at all")])
+    gate.run_available()
+    pre = gate.winhashes().count()
+
+    # (1) rebuilt store == windows of live kept texts, strictly smaller
+    gate.compact()
+    store = sorted(
+        (r._h, r.src_id) for r in gate.winhashes().collect()
+    )
+    want = sorted(
+        (r._h, r.src_id)
+        for r in dedup._window_hashes(gate.kept(), K, "text", "doc_id")
+        .select("_h", F.col("_id").alias("src_id"))
+        .distinct()
+        .collect()
+    )
+    assert store == want
+    assert len(store) < pre
+
+    # (2) a later wave repeating a LIVE passage is still cut
+    _feed(root, "w3.json", [(3, "replacement words with no overlap plus")])
+    gate.run_available()
+    got3 = {r.doc_id: r.text for r in gate.kept().collect()}[3]
+    assert "replacement words with no overlap" not in got3
+
+    # (3) crash window + compact + replay == clean twin
+    _feed(root, "w4.json", [(4, "different second document body here plus fresh tail tokens")])
+    real_merge = upsert.merge
+
+    def _boom(spark_, path, src, **kw):
+        if "winhashes" in path:
+            raise RuntimeError("crash before hash-store merge")
+        return real_merge(spark_, path, src, **kw)
+
+    monkeypatch.setattr(upsert, "merge", _boom)
+    with pytest.raises(Exception, match="crash before hash-store merge"):
+        gate.run_available()
+    monkeypatch.setattr(upsert, "merge", real_merge)
+    gate.compact()
+    gate.run_available()
+
+    clean_root = str(tmp_path / "clean")
+    clean = SpanDedupIngest(
+        spark, clean_root, schema="doc_id long, text string", min_len=K
+    )
+    for i, wave in enumerate([
+        [(1, "alpha beta gamma delta epsilon unique tail"),
+         (2, "totally different second document body here")],
+        [(1, "replacement words with no overlap at all")],
+        [(3, "replacement words with no overlap plus")],
+        [(4, "different second document body here plus fresh tail tokens")],
+    ]):
+        _feed(clean_root, f"w{i}.json", wave)
+        clean.run_available()
+
+    assert sorted(map(tuple, gate.kept().collect())) == sorted(
+        map(tuple, clean.kept().collect())
+    )
+    # after one final compaction on BOTH, the stores agree too (the
+    # clean twin still carries doc 1's superseded windows until GC'd)
+    clean.compact()
+    gate.compact()
+    assert sorted(map(tuple, gate.winhashes().collect())) == sorted(
+        map(tuple, clean.winhashes().collect())
+    )
+
+
+def test_store_compaction_swap_crash_recovery(spark, tmp_path):
+    """The compaction swap's three crash windows recover from directory
+    state alone (fixed sibling names): (a) crash mid-write of the new
+    generation → store untouched, orphan dropped; (b) crash between the
+    two renames (store absent, __compact_new complete) → recovery
+    finishes the swap; (c) crash after the swap but before the old
+    generation's cleanup → orphan dropped, store kept."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.ingest_dedup import (
+        _finish_store_compaction,
+    )
+
+    def _mk(path, vals):
+        spark.createDataFrame(
+            [(v,) for v in vals], "x long"
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+
+    def _vals(path):
+        return sorted(r.x for r in spark.read.parquet(path).collect())
+
+    # (a) partial new generation while the store is live
+    store = str(tmp_path / "a" / "store")
+    _mk(store, [1, 2])
+    _mk(store + "__compact_new", [9])  # pretend: incomplete/stale
+    _finish_store_compaction(store)
+    assert _vals(store) == [1, 2]
+    assert not os.path.isdir(store + "__compact_new")
+
+    # (b) between the renames: store gone, new complete, old present
+    store = str(tmp_path / "b" / "store")
+    _mk(store, [1, 2])
+    _mk(store + "__compact_new", [3, 4])
+    os.rename(store, store + "__compact_old")
+    _finish_store_compaction(store)
+    assert _vals(store) == [3, 4]
+    assert not os.path.isdir(store + "__compact_old")
+
+    # (c) swap done, old cleanup missed
+    store = str(tmp_path / "c" / "store")
+    _mk(store, [3, 4])
+    _mk(store + "__compact_old", [1, 2])
+    _finish_store_compaction(store)
+    assert _vals(store) == [3, 4]
+    assert not os.path.isdir(store + "__compact_old")
+
+
+def test_chained_ingest_order_study_quality_first_leaks_emptied_docs(
+    spark, tmp_path
+):
+    """r13 (VERDICT r12 #5, chain-order study): stage order is now a
+    parameter; this pins the MEASURED semantic hazard of quality-first
+    ordering. A doc whose text is entirely a duplicated passage:
+
+    - default order (exact → spans → near → QUALITY): emptied at the
+      span stage, then QUARANTINED at quality (min_tokens) — the
+      curated set never contains it;
+    - quality-first (QUALITY → exact → spans → near): quality passes
+      the doc on its RAW bytes, the span stage empties it afterwards,
+      and the emptied doc ends up in the chain's kept set with empty
+      text — a verdict issued on text the corpus no longer contains.
+
+    Both orders agree exactly on docs the rewrite stage does not
+    judge differently (the survivors' cleaned texts are identical)."""
+    import json as _json
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.ingest_dedup import (
+        ChainedIngest,
+    )
+
+    passage = "alpha beta gamma delta epsilon"
+    w1 = [
+        (1, f"{passage} unique tail one two"),
+        (2, f"{passage} other extra xyz tokens"),
+        (3, passage),  # fully duplicated: emptied by the span stage
+    ]
+
+    def _feed(root, name, docs):
+        with open(os.path.join(root, "landing", name), "w") as f:
+            for d, t in docs:
+                f.write(_json.dumps({"doc_id": d, "text": t}) + "\n")
+
+    default_root = str(tmp_path / "default")
+    default = ChainedIngest(
+        spark, default_root, schema="doc_id long, text string",
+        span_min_len=4, min_tokens=3,
+    )
+    assert default.order == ("exact", "spans", "near", "quality")
+    _feed(default_root, "w1.json", w1)
+    default.run_available()
+
+    qfirst_root = str(tmp_path / "qfirst")
+    qfirst = ChainedIngest(
+        spark, qfirst_root, schema="doc_id long, text string",
+        span_min_len=4, min_tokens=3,
+        order=("quality", "exact", "spans", "near"),
+    )
+    _feed(qfirst_root, "w1.json", w1)
+    qfirst.run_available()
+
+    d_kept = {r.doc_id: r.text for r in default.kept().collect()}
+    q_kept = {r.doc_id: r.text for r in qfirst.kept().collect()}
+
+    # default: doc 3 quarantined (emptied, then judged on cleaned text)
+    assert set(d_kept) == {1, 2}
+    assert 3 in {r.doc_id for r in default.quarantined().collect()}
+    # quality-first: doc 3 LEAKS into kept with empty text (judged on
+    # raw bytes before the rewrite)
+    assert set(q_kept) == {1, 2, 3}
+    assert q_kept[3] == ""
+    q_verdicts = {
+        r.doc_id: r.qc_pass for r in qfirst.verdicts().collect()
+    }
+    assert q_verdicts[3] is True  # the verdict predates the rewrite
+    # survivors' cleaned texts agree across orders
+    assert {i: d_kept[i] for i in (1, 2)} == {i: q_kept[i] for i in (1, 2)}
+    assert passage not in q_kept[1] and passage not in q_kept[2]
+
+
+def test_chained_ingest_order_validation(tmp_path):
+    """The order parameter must be a permutation of the ENABLED stages
+    (spans only when span_min_len is set)."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.ingest_dedup import (
+        ChainedIngest,
+    )
+
+    with pytest.raises(ValueError, match="permutation"):
+        ChainedIngest(
+            None, str(tmp_path / "chk"), "doc_id long, text string",
+            order=("quality", "exact", "spans", "near"),  # spans disabled
+        )

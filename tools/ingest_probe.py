@@ -87,7 +87,7 @@ def probe(gate_cls, name: str, spark, wave_docs: int, n_waves: int,
     per_wave = []
     for w in range(n_waves):
         df = _wave_df(spark, w, wave_docs, dup_pct,
-                      edit=(name in ("near", "chain", "chain4")))
+                      edit=(name in ("near", "chain", "chain4", "chain4_qfirst")))
         df.coalesce(1).write.mode("overwrite").json(
             os.path.join(root, "landing", f"w{w}")
         )
@@ -116,7 +116,7 @@ def probe(gate_cls, name: str, spark, wave_docs: int, n_waves: int,
         # miss envelope disappears (window hashes are exact)
         "expected_kept": (
             n_waves * wave_docs - n_dups + (1 if n_dups else 0)
-            if name == "chain4"
+            if name in ("chain4", "chain4_qfirst")
             else n_waves * wave_docs - n_dups
         ),
         # the near gate is LSH-mediated: ~1% of true dups miss every
@@ -124,11 +124,83 @@ def probe(gate_cls, name: str, spark, wave_docs: int, n_waves: int,
         # span, and chain4 are hash-exact (identical stubs always
         # collide and agree 16/16 — zero tolerance)
         "tolerance": (
-            0 if name in ("exact", "span", "chain4")
+            0 if name in ("exact", "span", "chain4", "chain4_qfirst")
             else max(2, n_dups * 3 // 100)
         ),
         # (chain: same LSH envelope — its rejections are the near stage's)
         "wave_secs": [p["secs"] for p in per_wave],
+    }
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def compaction_probe(gate_cls, name: str, spark, n_docs: int,
+                     n_versions: int, **gate_kw) -> dict:
+    """r13 (VERDICT r12 #3): every wave RE-SENDS the same n_docs ids
+    with edited text (version v appends a fresh token set), so the
+    live corpus stays n_docs while the ADDITIVE store accumulates one
+    generation of state per superseded version. compact() must bring
+    the store back to exactly the live corpus's state rows:
+    exact gate → one fingerprint per kept doc; span gate → the distinct
+    window rows of the kept cleaned texts."""
+    root = tempfile.mkdtemp(prefix=f"ingest_probe_compact_{name}_")
+    gate = gate_cls(spark, root, schema="doc_id long, text string",
+                    fmt="json", **gate_kw)
+    store_fn = (
+        (lambda g: g.fingerprints().count())
+        if name == "exact"
+        else (lambda g: g.winhashes().count())
+    )
+    for v in range(n_versions):
+        toks = F.transform(
+            F.sequence(F.lit(0), F.lit(11)),
+            lambda i: F.concat(
+                F.lit("v"),
+                F.pmod(
+                    F.xxhash64(F.col("id"), F.lit(v), i), F.lit(100000)
+                ).cast("string"),
+            ),
+        )
+        df = spark.range(0, n_docs).select(
+            F.col("id").alias("doc_id"), F.array_join(toks, " ").alias("text")
+        )
+        df.coalesce(1).write.mode("overwrite").json(
+            os.path.join(root, "landing", f"v{v}")
+        )
+        for f in os.listdir(os.path.join(root, "landing", f"v{v}")):
+            if f.endswith(".json"):
+                os.rename(
+                    os.path.join(root, "landing", f"v{v}", f),
+                    os.path.join(root, "landing", f"version{v}.json"),
+                )
+        shutil.rmtree(os.path.join(root, "landing", f"v{v}"))
+        gate.run_available()
+        print(json.dumps({
+            "gate": f"compact_{name}", "version": v,
+            "kept": gate.kept().count(), "store_rows": store_fn(gate),
+        }), flush=True)
+    before = store_fn(gate)
+    t0 = time.perf_counter()
+    gate.compact()
+    secs = round(time.perf_counter() - t0, 2)
+    after = store_fn(gate)
+    if name == "exact":
+        expected = gate.kept().count()
+    else:
+        from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (  # noqa: E501
+            dedup,
+        )
+        expected = (
+            dedup._window_hashes(
+                gate.kept(), gate.min_len, "text", "doc_id"
+            ).select("_h", "_id").distinct().count()
+        )
+    out = {
+        "gate": f"compact_{name}", "n_docs": n_docs,
+        "n_versions": n_versions, "store_before": before,
+        "store_after": after, "expected_live": expected,
+        "compact_secs": secs,
+        "store_tracks_live_corpus": after == expected and after < before,
     }
     shutil.rmtree(root, ignore_errors=True)
     return out
@@ -170,12 +242,39 @@ def main() -> None:
               n_waves, dup_pct,
               count_fn=lambda g: g.verdicts().count(),
               span_min_len=5, min_tokens=3),
+        # r13 chain-ORDER study (VERDICT r12 #5): quality FIRST. Same
+        # admission arithmetic as chain4 (the stub collapse moves to
+        # the trailing near stage; raw texts all pass min_tokens), but
+        # quality now scores EVERY landing row — including the dups the
+        # dedup stages would have rejected — and its verdicts predate
+        # the span rewrite (the leak hazard is e2e-pinned; here we
+        # measure the wall-time cost of the order)
+        # (max_digit_ratio relaxed: the synthetic 'w12345' tokens are
+        # digit-heavy; with quality FIRST a fired rule gates ADMISSION,
+        # so the probe's zero-tolerance arithmetic needs every raw doc
+        # to pass — in chain4 the same verdicts are informational)
+        probe(ChainedIngest, "chain4_qfirst", spark,
+              max(wave_docs // 4, 1000), n_waves, dup_pct,
+              count_fn=lambda g: g.kept().count(),
+              span_min_len=5, min_tokens=3, max_digit_ratio=1.0,
+              order=("quality", "exact", "spans", "near")),
     ]
     for r in results:
         ok = abs(r["kept_final"] - r["expected_kept"]) <= r["tolerance"]
         print(json.dumps({**r, "kept_matches_expected": ok}), flush=True)
         if not ok:
             raise SystemExit(f"FAIL: {r['gate']} kept mismatch")
+
+    # r13: store compaction — superseded versions' state must be GC-able
+    for r in [
+        compaction_probe(DedupIngest, "exact", spark,
+                         max(wave_docs // 4, 1000), 4),
+        compaction_probe(SpanDedupIngest, "span", spark,
+                         max(wave_docs // 16, 500), 4, min_len=5),
+    ]:
+        print(json.dumps(r), flush=True)
+        if not r["store_tracks_live_corpus"]:
+            raise SystemExit(f"FAIL: {r['gate']} compaction mismatch")
 
 
 if __name__ == "__main__":
