@@ -556,6 +556,7 @@ def duplicate_spans(
     min_len: int = 50,
     text_col: str = "text",
     id_col: str = "doc_id",
+    with_provenance: bool = False,
 ) -> DataFrame:
     """ExactSubstr-class duplicate-passage detection (Lee et al. 2021,
     "Deduplicating Training Data Makes Language Models Better"): every
@@ -583,9 +584,27 @@ def duplicate_spans(
     gaps-and-islands window (pos − row_number) per doc. Everything
     shuffles on hash or doc id; the hot-hash skew ceiling is the same
     rank-window shape q24 bounds with its df cut. Hash grain is
-    md5-48bit (collision-free in practice, oracle-portable)."""
+    md5-48bit (collision-free in practice, oracle-portable).
+
+    ``with_provenance`` (r13) adds ``n_sharing_docs``: the number of
+    DISTINCT documents (including this one) carrying any of the span's
+    covered-window hashes — 1 ⇒ purely within-doc repetition, ≥2 ⇒
+    cross-document duplication (the boilerplate/license-header class).
+    Cost: one extra window-grain equi-join on the hash (covered rows ×
+    all windows) + a per-island distinct count — corpus-linear, and
+    only the COVERED windows (already ≥2 occurrences) join."""
+    from pyspark.sql import Window
+
     k = int(min_len)
     w = _window_hashes(df, k, text_col, id_col)
+    if with_provenance:
+        # three consumers below (occurrence counts, the covered semi-
+        # join, the sharing join) — Spark does not CSE identical
+        # subtrees across join branches (the r12 maxscore lesson), so
+        # uncached the corpus would be tokenized+hashed once per branch
+        from ..functions.cache import bounded_cache
+
+        w = bounded_cache("dedup.duplicate_spans_w", w)
     dup = (
         w.groupBy("_h")
         .agg(F.count(F.lit(1)).alias("_c"))
@@ -593,7 +612,38 @@ def duplicate_spans(
         .select("_h")
     )
     cov = w.join(dup, "_h", "left_semi")
-    return _spans_from_covered(cov, k, id_col)
+    if not with_provenance:
+        return _spans_from_covered(cov, k, id_col)
+    isl = bounded_cache(
+        "dedup.duplicate_spans_isl",
+        cov.withColumn(
+            "_grp",
+            F.col("_pos")
+            - F.row_number().over(Window.partitionBy("_id").orderBy("_pos")),
+        ),
+    )
+    sharing = (
+        isl.select("_id", "_grp", "_h")
+        .join(w.select(F.col("_id").alias("_id2"), "_h"), "_h")
+        .groupBy("_id", "_grp")
+        .agg(F.countDistinct("_id2").cast("long").alias("n_sharing_docs"))
+    )
+    spans = isl.groupBy("_id", "_grp").agg(
+        F.min("_pos").cast("long").alias("span_start"),
+        (F.max("_pos") + (k - 1)).cast("long").alias("span_end"),
+    )
+    return (
+        spans.join(sharing, ["_id", "_grp"])
+        .select(
+            F.col("_id").alias(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("long")
+            .alias("span_tokens"),
+            "n_sharing_docs",
+        )
+    )
 
 
 def _window_hashes(

@@ -4283,17 +4283,24 @@ _Q64_ORACLE = r"""
     ), dup AS (
         SELECT h FROM w GROUP BY h HAVING COUNT(*) >= 2
     ), cov AS (
-        SELECT doc_id, pos FROM w WHERE h IN (SELECT h FROM dup)
+        SELECT doc_id, pos, h FROM w WHERE h IN (SELECT h FROM dup)
     ), isl AS (
-        SELECT doc_id, pos,
+        SELECT doc_id, pos, h,
                pos - row_number() OVER (
                    PARTITION BY doc_id ORDER BY pos) AS grp
         FROM cov
+    ), share AS (
+        SELECT i.doc_id, i.grp,
+               COUNT(DISTINCT w2.doc_id) AS n_sharing_docs
+        FROM isl i JOIN w w2 ON w2.h = i.h
+        GROUP BY i.doc_id, i.grp
     )
-    SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+    SELECT isl.doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
            CAST(MAX(pos) + 4 AS BIGINT) AS span_end,
-           CAST(MAX(pos) - MIN(pos) + 5 AS BIGINT) AS span_tokens
-    FROM isl GROUP BY doc_id, grp
+           CAST(MAX(pos) - MIN(pos) + 5 AS BIGINT) AS span_tokens,
+           CAST(ANY_VALUE(s.n_sharing_docs) AS BIGINT) AS n_sharing_docs
+    FROM isl JOIN share s ON s.doc_id = isl.doc_id AND s.grp = isl.grp
+    GROUP BY isl.doc_id, isl.grp
 """
 
 
@@ -4305,10 +4312,15 @@ def q64_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     real corpus (the 31-word vocabulary repeats 5-grams across docs; 71
     spans at sf0.01). The oracle is the pure gaps-and-islands relational
     form, parity-pinned on planted and real corpora and sim-verified
-    under SPARK_GRAFT_SIM_PARKED through r12 before promotion."""
+    under SPARK_GRAFT_SIM_PARKED through r12 before promotion.
+
+    r13 depth: ``n_sharing_docs`` — span provenance (distinct docs
+    carrying any of the span's window hashes; 1 ⇒ within-doc
+    repetition, ≥2 ⇒ cross-document boilerplate), the signal that
+    decides whether removal or a doc-level dedup is the right tool."""
     from ..operators import dedup
 
     docs = _t(spark, sf_dir, "documents")
     return dedup.duplicate_spans(
-        docs.select("doc_id", "text"), min_len=5
+        docs.select("doc_id", "text"), min_len=5, with_provenance=True
     )

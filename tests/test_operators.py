@@ -2800,3 +2800,47 @@ def test_remove_spans_empty_and_whitespace_docs(spark):
     assert got[2] == ("", 0, 0)
     # documented normalization: runs of whitespace become single spaces
     assert got[3] == ("alpha beta gamma", 3, 0)
+
+
+def test_duplicate_spans_provenance_counts(spark):
+    """r13: with_provenance=True adds n_sharing_docs — distinct docs
+    (incl. self) carrying any of the span's covered-window hashes.
+    Planted: a passage shared by docs 1 and 2 (n_sharing_docs=2 on
+    both hosts), a within-doc repetition in doc 3 (n_sharing_docs=1),
+    and the default output is unchanged when the flag is off."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        dedup,
+    )
+
+    passage = "p1 p2 p3 p4 p5"
+    df = spark.createDataFrame(
+        [
+            (1, f"a1 a2 {passage} a3 a4"),
+            (2, f"{passage} b1 b2 b3 b4"),
+            (3, "rep one two can rep one two can rep one two can"),
+            (4, "novel words that appear nowhere else at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end): (r.span_tokens, r.n_sharing_docs)
+        for r in dedup.duplicate_spans(
+            df, min_len=4, with_provenance=True
+        ).collect()
+    }
+    # docs 1/2: the shared 5-token passage -> 2 sharing docs
+    assert got[(1, 2, 6)] == (5, 2)
+    assert got[(2, 0, 4)] == (5, 2)
+    # doc 3: "rep one two can" repeats 3x within ONE doc -> full-doc
+    # span, 1 sharing doc
+    (k3,) = [k for k in got if k[0] == 3]
+    assert got[k3][1] == 1
+    assert 4 not in {k[0] for k in got}
+    # flag off: identical rows minus the provenance column
+    plain = sorted(
+        tuple(r)
+        for r in dedup.duplicate_spans(df, min_len=4).collect()
+    )
+    assert plain == sorted(
+        (d, s, e, t) for (d, s, e), (t, _) in got.items()
+    )
