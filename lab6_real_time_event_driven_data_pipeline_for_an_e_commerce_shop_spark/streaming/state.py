@@ -21,6 +21,7 @@ from decimal import ROUND_HALF_UP, Decimal
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.streaming.stateful_processor import StatefulProcessor
@@ -79,6 +80,127 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         stateStructType=STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# --- GroupState session tracker (applyInPandasWithState, runs TODAY) --------
+
+
+# epoch-µs event-time column added JVM-side before the fold: the Python
+# worker only ever sees int64 epochs, never a timestamp rendering — the
+# operator is timezone-invariant by construction (the repo-wide epoch
+# discipline; pandas' session-tz-localized naive timestamps never enter).
+_SESSION_TS_US = "__session_ts_us"
+
+
+def _session_fold(gap_us: int):
+    """Build the per-key fold for ``tracked_sessions_gs``. Defined via a
+    factory so the closure (carrying ``gap_us``) cloudpickles BY VALUE —
+    the Python worker never needs this package importable (the same
+    contract as ``make_session_tracker``)."""
+
+    gap_ms = gap_us // 1000
+
+    def _fold(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        def emit(st):
+            return pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start_us": [st[0]],
+                    "session_end_us": [st[1]],
+                    "n_events": [st[2]],
+                }
+            )
+
+        if state.hasTimedOut:
+            # The timeout is reconfigured on every update, so an expiry
+            # always refers to the CURRENT state's horizon — no stale-
+            # timer guard needed (unlike transformWithState timers).
+            if state.exists:
+                st = tuple(state.get)
+                state.remove()
+                yield emit(st)
+            return
+        ts_us: list[int] = []
+        for pdf in pdfs:
+            ts_us.extend(int(v) for v in pdf[_SESSION_TS_US])
+        if not ts_us:
+            return
+        # Interval-merge fold (same contract as make_session_tracker):
+        # each event is a (t, t, 1) atom, the carried state an
+        # (start, last, n) atom; sort by start and merge adjacent atoms
+        # whose boundary gap is <= gap_us. Cross-batch out-of-order
+        # events join the NEAREST session boundary; state stays
+        # monotone (last_us never moves backwards).
+        atoms = [(t, t, 1) for t in ts_us]
+        if state.exists:
+            atoms.append(tuple(state.get))
+        atoms.sort()
+        merged = [atoms[0]]
+        for a in atoms[1:]:
+            cur = merged[-1]
+            if a[0] - cur[1] <= gap_us:
+                merged[-1] = (cur[0], max(cur[1], a[1]), cur[2] + a[2])
+            else:
+                merged.append(a)
+        st = merged[-1]
+        for c in merged[:-1]:
+            yield emit(c)
+        horizon_ms = st[1] // 1000 + gap_ms
+        if horizon_ms <= state.getCurrentWatermarkMs():
+            # The trailing session's idle horizon already passed the
+            # watermark (a late-but-admissible key re-appearing after a
+            # long gap): event-time timeouts can only be set ABOVE the
+            # watermark, and semantically the session IS closed — emit
+            # now and keep no state.
+            if state.exists:
+                state.remove()
+            yield emit(st)
+            return
+        state.update(st)
+        state.setTimeoutTimestamp(horizon_ms)
+
+    return _fold
+
+
+def tracked_sessions_gs(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Gap-based streaming sessionization on the ``applyInPandasWithState``
+    GroupState API — the variant that runs WITHOUT the
+    transformWithState Python protocol (which needs google.protobuf,
+    absent in some deployments): append-mode rows (user_id,
+    session_start_us, session_end_us, n_events), one per CLOSED
+    session. A session closes either inline (a later event of the same
+    key lands more than ``gap`` past it) or by EVENT-TIME TIMEOUT once
+    the watermark passes ``last_seen + gap`` — state is one fixed-width
+    tuple per ACTIVE user, evicted at close; shuffles only on user_id.
+
+    Semantics match the batch twin q18 (plans/queries.py) and the
+    transformWithState tracker (``tracked_sessions``): same 30-min-gap
+    session grain, same interval-merge disorder handling. Timeouts are
+    evaluated per micro-batch, so an availableNow run whose watermark
+    ends past a session's horizon emits that close in a trailing
+    timeout batch of the SAME run.
+
+    ``ts_col`` must be a TIMESTAMP (Spark's watermark contract — NTZ
+    sources cast first, e.g. ``col.cast("timestamp")``). The fold never
+    sees the timestamp itself: epoch µs are derived JVM-side with
+    ``unix_micros`` so the Python worker works on int64 instants only
+    (timezone-invariant; the emitted session_start_us/_end_us join back
+    to ``unix_micros`` grain exactly)."""
+    ev = events.withWatermark(ts_col, watermark).withColumn(
+        _SESSION_TS_US, F.unix_micros(F.col(ts_col))
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _session_fold(gap_minutes * 60 * 1_000_000),
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
 
 

@@ -68,6 +68,8 @@ _SLOW_TESTS = {
     "test_dedup_ingest_gate_streamed_equals_batch",
     "test_backfill_scale_release_full_gold_refresh",
     "test_transform_with_state_session_tracker",
+    "test_groupstate_session_tracker_e2e",
+    "test_groupstate_sessions_match_batch_q18_grain",
     # test_properties: hypothesis-heavy
     "test_kpis_invariant_under_rechunking",
     "test_merge_equals_dict_semantics",

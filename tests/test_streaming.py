@@ -1069,6 +1069,289 @@ def test_transform_with_state_session_tracker(spark, tmp_path):
             spark.conf.set(provider_key, old_provider)
 
 
+def test_groupstate_session_fold_logic():
+    """tracked_sessions_gs's per-key fold (applyInPandasWithState
+    GroupState API — the session tracker that runs WITHOUT the
+    transformWithState protobuf protocol) against a fake GroupState:
+    inline close on gap, timeout close + eviction, cross-batch
+    disorder via the interval merge, and the defensive immediate-close
+    branch when the trailing horizon is already <= the watermark
+    (unreachable through Spark's late-row filter, but pinned)."""
+    import pandas as pd
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.state import (
+        _session_fold,
+    )
+
+    class FakeGroupState:
+        def __init__(self, wm_ms=0):
+            self.v = None
+            self.wm_ms = wm_ms
+            self.timeout_ms = None
+            self.hasTimedOut = False
+
+        @property
+        def exists(self):
+            return self.v is not None
+
+        @property
+        def get(self):
+            return self.v
+
+        def update(self, nv):
+            self.v = tuple(nv)
+
+        def remove(self):
+            self.v = None
+
+        def getCurrentWatermarkMs(self):
+            return self.wm_ms
+
+        def setTimeoutTimestamp(self, ms):
+            assert ms > self.wm_ms  # Spark's own contract
+            self.timeout_ms = ms
+
+    fold = _session_fold(30 * 60 * 1_000_000)
+    base = dt.datetime(2024, 1, 1)
+    B_US = pd.Timestamp(base).value // 1000
+    B_MS = B_US // 1000
+    MIN_US, MIN_MS = 60 * 1_000_000, 60_000
+
+    def pdf(minutes_list):
+        # the fold sees only the JVM-derived epoch-µs column
+        return pd.DataFrame(
+            {"__session_ts_us": [B_US + m * MIN_US for m in minutes_list]}
+        )
+
+    # batch 1 (out of order on purpose): 0,10 → one session; 85 opens a
+    # second → the first closes INLINE; timeout set at 85+30
+    st = FakeGroupState()
+    out = list(fold((10,), iter([pdf([85, 0, 10])]), st))
+    assert len(out) == 1
+    assert out[0].iloc[0].session_start_us == B_US
+    assert out[0].iloc[0].session_end_us == B_US + 10 * MIN_US
+    assert out[0].iloc[0].n_events == 2
+    assert st.v == (B_US + 85 * MIN_US, B_US + 85 * MIN_US, 1)
+    assert st.timeout_ms == B_MS + 115 * MIN_MS
+
+    # batch 2: late bridging event at 70 folds in (85-70 <= 30); state
+    # never moves backwards, timeout unchanged (same horizon)
+    assert list(fold((10,), iter([pdf([70])]), st)) == []
+    assert st.v == (B_US + 70 * MIN_US, B_US + 85 * MIN_US, 2)
+    assert st.timeout_ms == B_MS + 115 * MIN_MS
+
+    # timeout fires: emit + evict (empty row delivery)
+    st.hasTimedOut = True
+    out2 = list(fold((10,), iter([]), st))
+    assert len(out2) == 1 and out2[0].iloc[0].n_events == 2
+    assert out2[0].iloc[0].session_start_us == B_US + 70 * MIN_US
+    assert st.v is None
+
+    # timed-out key with no state (already evicted): no emission
+    out3 = list(fold((10,), iter([]), st))
+    assert out3 == []
+
+    # immediate-close branch: watermark already past the horizon — the
+    # trailing session emits NOW and keeps no state / sets no timeout
+    st2 = FakeGroupState(wm_ms=B_MS + 600 * MIN_MS)
+    out4 = list(fold((11,), iter([pdf([0, 10])]), st2))
+    assert len(out4) == 1 and out4[0].iloc[0].n_events == 2
+    assert st2.v is None and st2.timeout_ms is None
+
+
+def test_groupstate_session_tracker_e2e(spark, tmp_path):
+    """tracked_sessions_gs end-to-end over checkpointed availableNow
+    runs — ACTIVE in this container (no protobuf needed, unlike the
+    transformWithState twin): inline closes emit in the data batch;
+    idle sessions close in a trailing TIMEOUT batch of the same run
+    once the watermark passes last+gap; state survives restarts via
+    the checkpoint; below-watermark stragglers are dropped by Spark's
+    late-row filter before the fold."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.state import (
+        tracked_sessions_gs,
+    )
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "gs_ev"
+    src.mkdir()
+    ck = str(tmp_path / "ck_gs")
+    schema = "event_id long, ts_us long, user_id long"
+    # epoch µs end-to-end (timestamp_micros at the stream edge):
+    # timezone-invariant by construction
+    B_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z
+    us = lambda minutes: B_US + minutes * 60 * 1_000_000
+
+    def run_batch(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / name))
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(str(src) + "/*")
+            .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        )
+        out = []
+        q = (
+            tracked_sessions_gs(stream, gap_minutes=30, watermark="1 hour")
+            .writeStream.foreachBatch(lambda b, _bid: out.extend(b.collect()))
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted((r.user_id, r.session_start_us, r.session_end_us, r.n_events) for r in out)
+
+    # run 1: user 10 has two sessions (75-min jump closes #1 INLINE);
+    # the sentinel (user 99 at 6:00) pushes the end-of-run watermark to
+    # 5:00, so the trailing timeout batch closes user 10's 2nd session
+    # (horizon 1:55) and user 20 (horizon 0:50) IN THE SAME RUN.
+    out1 = run_batch(
+        [
+            (1, us(0), 10),
+            (2, us(10), 10),
+            (3, us(85), 10),
+            (4, us(20), 20),
+            (5, us(360), 99),
+        ],
+        "b1",
+    )
+    assert out1 == [
+        (10, us(0), us(10), 2),
+        (10, us(85), us(85), 1),
+        (20, us(20), us(20), 1),
+    ]
+
+    # run 2: a 3:00 straggler is BELOW the restored watermark (5:00) —
+    # dropped by Spark's late-row filter before the fold; nothing
+    # emits, no state created
+    assert run_batch([(6, us(180), 30)], "b2") == []
+
+    # run 3: a 12:00 event for the sentinel closes its 6:00 session
+    # inline (6h > gap); the new trailing session stays open (watermark
+    # ends at 11:00 < 12:30 horizon)
+    out3 = run_batch([(7, us(720), 99)], "b3")
+    assert out3 == [(99, us(360), us(360), 1)]
+
+
+def test_groupstate_sessions_match_batch_q18_grain(spark, tmp_path):
+    """Streamed tracked_sessions_gs over the REAL events table equals
+    batch lag/gap sessionization at full session grain (user, start,
+    end, n_events): two time-split waves (cross-batch state carry with
+    no below-watermark drops by construction) plus a far-future
+    sentinel wave that flushes every real session by timeout. Replay
+    with the same checkpoint emits nothing."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.state import (
+        tracked_sessions_gs,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
+    # events.ts is NTZ in current testdata: derive epoch µs the
+    # layout-proof way (wall µs for NTZ) and carry instants as
+    # timestamp_micros — both sides of the equality use the SAME
+    # integers, so the test is timezone-invariant.
+    ev = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .select(
+            "event_id",
+            F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00',"
+                " ts::timestamp_ntz)"
+            ).cast("long").alias("ts_us"),
+            "user_id",
+        )
+    )
+    split_us = ev.agg(F.expr("percentile_approx(ts_us, 0.5, 100000)")).collect()[0][0]
+    wave1 = ev.filter(F.col("ts_us") < split_us)
+    wave2 = ev.filter(F.col("ts_us") >= split_us)
+    # sentinel: one fake user far past everything — its watermark flushes
+    # all real sessions; its own trailing session is excluded below
+    max_us = ev.agg(F.max("ts_us")).collect()[0][0]
+    sentinel_user = -1
+    sentinel = [(int(10**9), max_us + 3 * 3600 * 1_000_000, sentinel_user)]
+
+    src = tmp_path / "gsq_ev"
+    src.mkdir()
+    ck = str(tmp_path / "ck_gsq")
+    schema = "event_id long, ts_us long, user_id long"
+
+    def run_wave(df, name):
+        df.coalesce(1).write.mode("overwrite").parquet(str(src / name))
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(str(src) + "/*")
+            .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        )
+        out = []
+        q = (
+            tracked_sessions_gs(stream, gap_minutes=30, watermark="1 hour")
+            .writeStream.foreachBatch(lambda b, _bid: out.extend(b.collect()))
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return out
+
+    streamed = []
+    streamed += run_wave(wave1, "w1")
+    streamed += run_wave(wave2, "w2")
+    streamed += run_wave(spark.createDataFrame(sentinel, schema), "w3")
+    got = sorted(
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+        for r in streamed
+        if r.user_id != sentinel_user
+    )
+
+    # batch twin: q18-style lag/gap sessionization at session grain
+    gap_us = 30 * 60 * 1_000_000
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    sess = (
+        ev.withColumn("prev_us", F.lag("ts_us").over(w))
+        .withColumn(
+            "is_new",
+            F.when(
+                F.col("prev_us").isNull() | (F.col("ts_us") - F.col("prev_us") > gap_us), 1
+            ).otherwise(0),
+        )
+        .withColumn("sess_id", F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "sess_id")
+        .agg(
+            F.min("ts_us").alias("s"),
+            F.max("ts_us").alias("e"),
+            F.count("*").alias("n"),
+        )
+    )
+    want = sorted((r.user_id, r.s, r.e, r.n) for r in sess.collect())
+    assert got == want
+
+    # replay: no new files → nothing re-emits
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(str(src) + "/*")
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+    )
+    out = []
+    q = (
+        tracked_sessions_gs(stream, gap_minutes=30, watermark="1 hour")
+        .writeStream.foreachBatch(lambda b, _bid: out.extend(b.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert out == []
+
+
 def test_crash_between_staging_swaps_self_heals(spark, tmp_path):
     """r5 swap ordering (write both __next, then swap both) has a crash
     window between the two renames: orders swapped (released groups
