@@ -177,6 +177,44 @@ def merge_versioned(
     return publish(spark, root, merged)
 
 
+def read_changes(
+    spark: SparkSession,
+    root: str,
+    keys: list[str],
+    from_gen: int,
+    to_gen: int | None = None,
+    compare_cols: list[str] | None = None,
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """The CDC feed between two immutable snapshots — Delta's
+    ``table_changes`` reduced to the snapshot model: a keyed diff of
+    ``gen=from_gen`` → ``gen=to_gen`` (default: the pointed
+    generation) via :func:`curation.snapshot_diff`. One row per key
+    whose state differs, with ``change_type`` ∈ added | removed |
+    changed (| unchanged when ``include_unchanged``) and
+    ``changed_cols`` (sorted CSV). Because generations are immutable,
+    the feed for a (from, to) pair is REPRODUCIBLE for as long as both
+    snapshots survive vacuum — the property log-based CDC gets from
+    the transaction log. Raises FileNotFoundError if either snapshot
+    was vacuumed.
+
+    Scale shape: one full-outer join on the keys (snapshot_diff's
+    contract) — co-partitioned fact⋈fact; bucketing both generations
+    by the keys removes the shuffle."""
+    from . import curation
+
+    if to_gen is None:
+        to_gen = current_version(root)
+        if to_gen is None:
+            raise FileNotFoundError(f"{root} has no published generation")
+    old = read_version(spark, root, from_gen)
+    new = read_version(spark, root, to_gen)
+    diff = curation.snapshot_diff(old, new, keys, compare_cols)
+    if not include_unchanged:
+        diff = diff.filter(F.col("change_type") != "unchanged")
+    return diff
+
+
 def vacuum(root: str, keep_last: int = 2) -> list[int]:
     """Delete all generations except the pointed one and the
     ``keep_last``-1 most recent before it (so keep_last snapshots

@@ -4324,3 +4324,99 @@ def q64_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicate_spans(
         docs.select("doc_id", "text"), min_len=5, with_provenance=True
     )
+
+
+# ---------------------------------------------------------------------------
+# q65 (PARKED, r13) — hard-negative mining under a full relational oracle
+# ---------------------------------------------------------------------------
+
+
+def _q65_oracle(k: int = 3, n_cells: int = 16) -> str:
+    """similarity.hard_negatives re-derived relationally: the IVF cell
+    CTEs are the q42/q62 integer-exact quantize+argmin pattern; the
+    candidate set is the directed other-label pairs of each cell;
+    ranking is ROUND(cos, 6) DESC with the neighbor-id tie-break (the
+    q27/q28/q29 ulp rule, so rank decisions never ride a float ulp)."""
+    from ..operators import similarity
+
+    return f"""
+    WITH quant AS (
+        SELECT vec_id, {similarity.quantize_vec_sql("embedding")} AS qv
+        FROM embeddings
+    ),
+    seeds AS (SELECT vec_id AS seed_id, qv AS sqv FROM quant ORDER BY vec_id LIMIT {n_cells}),
+    d2 AS (
+        SELECT q.vec_id, s.seed_id,
+               list_sum(list_transform(q.qv, (x, i) -> (x - s.sqv[i]) * (x - s.sqv[i]))) AS d2
+        FROM quant q CROSS JOIN seeds s
+    ),
+    assign AS (
+        SELECT vec_id, seed_id AS cell FROM (
+            SELECT vec_id, seed_id,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, seed_id) AS rn
+            FROM d2
+        ) WHERE rn = 1
+    ),
+    pairs AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        FROM assign a JOIN assign b ON a.cell = b.cell
+        JOIN embeddings ea ON ea.vec_id = a.vec_id
+        JOIN embeddings eb ON eb.vec_id = b.vec_id
+        WHERE ea.label <> eb.label
+    ),
+    scored AS (
+        SELECT a_id, b_id, dot / (sqrt(na) * sqrt(nb)) AS cos FROM (
+            SELECT a_id, b_id,
+                   SUM(xa * xb) AS dot, SUM(xa * xa) AS na, SUM(xb * xb) AS nb
+            FROM (
+                SELECT p.a_id, p.b_id,
+                       CAST(unnest(ea.embedding) AS DOUBLE) AS xa,
+                       CAST(unnest(eb.embedding) AS DOUBLE) AS xb
+                FROM pairs p
+                JOIN embeddings ea ON ea.vec_id = p.a_id
+                JOIN embeddings eb ON eb.vec_id = p.b_id
+            ) z GROUP BY a_id, b_id
+        ) s
+    ),
+    ranked AS (
+        SELECT a_id, b_id, ROUND(cos, 6) AS cos6,
+               ROW_NUMBER() OVER (
+                   PARTITION BY a_id ORDER BY ROUND(cos, 6) DESC, b_id) AS rn
+        FROM scored
+    )
+    SELECT r.a_id AS vec_id,
+           CAST(ea.label AS BIGINT) AS anchor_label,
+           CAST(r.rn AS BIGINT) AS neg_rank,
+           r.b_id AS neighbor_id,
+           CAST(eb.label AS BIGINT) AS neighbor_label,
+           r.cos6 AS cosine_sim
+    FROM ranked r
+    JOIN embeddings ea ON ea.vec_id = r.a_id
+    JOIN embeddings eb ON eb.vec_id = r.b_id
+    WHERE r.rn <= {k}
+    """
+
+
+@parked_query("q65_hard_negatives", _q65_oracle())
+def q65_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining (similarity.hard_negatives) —
+    PARKED gate-ready (r13): per anchor, the 3 most-cosine-similar
+    vectors of a DIFFERENT label, candidates scoped to the anchor's
+    IVF cell (never all-pairs). INFORMATIVE on the real corpus TODAY
+    (10 balanced labels ⇒ other-label candidates in every cell), and
+    fully oracle-paired — the whole pipeline (integer-L2 cell
+    assignment, round-6 cosine, id tie-break) is engine-portable.
+    Holds no slot only because the catalog is capped at 50; promotion
+    is a one-line registry move."""
+    from ..operators import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.hard_negatives(emb, k=3, n_cells=16)
+    return out.select(
+        "vec_id",
+        F.col("anchor_label").cast("long").alias("anchor_label"),
+        F.col("neg_rank").cast("long").alias("neg_rank"),
+        "neighbor_id",
+        F.col("neighbor_label").cast("long").alias("neighbor_label"),
+        F.col("cosine_sim").cast("double").alias("cosine_sim"),
+    )

@@ -390,6 +390,25 @@ def test_parked_semdedup_flags_real_corpus(spark):
     assert len(got) > 0
 
 
+def test_parked_hard_negatives_real_corpus(spark):
+    """The parked q65 hard-negative miner matches its relational oracle
+    on the REAL corpus (10 balanced labels make it informative today,
+    unlike q62/q63): IVF-cell scoping, the other-label filter, round-6
+    cosine ranking and the id tie-break all agree value-for-value, and
+    every anchor whose cell holds another label emits exactly k rows or
+    fewer."""
+    con = _duck(SF_DIR)
+    got, cols = _run_parked(spark, "q65_hard_negatives", SF_DIR, con)
+    assert len(got) > 0
+    i_rank = cols.index("neg_rank")
+    i_id = cols.index("vec_id")
+    per_anchor = {}
+    for r in got:
+        per_anchor.setdefault(r[i_id], []).append(r[i_rank])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) and len(v) <= 3
+               for v in per_anchor.values())
+
+
 def test_parked_output_types_are_comparator_safe(spark):
     """Parked queries hold themselves to the same comparator-dtype bar
     as gated ones — promotion must never reopen the r6 q20 class."""

@@ -178,3 +178,58 @@ def test_merge_versioned_dedupe_is_deterministic(spark, tmp_path):
     )
     assert {r.k for r in versioned.read_latest(spark, root).collect()} \
         == {"a", "b"}
+
+
+def test_read_changes_cdc_between_generations(spark, tmp_path):
+    """read_changes = Delta's table_changes on the snapshot model: a
+    merge that updates, inserts, AND tombstone-deletes in one source
+    yields exactly those change rows between the two generations; the
+    feed is reproducible while both snapshots survive vacuum, raises
+    after, and spanning multiple merges composes (g0→g2 sees the NET
+    change)."""
+    root = str(tmp_path / "t")
+    g0 = versioned.publish(
+        spark, root, _df(spark, [("a", 1), ("b", 2), ("c", 3)])
+    )
+    src = spark.createDataFrame(
+        [("a", 9, False), ("d", 4, False), ("c", 0, True)],
+        "k string, v long, is_del boolean",
+    )
+    g1 = versioned.merge_versioned(spark, root, src, ["k"], delete_col="is_del")
+
+    ch = {
+        r.k: (r.change_type, r.changed_cols)
+        for r in versioned.read_changes(spark, root, ["k"], g0, g1).collect()
+    }
+    assert ch == {"a": ("changed", "v"), "c": ("removed", ""), "d": ("added", "")}
+
+    # include_unchanged surfaces the untouched key too
+    full = {
+        r.k: r.change_type
+        for r in versioned.read_changes(
+            spark, root, ["k"], g0, g1, include_unchanged=True
+        ).collect()
+    }
+    assert full["b"] == "unchanged" and len(full) == 4
+
+    # net change across TWO merges: b updated then a removed — g0→g2
+    src2 = spark.createDataFrame(
+        [("b", 7, False), ("a", 9, True)], "k string, v long, is_del boolean"
+    )
+    g2 = versioned.merge_versioned(spark, root, src2, ["k"], delete_col="is_del")
+    net = {
+        r.k: r.change_type
+        for r in versioned.read_changes(spark, root, ["k"], g0, g2).collect()
+    }
+    assert net == {"a": "removed", "b": "changed", "c": "removed", "d": "added"}
+
+    # to_gen defaults to the pointer
+    assert {
+        r.k
+        for r in versioned.read_changes(spark, root, ["k"], g1).collect()
+    } == {"a", "b"}
+
+    # a vacuumed from-snapshot is gone — the feed refuses, not invents
+    versioned.vacuum(root, keep_last=1)
+    with pytest.raises(FileNotFoundError):
+        versioned.read_changes(spark, root, ["k"], g0, g2)
