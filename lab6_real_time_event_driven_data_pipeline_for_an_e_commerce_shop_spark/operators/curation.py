@@ -553,6 +553,75 @@ def token_budget_sample(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    by: list[str] | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    A-ES): keep the ``n`` rows with the largest ``u^(1/w)`` where u is
+    a per-row uniform — inclusion probability is ∝ weight with the
+    exact without-replacement semantics (sample docs ∝ quality score,
+    epochs ∝ mixture weight, …). Engine-portable determinism by the
+    repo's integerize-first discipline: u comes from the 48-bit
+    portable hash of (salt ‖ id), log2(u) in micro-bits is
+    ``log2_micro(h+1) − 48·10⁶`` (published-constant mantissa table —
+    no libm), and the ranking key is that int64 divided by the int64
+    weight: ONE IEEE division of exactly-represented integers, which
+    Spark, DuckDB, and Python round identically (the q43/zkey
+    argument), with an id tie-break so no decision ever rides a float
+    ulp. Rows with NULL or non-positive weight are excluded (a zero
+    weight must never be sampled; A-ES is undefined there).
+
+    ``by`` = per-group top-n (one row_number window — Spark's
+    WindowGroupLimit pushes the top-k below the shuffle); ``by=None``
+    = global top-n via orderBy+limit (TakeOrderedAndProject: per-
+    partition heaps, no global sort). Deterministic for a (salt, id)
+    pair ⇒ mergeable across reruns and partitionings; vary ``salt``
+    for independent redraws. Returns the selected rows with a
+    ``ws_rank`` column (1 = largest key). Weights are read as int64 —
+    integerize fractional scores first (micro-units), keeping them
+    < 2^53 so the int→double cast is exact."""
+    from pyspark.sql.window import Window
+
+    from ..functions.expressions import log2_micro_sql
+
+    h1 = portable_hash(
+        F.concat_ws("␟", F.lit(salt), F.col(id_col).cast("string"))
+    ) + F.lit(1)
+    keyed = (
+        df.filter(
+            F.col(weight_col).isNotNull() & (F.col(weight_col).cast("long") > 0)
+        )
+        .withColumn("_ws_h1", h1)
+        .withColumn(
+            "_ws_key",
+            (F.expr(log2_micro_sql("_ws_h1")) - F.lit(48_000_000)).cast("double")
+            / F.col(weight_col).cast("long").cast("double"),
+        )
+    )
+    if by:
+        w = Window.partitionBy(*by).orderBy(
+            F.col("_ws_key").desc(), F.col(id_col).asc()
+        )
+        out = (
+            keyed.withColumn("ws_rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("ws_rank") <= int(n))
+        )
+    else:
+        top = keyed.orderBy(F.col("_ws_key").desc(), F.col(id_col).asc()).limit(
+            int(n)
+        )
+        # rank the n survivors (bounded frame — the single-partition
+        # window touches only n rows)
+        w = Window.orderBy(F.col("_ws_key").desc(), F.col(id_col).asc())
+        out = top.withColumn("ws_rank", F.row_number().over(w).cast("long"))
+    return out.drop("_ws_h1", "_ws_key")
+
+
 def dsir_features(
     df: DataFrame,
     n_buckets: int = 4096,

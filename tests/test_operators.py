@@ -2844,3 +2844,112 @@ def test_duplicate_spans_provenance_counts(spark):
     assert plain == sorted(
         (d, s, e, t) for (d, s, e), (t, _) in got.items()
     )
+
+
+def test_weighted_sample_aes_parity_and_semantics(spark):
+    """curation.weighted_sample (Efraimidis–Spirakis A-ES, r13):
+    DuckDB reproduces the exact selection from the same published
+    constants (global AND per-group), the draw is partitioning-
+    invariant, prefix-monotone in n, excludes non-positive/NULL
+    weights, and inclusion tracks weight (a 1000:1 weight ratio wins
+    n=1 draws almost always across independent salts)."""
+    import duckdb
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.functions.expressions import (
+        log2_micro_sql,
+    )
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        curation,
+    )
+
+    rows = [(i, "g%d" % (i % 3), (i * 7919) % 97 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, w long")
+
+    got = sorted(
+        (r.doc_id, r.ws_rank)
+        for r in curation.weighted_sample(df, 20, "w", "doc_id").collect()
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES %s) v(doc_id, grp, w)"
+                % ",".join("(%d,'%s',%d)" % r for r in rows))
+    lg = log2_micro_sql("h1", engine="duckdb")
+    oracle = f"""
+    WITH h AS (
+        SELECT *, CAST(concat('0x', substr(md5('␟' || CAST(doc_id AS VARCHAR)), 1, 12))
+                       AS BIGINT) + 1 AS h1
+        FROM t WHERE w > 0
+    ), k AS (
+        SELECT doc_id, grp,
+               CAST({lg} - 48000000 AS DOUBLE) / CAST(w AS DOUBLE) AS key
+        FROM h
+    )
+    SELECT doc_id, CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS BIGINT) AS r
+    FROM k QUALIFY r <= 20
+    """
+    want = sorted(tuple(r) for r in con.execute(oracle).fetchall())
+    assert got == want
+
+    # per-group: same key formula ranked within grp
+    got_g = sorted(
+        (r.doc_id, r.grp, r.ws_rank)
+        for r in curation.weighted_sample(df, 5, "w", "doc_id", by=["grp"]).collect()
+    )
+    oracle_g = f"""
+    WITH h AS (
+        SELECT *, CAST(concat('0x', substr(md5('␟' || CAST(doc_id AS VARCHAR)), 1, 12))
+                       AS BIGINT) + 1 AS h1
+        FROM t WHERE w > 0
+    ), k AS (
+        SELECT doc_id, grp,
+               CAST({lg} - 48000000 AS DOUBLE) / CAST(w AS DOUBLE) AS key
+        FROM h
+    )
+    SELECT doc_id, grp,
+           CAST(row_number() OVER (PARTITION BY grp ORDER BY key DESC, doc_id) AS BIGINT) AS r
+    FROM k QUALIFY r <= 5
+    """
+    want_g = sorted(tuple(r) for r in con.execute(oracle_g).fetchall())
+    assert got_g == want_g
+    assert len(got_g) == 15
+
+    # partitioning invariance
+    for parts in (1, 7):
+        again = sorted(
+            (r.doc_id, r.ws_rank)
+            for r in curation.weighted_sample(
+                df.repartition(parts), 20, "w", "doc_id"
+            ).collect()
+        )
+        assert again == got
+
+    # prefix-monotone: top-10 is exactly the first 10 of top-20
+    top10 = sorted(
+        (r.doc_id, r.ws_rank)
+        for r in curation.weighted_sample(df, 10, "w", "doc_id").collect()
+    )
+    assert top10 == [x for x in got if x[1] <= 10]
+
+    # n >= rows: everything selected once, ranks are a permutation
+    small = spark.createDataFrame(rows[:7], "doc_id long, grp string, w long")
+    all_rows = curation.weighted_sample(small, 100, "w", "doc_id").collect()
+    assert sorted(r.ws_rank for r in all_rows) == list(range(1, 8))
+
+    # zero/NULL weights never sampled
+    bad = spark.createDataFrame(
+        [(1, "a", 0), (2, "a", -5), (3, "a", None), (4, "a", 10)],
+        "doc_id long, grp string, w long",
+    )
+    assert [r.doc_id for r in curation.weighted_sample(bad, 10, "w", "doc_id").collect()] == [4]
+
+    # weight bias: w=1000 vs w=1, n=1, 12 independent salts — the
+    # heavy row wins each draw w.p. ~999/1000 (deterministic given the
+    # salt list; 10 is a very safe floor)
+    pair = spark.createDataFrame([(1, "a", 1000), (2, "a", 1)],
+                                 "doc_id long, grp string, w long")
+    wins = sum(
+        curation.weighted_sample(pair, 1, "w", "doc_id", salt=f"s{i}")
+        .collect()[0].doc_id == 1
+        for i in range(12)
+    )
+    assert wins >= 10
