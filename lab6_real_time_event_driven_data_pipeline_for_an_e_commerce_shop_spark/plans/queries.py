@@ -4420,3 +4420,56 @@ def q65_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("neighbor_label").cast("long").alias("neighbor_label"),
         F.col("cosine_sim").cast("double").alias("cosine_sim"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q66 (PARKED, r13) — A-ES weighted sampling under oracle
+# ---------------------------------------------------------------------------
+
+
+def _q66_oracle(n: int = 10) -> str:
+    """curation.weighted_sample re-derived relationally: the 48-bit
+    portable row hash, the published log2 mantissa table, and ONE IEEE
+    division of two exact int64s — every constant is shared with the
+    Spark side, so the selection and ranks agree bit-for-bit."""
+    from ..functions.expressions import log2_micro_sql
+
+    lg = log2_micro_sql("h1", engine="duckdb")
+    return f"""
+    WITH h AS (
+        SELECT doc_id, source, n_chars,
+               CAST(concat('0x', substr(md5('␟' || CAST(doc_id AS VARCHAR)), 1, 12))
+                    AS BIGINT) + 1 AS h1
+        FROM documents WHERE n_chars > 0
+    ), k AS (
+        SELECT doc_id, source, n_chars,
+               CAST({lg} - 48000000 AS DOUBLE) / CAST(n_chars AS DOUBLE) AS key
+        FROM h
+    )
+    SELECT doc_id, source, n_chars,
+           CAST(row_number() OVER (
+               PARTITION BY source ORDER BY key DESC, doc_id) AS BIGINT) AS ws_rank
+    FROM k QUALIFY ws_rank <= {n}
+    """
+
+
+@parked_query("q66_weighted_sample", _q66_oracle())
+def q66_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (curation.weighted_sample,
+    Efraimidis–Spirakis A-ES) — PARKED gate-ready (r13): per-source
+    top-10 documents drawn ∝ n_chars. Informative on the real corpus
+    TODAY (n_chars varies per doc); the whole draw — hash uniform,
+    micro-bit log2, one exact-operand IEEE division, id tie-break — is
+    engine-portable by construction, so the oracle reproduces both the
+    selection AND the ranks. Holds no slot only because of the 50-cap;
+    promotion is a registry move."""
+    from ..operators import curation
+
+    docs = _t(spark, sf_dir, "documents")
+    return curation.weighted_sample(
+        docs.select("doc_id", "source", "n_chars"),
+        10,
+        "n_chars",
+        "doc_id",
+        by=["source"],
+    ).select("doc_id", "source", "n_chars", "ws_rank")

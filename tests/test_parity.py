@@ -409,6 +409,23 @@ def test_parked_hard_negatives_real_corpus(spark):
                for v in per_anchor.values())
 
 
+def test_parked_weighted_sample_real_corpus(spark):
+    """The parked q66 A-ES weighted sample matches its oracle on the
+    real corpus: per-source selection AND ranks agree (the draw is a
+    pure function of published constants), every source emits at most
+    10 rows with ranks 1..k."""
+    con = _duck(SF_DIR)
+    got, cols = _run_parked(spark, "q66_weighted_sample", SF_DIR, con)
+    assert len(got) > 0
+    i_src = cols.index("source")
+    i_rank = cols.index("ws_rank")
+    per_src = {}
+    for r in got:
+        per_src.setdefault(r[i_src], []).append(r[i_rank])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) and len(v) <= 10
+               for v in per_src.values())
+
+
 def test_parked_output_types_are_comparator_safe(spark):
     """Parked queries hold themselves to the same comparator-dtype bar
     as gated ones — promotion must never reopen the r6 q20 class."""
