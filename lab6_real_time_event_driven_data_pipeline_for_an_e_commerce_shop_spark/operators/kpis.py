@@ -86,3 +86,69 @@ def compute_all(enriched: DataFrame) -> tuple[DataFrame, DataFrame]:
     """
     enriched = enriched.cache()
     return category_kpis(enriched), order_kpis_daily(enriched)
+
+
+def funnel_stages(
+    events: DataFrame,
+    stages: list[str],
+    within_us: int | None = None,
+    user_col: str = "user_id",
+    ts_col: str = "ts_us",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Fixed-anchor conversion funnel (the e-commerce classic:
+    view → click → purchase): per user, t1 = the EARLIEST stage-1
+    event; each later stage k is the earliest stage-k event at or
+    after t(k-1) — optionally within ``within_us`` of the t1 anchor —
+    and ``reached`` is the deepest stage attained. Timestamps are
+    epoch-µs int64 end-to-end (route events through the layout-
+    adaptive reader first), so every comparison is integer-exact and
+    timezone-proof.
+
+    Fixed-anchor semantics on purpose: the chain is anchored at the
+    user's FIRST stage-1 event (the standard product-analytics
+    definition, and a pure composition of MINs, so it is relational
+    and engine-portable). A later anchor could complete a window the
+    first one misses; that variant is sequence matching with
+    backtracking — a different, join-explosive operator.
+
+    Scale shape: one aggregate + (len(stages)−1) equi-joins, ALL keyed
+    on ``user_col`` — co-partitioned shuffles that AQE coalesces, with
+    the range predicates IN the join condition (outer-join rule).
+    Funnel state per user is one row of k integers; no arrays, no
+    per-user event collection."""
+    if len(stages) < 2:
+        raise ValueError("funnel_stages needs at least two stages")
+    ev = events.select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).cast("long").alias("_t"),
+        F.col(type_col).alias("_s"),
+    )
+    out = (
+        ev.filter(F.col("_s") == stages[0])
+        .groupBy("_u")
+        .agg(F.min("_t").alias("t1"))
+    )
+    for i, stage in enumerate(stages[1:], start=2):
+        cand = ev.filter(F.col("_s") == stage).select(
+            F.col("_u").alias("_cu"), F.col("_t").alias("_ct")
+        )
+        cond = (F.col("_cu") == F.col("_u")) & (
+            F.col("_ct") >= F.col(f"t{i - 1}")
+        )
+        if within_us is not None:
+            cond = cond & (F.col("_ct") <= F.col("t1") + F.lit(int(within_us)))
+        prev_cols = ["_u"] + [f"t{j}" for j in range(1, i)]
+        out = (
+            out.join(cand, cond, "left")
+            .groupBy(*prev_cols)
+            .agg(F.min("_ct").alias(f"t{i}"))
+        )
+    reached = F.lit(1)
+    for i in range(2, len(stages) + 1):
+        reached = reached + F.when(F.col(f"t{i}").isNotNull(), 1).otherwise(0)
+    return out.select(
+        F.col("_u").alias(user_col),
+        *[F.col(f"t{i}").cast("long") for i in range(1, len(stages) + 1)],
+        reached.cast("long").alias("reached"),
+    )

@@ -2953,3 +2953,45 @@ def test_weighted_sample_aes_parity_and_semantics(spark):
         for i in range(12)
     )
     assert wins >= 10
+
+
+def test_funnel_stages_fixed_anchor_semantics(spark):
+    """kpis.funnel_stages: order constraints (a purchase BEFORE the
+    click doesn't count), the within-window is anchored at t1 (a later
+    view that would complete the chain is deliberately NOT re-anchored
+    — fixed-anchor semantics), equal timestamps chain (>= compares),
+    and users without the first stage emit nothing."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        kpis,
+    )
+
+    rows = [
+        # user 1: purchase@5 precedes click@10 → t3 comes from @20
+        (1, 0, "view"), (1, 10, "click"), (1, 5, "purchase"), (1, 20, "purchase"),
+        # user 2: click only → no anchor, absent from output
+        (2, 0, "click"),
+        # user 3: anchor view@0; click@200 violates within=150 even
+        # though re-anchoring at view@100 would admit it
+        (3, 0, "view"), (3, 100, "view"), (3, 200, "click"),
+        # user 4: all three at the same instant → reached 3
+        (4, 5, "view"), (4, 5, "click"), (4, 5, "purchase"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts_us long, event_type string")
+    got = {
+        r.user_id: (r.t1, r.t2, r.t3, r.reached)
+        for r in kpis.funnel_stages(
+            ev, ["view", "click", "purchase"], within_us=150
+        ).collect()
+    }
+    assert got == {
+        1: (0, 10, 20, 3),
+        3: (0, None, None, 1),
+        4: (5, 5, 5, 3),
+    }
+
+    # no window: user 3's click@200 now counts
+    got_nw = {
+        r.user_id: r.reached
+        for r in kpis.funnel_stages(ev, ["view", "click", "purchase"]).collect()
+    }
+    assert got_nw == {1: 3, 3: 2, 4: 3}

@@ -426,6 +426,15 @@ def test_parked_weighted_sample_real_corpus(spark):
                for v in per_src.values())
 
 
+def test_parked_funnel_real_corpus(spark):
+    """The parked q67 fixed-anchor funnel matches its MIN-chain oracle
+    on the real corpus, with a non-degenerate reached distribution."""
+    con = _duck(SF_DIR)
+    got, cols = _run_parked(spark, "q67_funnel", SF_DIR, con)
+    i = cols.index("reached")
+    assert {r[i] for r in got} == {1, 2, 3}
+
+
 def test_parked_output_types_are_comparator_safe(spark):
     """Parked queries hold themselves to the same comparator-dtype bar
     as gated ones — promotion must never reopen the r6 q20 class."""
