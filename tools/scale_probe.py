@@ -103,6 +103,7 @@ def main() -> None:
     if not os.path.exists(f"{out_dir}/embeddings.parquet"):
         replicate(spark, n, out_dir)
     catalog = q.catalog()
+    catalog.update({pname: pq.fn for pname, pq in q.parked().items()})
     for name in names:
         base_s = time_query(catalog[name], spark, BASE)
         scaled_s = time_query(catalog[name], spark, out_dir)
