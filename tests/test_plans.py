@@ -429,3 +429,24 @@ def test_detail_blocks_parses_formatted_plan(spark):
 
     for _, body in blocks:
         assert not _re.search(r"^\(\d+\) \w", body, _re.M)
+
+
+def test_parked_q65_q66_q67_plan_shapes(spark):
+    """The r13 parked queries hold the gated plan bar BEFORE promotion:
+    no cartesian/BNLJ/Python anywhere; q65's pair join is the cell
+    equi-join; q66's per-group top-k runs as WindowGroupLimit (the
+    rank filter is pushed below the full sort); q67's funnel joins are
+    keyed on user (SortMergeJoin/ShuffledHashJoin, range predicates as
+    join conditions, never a loop join)."""
+    parked = q.parked()
+    plans = {
+        name: _formatted(parked[name].fn(spark, SF_DIR))
+        for name in ("q65_hard_negatives", "q66_weighted_sample", "q67_funnel")
+    }
+    for name, plan in plans.items():
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "EvalPython" not in plan, name
+    assert "WindowGroupLimit" in plans["q66_weighted_sample"]
+    # q65: at least one equi-join keyed on the cell id
+    assert re.search(r"_cell", plans["q65_hard_negatives"])
