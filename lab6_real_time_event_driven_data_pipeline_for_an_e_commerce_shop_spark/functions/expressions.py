@@ -161,3 +161,60 @@ def log2_micro_sql(expr: str, engine: str = "spark") -> str:
         )
         return f"(CAST({il} AS BIGINT) * 1000000 + ([{table}])[CAST({m} - 255 AS INT)])"
     raise ValueError(f"unknown engine: {engine}")
+
+
+# Fixed-point base-2 EXP for micro-bit exponents — the inverse of
+# LOG2_TABLE_MICRO, same published-constant discipline: 2^x where
+# x = x_micro/10⁶ is computed as TABLE[frac·256 DIV 10⁶] shifted by
+# floor(x) bits, with TABLE[i] = round(2^(i/256)·10⁶) as integer
+# literals. All decisions are shifts, integer div/mod, and a lookup —
+# Spark, DuckDB, and Python agree bit-for-bit. Truncating the fraction
+# to 8 bits under-reads 2^x by < 2^(1/256)−1 ≈ 0.27% (one-sided,
+# deterministic); exact at integer exponents (frac 0 → TABLE[0]=10⁶).
+EXP2_TABLE_MICRO: tuple[int, ...] = tuple(
+    round(2 ** (i / 256) * 1_000_000) for i in range(256)
+)
+
+# |floor(x)| beyond these puts 2^x·10⁶ outside int64 (positive side)
+# or below one micro-unit (negative side)
+_EXP2_MAX_IL = 42
+_EXP2_MIN_IL = -40
+
+
+def exp2_micro_int(x_micro: int) -> int:
+    """Python twin of the EXP2_TABLE_MICRO lookup: 2^(x_micro/10⁶) in
+    micro-units. Domain: floor exponent in [-40, 42] (raises outside —
+    the int64 / one-micro-unit envelope)."""
+    il, frac = divmod(int(x_micro), 1_000_000)
+    if not (_EXP2_MIN_IL <= il <= _EXP2_MAX_IL):
+        raise ValueError(f"exp2_micro exponent {x_micro} outside envelope")
+    v = EXP2_TABLE_MICRO[frac * 256 // 1_000_000]
+    return v << il if il >= 0 else v >> (-il)
+
+
+def exp2_micro_sql(expr: str, engine: str = "spark") -> str:
+    """Generated-SQL form of exp2_micro over a BIGINT micro-bit
+    exponent expression. ``expr`` is re-referenced (pass a simple
+    column reference); out-of-envelope exponents are the CALLER's
+    contract (the SQL form shifts blindly — validate upstream or keep
+    inputs in-domain by construction, e.g. temperature weights over
+    positive int64 counts at alpha <= 1 stay below 2^48·10⁶ / 10⁶…
+    see curation.temperature_weights)."""
+    table = ", ".join(str(v) for v in EXP2_TABLE_MICRO)
+    if engine == "spark":
+        il = f"((({expr}) - pmod({expr}, 1000000)) DIV 1000000)"
+        frac = f"pmod({expr}, 1000000)"
+        v = f"element_at(array({table}), CAST({frac} * 256 DIV 1000000 AS INT) + 1)"
+        return (
+            f"(CASE WHEN {il} >= 0 THEN {v} * shiftleft(CAST(1 AS BIGINT), CAST({il} AS INT))"
+            f" ELSE {v} DIV shiftleft(CAST(1 AS BIGINT), CAST(-({il}) AS INT)) END)"
+        )
+    if engine == "duckdb":
+        il = f"CAST((({expr}) - (((({expr}) % 1000000) + 1000000) % 1000000)) / 1000000 AS BIGINT)"
+        frac = f"(((({expr}) % 1000000) + 1000000) % 1000000)"
+        v = f"([{table}])[CAST({frac} * 256 // 1000000 AS INT) + 1]"
+        return (
+            f"(CASE WHEN {il} >= 0 THEN {v} * (CAST(1 AS BIGINT) << CAST({il} AS INT))"
+            f" ELSE {v} >> CAST(-({il}) AS INT) END)"
+        )
+    raise ValueError(f"unknown engine: {engine}")

@@ -622,6 +622,47 @@ def weighted_sample(
     return out.drop("_ws_h1", "_ws_key")
 
 
+def temperature_weights(
+    df: DataFrame,
+    weight_col: str,
+    alpha: tuple[int, int],
+    out_col: str = "w_temp_micro",
+) -> DataFrame:
+    """Temperature-scaled sampling weights w^α in integer micro-units —
+    the multinomial temperature knob of multilingual/multi-domain
+    mixture construction (α < 1 flattens toward uniform, α = 1 keeps
+    proportions, α = 0 IS uniform). ``alpha`` is an integer rational
+    (num, den), so the whole computation stays on int64: w^α =
+    exp2_micro(log2_micro(w)·num DIV den) — both tables are published
+    constants, every step is shift/div/lookup, and Spark, DuckDB, and
+    Python agree bit-for-bit (the LOG2/EXP2 discipline). Deterministic
+    quantization error is < ~0.7% relative (0.0056-bit log read ×
+    one-sided 8-bit exp fraction) — a temperature knob, not an exact
+    power.
+
+    Domain: weights must be POSITIVE int64 with α·log2(w) ≤ 42 (output
+    stays inside int64; e.g. token counts < 2^40 at α ≤ 1). Rows with
+    NULL/non-positive weight get NULL. The output column feeds
+    :func:`weighted_sample` directly (micro-units are < 2^53, so its
+    exact int→double contract holds)."""
+    from ..functions.expressions import exp2_micro_sql, log2_micro_sql
+
+    num, den = int(alpha[0]), int(alpha[1])
+    if den <= 0 or num < 0:
+        raise ValueError("alpha must be a non-negative rational (num, den>0)")
+    tagged = df.withColumn(
+        "_tw_w", F.when(F.col(weight_col).cast("long") > 0,
+                        F.col(weight_col).cast("long"))
+    ).withColumn(
+        "_tw_l", F.expr(log2_micro_sql("_tw_w"))
+    ).withColumn(
+        "_tw_x", (F.col("_tw_l") * F.lit(num) - F.pmod(
+            F.col("_tw_l") * F.lit(num), F.lit(den))) / F.lit(den)
+    ).withColumn("_tw_x", F.col("_tw_x").cast("long"))
+    out = tagged.withColumn(out_col, F.expr(exp2_micro_sql("_tw_x")))
+    return out.drop("_tw_w", "_tw_l", "_tw_x")
+
+
 def dsir_features(
     df: DataFrame,
     n_buckets: int = 4096,

@@ -2995,3 +2995,114 @@ def test_funnel_stages_fixed_anchor_semantics(spark):
         for r in kpis.funnel_stages(ev, ["view", "click", "purchase"]).collect()
     }
     assert got_nw == {1: 3, 3: 2, 4: 3}
+
+
+def test_exp2_micro_three_way_agreement(spark):
+    """Fixed-point exp2 (r13, the LOG2 table's inverse): Spark SQL,
+    DuckDB SQL, and the Python twin agree on every probe exponent
+    (both signs); exact at integer exponents; monotone; and the
+    exp2∘log2 round trip stays inside the documented ~0.7% one-sided
+    envelope."""
+    import duckdb
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.functions.expressions import (
+        exp2_micro_int,
+        exp2_micro_sql,
+        log2_micro_int,
+    )
+
+    vals = (
+        list(range(0, 3_000_000, 73_561))
+        + [k * 1_000_000 for k in range(-40, 43)]
+        + [k * 1_000_000 + f for k in (-3, -1, 0, 5, 17, 41)
+           for f in (1, 499_999, 999_999)]
+    )
+    vals = [v for v in vals if -40_000_000 <= v <= 42_999_999]
+    want = [exp2_micro_int(v) for v in vals]
+    con = duckdb.connect()
+    got_duck = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {exp2_micro_sql('c', 'duckdb')} FROM (SELECT "
+            "unnest(?::BIGINT[]) AS c)",
+            [vals],
+        ).fetchall()
+    ]
+    assert got_duck == want
+    sdf = spark.createDataFrame([(v,) for v in vals], "c long")
+    got_spark = [
+        r[0]
+        for r in sdf.select(F.expr(exp2_micro_sql("c", "spark")).alias("e")).collect()
+    ]
+    assert got_spark == want
+    for k in range(-40, 43):
+        assert exp2_micro_int(k * 1_000_000) == (
+            1_000_000 << k if k >= 0 else 1_000_000 >> -k
+        )
+    ordered = sorted(set(vals))
+    em = [exp2_micro_int(v) for v in ordered]
+    assert all(a <= b for a, b in zip(em, em[1:]))
+    # round trip: exp2(log2(w)) ∈ [w·10⁶·(1-0.007), w·10⁶]
+    for w in [1, 2, 3, 7, 100, 12345, 2**20 + 17, 2**39 + 5]:
+        rt = exp2_micro_int(log2_micro_int(w))
+        assert w * 1_000_000 * 993 // 1000 <= rt <= w * 1_000_000
+
+
+def test_temperature_weights_semantics_and_sampling(spark):
+    """curation.temperature_weights: α=0 is uniform, α=1 tracks w
+    within the quantization envelope, α=1/2 preserves order while
+    compressing ratios, NULL/non-positive weights stay NULL, DuckDB
+    reproduces the column, and the output feeds weighted_sample (the
+    flattened draw still favors heavy rows, less sharply)."""
+    import duckdb
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.functions.expressions import (
+        exp2_micro_sql,
+        log2_micro_sql,
+    )
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        curation,
+    )
+
+    rows = [(1, 16), (2, 256), (3, 65536), (4, 0), (5, None)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+
+    t0 = {r.doc_id: r.w_temp_micro
+          for r in curation.temperature_weights(df, "w", (0, 1)).collect()}
+    assert t0 == {1: 1_000_000, 2: 1_000_000, 3: 1_000_000, 4: None, 5: None}
+
+    t1 = {r.doc_id: r.w_temp_micro
+          for r in curation.temperature_weights(df, "w", (1, 1)).collect()}
+    # powers of two are EXACT through both tables
+    assert t1 == {1: 16_000_000, 2: 256_000_000, 3: 65_536_000_000,
+                  4: None, 5: None}
+
+    th = {r.doc_id: r.w_temp_micro
+          for r in curation.temperature_weights(df, "w", (1, 2)).collect()}
+    assert th[1] == 4_000_000 and th[2] == 16_000_000 and th[3] == 256_000_000
+    # order preserved, ratios compressed (65536:16 → 64:1)
+    assert th[1] < th[2] < th[3]
+    assert th[3] * t1[1] < t1[3] * th[1]
+
+    # DuckDB parity on the same formula
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES (1,16),(2,256),(3,65536)) v(doc_id, w)"
+    )
+    lg = log2_micro_sql("w", engine="duckdb")
+    duck = con.execute(
+        f"SELECT doc_id, {exp2_micro_sql('x', 'duckdb')} FROM ("
+        f"SELECT doc_id, CAST(({lg} * 1 - (((({lg} * 1) % 2) + 2) % 2)) / 2 AS BIGINT) AS x FROM t)"
+    ).fetchall()
+    assert {d: v for d, v in duck} == {1: th[1], 2: th[2], 3: th[3]}
+
+    # composition: flattened weights still bias the A-ES draw
+    flat = curation.temperature_weights(
+        df.filter(F.col("w") > 0), "w", (1, 2)
+    )
+    wins = sum(
+        curation.weighted_sample(flat, 1, "w_temp_micro", "doc_id", salt=f"z{i}")
+        .collect()[0].doc_id == 3
+        for i in range(8)
+    )
+    assert wins >= 5
