@@ -141,3 +141,39 @@ def integer_dtype_check(df: DataFrame, column: str) -> bool:
     """T1 (reference validate.py:241-243): schema-level integer assertion."""
     dtype = dict(df.dtypes).get(column)
     return dtype in ("int", "bigint", "smallint", "tinyint")
+
+
+def profile_columns(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Per-column completeness/cardinality profile — the dataset-level
+    companion of the row-level checks above (the reference's
+    validate.py walks columns for nulls/dtypes; this is that idea as
+    ONE relational pass): a row per column with n_rows, n_nulls,
+    n_distinct (exact, NULL-excluded). Values are rendered to STRING
+    for the melt (both engines' numeric→string renderings are
+    injective, so distinct counts are rendering-independent).
+
+    Scale shape: melt (stack, a zero-shuffle projection) multiplies
+    rows by the profiled column count, then ONE two-level aggregate —
+    groupBy(col, value) partial-combines before the (col) rollup, so
+    the shuffle carries at most Σ per-column distinct values, not
+    rows×cols. Exactness is the point here; for a cheaper approximate
+    profile at extreme cardinalities, feed the same melt through the
+    portable HLL sketch (operators/sketches) instead."""
+    cols = columns or df.columns
+    stack_args = ", ".join(f"'{c}', CAST(`{c}` AS STRING)" for c in cols)
+    melted = df.select(
+        F.expr(f"stack({len(cols)}, {stack_args}) AS (col_name, value)")
+    )
+    per_val = melted.groupBy("col_name", "value").agg(F.count("*").alias("cnt"))
+    return (
+        per_val.groupBy("col_name")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.sum(F.when(F.col("value").isNull(), F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias("n_nulls"),
+            F.count(F.when(F.col("value").isNotNull(), F.lit(1)))
+            .cast("long")
+            .alias("n_distinct"),
+        )
+    )

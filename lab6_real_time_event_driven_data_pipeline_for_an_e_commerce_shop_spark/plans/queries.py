@@ -4533,3 +4533,34 @@ def q67_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kpis.funnel_stages(
         ev, ["view", "click", "purchase"], within_us=86_400_000_000
     )
+
+
+# ---------------------------------------------------------------------------
+# q68 (PARKED, r13) — per-column table profile
+# ---------------------------------------------------------------------------
+
+
+def _q68_oracle() -> str:
+    cols = ["doc_id", "lang", "n_chars", "source", "text"]
+    parts = [
+        f"""SELECT '{c}' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct
+        FROM documents"""
+        for c in cols
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+@parked_query("q68_table_profile", _q68_oracle())
+def q68_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column completeness/cardinality profile of documents
+    (validation.profile_columns) — PARKED gate-ready (r13): the
+    dataset-quality companion of the gated q05 validation counts. The
+    melt renders values to STRING, but both engines' numeric→string
+    renderings are injective, so the oracle's native COUNT(DISTINCT)
+    agrees exactly."""
+    from ..operators import validation
+
+    docs = _t(spark, sf_dir, "documents")
+    return validation.profile_columns(docs)

@@ -3106,3 +3106,34 @@ def test_temperature_weights_semantics_and_sampling(spark):
         for i in range(8)
     )
     assert wins >= 5
+
+
+def test_profile_columns_nulls_and_subset(spark):
+    """validation.profile_columns: NULLs counted per column and
+    excluded from distincts; a column subset profiles only those;
+    mixed dtypes (string/long/double/date) all render."""
+    import datetime as _dt
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        validation,
+    )
+
+    rows = [
+        (1, "a", 1.5, _dt.date(2024, 1, 1)),
+        (2, None, 1.5, None),
+        (3, "a", None, _dt.date(2024, 1, 2)),
+        (None, "b", 2.5, _dt.date(2024, 1, 1)),
+    ]
+    df = spark.createDataFrame(rows, "k long, s string, x double, d date")
+    got = {
+        r.col_name: (r.n_rows, r.n_nulls, r.n_distinct)
+        for r in validation.profile_columns(df).collect()
+    }
+    assert got == {
+        "k": (4, 1, 3),
+        "s": (4, 1, 2),
+        "x": (4, 1, 2),
+        "d": (4, 1, 2),
+    }
+    sub = validation.profile_columns(df, ["s"]).collect()
+    assert len(sub) == 1 and sub[0].col_name == "s"

@@ -435,6 +435,15 @@ def test_parked_funnel_real_corpus(spark):
     assert {r[i] for r in got} == {1, 2, 3}
 
 
+def test_parked_table_profile_real_corpus(spark):
+    """The parked q68 per-column profile matches the native-distinct
+    oracle exactly (string-rendered melt vs native COUNT(DISTINCT) —
+    injective renderings make them equal)."""
+    con = _duck(SF_DIR)
+    got, cols = _run_parked(spark, "q68_table_profile", SF_DIR, con)
+    assert len(got) == 5
+
+
 def test_parked_output_types_are_comparator_safe(spark):
     """Parked queries hold themselves to the same comparator-dtype bar
     as gated ones — promotion must never reopen the r6 q20 class."""
