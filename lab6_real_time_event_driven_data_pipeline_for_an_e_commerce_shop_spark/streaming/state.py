@@ -345,3 +345,45 @@ def tracked_sessions(
         outputMode="append",
         timeMode="eventTime",
     )
+
+
+def start_session_gold(
+    events: DataFrame,
+    gold_path: str,
+    checkpoint: str,
+    gap_minutes: int = 30,
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+):
+    """Serve CLOSED sessions as a queryable gold table: the
+    ``tracked_sessions_gs`` append stream MERGEd per micro-batch into a
+    parquet table keyed (user_id, session_start_us). A session closes
+    exactly once (state evicted at close), but a crash between the
+    sink's write and the checkpoint commit replays the batch — the
+    keyed MERGE makes the replay a no-op instead of a duplicate (the
+    medallion idempotence contract). Keys are disjoint by construction:
+    a user's sessions are non-overlapping intervals, so
+    (user, start_us) is unique across the stream's lifetime.
+
+    Returns the StreamingQuery; the table at ``gold_path`` is readable
+    between batches with plain ``spark.read.parquet``."""
+    from ..operators import upsert
+
+    sessions = tracked_sessions_gs(events, gap_minutes, watermark, ts_col)
+
+    def _merge(batch: DataFrame, _bid: int) -> None:
+        if not batch.isEmpty():
+            upsert.merge_parquet(
+                batch.sparkSession,
+                gold_path,
+                batch,
+                keys=["user_id", "session_start_us"],
+            )
+
+    return (
+        sessions.writeStream.foreachBatch(_merge)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -70,6 +70,7 @@ _SLOW_TESTS = {
     "test_transform_with_state_session_tracker",
     "test_groupstate_session_tracker_e2e",
     "test_groupstate_sessions_match_batch_q18_grain",
+    "test_session_gold_merge_idempotent_and_matches_batch",
     # test_properties: hypothesis-heavy
     "test_kpis_invariant_under_rechunking",
     "test_merge_equals_dict_semantics",

@@ -3145,3 +3145,101 @@ def test_chained_ingest_order_validation(tmp_path):
             None, str(tmp_path / "chk"), "doc_id long, text string",
             order=("quality", "exact", "spans", "near"),  # spans disabled
         )
+
+
+def test_session_gold_merge_idempotent_and_matches_batch(spark, tmp_path):
+    """start_session_gold: closed sessions land in a MERGE-keyed gold
+    table across waves; after the sentinel flush the table equals the
+    batch q18-grain sessionization; re-running the stream with the same
+    checkpoint and no new files changes nothing (replay = MERGE
+    no-op)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.state import (
+        start_session_gold,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
+    ev = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .select(
+            "event_id",
+            F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00',"
+                " ts::timestamp_ntz)"
+            ).cast("long").alias("ts_us"),
+            "user_id",
+        )
+    )
+    split_us = ev.agg(F.expr("percentile_approx(ts_us, 0.5, 100000)")).collect()[0][0]
+    max_us = ev.agg(F.max("ts_us")).collect()[0][0]
+    sentinel_user = -1
+
+    src = tmp_path / "sg_ev"
+    src.mkdir()
+    ck = str(tmp_path / "ck_sg")
+    gold = str(tmp_path / "gold_sessions")
+    schema = "event_id long, ts_us long, user_id long"
+
+    def run_wave(df, name):
+        df.coalesce(1).write.mode("overwrite").parquet(str(src / name))
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(str(src) + "/*")
+            .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        )
+        q = start_session_gold(stream, gold, ck)
+        q.awaitTermination()
+
+    run_wave(ev.filter(F.col("ts_us") < split_us), "w1")
+    run_wave(ev.filter(F.col("ts_us") >= split_us), "w2")
+    run_wave(
+        spark.createDataFrame(
+            [(int(10**9), max_us + 3 * 3600 * 1_000_000, sentinel_user)], schema
+        ),
+        "w3",
+    )
+
+    got = sorted(
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+        for r in spark.read.parquet(gold).collect()
+        if r.user_id != sentinel_user
+    )
+
+    gap_us = 30 * 60 * 1_000_000
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    sess = (
+        ev.withColumn("prev_us", F.lag("ts_us").over(w))
+        .withColumn(
+            "is_new",
+            F.when(
+                F.col("prev_us").isNull()
+                | (F.col("ts_us") - F.col("prev_us") > gap_us),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "sess_id",
+            F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "sess_id")
+        .agg(
+            F.min("ts_us").alias("s"),
+            F.max("ts_us").alias("e"),
+            F.count("*").alias("n"),
+        )
+    )
+    want = sorted((r.user_id, r.s, r.e, r.n) for r in sess.collect())
+    assert got == want
+
+    # replay with no new files: gold unchanged byte-for-value
+    before = got
+    run_wave(spark.createDataFrame([], schema), "w4")
+    after = sorted(
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+        for r in spark.read.parquet(gold).collect()
+        if r.user_id != sentinel_user
+    )
+    assert after == before
