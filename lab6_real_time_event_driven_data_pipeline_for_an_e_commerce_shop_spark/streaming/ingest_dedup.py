@@ -900,3 +900,173 @@ class ChainedIngest:
 
     def quarantined(self) -> DataFrame:
         return self.quality.quarantined()
+
+
+class EmbeddingDedupIngest:
+    """EMBEDDING near-dup dedup on ingest — the vector-side member of
+    the ingest-gate family (exact text, text spans, MinHash near-text,
+    quality; this gate is SemDeDup at the landing edge): a new vector
+    is REJECTED iff a kept vector within its SRP probe ring has
+    round-6 cosine ≥ ``threshold``; survivors are canonicalized
+    in-batch (verified pairs → connected components → min-id keep).
+
+    Blocking is the integer-exact SRP recipe shared with the batch
+    twin :func:`operators.similarity.embedding_near_dups` (±1 planes
+    over floor-quantized vectors, Hamming-≤``probe_hamming`` mask
+    ring), so candidacy is deterministic and the admission trace is
+    reproducible engine-independently. Rejections are LSH-mediated: a
+    true near-dup colliding in no probed bucket is admitted — the same
+    false-negative envelope as the batch path (tune n_planes/ring
+    against τ there). Cosine rounds to 6 dp BEFORE the threshold (the
+    q27/q28/q29 ulp rule).
+
+    State: one (id, vector, bucket) row per KEPT vector — the minimum
+    a verifying vector gate must remember. Kept is MERGEd BEFORE the
+    vector store (the NearDupIngest order argument: the reverse could
+    register a vector and then lose its row, after which the replayed
+    batch would reject the vector against itself). A FULLY replayed
+    batch re-rejects its own vectors against their stored copies —
+    harmless, they are already kept (and a vector re-sent under its
+    id with a lightly-EDITED embedding is rejected against its own
+    prior version, keeping the chain output stable — the NearDupIngest
+    self-handoff semantics, documented there)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        schema,
+        threshold: float = 0.9,
+        n_planes: int = 6,
+        dim: int = 64,
+        probe_hamming: int = 1,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        fmt: str = "json",
+    ):
+        self.spark = spark
+        self.root = root
+        self.schema = schema
+        self.threshold = float(threshold)
+        self.n_planes, self.dim = int(n_planes), int(dim)
+        self.probe_hamming = int(probe_hamming)
+        self.vec_col = vec_col
+        self.id_col = id_col
+        self.fmt = fmt
+        os.makedirs(self.landing(), exist_ok=True)
+
+    landing = DedupIngest.landing
+    _path = DedupIngest._path
+    run_available = DedupIngest.run_available
+    kept = DedupIngest.kept
+
+    def vectors(self) -> DataFrame:
+        return self.spark.read.parquet(self._path("vectors"))
+
+    def _tagged(self, df: DataFrame) -> DataFrame:
+        from ..operators import similarity
+        from ..operators.similarity import lsh_bucket_int, norm
+
+        planes = similarity.hyperplanes_int(self.n_planes, self.dim)
+        return df.select(
+            F.col(self.id_col).alias("_id"),
+            F.col(self.vec_col).alias("_v"),
+            norm(F.col(self.vec_col)).alias("_nrm"),
+            lsh_bucket_int(F.col(self.vec_col), planes).alias("_bkt"),
+        )
+
+    def _verified_pairs(self, probing: DataFrame, stored: DataFrame) -> DataFrame:
+        """Directed candidate pairs (probing id_a → stored id_b) within
+        the probe ring with round-6 cosine ≥ threshold."""
+        from ..operators import similarity
+        from ..operators.similarity import dot
+
+        masks = similarity.probe_masks(self.n_planes, self.probe_hamming)
+        a = probing.select(
+            F.col("_id").alias("id_a"),
+            F.col("_v").alias("_va"),
+            F.col("_nrm").alias("_na"),
+            F.explode(
+                F.array(*[F.col("_bkt").bitwiseXOR(F.lit(m)) for m in masks])
+            ).alias("_pbkt"),
+        )
+        b = stored.select(
+            F.col("_id").alias("id_b"),
+            F.col("_v").alias("_vb"),
+            F.col("_nrm").alias("_nb"),
+            F.col("_bkt").alias("_pbkt"),
+        )
+        return (
+            a.join(b, "_pbkt")
+            .select(
+                "id_a",
+                "id_b",
+                F.round(
+                    dot(F.col("_va"), F.col("_vb"))
+                    / (F.col("_na") * F.col("_nb")),
+                    6,
+                ).alias("_cos6"),
+            )
+            .filter(F.col("_cos6") >= F.lit(self.threshold))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+
+    def _process(self, batch: DataFrame, batch_id: int) -> None:
+        from ..operators import dedup
+
+        batch = batch.withColumn(
+            "_pay", F.to_json(F.struct(F.col(self.vec_col)))
+        )
+        batch = _one_row_per_id(batch, self.id_col, "_pay").drop("_pay")
+        tagged = self._tagged(batch)
+        survivors = tagged
+        store_path = self._path("vectors")
+        if os.path.isdir(store_path):
+            stored = self._tagged(
+                self.spark.read.parquet(store_path).withColumnRenamed(
+                    "vec_id", self.id_col
+                )
+            )
+            rejected = self._verified_pairs(tagged, stored)
+            survivors = tagged.join(
+                rejected.select(F.col("id_a").alias("_id")).distinct(),
+                "_id",
+                "left_anti",
+            )
+        # in-batch canonicalization: verified undirected pairs among
+        # survivors → connected components → min-id keep
+        pairs = (
+            self._verified_pairs(survivors, survivors)
+            .filter(F.col("id_a") < F.col("id_b"))
+        )
+        clusters = dedup.duplicate_clusters(pairs)
+        losers = clusters.filter(
+            F.col("cluster_id") != F.col("node_id")
+        ).select(F.col("node_id").alias("_id"))
+        admitted_ids = survivors.join(losers, "_id", "left_anti").select("_id")
+        admitted = batch.join(
+            admitted_ids.withColumnRenamed("_id", self.id_col),
+            self.id_col,
+            "left_semi",
+        )
+        # materialize before the merges (lineage reads the vector store)
+        tmp_rows = self._path("_admitted__tmp")
+        admitted.write.mode("overwrite").parquet(tmp_rows)
+        if glob.glob(os.path.join(tmp_rows, "part-*")):
+            fresh = self.spark.read.parquet(tmp_rows)
+            if fresh.limit(1).count() > 0:
+                # kept FIRST, vectors second (see class docstring)
+                upsert.merge(
+                    self.spark, self._path("kept"), fresh, keys=[self.id_col]
+                )
+                upsert.merge(
+                    self.spark,
+                    self._path("vectors"),
+                    fresh.select(
+                        F.col(self.id_col).alias("vec_id"),
+                        F.col(self.vec_col).alias(self.vec_col),
+                    ),
+                    keys=["vec_id"],
+                )
+        shutil.rmtree(tmp_rows, ignore_errors=True)

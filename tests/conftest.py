@@ -71,6 +71,8 @@ _SLOW_TESTS = {
     "test_groupstate_session_tracker_e2e",
     "test_groupstate_sessions_match_batch_q18_grain",
     "test_session_gold_merge_idempotent_and_matches_batch",
+    "test_embedding_ingest_gate_admissions",
+    "test_embedding_ingest_crash_window_converges",
     # test_properties: hypothesis-heavy
     "test_kpis_invariant_under_rechunking",
     "test_merge_equals_dict_semantics",

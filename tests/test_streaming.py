@@ -3243,3 +3243,134 @@ def test_session_gold_merge_idempotent_and_matches_batch(spark, tmp_path):
         if r.user_id != sentinel_user
     )
     assert after == before
+
+
+def _emb_wave(root, name, vecs):
+    import json as _json
+
+    with open(os.path.join(root, "landing", name), "w") as f:
+        for vid, v in vecs:
+            f.write(_json.dumps({"vec_id": vid, "embedding": v}) + "\n")
+
+
+def _unit(*pairs, dim=8):
+    """Unit vector from (index, weight) components."""
+    import math as _m
+
+    v = [0.0] * dim
+    for i, w in pairs:
+        v[i] = w
+    n = _m.sqrt(sum(x * x for x in v))
+    return [x / n for x in v]
+
+
+def test_embedding_ingest_gate_admissions(spark, tmp_path):
+    """EmbeddingDedupIngest (the vector-side ingest gate): in-batch
+    canonicalization keeps the min id of a planted near-dup pair,
+    cross-wave near-dups are rejected against the kept store,
+    near-orthogonal vectors are admitted, and replay with no new files
+    changes nothing. Preconditions (the planted pairs actually collide
+    in the probe ring and clear the cosine threshold) are
+    HARD-ASSERTED from the operator's own bucket/cosine functions, so
+    the admission expectations cannot silently derate."""
+    from pyspark.sql import functions as F
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        similarity,
+    )
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.ingest_dedup import (
+        EmbeddingDedupIngest,
+    )
+
+    dim, tau = 8, 0.9
+    root = str(tmp_path)
+    gate = EmbeddingDedupIngest(
+        spark, root, schema="vec_id long, embedding array<double>",
+        threshold=tau, n_planes=6, dim=dim, probe_hamming=1,
+    )
+
+    base = {i: _unit((i, 1.0), dim=dim) for i in range(4)}
+    v5 = _unit((0, 1.0), (1, 0.05), dim=dim)   # near-dup of base[0]
+    v6 = _unit((1, 1.0), (2, 0.05), dim=dim)   # near-dup of base[1]
+    v7 = _unit((4, 1.0), dim=dim)              # novel
+    v8 = _unit((5, 1.0), (0, 0.03), dim=dim)   # near-dup pair (8, 9)
+    v9 = _unit((5, 1.0), (1, -0.03), dim=dim)
+
+    # precondition: planted pairs clear τ and share the EXACT bucket
+    # (|perturbation| < 1 ⇒ every ±1-plane sign is decided by the
+    # dominant coordinate); non-pairs sit at cosine ≈ 0
+    def cos(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    assert cos(base[0], v5) >= tau and cos(base[1], v6) >= tau
+    assert cos(v8, v9) >= tau
+    assert all(abs(cos(base[i], base[j])) < 0.1 for i in range(4) for j in range(i + 1, 4))
+    planes = similarity.hyperplanes_int(6, dim)
+    bdf = spark.createDataFrame(
+        [(1, base[0]), (5, v5), (2, base[1]), (6, v6), (8, v8), (9, v9)],
+        "vec_id long, embedding array<double>",
+    ).select("vec_id", similarity.lsh_bucket_int(F.col("embedding"), planes).alias("b"))
+    bk = {r.vec_id: r.b for r in bdf.collect()}
+    assert bk[1] == bk[5] and bk[2] == bk[6] and bk[8] == bk[9]
+
+    _emb_wave(root, "w1.json", [(1, base[0]), (2, base[1]), (3, base[2]),
+                                (4, base[3]), (5, v5)])
+    gate.run_available()
+    assert {r.vec_id for r in gate.kept().collect()} == {1, 2, 3, 4}
+
+    _emb_wave(root, "w2.json", [(6, v6), (7, v7), (8, v8), (9, v9)])
+    gate.run_available()
+    kept = {r.vec_id for r in gate.kept().collect()}
+    assert kept == {1, 2, 3, 4, 7, 8}
+    assert {r.vec_id for r in gate.vectors().collect()} == kept
+
+    # replay: no new files → nothing changes
+    gate.run_available()
+    assert {r.vec_id for r in gate.kept().collect()} == kept
+
+
+def test_embedding_ingest_crash_window_converges(spark, tmp_path, monkeypatch):
+    """The worst crash window for the vector gate: kept MERGEd but the
+    vector store not yet — the replay must not lose vectors or reject
+    them against half-written state, and the recovered store still
+    rejects later near-dups."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        upsert,
+    )
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.ingest_dedup import (
+        EmbeddingDedupIngest,
+    )
+
+    dim = 8
+    root = str(tmp_path)
+    gate = EmbeddingDedupIngest(
+        spark, root, schema="vec_id long, embedding array<double>",
+        threshold=0.9, n_planes=6, dim=dim, probe_hamming=1,
+    )
+    _emb_wave(root, "w1.json", [(1, _unit((0, 1.0), dim=dim)),
+                                (2, _unit((1, 1.0), dim=dim))])
+    real_merge = upsert.merge
+
+    def _crashing_merge(spark_, path, source, keys, **kw):
+        if path.endswith("vectors"):
+            raise RuntimeError("crash before vector-store merge")
+        return real_merge(spark_, path, source, keys, **kw)
+
+    monkeypatch.setattr(upsert, "merge", _crashing_merge)
+    with pytest.raises(Exception, match="crash before vector-store merge"):
+        gate.run_available()
+    monkeypatch.setattr(upsert, "merge", real_merge)
+
+    assert {r.vec_id for r in gate.kept().collect()} == {1, 2}
+    assert not os.path.isdir(os.path.join(root, "vectors"))
+    gate.run_available()
+    assert {r.vec_id for r in gate.kept().collect()} == {1, 2}
+    assert gate.vectors().count() == 2
+
+    # the recovered store still gates: a near-dup of vec 1 is rejected,
+    # a novel vector is admitted
+    _emb_wave(root, "w2.json", [(3, _unit((0, 1.0), (2, 0.04), dim=dim)),
+                                (4, _unit((5, 1.0), dim=dim))])
+    gate.run_available()
+    kept = {r.vec_id for r in gate.kept().collect()}
+    assert kept == {1, 2, 4}
