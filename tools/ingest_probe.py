@@ -206,6 +206,84 @@ def compaction_probe(gate_cls, name: str, spark, n_docs: int,
     return out
 
 
+def probe_embedding(spark, wave_vecs: int, n_waves: int, dup_pct: int,
+                    dim: int = 64) -> dict:
+    """r13: the vector-side gate. Wave w's vectors: ids [w*n, (w+1)*n);
+    dup_pct% of post-first waves perturb a WAVE-0 vector (coordinate
+    noise ≤ 1% of the coordinate range — cosine ≥ 0.999, far above τ),
+    the rest are fresh pseudo-random vectors (expected |cos| ≈ 1/√dim
+    ≈ 0.125 at dim 64 — never near τ). Rejection must travel the SRP
+    ring + cosine-verify path; perturbation can flip near-boundary
+    plane signs, so misses within the ring-1 envelope get the same
+    ~3% tolerance as the near-text gate."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.ingest_dedup import (  # noqa: E501
+        EmbeddingDedupIngest,
+    )
+
+    root = tempfile.mkdtemp(prefix="ingest_probe_emb_")
+    # production-τ parameterization (the embedding_near_dups guidance):
+    # 16 planes + ring-2 → candidate fraction 137/2^16 ≈ 0.2% of pair
+    # space (6 planes/ring-1 = 11% — measured NON-flat per-wave cost:
+    # the store-side candidate count grows linearly with kept vectors)
+    gate = EmbeddingDedupIngest(
+        spark, root, schema="vec_id long, embedding array<double>",
+        threshold=0.9, n_planes=16, dim=dim, probe_hamming=2, fmt="json",
+    )
+    per_wave = []
+    for w in range(n_waves):
+        df = spark.range(w * wave_vecs, (w + 1) * wave_vecs).select(
+            F.col("id").alias("vec_id"),
+            F.when(
+                (F.col("id") % 100 < dup_pct) & (F.col("id") >= wave_vecs),
+                F.col("id") % wave_vecs,
+            ).otherwise(F.col("id")).alias("src"),
+            ((F.col("id") % 100 < dup_pct) & (F.col("id") >= wave_vecs))
+            .alias("_isdup"),
+        )
+        base = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d: (
+                F.pmod(F.xxhash64(F.col("src"), d), F.lit(2001)) - 1000
+            ).cast("double") / 1000.0,
+        )
+        noise = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d: F.when(
+                F.col("_isdup"),
+                (F.pmod(F.xxhash64(F.col("vec_id"), d, F.lit(7)), F.lit(21))
+                 - 10).cast("double") / 1000.0,
+            ).otherwise(F.lit(0.0)),
+        )
+        vec = F.zip_with(base, noise, lambda a, b: a + b)
+        out = df.select("vec_id", vec.alias("embedding"))
+        out.coalesce(1).write.mode("overwrite").json(
+            os.path.join(root, "landing", f"w{w}")
+        )
+        for f in os.listdir(os.path.join(root, "landing", f"w{w}")):
+            if f.endswith(".json"):
+                os.rename(
+                    os.path.join(root, "landing", f"w{w}", f),
+                    os.path.join(root, "landing", f"wave{w}.json"),
+                )
+        shutil.rmtree(os.path.join(root, "landing", f"w{w}"))
+        t0 = time.perf_counter()
+        gate.run_available()
+        secs = round(time.perf_counter() - t0, 2)
+        kept = gate.kept().count()
+        per_wave.append({"wave": w, "secs": secs, "kept_total": kept})
+        print(json.dumps({"gate": "embedding", **per_wave[-1]}), flush=True)
+    n_dups = (n_waves - 1) * wave_vecs * dup_pct // 100
+    out = {
+        "gate": "embedding",
+        "kept_final": per_wave[-1]["kept_total"],
+        "expected_kept": n_waves * wave_vecs - n_dups,
+        "tolerance": max(2, n_dups * 3 // 100),
+        "wave_secs": [p["secs"] for p in per_wave],
+    }
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     wave_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
     n_waves = int(sys.argv[2]) if len(sys.argv) > 2 else 5
@@ -258,6 +336,8 @@ def main() -> None:
               count_fn=lambda g: g.kept().count(),
               span_min_len=5, min_tokens=3, max_digit_ratio=1.0,
               order=("quality", "exact", "spans", "near")),
+        # r13: the vector-side gate (SRP ring + cosine verify)
+        probe_embedding(spark, max(wave_docs // 4, 1000), n_waves, dup_pct),
     ]
     for r in results:
         ok = abs(r["kept_final"] - r["expected_kept"]) <= r["tolerance"]
