@@ -190,7 +190,7 @@ def tracked_sessions_gs(
     sources cast first, e.g. ``col.cast("timestamp")``). The fold never
     sees the timestamp itself: epoch µs are derived JVM-side with
     ``unix_micros`` so the Python worker works on int64 instants only
-    (timezone-invariant; the emitted session_start_us/_end_us join back
+    (timezone-invariant; the emitted session start and end µs join back
     to ``unix_micros`` grain exactly)."""
     ev = events.withWatermark(ts_col, watermark).withColumn(
         _SESSION_TS_US, F.unix_micros(F.col(ts_col))
