@@ -4119,14 +4119,45 @@ def q60_source_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q61_events_by_customer_segment",
     f"""
-    SELECT c.c_mktsegment AS segment,
-           e.event_type,
-           CAST(COUNT(*) AS BIGINT) AS n_events,
-           {_dsum('e.value')} AS total_value,
-           CAST(SUM(CAST(json_extract_string(e.props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
-    FROM events e
-    JOIN customer c ON e.user_id = c.c_custkey
-    GROUP BY c.c_mktsegment, e.event_type
+    WITH fa AS (
+        SELECT user_id, MIN(epoch_us(ts)) AS t1
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), fb AS (
+        SELECT fa.user_id, fa.t1, MIN(epoch_us(e.ts)) AS t2
+        FROM fa LEFT JOIN events e
+          ON e.user_id = fa.user_id AND e.event_type = 'click'
+         AND epoch_us(e.ts) >= fa.t1
+         AND epoch_us(e.ts) <= fa.t1 + 86400000000
+        GROUP BY fa.user_id, fa.t1
+    ), fc AS (
+        SELECT fb.user_id, fb.t1, fb.t2, MIN(epoch_us(e.ts)) AS t3
+        FROM fb LEFT JOIN events e
+          ON e.user_id = fb.user_id AND e.event_type = 'purchase'
+         AND epoch_us(e.ts) >= fb.t2
+         AND epoch_us(e.ts) <= fb.t1 + 86400000000
+        GROUP BY fb.user_id, fb.t1, fb.t2
+    ), fs AS (
+        SELECT cu.c_mktsegment AS segment,
+               CAST(COUNT(*) AS BIGINT) AS n_reach_view,
+               CAST(SUM(CASE WHEN t2 IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_reach_click,
+               CAST(SUM(CASE WHEN t3 IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_reach_purchase
+        FROM fc JOIN customer cu ON fc.user_id = cu.c_custkey
+        GROUP BY cu.c_mktsegment
+    ), m AS (
+        SELECT c.c_mktsegment AS segment,
+               e.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               {_dsum('e.value')} AS total_value,
+               CAST(SUM(CAST(json_extract_string(e.props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
+        FROM events e
+        JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY c.c_mktsegment, e.event_type
+    )
+    SELECT m.*,
+           CAST(COALESCE(fs.n_reach_view, 0) AS BIGINT) AS n_reach_view,
+           CAST(COALESCE(fs.n_reach_click, 0) AS BIGINT) AS n_reach_click,
+           CAST(COALESCE(fs.n_reach_purchase, 0) AS BIGINT) AS n_reach_purchase
+    FROM m LEFT JOIN fs ON fs.segment = m.segment
     """,
 )
 def q61_events_by_customer_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4134,10 +4165,16 @@ def q61_events_by_customer_segment(spark: SparkSession, sf_dir: str) -> DataFram
     — the canonical event⋈dim rollup every serving dashboard runs —
     including semi-structured JSON property extraction (the reference's
     control plane is all JSON docs, SURVEY.md §1.3; here as a data-plane
-    aggregate)."""
+    aggregate).
+
+    r13 depth: the fixed-anchor conversion funnel (kpis.funnel_stages,
+    view → click → purchase within 24 h) hosted as per-segment reach
+    counts under the hash gate — constant across a segment's
+    event_type rows (the q64 ANY_VALUE hosting pattern), COALESCE 0
+    for segments with no view-anchored users at off-gate SFs."""
     ev = _events_us(spark, sf_dir)
     c = _t(spark, sf_dir, "customer")
-    return (
+    main = (
         ev.join(F.broadcast(c), ev.user_id == c.c_custkey)
         .groupBy(F.col("c_mktsegment").alias("segment"), "event_type")
         .agg(
@@ -4145,6 +4182,28 @@ def q61_events_by_customer_segment(spark: SparkSession, sf_dir: str) -> DataFram
             _sdsum(F.col("value")).alias("total_value"),
             F.sum(F.get_json_object("props", "$.k").cast("long")).cast("long").alias("k_sum"),
         )
+    )
+    fun = kpis.funnel_stages(
+        ev, ["view", "click", "purchase"], within_us=86_400_000_000
+    )
+    fseg = (
+        fun.join(F.broadcast(c), fun.user_id == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").cast("long").alias("n_reach_view"),
+            F.sum(F.when(F.col("t2").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_reach_click"),
+            F.sum(F.when(F.col("t3").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_reach_purchase"),
+        )
+    )
+    return main.join(F.broadcast(fseg), "segment", "left").select(
+        main["*"],
+        F.coalesce("n_reach_view", F.lit(0)).cast("long").alias("n_reach_view"),
+        F.coalesce("n_reach_click", F.lit(0)).cast("long").alias("n_reach_click"),
+        F.coalesce("n_reach_purchase", F.lit(0)).cast("long").alias("n_reach_purchase"),
     )
 
 
