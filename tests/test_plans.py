@@ -450,3 +450,13 @@ def test_parked_q65_q66_q67_plan_shapes(spark):
     assert "WindowGroupLimit" in plans["q66_weighted_sample"]
     # q65: at least one equi-join keyed on the cell id
     assert re.search(r"_cell", plans["q65_hard_negatives"])
+
+
+def test_q61_funnel_enrichment_plan_clean(spark):
+    """q61 with the r13 per-segment funnel columns stays loop-join- and
+    Python-free: the funnel's stage joins are user-keyed equi-joins and
+    the reach table joins back broadcast on segment."""
+    plan = _formatted(q.catalog()["q61_events_by_customer_segment"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
