@@ -192,8 +192,12 @@ def tracked_sessions_gs(
     ``unix_micros`` so the Python worker works on int64 instants only
     (timezone-invariant; the emitted session start and end µs join back
     to ``unix_micros`` grain exactly)."""
-    ev = events.withWatermark(ts_col, watermark).withColumn(
-        _SESSION_TS_US, F.unix_micros(F.col(ts_col))
+    # NULL event times carry no session information and would reach
+    # the Arrow fold as NaN (int() raises) — drop them JVM-side
+    ev = (
+        events.filter(F.col(ts_col).isNotNull())
+        .withWatermark(ts_col, watermark)
+        .withColumn(_SESSION_TS_US, F.unix_micros(F.col(ts_col)))
     )
     return ev.groupBy("user_id").applyInPandasWithState(
         _session_fold(gap_minutes * 60 * 1_000_000),
