@@ -4623,3 +4623,64 @@ def q68_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return validation.profile_columns(docs)
+
+
+# ---------------------------------------------------------------------------
+# q69 (PARKED, r13) — temperature-flattened weighted sample under oracle
+# ---------------------------------------------------------------------------
+
+
+def _q69_oracle(n: int = 10) -> str:
+    """temperature_weights (α = 1/2) composed with the A-ES draw,
+    re-derived relationally: BOTH published tables (LOG2 + EXP2
+    micro-constants) ride in the SQL, the flattened weight is
+    exp2(log2(w) DIV 2), and the ranking key is one IEEE division of
+    exact int64s — the whole chain is engine-portable, so DuckDB
+    reproduces the selection AND the ranks."""
+    from ..functions.expressions import exp2_micro_sql, log2_micro_sql
+
+    lg = log2_micro_sql("n_chars", engine="duckdb")
+    e2 = exp2_micro_sql("x", engine="duckdb")
+    lgh = log2_micro_sql("h1", engine="duckdb")
+    return f"""
+    WITH t AS (
+        SELECT doc_id, source, n_chars,
+               CAST(({lg} - (((({lg}) % 2) + 2) % 2)) / 2 AS BIGINT) AS x
+        FROM documents WHERE n_chars > 0
+    ), tw AS (
+        SELECT doc_id, source, n_chars, CAST({e2} AS BIGINT) AS w_temp_micro
+        FROM t
+    ), h AS (
+        SELECT *, CAST(concat('0x', substr(md5('␟' || CAST(doc_id AS VARCHAR)), 1, 12))
+                       AS BIGINT) + 1 AS h1
+        FROM tw WHERE w_temp_micro > 0
+    ), k AS (
+        SELECT doc_id, source, n_chars, w_temp_micro,
+               CAST({lgh} - 48000000 AS DOUBLE) / CAST(w_temp_micro AS DOUBLE) AS key
+        FROM h
+    )
+    SELECT doc_id, source, n_chars, w_temp_micro,
+           CAST(row_number() OVER (
+               PARTITION BY source ORDER BY key DESC, doc_id) AS BIGINT) AS ws_rank
+    FROM k QUALIFY ws_rank <= {n}
+    """
+
+
+@parked_query("q69_temperature_sample", _q69_oracle())
+def q69_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened mixture sampling — PARKED gate-ready
+    (r13): curation.temperature_weights (α = 1/2 over n_chars; the
+    EXP2_TABLE_MICRO published constants) feeding
+    curation.weighted_sample per source. The draw differs from q66's
+    raw-weight draw exactly where flattening changes the ranking, and
+    the oracle re-derives both tables — EXP2 gets the same
+    oracle-grade proof LOG2 has via q22's entropy column."""
+    from ..operators import curation
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    flat = curation.temperature_weights(
+        docs.filter(F.col("n_chars") > 0), "n_chars", (1, 2)
+    )
+    return curation.weighted_sample(
+        flat, 10, "w_temp_micro", "doc_id", by=["source"]
+    ).select("doc_id", "source", "n_chars", "w_temp_micro", "ws_rank")

@@ -444,6 +444,22 @@ def test_parked_table_profile_real_corpus(spark):
     assert len(got) == 5
 
 
+def test_parked_temperature_sample_real_corpus(spark):
+    """The parked q69 temperature-flattened draw matches its oracle
+    (both published constant tables re-derived in SQL) and actually
+    DIFFERS from q66's raw-weight draw somewhere — flattening changes
+    the ranking, not just the weights."""
+    con = _duck(SF_DIR)
+    got, cols = _run_parked(spark, "q69_temperature_sample", SF_DIR, con)
+    assert len(got) > 0
+    i_id, i_rank = cols.index("doc_id"), cols.index("ws_rank")
+    q69_pick = {(r[i_id], r[i_rank]) for r in got}
+    got66, cols66 = _run_parked(spark, "q66_weighted_sample", SF_DIR, con)
+    j_id, j_rank = cols66.index("doc_id"), cols66.index("ws_rank")
+    q66_pick = {(r[j_id], r[j_rank]) for r in got66}
+    assert q69_pick != q66_pick
+
+
 def test_parked_output_types_are_comparator_safe(spark):
     """Parked queries hold themselves to the same comparator-dtype bar
     as gated ones — promotion must never reopen the r6 q20 class."""
