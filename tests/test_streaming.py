@@ -3374,3 +3374,118 @@ def test_embedding_ingest_crash_window_converges(spark, tmp_path, monkeypatch):
     gate.run_available()
     kept = {r.vec_id for r in gate.kept().collect()}
     assert kept == {1, 2, 4}
+
+
+def test_session_folds_differential_property():
+    """The two session trackers (transformWithState timers vs
+    GroupState timeouts) implement ONE semantics: for any
+    hypothesis-generated event sequence and batch split, the closed
+    sessions they emit — inline plus forced trailing close — are
+    identical. Pure-Python differential drive (fake handles), no
+    Spark runtime."""
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.state import (
+        _session_fold,
+        make_session_tracker,
+    )
+
+    GAP_US = 30 * 60 * 1_000_000
+    base = dt.datetime(2024, 1, 1)
+    B_US = pd.Timestamp(base).value // 1000
+
+    class FakeGroupState:
+        def __init__(self):
+            self.v, self.timeout_ms, self.hasTimedOut = None, None, False
+        @property
+        def exists(self):
+            return self.v is not None
+        @property
+        def get(self):
+            return self.v
+        def update(self, nv):
+            self.v = tuple(nv)
+        def remove(self):
+            self.v = None
+        def getCurrentWatermarkMs(self):
+            return 0
+        def setTimeoutTimestamp(self, ms):
+            self.timeout_ms = ms
+
+    class FakeState:
+        def __init__(self):
+            self.v = None
+        def exists(self):
+            return self.v is not None
+        def get(self):
+            return self.v
+        def update(self, nv):
+            self.v = tuple(nv)
+        def clear(self):
+            self.v = None
+
+    class FakeHandle:
+        def __init__(self):
+            self.state = FakeState()
+            self.timers = []
+        def getValueState(self, name, schema):
+            return self.state
+        def listTimers(self):
+            return list(self.timers)
+        def deleteTimer(self, t):
+            self.timers.remove(t)
+        def registerTimer(self, t):
+            self.timers.append(t)
+
+    class FakeExpired:
+        def __init__(self, ms):
+            self.ms = ms
+        def getExpiryTimeInMs(self):
+            return self.ms
+
+    def sessions_of(frames):
+        out = []
+        for f in frames:
+            for r in f.itertuples():
+                out.append((r.session_start_us, r.session_end_us, r.n_events))
+        return out
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=-300, max_value=600), min_size=1, max_size=12),
+        st.integers(min_value=1, max_value=4),
+    )
+    def check(minutes, n_batches):
+        chunks = [minutes[i::n_batches] for i in range(n_batches)]
+        chunks = [c for c in chunks if c]
+
+        gs = FakeGroupState()
+        fold = _session_fold(GAP_US)
+        gs_closed = []
+        for c in chunks:
+            pdf = pd.DataFrame(
+                {"__session_ts_us": [B_US + m * 60 * 1_000_000 for m in c]}
+            )
+            gs_closed += sessions_of(fold((7,), iter([pdf]), gs))
+        if gs.exists:
+            gs.hasTimedOut = True
+            gs_closed += sessions_of(fold((7,), iter([]), gs))
+
+        proc = make_session_tracker(GAP_US)
+        h = FakeHandle()
+        proc.init(h)
+        tws_closed = []
+        for c in chunks:
+            pdf = pd.DataFrame({"ts": [base + dt.timedelta(minutes=m) for m in c]})
+            tws_closed += sessions_of(proc.handleInputRows((7,), iter([pdf]), None))
+        if h.state.v is not None:
+            horizon = h.state.v[1] // 1000 + GAP_US // 1000
+            tws_closed += sessions_of(
+                proc.handleExpiredTimer((7,), None, FakeExpired(horizon))
+            )
+
+        assert sorted(gs_closed) == sorted(tws_closed)
+
+    check()
