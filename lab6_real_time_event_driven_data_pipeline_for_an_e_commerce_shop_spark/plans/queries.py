@@ -4684,3 +4684,76 @@ def q69_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.weighted_sample(
         flat, 10, "w_temp_micro", "doc_id", by=["source"]
     ).select("doc_id", "source", "n_chars", "w_temp_micro", "ws_rank")
+
+
+# ---------------------------------------------------------------------------
+# q70 (PARKED, r13) — robust outlier detection (median / MAD)
+# ---------------------------------------------------------------------------
+
+
+_Q70_ORACLE = """
+    WITH c AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+        FROM events WHERE value IS NOT NULL
+    ), m AS (
+        SELECT event_type, quantile_cont(v, 0.5) AS med FROM c GROUP BY event_type
+    ), d AS (
+        SELECT c.event_type, abs(c.v - m.med) AS dev
+        FROM c JOIN m USING (event_type)
+    ), md AS (
+        SELECT event_type, quantile_cont(dev, 0.5) AS mad FROM d GROUP BY event_type
+    )
+    SELECT d.event_type,
+           m.med AS med_cents,
+           md.mad AS mad_cents,
+           CAST(SUM(CASE WHEN d.dev > 3 * md.mad THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM d JOIN md USING (event_type) JOIN m USING (event_type)
+    GROUP BY d.event_type, m.med, md.mad
+"""
+
+
+@parked_query("q70_value_outliers", _Q70_ORACLE)
+def q70_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type — median / MAD (the
+    3-sigma rule's heavy-tail-safe form) — PARKED gate-ready (r13).
+    Exactness chain: values integerize to cents FIRST (the repo float
+    rule), so medians are exact elements or exact halves, deviations
+    are exact half-integers, the MAD likewise, and 3·MAD and every
+    comparison are exact IEEE on values ≤ 2^41 — no rounding anywhere,
+    both engines compute bit-identical doubles (the q46 percentile ↔
+    quantile_cont parity, one composition deeper).
+
+    Scale shape: two grouped exact percentiles + one broadcast join of
+    the 5-row stats table back to the cents frame — the corpus is
+    scanned twice, stats stay group-grain."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cents = ev.select(
+        "event_type",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("v"),
+    )
+    med = cents.groupBy("event_type").agg(
+        F.expr("percentile(v, 0.5)").alias("med_cents")
+    )
+    dev = cents.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "med_cents",
+        F.abs(F.col("v") - F.col("med_cents")).alias("dev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(dev, 0.5)").alias("mad_cents")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med_cents", "mad_cents")
+        .agg(
+            F.sum(
+                F.when(F.col("dev") > 3 * F.col("mad_cents"), 1).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            "event_type", "med_cents", "mad_cents", "n_outliers", "n_events"
+        )
+    )

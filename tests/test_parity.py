@@ -460,6 +460,16 @@ def test_parked_temperature_sample_real_corpus(spark):
     assert q69_pick != q66_pick
 
 
+def test_parked_value_outliers_real_corpus(spark):
+    """The parked q70 median/MAD outlier detector matches its oracle
+    exactly (cents-integerized medians are exact halves; every step of
+    the chain is exact IEEE), with non-degenerate outlier counts."""
+    con = _duck(SF_DIR)
+    got, cols = _run_parked(spark, "q70_value_outliers", SF_DIR, con)
+    i = cols.index("n_outliers")
+    assert len(got) == 5 and all(r[i] > 0 for r in got)
+
+
 def test_parked_output_types_are_comparator_safe(spark):
     """Parked queries hold themselves to the same comparator-dtype bar
     as gated ones — promotion must never reopen the r6 q20 class."""
