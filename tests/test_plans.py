@@ -441,13 +441,18 @@ def test_parked_q65_q66_q67_plan_shapes(spark):
     parked = q.parked()
     plans = {
         name: _formatted(parked[name].fn(spark, SF_DIR))
-        for name in ("q65_hard_negatives", "q66_weighted_sample", "q67_funnel")
+        for name in (
+            "q65_hard_negatives", "q66_weighted_sample", "q67_funnel",
+            "q68_table_profile", "q69_temperature_sample",
+            "q70_value_outliers",
+        )
     }
     for name, plan in plans.items():
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "EvalPython" not in plan, name
     assert "WindowGroupLimit" in plans["q66_weighted_sample"]
+    assert "WindowGroupLimit" in plans["q69_temperature_sample"]
     # q65: at least one equi-join keyed on the cell id
     assert re.search(r"_cell", plans["q65_hard_negatives"])
 
