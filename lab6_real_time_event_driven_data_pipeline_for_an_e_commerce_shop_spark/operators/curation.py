@@ -647,9 +647,22 @@ def temperature_weights(
     exact int→double contract holds)."""
     from ..functions.expressions import exp2_micro_sql, log2_micro_sql
 
+    import math as _math
+
     num, den = int(alpha[0]), int(alpha[1])
     if den <= 0 or num < 0:
         raise ValueError("alpha must be a non-negative rational (num, den>0)")
+    # reduce, then bound: the scaled exponent l·num (l ≤ 63·10⁶) must
+    # stay < 2^53 so the exact-multiple double division below cannot
+    # round — an unreduced alpha like (5e9, 1e10) would otherwise
+    # silently misfloor the exponent
+    g = _math.gcd(num, den) or 1
+    num, den = num // g, den // g
+    if num > 10**8:
+        raise ValueError(
+            f"alpha numerator {num} (reduced) too large: l*num must stay"
+            " under 2^53 for exact division"
+        )
     tagged = df.withColumn(
         "_tw_w", F.when(F.col(weight_col).cast("long") > 0,
                         F.col(weight_col).cast("long"))

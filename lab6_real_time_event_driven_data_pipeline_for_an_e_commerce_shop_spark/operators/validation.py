@@ -165,15 +165,24 @@ def profile_columns(df: DataFrame, columns: list[str] | None = None) -> DataFram
         F.expr(f"stack({len(cols)}, {stack_args}) AS (col_name, value)")
     )
     per_val = melted.groupBy("col_name", "value").agg(F.count("*").alias("cnt"))
-    return (
-        per_val.groupBy("col_name")
-        .agg(
-            F.sum("cnt").cast("long").alias("n_rows"),
-            F.sum(F.when(F.col("value").isNull(), F.col("cnt")).otherwise(0))
-            .cast("long")
-            .alias("n_nulls"),
-            F.count(F.when(F.col("value").isNotNull(), F.lit(1)))
-            .cast("long")
-            .alias("n_distinct"),
-        )
+    prof = per_val.groupBy("col_name").agg(
+        F.sum("cnt").cast("long").alias("_n_rows"),
+        F.sum(F.when(F.col("value").isNull(), F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("_n_nulls"),
+        F.count(F.when(F.col("value").isNotNull(), F.lit(1)))
+        .cast("long")
+        .alias("_n_distinct"),
+    )
+    # one row per profiled column even when df is EMPTY (the melt of an
+    # empty frame aggregates to nothing; an all-zero profile row is the
+    # correct answer — and what a per-column COUNT oracle returns)
+    skeleton = df.sparkSession.createDataFrame(
+        [(c,) for c in cols], "col_name string"
+    )
+    return skeleton.join(F.broadcast(prof), "col_name", "left").select(
+        "col_name",
+        F.coalesce("_n_rows", F.lit(0)).cast("long").alias("n_rows"),
+        F.coalesce("_n_nulls", F.lit(0)).cast("long").alias("n_nulls"),
+        F.coalesce("_n_distinct", F.lit(0)).cast("long").alias("n_distinct"),
     )

@@ -4116,27 +4116,46 @@ def q60_source_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def _funnel_cte_sql(prefix: str = "f", within_us: int = 86_400_000_000) -> str:
+    """The view→click→purchase MIN-chain funnel CTEs, shared by the
+    gated q61 and the parked q67 oracles (one source of truth — a
+    window/contract change cannot fork them). Every events reference
+    is a SUBSELECT computing epoch_us(ts) UNQUALIFIED, because the
+    events-layout rewrite in oracles()/parked() replaces the exact
+    token `epoch_us(ts)` — a qualified `epoch_us(e.ts)` would survive
+    unrewritten and break under a raw-int64 events regeneration (the
+    r2 failure class; pinned by test_no_qualified_epoch_us_in_oracles)."""
+    a, b, c = f"{prefix}a", f"{prefix}b", f"{prefix}c"
+    return f"""{a} AS (
+        SELECT user_id, MIN(ts_us) AS t1
+        FROM (SELECT user_id, epoch_us(ts) AS ts_us FROM events
+              WHERE event_type = 'view')
+        GROUP BY user_id
+    ), {b} AS (
+        SELECT {a}.user_id, {a}.t1, MIN(e.ts_us) AS t2
+        FROM {a} LEFT JOIN (SELECT user_id, epoch_us(ts) AS ts_us FROM events
+                            WHERE event_type = 'click') e
+          ON e.user_id = {a}.user_id
+         AND e.ts_us >= {a}.t1
+         AND e.ts_us <= {a}.t1 + {within_us}
+        GROUP BY {a}.user_id, {a}.t1
+    ), {c} AS (
+        SELECT {b}.user_id, {b}.t1, {b}.t2, MIN(e.ts_us) AS t3
+        FROM {b} LEFT JOIN (SELECT user_id, epoch_us(ts) AS ts_us FROM events
+                            WHERE event_type = 'purchase') e
+          ON e.user_id = {b}.user_id
+         AND e.ts_us >= {b}.t2
+         AND e.ts_us <= {b}.t1 + {within_us}
+        GROUP BY {b}.user_id, {b}.t1, {b}.t2
+    )"""
+
+
 @query(
     "q61_events_by_customer_segment",
     f"""
-    WITH fa AS (
-        SELECT user_id, MIN(epoch_us(ts)) AS t1
-        FROM events WHERE event_type = 'view' GROUP BY user_id
-    ), fb AS (
-        SELECT fa.user_id, fa.t1, MIN(epoch_us(e.ts)) AS t2
-        FROM fa LEFT JOIN events e
-          ON e.user_id = fa.user_id AND e.event_type = 'click'
-         AND epoch_us(e.ts) >= fa.t1
-         AND epoch_us(e.ts) <= fa.t1 + 86400000000
-        GROUP BY fa.user_id, fa.t1
-    ), fc AS (
-        SELECT fb.user_id, fb.t1, fb.t2, MIN(epoch_us(e.ts)) AS t3
-        FROM fb LEFT JOIN events e
-          ON e.user_id = fb.user_id AND e.event_type = 'purchase'
-         AND epoch_us(e.ts) >= fb.t2
-         AND epoch_us(e.ts) <= fb.t1 + 86400000000
-        GROUP BY fb.user_id, fb.t1, fb.t2
-    ), fs AS (
+    WITH {_funnel_cte_sql("f")}, fs AS (
         SELECT cu.c_mktsegment AS segment,
                CAST(COUNT(*) AS BIGINT) AS n_reach_view,
                CAST(SUM(CASE WHEN t2 IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_reach_click,
@@ -4552,30 +4571,13 @@ def q66_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-_Q67_ORACLE = """
-    WITH a AS (
-        SELECT user_id, MIN(epoch_us(ts)) AS t1
-        FROM events WHERE event_type = 'view' GROUP BY user_id
-    ), b AS (
-        SELECT a.user_id, a.t1, MIN(epoch_us(e.ts)) AS t2
-        FROM a LEFT JOIN events e
-          ON e.user_id = a.user_id AND e.event_type = 'click'
-         AND epoch_us(e.ts) >= a.t1
-         AND epoch_us(e.ts) <= a.t1 + 86400000000
-        GROUP BY a.user_id, a.t1
-    ), c AS (
-        SELECT b.user_id, b.t1, b.t2, MIN(epoch_us(e.ts)) AS t3
-        FROM b LEFT JOIN events e
-          ON e.user_id = b.user_id AND e.event_type = 'purchase'
-         AND epoch_us(e.ts) >= b.t2
-         AND epoch_us(e.ts) <= b.t1 + 86400000000
-        GROUP BY b.user_id, b.t1, b.t2
-    )
+_Q67_ORACLE = f"""
+    WITH {_funnel_cte_sql("f")}
     SELECT user_id, CAST(t1 AS BIGINT) AS t1, CAST(t2 AS BIGINT) AS t2,
            CAST(t3 AS BIGINT) AS t3,
            CAST(1 + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
                   + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END AS BIGINT) AS reached
-    FROM c
+    FROM fc
 """
 
 

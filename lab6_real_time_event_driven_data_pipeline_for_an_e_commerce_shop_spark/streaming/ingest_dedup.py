@@ -975,9 +975,14 @@ class EmbeddingDedupIngest:
             lsh_bucket_int(F.col(self.vec_col), planes).alias("_bkt"),
         )
 
-    def _verified_pairs(self, probing: DataFrame, stored: DataFrame) -> DataFrame:
-        """Directed candidate pairs (probing id_a → stored id_b) within
-        the probe ring with round-6 cosine ≥ threshold."""
+    def _verified_pairs(
+        self, probing: DataFrame, stored: DataFrame, undirected: bool = False
+    ) -> DataFrame:
+        """Candidate pairs (probing id_a → stored id_b) within the
+        probe ring with round-6 cosine ≥ threshold. ``undirected``
+        (the in-batch self-join case) filters id_a < id_b BEFORE the
+        cosine projection, so each unordered pair is dot-scored once
+        instead of twice."""
         from ..operators import similarity
         from ..operators.similarity import dot
 
@@ -996,8 +1001,11 @@ class EmbeddingDedupIngest:
             F.col("_nrm").alias("_nb"),
             F.col("_bkt").alias("_pbkt"),
         )
+        joined = a.join(b, "_pbkt")
+        if undirected:
+            joined = joined.filter(F.col("id_a") < F.col("id_b"))
         return (
-            a.join(b, "_pbkt")
+            joined
             .select(
                 "id_a",
                 "id_b",
@@ -1036,10 +1044,7 @@ class EmbeddingDedupIngest:
             )
         # in-batch canonicalization: verified undirected pairs among
         # survivors → connected components → min-id keep
-        pairs = (
-            self._verified_pairs(survivors, survivors)
-            .filter(F.col("id_a") < F.col("id_b"))
-        )
+        pairs = self._verified_pairs(survivors, survivors, undirected=True)
         clusters = dedup.duplicate_clusters(pairs)
         losers = clusters.filter(
             F.col("cluster_id") != F.col("node_id")

@@ -179,12 +179,25 @@ def tracked_sessions_gs(
     the watermark passes ``last_seen + gap`` — state is one fixed-width
     tuple per ACTIVE user, evicted at close; shuffles only on user_id.
 
-    Semantics match the batch twin q18 (plans/queries.py) and the
-    transformWithState tracker (``tracked_sessions``): same 30-min-gap
-    session grain, same interval-merge disorder handling. Timeouts are
-    evaluated per micro-batch, so an availableNow run whose watermark
-    ends past a session's horizon emits that close in a trailing
-    timeout batch of the SAME run.
+    Session grain matches the batch twin q18 and the transformWithState
+    tracker (``tracked_sessions``) — same gap rule, same interval-merge
+    disorder handling (pinned by the differential property test).
+    EAGER-CLOSE contract, stated precisely: a session is closed INLINE
+    the moment a later event of the same key lands more than ``gap``
+    past it, even though the watermark may not yet have passed its
+    horizon — so an admissible out-of-order event arriving in a LATER
+    batch that would have bridged the closed session starts a new one
+    instead (streamed output splits a session that batch q18 would
+    merge). This is the classic flatMapGroupsWithState sessionization
+    trade (Spark's own example closes the same way); exact batch
+    equality holds whenever cross-batch disorder never spans a gap
+    boundary — e.g. time-ordered waves, which the batch-equality e2e
+    constructs. A fully watermark-correct variant needs a pending-
+    session LIST in state (close only once the watermark passes each
+    horizon); take that shape if late bridge events are common in the
+    source. Timeouts are evaluated per micro-batch, so an availableNow
+    run whose watermark ends past a session's horizon emits that close
+    in a trailing timeout batch of the SAME run.
 
     ``ts_col`` must be a TIMESTAMP (Spark's watermark contract — NTZ
     sources cast first, e.g. ``col.cast("timestamp")``). The fold never

@@ -26,3 +26,24 @@ def test_every_slow_tier_entry_names_a_real_test():
         "conftest._SLOW_TESTS entries match no test function "
         f"(renamed or deleted?): {sorted(stale)}"
     )
+
+
+def test_no_qualified_epoch_us_in_oracles():
+    """The events-layout rewrite in oracles()/parked() replaces the
+    exact token `epoch_us(ts)` — a QUALIFIED `epoch_us(e.ts)` would
+    survive unrewritten and break at the gate under a raw-int64 events
+    regeneration (the r2 failure class; found latent in the first cut
+    of the r13 funnel oracles). Every oracle, gated or parked, must
+    reference epoch_us unqualified."""
+    import re
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.plans import (
+        queries as q,
+    )
+
+    texts = dict(q.oracles())
+    texts.update({k: v.oracle for k, v in q.parked().items() if v.oracle})
+    offenders = [
+        name for name, o in texts.items() if re.search(r"epoch_us\(\s*\w+\.", o)
+    ]
+    assert offenders == []

@@ -3137,3 +3137,32 @@ def test_profile_columns_nulls_and_subset(spark):
     }
     sub = validation.profile_columns(df, ["s"]).collect()
     assert len(sub) == 1 and sub[0].col_name == "s"
+
+
+def test_profile_columns_empty_table_and_alpha_guard(spark):
+    """r13 review fixes: profile_columns of an EMPTY table emits one
+    all-zero row per column (matching a per-column COUNT oracle, not
+    zero rows); temperature_weights reduces alpha and rejects reduced
+    numerators that could misfloor the exponent through the double
+    division."""
+    import pytest as _pytest
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        curation,
+        validation,
+    )
+
+    empty = spark.createDataFrame([], "k long, s string")
+    got = {
+        r.col_name: (r.n_rows, r.n_nulls, r.n_distinct)
+        for r in validation.profile_columns(empty).collect()
+    }
+    assert got == {"k": (0, 0, 0), "s": (0, 0, 0)}
+
+    df = spark.createDataFrame([(1, 16)], "doc_id long, w long")
+    # unreduced (5e9, 1e10) reduces to (1, 2): fine
+    ok = curation.temperature_weights(df, "w", (5_000_000_000, 10_000_000_000))
+    assert ok.collect()[0].w_temp_micro == 4_000_000
+    # an irreducible huge numerator is refused, not silently misfloored
+    with _pytest.raises(ValueError, match="numerator"):
+        curation.temperature_weights(df, "w", (10**9 + 7, 3))

@@ -3489,3 +3489,59 @@ def test_session_folds_differential_property():
         assert sorted(gs_closed) == sorted(tws_closed)
 
     check()
+
+
+def test_groupstate_session_eager_close_contract():
+    """The documented EAGER-CLOSE trade, pinned as a contract test
+    (r13 review finding): a later event > gap past a session closes it
+    inline BEFORE the watermark passes its horizon, so an admissible
+    out-of-order bridge event arriving in a later batch starts a NEW
+    session — the streamed output splits {0, 28, 85} (minutes) into
+    [0,0] + [28,28] + [85,85] where batch q18 yields [0,28] + [85,85].
+    If this test ever fails because the fold went watermark-correct
+    (pending-session list state), update the docstrings and DELETE
+    this pin — the split is the contract, not a target."""
+    import pandas as pd
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.state import (
+        _session_fold,
+    )
+
+    class FakeGroupState:
+        def __init__(self):
+            self.v, self.timeout_ms, self.hasTimedOut = None, None, False
+        @property
+        def exists(self):
+            return self.v is not None
+        @property
+        def get(self):
+            return self.v
+        def update(self, nv):
+            self.v = tuple(nv)
+        def remove(self):
+            self.v = None
+        def getCurrentWatermarkMs(self):
+            return 0
+        def setTimeoutTimestamp(self, ms):
+            self.timeout_ms = ms
+
+    MIN_US = 60 * 1_000_000
+    B = 1_704_067_200_000_000
+    fold = _session_fold(30 * MIN_US)
+    st = FakeGroupState()
+
+    def run(minutes):
+        pdf = pd.DataFrame({"__session_ts_us": [B + m * MIN_US for m in minutes]})
+        return [
+            (int(f.iloc[0].session_start_us), int(f.iloc[0].session_end_us),
+             int(f.iloc[0].n_events))
+            for f in fold((1,), iter([pdf]), st)
+        ]
+
+    # batch 1: the 85-min event closes [0,0] inline (eager)
+    assert run([0, 85]) == [(B, B, 1)]
+    # batch 2: the admissible 28-min straggler would have bridged the
+    # closed session; it becomes its own session instead
+    assert run([28]) == [(B + 28 * MIN_US, B + 28 * MIN_US, 1)]
+    # trailing [85,85] still open
+    assert st.v == (B + 85 * MIN_US, B + 85 * MIN_US, 1)
