@@ -163,11 +163,79 @@ def _session_fold(gap_us: int):
     return _fold
 
 
+_SESSION_PENDING_SCHEMA = "starts array<long>, lasts array<long>, ns array<long>"
+
+
+def _session_fold_wm(gap_us: int):
+    """Watermark-correct session fold (``exact_close=True``): sessions
+    close ONLY once the watermark strictly passes their idle horizon,
+    so an admissible out-of-order bridge event can never arrive for a
+    closed session — streamed output equals batch q18 sessionization
+    for EVERY admissible arrival order, at the cost of a pending-
+    session LIST in state (bounded by ~watermark/gap + 1 entries per
+    key: only sessions whose horizon is still above the watermark are
+    retained). Close rule is ms-floor-safe: horizon_ms < wm_ms implies
+    wm_us > last_us + gap_us for any sub-ms remainder."""
+
+    gap_ms = gap_us // 1000
+
+    def _close_and_keep(key, pending, state):
+        """Split pending (sorted session atoms) by the close rule,
+        emit the closed ones, persist/clear state, set the timeout."""
+        wm = state.getCurrentWatermarkMs()
+        closed = [s for s in pending if s[1] // 1000 + gap_ms < wm]
+        kept = [s for s in pending if s[1] // 1000 + gap_ms >= wm]
+        if kept:
+            state.update(
+                ([s[0] for s in kept], [s[1] for s in kept], [s[2] for s in kept])
+            )
+            horizon = min(s[1] // 1000 + gap_ms for s in kept)
+            state.setTimeoutTimestamp(max(horizon, wm + 1))
+        elif state.exists:
+            state.remove()
+        for c in closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start_us": [c[0]],
+                    "session_end_us": [c[1]],
+                    "n_events": [c[2]],
+                }
+            )
+
+    def _fold(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        atoms: list[tuple] = []
+        if state.exists:
+            starts, lasts, ns = state.get
+            atoms += [
+                (int(s), int(l), int(n)) for s, l, n in zip(starts, lasts, ns)
+            ]
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                atoms += [(int(v), int(v), 1) for v in pdf[_SESSION_TS_US]]
+            if not atoms:
+                return
+        if not atoms:  # timed-out key with no state: nothing to do
+            return
+        atoms.sort()
+        merged = [atoms[0]]
+        for a in atoms[1:]:
+            cur = merged[-1]
+            if a[0] - cur[1] <= gap_us:
+                merged[-1] = (cur[0], max(cur[1], a[1]), cur[2] + a[2])
+            else:
+                merged.append(a)
+        yield from _close_and_keep(key, merged, state)
+
+    return _fold
+
+
 def tracked_sessions_gs(
     events: DataFrame,
     gap_minutes: int = 30,
     watermark: str = "1 hour",
     ts_col: str = "ts",
+    exact_close: bool = False,
 ) -> DataFrame:
     """Gap-based streaming sessionization on the ``applyInPandasWithState``
     GroupState API — the variant that runs WITHOUT the
@@ -192,12 +260,21 @@ def tracked_sessions_gs(
     trade (Spark's own example closes the same way); exact batch
     equality holds whenever cross-batch disorder never spans a gap
     boundary — e.g. time-ordered waves, which the batch-equality e2e
-    constructs. A fully watermark-correct variant needs a pending-
-    session LIST in state (close only once the watermark passes each
-    horizon); take that shape if late bridge events are common in the
-    source. Timeouts are evaluated per micro-batch, so an availableNow
+    constructs. The fully watermark-correct variant EXISTS as
+    ``exact_close=True`` (pending-session list state; close only once
+    the watermark passes each horizon) — use it when late bridge
+    events are common. Timeouts are evaluated per micro-batch, so an availableNow
     run whose watermark ends past a session's horizon emits that close
     in a trailing timeout batch of the SAME run.
+
+    ``exact_close=True`` switches to the WATERMARK-CORRECT fold
+    (:func:`_session_fold_wm`): sessions close only once the watermark
+    strictly passes their horizon, so streamed output equals batch q18
+    for every admissible arrival order — including cross-batch bridge
+    events the eager default splits on — at the cost of a small
+    pending-session list in state. Use it when the source delivers
+    late gap-spanning events; the eager default emits sooner and keeps
+    one fixed-width tuple per key.
 
     ``ts_col`` must be a TIMESTAMP (Spark's watermark contract — NTZ
     sources cast first, e.g. ``col.cast("timestamp")``). The fold never
@@ -212,10 +289,13 @@ def tracked_sessions_gs(
         .withWatermark(ts_col, watermark)
         .withColumn(_SESSION_TS_US, F.unix_micros(F.col(ts_col)))
     )
+    gap_us = gap_minutes * 60 * 1_000_000
     return ev.groupBy("user_id").applyInPandasWithState(
-        _session_fold(gap_minutes * 60 * 1_000_000),
+        _session_fold_wm(gap_us) if exact_close else _session_fold(gap_us),
         outputStructType=SESSION_OUTPUT_SCHEMA,
-        stateStructType=_SESSION_STATE_SCHEMA,
+        stateStructType=(
+            _SESSION_PENDING_SCHEMA if exact_close else _SESSION_STATE_SCHEMA
+        ),
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

@@ -3545,3 +3545,167 @@ def test_groupstate_session_eager_close_contract():
     assert run([28]) == [(B + 28 * MIN_US, B + 28 * MIN_US, 1)]
     # trailing [85,85] still open
     assert st.v == (B + 85 * MIN_US, B + 85 * MIN_US, 1)
+
+
+class _FakeGS:
+    """Minimal GroupState test double with a settable watermark."""
+
+    def __init__(self, wm_ms=0):
+        self.v, self.timeout_ms, self.hasTimedOut = None, None, False
+        self.wm_ms = wm_ms
+
+    @property
+    def exists(self):
+        return self.v is not None
+
+    @property
+    def get(self):
+        return self.v
+
+    def update(self, nv):
+        self.v = tuple(nv)
+
+    def remove(self):
+        self.v = None
+
+    def getCurrentWatermarkMs(self):
+        return self.wm_ms
+
+    def setTimeoutTimestamp(self, ms):
+        assert ms > self.wm_ms
+        self.timeout_ms = ms
+
+
+def test_exact_close_fold_bridges_and_arrival_invariance():
+    """_session_fold_wm (exact_close): the reviewer's bridge scenario
+    MERGES ({0,85} then {28} → [0,28]+[85,85], what batch q18 says),
+    and — the strong form — for ANY hypothesis-generated event set and
+    batch split, the closed sessions after a final watermark flush
+    equal naive batch sessionization (arrival-order invariance the
+    eager fold deliberately trades away)."""
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.state import (
+        _session_fold_wm,
+    )
+
+    MIN_US = 60 * 1_000_000
+    GAP_US = 30 * MIN_US
+    B = 1_704_067_200_000_000
+
+    def run(fold, st_, minutes):
+        pdf = pd.DataFrame({"__session_ts_us": [B + m * MIN_US for m in minutes]})
+        return [
+            (int(f.iloc[0].session_start_us), int(f.iloc[0].session_end_us),
+             int(f.iloc[0].n_events))
+            for f in fold((1,), iter([pdf]), st_)
+        ]
+
+    def flush(fold, st_):
+        st_.wm_ms = 10**15  # watermark far past every horizon
+        st_.hasTimedOut = True
+        out = [
+            (int(f.iloc[0].session_start_us), int(f.iloc[0].session_end_us),
+             int(f.iloc[0].n_events))
+            for f in fold((1,), iter([]), st_)
+        ]
+        st_.hasTimedOut = False
+        return out
+
+    # bridge scenario: nothing closes early; the 28-min straggler joins
+    fold = _session_fold_wm(GAP_US)
+    st_ = _FakeGS(wm_ms=0)
+    assert run(fold, st_, [0, 85]) == []
+    st_.wm_ms = (B + 25 * MIN_US) // 1000
+    assert run(fold, st_, [28]) == []
+    assert sorted(flush(fold, st_)) == [
+        (B, B + 28 * MIN_US, 2),
+        (B + 85 * MIN_US, B + 85 * MIN_US, 1),
+    ]
+    assert st_.v is None
+
+    def naive(minutes):
+        ts = sorted(B + m * MIN_US for m in minutes)
+        out, cur = [], [ts[0], ts[0], 1]
+        for t in ts[1:]:
+            if t - cur[1] <= GAP_US:
+                cur[1], cur[2] = t, cur[2] + 1
+            else:
+                out.append(tuple(cur))
+                cur = [t, t, 1]
+        out.append(tuple(cur))
+        return sorted(out)
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=-300, max_value=600), min_size=1, max_size=14),
+        st.integers(min_value=1, max_value=5),
+    )
+    def check(minutes, n_batches):
+        fold = _session_fold_wm(GAP_US)
+        st_ = _FakeGS(wm_ms=0)
+        closed = []
+        chunks = [c for c in (minutes[i::n_batches] for i in range(n_batches)) if c]
+        for c in chunks:
+            closed += run(fold, st_, c)
+        closed += flush(fold, st_)
+        assert sorted(closed) == naive(minutes)
+
+    check()
+
+
+def test_exact_close_e2e_bridge_matches_batch(spark, tmp_path):
+    """tracked_sessions_gs(exact_close=True) end-to-end on the bridge
+    arrival order the eager default provably splits: the closed-session
+    set equals batch sessionization of {0, 28, 85} minutes."""
+    from pyspark.sql import functions as F
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.state import (
+        tracked_sessions_gs,
+    )
+
+    src = tmp_path / "xc_ev"
+    src.mkdir()
+    ck = str(tmp_path / "ck_xc")
+    schema = "event_id long, ts_us long, user_id long"
+    B = 1_704_067_200_000_000
+    us = lambda minutes: B + minutes * 60 * 1_000_000
+
+    def run_batch(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / name))
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(str(src) + "/*")
+            .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        )
+        out = []
+        q = (
+            tracked_sessions_gs(stream, 30, "1 hour", exact_close=True)
+            .writeStream.foreachBatch(lambda b, _bid: out.extend(b.collect()))
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(
+            (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+            for r in out
+        )
+
+    # wave 1: events at 0 and 85 min → watermark ends at 25 min;
+    # NOTHING closes (the eager fold would close [0,0] here)
+    assert run_batch([(1, us(0), 10), (2, us(85), 10)], "b1") == []
+    # wave 2: the 28-min bridge (admissible: 28 > 25) merges silently
+    assert run_batch([(3, us(28), 10)], "b2") == []
+    # wave 3: sentinel pushes the watermark past every horizon
+    out = run_batch([(9, us(600), 99)], "b3")
+    assert out == [
+        (10, us(0), us(28), 2),
+        (10, us(85), us(85), 1),
+    ]
