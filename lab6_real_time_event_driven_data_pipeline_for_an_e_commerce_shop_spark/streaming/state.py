@@ -451,6 +451,7 @@ def start_session_gold(
     gap_minutes: int = 30,
     watermark: str = "1 hour",
     ts_col: str = "ts",
+    exact_close: bool = False,
 ):
     """Serve CLOSED sessions as a queryable gold table: the
     ``tracked_sessions_gs`` append stream MERGEd per micro-batch into a
@@ -466,7 +467,9 @@ def start_session_gold(
     between batches with plain ``spark.read.parquet``."""
     from ..operators import upsert
 
-    sessions = tracked_sessions_gs(events, gap_minutes, watermark, ts_col)
+    sessions = tracked_sessions_gs(
+        events, gap_minutes, watermark, ts_col, exact_close=exact_close
+    )
 
     def _merge(batch: DataFrame, _bid: int) -> None:
         if not batch.isEmpty():
