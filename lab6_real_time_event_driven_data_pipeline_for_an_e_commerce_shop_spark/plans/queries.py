@@ -4759,3 +4759,78 @@ def q70_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", "med_cents", "mad_cents", "n_outliers", "n_events"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q71 (PARKED, r13) — BM25 retrieval under oracle
+# ---------------------------------------------------------------------------
+
+
+_Q71_QUERIES = [(1, "hash join"), (2, "slow scan filter"), (3, "customer order value")]
+
+
+def _q71_oracle(k: int = 5) -> str:
+    """text.bm25_topk re-derived relationally: the quantized Okapi
+    scoring chain (rational idf surrogate, fraction-cleared tf
+    saturation at k1=6/5 b=3/4, integer micro² contributions) in pure
+    SQL. Ranking mirrors the Spark side EXACTLY — on the emitted
+    ``score_micro = mm DIV 10⁶`` with the doc-id tie-break, NOT on the
+    pre-division sum (two docs can differ only below 10⁶; ranking on
+    different keys would fork the tie-break)."""
+    qvals = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, qt in _Q71_QUERIES
+        for t in sorted(set(qt.split()))
+    )
+    return rf"""
+    WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+               FROM documents),
+    dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM d),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM (SELECT doc_id, unnest(t) AS term FROM d) GROUP BY 1, 2),
+    dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS dfd FROM tf GROUP BY 1),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    avg AS (SELECT (1000000 * CAST(SUM(dl) AS BIGINT)) // (SELECT n FROM n)
+                AS avgdl FROM dl),
+    q(query_id, term) AS (VALUES {qvals}),
+    scored AS (
+      SELECT q.query_id, tf.doc_id,
+        CAST(SUM((((2 * (SELECT n FROM n) - 2 * dfd + 1) * 1000000)
+                 // (2 * dfd + 1))
+            * ((2200000 * tf * 1000000)
+                 // (1000000 * tf + 300000
+                     + (900000000000 * dl.dl) // (SELECT avgdl FROM avg)))
+        ) // 1000000 AS BIGINT) AS score_micro
+      FROM q JOIN tf USING (term) JOIN dfq USING (term)
+             JOIN dl ON dl.doc_id = tf.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(rank AS BIGINT) AS rank, doc_id, score_micro
+    FROM (SELECT *, row_number() OVER
+            (PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS rank
+          FROM scored)
+    WHERE rank <= {k}
+    """
+
+
+@parked_query("q71_bm25_retrieval", _q71_oracle())
+def q71_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized BM25 top-5 per query (text.bm25_topk) — PARKED
+    gate-ready (r13): the retrieval flagship under a complete
+    relational oracle. The documents generator's 31-word vocabulary is
+    FIXED across SFs, so the literal query set ('hash join', 'slow
+    scan filter', 'customer order value') is informative at every
+    scale. Integer-exact end to end; the two-level top-k ranks on the
+    emitted score with an id tie-break (the oracle ranks on the same
+    key — see _q71_oracle)."""
+    from ..operators import text as text_ops
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = text_ops.bm25_topk(docs, _Q71_QUERIES, k=5)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.col("score_micro").cast("long").alias("score_micro"),
+    )

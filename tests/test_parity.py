@@ -470,6 +470,20 @@ def test_parked_value_outliers_real_corpus(spark):
     assert len(got) == 5 and all(r[i] > 0 for r in got)
 
 
+def test_parked_bm25_retrieval_real_corpus(spark):
+    """The parked q71 BM25 retrieval matches its relational oracle
+    (quantized Okapi chain; ranking on the emitted score with id
+    tie-break on BOTH sides): 5 hits per query, ranks 1..5."""
+    con = _duck(SF_DIR)
+    got, cols = _run_parked(spark, "q71_bm25_retrieval", SF_DIR, con)
+    i_q, i_r = cols.index("query_id"), cols.index("rank")
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r[i_q], []).append(r[i_r])
+    assert set(per_q) == {1, 2, 3}
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+
+
 def test_parked_output_types_are_comparator_safe(spark):
     """Parked queries hold themselves to the same comparator-dtype bar
     as gated ones — promotion must never reopen the r6 q20 class."""
