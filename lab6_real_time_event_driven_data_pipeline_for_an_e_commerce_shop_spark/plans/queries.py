@@ -4834,3 +4834,122 @@ def q71_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("score_micro").cast("long").alias("score_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q72 (PARKED, r13) — reciprocal-rank fusion under oracle
+# ---------------------------------------------------------------------------
+
+
+def _q72_oracle(k: int = 5) -> str:
+    """similarity.rrf_fuse over two REAL heterogeneous retrievers —
+    the q71 BM25 top-5 and a raw term-frequency top-5 baseline — in
+    pure SQL: both ranked lists re-derived, reciprocals quantized to
+    micro-units BEFORE summing (10⁶ // (60 + rank)), fused rank on
+    (rrf_micro DESC, doc_id)."""
+    qvals = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, qt in _Q71_QUERIES
+        for t in sorted(set(qt.split()))
+    )
+    return rf"""
+    WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+               FROM documents),
+    dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM d),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM (SELECT doc_id, unnest(t) AS term FROM d) GROUP BY 1, 2),
+    dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS dfd FROM tf GROUP BY 1),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    avg AS (SELECT (1000000 * CAST(SUM(dl) AS BIGINT)) // (SELECT n FROM n)
+                AS avgdl FROM dl),
+    q(query_id, term) AS (VALUES {qvals}),
+    bm AS (
+      SELECT q.query_id, tf.doc_id,
+        CAST(SUM((((2 * (SELECT n FROM n) - 2 * dfd + 1) * 1000000)
+                 // (2 * dfd + 1))
+            * ((2200000 * tf * 1000000)
+                 // (1000000 * tf + 300000
+                     + (900000000000 * dl.dl) // (SELECT avgdl FROM avg)))
+        ) // 1000000 AS BIGINT) AS s
+      FROM q JOIN tf USING (term) JOIN dfq USING (term)
+             JOIN dl ON dl.doc_id = tf.doc_id
+      GROUP BY 1, 2
+    ),
+    bm_top AS (
+      SELECT query_id, doc_id, rnk FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY s DESC, doc_id) AS rnk FROM bm)
+      WHERE rnk <= {k}
+    ),
+    tfsum AS (
+      SELECT q.query_id, tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS s
+      FROM q JOIN tf USING (term) GROUP BY 1, 2
+    ),
+    tf_top AS (
+      SELECT query_id, doc_id, rnk FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY s DESC, doc_id) AS rnk FROM tfsum)
+      WHERE rnk <= {k}
+    ),
+    u AS (
+      SELECT query_id, doc_id, rnk FROM bm_top
+      UNION ALL
+      SELECT query_id, doc_id, rnk FROM tf_top
+    ),
+    fused AS (
+      SELECT query_id, doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_lists,
+             CAST(SUM(1000000 // (60 + rnk)) AS BIGINT) AS rrf_micro
+      FROM u GROUP BY 1, 2
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, n_lists, rrf_micro,
+           CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY rrf_micro DESC, doc_id
+           ) AS BIGINT) AS fused_rank
+    FROM fused
+    """
+
+
+@parked_query("q72_rrf_fusion", _q72_oracle())
+def q72_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (similarity.rrf_fuse) of two REAL
+    heterogeneous retrievers over the same queries — quantized-Okapi
+    BM25 top-5 (q71's list) and a raw term-frequency top-5 baseline —
+    PARKED gate-ready (r13). Integer micro-unit reciprocals before
+    summing keep fusion engine-exact; n_lists exposes which docs both
+    retrievers surfaced."""
+    from pyspark.sql.window import Window as _W
+
+    from ..operators import similarity
+    from ..operators import text as text_ops
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bm = text_ops.bm25_topk(docs, _Q71_QUERIES, k=5)
+
+    qterms = sorted(
+        {(int(qid), t) for qid, qt in _Q71_QUERIES for t in set(qt.split())}
+    )
+    qdf = F.broadcast(
+        spark.createDataFrame(qterms, "query_id long, term string")
+    )
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    w = _W.partitionBy("query_id").orderBy(F.col("s").desc(), F.col("doc_id"))
+    tf_top = (
+        qdf.join(tf, "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("tf").cast("long").alias("s"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "doc_id", "rank")
+    )
+    fused = similarity.rrf_fuse([bm.select("query_id", "doc_id", "rank"), tf_top])
+    return fused.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        "doc_id",
+        "n_lists",
+        "rrf_micro",
+        F.col("fused_rank").cast("long").alias("fused_rank"),
+    )

@@ -484,6 +484,20 @@ def test_parked_bm25_retrieval_real_corpus(spark):
     assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
 
 
+def test_parked_rrf_fusion_real_corpus(spark):
+    """The parked q72 RRF fusion matches its oracle; the two retrievers
+    are genuinely heterogeneous (some docs surfaced by only one list,
+    some by both), and fused ranks are a permutation per query."""
+    con = _duck(SF_DIR)
+    got, cols = _run_parked(spark, "q72_rrf_fusion", SF_DIR, con)
+    i_q, i_n, i_r = cols.index("query_id"), cols.index("n_lists"), cols.index("fused_rank")
+    assert {r[i_n] for r in got} == {1, 2}
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r[i_q], []).append(r[i_r])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
+
+
 def test_parked_output_types_are_comparator_safe(spark):
     """Parked queries hold themselves to the same comparator-dtype bar
     as gated ones — promotion must never reopen the r6 q20 class."""

@@ -444,7 +444,7 @@ def test_parked_q65_q66_q67_plan_shapes(spark):
         for name in (
             "q65_hard_negatives", "q66_weighted_sample", "q67_funnel",
             "q68_table_profile", "q69_temperature_sample",
-            "q70_value_outliers", "q71_bm25_retrieval",
+            "q70_value_outliers", "q71_bm25_retrieval", "q72_rrf_fusion",
         )
     }
     for name, plan in plans.items():
