@@ -3709,3 +3709,60 @@ def test_exact_close_e2e_bridge_matches_batch(spark, tmp_path):
         (10, us(0), us(28), 2),
         (10, us(85), us(85), 1),
     ]
+
+
+def test_eager_and_exact_close_agree_on_ordered_arrivals():
+    """The equivalence domain stated in the docstrings, pinned: when
+    batches arrive in TIME ORDER (no cross-batch disorder spanning a
+    gap boundary), the eager fold and the watermark-correct fold emit
+    the SAME session set after a final flush — hypothesis over random
+    event sets and ordered batch splits."""
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.state import (
+        _session_fold,
+        _session_fold_wm,
+    )
+
+    MIN_US = 60 * 1_000_000
+    GAP_US = 30 * MIN_US
+    B = 1_704_067_200_000_000
+
+    def drive(fold, chunks):
+        st_ = _FakeGS(wm_ms=0)
+        closed = []
+
+        def collect(frames):
+            for f in frames:
+                closed.append(
+                    (int(f.iloc[0].session_start_us),
+                     int(f.iloc[0].session_end_us), int(f.iloc[0].n_events))
+                )
+
+        for c in chunks:
+            pdf = pd.DataFrame(
+                {"__session_ts_us": [B + m * MIN_US for m in c]}
+            )
+            collect(fold((1,), iter([pdf]), st_))
+        if st_.v is not None:
+            st_.wm_ms = 10**15
+            st_.hasTimedOut = True
+            collect(fold((1,), iter([]), st_))
+        return sorted(closed)
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=600), min_size=1, max_size=14),
+        st.integers(min_value=1, max_value=4),
+    )
+    def check(minutes, n_batches):
+        ordered = sorted(minutes)
+        size = max(1, (len(ordered) + n_batches - 1) // n_batches)
+        chunks = [ordered[i:i + size] for i in range(0, len(ordered), size)]
+        assert drive(_session_fold(GAP_US), chunks) == drive(
+            _session_fold_wm(GAP_US), chunks
+        )
+
+    check()
