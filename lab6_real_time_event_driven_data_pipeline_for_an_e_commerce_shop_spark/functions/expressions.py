@@ -218,3 +218,94 @@ def exp2_micro_sql(expr: str, engine: str = "spark") -> str:
             f" ELSE {v} >> CAST(-({il}) AS INT) END)"
         )
     raise ValueError(f"unknown engine: {engine}")
+
+
+def log2_interp_micro_int(c: int) -> int:
+    """FINE fixed-point log2: the 8-bit mantissa table linearly
+    interpolated through the remaining mantissa bits — granularity
+    ~1 micro-bit instead of the table's ~5600 (curvature error within
+    a 1/256 bin ≤ ~6 µbits, systematic and engine-identical). Built
+    for :func:`operators.curation.weighted_sample`'s A-ES keys, where
+    the COARSE table measurably distorts the draw: ~1/256 of items
+    share the top log bin with IDENTICAL key numerators, and the
+    division by w then ranks that bin by weight alone (measured: a
+    5:1 weight class won 1.4× its proportional share at n=1). All
+    integer shifts/div/lookups — Spark, DuckDB, Python agree
+    bit-for-bit; exact at powers of two (interpolation term 0)."""
+    if c <= 0:
+        raise ValueError("log2_interp_micro requires a positive integer")
+    il = c.bit_length() - 1
+    if il <= 8:
+        m = c << (8 - il)
+        r, span = 0, 1
+    else:
+        m = c >> (il - 8)
+        r = c - (m << (il - 8))
+        span = 1 << (il - 8)
+        # cap the fraction at 20 bits: delta*r stays < 5625*2^20 for
+        # ANY int64 input (granularity ~0.005 µbit — far below the
+        # 1-µbit output unit), instead of overflowing past il ~ 60
+        if il - 8 > 20:
+            r >>= il - 28
+            span = 1 << 20
+    base = il * 1_000_000 + LOG2_TABLE_MICRO[m - 256]
+    nxt = 1_000_000 if m == 511 else LOG2_TABLE_MICRO[m - 255]
+    return base + (nxt - LOG2_TABLE_MICRO[m - 256]) * r // span
+
+
+def log2_interp_micro_sql(expr: str, engine: str = "spark") -> str:
+    """Generated-SQL form of :func:`log2_interp_micro_int` — same
+    contract as log2_micro_sql (pass a simple column reference)."""
+    table = ", ".join(str(v) for v in LOG2_TABLE_MICRO)
+    il = f"(length(bin({expr})) - 1)"
+    if engine == "spark":
+        m = (
+            f"CASE WHEN {il} <= 8 THEN {expr} * shiftleft(1, 8 - {il})"
+            f" ELSE shiftright({expr}, {il} - 8) END"
+        )
+        cur = f"element_at(array({table}), CAST(({m}) - 255 AS INT))"
+        nxt = (
+            f"CASE WHEN ({m}) = 511 THEN 1000000"
+            f" ELSE element_at(array({table}), CAST(({m}) - 254 AS INT)) END"
+        )
+        r_raw = f"({expr} - shiftleft(CAST({m} AS BIGINT), {il} - 8))"
+        r = (
+            f"CASE WHEN {il} <= 8 THEN CAST(0 AS BIGINT)"
+            f" WHEN {il} - 8 > 20 THEN shiftright({r_raw}, {il} - 28)"
+            f" ELSE {r_raw} END"
+        )
+        span = (
+            f"CASE WHEN {il} <= 8 THEN CAST(1 AS BIGINT)"
+            f" WHEN {il} - 8 > 20 THEN CAST(1048576 AS BIGINT)"
+            f" ELSE shiftleft(CAST(1 AS BIGINT), {il} - 8) END"
+        )
+        return (
+            f"(CAST({il} AS BIGINT) * 1000000 + {cur}"
+            f" + (({nxt}) - ({cur})) * ({r}) DIV ({span}))"
+        )
+    if engine == "duckdb":
+        m = (
+            f"CASE WHEN {il} <= 8 THEN {expr} * (1 << CAST(8 - {il} AS INT))"
+            f" ELSE {expr} >> CAST({il} - 8 AS INT) END"
+        )
+        cur = f"([{table}])[CAST(({m}) - 255 AS INT)]"
+        nxt = (
+            f"CASE WHEN ({m}) = 511 THEN 1000000"
+            f" ELSE ([{table}])[CAST(({m}) - 254 AS INT)] END"
+        )
+        r_raw = f"({expr} - (CAST({m} AS BIGINT) << CAST({il} - 8 AS INT)))"
+        r = (
+            f"CASE WHEN {il} <= 8 THEN CAST(0 AS BIGINT)"
+            f" WHEN {il} - 8 > 20 THEN ({r_raw} >> CAST({il} - 28 AS INT))"
+            f" ELSE {r_raw} END"
+        )
+        span = (
+            f"CASE WHEN {il} <= 8 THEN CAST(1 AS BIGINT)"
+            f" WHEN {il} - 8 > 20 THEN CAST(1048576 AS BIGINT)"
+            f" ELSE (CAST(1 AS BIGINT) << CAST({il} - 8 AS INT)) END"
+        )
+        return (
+            f"(CAST({il} AS BIGINT) * 1000000 + {cur}"
+            f" + (({nxt}) - ({cur})) * ({r}) // ({span}))"
+        )
+    raise ValueError(f"unknown engine: {engine}")

@@ -567,9 +567,15 @@ def weighted_sample(
     exact without-replacement semantics (sample docs ∝ quality score,
     epochs ∝ mixture weight, …). Engine-portable determinism by the
     repo's integerize-first discipline: u comes from the 48-bit
-    portable hash of (salt ‖ id), log2(u) in micro-bits is
-    ``log2_micro(h+1) − 48·10⁶`` (published-constant mantissa table —
-    no libm), and the ranking key is that int64 divided by the int64
+    portable hash of (salt ‖ id), log2(u) in micro-bits is the
+    INTERPOLATED ``log2_interp_micro(h+1) − 48·10⁶`` (published
+    mantissa table + integer linear interpolation — no libm; the
+    COARSE 8-bit table measurably biased the draw: ~1/256 of items
+    share its top bin with identical numerators, and dividing equal
+    numerators by w ranks that bin by weight alone — a 5:1 weight
+    class won 1.4× its proportional share at n=1, measured; the fine
+    form restores w/Σw inclusion within noise), and the ranking key
+    is that int64 divided by the int64
     weight: ONE IEEE division of exactly-represented integers, which
     Spark, DuckDB, and Python round identically (the q43/zkey
     argument), with an id tie-break so no decision ever rides a float
@@ -587,7 +593,7 @@ def weighted_sample(
     < 2^53 so the int→double cast is exact."""
     from pyspark.sql.window import Window
 
-    from ..functions.expressions import log2_micro_sql
+    from ..functions.expressions import log2_interp_micro_sql
 
     h1 = portable_hash(
         F.concat_ws("␟", F.lit(salt), F.col(id_col).cast("string"))
@@ -599,7 +605,8 @@ def weighted_sample(
         .withColumn("_ws_h1", h1)
         .withColumn(
             "_ws_key",
-            (F.expr(log2_micro_sql("_ws_h1")) - F.lit(48_000_000)).cast("double")
+            (F.expr(log2_interp_micro_sql("_ws_h1")) - F.lit(48_000_000))
+            .cast("double")
             / F.col(weight_col).cast("long").cast("double"),
         )
     )

@@ -4523,9 +4523,9 @@ def _q66_oracle(n: int = 10) -> str:
     portable row hash, the published log2 mantissa table, and ONE IEEE
     division of two exact int64s — every constant is shared with the
     Spark side, so the selection and ranks agree bit-for-bit."""
-    from ..functions.expressions import log2_micro_sql
+    from ..functions.expressions import log2_interp_micro_sql
 
-    lg = log2_micro_sql("h1", engine="duckdb")
+    lg = log2_interp_micro_sql("h1", engine="duckdb")
     return f"""
     WITH h AS (
         SELECT doc_id, source, n_chars,
@@ -4639,11 +4639,15 @@ def _q69_oracle(n: int = 10) -> str:
     exp2(log2(w) DIV 2), and the ranking key is one IEEE division of
     exact int64s — the whole chain is engine-portable, so DuckDB
     reproduces the selection AND the ranks."""
-    from ..functions.expressions import exp2_micro_sql, log2_micro_sql
+    from ..functions.expressions import (
+        exp2_micro_sql,
+        log2_interp_micro_sql,
+        log2_micro_sql,
+    )
 
     lg = log2_micro_sql("n_chars", engine="duckdb")
     e2 = exp2_micro_sql("x", engine="duckdb")
-    lgh = log2_micro_sql("h1", engine="duckdb")
+    lgh = log2_interp_micro_sql("h1", engine="duckdb")
     return f"""
     WITH t AS (
         SELECT doc_id, source, n_chars,

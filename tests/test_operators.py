@@ -2856,7 +2856,7 @@ def test_weighted_sample_aes_parity_and_semantics(spark):
     import duckdb
 
     from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.functions.expressions import (
-        log2_micro_sql,
+        log2_interp_micro_sql,
     )
     from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
         curation,
@@ -2873,7 +2873,7 @@ def test_weighted_sample_aes_parity_and_semantics(spark):
     con = duckdb.connect()
     con.execute("CREATE TABLE t AS SELECT * FROM (VALUES %s) v(doc_id, grp, w)"
                 % ",".join("(%d,'%s',%d)" % r for r in rows))
-    lg = log2_micro_sql("h1", engine="duckdb")
+    lg = log2_interp_micro_sql("h1", engine="duckdb")
     oracle = f"""
     WITH h AS (
         SELECT *, CAST(concat('0x', substr(md5('␟' || CAST(doc_id AS VARCHAR)), 1, 12))
@@ -3166,3 +3166,83 @@ def test_profile_columns_empty_table_and_alpha_guard(spark):
     # an irreducible huge numerator is refused, not silently misfloored
     with _pytest.raises(ValueError, match="numerator"):
         curation.temperature_weights(df, "w", (10**9 + 7, 3))
+
+
+def test_log2_interp_micro_three_way_and_aes_proportionality(spark):
+    """The INTERPOLATED fixed-point log2 (r13): Spark SQL, DuckDB SQL,
+    and the Python twin agree on every probe value; exact at powers of
+    two; monotone; within 10 µbits of true log2. And the reason it
+    exists: A-ES inclusion probabilities are proportional to weight
+    again (the coarse table's shared top bin ranked by weight alone —
+    a 5:1 class measured 1.4× its share; with interpolation every
+    weight class's n=1 win rate sits within 25% of w/Σw over 600
+    deterministic salts — the coarse table read 1.4× / 0.125× at the
+    extremes, far outside)."""
+    import hashlib
+    import math
+
+    import duckdb
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.functions.expressions import (
+        log2_interp_micro_int,
+        log2_interp_micro_sql,
+    )
+
+    vals = (
+        list(range(1, 600))
+        + [2**k for k in range(63)]
+        + [2**k - 1 for k in range(2, 63)]
+        + [2**k + 1 for k in range(2, 62)]
+        + [10**j for j in range(1, 19)]
+        + [(1 << 48) - 7, (1 << 48) + 12345]
+    )
+    want = [log2_interp_micro_int(v) for v in vals]
+    con = duckdb.connect()
+    got_duck = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {log2_interp_micro_sql('c', 'duckdb')} FROM (SELECT "
+            "unnest(?::BIGINT[]) AS c)",
+            [vals],
+        ).fetchall()
+    ]
+    assert got_duck == want
+    sdf = spark.createDataFrame([(v,) for v in vals], "c long")
+    got_spark = [
+        r[0]
+        for r in sdf.select(
+            F.expr(log2_interp_micro_sql("c", "spark")).alias("l")
+        ).collect()
+    ]
+    assert got_spark == want
+    for k in range(63):
+        assert log2_interp_micro_int(2**k) == k * 1_000_000
+    ordered = sorted(set(vals))
+    lm = [log2_interp_micro_int(v) for v in ordered]
+    assert all(a <= b for a, b in zip(lm, lm[1:]))
+    assert all(
+        abs(log2_interp_micro_int(v) - math.log2(v) * 1e6) <= 10 for v in vals
+    )
+
+    # proportionality (pure-Python twin of the weighted_sample key;
+    # deterministic given the salt list — not a flaky statistical test)
+    def h48(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+    items = [(i, (i % 5) + 1) for i in range(400)]
+    W = sum(w for _, w in items)
+    wins = {w: 0 for w in range(1, 6)}
+    trials = 600
+    for t in range(trials):
+        best = max(
+            items,
+            key=lambda iw: (
+                (log2_interp_micro_int(h48(f"p{t}␟{iw[0]}") + 1) - 48_000_000)
+                / iw[1],
+                -iw[0],
+            ),
+        )
+        wins[best[1]] += 1
+    for w in range(1, 6):
+        theo = 80 * w / W
+        assert 0.75 * theo <= wins[w] / trials <= 1.25 * theo, (w, wins)
