@@ -3961,7 +3961,7 @@ def q55_customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
+@parked_query(
     "q56_late_delivery_priority",
     """
     SELECT o.o_orderpriority,
@@ -3979,7 +3979,13 @@ def q56_late_delivery_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4-class: orders (in a window) having at least one item
     shipped >60 days after ordering, counted per priority. EXISTS →
     left-semi join; the correlated date comparison rides in the join
-    condition."""
+    condition.
+
+    PARKED r14 (VERDICT r13 #1 sanctioned swap): its gated slot went to
+    q71_bm25_retrieval. Operator coverage at the gate is retained —
+    range predicates + join + agg by q01/q38/q39, EXISTS/semi-join by
+    q50, range-in-join-condition by q47. Full oracle kept; swept by
+    SPARK_GRAFT_SIM_PARKED=1 and the parked dtype/plan tests."""
     o = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
         & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
@@ -4601,14 +4607,19 @@ def q67_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# ONE column list for BOTH sides (r13 ADVICE): profiling the live
+# parquet schema on the Spark side while the oracle hardcodes names
+# would fork silently on a documents schema addition.
+_Q68_COLS = ("doc_id", "lang", "n_chars", "source", "text")
+
+
 def _q68_oracle() -> str:
-    cols = ["doc_id", "lang", "n_chars", "source", "text"]
     parts = [
         f"""SELECT '{c}' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
                CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
                CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct
         FROM documents"""
-        for c in cols
+        for c in _Q68_COLS
     ]
     return "\nUNION ALL\n".join(parts)
 
@@ -4620,11 +4631,12 @@ def q68_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     dataset-quality companion of the gated q05 validation counts. The
     melt renders values to STRING, but both engines' numeric→string
     renderings are injective, so the oracle's native COUNT(DISTINCT)
-    agrees exactly."""
+    agrees exactly. Both sides profile the SAME explicit _Q68_COLS
+    list, so a documents schema addition cannot fork them."""
     from ..operators import validation
 
     docs = _t(spark, sf_dir, "documents")
-    return validation.profile_columns(docs)
+    return validation.profile_columns(docs, columns=list(_Q68_COLS))
 
 
 # ---------------------------------------------------------------------------
@@ -4766,28 +4778,29 @@ def q70_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q71 (PARKED, r13) — BM25 retrieval under oracle
+# q71 (GATED r14, parked r13) — BM25 retrieval under oracle
 # ---------------------------------------------------------------------------
 
 
 _Q71_QUERIES = [(1, "hash join"), (2, "slow scan filter"), (3, "customer order value")]
 
 
-def _q71_oracle(k: int = 5) -> str:
-    """text.bm25_topk re-derived relationally: the quantized Okapi
-    scoring chain (rational idf surrogate, fraction-cleared tf
-    saturation at k1=6/5 b=3/4, integer micro² contributions) in pure
-    SQL. Ranking mirrors the Spark side EXACTLY — on the emitted
-    ``score_micro = mm DIV 10⁶`` with the doc-id tie-break, NOT on the
-    pre-division sum (two docs can differ only below 10⁶; ranking on
-    different keys would fork the tie-break)."""
+def _bm25_cte_sql(score_cte: str, score_col: str) -> str:
+    """The shared quantized-Okapi CTE chain (tokenize → doc lengths →
+    term frequencies → document frequencies → rational idf surrogate →
+    fraction-cleared tf saturation at k1=6/5 b=3/4 → integer micro²
+    contributions, summed then DIV 10⁶) used by BOTH the q71 and q72
+    oracles — a quantization-constant edit in one side can no longer
+    fork the other (the _funnel_cte_sql pattern). Emits CTEs
+    d/dl/tf/dfq/n/avg/q plus ``score_cte`` holding per-(query, doc)
+    ``score_col``; callers prepend WITH and append their own ranking."""
     qvals = ", ".join(
         f"({qid}, '{t}')"
         for qid, qt in _Q71_QUERIES
         for t in sorted(set(qt.split()))
     )
     return rf"""
-    WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+    d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
                FROM documents),
     dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM d),
     tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
@@ -4797,18 +4810,29 @@ def _q71_oracle(k: int = 5) -> str:
     avg AS (SELECT (1000000 * CAST(SUM(dl) AS BIGINT)) // (SELECT n FROM n)
                 AS avgdl FROM dl),
     q(query_id, term) AS (VALUES {qvals}),
-    scored AS (
+    {score_cte} AS (
       SELECT q.query_id, tf.doc_id,
         CAST(SUM((((2 * (SELECT n FROM n) - 2 * dfd + 1) * 1000000)
                  // (2 * dfd + 1))
             * ((2200000 * tf * 1000000)
                  // (1000000 * tf + 300000
                      + (900000000000 * dl.dl) // (SELECT avgdl FROM avg)))
-        ) // 1000000 AS BIGINT) AS score_micro
+        ) // 1000000 AS BIGINT) AS {score_col}
       FROM q JOIN tf USING (term) JOIN dfq USING (term)
              JOIN dl ON dl.doc_id = tf.doc_id
       GROUP BY 1, 2
-    )
+    )"""
+
+
+def _q71_oracle(k: int = 5) -> str:
+    """text.bm25_topk re-derived relationally: the quantized Okapi
+    scoring chain (see _bm25_cte_sql) in pure SQL. Ranking mirrors the
+    Spark side EXACTLY — on the emitted ``score_micro = mm DIV 10⁶``
+    with the doc-id tie-break, NOT on the pre-division sum (two docs
+    can differ only below 10⁶; ranking on different keys would fork
+    the tie-break)."""
+    return rf"""
+    WITH {_bm25_cte_sql("scored", "score_micro")}
     SELECT CAST(query_id AS BIGINT) AS query_id,
            CAST(rank AS BIGINT) AS rank, doc_id, score_micro
     FROM (SELECT *, row_number() OVER
@@ -4818,16 +4842,16 @@ def _q71_oracle(k: int = 5) -> str:
     """
 
 
-@parked_query("q71_bm25_retrieval", _q71_oracle())
+@query("q71_bm25_retrieval", _q71_oracle())
 def q71_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quantized BM25 top-5 per query (text.bm25_topk) — PARKED
-    gate-ready (r13): the retrieval flagship under a complete
-    relational oracle. The documents generator's 31-word vocabulary is
-    FIXED across SFs, so the literal query set ('hash join', 'slow
-    scan filter', 'customer order value') is informative at every
-    scale. Integer-exact end to end; the two-level top-k ranks on the
-    emitted score with an id tie-break (the oracle ranks on the same
-    key — see _q71_oracle)."""
+    """Quantized BM25 top-5 per query (text.bm25_topk) — GATED r14
+    (VERDICT r13 #1 sanctioned swap, took q56's slot): the retrieval
+    flagship under a complete relational oracle. The documents
+    generator's 31-word vocabulary is FIXED across SFs, so the literal
+    query set ('hash join', 'slow scan filter', 'customer order value')
+    is informative at every scale. Integer-exact end to end; the
+    two-level top-k ranks on the emitted score with an id tie-break
+    (the oracle ranks on the same key — see _q71_oracle)."""
     from ..operators import text as text_ops
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -4848,37 +4872,12 @@ def q71_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q72_oracle(k: int = 5) -> str:
     """similarity.rrf_fuse over two REAL heterogeneous retrievers —
     the q71 BM25 top-5 and a raw term-frequency top-5 baseline — in
-    pure SQL: both ranked lists re-derived, reciprocals quantized to
+    pure SQL: both ranked lists re-derived (the BM25 chain via the
+    SAME _bm25_cte_sql the q71 oracle uses), reciprocals quantized to
     micro-units BEFORE summing (10⁶ // (60 + rank)), fused rank on
     (rrf_micro DESC, doc_id)."""
-    qvals = ", ".join(
-        f"({qid}, '{t}')"
-        for qid, qt in _Q71_QUERIES
-        for t in sorted(set(qt.split()))
-    )
     return rf"""
-    WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
-               FROM documents),
-    dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM d),
-    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
-           FROM (SELECT doc_id, unnest(t) AS term FROM d) GROUP BY 1, 2),
-    dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS dfd FROM tf GROUP BY 1),
-    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
-    avg AS (SELECT (1000000 * CAST(SUM(dl) AS BIGINT)) // (SELECT n FROM n)
-                AS avgdl FROM dl),
-    q(query_id, term) AS (VALUES {qvals}),
-    bm AS (
-      SELECT q.query_id, tf.doc_id,
-        CAST(SUM((((2 * (SELECT n FROM n) - 2 * dfd + 1) * 1000000)
-                 // (2 * dfd + 1))
-            * ((2200000 * tf * 1000000)
-                 // (1000000 * tf + 300000
-                     + (900000000000 * dl.dl) // (SELECT avgdl FROM avg)))
-        ) // 1000000 AS BIGINT) AS s
-      FROM q JOIN tf USING (term) JOIN dfq USING (term)
-             JOIN dl ON dl.doc_id = tf.doc_id
-      GROUP BY 1, 2
-    ),
+    WITH {_bm25_cte_sql("bm", "s")},
     bm_top AS (
       SELECT query_id, doc_id, rnk FROM (
         SELECT *, row_number() OVER (

@@ -470,12 +470,13 @@ def test_parked_value_outliers_real_corpus(spark):
     assert len(got) == 5 and all(r[i] > 0 for r in got)
 
 
-def test_parked_bm25_retrieval_real_corpus(spark):
-    """The parked q71 BM25 retrieval matches its relational oracle
-    (quantized Okapi chain; ranking on the emitted score with id
-    tie-break on BOTH sides): 5 hits per query, ranks 1..5."""
-    con = _duck(SF_DIR)
-    got, cols = _run_parked(spark, "q71_bm25_retrieval", SF_DIR, con)
+def test_gated_bm25_retrieval_structure(spark):
+    """q71 BM25 retrieval (GATED r14 — oracle parity is swept by the
+    QUERY_NAMES parametrized gate) returns the right SHAPE: 5 hits per
+    query, ranks 1..5, for all three literal queries."""
+    sdf = entrymod.queries()["q71_bm25_retrieval"](spark, SF_DIR)
+    got = [tuple(r) for r in sdf.collect()]
+    cols = sdf.columns
     i_q, i_r = cols.index("query_id"), cols.index("rank")
     per_q = {}
     for r in got:

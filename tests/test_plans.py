@@ -444,7 +444,8 @@ def test_parked_q65_q66_q67_plan_shapes(spark):
         for name in (
             "q65_hard_negatives", "q66_weighted_sample", "q67_funnel",
             "q68_table_profile", "q69_temperature_sample",
-            "q70_value_outliers", "q71_bm25_retrieval", "q72_rrf_fusion",
+            "q70_value_outliers", "q72_rrf_fusion",
+            "q56_late_delivery_priority",
         )
     }
     for name, plan in plans.items():
@@ -455,6 +456,19 @@ def test_parked_q65_q66_q67_plan_shapes(spark):
     assert "WindowGroupLimit" in plans["q69_temperature_sample"]
     # q65: at least one equi-join keyed on the cell id
     assert re.search(r"_cell", plans["q65_hard_negatives"])
+
+
+def test_q71_bm25_gated_plan_shape(spark):
+    """q71 (GATED r14 — the q56 swap) keeps the parked-era plan bar
+    under the gate: no cartesian/BNLJ/Python; the query-term join is a
+    broadcast equi-join on term; the per-query top-k runs as
+    WindowGroupLimit (rank filter pushed below the full sort)."""
+    plan = _formatted(q.catalog()["q71_bm25_retrieval"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
 
 
 def test_q61_funnel_enrichment_plan_clean(spark):
