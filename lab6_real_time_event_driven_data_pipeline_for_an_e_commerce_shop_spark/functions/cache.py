@@ -19,6 +19,14 @@ This mirrors what a production medallion deployment does with a
 materialized silver table: consumers read the materialization, and a
 new snapshot replaces (not accumulates next to) the old one. At real
 scale the storage level spills to disk rather than OOMing.
+
+STALENESS HAZARD (r14): semantic equality is PLAN equality, not DATA
+equality — a plan that scans a path whose FILES were replaced
+underneath (staging swap, compaction, external GC) hashes identically
+to the pre-swap plan, so the slot keeps serving the old
+materialization. Producers that re-derive from a swapped table must
+``release()`` the slot around the rebuild (see
+NearDupIngest.compact, which hit exactly this).
 """
 
 from __future__ import annotations

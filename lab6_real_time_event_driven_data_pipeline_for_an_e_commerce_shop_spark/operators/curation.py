@@ -648,7 +648,11 @@ def temperature_weights(
     power.
 
     Domain: weights must be POSITIVE int64 with α·log2(w) ≤ 42 (output
-    stays inside int64; e.g. token counts < 2^40 at α ≤ 1). Rows with
+    stays inside int64; e.g. token counts < 2^40 at α ≤ 1). The domain
+    is ENFORCED at runtime (r13 ADVICE): a row whose scaled exponent
+    exceeds the 42-bit exp2 envelope raises at evaluation time —
+    mirroring exp2_micro_int's ValueError — instead of silently
+    overflowing shiftleft into garbage micro-weights. Rows with
     NULL/non-positive weight get NULL. The output column feeds
     :func:`weighted_sample` directly (micro-units are < 2^53, so its
     exact int→double contract holds)."""
@@ -679,6 +683,21 @@ def temperature_weights(
         "_tw_x", (F.col("_tw_l") * F.lit(num) - F.pmod(
             F.col("_tw_l") * F.lit(num), F.lit(den))) / F.lit(den)
     ).withColumn("_tw_x", F.col("_tw_x").cast("long"))
+    # exp2_micro_sql shifts blindly (documented caller contract) — so
+    # enforce the envelope HERE, per row, lazily inside the CASE: the
+    # raising branch only evaluates when the exponent is actually out
+    # of domain (CASE WHEN is lazy in both codegen and interpreted
+    # eval), so in-domain frames never pay or trip it.
+    tagged = tagged.withColumn(
+        "_tw_x",
+        F.when(
+            F.col("_tw_x") > F.lit(42_000_000),
+            F.expr(
+                "assert_true(false, 'temperature_weights: alpha*log2(w)"
+                " exceeds the 42-bit exp2 envelope')"
+            ).cast("long"),
+        ).otherwise(F.col("_tw_x")),
+    )
     out = tagged.withColumn(out_col, F.expr(exp2_micro_sql("_tw_x")))
     return out.drop("_tw_w", "_tw_l", "_tw_x")
 

@@ -324,7 +324,47 @@ class NearDupIngest:
     kept = DedupIngest.kept
 
     def signatures(self) -> DataFrame:
+        _finish_store_compaction(self._path("signatures"))
         return self.spark.read.parquet(self._path("signatures"))
+
+    def compact(self) -> None:
+        """Rebuild the signature store from the CURRENT kept texts
+        (VERDICT r13 #3 — the same "supersede = live-corpus rebuild"
+        contract the exact/span gates got in r12/r13): recompute
+        MinHash signatures over kept() with the gate's own parameters,
+        so store size tracks live kept docs, not ingest history. Docs
+        too short to shingle produce no signature — exactly the
+        admission invariant (uncomparable docs carry no state). Rows
+        for docs externally removed from kept (downstream GC /
+        takedown) are dropped, so the gate stops rejecting new docs
+        against a corpus that no longer contains them.
+
+        Safe BETWEEN waves only (never concurrent with run_available).
+        Crash-recoverable via the fixed sibling-dir swap, healed at
+        every store read. A compaction right after a crash between the
+        kept and signature merges ABSORBS the missing signature rows
+        (kept merges first); the replayed batch then re-rejects those
+        docs against their own stored signatures — harmless, they are
+        already kept (the EmbeddingDedupIngest replay argument)."""
+        store_path = self._path("signatures")
+        _finish_store_compaction(store_path)
+        if not os.path.isdir(store_path):
+            return
+        from ..functions import cache as _cache
+        from ..operators import dedup
+
+        # minhash_signatures bounded_cache's its substrate by SEMANTIC
+        # plan hash — and two compact() calls read kept through the
+        # SAME plan (same path), so a second compaction after the kept
+        # FILES changed underneath (merge swap, external GC) would be
+        # served the stale cached substrate. Release the slot around
+        # the rebuild (found by the r14 external-GC test).
+        _cache.release("dedup.minhash_signatures")
+        compacted = dedup.minhash_signatures(
+            self.kept(), self.k, self.shingle_k, self.text_col, self.id_col
+        ).select(self.id_col, *[f"mh_{i}" for i in range(self.k)])
+        _swap_store(compacted, store_path)
+        _cache.release("dedup.minhash_signatures")
 
     def _process(self, batch: DataFrame, batch_id: int) -> None:
         from ..operators import dedup
@@ -340,6 +380,7 @@ class NearDupIngest:
         # cross-corpus rejection: band equi-join against the kept
         # store, verified by integer signature agreement
         store_path = self._path("signatures")
+        _finish_store_compaction(store_path)
         if os.path.isdir(store_path):
             store_sigs = self.spark.read.parquet(store_path)
             cands = (
@@ -504,9 +545,40 @@ class QualityIngest:
         scored = uniq.select(self.id_col, self.text_col).join(
             verdict, self.id_col
         )
+        # heal a crashed compact BEFORE merging — a merge while the real
+        # table sits in __compact_new would fork a second store
+        _finish_store_compaction(self._path("verdicts"))
         upsert.merge(
             self.spark, self._path("verdicts"), scored, keys=[self.id_col]
         )
+
+    def compact(self, live_ids: DataFrame) -> None:
+        """Scope the verdicts table to a LIVE id set (VERDICT r13 #3 —
+        the verdicts table is the one store in the family that grows
+        with ingest HISTORY by design: it is the quarantine ledger, one
+        row per id ever scored, and in a chained pipeline that includes
+        ids upstream gates later superseded). ``live_ids`` is a frame
+        carrying ``id_col`` — typically the upstream gate's kept()
+        (chain shape) or this gate's own kept() if quarantine evidence
+        can be dropped; rows for ids NOT in it are garbage-collected.
+
+        Contract (differs from the dedup gates BECAUSE the verdict is
+        a pure per-row function): dropping a row loses only a cached
+        verdict — a dropped id re-sent later is simply re-scored, and
+        the re-scored verdict is identical for identical text. kept()/
+        quarantined() shrink to the live set, which is the point.
+
+        Safe BETWEEN waves only; crash-recoverable via the fixed
+        sibling-dir swap, healed at every read and before every
+        merge."""
+        store_path = self._path("verdicts")
+        _finish_store_compaction(store_path)
+        if not os.path.isdir(store_path):
+            return
+        compacted = self.spark.read.parquet(store_path).join(
+            live_ids.select(self.id_col).distinct(), self.id_col, "left_semi"
+        )
+        _swap_store(compacted, store_path)
 
     def run_available(self) -> None:
         stream = (
@@ -528,6 +600,7 @@ class QualityIngest:
         # before any batch has landed (e.g. an empty landing dir drained
         # by run_available) there is no verdicts table — return an empty
         # frame with the verdict schema instead of a raw AnalysisException
+        _finish_store_compaction(self._path("verdicts"))
         if not os.path.isdir(self._path("verdicts")):
             from pyspark.sql import types as T
 
@@ -901,6 +974,29 @@ class ChainedIngest:
     def quarantined(self) -> DataFrame:
         return self.quality.quarantined()
 
+    # -- maintenance -----------------------------------------------------
+    def compact(self) -> None:
+        """Compact every stage store BETWEEN waves (r14, VERDICT r13
+        #3): each dedup gate rebuilds its store from its own kept
+        corpus; the quality ledger is scoped to the ids its upstream
+        stage currently keeps (verdict ids are always a subset of
+        upstream kept ids — the stage input is upstream-kept ∩ batch —
+        so this drops only rows upstream GC has already orphaned).
+        Quality placed FIRST sees every landing id, so there is no
+        upstream live set to scope by — its ledger is then left as-is
+        (the measured cost of that ordering, SCALING.md chain-order
+        study). Never run concurrently with run_available."""
+        for i, name in enumerate(self.order):
+            g = self._gate(name)
+            if name == "quality":
+                if i == 0:
+                    continue
+                up = self._stage_kept(self.order[i - 1])
+                if up is not None and os.path.isdir(g._path("verdicts")):
+                    g.compact(up.select(self.id_col))
+            else:
+                g.compact()
+
 
 class EmbeddingDedupIngest:
     """EMBEDDING near-dup dedup on ingest — the vector-side member of
@@ -929,7 +1025,17 @@ class EmbeddingDedupIngest:
     harmless, they are already kept (and a vector re-sent under its
     id with a lightly-EDITED embedding is rejected against its own
     prior version, keeping the chain output stable — the NearDupIngest
-    self-handoff semantics, documented there)."""
+    self-handoff semantics, documented there).
+
+    Zero-norm / NULL vectors (r13 ADVICE): cosine is undefined for a
+    directionless vector — the batch twin's round-6 division yields
+    NULL, which fails every threshold, so the batch path can never
+    call one a near-dup. This gate takes the SAME policy explicitly:
+    zero-norm vectors are UNCOMPARABLE ⇒ ADMITTED (the NearDupIngest
+    short-doc precedent), but they are EXCLUDED from the vector store
+    — a stored zero vector could never reject anything (NULL cosine),
+    so storing copies would only grow every future probe join. They
+    land in kept() like any admitted row."""
 
     def __init__(
         self,
@@ -961,7 +1067,33 @@ class EmbeddingDedupIngest:
     kept = DedupIngest.kept
 
     def vectors(self) -> DataFrame:
+        _finish_store_compaction(self._path("vectors"))
         return self.spark.read.parquet(self._path("vectors"))
+
+    def compact(self) -> None:
+        """Rebuild the vector store from the CURRENT kept rows (VERDICT
+        r13 #3 — the "supersede = live-corpus rebuild" contract): one
+        (vec_id, vector) row per kept COMPARABLE vector (zero-norm rows
+        stay out, per the class policy), so store size tracks the live
+        corpus and vectors externally removed from kept (downstream GC)
+        stop rejecting newcomers. Safe BETWEEN waves only;
+        crash-recoverable via the fixed sibling-dir swap, healed at
+        every store read. A compaction right after a crash between the
+        kept and vector merges ABSORBS the missing vectors; the
+        replayed batch then re-rejects those vectors against their own
+        stored copies — harmless, they are already kept (the class
+        docstring's replay argument)."""
+        from ..operators.similarity import norm as _norm
+
+        store_path = self._path("vectors")
+        _finish_store_compaction(store_path)
+        if not os.path.isdir(store_path):
+            return
+        compacted = self.kept().select(
+            F.col(self.id_col).alias("vec_id"),
+            F.col(self.vec_col).alias(self.vec_col),
+        ).filter(F.coalesce(_norm(F.col(self.vec_col)) > 0, F.lit(False)))
+        _swap_store(compacted, store_path)
 
     def _tagged(self, df: DataFrame) -> DataFrame:
         from ..operators import similarity
@@ -1028,14 +1160,21 @@ class EmbeddingDedupIngest:
         )
         batch = _one_row_per_id(batch, self.id_col, "_pay").drop("_pay")
         tagged = self._tagged(batch)
+        # zero-norm / NULL vectors are UNCOMPARABLE: admitted outright
+        # (class docstring — the batch twin's NULL cosine can never
+        # reject them either) and kept out of every pair join below
+        _cmp = F.col("_nrm") > 0
+        uncomparable_ids = tagged.filter(_cmp.isNull() | ~_cmp).select("_id")
+        tagged = tagged.filter(_cmp)
         survivors = tagged
         store_path = self._path("vectors")
+        _finish_store_compaction(store_path)
         if os.path.isdir(store_path):
             stored = self._tagged(
                 self.spark.read.parquet(store_path).withColumnRenamed(
                     "vec_id", self.id_col
                 )
-            )
+            ).filter(_cmp)  # pre-fix stores may hold zero vectors
             rejected = self._verified_pairs(tagged, stored)
             survivors = tagged.join(
                 rejected.select(F.col("id_a").alias("_id")).distinct(),
@@ -1049,7 +1188,11 @@ class EmbeddingDedupIngest:
         losers = clusters.filter(
             F.col("cluster_id") != F.col("node_id")
         ).select(F.col("node_id").alias("_id"))
-        admitted_ids = survivors.join(losers, "_id", "left_anti").select("_id")
+        admitted_ids = (
+            survivors.join(losers, "_id", "left_anti")
+            .select("_id")
+            .unionAll(uncomparable_ids)
+        )
         admitted = batch.join(
             admitted_ids.withColumnRenamed("_id", self.id_col),
             self.id_col,
@@ -1059,19 +1202,27 @@ class EmbeddingDedupIngest:
         tmp_rows = self._path("_admitted__tmp")
         admitted.write.mode("overwrite").parquet(tmp_rows)
         if glob.glob(os.path.join(tmp_rows, "part-*")):
+            from ..operators.similarity import norm as _norm
+
             fresh = self.spark.read.parquet(tmp_rows)
             if fresh.limit(1).count() > 0:
                 # kept FIRST, vectors second (see class docstring)
                 upsert.merge(
                     self.spark, self._path("kept"), fresh, keys=[self.id_col]
                 )
-                upsert.merge(
-                    self.spark,
-                    self._path("vectors"),
-                    fresh.select(
-                        F.col(self.id_col).alias("vec_id"),
-                        F.col(self.vec_col).alias(self.vec_col),
-                    ),
-                    keys=["vec_id"],
+                # the store holds only COMPARABLE vectors — a zero
+                # vector can never reject anything (class docstring)
+                vec_rows = fresh.select(
+                    F.col(self.id_col).alias("vec_id"),
+                    F.col(self.vec_col).alias(self.vec_col),
+                ).filter(
+                    F.coalesce(_norm(F.col(self.vec_col)) > 0, F.lit(False))
                 )
+                if vec_rows.limit(1).count() > 0:
+                    upsert.merge(
+                        self.spark,
+                        self._path("vectors"),
+                        vec_rows,
+                        keys=["vec_id"],
+                    )
         shutil.rmtree(tmp_rows, ignore_errors=True)

@@ -54,7 +54,11 @@ _SLOW_TESTS = {
     "test_span_dedup_ingest_crash_window_converges",
     "test_dedup_ingest_store_compaction_tracks_live_corpus",
     "test_span_dedup_ingest_store_compaction_tracks_live_corpus",
+    "test_near_dup_ingest_store_compaction_tracks_live_corpus",
+    "test_quality_ingest_verdicts_compaction_scopes_to_live_ids",
+    "test_embedding_ingest_store_compaction_tracks_live_corpus",
     "test_chained_ingest_order_study_quality_first_leaks_emptied_docs",
+    "test_chained_ingest_compact_all_stages",
     "test_neardup_ingest_crash_window_converges",
     "test_late_items_release_after_group_published",
     "test_ingest_gates_same_id_twice_in_one_batch",

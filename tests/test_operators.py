@@ -3167,6 +3167,28 @@ def test_profile_columns_empty_table_and_alpha_guard(spark):
     with _pytest.raises(ValueError, match="numerator"):
         curation.temperature_weights(df, "w", (10**9 + 7, 3))
 
+    # r13 ADVICE: an OUT-OF-ENVELOPE exponent (alpha*log2(w) > 42)
+    # raises at evaluation time instead of silently overflowing the
+    # blind shiftleft — 2^43 at alpha=1 is one bit past the domain
+    big = spark.createDataFrame([(1, 2**43)], "doc_id long, w long")
+    with _pytest.raises(Exception, match="42-bit exp2 envelope"):
+        curation.temperature_weights(big, "w", (1, 1)).collect()
+    # the boundary itself (2^42 at alpha=1 -> exponent exactly 42e6)
+    # is IN domain and exact
+    edge = spark.createDataFrame([(1, 2**42)], "doc_id long, w long")
+    got_edge = curation.temperature_weights(edge, "w", (1, 1)).collect()
+    assert got_edge[0].w_temp_micro == (2**42) * 1_000_000
+    # NULL / non-positive weights still pass through as NULL (never
+    # routed into the raising branch)
+    mixed = spark.createDataFrame(
+        [(1, None), (2, 0), (3, 16)], "doc_id long, w long"
+    )
+    vals = {
+        r.doc_id: r.w_temp_micro
+        for r in curation.temperature_weights(mixed, "w", (1, 1)).collect()
+    }
+    assert vals == {1: None, 2: None, 3: 16_000_000}
+
 
 def test_log2_interp_micro_three_way_and_aes_proportionality(spark):
     """The INTERPOLATED fixed-point log2 (r13): Spark SQL, DuckDB SQL,

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import datetime as dt
 import os
+import shutil
 
 import pytest
 
@@ -3061,6 +3062,290 @@ def test_store_compaction_swap_crash_recovery(spark, tmp_path):
     assert not os.path.isdir(store + "__compact_old")
 
 
+def _rewrite_kept_without(spark, root, tmp_path, drop_ids, id_col="doc_id"):
+    """Simulate downstream GC / takedown: rewrite a gate's kept table
+    with some ids removed (materialized to a sibling first — the frame's
+    lineage reads the dir being replaced)."""
+    from pyspark.sql import functions as F
+
+    kept_path = os.path.join(root, "kept")
+    keep = spark.read.parquet(kept_path).filter(~F.col(id_col).isin(drop_ids))
+    tmp = str(tmp_path / "_kept_rewrite")
+    keep.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(kept_path)
+    os.rename(tmp, kept_path)
+
+
+def test_near_dup_ingest_store_compaction_tracks_live_corpus(
+    spark, tmp_path, monkeypatch
+):
+    """r14 (VERDICT r13 #3): NearDupIngest.compact() rebuilds the
+    signature store from the CURRENT kept texts ("supersede =
+    live-corpus rebuild"). Pins: (1) the rebuilt store equals the
+    MinHash signatures of kept() exactly (short uncomparable docs
+    contribute no rows); (2) a doc externally removed from kept
+    (downstream GC) stops rejecting newcomers after compact(), while
+    live docs still do; (3) a crash between the kept and signature
+    merges followed by compact() ABSORBS the missing signature rows,
+    and the checkpointed replay converges with the gate still
+    rejecting near-dups of the recovered doc."""
+    import json as _json
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        dedup,
+        upsert,
+    )
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.ingest_dedup import (
+        NearDupIngest,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank every single morning"
+    novel = "unrelated text about parquet column pruning and row groups"
+    root = str(tmp_path)
+    gate = NearDupIngest(spark, root, schema="doc_id long, text string")
+
+    def _wave(name, docs):
+        with open(os.path.join(root, "landing", name), "w") as f:
+            for d, t in docs:
+                f.write(_json.dumps({"doc_id": d, "text": t}) + "\n")
+
+    _wave("w1.json", [(1, base), (2, novel), (3, "too short")])
+    gate.run_available()
+    assert {r.doc_id for r in gate.kept().collect()} == {1, 2, 3}
+    assert gate.signatures().count() == 3
+
+    # (1) compact: store == signatures of the live kept texts
+    gate.compact()
+    got = sorted(map(tuple, gate.signatures().collect()))
+    want = sorted(
+        map(
+            tuple,
+            dedup.minhash_signatures(gate.kept(), gate.k, gate.shingle_k)
+            .select("doc_id", *[f"mh_{i}" for i in range(gate.k)])
+            .collect(),
+        )
+    )
+    assert got == want and len(got) == 3
+
+    # (2) external GC: doc 1 removed from kept → after compact, its
+    # near-dups are no longer rejected; doc 2's still are
+    _rewrite_kept_without(spark, root, tmp_path, [1])
+    gate.compact()
+    assert {r.doc_id for r in gate.signatures().collect()} == {2, 3}
+    _wave("w2.json", [(5, base + " tail edited"), (6, novel)])
+    gate.run_available()
+    kept = {r.doc_id for r in gate.kept().collect()}
+    assert 5 in kept        # the removed doc no longer blocks
+    assert 6 not in kept    # identical text to live doc 2: rejected
+
+    # (3) crash between merges → compact absorbs → replay converges
+    fresh_text = "completely different content about morton codes and zorder span profiles"
+    _wave("w3.json", [(10, fresh_text)])
+    real_merge = upsert.merge
+
+    def _boom(spark_, path, src, **kw):
+        if path.endswith("signatures"):
+            raise RuntimeError("crash before signature merge")
+        return real_merge(spark_, path, src, **kw)
+
+    monkeypatch.setattr(upsert, "merge", _boom)
+    with pytest.raises(Exception, match="crash before signature merge"):
+        gate.run_available()
+    monkeypatch.setattr(upsert, "merge", real_merge)
+
+    assert 10 in {r.doc_id for r in gate.kept().collect()}
+    assert 10 not in {r.doc_id for r in gate.signatures().collect()}
+    gate.compact()  # absorbs doc 10's signature from the kept table
+    assert 10 in {r.doc_id for r in gate.signatures().collect()}
+    gate.run_available()  # replay: re-rejects 10 vs its own stored sig
+    kept_after = {r.doc_id for r in gate.kept().collect()}
+    assert 10 in kept_after
+    # the recovered+compacted store still gates
+    _wave("w4.json", [(11, fresh_text)])
+    gate.run_available()
+    assert 11 not in {r.doc_id for r in gate.kept().collect()}
+
+
+def test_quality_ingest_verdicts_compaction_scopes_to_live_ids(
+    spark, tmp_path
+):
+    """r14 (VERDICT r13 #3): QualityIngest.compact(live_ids) scopes the
+    verdict ledger to a live id set. Pins: (1) rows outside live_ids
+    are dropped, kept()/quarantined() shrink accordingly; (2) the
+    verdict is a pure function, so a dropped id re-sent with identical
+    text is re-scored to the IDENTICAL verdict row; (3) a dropped id
+    re-sent FIXED lands in kept normally."""
+    import json as _json
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.ingest_dedup import (
+        QualityIngest,
+    )
+
+    root = str(tmp_path)
+    gate = QualityIngest(
+        spark, root, schema="doc_id long, text string", min_tokens=3
+    )
+
+    def _wave(name, docs):
+        with open(os.path.join(root, "landing", name), "w") as f:
+            for d, t in docs:
+                f.write(_json.dumps({"doc_id": d, "text": t}) + "\n")
+
+    good = "a fresh diverse set of clean words arranged plainly here"
+    spam = "buy buy buy buy buy buy buy buy"
+    short = "too short"
+    _wave("w1.json", [(1, good), (2, spam), (3, short)])
+    gate.run_available()
+    assert gate.verdicts().count() == 3
+    before = {
+        r.doc_id: (r.qc_pass, r.qc_fail_reasons)
+        for r in gate.verdicts().collect()
+    }
+
+    # (1) scope to {1, 2}: doc 3's row is GC'd
+    live = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    gate.compact(live)
+    assert {r.doc_id for r in gate.verdicts().collect()} == {1, 2}
+    assert {r.doc_id for r in gate.kept().collect()} == {1}
+    assert {r.doc_id for r in gate.quarantined().collect()} == {2}
+
+    # (2) identical bytes re-sent → identical verdict re-derived
+    _wave("w2.json", [(3, short)])
+    gate.run_available()
+    after = {
+        r.doc_id: (r.qc_pass, r.qc_fail_reasons)
+        for r in gate.verdicts().collect()
+    }
+    assert after[3] == before[3]
+
+    # (3) and a FIXED resend still crosses into kept
+    _wave("w3.json", [(3, "no longer too short at all")])
+    gate.run_available()
+    assert 3 in {r.doc_id for r in gate.kept().collect()}
+
+
+def test_embedding_ingest_store_compaction_tracks_live_corpus(
+    spark, tmp_path, monkeypatch
+):
+    """r14 (VERDICT r13 #3): EmbeddingDedupIngest.compact() rebuilds
+    the vector store from the CURRENT kept rows. Pins: (1) store ==
+    kept comparable vectors after compaction; (2) a vector externally
+    removed from kept stops rejecting newcomers after compact(), live
+    ones still do; (3) crash between the kept and vector merges →
+    compact() absorbs the missing vectors → replay converges and the
+    store still gates."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        upsert,
+    )
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.ingest_dedup import (
+        EmbeddingDedupIngest,
+    )
+
+    dim = 8
+    root = str(tmp_path)
+    gate = EmbeddingDedupIngest(
+        spark, root, schema="vec_id long, embedding array<double>",
+        threshold=0.9, n_planes=6, dim=dim, probe_hamming=1,
+    )
+    _emb_wave(root, "w1.json", [(1, _unit((0, 1.0), dim=dim)),
+                                (2, _unit((1, 1.0), dim=dim))])
+    gate.run_available()
+    assert {r.vec_id for r in gate.vectors().collect()} == {1, 2}
+
+    # (1) compact is identity on a clean store
+    gate.compact()
+    assert {r.vec_id for r in gate.vectors().collect()} == {1, 2}
+
+    # (2) external GC of vec 1 → its near-dups admitted after compact,
+    # vec 2's still rejected
+    _rewrite_kept_without(spark, root, tmp_path, [1], id_col="vec_id")
+    gate.compact()
+    assert {r.vec_id for r in gate.vectors().collect()} == {2}
+    _emb_wave(root, "w2.json", [(5, _unit((0, 1.0), (2, 0.04), dim=dim)),
+                                (6, _unit((1, 1.0), (2, 0.04), dim=dim))])
+    gate.run_available()
+    kept = {r.vec_id for r in gate.kept().collect()}
+    assert 5 in kept and 6 not in kept
+
+    # (3) crash window → compact absorbs → replay converges
+    _emb_wave(root, "w3.json", [(7, _unit((5, 1.0), dim=dim))])
+    real_merge = upsert.merge
+
+    def _boom(spark_, path, src, keys, **kw):
+        if path.endswith("vectors"):
+            raise RuntimeError("crash before vector-store merge")
+        return real_merge(spark_, path, src, keys, **kw)
+
+    monkeypatch.setattr(upsert, "merge", _boom)
+    with pytest.raises(Exception, match="crash before vector-store merge"):
+        gate.run_available()
+    monkeypatch.setattr(upsert, "merge", real_merge)
+
+    assert 7 in {r.vec_id for r in gate.kept().collect()}
+    assert 7 not in {r.vec_id for r in gate.vectors().collect()}
+    gate.compact()
+    assert 7 in {r.vec_id for r in gate.vectors().collect()}
+    gate.run_available()  # replay re-rejects 7 vs its own copy: harmless
+    assert 7 in {r.vec_id for r in gate.kept().collect()}
+    _emb_wave(root, "w4.json", [(8, _unit((5, 1.0), (0, 0.03), dim=dim))])
+    gate.run_available()
+    assert 8 not in {r.vec_id for r in gate.kept().collect()}
+
+
+def test_chained_ingest_compact_all_stages(spark, tmp_path):
+    """r14 (VERDICT r13 #3): ChainedIngest.compact() compacts every
+    enabled stage's store between waves — dedup gates rebuild from
+    their own kept corpora, the quality ledger scopes to upstream kept
+    ids — and compaction is GC, not semantics: the chain's kept set
+    and verdicts are unchanged, and a post-compaction wave still
+    exact-dedups, near-rejects, and quarantines exactly as before."""
+    import json as _json
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.ingest_dedup import (
+        ChainedIngest,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank every single morning"
+    spam = "buy buy buy buy buy buy buy buy buy buy buy buy"
+    root = str(tmp_path)
+    chain = ChainedIngest(
+        spark, root, schema="doc_id long, text string",
+        span_min_len=50,  # high enough to leave these short docs alone
+        min_tokens=3,
+    )
+
+    def _wave(name, docs):
+        with open(os.path.join(root, "landing", name), "w") as f:
+            for d, t in docs:
+                f.write(_json.dumps({"doc_id": d, "text": t}) + "\n")
+
+    _wave("w1.json", [(1, base), (2, spam)])
+    chain.run_available()
+    _wave("w2.json", [(3, base), (4, base + " tail edited"),
+                      (5, "novel words about bloom filters and salted joins arranged plainly")])
+    chain.run_available()
+
+    kept_before = sorted(map(tuple, chain.kept().collect()))
+    verd_before = sorted(map(tuple, chain.verdicts().collect()))
+    assert {r[0] for r in kept_before} == {1, 5}  # 3 exact-dup, 4 near-dup, 2 spam
+
+    chain.compact()
+    assert sorted(map(tuple, chain.kept().collect())) == kept_before
+    assert sorted(map(tuple, chain.verdicts().collect())) == verd_before
+    # each dedup store now tracks its own live kept corpus exactly
+    assert chain.exact.fingerprints().count() == chain.exact.kept().count()
+    assert {r.doc_id for r in chain.near.signatures().collect()} == {
+        r.doc_id for r in chain.near.kept().collect()
+    }
+
+    # the compacted chain still gates: exact dup, near dup, spam
+    _wave("w3.json", [(6, base), (7, base + " third edit"), (8, spam)])
+    chain.run_available()
+    kept_after = {r.doc_id for r in chain.kept().collect()}
+    assert kept_after == {1, 5}
+    assert 8 not in kept_after  # spam: exact dup of quarantined doc 2
+
+
 def test_chained_ingest_order_study_quality_first_leaks_emptied_docs(
     spark, tmp_path
 ):
@@ -3374,6 +3659,50 @@ def test_embedding_ingest_crash_window_converges(spark, tmp_path, monkeypatch):
     gate.run_available()
     kept = {r.vec_id for r in gate.kept().collect()}
     assert kept == {1, 2, 4}
+
+
+def test_embedding_ingest_zero_norm_uncomparable_policy(spark, tmp_path):
+    """r13 ADVICE: zero-norm vectors are directionless — cosine is
+    undefined (the batch twin's NULL division can never reject them) —
+    so the gate ADMITS them as uncomparable but keeps them OUT of the
+    vector store (a stored zero vector could never reject anything and
+    would only bloat every probe join). Repeated zero vectors across
+    waves are each admitted; comparable gating is unaffected; replay
+    is a no-op."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.ingest_dedup import (
+        EmbeddingDedupIngest,
+    )
+
+    dim = 8
+    root = str(tmp_path)
+    gate = EmbeddingDedupIngest(
+        spark, root, schema="vec_id long, embedding array<double>",
+        threshold=0.9, n_planes=6, dim=dim, probe_hamming=1,
+    )
+    zero = [0.0] * dim
+    _emb_wave(root, "w1.json", [(1, _unit((0, 1.0), dim=dim)),
+                                (2, zero),
+                                (3, _unit((1, 1.0), dim=dim))])
+    gate.run_available()
+    assert {r.vec_id for r in gate.kept().collect()} == {1, 2, 3}
+    # the store holds only the comparable vectors
+    assert {r.vec_id for r in gate.vectors().collect()} == {1, 3}
+
+    # a LATER zero vector is also admitted (uncomparable, never
+    # rejected — not even "against" the earlier zero vector), while a
+    # comparable near-dup of vec 1 is still rejected by the store
+    _emb_wave(root, "w2.json", [(4, zero),
+                                (5, _unit((0, 1.0), (2, 0.04), dim=dim)),
+                                (6, _unit((5, 1.0), dim=dim))])
+    gate.run_available()
+    kept = {r.vec_id for r in gate.kept().collect()}
+    assert kept == {1, 2, 3, 4, 6}
+    assert {r.vec_id for r in gate.vectors().collect()} == {1, 3, 6}
+
+    # replay: no new files → nothing changes
+    gate.run_available()
+    assert {r.vec_id for r in gate.kept().collect()} == kept
+    assert {r.vec_id for r in gate.vectors().collect()} == {1, 3, 6}
 
 
 def test_session_folds_differential_property():

@@ -206,6 +206,84 @@ def compaction_probe(gate_cls, name: str, spark, n_docs: int,
     return out
 
 
+def gc_compaction_probe(spark, name: str, n_docs: int, dim: int = 64) -> dict:
+    """r14 (VERDICT r13 #3): the near/embedding/quality stores MERGE by
+    id, so supersedes don't grow them — their GC case is EXTERNAL
+    removal from kept (downstream takedown). Ingest n_docs, remove half
+    the kept rows directly, compact, and check the store shrank to
+    exactly the live corpus's state rows."""
+    root = tempfile.mkdtemp(prefix=f"ingest_probe_gc_{name}_")
+    if name == "near":
+        gate = NearDupIngest(spark, root, schema="doc_id long, text string")
+        store_fn = lambda g: g.signatures().count()  # noqa: E731
+        id_col = "doc_id"
+    elif name == "embedding":
+        from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.ingest_dedup import (  # noqa: E501
+            EmbeddingDedupIngest,
+        )
+
+        gate = EmbeddingDedupIngest(
+            spark, root, schema="vec_id long, embedding array<double>",
+            dim=dim, n_planes=16, probe_hamming=2,
+        )
+        store_fn = lambda g: g.vectors().count()  # noqa: E731
+        id_col = "vec_id"
+    else:
+        raise ValueError(name)
+
+    if name == "near":
+        toks = F.transform(
+            F.sequence(F.lit(0), F.lit(11)),
+            lambda i: F.concat(
+                F.lit("w"),
+                F.pmod(F.xxhash64(F.col("id"), i), F.lit(100000)).cast("string"),
+            ),
+        )
+        df = spark.range(0, n_docs).select(
+            F.col("id").alias("doc_id"), F.array_join(toks, " ").alias("text")
+        )
+    else:
+        vec = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: (
+                F.pmod(F.xxhash64(F.col("id"), i), F.lit(2001)) - F.lit(1000)
+            ).cast("double") / F.lit(1000.0),
+        )
+        df = spark.range(0, n_docs).select(
+            F.col("id").alias("vec_id"), vec.alias("embedding")
+        )
+    df.coalesce(1).write.mode("overwrite").json(os.path.join(root, "landing", "_w"))
+    for f in os.listdir(os.path.join(root, "landing", "_w")):
+        if f.endswith(".json"):
+            os.rename(os.path.join(root, "landing", "_w", f),
+                      os.path.join(root, "landing", "w0.json"))
+    shutil.rmtree(os.path.join(root, "landing", "_w"))
+    gate.run_available()
+    kept0, store0 = gate.kept().count(), store_fn(gate)
+
+    # external GC: drop every even id from kept
+    kept_path = os.path.join(root, "kept")
+    live = spark.read.parquet(kept_path).filter(F.col(id_col) % 2 == 1)
+    tmp = os.path.join(root, "_kept_rewrite")
+    live.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(kept_path)
+    os.rename(tmp, kept_path)
+
+    t0 = time.perf_counter()
+    gate.compact()
+    secs = round(time.perf_counter() - t0, 2)
+    kept1, store1 = gate.kept().count(), store_fn(gate)
+    out = {
+        "gate": f"gc_compact_{name}", "n_docs": n_docs,
+        "kept_before": kept0, "store_before": store0,
+        "kept_after_gc": kept1, "store_after": store1,
+        "compact_secs": secs,
+        "store_tracks_live_corpus": store1 == kept1 and store1 < store0,
+    }
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def probe_embedding(spark, wave_vecs: int, n_waves: int, dup_pct: int,
                     dim: int = 64) -> dict:
     """r13: the vector-side gate. Wave w's vectors: ids [w*n, (w+1)*n);
@@ -346,11 +424,16 @@ def main() -> None:
             raise SystemExit(f"FAIL: {r['gate']} kept mismatch")
 
     # r13: store compaction — superseded versions' state must be GC-able
+    # r14: + external-GC compaction for the MERGE-by-id stores (near /
+    # embedding; quality's ledger scoping is pinned by its e2e test —
+    # its store is one row per scored id, nothing to measure beyond it)
     for r in [
         compaction_probe(DedupIngest, "exact", spark,
                          max(wave_docs // 4, 1000), 4),
         compaction_probe(SpanDedupIngest, "span", spark,
                          max(wave_docs // 16, 500), 4, min_len=5),
+        gc_compaction_probe(spark, "near", max(wave_docs // 4, 1000)),
+        gc_compaction_probe(spark, "embedding", max(wave_docs // 4, 1000)),
     ]:
         print(json.dumps(r), flush=True)
         if not r["store_tracks_live_corpus"]:
