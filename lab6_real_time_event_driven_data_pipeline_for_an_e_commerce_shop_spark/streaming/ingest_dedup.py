@@ -821,9 +821,29 @@ class ChainedIngest:
     admitted text and the chain's output is stable under light edits;
     a heavy edit clears the threshold and updates normally.
 
+    MIXED-MODALITY landing (r14, VERDICT r13 #6): ``vec_col`` inserts
+    :class:`EmbeddingDedupIngest` as a stage — rows carry BOTH text and
+    a precomputed embedding, and the vector gate rejects SEMANTIC
+    near-dups whose text the lexical gates cannot catch (a paraphrase
+    shares no shingles). Ordering rule, enforced at construction: the
+    embedding stage must run BEFORE the span rewriter. Twice over:
+    (a) semantically — the landing embedding describes the RAW bytes;
+    a verdict or verify pass over text some later stage rewrites is
+    the exact judges-after-rewriters leak the chain-order study pinned,
+    and no stage can re-embed cleaned text (embedding is an input
+    artifact here, not a computable column); (b) mechanically — the
+    span stage's kept grain is (id, cleaned text, token counts): the
+    vector column does not survive it, so an embedding stage placed
+    after spans would read a column that no longer exists. Hence the
+    default order exact → embedding → spans → near → quality, and any
+    explicit ``order`` placing "embedding" after "spans" raises.
+    The stored vectors keep describing the raw admitted bytes — which
+    is the right substrate for "did we already ingest something
+    semantically equivalent", independent of later text cleanup.
+
     Layout under ``root``: landing/ + _checkpoints/ (the chain's one
-    stream), exact/ near/ quality/ (each gate's own state, readable
-    individually for audit)."""
+    stream), exact/ embedding/ spans/ near/ quality/ (each enabled
+    gate's own state, readable individually for audit)."""
 
     def __init__(
         self,
@@ -838,6 +858,11 @@ class ChainedIngest:
         min_agree: int = 8,
         shingle_k: int = 3,
         span_min_len: int | None = None,
+        vec_col: str | None = None,
+        embed_threshold: float = 0.9,
+        embed_planes: int = 6,
+        embed_dim: int = 64,
+        embed_probe_hamming: int = 1,
         order: tuple[str, ...] | None = None,
         **quality_rules,
     ):
@@ -871,6 +896,19 @@ class ChainedIngest:
             if span_min_len is not None
             else None
         )
+        # optional VECTOR stage (r14): semantic near-dup rejection on
+        # the landing embedding — must precede the span rewriter (class
+        # docstring), validated below
+        self.embedding = (
+            EmbeddingDedupIngest(
+                spark, os.path.join(root, "embedding"), schema,
+                threshold=embed_threshold, n_planes=embed_planes,
+                dim=embed_dim, probe_hamming=embed_probe_hamming,
+                vec_col=vec_col, id_col=id_col, fmt=fmt,
+            )
+            if vec_col is not None
+            else None
+        )
         self.near = NearDupIngest(
             spark, os.path.join(root, "near"), schema,
             k=k, bands=bands, min_agree=min_agree, shingle_k=shingle_k,
@@ -894,6 +932,7 @@ class ChainedIngest:
         # ends up kept (the default order quarantines it at min_tokens).
         enabled = [
             "exact",
+            *(("embedding",) if self.embedding is not None else ()),
             *(("spans",) if self.span is not None else ()),
             "near", "quality",
         ]
@@ -901,6 +940,17 @@ class ChainedIngest:
         if sorted(self.order) != sorted(enabled):
             raise ValueError(
                 f"order must be a permutation of {enabled}, got {self.order}"
+            )
+        if (
+            "embedding" in self.order
+            and "spans" in self.order
+            and self.order.index("embedding") > self.order.index("spans")
+        ):
+            raise ValueError(
+                "the embedding stage must precede the span rewriter: the"
+                " landing vector describes the RAW bytes (a rewrite"
+                " invalidates it — the judges-after-rewriters hazard) and"
+                " the span stage's kept grain drops the vector column"
             )
         os.makedirs(self.landing(), exist_ok=True)
 
@@ -910,7 +960,8 @@ class ChainedIngest:
 
     def _gate(self, name: str):
         return {
-            "exact": self.exact, "spans": self.span,
+            "exact": self.exact, "embedding": self.embedding,
+            "spans": self.span,
             "near": self.near, "quality": self.quality,
         }[name]
 

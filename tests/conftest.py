@@ -77,6 +77,8 @@ _SLOW_TESTS = {
     "test_session_gold_merge_idempotent_and_matches_batch",
     "test_embedding_ingest_gate_admissions",
     "test_embedding_ingest_crash_window_converges",
+    "test_embedding_ingest_zero_norm_uncomparable_policy",
+    "test_chained_ingest_mixed_modality_embedding_stage",
     "test_exact_close_e2e_bridge_matches_batch",
     # test_properties: hypothesis-heavy
     "test_kpis_invariant_under_rechunking",

@@ -3705,6 +3705,149 @@ def test_embedding_ingest_zero_norm_uncomparable_policy(spark, tmp_path):
     assert {r.vec_id for r in gate.vectors().collect()} == {1, 3, 6}
 
 
+def test_chained_ingest_mixed_modality_embedding_stage(spark, tmp_path):
+    """r14 (VERDICT r13 #6): mixed text+vector landing schema —
+    ChainedIngest(vec_col=...) inserts EmbeddingDedupIngest between
+    exact and spans. Pins, with HARD-ASSERTED preconditions (the
+    planted semantic pair clears τ and shares the probe bucket; all
+    other vectors are orthogonal):
+
+    - a PARAPHRASE (no shared shingles, near-identical vector) passes
+      every lexical gate and is rejected at the EMBEDDING stage — the
+      case text gates cannot catch;
+    - a lexical near-dup with an orthogonal vector passes the
+      embedding stage and is rejected at NEAR — the gates are
+      complementary, not redundant;
+    - the span rewriter still cuts shared passages from admitted rows
+      (embedding ran BEFORE the rewrite, on the raw bytes);
+    - spam is quarantined at quality (last);
+    - an order placing embedding AFTER spans raises at construction
+      (the vector describes pre-rewrite bytes, and the span kept grain
+      drops the vector column)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        similarity,
+    )
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.ingest_dedup import (
+        ChainedIngest,
+    )
+
+    dim, tau = 8, 0.9
+    schema = "doc_id long, text string, embedding array<double>"
+    t1 = "the quick brown fox jumps over the lazy dog near the river bank every single morning"
+    paraphrase = "a swift russet animal leaps across one sleepy hound beside still water at dawn"
+    novel = "unrelated prose about parquet footers statistics and column pruning strategies"
+    spam = "buy buy buy buy buy buy buy buy buy buy"
+    passage = "shared license header boilerplate text appears verbatim here today"
+    d7 = "alpha beta gamma delta " + passage
+    d8 = "epsilon zeta eta theta " + passage
+
+    e1 = _unit((0, 1.0), dim=dim)
+    e3 = _unit((0, 1.0), (1, 0.05), dim=dim)  # ≈ e1: the semantic dup
+    vecs = {1: e1, 2: _unit((1, 1.0), dim=dim), 3: e3,
+            4: _unit((2, 1.0), dim=dim), 5: _unit((3, 1.0), dim=dim),
+            6: _unit((4, 1.0), dim=dim), 7: _unit((5, 1.0), dim=dim),
+            8: _unit((6, 1.0), dim=dim)}
+
+    # preconditions: the planted pair clears τ and shares the exact
+    # bucket; everything else is pairwise near-orthogonal
+    def cos(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    assert cos(e1, e3) >= tau
+    others = [vecs[i] for i in (2, 4, 5, 6, 7, 8)]
+    assert all(abs(cos(e1, v)) < 0.1 for v in others)
+    planes = similarity.hyperplanes_int(6, dim)
+    bk = {
+        r.doc_id: r.b
+        for r in spark.createDataFrame(
+            [(i, v) for i, v in vecs.items()], schema="doc_id long, embedding array<double>"
+        ).select(
+            "doc_id",
+            similarity.lsh_bucket_int(F.col("embedding"), planes).alias("b"),
+        ).collect()
+    }
+    assert bk[1] == bk[3]
+    # the paraphrase shares no 3-shingle with t1 (no common word at all)
+    assert not (set(t1.split()) & set(paraphrase.split()))
+
+    # --- chain A: exact → embedding → near → quality (no spans) — the
+    # complementary-gates story needs the near stage to SEE the lexical
+    # near-dup (a span stage would cut the shared passage first, the
+    # documented spans-preempt-near interplay; exercised by chain B)
+    root = str(tmp_path / "a")
+    chain = ChainedIngest(
+        spark, root, schema=schema,
+        vec_col="embedding", embed_dim=dim,
+        embed_threshold=tau, min_tokens=3,
+    )
+    assert chain.order == ("exact", "embedding", "near", "quality")
+
+    def _wave(root_, name, docs):
+        with open(os.path.join(root_, "landing", name), "w") as f:
+            for d, t in docs:
+                f.write(_json.dumps(
+                    {"doc_id": d, "text": t, "embedding": vecs[d]}
+                ) + "\n")
+
+    _wave(root, "w1.json", [(1, t1), (2, novel), (3, paraphrase),
+                            (4, t1 + " tail edited")])
+    chain.run_available()
+    kept1 = {r.doc_id for r in chain.kept().collect()}
+    assert kept1 == {1, 2}          # 3: embedding reject; 4: near reject
+    emb_kept = {r.doc_id for r in chain.embedding.kept().collect()}
+    assert emb_kept == {1, 2, 4}    # 4 passed the VECTOR gate (orthogonal)
+    assert 3 not in emb_kept        # the paraphrase died exactly here
+
+    _wave(root, "w2.json",
+          [(5, spam), (6, "novel words about bloom filters arranged plainly")])
+    chain.run_available()
+    kept2 = {r.doc_id for r in chain.kept().collect()}
+    assert kept2 == {1, 2, 6}
+    assert 5 in {r.doc_id for r in chain.quarantined().collect()}
+    # the vector store holds every EMBEDDING-stage admission — including
+    # docs later rejected downstream (4 at near, 5 at quality): each
+    # stage's state tracks its own admissions, the kept-table handoff
+    # scopes the chain (compact() against downstream kept GCs these)
+    assert {r.vec_id for r in chain.embedding.vectors().collect()} == {1, 2, 4, 5, 6}
+
+    # replay: no new files → nothing changes
+    chain.run_available()
+    assert {r.doc_id for r in chain.kept().collect()} == kept2
+
+    # --- chain B: all five stages — the span rewriter cuts a shared
+    # passage AFTER the embedding verify ran on the raw bytes
+    root_b = str(tmp_path / "b")
+    chain_b = ChainedIngest(
+        spark, root_b, schema=schema,
+        span_min_len=5, vec_col="embedding", embed_dim=dim,
+        embed_threshold=tau, min_tokens=3,
+    )
+    assert chain_b.order == ("exact", "embedding", "spans", "near", "quality")
+    _wave(root_b, "w1.json", [(2, novel), (7, d7), (8, d8)])
+    chain_b.run_available()
+    kept_b = {r.doc_id: r.text for r in chain_b.kept().collect()}
+    assert set(kept_b) == {2, 7, 8}
+    # the shared passage was CUT from both carriers at the span stage
+    assert "license" not in kept_b[7] and "license" not in kept_b[8]
+    assert kept_b[7].startswith("alpha beta gamma delta")
+    assert kept_b[8].startswith("epsilon zeta eta theta")
+    # ...but the VECTOR store holds the raw-byte embeddings, verified
+    # pre-rewrite
+    assert {r.vec_id for r in chain_b.embedding.vectors().collect()} == {2, 7, 8}
+
+    # the ordering hazard is a CONSTRUCTION error, not a runtime leak
+    with pytest.raises(ValueError, match="embedding stage must precede"):
+        ChainedIngest(
+            spark, str(tmp_path / "bad"), schema=schema,
+            span_min_len=5, vec_col="embedding", embed_dim=dim,
+            order=("exact", "spans", "embedding", "near", "quality"),
+        )
+
+
 def test_session_folds_differential_property():
     """The two session trackers (transformWithState timers vs
     GroupState timeouts) implement ONE semantics: for any
