@@ -4956,3 +4956,188 @@ def q72_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rrf_micro",
         F.col("fused_rank").cast("long").alias("fused_rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q73 (PARKED, r14) — STREAMED sessionization under a complete oracle
+# ---------------------------------------------------------------------------
+
+_Q73_GAP_MIN = 1440  # 24 h: events average ~8 events/session at every SF
+
+
+def _q73_oracle() -> str:
+    """Batch lag/gap sessionization — the exact end state of the
+    checkpointed GroupState streaming run (the q37 pattern: the
+    streaming machinery runs for real, but the ingested slice is a
+    pure function of the views, so the emitted closed sessions have a
+    SQL oracle). Ties in ts order by event_id; tie order cannot move a
+    session boundary (diff 0 ≤ gap) so the grain is deterministic."""
+    gap_us = _Q73_GAP_MIN * 60 * 1_000_000
+    return f"""
+    WITH e AS (
+        SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    m AS (
+        SELECT user_id, ts_us, event_id,
+               CASE WHEN lag(ts_us) OVER w IS NULL
+                      OR ts_us - lag(ts_us) OVER w > {gap_us}
+                    THEN 1 ELSE 0 END AS new
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ),
+    s AS (
+        SELECT user_id, ts_us,
+               SUM(new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM m
+    )
+    SELECT user_id,
+           MIN(ts_us) AS session_start_us,
+           MAX(ts_us) AS session_end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+    """
+
+
+@parked_query("q73_streamed_sessions", _q73_oracle())
+def q73_streamed_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GroupState session tracker (streaming/state.
+    tracked_sessions_gs, applyInPandasWithState + EventTimeTimeout) as
+    a gate-shaped query — PARKED (r14): the events table lands as ONE
+    file wave plus a far-future sentinel that pushes the end-of-run
+    watermark past every real horizon, so the checkpointed availableNow
+    run closes EVERY session (inline + trailing timeout batch) and the
+    emitted set equals batch lag/gap sessionization exactly (single
+    data batch ⇒ the eager fold's in-batch sort handles all disorder;
+    the cross-batch split hazard cannot occur). Integer epoch-µs end to
+    end — tz-invariant by construction."""
+    import tempfile
+
+    from ..streaming.state import tracked_sessions_gs
+
+    ev = (
+        _events_us(spark, sf_dir)
+        .filter(F.col("ts_us").isNotNull() & F.col("user_id").isNotNull())
+        .select("event_id", "ts_us", "user_id")
+    )
+    root = tempfile.mkdtemp(prefix="sessions_q73_")
+    src = os.path.join(root, "ev")
+    os.makedirs(src)
+    # ONE data file: >16 files would split into multiple triggers and
+    # arbitrary file order across batches could split sessions (the
+    # eager-fold contract); a single batch sorts per key in the fold
+    ev.coalesce(1).write.parquet(os.path.join(src, "w0"))
+    mx = ev.agg(F.max("ts_us")).collect()[0][0]
+    sentinel_us = mx + 10 * 24 * 3600 * 1_000_000
+    spark.createDataFrame(
+        [(10**9, sentinel_us, -1)], "event_id long, ts_us long, user_id long"
+    ).coalesce(1).write.parquet(os.path.join(src, "w1"))
+    stream = (
+        spark.readStream.schema("event_id long, ts_us long, user_id long")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(src + "/*")
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+    )
+    out: list = []
+    q = (
+        tracked_sessions_gs(stream, gap_minutes=_Q73_GAP_MIN, watermark="1 hour")
+        .writeStream.foreachBatch(lambda b, _bid: out.extend(b.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(root, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = [
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+        for r in out
+        if r.user_id != -1
+    ]
+    return spark.createDataFrame(
+        rows,
+        "user_id long, session_start_us long, session_end_us long, n_events long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q74 (PARKED, r14) — exact-dedup INGEST GATE under a complete oracle
+# ---------------------------------------------------------------------------
+
+
+def _q74_oracle() -> str:
+    """The DedupIngest end state as SQL: the three-wave feed is a pure
+    function of the views (originals; whitespace variants under +10⁶
+    ids — every one rejected cross-batch against the fingerprint
+    store; suffixed genuinely-new texts under +2·10⁶ — every one
+    admitted), so kept == first arrival per normalized fingerprint
+    with arrival order (wave, id)."""
+    return r"""
+    WITH feed AS (
+        SELECT doc_id, text, 1 AS wave FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, '  ' || text || '  ', 2 FROM documents
+        UNION ALL
+        SELECT doc_id + 2000000, text || ' qq' || CAST(doc_id AS VARCHAR), 3
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, text,
+               row_number() OVER (
+                   PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+                   ORDER BY wave, doc_id
+               ) AS rn
+        FROM feed
+    )
+    SELECT doc_id, md5(text) AS text_fp FROM ranked WHERE rn = 1
+    """
+
+
+@parked_query("q74_ingest_dedup", _q74_oracle())
+def q74_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact-dedup INGEST gate (streaming/ingest_dedup.DedupIngest)
+    as a gate-shaped query — PARKED (r14, the q37/q73 pattern): a
+    checkpointed landing stream drains three derived waves —
+    originals, whitespace variants of every text (cross-batch
+    REJECTION against the fingerprint store: same normalized
+    fingerprint, different bytes), and suffixed genuinely-new texts
+    (cross-batch ADMISSION) — and the kept table's end state has the
+    exact relational oracle above. In-batch first-arrival (lowest id
+    per fingerprint) is exercised too wherever the corpus carries
+    exact dups (sf0.1 has 8). The JSON landing round-trip is lossless
+    for UTF-8 text, so md5(text) hashes bit-equal."""
+    import tempfile
+
+    from ..streaming.ingest_dedup import DedupIngest
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="ingest_q74_")
+    gate = DedupIngest(spark, root, schema="doc_id long, text string")
+    waves = [
+        docs,
+        docs.select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(F.lit("  "), F.col("text"), F.lit("  ")).alias("text"),
+        ),
+        docs.select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"),
+            F.concat(
+                F.col("text"), F.lit(" qq"), F.col("doc_id").cast("string")
+            ).alias("text"),
+        ),
+    ]
+    for i, w in enumerate(waves):
+        tmp = os.path.join(root, f"_w{i}")
+        w.coalesce(1).write.mode("overwrite").json(tmp)
+        n = 0
+        for fn in sorted(os.listdir(tmp)):
+            if fn.endswith(".json"):
+                os.rename(
+                    os.path.join(tmp, fn),
+                    os.path.join(gate.landing(), f"wave{i}_{n}.json"),
+                )
+                n += 1
+        gate.run_available()
+    return gate.kept().select(
+        "doc_id", F.md5(F.col("text")).alias("text_fp")
+    )

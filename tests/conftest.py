@@ -79,6 +79,8 @@ _SLOW_TESTS = {
     "test_embedding_ingest_crash_window_converges",
     "test_embedding_ingest_zero_norm_uncomparable_policy",
     "test_chained_ingest_mixed_modality_embedding_stage",
+    "test_parked_streamed_sessions_real_corpus",
+    "test_parked_ingest_dedup_real_corpus",
     "test_exact_close_e2e_bridge_matches_batch",
     # test_properties: hypothesis-heavy
     "test_kpis_invariant_under_rechunking",

@@ -499,6 +499,34 @@ def test_parked_rrf_fusion_real_corpus(spark):
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
 
 
+def test_parked_streamed_sessions_real_corpus(spark):
+    """The parked q73 runs the CHECKPOINTED GroupState session tracker
+    over the real events table (one data batch + sentinel flush) and
+    its emitted closed sessions match the batch lag/gap oracle exactly
+    — streaming sessionization under the full hash-gate bar. The
+    session structure is non-degenerate (multi-event sessions exist)."""
+    con = _duck(SF_DIR)
+    got, cols = _run_parked(spark, "q73_streamed_sessions", SF_DIR, con)
+    i_n = cols.index("n_events")
+    assert len(got) > 100
+    assert max(r[i_n] for r in got) >= 3
+
+
+def test_parked_ingest_dedup_real_corpus(spark):
+    """The parked q74 drains a three-wave derived feed through the
+    checkpointed DedupIngest gate: originals admitted, whitespace
+    variants rejected against the fingerprint STORE (cross-batch),
+    suffixed new texts admitted — end state matches the relational
+    first-arrival oracle exactly."""
+    con = _duck(SF_DIR)
+    got, cols = _run_parked(spark, "q74_ingest_dedup", SF_DIR, con)
+    i_id = cols.index("doc_id")
+    ids = {r[i_id] for r in got}
+    # nothing from the +1e6 variant band; the +2e6 band fully admitted
+    assert not {i for i in ids if 1_000_000 <= i < 2_000_000}
+    assert len({i for i in ids if i >= 2_000_000}) == len({i for i in ids if i < 1_000_000})
+
+
 def test_parked_output_types_are_comparator_safe(spark):
     """Parked queries hold themselves to the same comparator-dtype bar
     as gated ones — promotion must never reopen the r6 q20 class."""
