@@ -152,3 +152,54 @@ def funnel_stages(
         *[F.col(f"t{i}").cast("long") for i in range(1, len(stages) + 1)],
         reached.cast("long").alias("reached"),
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    period_us: int = 7 * 86400 * 1_000_000,
+    user_col: str = "user_id",
+    ts_col: str = "ts_us",
+) -> DataFrame:
+    """Cohort retention matrix (the product-analytics classic next to
+    :func:`funnel_stages`): users are cohorted by the PERIOD of their
+    first event — integer epoch-µs DIV ``period_us``, calendar-free
+    and timezone-proof — and cell (cohort_period, period_offset)
+    counts the DISTINCT cohort users active ``period_offset`` periods
+    later. Pure integer arithmetic end-to-end, so the matrix is
+    relational, engine-portable, and hash-exact; ``retention_ppm`` is
+    integer parts-per-million (n_active·10⁶ DIV n_cohort — never a
+    float division; offset 0 is 10⁶ by construction since every
+    user's first event lies in their cohort period).
+
+    Scale shape: one user-grain MIN (shuffle on user), one
+    co-partitioned user-keyed join back, then a DISTINCT at
+    (user, cohort, offset) grain BEFORE the cell count — the
+    two-level exact-countDistinct shape (no Expand); the cell table is
+    ~periods²/2 rows. The cohort-size join is on the tiny cell table
+    (broadcast)."""
+    ev = events.select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).cast("long").alias("_t"),
+    ).filter(F.col("_u").isNotNull() & F.col("_t").isNotNull())
+    # integer DIV, never `/`: epoch µs sit at ~1.7e18 where double
+    # division corrupts the low digits (CLAUDE.md float rules)
+    per = ev.select(
+        "_u", F.expr(f"_t div {int(period_us)}").alias("_p")
+    ).distinct()
+    first = per.groupBy("_u").agg(F.min("_p").alias("_cohort"))
+    cells = (
+        per.join(first, "_u")
+        .select("_u", "_cohort", (F.col("_p") - F.col("_cohort")).alias("_off"))
+        .groupBy("_cohort", "_off")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    )
+    size = cells.filter(F.col("_off") == 0).select(
+        "_cohort", F.col("n_active").alias("n_cohort")
+    )
+    return cells.join(F.broadcast(size), "_cohort").select(
+        F.col("_cohort").cast("long").alias("cohort_period"),
+        F.col("_off").cast("long").alias("period_offset"),
+        "n_active",
+        "n_cohort",
+        F.expr("n_active * 1000000 div n_cohort").alias("retention_ppm"),
+    )

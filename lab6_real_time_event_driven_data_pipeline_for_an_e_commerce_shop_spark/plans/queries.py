@@ -5141,3 +5141,62 @@ def q74_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gate.kept().select(
         "doc_id", F.md5(F.col("text")).alias("text_fp")
     )
+
+
+# ---------------------------------------------------------------------------
+# q75 (PARKED, r14) — customer cohort retention matrix
+# ---------------------------------------------------------------------------
+
+# 28-day periods over ORDERS: events-based cohorts are degenerate on
+# this corpus (uniform per-user event times put every user's first
+# event in the earliest day or two — measured r14: 1-2 distinct
+# cohorts at any grain), while first-ORDER cohorts span the full
+# 1992-1998 range (28 cohorts at sf0.001, 53 at sf0.01).
+_Q75_PERIOD_US = 28 * 86400 * 1_000_000
+
+
+def _q75_oracle() -> str:
+    p = _Q75_PERIOD_US
+    return f"""
+    WITH e AS (
+        SELECT o_custkey AS u,
+               epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS t
+        FROM orders
+        WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+    ),
+    per AS (SELECT DISTINCT u, t // {p} AS p FROM e),
+    first AS (SELECT u, MIN(p) AS cohort FROM per GROUP BY u),
+    cells AS (
+        SELECT cohort, per.p - cohort AS off,
+               CAST(COUNT(*) AS BIGINT) AS n_active
+        FROM per JOIN first USING (u)
+        GROUP BY 1, 2
+    ),
+    sz AS (SELECT cohort, n_active AS n_cohort FROM cells WHERE off = 0)
+    SELECT CAST(cohort AS BIGINT) AS cohort_period,
+           CAST(off AS BIGINT) AS period_offset,
+           n_active,
+           n_cohort,
+           CAST(n_active * 1000000 // n_cohort AS BIGINT) AS retention_ppm
+    FROM cells JOIN sz USING (cohort)
+    """
+
+
+@parked_query("q75_cohort_retention", _q75_oracle())
+def q75_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer cohort retention (kpis.cohort_retention) — PARKED
+    (r14): the product-analytics matrix next to the gated q61 funnel.
+    Customers cohort by the 28-day period (epoch-µs DIV — calendar-
+    free, tz-invariant: o_orderdate is NTZ and the diff is taken
+    against an NTZ epoch literal) of their FIRST order; each cell
+    counts distinct cohort customers ordering that many periods later,
+    with integer-ppm retention. Integer arithmetic end-to-end (both
+    DIV operands positive, so Spark `div` and DuckDB `//` agree)."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00',"
+            " CAST(o_orderdate AS TIMESTAMP_NTZ))"
+        ).cast("long").alias("ts_us"),
+    )
+    return kpis.cohort_retention(o, period_us=_Q75_PERIOD_US)

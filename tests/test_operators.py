@@ -2955,6 +2955,39 @@ def test_weighted_sample_aes_parity_and_semantics(spark):
     assert wins >= 10
 
 
+def test_cohort_retention_semantics(spark):
+    """kpis.cohort_retention: cohort = period of the user's FIRST
+    event; a cell counts DISTINCT users (multiple events in one period
+    collapse); offset 0 is the cohort size at exactly 10⁶ ppm;
+    retention is integer ppm (floor)."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        kpis,
+    )
+
+    P = 100  # tiny period for readable literals
+    rows = [
+        # cohort 0: users 1, 2, 3 (first events in [0, 100))
+        (1, 10), (1, 20),          # two events, ONE offset-0 credit
+        (1, 150),                  # active offset 1
+        (2, 50), (2, 250),         # active offset 2 (skips 1)
+        (3, 99),                   # never returns
+        # cohort 2: user 4
+        (4, 230), (4, 460),        # offsets 0 and 2
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts_us long")
+    got = {
+        (r.cohort_period, r.period_offset): (r.n_active, r.n_cohort, r.retention_ppm)
+        for r in kpis.cohort_retention(ev, period_us=P).collect()
+    }
+    assert got == {
+        (0, 0): (3, 3, 1_000_000),
+        (0, 1): (1, 3, 333_333),   # floor(1e6/3)
+        (0, 2): (1, 3, 333_333),
+        (2, 0): (1, 1, 1_000_000),
+        (2, 2): (1, 1, 1_000_000),
+    }
+
+
 def test_funnel_stages_fixed_anchor_semantics(spark):
     """kpis.funnel_stages: order constraints (a purchase BEFORE the
     click doesn't count), the within-window is anchored at t1 (a later

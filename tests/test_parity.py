@@ -527,6 +527,21 @@ def test_parked_ingest_dedup_real_corpus(spark):
     assert len({i for i in ids if i >= 2_000_000}) == len({i for i in ids if i < 1_000_000})
 
 
+def test_parked_cohort_retention_real_corpus(spark):
+    """The parked q75 customer cohort-retention matrix (28-day
+    first-order cohorts) matches its relational oracle exactly on the
+    real orders table, with non-degenerate structure: many cohorts,
+    offset-0 rows at exactly 10⁶ ppm, and at least one cell strictly
+    between 0 and 10⁶ ppm (real decay, not all-or-nothing)."""
+    con = _duck(SF_DIR)
+    got, cols = _run_parked(spark, "q75_cohort_retention", SF_DIR, con)
+    i_c, i_o, i_p = (cols.index("cohort_period"), cols.index("period_offset"),
+                     cols.index("retention_ppm"))
+    assert len({r[i_c] for r in got}) >= 5
+    assert all(r[i_p] == 1_000_000 for r in got if r[i_o] == 0)
+    assert any(0 < r[i_p] < 1_000_000 for r in got)
+
+
 def test_parked_output_types_are_comparator_safe(spark):
     """Parked queries hold themselves to the same comparator-dtype bar
     as gated ones — promotion must never reopen the r6 q20 class."""
