@@ -795,3 +795,115 @@ def remove_duplicate_spans(
         df, duplicate_spans(df, min_len, text_col, id_col),
         text_col, id_col,
     )
+
+
+def fuzzy_matches(
+    df: DataFrame,
+    max_dist: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Entity-resolution fuzzy matching (record linkage / merge-purge):
+    every DISTINCT-value pair within Levenshtein distance ``max_dist``,
+    with per-value row counts — the approximate-equality join exact
+    dedup cannot express ("cold plate" ≈ "old plate"). Output
+    (text_a, text_b, dist, n_rows_a, n_rows_b) at distinct-VALUE
+    grain, text_a < text_b; callers fan back to row ids with two
+    equi-joins.
+
+    Scale shape (q-gram blocking, complete by construction):
+    1. collapse to DISTINCT values FIRST — verify cost is per value
+       pair, never per row pair;
+    2. LONG pairs (both values > 2·max_dist+1 chars): candidates share
+       ≥1 character bigram AND |len_a − len_b| ≤ max_dist. Both are
+       true Levenshtein bounds: one edit destroys ≤2 bigrams, so d
+       edits leave ≥ min_len−1−2d bigrams of the shorter string intact
+       inside the longer one (>0 in this band), and edit distance is
+       ≥ the length difference. A bigram equi-join — never a cross
+       join; hot bigrams behave like the dedup family's shingle skew
+       (bound with a df cut upstream if a corpus demands it);
+    3. SHORT pairs (shorter side ≤ 2·max_dist+1 chars, where the
+       bigram bound is vacuous): shared-UNIGRAM equi-join against
+       values ≤ 3·max_dist+1 chars — complete because d edits touch
+       ≤ d characters, so a value longer than d keeps one intact
+       character that must appear in its partner. Still an equi-join,
+       never a cross join;
+    4. verify levenshtein(a, b) ≤ max_dist on the candidate union —
+       both engines implement the identical classic DP, so the pair
+       set is oracle-exact.
+
+    CONTRACT: values with len ≤ max_dist are EXCLUDED from matching
+    (a key shorter than the edit budget matches essentially anything —
+    "ab" is within 2 edits of every 2-gram and of "" — which is
+    record-linkage noise, and the only band whose complete blocking
+    would need a cross join). NULL values are dropped."""
+    d = int(max_dist)
+    vals = (
+        df.filter(F.col(text_col).isNotNull() & (F.length(text_col) > d))
+        .groupBy(F.col(text_col).alias("_v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+        .withColumn("_len", F.length("_v"))
+    )
+    a = vals.select(
+        F.col("_v").alias("text_a"), F.col("_c").alias("n_rows_a")
+    )
+    b = vals.select(
+        F.col("_v").alias("text_b"), F.col("_c").alias("n_rows_b")
+    )
+    grams = vals.select(
+        "_v",
+        F.explode(
+            F.array_distinct(
+                F.expr("transform(sequence(1, greatest(_len - 1, 1)), i -> substring(_v, i, 2))")
+            )
+        ).alias("_g"),
+    )
+    long_pairs = (
+        grams.filter(F.length("_v") > 2 * d + 1)
+        .select(F.col("_v").alias("text_a"), "_g")
+        .join(
+            grams.filter(F.length("_v") > 2 * d + 1)
+            .select(F.col("_v").alias("text_b"), "_g"),
+            "_g",
+        )
+        .filter(F.col("text_a") < F.col("text_b"))
+        .select("text_a", "text_b")
+        .distinct()
+    )
+    chars = vals.select(
+        "_v",
+        F.explode(
+            F.array_distinct(
+                F.expr("transform(sequence(1, _len), i -> substring(_v, i, 1))")
+            )
+        ).alias("_g"),
+    )
+    short_pairs = (
+        chars.filter(F.length("_v") <= 2 * d + 1)
+        .select(F.col("_v").alias("_sa"), "_g")
+        .join(
+            chars.filter(F.length("_v") <= 3 * d + 1)
+            .select(F.col("_v").alias("_sb"), "_g"),
+            "_g",
+        )
+        .filter(F.col("_sa") != F.col("_sb"))
+        .select(
+            F.least("_sa", "_sb").alias("text_a"),
+            F.greatest("_sa", "_sb").alias("text_b"),
+        )
+        .distinct()
+    )
+    cand = (
+        long_pairs.unionByName(short_pairs)
+        .distinct()
+        # length-difference prefilter (a true lower bound on edit
+        # distance) — prunes the DP verify, never the answer
+        .filter(F.abs(F.length("text_a") - F.length("text_b")) <= d)
+    )
+    verified = cand.withColumn(
+        "dist", F.levenshtein("text_a", "text_b").cast("long")
+    ).filter(F.col("dist") <= d)
+    return (
+        verified.join(a, "text_a")
+        .join(b, "text_b")
+        .select("text_a", "text_b", "dist", "n_rows_a", "n_rows_b")
+    )

@@ -5200,3 +5200,91 @@ def q75_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("ts_us"),
     )
     return kpis.cohort_retention(o, period_us=_Q75_PERIOD_US)
+
+
+# ---------------------------------------------------------------------------
+# q76 (PARKED, r14) — fuzzy entity matching (record linkage)
+# ---------------------------------------------------------------------------
+
+
+_Q76_ORACLE = """
+WITH n AS (
+    SELECT p_name AS v, CAST(COUNT(*) AS BIGINT) AS c
+    FROM part WHERE p_name IS NOT NULL AND len(p_name) > 2 GROUP BY 1
+)
+SELECT a.v AS text_a, b.v AS text_b,
+       CAST(levenshtein(a.v, b.v) AS BIGINT) AS dist,
+       a.c AS n_rows_a, b.c AS n_rows_b
+FROM n a JOIN n b ON a.v < b.v
+WHERE levenshtein(a.v, b.v) <= 2
+"""
+
+
+@parked_query("q76_fuzzy_matches", _Q76_ORACLE)
+def q76_fuzzy_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching (dedup.fuzzy_matches) over part names —
+    PARKED (r14): record-linkage pairs within Levenshtein distance 2
+    ("cold plate" ≈ "old plate"; 24 distinct-name pairs at sf0.01).
+    The Spark side runs the q-gram-BLOCKED plan (bigram equi-join +
+    length bound + DP verify on candidates only); the oracle is the
+    SEMANTIC all-pairs spec over the distinct-name vocabulary — a
+    hash match therefore also PROVES the blocking complete on this
+    corpus, not just the verify correct."""
+    from ..operators import dedup
+
+    part = _t(spark, sf_dir, "part").select("p_name")
+    return dedup.fuzzy_matches(part, max_dist=2, text_col="p_name")
+
+
+# ---------------------------------------------------------------------------
+# q77 (PARKED, r14) — fixed-iteration integer PageRank
+# ---------------------------------------------------------------------------
+
+# customer → supplier (bought-from, via lineitem⋈orders) and
+# supplier → nation: suppliers accumulate rank from their buyers,
+# nations from their suppliers; nations are DANGLING (their mass
+# redistributes uniformly each round — the formula's dang term is
+# exercised for real). Node id bands keep the key spaces disjoint.
+_Q77_EDGES_SQL = """
+SELECT CAST(o_custkey AS BIGINT) AS src,
+       CAST(10000000 + l_suppkey AS BIGINT) AS dst
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+UNION ALL
+SELECT CAST(10000000 + s_suppkey AS BIGINT) AS src,
+       CAST(20000000 + s_nationkey AS BIGINT) AS dst
+FROM supplier
+"""
+
+
+def _q77_oracle() -> str:
+    from ..operators.graph import pagerank_oracle_sql
+
+    return pagerank_oracle_sql(_Q77_EDGES_SQL, n_iter=4)
+
+
+@parked_query("q77_pagerank", _q77_oracle())
+def q77_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration INTEGER PageRank (operators/graph.pagerank) —
+    PARKED (r14): the iterative-algorithm showcase under a COMPLETE
+    oracle. Every step is integer-exact (fixed-point mass, DIV for the
+    out-degree split and damping blend; all operands non-negative so
+    Spark's truncating div and DuckDB's flooring // agree), so the
+    Spark loop's end state equals the oracle's four chained CTEs
+    bit-for-bit — disproving the "iterative ⇒ rows-only check"
+    assumption the catalog carried since r1. Graph: customers →
+    suppliers they bought from → the suppliers' nations (dangling, so
+    the uniform-redistribution term runs on real mass)."""
+    from ..operators import graph
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e1 = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_custkey").cast("long").alias("src"),
+        (F.lit(10_000_000) + F.col("l_suppkey")).cast("long").alias("dst"),
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    e2 = sup.select(
+        (F.lit(10_000_000) + F.col("s_suppkey")).cast("long").alias("src"),
+        (F.lit(20_000_000) + F.col("s_nationkey")).cast("long").alias("dst"),
+    )
+    return graph.pagerank(e1.unionByName(e2), n_iter=4)

@@ -81,6 +81,9 @@ _SLOW_TESTS = {
     "test_chained_ingest_mixed_modality_embedding_stage",
     "test_parked_streamed_sessions_real_corpus",
     "test_parked_ingest_dedup_real_corpus",
+    "test_pagerank_matches_reference_any_partitioning",
+    "test_parked_pagerank_real_corpus",
+    "test_fuzzy_matches_randomized_naive_sweep",
     "test_exact_close_e2e_bridge_matches_batch",
     # test_properties: hypothesis-heavy
     "test_kpis_invariant_under_rechunking",

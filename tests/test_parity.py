@@ -542,6 +542,143 @@ def test_parked_cohort_retention_real_corpus(spark):
     assert any(0 < r[i_p] < 1_000_000 for r in got)
 
 
+def test_parked_fuzzy_matches_real_corpus(spark):
+    """The parked q76 fuzzy entity matches equal the SEMANTIC all-pairs
+    oracle — which proves the q-gram blocking complete on the real
+    vocabulary, not just the DP verify correct. Non-degenerate: pairs
+    exist at distance 1 AND 2."""
+    con = _duck(SF_DIR)
+    got, cols = _run_parked(spark, "q76_fuzzy_matches", SF_DIR, con)
+    i_d = cols.index("dist")
+    assert {r[i_d] for r in got} == {1, 2}
+    assert len(got) >= 10
+
+
+def test_fuzzy_matches_blocking_semantics(spark):
+    """dedup.fuzzy_matches unit pins: short values (where the bigram
+    bound is vacuous) still pair via the unigram short band;
+    transpositions cost 2; cross-length pairs at d = len diff; counts
+    carry per-value multiplicity; NULLs and len ≤ max_dist values drop
+    (the documented degenerate-key contract); completeness vs a naive
+    all-pairs reference over the in-contract vocabulary."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        dedup,
+    )
+
+    rows = [("abc",), ("acb",), ("abc",), ("abcd",), ("abce",), ("zzzzzz",),
+            (None,), ("ab",), ("abcdxx",)]
+    df = spark.createDataFrame(rows, "text string")
+    got = {
+        (r.text_a, r.text_b): (r.dist, r.n_rows_a, r.n_rows_b)
+        for r in dedup.fuzzy_matches(df, max_dist=2).collect()
+    }
+    assert got[("abc", "acb")] == (2, 2, 1)        # short band, transposition
+    assert got[("abcd", "abce")] == (1, 1, 1)
+    assert got[("abcd", "abcdxx")] == (2, 1, 1)    # cross-length, d = len diff
+    assert all("zzzzzz" not in k for k in got)     # no partner within 2
+    assert all("ab" != k[0] and "ab" != k[1] for k in got)  # len<=d excluded
+    # naive reference over the same in-contract vocabulary (completeness)
+    import itertools
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[len(b)]
+
+    vals = sorted({r[0] for r in rows if r[0] is not None and len(r[0]) > 2})
+    want = {
+        (x, y) for x, y in itertools.combinations(vals, 2) if lev(x, y) <= 2
+    }
+    assert set(got) == want
+
+
+def test_fuzzy_matches_randomized_naive_sweep(spark):
+    """Blocking completeness under adversarial density: seeded random
+    vocabularies over a 4-letter alphabet (near pairs everywhere, every
+    length band populated) — fuzzy_matches == the naive all-pairs
+    reference for d ∈ {1, 2}, five seeds."""
+    import itertools
+    import random
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        dedup,
+    )
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[len(b)]
+
+    for seed in range(5):
+        rng = random.Random(seed)
+        vals = sorted({
+            "".join(rng.choice("abcd") for _ in range(rng.randint(2, 9)))
+            for _ in range(40)
+        })
+        df = spark.createDataFrame([(v,) for v in vals], "text string")
+        for d in (1, 2):
+            got = {
+                (r.text_a, r.text_b)
+                for r in dedup.fuzzy_matches(df, max_dist=d).collect()
+            }
+            want = {
+                (x, y)
+                for x, y in itertools.combinations(
+                    [v for v in vals if len(v) > d], 2
+                )
+                if lev(x, y) <= d
+            }
+            assert got == want, (seed, d)
+
+
+def test_pagerank_matches_reference_any_partitioning(spark):
+    """operators/graph.pagerank == the pure-Python integer reference on
+    a handcrafted graph with a cycle, a hub, AND a dangling node, at 1
+    and 7 input partitions (integer arithmetic ⇒ partitioning-
+    invariant, the repo-wide discipline)."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        graph,
+    )
+
+    edges = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1), (4, 3), (3, 5),
+             (1, 2)]  # duplicate edge collapses
+    want = graph.pagerank_reference(edges, n_iter=4)
+    for parts in (1, 7):
+        df = spark.createDataFrame(edges, "src long, dst long").repartition(parts)
+        got = {r.node: r.mass for r in graph.pagerank(df, n_iter=4).collect()}
+        assert got == want
+    # structure sanity: node 3 (three in-links incl. the hub) outranks
+    # the dangling sink 5; total mass stays within truncation loss
+    assert want[3] > want[5]
+    assert 0 <= 10**12 - sum(want.values()) < 10**12 // 100
+
+
+def test_parked_pagerank_real_corpus(spark):
+    """The parked q77 fixed-point PageRank equals its four-CTE DuckDB
+    oracle bit-for-bit on the real customer→supplier→nation graph —
+    the iterative-algorithm-under-complete-oracle proof. Structure is
+    non-degenerate: nations (25 dangling sinks fed by all suppliers)
+    carry the top masses, and supplier masses differ from one another
+    (real in-link variation)."""
+    con = _duck(SF_DIR)
+    got, cols = _run_parked(spark, "q77_pagerank", SF_DIR, con)
+    i_n, i_m = cols.index("node"), cols.index("mass")
+    nations = [r[i_m] for r in got if r[i_n] >= 20_000_000]
+    suppliers = [r[i_m] for r in got if 10_000_000 <= r[i_n] < 20_000_000]
+    customers = [r[i_m] for r in got if r[i_n] < 10_000_000]
+    assert len(nations) == 25 and len(suppliers) >= 10 and len(customers) >= 100
+    assert min(nations) > max(customers)
+    assert len(set(suppliers)) > 1
+
+
 def test_parked_output_types_are_comparator_safe(spark):
     """Parked queries hold themselves to the same comparator-dtype bar
     as gated ones — promotion must never reopen the r6 q20 class."""

@@ -446,6 +446,7 @@ def test_parked_q65_q66_q67_plan_shapes(spark):
             "q68_table_profile", "q69_temperature_sample",
             "q70_value_outliers", "q72_rrf_fusion",
             "q56_late_delivery_priority", "q75_cohort_retention",
+            "q76_fuzzy_matches",
         )
     }
     for name, plan in plans.items():
