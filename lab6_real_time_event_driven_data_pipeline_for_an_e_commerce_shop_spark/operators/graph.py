@@ -77,6 +77,8 @@ def pagerank(
     # n is a bounded scalar (one count job) — the model-artifact
     # pattern: it becomes a plan literal on both engines
     n = nodes.count()
+    if n == 0:
+        raise ValueError("pagerank: empty edge list (no non-NULL edges)")
     base = int(scale) // n
 
     m = nodes.withColumn("mass", F.lit(base).cast("long")).persist()
@@ -113,6 +115,9 @@ def pagerank(
     out = m.select("node", "mass")
     for df in (nodes, ed, dangling):
         df.unpersist()
+    # the final iteration's frame stays persisted — the returned plan
+    # reads it (one node-grain cache; callers may unpersist after
+    # consuming). Lineage stays recomputable either way.
     return out
 
 

@@ -659,6 +659,12 @@ def test_pagerank_matches_reference_any_partitioning(spark):
     # the dangling sink 5; total mass stays within truncation loss
     assert want[3] > want[5]
     assert 0 <= 10**12 - sum(want.values()) < 10**12 // 100
+    # an empty / all-NULL edge list raises, never divides by zero
+    import pytest as _pytest
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    with _pytest.raises(ValueError, match="empty edge list"):
+        graph.pagerank(empty, n_iter=1)
 
 
 def test_parked_pagerank_real_corpus(spark):
