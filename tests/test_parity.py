@@ -639,6 +639,40 @@ def test_fuzzy_matches_randomized_naive_sweep(spark):
             assert got == want, (seed, d)
 
 
+def test_entity_resolution_composition(spark):
+    """The full merge-purge pipeline composes from existing parts:
+    fuzzy_matches (typo pairs) → duplicate_clusters (transitive
+    closure: A~B, B~C collapse even when A~C exceeds the distance) →
+    one canonical id per entity cluster."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        dedup,
+    )
+
+    rows = [(1, "acme corp"), (2, "acme korp"), (3, "acme korpx"),
+            (4, "zenith ltd"), (5, "zenith ltd"), (6, "orthogonal inc")]
+    df = spark.createDataFrame(rows, "rid long, name string")
+    pairs = dedup.fuzzy_matches(df, max_dist=1, text_col="name")
+    # chain: corp~korp (1) and korp~korpx (1), but corp~korpx is 2 —
+    # transitive closure must still collapse all three
+    got_pairs = {(r.text_a, r.text_b) for r in pairs.collect()}
+    assert ("acme corp", "acme korp") in got_pairs
+    assert ("acme korp", "acme korpx") in got_pairs
+    assert ("acme corp", "acme korpx") not in got_pairs  # d=2 > 1
+    from pyspark.sql import functions as F
+
+    clusters = dedup.duplicate_clusters(
+        pairs.select(F.col("text_a").alias("id_a"), F.col("text_b").alias("id_b"))
+    )
+    canon = {r.node_id: r.cluster_id for r in clusters.collect()}
+    assert (
+        canon["acme corp"] == canon["acme korp"] == canon["acme korpx"]
+        == "acme corp"
+    )
+    # identical names never reach fuzzy_matches (distinct-value grain);
+    # the exact-dup rows 4/5 share a VALUE, not a fuzzy pair
+    assert all("zenith" not in a and "zenith" not in b for a, b in got_pairs)
+
+
 def test_pagerank_matches_reference_any_partitioning(spark):
     """operators/graph.pagerank == the pure-Python integer reference on
     a handcrafted graph with a cycle, a hub, AND a dangling node, at 1
