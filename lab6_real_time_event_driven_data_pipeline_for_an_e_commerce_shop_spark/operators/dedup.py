@@ -837,11 +837,16 @@ def fuzzy_matches(
     record-linkage noise, and the only band whose complete blocking
     would need a cross join). NULL values are dropped."""
     d = int(max_dist)
-    vals = (
+    # vals feeds SIX plan branches (a, b, both gram self-join sides,
+    # both char self-join sides) and Spark does not CSE identical
+    # subtrees across branches — cache the distinct-value substrate so
+    # the corpus scan + groupBy runs once (the r12/r13 lesson)
+    vals = bounded_cache(
+        "dedup.fuzzy_vals",
         df.filter(F.col(text_col).isNotNull() & (F.length(text_col) > d))
         .groupBy(F.col(text_col).alias("_v"))
         .agg(F.count(F.lit(1)).cast("long").alias("_c"))
-        .withColumn("_len", F.length("_v"))
+        .withColumn("_len", F.length("_v")),
     )
     a = vals.select(
         F.col("_v").alias("text_a"), F.col("_c").alias("n_rows_a")
@@ -849,13 +854,16 @@ def fuzzy_matches(
     b = vals.select(
         F.col("_v").alias("text_b"), F.col("_c").alias("n_rows_b")
     )
-    grams = vals.select(
-        "_v",
-        F.explode(
-            F.array_distinct(
-                F.expr("transform(sequence(1, greatest(_len - 1, 1)), i -> substring(_v, i, 2))")
-            )
-        ).alias("_g"),
+    grams = bounded_cache(
+        "dedup.fuzzy_grams",
+        vals.select(
+            "_v",
+            F.explode(
+                F.array_distinct(
+                    F.expr("transform(sequence(1, greatest(_len - 1, 1)), i -> substring(_v, i, 2))")
+                )
+            ).alias("_g"),
+        ),
     )
     long_pairs = (
         grams.filter(F.length("_v") > 2 * d + 1)
@@ -869,13 +877,16 @@ def fuzzy_matches(
         .select("text_a", "text_b")
         .distinct()
     )
-    chars = vals.select(
-        "_v",
-        F.explode(
-            F.array_distinct(
-                F.expr("transform(sequence(1, _len), i -> substring(_v, i, 1))")
-            )
-        ).alias("_g"),
+    chars = bounded_cache(
+        "dedup.fuzzy_chars",
+        vals.select(
+            "_v",
+            F.explode(
+                F.array_distinct(
+                    F.expr("transform(sequence(1, _len), i -> substring(_v, i, 1))")
+                )
+            ).alias("_g"),
+        ),
     )
     short_pairs = (
         chars.filter(F.length("_v") <= 2 * d + 1)

@@ -187,11 +187,18 @@ def cohort_retention(
         "_u", F.expr(f"_t div {int(period_us)}").alias("_p")
     ).distinct()
     first = per.groupBy("_u").agg(F.min("_p").alias("_cohort"))
-    cells = (
+    from ..functions.cache import bounded_cache
+
+    # the size branch below re-reads cells — Spark does not CSE
+    # identical subtrees across join branches (the r12/r13 lesson), so
+    # uncached the whole scan→distinct→MIN-join→agg chain would run
+    # twice per evaluation
+    cells = bounded_cache(
+        "kpis.cohort_cells",
         per.join(first, "_u")
         .select("_u", "_cohort", (F.col("_p") - F.col("_cohort")).alias("_off"))
         .groupBy("_cohort", "_off")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active")),
     )
     size = cells.filter(F.col("_off") == 0).select(
         "_cohort", F.col("n_active").alias("n_cohort")

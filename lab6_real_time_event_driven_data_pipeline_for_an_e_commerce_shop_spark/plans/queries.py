@@ -5024,11 +5024,23 @@ def q73_streamed_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="sessions_q73_")
     src = os.path.join(root, "ev")
     os.makedirs(src)
-    # ONE data file: >16 files would split into multiple triggers and
-    # arbitrary file order across batches could split sessions (the
-    # eager-fold contract); a single batch sorts per key in the fold
+    # ONE data file, and NO maxFilesPerTrigger set on the stream below:
+    # availableNow with no per-trigger limit lands every file in one
+    # batch, so the eager fold's in-batch per-key sort covers all
+    # disorder (the correctness argument). Keep BOTH halves true — a
+    # per-trigger file limit (as the ingest gates set) or a
+    # multi-file write would split batches in arbitrary file order and
+    # could split sessions the oracle merges.
     ev.coalesce(1).write.parquet(os.path.join(src, "w0"))
     mx = ev.agg(F.max("ts_us")).collect()[0][0]
+    if mx is None:
+        # empty / all-NULL events slice: zero sessions, same as the
+        # oracle's empty result — don't arithmetic on None
+        return spark.createDataFrame(
+            [],
+            "user_id long, session_start_us long, session_end_us long,"
+            " n_events long",
+        )
     sentinel_us = mx + 10 * 24 * 3600 * 1_000_000
     spark.createDataFrame(
         [(10**9, sentinel_us, -1)], "event_id long, ts_us long, user_id long"

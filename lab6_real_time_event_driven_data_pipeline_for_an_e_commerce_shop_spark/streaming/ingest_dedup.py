@@ -941,17 +941,27 @@ class ChainedIngest:
             raise ValueError(
                 f"order must be a permutation of {enabled}, got {self.order}"
             )
-        if (
-            "embedding" in self.order
-            and "spans" in self.order
-            and self.order.index("embedding") > self.order.index("spans")
-        ):
-            raise ValueError(
-                "the embedding stage must precede the span rewriter: the"
-                " landing vector describes the RAW bytes (a rewrite"
-                " invalidates it — the judges-after-rewriters hazard) and"
-                " the span stage's kept grain drops the vector column"
-            )
+        # the embedding stage must precede EVERY stage whose kept-table
+        # handoff drops the vector column: spans (kept grain = id,
+        # cleaned text, token counts) AND quality (kept projects to
+        # id + text). An order placing embedding after either would
+        # hand it a vec_col-less frame — AnalysisException inside
+        # foreachBatch, i.e. a poison batch the checkpointed stream
+        # replays forever. Semantically it is also the judges-after-
+        # rewriters hazard: the landing vector describes the RAW bytes.
+        if "embedding" in self.order:
+            for dropper in ("spans", "quality"):
+                if (
+                    dropper in self.order
+                    and self.order.index("embedding")
+                    > self.order.index(dropper)
+                ):
+                    raise ValueError(
+                        "the embedding stage must precede"
+                        f" '{dropper}': the landing vector describes the"
+                        " RAW bytes, and that stage's kept handoff drops"
+                        " the vector column"
+                    )
         os.makedirs(self.landing(), exist_ok=True)
 
     landing = DedupIngest.landing

@@ -522,9 +522,15 @@ def test_parked_ingest_dedup_real_corpus(spark):
     got, cols = _run_parked(spark, "q74_ingest_dedup", SF_DIR, con)
     i_id = cols.index("doc_id")
     ids = {r[i_id] for r in got}
+    n_docs = con.execute("SELECT COUNT(*) FROM documents").fetchone()[0]
     # nothing from the +1e6 variant band; the +2e6 band fully admitted
+    # (its per-id suffixes make every text unique). Originals kept =
+    # n_docs MINUS any exact-dup collapses — sf0.01 currently has none
+    # but sf0.1 has 8, so compare against n_docs, not band-vs-band
+    # (the r8 latent-at-gate-SF test-brittleness class).
     assert not {i for i in ids if 1_000_000 <= i < 2_000_000}
-    assert len({i for i in ids if i >= 2_000_000}) == len({i for i in ids if i < 1_000_000})
+    assert len({i for i in ids if i >= 2_000_000}) == n_docs
+    assert 0 < len({i for i in ids if i < 1_000_000}) <= n_docs
 
 
 def test_parked_cohort_retention_real_corpus(spark):

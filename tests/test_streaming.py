@@ -3810,8 +3810,11 @@ def test_chained_ingest_mixed_modality_embedding_stage(spark, tmp_path):
     assert 5 in {r.doc_id for r in chain.quarantined().collect()}
     # the vector store holds every EMBEDDING-stage admission — including
     # docs later rejected downstream (4 at near, 5 at quality): each
-    # stage's state tracks its own admissions, the kept-table handoff
-    # scopes the chain (compact() against downstream kept GCs these)
+    # stage's state tracks its OWN admissions by design (the stage
+    # must keep rejecting semantic dups of 4/5 — their content IS in
+    # the ingest history). Chain compact() rebuilds it from the
+    # embedding stage's own kept, so 4/5 survive compaction; only the
+    # quality LEDGER is scoped to upstream kept.
     assert {r.vec_id for r in chain.embedding.vectors().collect()} == {1, 2, 4, 5, 6}
 
     # replay: no new files → nothing changes
@@ -3839,12 +3842,20 @@ def test_chained_ingest_mixed_modality_embedding_stage(spark, tmp_path):
     # pre-rewrite
     assert {r.vec_id for r in chain_b.embedding.vectors().collect()} == {2, 7, 8}
 
-    # the ordering hazard is a CONSTRUCTION error, not a runtime leak
+    # the ordering hazard is a CONSTRUCTION error, not a runtime leak —
+    # for BOTH vector-dropping stages (spans' kept grain is cleaned
+    # text; quality's kept handoff projects to id + text)
     with pytest.raises(ValueError, match="embedding stage must precede"):
         ChainedIngest(
             spark, str(tmp_path / "bad"), schema=schema,
             span_min_len=5, vec_col="embedding", embed_dim=dim,
             order=("exact", "spans", "embedding", "near", "quality"),
+        )
+    with pytest.raises(ValueError, match="embedding stage must precede"):
+        ChainedIngest(
+            spark, str(tmp_path / "bad2"), schema=schema,
+            vec_col="embedding", embed_dim=dim,
+            order=("exact", "quality", "embedding", "near"),
         )
 
 
