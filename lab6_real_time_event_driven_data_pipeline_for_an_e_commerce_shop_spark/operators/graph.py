@@ -49,12 +49,23 @@ def pagerank(
     scale: int = 10**12,
     src_col: str = "src",
     dst_col: str = "dst",
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-point PageRank over a directed edge list (module
     docstring has the exact per-iteration formula). Returns
     (node, mass) BIGINT at node grain after ``n_iter`` iterations.
     NULL endpoints are dropped; duplicate edges collapse (standard
-    unweighted PageRank)."""
+    unweighted PageRank).
+
+    ``seeds`` (a frame with a ``node`` column) switches to
+    PERSONALIZED PageRank: the teleport term and the dangling-mass
+    redistribution land on the SEED set instead of all nodes —
+    mass_0(v) = scale DIV |S| for v ∈ S else 0, and the update's base
+    and dang terms apply only on S. Uniform PageRank IS the seeds =
+    all-nodes special case, so one code path (and one oracle shape)
+    serves both — seeds are intersected with the graph's nodes first
+    (a seed outside the graph carries no edges and would strand
+    teleport mass on a non-node)."""
     num, den = int(damping[0]), int(damping[1])
     if not (0 < num < den):
         raise ValueError("damping must be a proper fraction (num, den)")
@@ -63,29 +74,46 @@ def pagerank(
         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .distinct()
     )
-    nodes = (
+    base_nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .persist()
     )
+    if seeds is None:
+        seed_nodes = base_nodes
+    else:
+        seed_nodes = base_nodes.join(
+            seeds.select("node").distinct(), "node", "left_semi"
+        )
+    # one node-grain frame carrying the seed flag (broadcast-size
+    # metadata column — no extra join inside the loop)
+    nodes = base_nodes.join(
+        seed_nodes.withColumn("_seed", F.lit(1)), "node", "left"
+    ).select("node", F.coalesce("_seed", F.lit(0)).alias("_seed")).persist()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("outdeg"))
     ed = e.join(deg, "src").persist()
     dangling = nodes.join(
         deg.select(F.col("src").alias("node")), "node", "left_anti"
     ).persist()
-    # n is a bounded scalar (one count job) — the model-artifact
-    # pattern: it becomes a plan literal on both engines
-    n = nodes.count()
+    # n / ns are bounded scalars (one count job each) — the
+    # model-artifact pattern: they become plan literals on both engines
+    counts = nodes.agg(
+        F.count(F.lit(1)), F.sum("_seed")
+    ).collect()[0]
+    n, ns = counts[0], int(counts[1] or 0)
     if n == 0:
         raise ValueError("pagerank: empty edge list (no non-NULL edges)")
-    base = int(scale) // n
+    if ns == 0:
+        raise ValueError("pagerank: no seed intersects the graph's nodes")
+    base = int(scale) // ns
 
-    m = nodes.withColumn("mass", F.lit(base).cast("long")).persist()
+    m = nodes.withColumn(
+        "mass", (F.lit(base) * F.col("_seed")).cast("long")
+    ).select("node", "mass").persist()
     m.count()
     next_expr = (
-        f"CAST((({(den - num) * base} + {num} *"
-        f" (coalesce(_contrib, CAST(0 AS BIGINT)) + (_dang div {n})))"
+        f"CAST(((({(den - num) * base} * _seed) + {num} *"
+        f" (coalesce(_contrib, CAST(0 AS BIGINT)) + (_dang div {ns}) * _seed))"
         f" div {den}) AS BIGINT)"
     )
     for _ in range(int(n_iter)):
@@ -126,25 +154,34 @@ def pagerank_reference(
     n_iter: int = 4,
     damping: tuple[int, int] = (85, 100),
     scale: int = 10**12,
+    seeds: list[int] | None = None,
 ) -> dict[int, int]:
     """Pure-Python twin of :func:`pagerank` — the naive reference the
-    unit tests compare against (same integer formula, plain dicts)."""
+    unit tests compare against (same integer formula, plain dicts;
+    ``seeds`` = personalized teleport set, None = uniform)."""
     num, den = damping
     e = sorted(set((s, d) for s, d in edge_list if s is not None and d is not None))
     nodes = sorted({s for s, _ in e} | {d for _, d in e})
     outdeg: dict[int, int] = {}
     for s, _ in e:
         outdeg[s] = outdeg.get(s, 0) + 1
-    n = len(nodes)
-    base = scale // n
-    mass = {v: base for v in nodes}
+    seed_set = set(nodes) if seeds is None else (set(seeds) & set(nodes))
+    if not seed_set:
+        raise ValueError("no seed intersects the graph's nodes")
+    ns = len(seed_set)
+    base = scale // ns
+    mass = {v: (base if v in seed_set else 0) for v in nodes}
     for _ in range(n_iter):
         contrib = {v: 0 for v in nodes}
         for s, d in e:
             contrib[d] += mass[s] // outdeg[s]
         dang = sum(mass[v] for v in nodes if v not in outdeg)
         mass = {
-            v: ((den - num) * base + num * (contrib[v] + dang // n)) // den
+            v: (
+                (den - num) * base * (v in seed_set)
+                + num * (contrib[v] + (dang // ns) * (v in seed_set))
+            )
+            // den
             for v in nodes
         }
     return mass
@@ -155,32 +192,46 @@ def pagerank_oracle_sql(
     n_iter: int = 4,
     damping: tuple[int, int] = (85, 100),
     scale: int = 10**12,
+    seeds_sql: str | None = None,
 ) -> str:
     """The DuckDB twin as N chained CTEs over ``edges_sql`` (a query
     producing columns src, dst) — iteration k's CTE applies the
     identical integer formula to CTE k−1, so the unrolled pipeline is
-    the oracle for the Spark loop."""
+    the oracle for the Spark loop. ``seeds_sql`` (a query producing a
+    ``node`` column) switches to the personalized form; None = uniform
+    (seeds = all nodes — the same reduction the Spark side uses)."""
     num, den = int(damping[0]), int(damping[1])
+    seeds_src = (
+        "SELECT node FROM base_nodes"
+        if seeds_sql is None
+        else f"SELECT node FROM ({seeds_sql}) WHERE node IN"
+             " (SELECT node FROM base_nodes)"
+    )
     parts = [
         f"WITH e AS (SELECT DISTINCT src, dst FROM ({edges_sql})"
         " WHERE src IS NOT NULL AND dst IS NOT NULL)",
-        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "base_nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        f"seeds AS (SELECT DISTINCT node FROM ({seeds_src}))",
+        "nodes AS (SELECT base_nodes.node,"
+        " CASE WHEN EXISTS (SELECT 1 FROM seeds WHERE seeds.node ="
+        " base_nodes.node) THEN 1 ELSE 0 END AS is_seed FROM base_nodes)",
         "deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM e GROUP BY 1)",
-        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes)",
-        f"m0 AS (SELECT node, CAST({int(scale)} // (SELECT n FROM nn) AS BIGINT)"
-        " AS mass FROM nodes)",
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS ns FROM seeds)",
+        f"m0 AS (SELECT node, CAST(({int(scale)} // (SELECT ns FROM nn))"
+        " * is_seed AS BIGINT) AS mass FROM nodes)",
     ]
     for k in range(1, int(n_iter) + 1):
         p = k - 1
         parts.append(
             f"""m{k} AS (
         SELECT nodes.node,
-               CAST((({den - num}) * ({int(scale)} // (SELECT n FROM nn))
+               CAST((({den - num}) * ({int(scale)} // (SELECT ns FROM nn))
+                       * nodes.is_seed
                      + {num} * (COALESCE(c.contrib, 0)
-                         + (SELECT COALESCE(SUM(mass), 0) FROM m{p}
-                            WHERE NOT EXISTS (SELECT 1 FROM deg
-                                              WHERE deg.src = m{p}.node))
-                           // (SELECT n FROM nn))
+                         + ((SELECT COALESCE(SUM(mass), 0) FROM m{p}
+                             WHERE NOT EXISTS (SELECT 1 FROM deg
+                                               WHERE deg.src = m{p}.node))
+                            // (SELECT ns FROM nn)) * nodes.is_seed)
                     ) // {den} AS BIGINT) AS mass
         FROM nodes
         LEFT JOIN (SELECT e.dst AS node,

@@ -5288,6 +5288,12 @@ def q77_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the uniform-redistribution term runs on real mass)."""
     from ..operators import graph
 
+    return graph.pagerank(_q77_edges(spark, sf_dir), n_iter=4)
+
+
+def _q77_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q77/q78 trade graph (one builder for both slots — the
+    _bm25_cte_sql sharing rule)."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     e1 = li.join(o, li.l_orderkey == o.o_orderkey).select(
@@ -5299,4 +5305,43 @@ def q77_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(10_000_000) + F.col("s_suppkey")).cast("long").alias("src"),
         (F.lit(20_000_000) + F.col("s_nationkey")).cast("long").alias("dst"),
     )
-    return graph.pagerank(e1.unionByName(e2), n_iter=4)
+    return e1.unionByName(e2)
+
+
+# ---------------------------------------------------------------------------
+# q78 (PARKED, r14) — PERSONALIZED PageRank (teleport to a segment)
+# ---------------------------------------------------------------------------
+
+_Q78_SEEDS_SQL = (
+    "SELECT CAST(c_custkey AS BIGINT) AS node FROM customer"
+    " WHERE c_mktsegment = 'BUILDING'"
+)
+
+
+def _q78_oracle() -> str:
+    from ..operators.graph import pagerank_oracle_sql
+
+    return pagerank_oracle_sql(
+        _Q77_EDGES_SQL, n_iter=4, seeds_sql=_Q78_SEEDS_SQL
+    )
+
+
+@parked_query("q78_ppr_segment", _q78_oracle())
+def q78_ppr_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PageRank (graph.pagerank(seeds=…)) — PARKED (r14):
+    teleport and dangling redistribution land only on the BUILDING
+    market segment's customers, so the masses answer "which suppliers
+    and nations matter TO THIS SEGMENT" — the graph-based
+    recommendation shape, on the same q77 trade graph and under the
+    same complete chained-CTE oracle (uniform PageRank is the
+    seeds-=-all-nodes special case of one shared formula). Non-seed
+    customers have no in-edges and no teleport ⇒ exactly zero mass —
+    pinned structure."""
+    from ..operators import graph
+
+    seeds = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").cast("long").alias("node"))
+    )
+    return graph.pagerank(_q77_edges(spark, sf_dir), n_iter=4, seeds=seeds)

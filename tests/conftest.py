@@ -83,6 +83,8 @@ _SLOW_TESTS = {
     "test_parked_ingest_dedup_real_corpus",
     "test_pagerank_matches_reference_any_partitioning",
     "test_parked_pagerank_real_corpus",
+    "test_pagerank_personalized_matches_reference",
+    "test_parked_ppr_segment_real_corpus",
     "test_fuzzy_matches_randomized_naive_sweep",
     "test_exact_close_e2e_bridge_matches_batch",
     # test_properties: hypothesis-heavy

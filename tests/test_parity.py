@@ -707,6 +707,69 @@ def test_pagerank_matches_reference_any_partitioning(spark):
         graph.pagerank(empty, n_iter=1)
 
 
+def test_pagerank_personalized_matches_reference(spark):
+    """Personalized PageRank (seeds=) == the Python reference on the
+    handcrafted graph: teleport + dangling land only on seeds, a seed
+    outside the graph is ignored, zero-intersection raises, and the
+    uniform call equals seeds=all-nodes (one formula)."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        graph,
+    )
+
+    edges = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1), (4, 3), (3, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(1,), (4,), (99,)], "node long")
+    want = graph.pagerank_reference(edges, n_iter=4, seeds=[1, 4, 99])
+    got = {r.node: r.mass for r in graph.pagerank(df, n_iter=4, seeds=seeds).collect()}
+    assert got == want
+    # node 2 (non-seed, fed only by seed 1) carries contribution-only
+    # mass; the dangling sink 5 gets only what 3 sends it
+    assert got[2] > 0 and got[5] > 0
+    # uniform == seeds-of-all-nodes (the shared-formula reduction)
+    allseeds = spark.createDataFrame([(v,) for v in (1, 2, 3, 4, 5)], "node long")
+    uni = {r.node: r.mass for r in graph.pagerank(df, n_iter=4).collect()}
+    red = {r.node: r.mass for r in graph.pagerank(df, n_iter=4, seeds=allseeds).collect()}
+    assert uni == red
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no seed intersects"):
+        graph.pagerank(
+            df, n_iter=1,
+            seeds=spark.createDataFrame([(42,)], "node long"),
+        )
+
+
+def test_parked_ppr_segment_real_corpus(spark):
+    """The parked q78 personalized PageRank equals its chained-CTE
+    oracle bit-for-bit on the real trade graph with BUILDING-segment
+    seeds. Pinned structure: every non-seed customer has exactly zero
+    mass (no in-edges, no teleport), seeds carry mass, and the
+    supplier ranking DIFFERS from uniform q77's (personalization
+    actually reorders)."""
+    con = _duck(SF_DIR)
+    got, cols = _run_parked(spark, "q78_ppr_segment", SF_DIR, con)
+    i_n, i_m = cols.index("node"), cols.index("mass")
+    seed_ids = {
+        r[0] for r in con.execute(
+            "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'"
+        ).fetchall()
+    }
+    cust = {r[i_n]: r[i_m] for r in got if r[i_n] < 10_000_000}
+    assert all(m == 0 for n, m in cust.items() if n not in seed_ids)
+    assert all(m > 0 for n, m in cust.items() if n in seed_ids)
+    sup78 = sorted(
+        (r[i_n] for r in got if 10_000_000 <= r[i_n] < 20_000_000),
+        key=lambda n: next(r[i_m] for r in got if r[i_n] == n),
+    )
+    got77, cols77 = _run_parked(spark, "q77_pagerank", SF_DIR, con)
+    j_n, j_m = cols77.index("node"), cols77.index("mass")
+    sup77 = sorted(
+        (r[j_n] for r in got77 if 10_000_000 <= r[j_n] < 20_000_000),
+        key=lambda n: next(r[j_m] for r in got77 if r[j_n] == n),
+    )
+    assert sup78 != sup77
+
+
 def test_parked_pagerank_real_corpus(spark):
     """The parked q77 fixed-point PageRank equals its four-CTE DuckDB
     oracle bit-for-bit on the real customer→supplier→nation graph —
