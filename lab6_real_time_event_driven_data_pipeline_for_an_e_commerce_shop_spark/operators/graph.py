@@ -26,10 +26,13 @@ Scale shape: one distinct + degree aggregate up front; per iteration
 ONE src-keyed join (edges ⋈ mass), one dst-keyed aggregate, one
 left join back to nodes, and a 1-row dangling aggregate attached via a
 CONSTANT-KEY equi-join (keyed ⇒ BroadcastHashJoin, never BNLJ — the
-r8/r12 rule). Each iteration's frame is persisted and materialized
-before the next (the standard Spark iterative discipline: without it
-branch reuse re-derives iteration k−1 per consumer and the lineage
-doubles per round).
+r8/r12 rule). Each iteration's frame is eagerly localCheckpoint'ed
+before the next — the standard Spark iterative discipline, and
+specifically CHECKPOINT rather than persist: persist caches blocks but
+keeps the full logical plan, so the unrolled loop's plan doubles per
+round and whole-stage codegen compiles ever-larger methods (measured
+r14: an intermittent driver-heap OOM at collect); checkpointing
+truncates lineage to constant depth.
 
 Related: duplicate_clusters (operators/dedup.py) does pointer-jumping
 connected components in O(log d) rounds — together they cover the two
@@ -107,10 +110,17 @@ def pagerank(
         raise ValueError("pagerank: no seed intersects the graph's nodes")
     base = int(scale) // ns
 
+    # localCheckpoint (eager) rather than persist: persist keeps the
+    # FULL logical plan for planning/codegen even though blocks are
+    # cached, so an unrolled k-iteration loop carries a plan that
+    # doubles per round — janino then compiles giant generated methods
+    # and a modest driver heap OOMs (found r14: q78 intermittently
+    # died at collect inside a 67-query sim JVM). Checkpointing
+    # TRUNCATES lineage per iteration — constant plan depth, constant
+    # codegen size; materialization is eager and deterministic.
     m = nodes.withColumn(
         "mass", (F.lit(base) * F.col("_seed")).cast("long")
-    ).select("node", "mass").persist()
-    m.count()
+    ).select("node", "mass").localCheckpoint(True)
     next_expr = (
         f"CAST(((({(den - num) * base} * _seed) + {num} *"
         f" (coalesce(_contrib, CAST(0 AS BIGINT)) + (_dang div {ns}) * _seed))"
@@ -130,22 +140,16 @@ def pagerank(
             )
             .withColumn("_k", F.lit(1))
         )
-        prev = m
         m = (
             nodes.withColumn("_k", F.lit(1))
             .join(F.broadcast(dang), "_k")
             .join(contrib, "node", "left")
             .select("node", F.expr(next_expr).alias("mass"))
-            .persist()
+            .localCheckpoint(True)
         )
-        m.count()  # materialize before unpersisting the input it read
-        prev.unpersist()
-    out = m.select("node", "mass")
+    out = m
     for df in (nodes, ed, dangling):
         df.unpersist()
-    # the final iteration's frame stays persisted — the returned plan
-    # reads it (one node-grain cache; callers may unpersist after
-    # consuming). Lineage stays recomputable either way.
     return out
 
 

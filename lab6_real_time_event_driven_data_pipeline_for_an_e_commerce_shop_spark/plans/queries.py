@@ -5005,13 +5005,22 @@ def q73_streamed_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The GroupState session tracker (streaming/state.
     tracked_sessions_gs, applyInPandasWithState + EventTimeTimeout) as
     a gate-shaped query — PARKED (r14): the events table lands as ONE
-    file wave plus a far-future sentinel that pushes the end-of-run
-    watermark past every real horizon, so the checkpointed availableNow
-    run closes EVERY session (inline + trailing timeout batch) and the
-    emitted set equals batch lag/gap sessionization exactly (single
-    data batch ⇒ the eager fold's in-batch sort handles all disorder;
-    the cross-batch split hazard cannot occur). Integer epoch-µs end to
-    end — tz-invariant by construction."""
+    file carrying a far-future sentinel event PER USER, so every real
+    session closes INLINE inside the single data batch (a later event
+    of the same key more than gap past it — the fold's own rule) and
+    the emitted set equals batch lag/gap sessionization exactly.
+
+    DETERMINISM BY CONSTRUCTION, two layers (hardened r14 after one
+    flaky matrix cell in ~7 otherwise-green parked sims): (a) one data
+    file + no per-trigger limit ⇒ exactly one batch, so the eager
+    fold's in-batch per-key sort covers all disorder; (b) per-USER
+    sentinels mean NO session's emission depends on the event-time
+    TIMEOUT path — whether the availableNow run fires its trailing
+    no-data timer batch or not, the inline closes are already out.
+    (The timeout path itself stays pinned by the streaming e2e tests;
+    each user's own trailing sentinel session has horizon
+    sentinel+gap > end watermark, so it never emits from either path.)
+    Integer epoch-µs end to end — tz-invariant by construction."""
     import tempfile
 
     from ..streaming.state import tracked_sessions_gs
@@ -5021,17 +5030,6 @@ def q73_streamed_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts_us").isNotNull() & F.col("user_id").isNotNull())
         .select("event_id", "ts_us", "user_id")
     )
-    root = tempfile.mkdtemp(prefix="sessions_q73_")
-    src = os.path.join(root, "ev")
-    os.makedirs(src)
-    # ONE data file, and NO maxFilesPerTrigger set on the stream below:
-    # availableNow with no per-trigger limit lands every file in one
-    # batch, so the eager fold's in-batch per-key sort covers all
-    # disorder (the correctness argument). Keep BOTH halves true — a
-    # per-trigger file limit (as the ingest gates set) or a
-    # multi-file write would split batches in arbitrary file order and
-    # could split sessions the oracle merges.
-    ev.coalesce(1).write.parquet(os.path.join(src, "w0"))
     mx = ev.agg(F.max("ts_us")).collect()[0][0]
     if mx is None:
         # empty / all-NULL events slice: zero sessions, same as the
@@ -5042,9 +5040,17 @@ def q73_streamed_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             " n_events long",
         )
     sentinel_us = mx + 10 * 24 * 3600 * 1_000_000
-    spark.createDataFrame(
-        [(10**9, sentinel_us, -1)], "event_id long, ts_us long, user_id long"
-    ).coalesce(1).write.parquet(os.path.join(src, "w1"))
+    sentinels = ev.select("user_id").distinct().select(
+        (F.lit(10**9) + F.col("user_id")).alias("event_id"),
+        F.lit(sentinel_us).cast("long").alias("ts_us"),
+        "user_id",
+    )
+    root = tempfile.mkdtemp(prefix="sessions_q73_")
+    src = os.path.join(root, "ev")
+    os.makedirs(src)
+    ev.unionByName(sentinels).coalesce(1).write.parquet(
+        os.path.join(src, "w0")
+    )
     stream = (
         spark.readStream.schema("event_id long, ts_us long, user_id long")
         .option("pathGlobFilter", "*.parquet")
@@ -5064,7 +5070,7 @@ def q73_streamed_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [
         (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
         for r in out
-        if r.user_id != -1
+        if r.session_start_us < sentinel_us  # defensive: no sentinel rows
     ]
     return spark.createDataFrame(
         rows,

@@ -12,15 +12,21 @@
 set -u
 cd "$(dirname "$0")/.."
 FAILS=0
+LOGDIR=${SPARK_GRAFT_MATRIX_LOGDIR:-/tmp/hostile_matrix_logs}
+mkdir -p "$LOGDIR"
 run() {
     local name="$1"; shift
     echo "=== $name"
-    local out rc
-    out=$(timeout 900 "$@" 2>&1)
+    # keep the FULL per-query record on disk (r14: one flaky parked
+    # cell was undiagnosable because only the verdict line survived)
+    local log="$LOGDIR/$(echo "$name" | tr -c 'A-Za-z0-9' '_').log"
+    local rc
+    timeout 900 "$@" >"$log" 2>&1
     rc=$?
-    echo "$out" | tail -1
-    if [ $rc -ne 0 ] || ! echo "$out" | grep -q '"verdict": "PASS"'; then
-        echo "!!! FAIL cell '$name' (exit $rc)"
+    tail -1 "$log"
+    if [ $rc -ne 0 ] || ! grep -q '"verdict": "PASS"' "$log"; then
+        echo "!!! FAIL cell '$name' (exit $rc) — full record: $log"
+        grep -a 'MISMATCH\|ERROR' "$log" | head -5
         FAILS=$((FAILS + 1))
     fi
 }
