@@ -24,9 +24,13 @@ price of exactness; ranks and ratios are unaffected at scale 10¹².
 
 Scale shape: one distinct + degree aggregate up front; per iteration
 ONE src-keyed join (edges ⋈ mass), one dst-keyed aggregate, one
-left join back to nodes, and a 1-row dangling aggregate attached via a
-CONSTANT-KEY equi-join (keyed ⇒ BroadcastHashJoin, never BNLJ — the
-r8/r12 rule). Each iteration's frame is eagerly localCheckpoint'ed
+left join back to nodes, and a 1-row dangling aggregate attached via an
+explicit broadcast crossJoin. (A lit(1) "constant-key equi-join"
+constant-folds the key away and plans as BNLJ anyway — the r14 q76
+lesson: literal keys fold; the keyed⇒BHJ rule needs a DATA column.
+A deliberate 1-row broadcast cross product is the honest spelling —
+linear, and exempt from any future no-BNLJ pin on q77/q78.) Each
+iteration's frame is eagerly localCheckpoint'ed
 before the next — the standard Spark iterative discipline, and
 specifically CHECKPOINT rather than persist: persist caches blocks but
 keeps the full logical plan, so the unrolled loop's plan doubles per
@@ -138,11 +142,12 @@ def pagerank(
             .agg(
                 F.coalesce(F.sum("mass"), F.lit(0)).cast("long").alias("_dang")
             )
-            .withColumn("_k", F.lit(1))
         )
+        # deliberate 1-row broadcast cross product (module docstring):
+        # a lit(1) join key would constant-fold into the same BNLJ shape
+        # while CLAIMING to be keyed — say what the plan does.
         m = (
-            nodes.withColumn("_k", F.lit(1))
-            .join(F.broadcast(dang), "_k")
+            nodes.crossJoin(F.broadcast(dang))
             .join(contrib, "node", "left")
             .select("node", F.expr(next_expr).alias("mass"))
             .localCheckpoint(True)

@@ -26,6 +26,7 @@ products→part; ``returned_at IS NOT NULL`` ⇔ ``l_returnflag = 'R'``.
 from __future__ import annotations
 
 import os
+import shutil
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -5072,6 +5073,9 @@ def q73_streamed_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in out
         if r.session_start_us < sentinel_us  # defensive: no sentinel rows
     ]
+    # results are driver rows now — the temp corpus/checkpoint tree has
+    # no further reader; every sim run used to leak it to /tmp
+    shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(
         rows,
         "user_id long, session_start_us long, session_end_us long, n_events long",
@@ -5156,9 +5160,18 @@ def q74_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 n += 1
         gate.run_available()
-    return gate.kept().select(
-        "doc_id", F.md5(F.col("text")).alias("text_fp")
-    )
+    # materialize to driver rows BEFORE removing the temp store — the
+    # lazy kept() read would otherwise point at deleted files (and
+    # without the rmtree every sim run leaked 3 corpus copies + store
+    # + checkpoints to /tmp)
+    kept_rows = [
+        (r.doc_id, r.text_fp)
+        for r in gate.kept()
+        .select("doc_id", F.md5(F.col("text")).alias("text_fp"))
+        .collect()
+    ]
+    shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(kept_rows, "doc_id long, text_fp string")
 
 
 # ---------------------------------------------------------------------------
@@ -5299,9 +5312,25 @@ def q77_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q77_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The q77/q78 trade graph (one builder for both slots — the
-    _bm25_cte_sql sharing rule)."""
+    _bm25_cte_sql sharing rule).
+
+    Node-id bands: customers raw [0, 10M), suppliers +10M, nations
+    +20M. A custkey or suppkey ≥ 10M (TPC-H sf ≳ 67) would silently
+    ALIAS nodes across bands and merge their masses with no error —
+    so the bands are asserted loudly here (two 1-row max aggregates,
+    the bounded-collect pattern) before any edge is built."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    mx = (
+        o.agg(F.max("o_custkey")).collect()[0][0],
+        _t(spark, sf_dir, "supplier").agg(F.max("s_suppkey")).collect()[0][0],
+    )
+    for name, v in zip(("o_custkey", "s_suppkey"), mx):
+        if v is not None and v >= 10_000_000:
+            raise ValueError(
+                f"q77/q78 node-id bands overflow: max({name}) = {v} >= 1e7"
+                " — widen the band offsets before running at this SF"
+            )
     e1 = li.join(o, li.l_orderkey == o.o_orderkey).select(
         F.col("o_custkey").cast("long").alias("src"),
         (F.lit(10_000_000) + F.col("l_suppkey")).cast("long").alias("dst"),

@@ -150,6 +150,18 @@ def main() -> int:
             qs[pname] = pq.fn
             if pq.oracle is not None:
                 oracles[pname] = pq.oracle
+    # SPARK_GRAFT_SIM_ONLY="q73,q77" — comma-separated name prefixes to
+    # spot-check a change's blast radius fast; full sweeps (no filter)
+    # remain the closeout bar.
+    only = [
+        p.strip()
+        for p in os.environ.get("SPARK_GRAFT_SIM_ONLY", "").split(",")
+        if p.strip()
+    ]
+    if only:
+        qs = {
+            n: f for n, f in qs.items() if any(n.startswith(p) for p in only)
+        }
     n_match = n_rows_only = n_fail = 0
     for name in sorted(qs):
         rec = {"q": name}
