@@ -801,6 +801,7 @@ def fuzzy_matches(
     df: DataFrame,
     max_dist: int = 2,
     text_col: str = "text",
+    max_df_ppm: int | None = None,
 ) -> DataFrame:
     """Entity-resolution fuzzy matching (record linkage / merge-purge):
     every DISTINCT-value pair within Levenshtein distance ``max_dist``,
@@ -819,8 +820,19 @@ def fuzzy_matches(
        edits leave ≥ min_len−1−2d bigrams of the shorter string intact
        inside the longer one (>0 in this band), and edit distance is
        ≥ the length difference. A bigram equi-join — never a cross
-       join; hot bigrams behave like the dedup family's shingle skew
-       (bound with a df cut upstream if a corpus demands it);
+       join. Hot bigrams behave like the dedup family's shingle skew:
+       a gram in f of the long-band values contributes f² candidate
+       pairs, so one ubiquitous bigram ("th") makes the self-join
+       quadratic in its bucket. ``max_df_ppm`` bounds it (the q24/bm25
+       pattern): bigrams whose long-band document frequency exceeds
+       df·10⁶ > max_df_ppm·n_long are dropped from BLOCKING — one
+       window over the cached gram substrate, integer-exact and
+       oracle-replicable (QUALIFY). HONEST-LOSSY: a pair whose every
+       shared bigram is hot is missed; pairs within the edit budget
+       share many grams, so a generous cut (say 300000 = 30%) is
+       lossless on natural corpora — verify on yours before tightening
+       (q76 pins cut == no-cut on the driver corpus). None = no cut
+       (blocking complete by construction);
     3. SHORT pairs (shorter side ≤ 2·max_dist+1 chars, where the
        bigram bound is vacuous): shared-UNIGRAM equi-join against
        values ≤ 3·max_dist+1 chars — complete because d edits touch
@@ -865,12 +877,32 @@ def fuzzy_matches(
             ).alias("_g"),
         ),
     )
+    from pyspark.sql import Window
+
+    long_grams = grams.filter(F.length("_v") > 2 * d + 1)
+    if max_df_ppm is not None:
+        # hot-gram cut (docstring): ONE window over the long-band gram
+        # substrate; n_long is a bounded scalar (plan literal on both
+        # engines). Cast-to-long products — two INT32 literals overflow
+        # under ANSI (the r11 bm25 lesson).
+        n_long = vals.filter(F.length("_v") > 2 * d + 1).count()
+        long_grams = bounded_cache(
+            "dedup.fuzzy_long_grams_cut",
+            long_grams.withColumn(
+                "_df",
+                F.count(F.lit(1)).over(Window.partitionBy("_g")).cast("long"),
+            )
+            .filter(
+                F.col("_df") * F.lit(1_000_000).cast("long")
+                <= F.lit(int(max_df_ppm)).cast("long")
+                * F.lit(int(n_long)).cast("long")
+            )
+            .drop("_df"),
+        )
     long_pairs = (
-        grams.filter(F.length("_v") > 2 * d + 1)
-        .select(F.col("_v").alias("text_a"), "_g")
+        long_grams.select(F.col("_v").alias("text_a"), "_g")
         .join(
-            grams.filter(F.length("_v") > 2 * d + 1)
-            .select(F.col("_v").alias("text_b"), "_g"),
+            long_grams.select(F.col("_v").alias("text_b"), "_g"),
             "_g",
         )
         .filter(F.col("text_a") < F.col("text_b"))

@@ -79,7 +79,7 @@ _SLOW_TESTS = {
     "test_embedding_ingest_crash_window_converges",
     "test_embedding_ingest_zero_norm_uncomparable_policy",
     "test_chained_ingest_mixed_modality_embedding_stage",
-    "test_parked_streamed_sessions_real_corpus",
+    "test_gated_streamed_sessions_structure",
     "test_parked_ingest_dedup_real_corpus",
     "test_pagerank_matches_reference_any_partitioning",
     "test_parked_pagerank_real_corpus",

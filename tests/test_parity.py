@@ -499,15 +499,15 @@ def test_parked_rrf_fusion_real_corpus(spark):
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
 
 
-def test_parked_streamed_sessions_real_corpus(spark):
-    """The parked q73 runs the CHECKPOINTED GroupState session tracker
-    over the real events table (one data batch + sentinel flush) and
-    its emitted closed sessions match the batch lag/gap oracle exactly
-    — streaming sessionization under the full hash-gate bar. The
-    session structure is non-degenerate (multi-event sessions exist)."""
-    con = _duck(SF_DIR)
-    got, cols = _run_parked(spark, "q73_streamed_sessions", SF_DIR, con)
-    i_n = cols.index("n_events")
+def test_gated_streamed_sessions_structure(spark):
+    """q73 (GATED r15 — the q32 swap; oracle parity is swept by the
+    QUERY_NAMES parametrized gate) runs the CHECKPOINTED GroupState
+    session tracker over the real events table (one data batch +
+    sentinel flush); the session structure is non-degenerate
+    (multi-event sessions exist)."""
+    sdf = entrymod.queries()["q73_streamed_sessions"](spark, SF_DIR)
+    got = [tuple(r) for r in sdf.collect()]
+    i_n = sdf.columns.index("n_events")
     assert len(got) > 100
     assert max(r[i_n] for r in got) >= 3
 
@@ -549,15 +549,51 @@ def test_parked_cohort_retention_real_corpus(spark):
 
 
 def test_parked_fuzzy_matches_real_corpus(spark):
-    """The parked q76 fuzzy entity matches equal the SEMANTIC all-pairs
-    oracle — which proves the q-gram blocking complete on the real
-    vocabulary, not just the DP verify correct. Non-degenerate: pairs
-    exist at distance 1 AND 2."""
+    """The parked q76 fuzzy entity matches equal its oracle (which
+    since r15 replicates the max_df_ppm hot-gram cut via QUALIFY), AND
+    the cut is LOSSLESS on the real vocabulary: with-cut == no-cut ==
+    the semantic all-pairs spec — so blocking completeness is still
+    proven, now alongside the knob. Non-degenerate: pairs exist at
+    distance 1 AND 2."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        dedup,
+    )
+
     con = _duck(SF_DIR)
     got, cols = _run_parked(spark, "q76_fuzzy_matches", SF_DIR, con)
     i_d = cols.index("dist")
     assert {r[i_d] for r in got} == {1, 2}
     assert len(got) >= 10
+    # cut-losslessness + semantic completeness on this corpus
+    part = spark.read.parquet(f"{SF_DIR}/part.parquet").select("p_name")
+    no_cut = {
+        tuple(r)
+        for r in dedup.fuzzy_matches(
+            part, max_dist=2, text_col="p_name"
+        ).collect()
+    }
+    i_a, i_b = cols.index("text_a"), cols.index("text_b")
+    with_cut = {
+        (r[i_a], r[i_b], r[i_d], r[cols.index("n_rows_a")],
+         r[cols.index("n_rows_b")])
+        for r in got
+    }
+    semantic = {
+        tuple(r)
+        for r in con.execute(
+            """
+            WITH n AS (SELECT p_name AS v, CAST(COUNT(*) AS BIGINT) AS c
+                       FROM part WHERE p_name IS NOT NULL
+                         AND len(p_name) > 2 GROUP BY 1)
+            SELECT a.v, b.v, CAST(levenshtein(a.v, b.v) AS BIGINT),
+                   a.c, b.c
+            FROM n a JOIN n b ON a.v < b.v
+            WHERE levenshtein(a.v, b.v) <= 2
+            """
+        ).fetchall()
+    }
+    assert no_cut == semantic
+    assert with_cut == semantic
 
 
 def test_fuzzy_matches_blocking_semantics(spark):
@@ -643,6 +679,84 @@ def test_fuzzy_matches_randomized_naive_sweep(spark):
                 if lev(x, y) <= d
             }
             assert got == want, (seed, d)
+
+
+def test_fuzzy_matches_hot_gram_cut_planted(spark):
+    """max_df_ppm on a PLANTED hot-gram corpus: every value shares the
+    bigrams ab/bc/cd/de (df == n_long ⇒ hot at any ppm < 10⁶), so with
+    the cut the long-band join has NO candidates — the documented
+    honest-lossy miss (the pair abcdef/abcdeg at lev 1 survives only
+    without the cut) — and the Spark cut output equals the DuckDB
+    QUALIFY replica of the identical integer formula (oracle parity
+    for the knob itself)."""
+    import duckdb
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        dedup,
+    )
+
+    vals = ["abcdef", "abcdeg"] + [
+        f"abcde{c}{i:02d}" for i, c in enumerate("hijklmnopqrst")
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "text string")
+    no_cut = {
+        (r.text_a, r.text_b)
+        for r in dedup.fuzzy_matches(df, max_dist=2).collect()
+    }
+    cut = {
+        (r.text_a, r.text_b)
+        for r in dedup.fuzzy_matches(
+            df, max_dist=2, max_df_ppm=300_000
+        ).collect()
+    }
+    assert ("abcdef", "abcdeg") in no_cut
+    assert ("abcdef", "abcdeg") not in cut  # its every shared gram is hot
+    assert cut <= no_cut
+    # DuckDB replica of the identical cut formula (the q76 oracle shape)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(f"('{v}')" for v in vals)
+        + ") AS t(v)"
+    )
+    duck_cut = {
+        tuple(r)
+        for r in con.execute(
+            """
+            WITH n AS (SELECT DISTINCT v FROM t WHERE len(v) > 2),
+            lg0 AS (
+                SELECT DISTINCT v, g FROM (
+                    SELECT v, unnest(list_transform(
+                        generate_series(1, len(v) - 1),
+                        i -> substr(v, i, 2))) AS g
+                    FROM n WHERE len(v) > 5)
+            ),
+            lg AS (
+                SELECT v, g FROM lg0
+                QUALIFY COUNT(*) OVER (PARTITION BY g) * 1000000
+                        <= 300000 * (SELECT COUNT(DISTINCT v) FROM lg0)
+            ),
+            lc AS (SELECT DISTINCT a.v AS va, b.v AS vb
+                   FROM lg a JOIN lg b USING (g) WHERE a.v < b.v),
+            sc AS (
+                SELECT DISTINCT v, g FROM (
+                    SELECT v, unnest(list_transform(
+                        generate_series(1, len(v)),
+                        i -> substr(v, i, 1))) AS g FROM n)
+            ),
+            shc AS (SELECT DISTINCT least(a.v, b.v) AS va,
+                           greatest(a.v, b.v) AS vb
+                    FROM (SELECT * FROM sc WHERE len(v) <= 5) a
+                    JOIN (SELECT * FROM sc WHERE len(v) <= 7) b USING (g)
+                    WHERE a.v <> b.v)
+            SELECT va, vb
+            FROM (SELECT DISTINCT va, vb
+                  FROM (SELECT * FROM lc UNION ALL SELECT * FROM shc))
+            WHERE levenshtein(va, vb) <= 2
+            """
+        ).fetchall()
+    }
+    assert cut == duck_cut
 
 
 def test_entity_resolution_composition(spark):
