@@ -49,6 +49,150 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+class _PRState:
+    """Shared setup for the pagerank family: node/seed frames, the
+    (weighted) out-degree edge frame, the dangling set, and the update
+    expression. One builder so the fixed-iteration, converged, and
+    weighted variants cannot drift apart."""
+
+    def __init__(
+        self,
+        edges: DataFrame,
+        damping: tuple[int, int],
+        scale: int,
+        src_col: str,
+        dst_col: str,
+        seeds: DataFrame | None,
+        weight_col: str | None,
+    ) -> None:
+        num, den = int(damping[0]), int(damping[1])
+        if not (0 < num < den):
+            raise ValueError("damping must be a proper fraction (num, den)")
+        self.num, self.den = num, den
+        if weight_col is None:
+            # unweighted: duplicate edges collapse; _w == 1 so the ONE
+            # contribution formula (mass*w DIV outw) reduces exactly to
+            # mass DIV outdeg — the pre-r15 (and oracle) arithmetic
+            e = (
+                edges.select(
+                    F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+                )
+                .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+                .distinct()
+                .withColumn("_w", F.lit(1).cast("long"))
+            )
+        else:
+            # weighted: duplicate (src,dst) pairs SUM their weights;
+            # weights must be POSITIVE integers (fixed-point discipline)
+            e = (
+                edges.select(
+                    F.col(src_col).alias("src"),
+                    F.col(dst_col).alias("dst"),
+                    F.col(weight_col).cast("long").alias("_w"),
+                )
+                .filter(
+                    F.col("src").isNotNull()
+                    & F.col("dst").isNotNull()
+                    & F.col("_w").isNotNull()
+                )
+                .groupBy("src", "dst")
+                .agg(F.sum("_w").cast("long").alias("_w"))
+            )
+            wmin, wmax = e.agg(F.min("_w"), F.max("_w")).collect()[0]
+            if wmin is not None and wmin <= 0:
+                raise ValueError(
+                    f"pagerank: edge weights must be positive (min {wmin})"
+                )
+            # per-edge product mass*w must stay in int64: per-node mass
+            # is <= scale (truncating DIV only loses mass), so the bound
+            # is scale*max_w < 2^63 — fail loudly, never wrap
+            if wmax is not None and int(scale) * int(wmax) >= 2**63:
+                raise ValueError(
+                    f"pagerank: scale*max_weight = {int(scale) * int(wmax)}"
+                    " overflows int64 — lower scale or rescale weights"
+                )
+        base_nodes = (
+            e.select(F.col("src").alias("node"))
+            .unionByName(e.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        if seeds is None:
+            seed_nodes = base_nodes
+        else:
+            seed_nodes = base_nodes.join(
+                seeds.select("node").distinct(), "node", "left_semi"
+            )
+        # one node-grain frame carrying the seed flag (broadcast-size
+        # metadata column — no extra join inside the loop)
+        self.nodes = base_nodes.join(
+            seed_nodes.withColumn("_seed", F.lit(1)), "node", "left"
+        ).select(
+            "node", F.coalesce("_seed", F.lit(0)).alias("_seed")
+        ).persist()
+        deg = e.groupBy("src").agg(F.sum("_w").cast("long").alias("outw"))
+        self.ed = e.join(deg, "src").persist()
+        self.dangling = self.nodes.join(
+            deg.select(F.col("src").alias("node")), "node", "left_anti"
+        ).persist()
+        # n / ns are bounded scalars (one count job each) — the
+        # model-artifact pattern: they become plan literals on both
+        # engines
+        counts = self.nodes.agg(
+            F.count(F.lit(1)), F.sum("_seed")
+        ).collect()[0]
+        self.n, self.ns = counts[0], int(counts[1] or 0)
+        if self.n == 0:
+            raise ValueError("pagerank: empty edge list (no non-NULL edges)")
+        if self.ns == 0:
+            raise ValueError("pagerank: no seed intersects the graph's nodes")
+        self.base = int(scale) // self.ns
+        self.next_expr = (
+            f"CAST(((({(den - num) * self.base} * _seed) + {num} *"
+            f" (coalesce(_contrib, CAST(0 AS BIGINT)) +"
+            f" (_dang div {self.ns}) * _seed))"
+            f" div {den}) AS BIGINT)"
+        )
+        # localCheckpoint (eager) rather than persist: persist keeps the
+        # FULL logical plan for planning/codegen even though blocks are
+        # cached, so an unrolled k-iteration loop carries a plan that
+        # doubles per round — janino then compiles giant generated
+        # methods and a modest driver heap OOMs (found r14: q78
+        # intermittently died at collect inside a 67-query sim JVM).
+        # Checkpointing TRUNCATES lineage per iteration — constant plan
+        # depth, constant codegen size; materialization is eager and
+        # deterministic.
+        self.m0 = self.nodes.withColumn(
+            "mass", (F.lit(self.base) * F.col("_seed")).cast("long")
+        ).select("node", "mass").localCheckpoint(True)
+
+    def step(self, m: DataFrame) -> DataFrame:
+        contrib = (
+            self.ed.join(m.withColumnRenamed("node", "src"), "src")
+            .withColumn("_c", F.expr("(mass * _w) div outw"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("_c").cast("long").alias("_contrib"))
+        )
+        dang = (
+            m.join(self.dangling, "node", "left_semi")
+            .agg(
+                F.coalesce(F.sum("mass"), F.lit(0)).cast("long").alias("_dang")
+            )
+        )
+        # deliberate 1-row broadcast cross product (module docstring):
+        # a lit(1) join key would constant-fold into the same BNLJ shape
+        # while CLAIMING to be keyed — say what the plan does.
+        return (
+            self.nodes.crossJoin(F.broadcast(dang))
+            .join(contrib, "node", "left")
+            .select("node", F.expr(self.next_expr).alias("mass"))
+            .localCheckpoint(True)
+        )
+
+    def release(self) -> None:
+        for df in (self.nodes, self.ed, self.dangling):
+            df.unpersist()
+
+
 def pagerank(
     edges: DataFrame,
     n_iter: int = 4,
@@ -57,123 +201,117 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     seeds: DataFrame | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Fixed-point PageRank over a directed edge list (module
     docstring has the exact per-iteration formula). Returns
     (node, mass) BIGINT at node grain after ``n_iter`` iterations.
     NULL endpoints are dropped; duplicate edges collapse (standard
-    unweighted PageRank).
+    unweighted PageRank) unless ``weight_col`` is given.
 
     ``seeds`` (a frame with a ``node`` column) switches to
     PERSONALIZED PageRank: the teleport term and the dangling-mass
     redistribution land on the SEED set instead of all nodes —
-    mass_0(v) = scale DIV |S| for v ∈ S else 0, and the update's base
+    mass_0(v) = scale DIV |S| for v in S else 0, and the update's base
     and dang terms apply only on S. Uniform PageRank IS the seeds =
     all-nodes special case, so one code path (and one oracle shape)
     serves both — seeds are intersected with the graph's nodes first
     (a seed outside the graph carries no edges and would strand
-    teleport mass on a non-node)."""
-    num, den = int(damping[0]), int(damping[1])
-    if not (0 < num < den):
-        raise ValueError("damping must be a proper fraction (num, den)")
-    e = (
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
-        .distinct()
-    )
-    base_nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
-    )
-    if seeds is None:
-        seed_nodes = base_nodes
-    else:
-        seed_nodes = base_nodes.join(
-            seeds.select("node").distinct(), "node", "left_semi"
-        )
-    # one node-grain frame carrying the seed flag (broadcast-size
-    # metadata column — no extra join inside the loop)
-    nodes = base_nodes.join(
-        seed_nodes.withColumn("_seed", F.lit(1)), "node", "left"
-    ).select("node", F.coalesce("_seed", F.lit(0)).alias("_seed")).persist()
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("outdeg"))
-    ed = e.join(deg, "src").persist()
-    dangling = nodes.join(
-        deg.select(F.col("src").alias("node")), "node", "left_anti"
-    ).persist()
-    # n / ns are bounded scalars (one count job each) — the
-    # model-artifact pattern: they become plan literals on both engines
-    counts = nodes.agg(
-        F.count(F.lit(1)), F.sum("_seed")
-    ).collect()[0]
-    n, ns = counts[0], int(counts[1] or 0)
-    if n == 0:
-        raise ValueError("pagerank: empty edge list (no non-NULL edges)")
-    if ns == 0:
-        raise ValueError("pagerank: no seed intersects the graph's nodes")
-    base = int(scale) // ns
+    teleport mass on a non-node).
 
-    # localCheckpoint (eager) rather than persist: persist keeps the
-    # FULL logical plan for planning/codegen even though blocks are
-    # cached, so an unrolled k-iteration loop carries a plan that
-    # doubles per round — janino then compiles giant generated methods
-    # and a modest driver heap OOMs (found r14: q78 intermittently
-    # died at collect inside a 67-query sim JVM). Checkpointing
-    # TRUNCATES lineage per iteration — constant plan depth, constant
-    # codegen size; materialization is eager and deterministic.
-    m = nodes.withColumn(
-        "mass", (F.lit(base) * F.col("_seed")).cast("long")
-    ).select("node", "mass").localCheckpoint(True)
-    next_expr = (
-        f"CAST(((({(den - num) * base} * _seed) + {num} *"
-        f" (coalesce(_contrib, CAST(0 AS BIGINT)) + (_dang div {ns}) * _seed))"
-        f" div {den}) AS BIGINT)"
-    )
+    ``weight_col`` (r15) switches to WEIGHTED PageRank under the same
+    fixed-point discipline: weights are positive int64 (validated),
+    duplicate (src,dst) pairs sum theirs, and each edge carries
+    mass*w DIV W_u where W_u is u's weighted out-degree — with w == 1
+    this IS the unweighted formula, so one code path again. The
+    scale*max_weight int64 envelope is enforced loudly at setup."""
+    st = _PRState(edges, damping, scale, src_col, dst_col, seeds, weight_col)
+    m = st.m0
     for _ in range(int(n_iter)):
-        contrib = (
-            ed.join(m.withColumnRenamed("node", "src"), "src")
-            .withColumn("_c", F.expr("mass div outdeg"))
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("_c").cast("long").alias("_contrib"))
-        )
-        dang = (
-            m.join(dangling, "node", "left_semi")
+        m = st.step(m)
+    st.release()
+    return m
+
+
+def pagerank_converged(
+    edges: DataFrame,
+    tol_units: int,
+    max_iter: int = 50,
+    damping: tuple[int, int] = (85, 100),
+    scale: int = 10**12,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seeds: DataFrame | None = None,
+    weight_col: str | None = None,
+) -> tuple[DataFrame, int, int]:
+    """PageRank run to CONVERGENCE (r15): iterate :func:`pagerank`'s
+    exact integer step until the L1 delta sum_v |mass_k(v) −
+    mass_{k−1}(v)| drops to ``tol_units`` fixed-point units or below
+    (or ``max_iter`` is hit). Returns (masses, n_iters_run,
+    final_l1_delta) — the frame is BIT-IDENTICAL to
+    pagerank(n_iter=n_iters_run, …) with the same arguments
+    (test-pinned), because both run the same _PRState.step; the only
+    addition is one bounded 1-row delta aggregate per iteration (node
+    sets are identical every round, so an inner join measures every
+    node). tol_units is in mass units: scale=10**12 and tol_units=10**6
+    means "total movement below 1e-6 of all mass"."""
+    if int(tol_units) < 0:
+        raise ValueError("tol_units must be >= 0")
+    st = _PRState(edges, damping, scale, src_col, dst_col, seeds, weight_col)
+    m = st.m0
+    n_run, delta = 0, None
+    for _ in range(int(max_iter)):
+        nxt = st.step(m)
+        n_run += 1
+        delta = int(
+            nxt.join(m.withColumnRenamed("mass", "_prev"), "node")
             .agg(
-                F.coalesce(F.sum("mass"), F.lit(0)).cast("long").alias("_dang")
+                F.coalesce(
+                    F.sum(F.abs(F.col("mass") - F.col("_prev"))), F.lit(0)
+                ).cast("long")
             )
+            .collect()[0][0]
         )
-        # deliberate 1-row broadcast cross product (module docstring):
-        # a lit(1) join key would constant-fold into the same BNLJ shape
-        # while CLAIMING to be keyed — say what the plan does.
-        m = (
-            nodes.crossJoin(F.broadcast(dang))
-            .join(contrib, "node", "left")
-            .select("node", F.expr(next_expr).alias("mass"))
-            .localCheckpoint(True)
-        )
-    out = m
-    for df in (nodes, ed, dangling):
-        df.unpersist()
-    return out
+        m = nxt
+        if delta <= int(tol_units):
+            break
+    st.release()
+    return m, n_run, int(delta if delta is not None else 0)
 
 
 def pagerank_reference(
-    edge_list: list[tuple[int, int]],
+    edge_list: list[tuple],
     n_iter: int = 4,
     damping: tuple[int, int] = (85, 100),
     scale: int = 10**12,
     seeds: list[int] | None = None,
+    weighted: bool = False,
 ) -> dict[int, int]:
     """Pure-Python twin of :func:`pagerank` — the naive reference the
     unit tests compare against (same integer formula, plain dicts;
-    ``seeds`` = personalized teleport set, None = uniform)."""
+    ``seeds`` = personalized teleport set, None = uniform). With
+    ``weighted=True`` edge_list items are (src, dst, w) and duplicate
+    pairs sum their weights — the :func:`pagerank` weight_col
+    contract."""
     num, den = damping
-    e = sorted(set((s, d) for s, d in edge_list if s is not None and d is not None))
+    w_by_pair: dict[tuple[int, int], int] = {}
+    if weighted:
+        for s, d, w in edge_list:
+            if s is None or d is None or w is None:
+                continue
+            w_by_pair[(s, d)] = w_by_pair.get((s, d), 0) + int(w)
+        if any(w <= 0 for w in w_by_pair.values()):
+            raise ValueError("edge weights must be positive")
+    else:
+        for s, d in edge_list:
+            if s is None or d is None:
+                continue
+            w_by_pair[(s, d)] = 1
+    e = sorted(w_by_pair)
     nodes = sorted({s for s, _ in e} | {d for _, d in e})
-    outdeg: dict[int, int] = {}
-    for s, _ in e:
-        outdeg[s] = outdeg.get(s, 0) + 1
+    outw: dict[int, int] = {}
+    for s, d in e:
+        outw[s] = outw.get(s, 0) + w_by_pair[(s, d)]
     seed_set = set(nodes) if seeds is None else (set(seeds) & set(nodes))
     if not seed_set:
         raise ValueError("no seed intersects the graph's nodes")
@@ -183,8 +321,8 @@ def pagerank_reference(
     for _ in range(n_iter):
         contrib = {v: 0 for v in nodes}
         for s, d in e:
-            contrib[d] += mass[s] // outdeg[s]
-        dang = sum(mass[v] for v in nodes if v not in outdeg)
+            contrib[d] += (mass[s] * w_by_pair[(s, d)]) // outw[s]
+        dang = sum(mass[v] for v in nodes if v not in outw)
         mass = {
             v: (
                 (den - num) * base * (v in seed_set)

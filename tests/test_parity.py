@@ -853,6 +853,110 @@ def test_pagerank_personalized_matches_reference(spark):
         )
 
 
+def test_pagerank_weighted_matches_reference(spark):
+    """Weighted PageRank (weight_col=, r15) == the Python reference on
+    a handcrafted weighted graph at 1 and 7 partitions: duplicate
+    (src,dst) pairs SUM weights, contributions split mass·w DIV W_u,
+    w ≡ 1 reduces exactly to the unweighted call, non-positive weights
+    and scale·max_weight int64 overflow both raise loudly."""
+    import pytest as _pytest
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        graph,
+    )
+
+    # hub 1 splits 9:1 between 2 and 3; duplicate (4,1) edges sum to 5;
+    # 5 dangles
+    wedges = [(1, 2, 9), (1, 3, 1), (2, 3, 4), (3, 1, 2), (4, 1, 3),
+              (4, 1, 2), (3, 5, 1)]
+    want = graph.pagerank_reference(wedges, n_iter=4, weighted=True)
+    for parts in (1, 7):
+        df = spark.createDataFrame(
+            wedges, "src long, dst long, w long"
+        ).repartition(parts)
+        got = {
+            r.node: r.mass
+            for r in graph.pagerank(df, n_iter=4, weight_col="w").collect()
+        }
+        assert got == want
+    # the 9:1 split must actually bias: 2 outranks 3's direct share
+    # from node 1 — compare against the unweighted run where 1 splits
+    # evenly and 3 gets MORE (it also collects from 2)
+    assert want[2] > graph.pagerank_reference(
+        [(s, d) for s, d, _ in wedges], n_iter=4
+    )[2]
+    # w == 1 everywhere reduces to the unweighted formula exactly
+    ones = [(s, d, 1) for s, d in {(s, d) for s, d, _ in wedges}]
+    df1 = spark.createDataFrame(ones, "src long, dst long, w long")
+    got1 = {
+        r.node: r.mass
+        for r in graph.pagerank(df1, n_iter=4, weight_col="w").collect()
+    }
+    got_unw = {
+        r.node: r.mass
+        for r in graph.pagerank(
+            df1.select("src", "dst"), n_iter=4
+        ).collect()
+    }
+    assert got1 == got_unw
+    with _pytest.raises(ValueError, match="must be positive"):
+        graph.pagerank(
+            spark.createDataFrame([(1, 2, 0)], "src long, dst long, w long"),
+            n_iter=1,
+            weight_col="w",
+        )
+    with _pytest.raises(ValueError, match="overflows int64"):
+        graph.pagerank(
+            spark.createDataFrame(
+                [(1, 2, 2**60)], "src long, dst long, w long"
+            ),
+            n_iter=1,
+            weight_col="w",
+        )
+
+
+def test_pagerank_converged_equals_fixed_iteration(spark):
+    """pagerank_converged (r15): the early-stopped frame is
+    BIT-IDENTICAL to pagerank(n_iter=k) for the k it reports (same
+    _PRState.step), at 1 and 7 partitions; the reported L1 delta is
+    the true Σ|Δ| of the last step (re-derived from k−1 vs k); a huge
+    tolerance stops after one iteration; tol_units=0 still terminates
+    (exact fixed point is reachable in integer arithmetic) within
+    max_iter."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        graph,
+    )
+
+    edges = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1), (4, 3), (3, 5)]
+    for parts in (1, 7):
+        df = spark.createDataFrame(
+            edges, "src long, dst long"
+        ).repartition(parts)
+        m, k, delta = graph.pagerank_converged(df, tol_units=10**6)
+        got = {r.node: r.mass for r in m.collect()}
+        assert 1 <= k < 50 and delta <= 10**6
+        fixed = {
+            r.node: r.mass for r in graph.pagerank(df, n_iter=k).collect()
+        }
+        assert got == fixed
+        prev = graph.pagerank_reference(edges, n_iter=k - 1) if k > 1 else None
+        if prev is not None:
+            want_delta = sum(
+                abs(got[v] - prev[v]) for v in got
+            )
+            assert delta == want_delta
+    df = spark.createDataFrame(edges, "src long, dst long")
+    _, k1, _ = graph.pagerank_converged(df, tol_units=10**13)
+    assert k1 == 1
+    m0, k0, d0 = graph.pagerank_converged(df, tol_units=0, max_iter=200)
+    assert d0 == 0 and k0 < 200
+    # converged-at-zero really is a fixed point: one more step is a no-op
+    again = {
+        r.node: r.mass for r in graph.pagerank(df, n_iter=k0 + 1).collect()
+    }
+    assert {r.node: r.mass for r in m0.collect()} == again
+
+
 def test_parked_ppr_segment_real_corpus(spark):
     """The parked q78 personalized PageRank equals its chained-CTE
     oracle bit-for-bit on the real trade graph with BUILDING-segment
