@@ -340,13 +340,19 @@ def pagerank_oracle_sql(
     damping: tuple[int, int] = (85, 100),
     scale: int = 10**12,
     seeds_sql: str | None = None,
+    weighted: bool = False,
 ) -> str:
     """The DuckDB twin as N chained CTEs over ``edges_sql`` (a query
-    producing columns src, dst) — iteration k's CTE applies the
-    identical integer formula to CTE k−1, so the unrolled pipeline is
-    the oracle for the Spark loop. ``seeds_sql`` (a query producing a
-    ``node`` column) switches to the personalized form; None = uniform
-    (seeds = all nodes — the same reduction the Spark side uses)."""
+    producing columns src, dst — plus w when ``weighted``) — iteration
+    k's CTE applies the identical integer formula to CTE k−1, so the
+    unrolled pipeline is the oracle for the Spark loop. ``seeds_sql``
+    (a query producing a ``node`` column) switches to the personalized
+    form; None = uniform (seeds = all nodes — the same reduction the
+    Spark side uses). ``weighted=True`` mirrors pagerank(weight_col=):
+    duplicate (src,dst) pairs SUM weights, out-degree is the weight
+    sum, each edge carries mass·w // W_u. The unweighted branch emits
+    byte-identical SQL to the pre-r15 generator (q77/q78 oracles
+    unchanged)."""
     num, den = int(damping[0]), int(damping[1])
     seeds_src = (
         "SELECT node FROM base_nodes"
@@ -354,15 +360,35 @@ def pagerank_oracle_sql(
         else f"SELECT node FROM ({seeds_sql}) WHERE node IN"
              " (SELECT node FROM base_nodes)"
     )
+    if weighted:
+        e_cte = (
+            f"WITH e AS (SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w"
+            f" FROM ({edges_sql}) WHERE src IS NOT NULL AND dst IS NOT NULL"
+            " AND w IS NOT NULL GROUP BY 1, 2)"
+        )
+        deg_cte = (
+            "deg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS outdeg"
+            " FROM e GROUP BY 1)"
+        )
+        contrib_sum = "SUM((m{p}.mass * e.w) // deg.outdeg)"
+    else:
+        e_cte = (
+            f"WITH e AS (SELECT DISTINCT src, dst FROM ({edges_sql})"
+            " WHERE src IS NOT NULL AND dst IS NOT NULL)"
+        )
+        deg_cte = (
+            "deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg"
+            " FROM e GROUP BY 1)"
+        )
+        contrib_sum = "SUM(m{p}.mass // deg.outdeg)"
     parts = [
-        f"WITH e AS (SELECT DISTINCT src, dst FROM ({edges_sql})"
-        " WHERE src IS NOT NULL AND dst IS NOT NULL)",
+        e_cte,
         "base_nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
         f"seeds AS (SELECT DISTINCT node FROM ({seeds_src}))",
         "nodes AS (SELECT base_nodes.node,"
         " CASE WHEN EXISTS (SELECT 1 FROM seeds WHERE seeds.node ="
         " base_nodes.node) THEN 1 ELSE 0 END AS is_seed FROM base_nodes)",
-        "deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM e GROUP BY 1)",
+        deg_cte,
         "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS ns FROM seeds)",
         f"m0 AS (SELECT node, CAST(({int(scale)} // (SELECT ns FROM nn))"
         " * is_seed AS BIGINT) AS mass FROM nodes)",
@@ -382,10 +408,120 @@ def pagerank_oracle_sql(
                     ) // {den} AS BIGINT) AS mass
         FROM nodes
         LEFT JOIN (SELECT e.dst AS node,
-                          CAST(SUM(m{p}.mass // deg.outdeg) AS BIGINT) AS contrib
+                          CAST({contrib_sum.format(p=p)} AS BIGINT) AS contrib
                    FROM e JOIN m{p} ON m{p}.node = e.src
                           JOIN deg ON deg.src = e.src
                    GROUP BY 1) c USING (node)
     )"""
         )
     return ",\n".join(parts) + f"\nSELECT node, mass FROM m{int(n_iter)}"
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    directed: bool = True,
+) -> DataFrame:
+    """Minimum-hop BFS distance from a seed set: (node, hops) BIGINT
+    for every node reachable within ``max_hops`` edges (unreached
+    nodes are ABSENT — distance is undefined, not sentinel-coded).
+    ``directed=False`` walks edges both ways. Seeds are intersected
+    with the graph's endpoints first (the pagerank seeds contract);
+    ``max_hops`` caps BOTH engines identically, so the frame has a
+    complete recursive-CTE oracle (:func:`bfs_oracle_sql`) — the cap
+    is what makes the SQL recursion terminate on cyclic graphs (an
+    uncapped walk enumerates unboundedly long paths around a cycle).
+
+    Per round: one src-keyed join (frontier ⋈ edges) + one dst-keyed
+    MIN aggregate + one node-keyed MIN fold into the label table —
+    shuffle ∝ edges, state ∝ reached nodes; lineage truncated per
+    round (localCheckpoint, the pagerank discipline); early exit on a
+    fixpoint round (one bounded scalar per round, like
+    duplicate_clusters). Integer hops end to end."""
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    )
+    if not directed:
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    e = e.distinct().persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    labels = (
+        nodes.join(seeds.select("node").distinct(), "node", "left_semi")
+        .withColumn("hops", F.lit(0).cast("long"))
+        .localCheckpoint(True)
+    )
+    if labels.isEmpty():
+        raise ValueError("bfs_hops: no seed intersects the graph's nodes")
+    for _ in range(int(max_hops)):
+        relaxed = (
+            e.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg((F.min("hops") + F.lit(1)).cast("long").alias("hops"))
+        )
+        nxt = (
+            labels.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("hops").cast("long").alias("hops"))
+            .localCheckpoint(True)
+        )
+        # fixpoint check: BFS labels only ever ADD nodes or lower hops,
+        # so "same row count AND same hop sum" == identical tables
+        # (two bounded scalars in one job)
+        a = labels.agg(F.count(F.lit(1)), F.sum("hops")).collect()[0]
+        b = nxt.agg(F.count(F.lit(1)), F.sum("hops")).collect()[0]
+        labels = nxt
+        if tuple(a) == tuple(b):
+            break
+    e.unpersist()
+    return labels
+
+
+def bfs_oracle_sql(
+    edges_sql: str,
+    seeds_sql: str,
+    max_hops: int = 8,
+    directed: bool = True,
+) -> str:
+    """The DuckDB twin of :func:`bfs_hops` as the engine-native
+    WITH RECURSIVE fixpoint: `walk` enumerates every (node, path
+    length) pair derivable within the hop cap (UNION dedups, the cap
+    bounds path length, so it terminates even on cycles) and MIN per
+    node is the hop distance — exactly what the Spark relaxation loop
+    converges to within the same cap."""
+    rev = (
+        ""
+        if directed
+        else " UNION SELECT dst AS src, src AS dst FROM"
+             f" ({edges_sql}) WHERE src IS NOT NULL AND dst IS NOT NULL"
+    )
+    return f"""
+WITH RECURSIVE e AS (
+    SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM ({edges_sql})
+        WHERE src IS NOT NULL AND dst IS NOT NULL{rev}
+    )
+),
+base_nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+seeds AS (
+    SELECT DISTINCT node FROM ({seeds_sql})
+    WHERE node IN (SELECT node FROM base_nodes)
+),
+walk(node, hops) AS (
+    SELECT node, 0 FROM seeds
+    UNION
+    SELECT e.dst, walk.hops + 1
+    FROM walk JOIN e ON e.src = walk.node
+    WHERE walk.hops < {int(max_hops)}
+)
+SELECT node, CAST(MIN(hops) AS BIGINT) AS hops FROM walk GROUP BY node
+"""

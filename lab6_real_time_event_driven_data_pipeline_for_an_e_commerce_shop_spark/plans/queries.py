@@ -5273,8 +5273,9 @@ def q75_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 # blocking == SQL blocking under the same knob.
 _Q76_MAX_DF_PPM = 300_000
 
-_Q76_ORACLE = f"""
-WITH n AS (
+# The blocking chain through `cand` is shared VERBATIM by the q76 and
+# q79 oracles (the _bm25_cte_sql sharing rule — two copies could fork)
+_Q76_CTE = f"""n AS (
     SELECT p_name AS v, CAST(COUNT(*) AS BIGINT) AS c
     FROM part WHERE p_name IS NOT NULL AND len(p_name) > 2 GROUP BY 1
 ),
@@ -5307,7 +5308,10 @@ shc AS (
     JOIN (SELECT * FROM sc WHERE len(v) <= 7) b USING (g)
     WHERE a.v <> b.v
 ),
-cand AS (SELECT DISTINCT va, vb FROM (SELECT * FROM lc UNION ALL SELECT * FROM shc))
+cand AS (SELECT DISTINCT va, vb FROM (SELECT * FROM lc UNION ALL SELECT * FROM shc))"""
+
+_Q76_ORACLE = f"""
+WITH {_Q76_CTE}
 SELECT cand.va AS text_a, cand.vb AS text_b,
        CAST(levenshtein(cand.va, cand.vb) AS BIGINT) AS dist,
        na.c AS n_rows_a, nb.c AS n_rows_b
@@ -5329,6 +5333,13 @@ def q76_fuzzy_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cut == no-cut == semantic all-pairs spec on this corpus) is
     pinned separately by test_parked_fuzzy_matches_real_corpus and
     the randomized naive sweep."""
+    return _q76_pairs(spark, sf_dir)
+
+
+def _q76_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q76/q79 fuzzy-pair frame (one builder for both slots — the
+    _bm25_cte_sql sharing rule; the oracles share _Q76_CTE the same
+    way)."""
     from ..operators import dedup
 
     part = _t(spark, sf_dir, "part").select("p_name")
@@ -5450,3 +5461,165 @@ def q78_ppr_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("c_custkey").cast("long").alias("node"))
     )
     return graph.pagerank(_q77_edges(spark, sf_dir), n_iter=4, seeds=seeds)
+
+
+# ---------------------------------------------------------------------------
+# q79 (PARKED, r15) — connected components under a RECURSIVE-CTE oracle
+# ---------------------------------------------------------------------------
+
+
+def _q79_oracle() -> str:
+    """Min-label connected components as a DuckDB WITH RECURSIVE
+    fixpoint over the SHARED q76 blocking chain: `reach` accumulates
+    every (node, label-of-some-component-member) pair the closure can
+    derive (UNION dedups, so the recursion terminates at the
+    transitive closure), and MIN per node is exactly the component
+    minimum — the same fixpoint duplicate_clusters' pointer-jumping
+    loop converges to. Second iterative-algorithm family under a
+    complete oracle (PageRank unrolled chained CTEs; CC uses the
+    engine's own recursive fixpoint — no unrolling, no round count to
+    agree on). String labels: part names are ASCII, where Spark and
+    DuckDB MIN agree byte-for-byte."""
+    return f"""
+WITH RECURSIVE {_Q76_CTE},
+vpairs AS (SELECT va, vb FROM cand WHERE levenshtein(va, vb) <= 2),
+e AS (SELECT va AS a, vb AS b FROM vpairs UNION SELECT vb, va FROM vpairs),
+reach(node, lab) AS (
+    SELECT a, a FROM e
+    UNION
+    SELECT e.b, reach.lab FROM reach JOIN e ON e.a = reach.node
+),
+lbl AS (SELECT node, MIN(lab) AS canonical FROM reach GROUP BY node),
+sz AS (SELECT canonical, CAST(COUNT(*) AS BIGINT) AS n_members
+       FROM lbl GROUP BY 1)
+SELECT lbl.node AS text, lbl.canonical AS canonical, sz.n_members
+FROM lbl JOIN sz USING (canonical)
+"""
+
+
+@parked_query("q79_entity_clusters", _q79_oracle())
+def q79_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution CLUSTERS (merge-purge complete): the q76
+    fuzzy pairs closed into connected components by
+    dedup.duplicate_clusters (min-label propagation FUSED with pointer
+    jumping, O(log diameter) rounds) — PARKED (r15). Transitivity is
+    genuinely exercised on this corpus: "cold anvil"~"old anvil" (1
+    edit) and "new anvil"~"red anvil" (2 edits) chain into one
+    4-member cluster although "cold"~"new" is 3 edits apart — 8
+    components of exactly 4 at sf0.01. The oracle is the engine-native
+    recursive-CTE fixpoint (no unrolling), so Spark's iterative loop
+    and DuckDB's recursion must land on the IDENTICAL component
+    minima; n_members comes from one window over the cluster id."""
+    from pyspark.sql.window import Window as _W
+
+    from ..operators import dedup
+
+    pairs = _q76_pairs(spark, sf_dir)
+    clusters = dedup.duplicate_clusters(pairs, "text_a", "text_b")
+    return clusters.select(
+        F.col("node_id").alias("text"),
+        F.col("cluster_id").alias("canonical"),
+        F.count(F.lit(1))
+        .over(_W.partitionBy("cluster_id"))
+        .cast("long")
+        .alias("n_members"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q80 (PARKED, r15) — WEIGHTED PageRank under the complete oracle
+# ---------------------------------------------------------------------------
+
+# The q77 trade graph WITHOUT duplicate collapse: every lineitem is one
+# unit-weight customer→supplier edge, so after the weighted contract's
+# per-pair SUM the edge weight IS the purchase multiplicity — a
+# customer buying 40 times from one supplier pushes 40× the mass a
+# one-off buyer does (q77's unweighted form collapses both to 1).
+_Q80_EDGES_SQL = """
+SELECT CAST(o_custkey AS BIGINT) AS src,
+       CAST(10000000 + l_suppkey AS BIGINT) AS dst,
+       CAST(1 AS BIGINT) AS w
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+UNION ALL
+SELECT CAST(10000000 + s_suppkey AS BIGINT) AS src,
+       CAST(20000000 + s_nationkey AS BIGINT) AS dst,
+       CAST(1 AS BIGINT) AS w
+FROM supplier
+"""
+
+
+def _q80_oracle() -> str:
+    from ..operators.graph import pagerank_oracle_sql
+
+    return pagerank_oracle_sql(_Q80_EDGES_SQL, n_iter=4, weighted=True)
+
+
+@parked_query("q80_weighted_pagerank", _q80_oracle())
+def q80_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED PageRank (graph.pagerank(weight_col=), r15) — PARKED:
+    the q77 trade graph with edge weight = purchase multiplicity
+    (duplicate unit-weight edges summed by the weighted contract on
+    BOTH engines), under the generalized chained-CTE oracle
+    (pagerank_oracle_sql(weighted=True)). Completes the family: every
+    pagerank variant — uniform q77, personalized q78, weighted q80 —
+    is oracle-complete. Supplier masses provably differ from q77's
+    (multiplicity matters), pinned by the real-corpus test."""
+    from ..operators import graph
+
+    edges = _q77_edges(spark, sf_dir).withColumn(
+        "w", F.lit(1).cast("long")
+    )
+    return graph.pagerank(edges, n_iter=4, weight_col="w")
+
+
+# ---------------------------------------------------------------------------
+# q81 (PARKED, r15) — BFS hop distance under a RECURSIVE-CTE oracle
+# ---------------------------------------------------------------------------
+
+# A sparse seed set (every 100th BUILDING customer — 3 seeds at sf0.01)
+# so the undirected trade graph yields real hop structure: 0 = seeds,
+# 1 = their suppliers, 2 = co-buying customers + those suppliers'
+# nations, 3-4 = the long tail through other nations' suppliers
+# (measured 3/60/1519/40/3 at sf0.01).
+_Q81_SEEDS_SQL = (
+    "SELECT CAST(c_custkey AS BIGINT) AS node FROM customer"
+    " WHERE c_mktsegment = 'BUILDING' AND c_custkey % 100 = 0"
+)
+_Q81_MAX_HOPS = 4
+
+
+def _q81_oracle() -> str:
+    from ..operators.graph import bfs_oracle_sql
+
+    return bfs_oracle_sql(
+        _Q77_EDGES_SQL, _Q81_SEEDS_SQL, max_hops=_Q81_MAX_HOPS, directed=False
+    )
+
+
+@parked_query("q81_bfs_reach", _q81_oracle())
+def q81_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-hop BFS reach (graph.bfs_hops) from a sparse customer
+    seed set over the UNDIRECTED trade graph — PARKED (r15). The third
+    iterative family under a complete oracle (PageRank: unrolled
+    chained CTEs; CC q79: engine-native recursive fixpoint; BFS: the
+    recursive fixpoint with the hop cap that makes cyclic-graph
+    recursion terminate — the cap is part of the operator's contract
+    on BOTH engines, so the hash match checks the relaxation loop
+    against the path-enumeration semantics exactly). Integer hops;
+    unreached nodes absent by contract."""
+    from ..operators import graph
+
+    seeds = (
+        _t(spark, sf_dir, "customer")
+        .filter(
+            (F.col("c_mktsegment") == "BUILDING")
+            & (F.col("c_custkey") % 100 == 0)
+        )
+        .select(F.col("c_custkey").cast("long").alias("node"))
+    )
+    return graph.bfs_hops(
+        _q77_edges(spark, sf_dir),
+        seeds,
+        max_hops=_Q81_MAX_HOPS,
+        directed=False,
+    )

@@ -86,6 +86,10 @@ _SLOW_TESTS = {
     "test_pagerank_personalized_matches_reference",
     "test_pagerank_weighted_matches_reference",
     "test_pagerank_converged_equals_fixed_iteration",
+    "test_parked_weighted_pagerank_real_corpus",
+    "test_parked_entity_clusters_real_corpus",
+    "test_bfs_hops_matches_naive_reference",
+    "test_parked_bfs_reach_real_corpus",
     "test_parked_ppr_segment_real_corpus",
     "test_fuzzy_matches_randomized_naive_sweep",
     "test_exact_close_e2e_bridge_matches_batch",

@@ -759,6 +759,27 @@ def test_fuzzy_matches_hot_gram_cut_planted(spark):
     assert cut == duck_cut
 
 
+def test_parked_entity_clusters_real_corpus(spark):
+    """The parked q79 closes the q76 fuzzy pairs into connected
+    components (duplicate_clusters) and matches the RECURSIVE-CTE
+    oracle exactly — the iterative CC loop vs the engine-native
+    fixpoint. Structure: transitivity exercised (components larger
+    than any single pair), every canonical is a member of its own
+    cluster, sizes consistent."""
+    con = _duck(SF_DIR)
+    got, cols = _run_parked(spark, "q79_entity_clusters", SF_DIR, con)
+    i_t, i_c, i_n = (cols.index("text"), cols.index("canonical"),
+                     cols.index("n_members"))
+    by_c: dict = {}
+    for r in got:
+        by_c.setdefault(r[i_c], []).append(r)
+    assert max(r[i_n] for r in got) >= 3  # transitive chains exist
+    for c, members in by_c.items():
+        assert c in {m[i_t] for m in members}  # canonical is a member
+        assert all(m[i_n] == len(members) for m in members)
+        assert c == min(m[i_t] for m in members)  # min-label contract
+
+
 def test_entity_resolution_composition(spark):
     """The full merge-purge pipeline composes from existing parts:
     fuzzy_matches (typo pairs) → duplicate_clusters (transitive
@@ -1004,6 +1025,109 @@ def test_parked_pagerank_real_corpus(spark):
     assert len(nations) == 25 and len(suppliers) >= 10 and len(customers) >= 100
     assert min(nations) > max(customers)
     assert len(set(suppliers)) > 1
+
+
+def test_parked_weighted_pagerank_real_corpus(spark):
+    """The parked q80 weighted PageRank equals the generalized
+    chained-CTE oracle (weighted=True) bit-for-bit on the trade graph
+    with edge weight = purchase multiplicity. Structure: same node
+    bands as q77, but the SUPPLIER MASS VECTOR differs from q77's —
+    duplicate collapse vs weight sum is a real semantic difference on
+    this corpus."""
+    con = _duck(SF_DIR)
+    got, cols = _run_parked(spark, "q80_weighted_pagerank", SF_DIR, con)
+    i_n, i_m = cols.index("node"), cols.index("mass")
+    sup80 = {
+        r[i_n]: r[i_m] for r in got if 10_000_000 <= r[i_n] < 20_000_000
+    }
+    got77, cols77 = _run_parked(spark, "q77_pagerank", SF_DIR, con)
+    j_n, j_m = cols77.index("node"), cols77.index("mass")
+    sup77 = {
+        r[j_n]: r[j_m] for r in got77 if 10_000_000 <= r[j_n] < 20_000_000
+    }
+    assert set(sup80) == set(sup77)  # same supplier node set
+    assert sup80 != sup77  # multiplicity weighting actually moves mass
+
+
+def test_bfs_hops_matches_naive_reference(spark):
+    """graph.bfs_hops == a naive Python BFS on a handcrafted graph with
+    a cycle, a diamond (two paths of different length — MIN wins), an
+    unreachable island, and a node beyond the hop cap; at 1 and 7
+    partitions; directed AND undirected; no-seed raises."""
+    import pytest as _pytest
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        graph,
+    )
+
+    #   1→2→3→4→5→6 (chain beyond cap), 1→3 (diamond shortcut),
+    #   3→1 (cycle), 8→9 (island)
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (1, 3), (3, 1), (8, 9)]
+
+    def naive(edge_list, seed_set, max_hops, directed):
+        adj: dict = {}
+        for s, d in edge_list:
+            adj.setdefault(s, set()).add(d)
+            if not directed:
+                adj.setdefault(d, set()).add(s)
+        dist = {v: 0 for v in seed_set}
+        frontier = set(seed_set)
+        for h in range(1, max_hops + 1):
+            frontier = {
+                d for v in frontier for d in adj.get(v, ())
+            } - dist.keys()
+            for v in frontier:
+                dist[v] = h
+            if not frontier:
+                break
+        return dist
+
+    for directed in (True, False):
+        want = naive(edges, {1}, 3, directed)
+        for parts in (1, 7):
+            df = spark.createDataFrame(
+                edges, "src long, dst long"
+            ).repartition(parts)
+            seeds = spark.createDataFrame([(1,)], "node long")
+            got = {
+                r.node: r.hops
+                for r in graph.bfs_hops(
+                    df, seeds, max_hops=3, directed=directed
+                ).collect()
+            }
+            assert got == want, (directed, parts)
+    # cap semantics: node 6 is 4 hops out (1→3 shortcut, then 3→4→5→6)
+    # — absent at cap 3, present at 8
+    df = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    far = {
+        r.node: r.hops
+        for r in graph.bfs_hops(df, seeds, max_hops=8).collect()
+    }
+    assert far[6] == 4 and 8 not in far and 9 not in far  # island unreached
+    assert 6 not in {
+        r.node
+        for r in graph.bfs_hops(df, seeds, max_hops=3).collect()
+    }
+    # diamond: 3 is MIN(2 via 1→3, 2 via 1→2→3) = 1 hop
+    assert far[3] == 1
+    with _pytest.raises(ValueError, match="no seed intersects"):
+        graph.bfs_hops(
+            df, spark.createDataFrame([(42,)], "node long"), max_hops=2
+        )
+
+
+def test_parked_bfs_reach_real_corpus(spark):
+    """The parked q81 BFS reach equals its recursive-CTE oracle on the
+    undirected trade graph from 3 sparse seeds; structure: all five
+    hop levels 0..4 populated (the measured 3/60/1519/40/3 shape —
+    asserted loosely as presence, not counts)."""
+    con = _duck(SF_DIR)
+    got, cols = _run_parked(spark, "q81_bfs_reach", SF_DIR, con)
+    i_h = cols.index("hops")
+    levels = {r[i_h] for r in got}
+    assert levels == {0, 1, 2, 3, 4}
+    assert len(got) > 1000
 
 
 def test_parked_output_types_are_comparator_safe(spark):

@@ -40,6 +40,13 @@ ID_COLS = {
     "embeddings": ["vec_id"],
 }
 SHIFT = 100_000_000
+# Per-column overrides (r15): o_custkey must stay below the q77-family
+# node-band boundary (1e7) or the graph probes' edge builder raises its
+# band-overflow assertion (and r14's q77 probe, run before the
+# assertion existed, silently aliased replica customers into the
+# supplier band). 1e6 spacing keeps up to 9 replicas of sf0.1's 15k
+# customers distinct AND inside the band.
+COLUMN_SHIFT = {"o_custkey": 1_000_000}
 
 
 def replicate(spark, n: int, out_dir: str) -> None:
@@ -54,7 +61,9 @@ def replicate(spark, n: int, out_dir: str) -> None:
         for k in range(n):
             rep = df
             for c in ids:
-                rep = rep.withColumn(c, F.col(c) + F.lit(k * SHIFT))
+                rep = rep.withColumn(
+                    c, F.col(c) + F.lit(k * COLUMN_SHIFT.get(c, SHIFT))
+                )
             if t == "documents":
                 rep = rep.withColumn(
                     "text",
