@@ -39,8 +39,15 @@ r14: an intermittent driver-heap OOM at collect); checkpointing
 truncates lineage to constant depth.
 
 Related: duplicate_clusters (operators/dedup.py) does pointer-jumping
-connected components in O(log d) rounds — together they cover the two
-classic iterative graph shapes.
+connected components in O(log d) rounds. The module's r15 additions —
+bfs_hops (min-hop reach) and shortest_paths (hop-capped Bellman-Ford)
+— share the same contract shape: an integer relaxation loop with
+truncated lineage on the Spark side, an engine-native WITH RECURSIVE
+fixpoint as the DuckDB oracle, and the hop cap as the shared semantic
+that makes cyclic recursion terminate. Together the four cover the
+classic iterative graph shapes: rank (pagerank), components
+(duplicate_clusters / q79), reach (bfs_hops), distance
+(shortest_paths).
 """
 
 from __future__ import annotations
@@ -524,4 +531,147 @@ walk(node, hops) AS (
     WHERE walk.hops < {int(max_hops)}
 )
 SELECT node, CAST(MIN(hops) AS BIGINT) AS hops FROM walk GROUP BY node
+"""
+
+
+def shortest_paths(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+    directed: bool = True,
+) -> DataFrame:
+    """Hop-capped WEIGHTED shortest paths (Bellman-Ford relaxation):
+    (node, dist) BIGINT where dist = minimum total edge weight over
+    paths of at most ``max_hops`` edges from the seed set (unreached
+    nodes absent). ``weight_col`` None means w ≡ 1, where dist IS the
+    BFS hop distance — :func:`bfs_hops` is the w ≡ 1 special case
+    (test-pinned identity). Weights are positive int64 (validated);
+    the max_hops·max_weight int64 envelope is enforced loudly.
+    Duplicate (src,dst) edges keep the MINIMUM weight (the only one a
+    shortest path would use).
+
+    After k rounds the label table holds the exact minimum over
+    ≤ k-edge paths (the Bellman-Ford invariant), so the hop cap is a
+    semantic contract shared with the recursive-CTE oracle
+    (:func:`shortest_paths_oracle_sql`) exactly like bfs_hops'; a
+    fixpoint round exits early WITHOUT changing the answer (if a full
+    relaxation changes nothing, no longer path improves any label —
+    induction). Per round: one src-keyed join + one dst-keyed MIN +
+    one node-keyed MIN fold, lineage truncated per round."""
+    w_expr = (
+        F.lit(1).cast("long")
+        if weight_col is None
+        else F.col(weight_col).cast("long")
+    )
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"),
+            F.col(dst_col).alias("dst"),
+            w_expr.alias("_w"),
+        )
+        .filter(
+            F.col("src").isNotNull()
+            & F.col("dst").isNotNull()
+            & F.col("_w").isNotNull()
+        )
+    )
+    if not directed:
+        e = e.unionByName(
+            e.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "_w"
+            )
+        )
+    e = e.groupBy("src", "dst").agg(F.min("_w").alias("_w")).persist()
+    wmin, wmax = e.agg(F.min("_w"), F.max("_w")).collect()[0]
+    if wmin is not None and wmin <= 0:
+        raise ValueError(
+            f"shortest_paths: edge weights must be positive (min {wmin})"
+        )
+    if wmax is not None and int(max_hops) * int(wmax) >= 2**63:
+        raise ValueError(
+            f"shortest_paths: max_hops*max_weight = {int(max_hops) * int(wmax)}"
+            " overflows int64 — lower the cap or rescale weights"
+        )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    labels = (
+        nodes.join(seeds.select("node").distinct(), "node", "left_semi")
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint(True)
+    )
+    if labels.isEmpty():
+        raise ValueError("shortest_paths: no seed intersects the graph's nodes")
+    for _ in range(int(max_hops)):
+        relaxed = (
+            e.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min(F.col("dist") + F.col("_w")).cast("long").alias("dist"))
+        )
+        nxt = (
+            labels.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").cast("long").alias("dist"))
+            .localCheckpoint(True)
+        )
+        # fixpoint: labels only ever ADD nodes or LOWER dists, so
+        # equal (count, sum) means identical tables (adding raises
+        # count; with equal counts, only drops are possible, which
+        # strictly lower the sum)
+        a = labels.agg(F.count(F.lit(1)), F.sum("dist")).collect()[0]
+        b = nxt.agg(F.count(F.lit(1)), F.sum("dist")).collect()[0]
+        labels = nxt
+        if tuple(a) == tuple(b):
+            break
+    e.unpersist()
+    return labels
+
+
+def shortest_paths_oracle_sql(
+    edges_sql: str,
+    seeds_sql: str,
+    max_hops: int = 8,
+    weighted: bool = False,
+    directed: bool = True,
+) -> str:
+    """The DuckDB twin of :func:`shortest_paths`: the recursive walk
+    enumerates every (node, path weight, path length) triple within
+    the hop cap — finite, so it terminates on cycles — and MIN(d) per
+    node is the capped shortest distance, exactly the Bellman-Ford
+    k-round invariant. ``edges_sql`` yields (src, dst) or
+    (src, dst, w) when ``weighted``; duplicate pairs keep MIN(w)."""
+    w_sel = "w" if weighted else "1 AS w"
+    w_guard = " AND w IS NOT NULL" if weighted else ""
+    rev = (
+        ""
+        if directed
+        else f" UNION ALL SELECT dst AS src, src AS dst, {w_sel} FROM"
+             f" ({edges_sql}) WHERE src IS NOT NULL AND dst IS NOT NULL"
+             f"{w_guard}"
+    )
+    return f"""
+WITH RECURSIVE e AS (
+    SELECT src, dst, CAST(MIN(w) AS BIGINT) AS w FROM (
+        SELECT src, dst, {w_sel} FROM ({edges_sql})
+        WHERE src IS NOT NULL AND dst IS NOT NULL{w_guard}{rev}
+    ) GROUP BY 1, 2
+),
+base_nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+seeds AS (
+    SELECT DISTINCT node FROM ({seeds_sql})
+    WHERE node IN (SELECT node FROM base_nodes)
+),
+walk(node, d, hops) AS (
+    SELECT node, CAST(0 AS BIGINT), 0 FROM seeds
+    UNION
+    SELECT e.dst, walk.d + e.w, walk.hops + 1
+    FROM walk JOIN e ON e.src = walk.node
+    WHERE walk.hops < {int(max_hops)}
+)
+SELECT node, CAST(MIN(d) AS BIGINT) AS dist FROM walk GROUP BY node
 """

@@ -1117,6 +1117,103 @@ def test_bfs_hops_matches_naive_reference(spark):
         )
 
 
+def test_shortest_paths_matches_naive_and_duckdb(spark):
+    """graph.shortest_paths == a naive hop-capped Bellman-Ford AND the
+    recursive-CTE oracle run in DuckDB, on a handcrafted weighted
+    graph where the light path needs MORE hops than the heavy one —
+    so the hop cap genuinely changes the answer (dist(2) = 10 direct
+    at cap 2, 3 via the light 3-hop path at cap 3); w ≡ 1 equals
+    bfs_hops exactly; duplicate edges keep MIN weight; non-positive
+    weight and overflow both raise."""
+    import duckdb
+
+    import pytest as _pytest
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        graph,
+    )
+
+    wedges = [(1, 2, 10), (1, 3, 1), (3, 4, 1), (4, 2, 1), (2, 1, 1),
+              (8, 9, 2), (1, 3, 7)]  # dup (1,3) keeps MIN=1
+
+    def naive(edge_list, seed_set, max_hops):
+        best: dict = {}
+        for s, d, w in edge_list:
+            k = (s, d)
+            best[k] = min(best.get(k, w), w)
+        dist = {v: 0 for v in seed_set}
+        for _ in range(max_hops):
+            nxt = dict(dist)
+            for (s, d), w in best.items():
+                if s in dist and dist[s] + w < nxt.get(d, float("inf")):
+                    nxt[d] = dist[s] + w
+            dist = nxt
+        return dist
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE we AS SELECT * FROM (VALUES "
+        + ", ".join(f"({s}, {d}, {w})" for s, d, w in wedges)
+        + ") AS t(src, dst, w)"
+    )
+    for cap in (2, 3, 8):
+        want = naive(wedges, {1}, cap)
+        duck = dict(
+            con.execute(
+                graph.shortest_paths_oracle_sql(
+                    "SELECT src, dst, w FROM we",
+                    "SELECT 1 AS node",
+                    max_hops=cap,
+                    weighted=True,
+                )
+            ).fetchall()
+        )
+        assert duck == want, cap
+        for parts in (1, 7):
+            df = spark.createDataFrame(
+                wedges, "src long, dst long, w long"
+            ).repartition(parts)
+            seeds = spark.createDataFrame([(1,)], "node long")
+            got = {
+                r.node: r.dist
+                for r in graph.shortest_paths(
+                    df, seeds, max_hops=cap, weight_col="w"
+                ).collect()
+            }
+            assert got == want, (cap, parts)
+    assert naive(wedges, {1}, 2)[2] == 10 and naive(wedges, {1}, 3)[2] == 3
+    # w ≡ 1 IS hop distance: shortest_paths == bfs_hops
+    df = spark.createDataFrame(
+        [(s, d) for s, d, _ in wedges], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    sp = {
+        r.node: r.dist
+        for r in graph.shortest_paths(df, seeds, max_hops=4).collect()
+    }
+    bf = {
+        r.node: r.hops
+        for r in graph.bfs_hops(df, seeds, max_hops=4).collect()
+    }
+    assert sp == bf
+    with _pytest.raises(ValueError, match="must be positive"):
+        graph.shortest_paths(
+            spark.createDataFrame([(1, 2, -1)], "src long, dst long, w long"),
+            seeds,
+            max_hops=2,
+            weight_col="w",
+        )
+    with _pytest.raises(ValueError, match="overflows int64"):
+        graph.shortest_paths(
+            spark.createDataFrame(
+                [(1, 2, 2**62)], "src long, dst long, w long"
+            ),
+            seeds,
+            max_hops=4,
+            weight_col="w",
+        )
+
+
 def test_parked_bfs_reach_real_corpus(spark):
     """The parked q81 BFS reach equals its recursive-CTE oracle on the
     undirected trade graph from 3 sparse seeds; structure: all five
