@@ -5576,14 +5576,21 @@ def q80_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q81 (PARKED, r15) — BFS hop distance under a RECURSIVE-CTE oracle
 # ---------------------------------------------------------------------------
 
-# A sparse seed set (every 100th BUILDING customer — 3 seeds at sf0.01)
-# so the undirected trade graph yields real hop structure: 0 = seeds,
-# 1 = their suppliers, 2 = co-buying customers + those suppliers'
-# nations, 3-4 = the long tail through other nations' suppliers
-# (measured 3/60/1519/40/3 at sf0.01).
+# A sparse seed set — the THREE LOWEST BUILDING custkeys — so the
+# undirected trade graph yields real hop structure: 0 = seeds, 1 =
+# their suppliers, 2 = co-buying customers + those suppliers' nations,
+# 3-4 = the long tail through other nations' suppliers (measured
+# 3/76/1521/24/1 at sf0.01, 3/136/14814/864/207 at sf0.1; sf0.001's
+# 170-node graph is fully reached by hop 2). Rank-based rather than
+# modulo-based ON PURPOSE: the first cut ("custkey % 100 = 0 AND
+# BUILDING") was EMPTY at sf0.001 and bfs_hops' no-seed contract
+# raises — caught by the off-gate-SF parked sweep, the r8
+# latent-at-gate-SF class again. A seed rule must be non-empty at
+# EVERY SF by construction, not by luck of the slice.
 _Q81_SEEDS_SQL = (
-    "SELECT CAST(c_custkey AS BIGINT) AS node FROM customer"
-    " WHERE c_mktsegment = 'BUILDING' AND c_custkey % 100 = 0"
+    "SELECT node FROM (SELECT CAST(c_custkey AS BIGINT) AS node"
+    " FROM customer WHERE c_mktsegment = 'BUILDING'"
+    " ORDER BY c_custkey LIMIT 3)"
 )
 _Q81_MAX_HOPS = 4
 
@@ -5609,13 +5616,17 @@ def q81_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     unreached nodes absent by contract."""
     from ..operators import graph
 
+    from pyspark.sql.window import Window as _W
+
     seeds = (
         _t(spark, sf_dir, "customer")
-        .filter(
-            (F.col("c_mktsegment") == "BUILDING")
-            & (F.col("c_custkey") % 100 == 0)
-        )
+        .filter(F.col("c_mktsegment") == "BUILDING")
         .select(F.col("c_custkey").cast("long").alias("node"))
+        .withColumn(
+            "_rn", F.row_number().over(_W.orderBy("node"))
+        )
+        .filter(F.col("_rn") <= 3)
+        .select("node")
     )
     return graph.bfs_hops(
         _q77_edges(spark, sf_dir),
