@@ -44,9 +44,10 @@ SHIFT = 100_000_000
 # node-band boundary (1e7) or the graph probes' edge builder raises its
 # band-overflow assertion (and r14's q77 probe, run before the
 # assertion existed, silently aliased replica customers into the
-# supplier band). 1e6 spacing keeps up to 9 replicas of sf0.1's 15k
-# customers distinct AND inside the band.
-COLUMN_SHIFT = {"o_custkey": 1_000_000}
+# supplier band). 1e5 spacing keeps up to 99 replicas of sf0.1's 15k
+# customers distinct AND inside the band (shift only needs to exceed
+# the max base custkey).
+COLUMN_SHIFT = {"o_custkey": 100_000}
 
 
 def replicate(spark, n: int, out_dir: str) -> None:
