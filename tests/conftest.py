@@ -91,6 +91,7 @@ _SLOW_TESTS = {
     "test_bfs_hops_matches_naive_reference",
     "test_parked_bfs_reach_real_corpus",
     "test_shortest_paths_matches_naive_and_duckdb",
+    "test_incremental_agg_refresh_equals_full_recompute",
     "test_parked_ppr_segment_real_corpus",
     "test_fuzzy_matches_randomized_naive_sweep",
     "test_exact_close_e2e_bridge_matches_batch",

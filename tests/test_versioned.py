@@ -233,3 +233,108 @@ def test_read_changes_cdc_between_generations(spark, tmp_path):
     versioned.vacuum(root, keep_last=1)
     with pytest.raises(FileNotFoundError):
         versioned.read_changes(spark, root, ["k"], g0, g2)
+
+
+def _full_agg(df, group_cols, sum_cols, count_col="n_rows"):
+    from pyspark.sql import functions as F
+
+    return df.groupBy(*group_cols).agg(
+        *[F.sum(F.col(c).cast("long")).cast("long").alias(c) for c in sum_cols],
+        F.count(F.lit(1)).cast("long").alias(count_col),
+    )
+
+
+def test_incremental_agg_refresh_equals_full_recompute(spark):
+    """incremental_agg_refresh == a full recompute BIT-EXACTLY across
+    randomized multi-generation edits (adds, removes, value changes,
+    GROUP-MOVING changes), chained gen→gen→gen, at 1 and 7
+    partitions; groups whose count reaches zero disappear exactly as
+    they do under recompute."""
+    import random
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    rng = random.Random(11)
+    rows = {
+        i: (f"g{rng.randrange(5)}", rng.randrange(100, 10_000))
+        for i in range(200)
+    }
+
+    def snap(r):
+        return spark.createDataFrame(
+            [(k, g, v) for k, (g, v) in sorted(r.items())],
+            "id long, grp string, cents long",
+        )
+
+    gens = [dict(rows)]
+    for _ in range(3):
+        cur = dict(gens[-1])
+        for _ in range(25):  # removes
+            if cur:
+                cur.pop(rng.choice(sorted(cur)))
+        for _ in range(25):  # adds
+            cur[max(cur, default=0) + rng.randrange(1, 9)] = (
+                f"g{rng.randrange(5)}", rng.randrange(100, 10_000),
+            )
+        for _ in range(25):  # changes, half of them group-moving
+            if cur:
+                k = rng.choice(sorted(cur))
+                g, v = cur[k]
+                cur[k] = (
+                    f"g{rng.randrange(5)}" if rng.random() < 0.5 else g,
+                    rng.randrange(100, 10_000),
+                )
+        # drop one whole group sometimes (zero-count path)
+        if rng.random() < 0.7:
+            gone = f"g{rng.randrange(5)}"
+            cur = {k: gv for k, gv in cur.items() if gv[0] != gone}
+        gens.append(cur)
+
+    for parts in (1, 7):
+        agg = _full_agg(snap(gens[0]).repartition(parts), ["grp"], ["cents"])
+        for i in range(1, len(gens)):
+            old_s = snap(gens[i - 1]).repartition(parts)
+            new_s = snap(gens[i]).repartition(parts)
+            agg = versioned.incremental_agg_refresh(
+                agg, old_s, new_s, ["id"], ["grp"], ["cents"]
+            )
+            want = {
+                (r.grp, r.cents, r.n_rows)
+                for r in _full_agg(new_s, ["grp"], ["cents"]).collect()
+            }
+            got = {(r.grp, r.cents, r.n_rows) for r in agg.collect()}
+            assert got == want, (parts, i)
+
+
+def test_incremental_agg_refresh_guards(spark):
+    """Float measures are rejected up front (order-dependent sums
+    cannot be delta-applied); an old_agg that is NOT the aggregate of
+    old_snapshot raises at evaluation (negative count guard)."""
+    import pytest as _pytest
+
+    from pyspark.sql import utils as _u  # noqa: F401
+
+    old_s = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20)], "id long, grp string, cents long"
+    )
+    new_s = spark.createDataFrame(
+        [(2, "a", 20)], "id long, grp string, cents long"
+    )
+    fl = spark.createDataFrame(
+        [(1, "a", 1.5)], "id long, grp string, cents double"
+    )
+    ok_agg = _full_agg(old_s, ["grp"], ["cents"])
+    with _pytest.raises(ValueError, match="integral"):
+        versioned.incremental_agg_refresh(
+            ok_agg, fl, fl, ["id"], ["grp"], ["cents"]
+        )
+    # wrong old_agg: claims zero rows for group a, so removing id=1
+    # would drive the count negative — must raise, never publish
+    bad_agg = spark.createDataFrame(
+        [("a", 0, 0)], "grp string, cents long, n_rows long"
+    )
+    out = versioned.incremental_agg_refresh(
+        bad_agg, old_s, new_s, ["id"], ["grp"], ["cents"]
+    )
+    with _pytest.raises(Exception, match="negative row count"):
+        out.collect()
