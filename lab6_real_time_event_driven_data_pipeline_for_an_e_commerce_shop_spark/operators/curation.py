@@ -818,3 +818,78 @@ def dsir_logweights(
             F.col("_id").alias(id_col), "n_features", "dsir_logweight_micro"
         )
     )
+
+
+def distribution_drift(
+    old: DataFrame,
+    new: DataFrame,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Population Stability Index between two dataset versions (or
+    splits) over a categorical/bucketed column — THE standard
+    production drift monitor, INTEGER-EXACT so both engines agree
+    bit-for-bit: shares are integer ppm (clamped ≥ 1 ppm, the
+    PSI-epsilon convention in integer form), logs go through the
+    published interpolated log2 table (functions.expressions.
+    log2_interp_micro — the repo's "libm only as published literals"
+    rule), and each bucket's term is
+
+        psi_term_micro = (q_ppm − p_ppm) · (log2µ(q_ppm) − log2µ(p_ppm))
+                         DIV 10⁶          [micro-bits, always ≥ 0]
+
+    Σ psi_term_micro is the PSI in micro-BITS (the conventional
+    ln-based PSI is a fixed ln2 rescale — monotone, thresholds map
+    1:1: the classic 0.1/0.25 warning/action levels are ~144k/360k
+    µbits). Output grain: one row per bucket present in EITHER side
+    (missing side counts 0 → clamped share), columns (bucket, n_old,
+    n_new, p_ppm, q_ppm, psi_term_micro) — all comparator-safe.
+
+    Scale shape: one grouped count per side (map-side partial), one
+    bucket-keyed outer join at BUCKET grain (tiny), totals as two
+    bounded 1-row scalars (plan literals on both engines). NULL is a
+    bucket like any other."""
+    from ..functions.expressions import log2_interp_micro_sql
+
+    total_old = old.count()
+    total_new = new.count()
+    if total_old == 0 or total_new == 0:
+        raise ValueError("distribution_drift: both sides must be non-empty")
+    o = old.groupBy(F.col(bucket_col).alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_old")
+    )
+    n = new.groupBy(F.col(bucket_col).alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_new")
+    )
+    shares = (
+        o.join(n, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("n_old", F.lit(0).cast("long")).alias("n_old"),
+            F.coalesce("n_new", F.lit(0).cast("long")).alias("n_new"),
+        )
+        .select(
+            "bucket",
+            "n_old",
+            "n_new",
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.expr(f"n_old * CAST(1000000 AS BIGINT) div {int(total_old)}"),
+            ).alias("p_ppm"),
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.expr(f"n_new * CAST(1000000 AS BIGINT) div {int(total_new)}"),
+            ).alias("q_ppm"),
+        )
+    )
+    lp = log2_interp_micro_sql("p_ppm", "spark")
+    lq = log2_interp_micro_sql("q_ppm", "spark")
+    return shares.select(
+        "bucket",
+        "n_old",
+        "n_new",
+        "p_ppm",
+        "q_ppm",
+        F.expr(
+            f"CAST(((q_ppm - p_ppm) * (({lq}) - ({lp}))) div 1000000 AS BIGINT)"
+        ).alias("psi_term_micro"),
+    )

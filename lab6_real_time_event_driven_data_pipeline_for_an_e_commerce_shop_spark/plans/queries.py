@@ -5634,3 +5634,75 @@ def q81_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_hops=_Q81_MAX_HOPS,
         directed=False,
     )
+
+
+# ---------------------------------------------------------------------------
+# q82 (PARKED, r15) — split representativeness via integer PSI drift
+# ---------------------------------------------------------------------------
+
+
+def _q82_oracle() -> str:
+    from ..functions.expressions import log2_interp_micro_sql
+
+    lp = log2_interp_micro_sql("p_ppm", "duckdb")
+    lq = log2_interp_micro_sql("q_ppm", "duckdb")
+    return f"""
+WITH splits AS (
+    SELECT lang,
+           CASE WHEN {_PHASH_ID} % 100 < 10 THEN 'test'
+                WHEN {_PHASH_ID} % 100 < 20 THEN 'val'
+                ELSE 'train' END AS split
+    FROM documents
+),
+o AS (SELECT lang AS bucket, CAST(COUNT(*) AS BIGINT) AS n_old
+      FROM splits WHERE split = 'train' GROUP BY 1),
+n AS (SELECT lang AS bucket, CAST(COUNT(*) AS BIGINT) AS n_new
+      FROM splits WHERE split = 'val' GROUP BY 1),
+tot AS (
+    SELECT CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+               AS t_old,
+           CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT)
+               AS t_new
+    FROM splits
+),
+shares AS (
+    SELECT COALESCE(o.bucket, n.bucket) AS bucket,
+           COALESCE(n_old, 0) AS n_old,
+           COALESCE(n_new, 0) AS n_new,
+           GREATEST(CAST(1 AS BIGINT),
+                    COALESCE(n_old, 0) * CAST(1000000 AS BIGINT)
+                        // (SELECT t_old FROM tot)) AS p_ppm,
+           GREATEST(CAST(1 AS BIGINT),
+                    COALESCE(n_new, 0) * CAST(1000000 AS BIGINT)
+                        // (SELECT t_new FROM tot)) AS q_ppm
+    FROM o FULL OUTER JOIN n ON o.bucket = n.bucket
+)
+SELECT bucket, n_old, n_new, p_ppm, q_ppm,
+       CAST(((q_ppm - p_ppm) * (({lq}) - ({lp}))) // 1000000 AS BIGINT)
+           AS psi_term_micro
+FROM shares
+"""
+
+
+@parked_query("q82_split_drift", _q82_oracle())
+def q82_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split representativeness audit — PARKED (r15): the integer PSI
+    (curation.distribution_drift) of the LANGUAGE distribution between
+    the deterministic train and val splits (curation.assign_split, the
+    q52 machinery). Answers "is my val split distributionally
+    representative?" with a cross-engine-exact number: shares in
+    clamped integer ppm, logs via the published interpolated log2
+    table, per-bucket terms in micro-bits (Σ = PSI_bits·10⁶; the
+    classic 0.1/0.25 ln-PSI thresholds are ~144k/360k µbits). The
+    oracle re-derives splits, shares, AND the log table identically —
+    a hash match proves the whole drift pipeline, not just the
+    counts."""
+    from ..operators.curation import assign_split, distribution_drift
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    s = assign_split(docs)
+    return distribution_drift(
+        s.filter(F.col("split") == "train"),
+        s.filter(F.col("split") == "val"),
+        bucket_col="lang",
+    )

@@ -1303,3 +1303,72 @@ def test_parked_paragraph_dedup_real_corpus(spark):
     got, cols = _run_parked(spark, "q63_paragraph_dedup", SF_DIR, con)
     np = cols.index("n_paras")
     assert got and all(r[np] == 1 for r in got)
+
+
+def test_distribution_drift_psi_semantics(spark):
+    """Integer PSI unit pins: identical distributions → every term 0;
+    a planted shift is positive and grows with the shift; a bucket
+    missing on one side clamps to 1 ppm instead of dividing by zero;
+    an empty side raises; the integer µbit total tracks the float
+    PSI-in-bits within the table's documented error envelope."""
+    import math
+
+    import pytest as _pytest
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators.curation import (
+        distribution_drift,
+    )
+
+    def mk(counts):
+        rows = [(b,) for b, c in counts.items() for _ in range(c)]
+        return spark.createDataFrame(rows, "lang string")
+
+    same = {"en": 70, "fr": 20, "de": 10}
+    z = distribution_drift(mk(same), mk(same), "lang").collect()
+    assert all(r.psi_term_micro == 0 for r in z)
+
+    shifted_small = {"en": 65, "fr": 25, "de": 10}
+    shifted_big = {"en": 40, "fr": 50, "de": 10}
+    psi_small = sum(
+        r.psi_term_micro
+        for r in distribution_drift(mk(same), mk(shifted_small), "lang").collect()
+    )
+    psi_big = sum(
+        r.psi_term_micro
+        for r in distribution_drift(mk(same), mk(shifted_big), "lang").collect()
+    )
+    assert 0 < psi_small < psi_big
+
+    # float twin (PSI in bits): |integer − float| small relative scale
+    def psi_bits(p, q):
+        tot_p, tot_q = sum(p.values()), sum(q.values())
+        out = 0.0
+        for b in set(p) | set(q):
+            pp = max(p.get(b, 0) / tot_p, 1e-6)
+            qq = max(q.get(b, 0) / tot_q, 1e-6)
+            out += (qq - pp) * (math.log2(qq) - math.log2(pp))
+        return out
+    assert abs(psi_big / 1e6 - psi_bits(same, shifted_big)) < 0.01
+
+    # one-sided bucket: clamped, positive, no crash
+    gone = distribution_drift(
+        mk({"en": 50, "zz": 50}), mk({"en": 100}), "lang"
+    ).collect()
+    by_b = {r.lang if hasattr(r, "lang") else r.bucket: r for r in gone}
+    assert by_b["zz"].q_ppm == 1 and by_b["zz"].psi_term_micro > 0
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        distribution_drift(mk(same), mk({}), "lang")
+
+
+def test_parked_split_drift_real_corpus(spark):
+    """The parked q82 integer PSI over train-vs-val language shares
+    matches its oracle; structure: every corpus language appears, all
+    terms ≥ 0, and the total is far below the 0.1-PSI warning level
+    (~144k µbits) — the hash split IS representative."""
+    con = _duck(SF_DIR)
+    got, cols = _run_parked(spark, "q82_split_drift", SF_DIR, con)
+    i_t = cols.index("psi_term_micro")
+    assert len(got) >= 3
+    assert all(r[i_t] >= 0 for r in got)
+    assert sum(r[i_t] for r in got) < 144_000
