@@ -854,16 +854,21 @@ def distribution_drift(
     total_new = new.count()
     if total_old == 0 or total_new == 0:
         raise ValueError("distribution_drift: both sides must be non-empty")
-    o = old.groupBy(F.col(bucket_col).alias("bucket")).agg(
+    o = old.groupBy(F.col(bucket_col).alias("_bo")).agg(
         F.count(F.lit(1)).cast("long").alias("n_old")
     )
-    n = new.groupBy(F.col(bucket_col).alias("bucket")).agg(
+    n = new.groupBy(F.col(bucket_col).alias("_bn")).agg(
         F.count(F.lit(1)).cast("long").alias("n_new")
     )
+    # NULL-SAFE outer merge: a name-based full-outer join matches keys
+    # with plain equality, so a NULL bucket present on BOTH sides would
+    # emit two half-rows instead of one merged row (found in the r15
+    # self-review; groupBy had already made NULL a single group on each
+    # side, the join then failed to marry them)
     shares = (
-        o.join(n, "bucket", "full_outer")
+        o.join(n, F.col("_bo").eqNullSafe(F.col("_bn")), "full_outer")
         .select(
-            "bucket",
+            F.coalesce("_bo", "_bn").alias("bucket"),
             F.coalesce("n_old", F.lit(0).cast("long")).alias("n_old"),
             F.coalesce("n_new", F.lit(0).cast("long")).alias("n_new"),
         )

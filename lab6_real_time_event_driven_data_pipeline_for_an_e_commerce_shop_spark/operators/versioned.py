@@ -334,8 +334,22 @@ def incremental_agg_refresh(
         *[F.col(c).alias(f"_o_{c}") for c in sum_cols],
         F.col(count_col).alias("_o_n"),
     )
-    merged = o.join(delta, group_cols, "full_outer").select(
-        *group_cols,
+    # NULL-SAFE outer merge on the group keys: a name-based full-outer
+    # join matches with plain equality, so a NULL group value present
+    # in both the served aggregate and the delta would emit two
+    # half-rows instead of one (the r15 self-review find, shared with
+    # distribution_drift)
+    d = delta.select(
+        *[F.col(g).alias(f"_dg_{g}") for g in group_cols],
+        *[F.col(f"_d_{c}") for c in sum_cols],
+        "_d_n",
+    )
+    cond = None
+    for g in group_cols:
+        term = F.col(g).eqNullSafe(F.col(f"_dg_{g}"))
+        cond = term if cond is None else (cond & term)
+    merged = o.join(d, cond, "full_outer").select(
+        *[F.coalesce(g, f"_dg_{g}").alias(g) for g in group_cols],
         *[
             (
                 F.coalesce(f"_o_{c}", F.lit(0).cast("long"))

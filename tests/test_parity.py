@@ -1360,6 +1360,21 @@ def test_distribution_drift_psi_semantics(spark):
     with _pytest.raises(ValueError, match="non-empty"):
         distribution_drift(mk(same), mk({}), "lang")
 
+    # NULL is ONE bucket: present on both sides it must merge to a
+    # single row (a name-join full-outer would emit two half-rows —
+    # the r15 self-review find), and identical NULL shares give 0
+    def mkn(counts):
+        rows = [(b,) for b, c in counts.items() for _ in range(c)]
+        return spark.createDataFrame(rows, "lang string")
+
+    withnull = distribution_drift(
+        mkn({"en": 60, None: 40}), mkn({"en": 30, None: 20}), "lang"
+    ).collect()
+    assert len(withnull) == 2
+    nullrow = next(r for r in withnull if r.bucket is None)
+    assert (nullrow.n_old, nullrow.n_new) == (40, 20)
+    assert nullrow.psi_term_micro == 0  # same 40% share on both sides
+
 
 def test_parked_split_drift_real_corpus(spark):
     """The parked q82 integer PSI over train-vs-val language shares

@@ -255,10 +255,14 @@ def test_incremental_agg_refresh_equals_full_recompute(spark):
     from pyspark.sql import functions as F  # noqa: F401
 
     rng = random.Random(11)
-    rows = {
-        i: (f"g{rng.randrange(5)}", rng.randrange(100, 10_000))
-        for i in range(200)
-    }
+
+    def grp():
+        # NULL is a real group value (~1 in 6): the outer merge must
+        # marry NULL groups null-safely (the r15 self-review find)
+        g = rng.randrange(6)
+        return None if g == 5 else f"g{g}"
+
+    rows = {i: (grp(), rng.randrange(100, 10_000)) for i in range(200)}
 
     def snap(r):
         return spark.createDataFrame(
@@ -274,14 +278,14 @@ def test_incremental_agg_refresh_equals_full_recompute(spark):
                 cur.pop(rng.choice(sorted(cur)))
         for _ in range(25):  # adds
             cur[max(cur, default=0) + rng.randrange(1, 9)] = (
-                f"g{rng.randrange(5)}", rng.randrange(100, 10_000),
+                grp(), rng.randrange(100, 10_000),
             )
         for _ in range(25):  # changes, half of them group-moving
             if cur:
                 k = rng.choice(sorted(cur))
                 g, v = cur[k]
                 cur[k] = (
-                    f"g{rng.randrange(5)}" if rng.random() < 0.5 else g,
+                    grp() if rng.random() < 0.5 else g,
                     rng.randrange(100, 10_000),
                 )
         # drop one whole group sometimes (zero-count path)
