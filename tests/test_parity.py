@@ -1376,6 +1376,35 @@ def test_distribution_drift_psi_semantics(spark):
     assert nullrow.psi_term_micro == 0  # same 40% share on both sides
 
 
+def test_distribution_drift_is_symmetric(spark):
+    """PSI's defining algebraic property: each term
+    (q−p)(log q − log p) is invariant under swapping the sides, so
+    drift(old, new) and drift(new, old) carry IDENTICAL per-bucket
+    terms with n_old/n_new (and p/q) transposed — pinned on a skewed
+    pair including a one-sided bucket."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators.curation import (
+        distribution_drift,
+    )
+
+    def mk(counts):
+        rows = [(b,) for b, c in counts.items() for _ in range(c)]
+        return spark.createDataFrame(rows, "lang string")
+
+    a = {"en": 70, "fr": 20, "de": 10}
+    b = {"en": 40, "fr": 55, "zz": 5}
+    fwd = {
+        r.bucket: (r.n_old, r.n_new, r.p_ppm, r.q_ppm, r.psi_term_micro)
+        for r in distribution_drift(mk(a), mk(b), "lang").collect()
+    }
+    rev = {
+        r.bucket: (r.n_old, r.n_new, r.p_ppm, r.q_ppm, r.psi_term_micro)
+        for r in distribution_drift(mk(b), mk(a), "lang").collect()
+    }
+    assert set(fwd) == set(rev)
+    for k, (no, nn, p, q, t) in fwd.items():
+        assert rev[k] == (nn, no, q, p, t), k
+
+
 def test_parked_split_drift_real_corpus(spark):
     """The parked q82 integer PSI over train-vs-val language shares
     matches its oracle; structure: every corpus language appears, all
