@@ -91,25 +91,29 @@ class _PRState:
         else:
             # weighted: duplicate (src,dst) pairs SUM their weights;
             # weights must be POSITIVE integers (fixed-point discipline)
-            e = (
-                edges.select(
-                    F.col(src_col).alias("src"),
-                    F.col(dst_col).alias("dst"),
-                    F.col(weight_col).cast("long").alias("_w"),
-                )
-                .filter(
-                    F.col("src").isNotNull()
-                    & F.col("dst").isNotNull()
-                    & F.col("_w").isNotNull()
-                )
-                .groupBy("src", "dst")
-                .agg(F.sum("_w").cast("long").alias("_w"))
+            raw = edges.select(
+                F.col(src_col).alias("src"),
+                F.col(dst_col).alias("dst"),
+                F.col(weight_col).cast("long").alias("_w"),
+            ).filter(
+                F.col("src").isNotNull()
+                & F.col("dst").isNotNull()
+                & F.col("_w").isNotNull()
             )
-            wmin, wmax = e.agg(F.min("_w"), F.max("_w")).collect()[0]
-            if wmin is not None and wmin <= 0:
+            # positivity is validated on the RAW weights, BEFORE the
+            # per-pair sum (ADVICE r15): duplicate edges (+5, -2) must
+            # raise, not silently pass as 3 — the documented contract
+            # is per-edge positive, and the oracle/reference twins sum
+            # only weights this check has already admitted
+            rmin = raw.agg(F.min("_w")).collect()[0][0]
+            if rmin is not None and rmin <= 0:
                 raise ValueError(
-                    f"pagerank: edge weights must be positive (min {wmin})"
+                    f"pagerank: edge weights must be positive (min {rmin})"
                 )
+            e = raw.groupBy("src", "dst").agg(
+                F.sum("_w").cast("long").alias("_w")
+            )
+            wmax = e.agg(F.max("_w")).collect()[0][0]
             # per-edge product mass*w must stay in int64: per-node mass
             # is <= scale (truncating DIV only loses mass), so the bound
             # is scale*max_w < 2^63 — fail loudly, never wrap
@@ -172,7 +176,11 @@ class _PRState:
             "mass", (F.lit(self.base) * F.col("_seed")).cast("long")
         ).select("node", "mass").localCheckpoint(True)
 
-    def step(self, m: DataFrame) -> DataFrame:
+    def step_frame(self, m: DataFrame) -> DataFrame:
+        """One iteration's LAZY frame (no checkpoint) — step() is this
+        plus lineage truncation. Split out so the plan pin can assert
+        the per-iteration physical shape (the checkpointed frame's
+        plan is just a Scan ExistingRDD)."""
         contrib = (
             self.ed.join(m.withColumnRenamed("node", "src"), "src")
             .withColumn("_c", F.expr("(mass * _w) div outw"))
@@ -192,8 +200,10 @@ class _PRState:
             self.nodes.crossJoin(F.broadcast(dang))
             .join(contrib, "node", "left")
             .select("node", F.expr(self.next_expr).alias("mass"))
-            .localCheckpoint(True)
         )
+
+    def step(self, m: DataFrame) -> DataFrame:
+        return self.step_frame(m).localCheckpoint(True)
 
     def release(self) -> None:
         for df in (self.nodes, self.ed, self.dangling):
@@ -306,9 +316,12 @@ def pagerank_reference(
         for s, d, w in edge_list:
             if s is None or d is None or w is None:
                 continue
+            # raw-weight positivity, matching pagerank's pre-sum check
+            # (ADVICE r15: a (+5, -2) duplicate pair must raise, not
+            # silently sum to 3)
+            if int(w) <= 0:
+                raise ValueError("edge weights must be positive")
             w_by_pair[(s, d)] = w_by_pair.get((s, d), 0) + int(w)
-        if any(w <= 0 for w in w_by_pair.values()):
-            raise ValueError("edge weights must be positive")
     else:
         for s, d in edge_list:
             if s is None or d is None:

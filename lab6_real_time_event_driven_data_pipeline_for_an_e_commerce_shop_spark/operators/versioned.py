@@ -78,24 +78,55 @@ def _list_gens(root: str) -> list[int]:
     return sorted(out)
 
 
-def publish(spark: SparkSession, root: str, df: DataFrame) -> int:
+def publish(
+    spark: SparkSession, root: str, df: DataFrame, meta: dict | None = None
+) -> int:
     """Write ``df`` as the next generation and flip the pointer.
     Returns the new generation number. The write happens entirely in
     the (not-yet-referenced) gen directory; the pointer flip is the
     single atomic commit point, so readers see either the old complete
-    snapshot or the new complete snapshot, never a mixture."""
+    snapshot or the new complete snapshot, never a mixture.
+
+    ``meta`` (r16): an optional JSON-serializable dict written as
+    ``_META.json`` INSIDE the gen directory BEFORE the pointer flip —
+    so metadata commits atomically WITH the snapshot (a sidecar next
+    to the pointer could not: a crash between two commit points leaves
+    them disagreeing). Used by :func:`refresh_served_agg` to record
+    which base generation a served aggregate reflects."""
     os.makedirs(root, exist_ok=True)
     cur = current_version(root)
     # a dangling gen dir beyond the pointer = a crashed publish; the
-    # next publish supersedes it (write into a FRESH number so a
+    # next publish simply supersedes it (write into a FRESH number so a
     # half-written directory is never re-served)
     next_gen = max([cur if cur is not None else -1, *_list_gens(root), -1]) + 1
     df.write.mode("overwrite").parquet(_gen_dir(root, next_gen))
+    if meta is not None:
+        import json as _json
+
+        with open(os.path.join(_gen_dir(root, next_gen), "_META.json"), "w") as f:
+            _json.dump(meta, f)
     tmp = os.path.join(root, _POINTER + ".tmp")
     with open(tmp, "w") as f:
         f.write(str(next_gen))
     os.replace(tmp, os.path.join(root, _POINTER))  # atomic commit
     return next_gen
+
+
+def read_meta(root: str, gen: int) -> dict | None:
+    """The ``meta`` dict published with generation ``gen`` (None if the
+    generation carries none). Raises if the generation was vacuumed."""
+    path = _gen_dir(root, gen)
+    if not os.path.isdir(path):
+        raise FileNotFoundError(
+            f"generation {gen} of {root} does not exist (vacuumed?)"
+        )
+    mpath = os.path.join(path, "_META.json")
+    if not os.path.exists(mpath):
+        return None
+    import json as _json
+
+    with open(mpath) as f:
+        return _json.load(f)
 
 
 def read_version(spark: SparkSession, root: str, gen: int) -> DataFrame:
@@ -265,6 +296,8 @@ def incremental_agg_refresh(
     group_cols: list[str],
     sum_cols: list[str],
     count_col: str = "n_rows",
+    changed_keys: DataFrame | None = None,
+    recompute_exprs: dict | None = None,
 ) -> DataFrame:
     """Incremental VIEW MAINTENANCE for keyed integer aggregates: given
     the served aggregate of ``old_snapshot`` (``group_cols`` grain,
@@ -285,13 +318,33 @@ def incremental_agg_refresh(
     NEGATIVE count can only mean the inputs are inconsistent
     (old_agg not derived from old_snapshot) and raises at evaluation.
 
+    ``changed_keys`` (r16): a frame holding exactly the ``keys``
+    columns of the changed keys — e.g. ``read_changes(...)`` output —
+    skips the internal snapshot diff; this is the CDC wiring
+    (:func:`refresh_served_agg` composes read_changes →
+    incremental_agg_refresh → publish as the end-to-end loop).
+
+    ``recompute_exprs`` (r16, VERDICT r15 #4): the NON-ABELIAN escape
+    hatch. MIN/MAX/exact-distinct cannot be delta-applied — removing a
+    group's current MIN row says nothing about the next MIN without
+    re-reading the group — so ``{col_name: agg_expression}`` columns
+    are recomputed from ``new_snapshot`` for the TOUCHED GROUPS ONLY
+    (any group gaining or losing a changed key's row); untouched
+    groups keep their served values, which remain valid because their
+    row set is unchanged. Delta apply stays exact for the abelian
+    sum/count columns; the scoped recompute is the provably-minimal
+    extra work. old_agg must already carry each recompute column.
+
     Scale shape: ONE keyed full-outer diff to find changed keys
     (snapshot_diff's contract — bucketing both generations removes the
-    shuffle), two LEFT-SEMI joins pruning both snapshots to changed
-    keys (broadcastable when the change set is small — the usual CDC
+    shuffle; or zero diffs when ``changed_keys`` is fed from CDC), two
+    LEFT-SEMI joins pruning both snapshots to changed keys
+    (broadcastable when the change set is small — the usual CDC
     regime), map-side partial aggregation of the ± delta, and one
     group-keyed outer merge with the served aggregate. Unchanged keys
-    are never aggregated again."""
+    are never aggregated again; with recompute_exprs, one extra
+    group-semi-joined scan of new_snapshot covering touched groups
+    only."""
     from .curation import snapshot_diff
 
     integral = {"tinyint", "smallint", "int", "bigint", "long", "integer"}
@@ -306,11 +359,21 @@ def incremental_agg_refresh(
                     f" an integral column (got {t}) — float sums are"
                     " order-dependent and cannot be delta-applied exactly"
                 )
-    changed = (
-        snapshot_diff(old_snapshot, new_snapshot, keys)
-        .filter(F.col("change_type") != "unchanged")
-        .select(*keys)
-    )
+    recompute_exprs = recompute_exprs or {}
+    for c in recompute_exprs:
+        if c not in old_agg.columns:
+            raise ValueError(
+                f"incremental_agg_refresh: recompute column {c!r} is not in"
+                " old_agg — the served aggregate must already carry it"
+            )
+    if changed_keys is not None:
+        changed = changed_keys.select(*keys).distinct()
+    else:
+        changed = (
+            snapshot_diff(old_snapshot, new_snapshot, keys)
+            .filter(F.col("change_type") != "unchanged")
+            .select(*keys)
+        )
     signed = (
         old_snapshot.join(changed, keys, "left_semi")
         .withColumn("_sign", F.lit(-1).cast("long"))
@@ -332,6 +395,7 @@ def incremental_agg_refresh(
     o = old_agg.select(
         *group_cols,
         *[F.col(c).alias(f"_o_{c}") for c in sum_cols],
+        *[F.col(c).alias(f"_or_{c}") for c in recompute_exprs],
         F.col(count_col).alias("_o_n"),
     )
     # NULL-SAFE outer merge on the group keys: a name-based full-outer
@@ -348,42 +412,216 @@ def incremental_agg_refresh(
     for g in group_cols:
         term = F.col(g).eqNullSafe(F.col(f"_dg_{g}"))
         cond = term if cond is None else (cond & term)
-    merged = o.join(d, cond, "full_outer").select(
-        *[F.coalesce(g, f"_dg_{g}").alias(g) for g in group_cols],
-        *[
-            (
-                F.coalesce(f"_o_{c}", F.lit(0).cast("long"))
-                + F.coalesce(f"_d_{c}", F.lit(0).cast("long"))
-            )
-            .cast("long")
-            .alias(c)
-            for c in sum_cols
-        ],
-        # the negative-count guard lives INSIDE the count expression: a
-        # detached assert_true column would be dead code Catalyst prunes
-        # (found by the guard's own test — the raise never fired), and
-        # the downstream filter would silently discard the impossible
-        # row instead of failing loudly
+    def _msum(c: str):
+        return (
+            F.coalesce(f"_o_{c}", F.lit(0).cast("long"))
+            + F.coalesce(f"_d_{c}", F.lit(0).cast("long"))
+        ).cast("long")
+
+    n_expr = (
+        F.coalesce("_o_n", F.lit(0).cast("long"))
+        + F.coalesce("_d_n", F.lit(0).cast("long"))
+    ).cast("long")
+    # any merged sum nonzero while the merged count is zero is the same
+    # inconsistency class as a negative count (ADVICE r15): "all rows of
+    # the group removed" implies the delta exactly cancels the served
+    # sums, so a nonzero residue means old_agg was not derived from
+    # old_snapshot — raise, never silently drop the row
+    residue = None
+    for c in sum_cols:
+        term = _msum(c) != 0
+        residue = term if residue is None else (residue | term)
+    # the guards live INSIDE the count expression: a detached
+    # assert_true column would be dead code Catalyst prunes (found by
+    # the guard's own test — the raise never fired), and the downstream
+    # filter would silently discard the impossible row instead of
+    # failing loudly
+    guarded_n = (
         F.when(
-            (
-                F.coalesce("_o_n", F.lit(0).cast("long"))
-                + F.coalesce("_d_n", F.lit(0).cast("long"))
-            )
-            >= 0,
-            (
-                F.coalesce("_o_n", F.lit(0).cast("long"))
-                + F.coalesce("_d_n", F.lit(0).cast("long"))
-            ),
-        )
-        .otherwise(
+            n_expr < 0,
             F.raise_error(
                 F.lit(
                     "incremental_agg_refresh: negative row count — old_agg"
                     " is not the aggregate of old_snapshot"
                 )
-            ).cast("long")
+            ).cast("long"),
         )
+        .when(
+            (n_expr == 0) & residue if residue is not None else F.lit(False),
+            F.raise_error(
+                F.lit(
+                    "incremental_agg_refresh: zero row count with nonzero"
+                    " merged sums — old_agg is not the aggregate of"
+                    " old_snapshot"
+                )
+            ).cast("long"),
+        )
+        .otherwise(n_expr)
         .cast("long")
-        .alias(count_col),
+    )
+    j = o.join(d, cond, "full_outer")
+    rec_cols: list = []
+    if recompute_exprs:
+        # touched groups = every group that gained or lost a changed
+        # key's row (the delta's group set covers BOTH the old and the
+        # new group of a moved key); recompute their non-abelian
+        # columns from new_snapshot's rows for those groups only
+        # aliased group columns — touched's lineage includes
+        # new_snapshot (via signed), so unaliased attributes would be
+        # self-join-ambiguous
+        touched = signed.select(
+            *[F.col(g).alias(f"_tg_{g}") for g in group_cols]
+        ).distinct()
+        tcond = None
+        for g in group_cols:
+            term = F.col(g).eqNullSafe(F.col(f"_tg_{g}"))
+            tcond = term if tcond is None else (tcond & term)
+        rec = (
+            new_snapshot.join(touched, tcond, "left_semi")
+            .groupBy(*group_cols)
+            .agg(
+                *[
+                    expr.alias(f"_r_{c}")
+                    for c, expr in recompute_exprs.items()
+                ]
+            )
+            .select(
+                *[F.col(g).alias(f"_rg_{g}") for g in group_cols],
+                *[F.col(f"_r_{c}") for c in recompute_exprs],
+            )
+        )
+        rcond = None
+        for g in group_cols:
+            term = F.coalesce(F.col(g), F.col(f"_dg_{g}")).eqNullSafe(
+                F.col(f"_rg_{g}")
+            )
+            rcond = term if rcond is None else (rcond & term)
+        j = j.join(rec, rcond, "left")
+        # a group is TOUCHED iff the delta side matched (_d_n is the
+        # sign sum — never NULL on a present delta row); untouched
+        # groups keep their served values, which stay valid because
+        # their row set is unchanged
+        rec_cols = [
+            F.when(F.col("_d_n").isNotNull(), F.col(f"_r_{c}"))
+            .otherwise(F.col(f"_or_{c}"))
+            .alias(c)
+            for c in recompute_exprs
+        ]
+    merged = j.select(
+        *[F.coalesce(g, f"_dg_{g}").alias(g) for g in group_cols],
+        *[_msum(c).alias(c) for c in sum_cols],
+        *rec_cols,
+        guarded_n.alias(count_col),
     )
     return merged.filter(F.col(count_col) > 0)
+
+
+def full_agg(
+    snapshot: DataFrame,
+    group_cols: list[str],
+    sum_cols: list[str],
+    count_col: str = "n_rows",
+    recompute_exprs: dict | None = None,
+) -> DataFrame:
+    """The FULL recompute twin of :func:`incremental_agg_refresh` —
+    one grouped pass over a snapshot, same column names/types/order as
+    the incremental path (long sums + long count + the non-abelian
+    columns). Used by :func:`refresh_served_agg` for the bootstrap
+    generation and by the tests as the bit-exactness oracle."""
+    return snapshot.groupBy(*group_cols).agg(
+        *[
+            F.sum(F.col(c).cast("long")).cast("long").alias(c)
+            for c in sum_cols
+        ],
+        *[
+            expr.alias(c)
+            for c, expr in (recompute_exprs or {}).items()
+        ],
+        F.count(F.lit(1)).cast("long").alias(count_col),
+    ).select(
+        *group_cols,
+        *sum_cols,
+        *(recompute_exprs or {}),
+        count_col,
+    )
+
+
+def refresh_served_agg(
+    spark: SparkSession,
+    base_root: str,
+    agg_root: str,
+    keys: list[str],
+    group_cols: list[str],
+    sum_cols: list[str],
+    count_col: str = "n_rows",
+    recompute_exprs: dict | None = None,
+) -> int | None:
+    """CDC-to-served-gold, end to end (VERDICT r15 #3): keep the
+    versioned aggregate at ``agg_root`` current with the versioned
+    base table at ``base_root`` — merge_versioned(base) →
+    :func:`read_changes` → :func:`incremental_agg_refresh` →
+    :func:`publish`, as one idempotent call.
+
+    Each published aggregate generation records WHICH base generation
+    it reflects in its ``_META.json`` (written inside the gen dir
+    before the pointer flip, so the fact commits atomically with the
+    snapshot — :func:`publish`). The refresh loop is therefore
+    crash-convergent by construction:
+
+    - crash BEFORE the publish flip → the agg pointer still names the
+      old generation with its old base_gen; replay recomputes the same
+      delta from the same immutable snapshots and publishes it
+      (superseding the dangling half-written dir — publish's contract).
+    - replay AFTER a completed refresh → reflected == current base
+      generation → no-op (returns None, nothing published).
+
+    Falls back to a FULL recompute (same column shape) when the
+    reflected base generation was vacuumed — the delta needs both
+    snapshots; losing the old one costs one rescan, never wrong data.
+    Returns the new agg generation, or None when already current."""
+    base_gen = current_version(base_root)
+    if base_gen is None:
+        raise FileNotFoundError(f"{base_root} has no published generation")
+    cur = current_version(agg_root)
+    if cur is None:
+        agg = full_agg(
+            read_version(spark, base_root, base_gen),
+            group_cols, sum_cols, count_col, recompute_exprs,
+        )
+        return publish(spark, agg_root, agg, meta={"base_gen": base_gen})
+    meta = read_meta(agg_root, cur)
+    if meta is None or "base_gen" not in meta:
+        raise ValueError(
+            f"{agg_root} gen={cur} carries no base_gen metadata — it was"
+            " not published by refresh_served_agg (refusing to guess"
+            " which base snapshot it reflects)"
+        )
+    reflected = int(meta["base_gen"])
+    if reflected == base_gen:
+        return None  # already current — replay is a no-op
+    try:
+        old_snap = read_version(spark, base_root, reflected)
+    except FileNotFoundError:
+        # reflected snapshot vacuumed: the delta is unrecoverable, the
+        # answer is not — full recompute of the current base
+        agg = full_agg(
+            read_version(spark, base_root, base_gen),
+            group_cols, sum_cols, count_col, recompute_exprs,
+        )
+        return publish(spark, agg_root, agg, meta={"base_gen": base_gen})
+    new_snap = read_version(spark, base_root, base_gen)
+    changed = read_changes(
+        spark, base_root, keys, from_gen=reflected, to_gen=base_gen
+    ).select(*keys)
+    new_agg = incremental_agg_refresh(
+        read_version(spark, agg_root, cur),
+        old_snap,
+        new_snap,
+        keys,
+        group_cols,
+        sum_cols,
+        count_col,
+        changed_keys=changed,
+        recompute_exprs=recompute_exprs,
+    )
+    return publish(spark, agg_root, new_agg, meta={"base_gen": base_gen})

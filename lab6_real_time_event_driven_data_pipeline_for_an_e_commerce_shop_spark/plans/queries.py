@@ -2002,7 +2002,7 @@ def q32_cube_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@parked_query(
     "q33_pivot_revenue_by_flag",
     f"""
     SELECT l_linestatus,
@@ -2014,7 +2014,13 @@ def q32_cube_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q33_pivot_revenue_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT on return flag (explicit value list → no extra distinct
-    pass; conditional-agg equivalent in the oracle)."""
+    pass; conditional-agg equivalent in the oracle).
+
+    PARKED r16 (VERDICT r15 #1 sanctioned swap): its gated slot went to
+    q77_pagerank. Pivot is beyond-reference (SURVEY §2.5 absent row);
+    its physical content stays at the gate via q31's Expand/rollup and
+    q03/q04's conditional aggregates. Full oracle retained here, swept
+    by SPARK_GRAFT_SIM_PARKED=1 and the parked dtype tests."""
     li = _t(spark, sf_dir, "lineitem")
     out = (
         li.groupBy("l_linestatus")
@@ -5349,7 +5355,7 @@ def _q76_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q77 (PARKED, r14) — fixed-iteration integer PageRank
+# q77 (GATED r16 — the q33 swap) — fixed-iteration integer PageRank
 # ---------------------------------------------------------------------------
 
 # customer → supplier (bought-from, via lineitem⋈orders) and
@@ -5374,21 +5380,40 @@ def _q77_oracle() -> str:
     return pagerank_oracle_sql(_Q77_EDGES_SQL, n_iter=4)
 
 
-@parked_query("q77_pagerank", _q77_oracle())
+@query("q77_pagerank", _q77_oracle())
 def q77_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration INTEGER PageRank (operators/graph.pagerank) —
-    PARKED (r14): the iterative-algorithm showcase under a COMPLETE
-    oracle. Every step is integer-exact (fixed-point mass, DIV for the
-    out-degree split and damping blend; all operands non-negative so
-    Spark's truncating div and DuckDB's flooring // agree), so the
-    Spark loop's end state equals the oracle's four chained CTEs
-    bit-for-bit — disproving the "iterative ⇒ rows-only check"
-    assumption the catalog carried since r1. Graph: customers →
+    GATED r16 (VERDICT r15 #1 sanctioned swap; parked since r14): the
+    engine's first ITERATIVE algorithm under the driver hash gate, with
+    a COMPLETE oracle. Every step is integer-exact (fixed-point mass,
+    DIV for the out-degree split and damping blend; all operands
+    non-negative so Spark's truncating div and DuckDB's flooring //
+    agree), so the Spark loop's end state equals the oracle's four
+    chained CTEs bit-for-bit — disproving the "iterative ⇒ rows-only
+    check" assumption the catalog carried since r1. Graph: customers →
     suppliers they bought from → the suppliers' nations (dangling, so
-    the uniform-redistribution term runs on real mass)."""
+    the uniform-redistribution term runs on real mass).
+
+    Gate-time shape: setup is two bounded scalars + one distinct +
+    degree agg; each of the 4 iterations is one src-keyed join, one
+    dst-keyed agg, one 1-row broadcast dangling attach, lineage
+    truncated per round (localCheckpoint — constant plan depth).
+    Measured fresh-JVM at sf0.01 before the driver measures it
+    (SCALING.md r16 gate-wall table). The r15 q73 partition lesson
+    applies to ITERATIVE loops too: a vanilla session's 200 shuffle
+    partitions are paid at every eager checkpoint materialization of
+    every iteration for a ~1.7k-node graph — scope the override to the
+    loop (restored in finally; the gate runs queries sequentially).
+    At real scale the knob goes UP with graph size — it is scoped to
+    the query, never baked into the session."""
     from ..operators import graph
 
-    return graph.pagerank(_q77_edges(spark, sf_dir), n_iter=4)
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "16")
+        return graph.pagerank(_q77_edges(spark, sf_dir), n_iter=4)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
 
 
 def _q77_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5675,7 +5700,12 @@ shares AS (
            GREATEST(CAST(1 AS BIGINT),
                     COALESCE(n_new, 0) * CAST(1000000 AS BIGINT)
                         // (SELECT t_new FROM tot)) AS q_ppm
-    FROM o FULL OUTER JOIN n ON o.bucket = n.bucket
+    -- NULL-safe join key (ADVICE r15): distribution_drift joins with
+    -- eqNullSafe, so a NULL bucket present on BOTH sides must merge to
+    -- ONE row here too (plain = would emit two half-rows — the same
+    -- class commit 1fad1a3 fixed Spark-side; latent today only because
+    -- documents.lang is non-NULL in the generated corpus)
+    FROM o FULL OUTER JOIN n ON o.bucket IS NOT DISTINCT FROM n.bucket
 )
 SELECT bucket, n_old, n_new, p_ppm, q_ppm,
        CAST(((q_ppm - p_ppm) * (({lq}) - ({lp}))) // 1000000 AS BIGINT)
@@ -5705,4 +5735,112 @@ def q82_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.filter(F.col("split") == "train"),
         s.filter(F.col("split") == "val"),
         bucket_col="lang",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q83 (PARKED, r16) — NUMERIC drift: PSI over quantile-bucketed lengths
+# ---------------------------------------------------------------------------
+
+_Q83_NB = 8  # buckets → 7 train-side quantile thresholds
+
+
+def _q83_oracle() -> str:
+    from ..functions.expressions import log2_interp_micro_sql
+
+    lp = log2_interp_micro_sql("p_ppm", "duckdb")
+    lq = log2_interp_micro_sql("q_ppm", "duckdb")
+    nb = _Q83_NB
+    # j-th threshold rank (1-based): max(1, (j*n + nb - 1) DIV nb) —
+    # the portable_bucket_thresholds integer-rank formula; one row per
+    # j (NOT DISTINCT: tied order statistics must count separately,
+    # exactly like the Spark side's literal threshold list)
+    jvals = ", ".join(f"({j})" for j in range(1, nb))
+    return f"""
+WITH splits AS (
+    SELECT CAST(length(text) AS BIGINT) AS v,
+           CASE WHEN {_PHASH_ID} % 100 < 10 THEN 'test'
+                WHEN {_PHASH_ID} % 100 < 20 THEN 'val'
+                ELSE 'train' END AS split
+    FROM documents
+),
+vd AS (SELECT DISTINCT v FROM splits WHERE split = 'train'),
+samp AS (
+    SELECT v FROM (
+        SELECT v, CAST(concat('0x', substr(md5(CAST(v AS VARCHAR)), 1, 12))
+                       AS BIGINT) AS hh
+        FROM vd)
+    QUALIFY row_number() OVER (ORDER BY hh, v) <= 256
+),
+ranked AS (
+    SELECT v, row_number() OVER (ORDER BY v) AS rn, COUNT(*) OVER () AS n
+    FROM samp
+),
+thr AS (
+    SELECT r.v AS t
+    FROM (SELECT * FROM (VALUES {jvals}) AS jt(jj)) j
+    JOIN ranked r ON r.rn = GREATEST(1, (j.jj * r.n + {nb - 1}) // {nb})
+),
+bucketed AS (
+    SELECT split,
+           CASE WHEN v IS NULL THEN NULL
+                ELSE (SELECT CAST(COUNT(*) AS BIGINT) FROM thr
+                      WHERE thr.t < s.v) END AS bucket
+    FROM splits s WHERE split IN ('train', 'val')
+),
+o AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_old
+      FROM bucketed WHERE split = 'train' GROUP BY 1),
+n AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_new
+      FROM bucketed WHERE split = 'val' GROUP BY 1),
+tot AS (
+    SELECT CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+               AS t_old,
+           CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT)
+               AS t_new
+    FROM bucketed
+),
+shares AS (
+    SELECT COALESCE(o.bucket, n.bucket) AS bucket,
+           COALESCE(n_old, 0) AS n_old,
+           COALESCE(n_new, 0) AS n_new,
+           GREATEST(CAST(1 AS BIGINT),
+                    COALESCE(n_old, 0) * CAST(1000000 AS BIGINT)
+                        // (SELECT t_old FROM tot)) AS p_ppm,
+           GREATEST(CAST(1 AS BIGINT),
+                    COALESCE(n_new, 0) * CAST(1000000 AS BIGINT)
+                        // (SELECT t_new FROM tot)) AS q_ppm
+    -- NULL-safe: distribution_drift merges NULL buckets with eqNullSafe
+    FROM o FULL OUTER JOIN n ON o.bucket IS NOT DISTINCT FROM n.bucket
+)
+SELECT bucket, n_old, n_new, p_ppm, q_ppm,
+       CAST(((q_ppm - p_ppm) * (({lq}) - ({lp}))) // 1000000 AS BIGINT)
+           AS psi_term_micro
+FROM shares
+"""
+
+
+@parked_query("q83_numeric_drift", _q83_oracle())
+def q83_numeric_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NUMERIC-feature drift — PARKED (r16, VERDICT r15 #5): the
+    integer PSI of the document-length distribution between the train
+    and val splits, with bucket edges derived from the TRAIN side's
+    quantiles (curation.distribution_drift_numeric — the standard
+    production shape: numeric feature, train-derived edges, monitor
+    every refresh). Edges are integer rank-based order statistics of
+    the portable bottom-256 hash sample of distinct train lengths
+    (text.portable_bucket_thresholds, the q22 xthr pattern), inlined
+    as literals on the Spark side and re-derived relationally by the
+    oracle — thresholds, buckets, shares, AND the log table all under
+    one hash match."""
+    from ..operators.curation import assign_split, distribution_drift_numeric
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("long").alias("v")
+    )
+    s = assign_split(docs)
+    return distribution_drift_numeric(
+        s.filter(F.col("split") == "train").select("v"),
+        s.filter(F.col("split") == "val").select("v"),
+        "v",
+        n_buckets=_Q83_NB,
     )

@@ -926,6 +926,21 @@ def test_pagerank_weighted_matches_reference(spark):
             n_iter=1,
             weight_col="w",
         )
+    # ADVICE r15: positivity is checked on RAW weights BEFORE the
+    # per-pair sum — duplicate edges (+5, -2) must raise even though
+    # they sum to a positive 3 (both the Spark op and the reference)
+    with _pytest.raises(ValueError, match="must be positive"):
+        graph.pagerank(
+            spark.createDataFrame(
+                [(1, 2, 5), (1, 2, -2)], "src long, dst long, w long"
+            ),
+            n_iter=1,
+            weight_col="w",
+        )
+    with _pytest.raises(ValueError, match="must be positive"):
+        graph.pagerank_reference(
+            [(1, 2, 5), (1, 2, -2)], n_iter=1, weighted=True
+        )
     with _pytest.raises(ValueError, match="overflows int64"):
         graph.pagerank(
             spark.createDataFrame(
@@ -1000,7 +1015,7 @@ def test_parked_ppr_segment_real_corpus(spark):
         (r[i_n] for r in got if 10_000_000 <= r[i_n] < 20_000_000),
         key=lambda n: next(r[i_m] for r in got if r[i_n] == n),
     )
-    got77, cols77 = _run_parked(spark, "q77_pagerank", SF_DIR, con)
+    got77, cols77 = _gated_rows(spark, "q77_pagerank", SF_DIR)
     j_n, j_m = cols77.index("node"), cols77.index("mass")
     sup77 = sorted(
         (r[j_n] for r in got77 if 10_000_000 <= r[j_n] < 20_000_000),
@@ -1009,15 +1024,23 @@ def test_parked_ppr_segment_real_corpus(spark):
     assert sup78 != sup77
 
 
-def test_parked_pagerank_real_corpus(spark):
-    """The parked q77 fixed-point PageRank equals its four-CTE DuckDB
-    oracle bit-for-bit on the real customer→supplier→nation graph —
-    the iterative-algorithm-under-complete-oracle proof. Structure is
-    non-degenerate: nations (25 dangling sinks fed by all suppliers)
-    carry the top masses, and supplier masses differ from one another
-    (real in-link variation)."""
-    con = _duck(SF_DIR)
-    got, cols = _run_parked(spark, "q77_pagerank", SF_DIR, con)
+def _gated_rows(spark, name, sf_dir):
+    """Run a GATED query and return (rows, columns) — the parity itself
+    is swept by the QUERY_NAMES parametrized gate; structure tests that
+    previously ran a parked slot through _run_parked use this after a
+    promotion (the q71/q73 precedent)."""
+    sdf = entrymod.queries()[name](spark, sf_dir)
+    return [tuple(r) for r in sdf.collect()], sdf.columns
+
+
+def test_gated_pagerank_structure(spark):
+    """q77 (GATED r16 — the q33 swap; oracle parity is swept by the
+    QUERY_NAMES parametrized gate): fixed-point PageRank on the real
+    customer→supplier→nation graph. Structure is non-degenerate:
+    nations (25 dangling sinks fed by all suppliers) carry the top
+    masses, and supplier masses differ from one another (real in-link
+    variation)."""
+    got, cols = _gated_rows(spark, "q77_pagerank", SF_DIR)
     i_n, i_m = cols.index("node"), cols.index("mass")
     nations = [r[i_m] for r in got if r[i_n] >= 20_000_000]
     suppliers = [r[i_m] for r in got if 10_000_000 <= r[i_n] < 20_000_000]
@@ -1040,7 +1063,7 @@ def test_parked_weighted_pagerank_real_corpus(spark):
     sup80 = {
         r[i_n]: r[i_m] for r in got if 10_000_000 <= r[i_n] < 20_000_000
     }
-    got77, cols77 = _run_parked(spark, "q77_pagerank", SF_DIR, con)
+    got77, cols77 = _gated_rows(spark, "q77_pagerank", SF_DIR)
     j_n, j_m = cols77.index("node"), cols77.index("mass")
     sup77 = {
         r[j_n]: r[j_m] for r in got77 if 10_000_000 <= r[j_n] < 20_000_000
@@ -1416,3 +1439,73 @@ def test_parked_split_drift_real_corpus(spark):
     assert len(got) >= 3
     assert all(r[i_t] >= 0 for r in got)
     assert sum(r[i_t] for r in got) < 144_000
+
+
+def test_parked_numeric_drift_real_corpus(spark):
+    """The parked q83 numeric PSI (distribution_drift_numeric over
+    train-quantile-bucketed document lengths) matches its fully
+    relational oracle — thresholds, buckets, shares, and log table all
+    re-derived in SQL. Structure: all 8 buckets populated on the real
+    corpus and at least one nonzero drift term (the splits are
+    hash-disjoint samples, so small drift exists)."""
+    con = _duck(SF_DIR)
+    got, cols = _run_parked(spark, "q83_numeric_drift", SF_DIR, con)
+    i_b = cols.index("bucket")
+    i_t = cols.index("psi_term_micro")
+    assert len({r[i_b] for r in got}) >= 6  # near-uniform quantile buckets
+    assert all(r[i_t] >= 0 for r in got)
+
+
+def test_distribution_drift_numeric_semantics(spark):
+    """distribution_drift_numeric (r16, VERDICT r15 #5): identical
+    distributions read zero PSI; a location shift reads positive;
+    bucket indices are the strictly-greater threshold counts (0-based,
+    tied thresholds leave empty buckets between them); NULL values
+    land in the NULL bucket (merged null-safely); explicit
+    ``thresholds=`` bypasses the train-side derivation; the Spark
+    bucket expression equals DuckDB's evaluation of the SAME string."""
+    import duckdb as _duck_mod
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators.curation import (
+        distribution_drift_numeric,
+        numeric_bucket_expr,
+    )
+
+    def mk(vals):
+        return spark.createDataFrame([(v,) for v in vals], "v long")
+
+    base = [1, 2, 3, 4, 5, 6, 7, 8, 9, 10] * 20
+    z = distribution_drift_numeric(mk(base), mk(base), "v", n_buckets=4)
+    assert all(r.psi_term_micro == 0 for r in z.collect())
+    shifted = [v + 6 for v in base]
+    d = distribution_drift_numeric(mk(base), mk(shifted), "v", n_buckets=4)
+    assert sum(r.psi_term_micro for r in d.collect()) > 0
+    # explicit thresholds: buckets are strictly-greater counts, and a
+    # DUPLICATED threshold skips an index (empty bucket between ties)
+    expr = numeric_bucket_expr([5, 5, 8], "v")
+    got = {
+        r.v: r.b
+        for r in mk([3, 5, 6, 8, 9])
+        .selectExpr("v", f"{expr} AS b")
+        .collect()
+    }
+    assert got == {3: 0, 5: 0, 6: 2, 8: 2, 9: 3}
+    duck = {
+        v: b
+        for v, b in _duck_mod.connect()
+        .execute(
+            "SELECT v, " + expr.replace("div", "//")
+            + " FROM (VALUES (3),(5),(6),(8),(9)) AS t(v)"
+        )
+        .fetchall()
+    }
+    assert duck == got
+    # NULL values: NULL bucket on the new side only — merged as ONE row
+    wn = distribution_drift_numeric(
+        mk(base),
+        spark.createDataFrame([(None,), (2,)], "v long"),
+        "v",
+        thresholds=[5],
+    ).collect()
+    nulls = [r for r in wn if r.bucket is None]
+    assert len(nulls) == 1 and nulls[0].n_new == 1 and nulls[0].n_old == 0

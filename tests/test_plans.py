@@ -480,3 +480,57 @@ def test_q61_funnel_enrichment_plan_clean(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "EvalPython" not in plan
+
+
+def test_q77_pagerank_iteration_plan_shape(spark):
+    """q77 (GATED r16 — the q33 swap): the returned frame is
+    localCheckpoint'ed every round (constant plan depth is the POINT —
+    graph.py module docstring), so the pin targets ONE ITERATION's
+    lazy frame (step_frame) — the physical shape every round replays.
+    Expected: the edge⋈mass contrib join and the node-keyed left join
+    back are HASH joins (src/dst/node are data columns, never
+    constant-folded), the 1-row dangling aggregate attaches via
+    exactly ONE explicit broadcast cross product (documented exempt:
+    a lit(1) key would constant-fold into the same BNLJ shape while
+    claiming to be keyed), no CartesianProduct, no Python, and the
+    shuffle budget is bounded (edges-keyed join + dst agg + node
+    fold — never a pair blow-up)."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators.graph import (
+        _PRState,
+    )
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.plans.queries import (
+        _q77_edges,
+    )
+
+    st = _PRState(
+        _q77_edges(spark, SF_DIR), (85, 100), 10**12, "src", "dst", None, None
+    )
+    try:
+        # materialize the persisted substrates first — iteration 1 does
+        # this in a real run, so the STEADY-STATE per-iteration plan
+        # (what rounds 2..k replay) reads them as InMemoryTableScans
+        st.ed.count()
+        st.dangling.count()
+        plan = _formatted(st.step_frame(st.m0))
+    finally:
+        st.release()
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    # exactly the ONE documented 1-row dangling attach
+    assert _nodes(plan, "BroadcastNestedLoopJoin") == 1
+    bnlj = [
+        body for op, body in _detail_blocks(plan)
+        if op == "BroadcastNestedLoopJoin"
+    ]
+    assert len(bnlj) == 1 and "Cross" in bnlj[0]
+    # contrib + node joins are genuine hash joins on data columns
+    assert (
+        _nodes(plan, "BroadcastHashJoin") + _nodes(plan, "SortMergeJoin")
+        + _nodes(plan, "ShuffledHashJoin") >= 2
+    )
+    # the persisted substrates actually serve the iteration (formatted
+    # explain inlines each InMemoryRelation's one-time build lineage as
+    # numbered nodes, so an absolute Exchange budget over the whole
+    # text would count setup work — the join-type pins above are the
+    # per-iteration guards)
+    assert plan.count("InMemoryTableScan") >= 2

@@ -8,6 +8,8 @@ import os
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
     versioned,
 )
@@ -342,3 +344,187 @@ def test_incremental_agg_refresh_guards(spark):
     )
     with _pytest.raises(Exception, match="negative row count"):
         out.collect()
+    # ADVICE r15: merged count 0 with NONZERO merged sums is the same
+    # inconsistency (all rows removed implies the delta exactly cancels
+    # the served sums) — must raise, never silently drop the group.
+    # old_agg claims n=1 / cents=99 for group a; removing both rows
+    # (delta n=-2, cents=-30)... use a snapshot where exactly one row
+    # leaves so the count lands at 0 but the sum residue is nonzero.
+    one_s = spark.createDataFrame(
+        [(1, "a", 10)], "id long, grp string, cents long"
+    )
+    empty_s = one_s.filter(F.lit(False))
+    bad_sum_agg = spark.createDataFrame(
+        [("a", 99, 1)], "grp string, cents long, n_rows long"
+    )
+    out0 = versioned.incremental_agg_refresh(
+        bad_sum_agg, one_s, empty_s, ["id"], ["grp"], ["cents"]
+    )
+    with _pytest.raises(Exception, match="zero row count with nonzero"):
+        out0.collect()
+    # and the CONSISTENT zero-count case still silently drops the group
+    good_agg = _full_agg(one_s, ["grp"], ["cents"])
+    gone = versioned.incremental_agg_refresh(
+        good_agg, one_s, empty_s, ["id"], ["grp"], ["cents"]
+    )
+    assert gone.count() == 0
+
+
+def _agg_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_refresh_served_agg_cdc_composition(spark, tmp_path):
+    """VERDICT r15 #3 — the CDC-to-served-gold loop as ONE call:
+    merge_versioned(base) → read_changes → incremental_agg_refresh →
+    publish, bit-exact vs a full recompute across 3 base generations
+    covering inserts, value updates, GROUP MOVES, and tombstone
+    deletes; replay after a completed refresh is a no-op; a crash
+    between the refresh computation and the pointer flip (dangling gen
+    dir, pointer unmoved) converges on replay; a vacuumed reflected
+    snapshot falls back to a full recompute with identical results."""
+    base = str(tmp_path / "base")
+    agg = str(tmp_path / "agg")
+    ks, gs, ss = ["id"], ["grp"], ["cents"]
+
+    def check():
+        got = _agg_rows(versioned.read_latest(spark, agg))
+        want = _agg_rows(
+            versioned.full_agg(versioned.read_latest(spark, base), gs, ss)
+        )
+        assert got == want
+
+    # gen 0: bootstrap (full recompute path)
+    versioned.merge_versioned(
+        spark,
+        base,
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "a", 20), (3, "b", 30)],
+            "id long, grp string, cents long",
+        ),
+        ks,
+    )
+    g0 = versioned.refresh_served_agg(spark, base, agg, ks, gs, ss)
+    assert g0 == 0
+    check()
+    # replay with no base change: no-op, nothing published
+    assert versioned.refresh_served_agg(spark, base, agg, ks, gs, ss) is None
+    assert versioned.current_version(agg) == 0
+
+    # gen 1: update (id=1 value), insert (id=4), GROUP MOVE (id=3 b→c)
+    versioned.merge_versioned(
+        spark,
+        base,
+        spark.createDataFrame(
+            [(1, "a", 15), (4, "b", 40), (3, "c", 30)],
+            "id long, grp string, cents long",
+        ),
+        ks,
+    )
+    g1 = versioned.refresh_served_agg(spark, base, agg, ks, gs, ss)
+    assert g1 == 1
+    check()
+    # the incremental generation records the base gen it reflects
+    assert versioned.read_meta(agg, 1)["base_gen"] == versioned.current_version(base)
+
+    # gen 2: tombstone delete removes group c entirely (id=3 was its
+    # only row) — the served aggregate must DROP the group
+    versioned.merge_versioned(
+        spark,
+        base,
+        spark.createDataFrame(
+            [(3, "c", 0, True)], "id long, grp string, cents long, _del boolean"
+        ),
+        ks,
+        delete_col="_del",
+    )
+    g2 = versioned.refresh_served_agg(spark, base, agg, ks, gs, ss)
+    assert g2 == 2
+    check()
+    assert "c" not in {r[0] for r in versioned.read_latest(spark, agg).collect()}
+
+    # crash window: base advances, the refresh's gen dir gets written
+    # but the pointer flip never happens — replay must supersede the
+    # dangling dir and converge
+    versioned.merge_versioned(
+        spark,
+        base,
+        spark.createDataFrame([(5, "a", 50)], "id long, grp string, cents long"),
+        ks,
+    )
+    cur = versioned.current_version(agg)
+    dangling = versioned.incremental_agg_refresh(
+        versioned.read_version(spark, agg, cur),
+        versioned.read_version(
+            spark, base, versioned.read_meta(agg, cur)["base_gen"]
+        ),
+        versioned.read_latest(spark, base),
+        ks, gs, ss,
+    )
+    # simulate publish dying after the parquet write, before the flip
+    dangling.write.mode("overwrite").parquet(
+        os.path.join(agg, f"gen={cur + 1}")
+    )
+    assert versioned.current_version(agg) == cur  # pointer unmoved
+    g3 = versioned.refresh_served_agg(spark, base, agg, ks, gs, ss)
+    assert g3 == cur + 2  # fresh number — the dangling dir is superseded
+    check()
+
+    # vacuumed reflected snapshot: drop everything but the latest base
+    # gen, advance base, refresh — the full-recompute fallback fires
+    # and the result is still exact
+    versioned.merge_versioned(
+        spark,
+        base,
+        spark.createDataFrame([(6, "d", 60)], "id long, grp string, cents long"),
+        ks,
+    )
+    versioned.vacuum(base, keep_last=1)
+    g4 = versioned.refresh_served_agg(spark, base, agg, ks, gs, ss)
+    assert g4 is not None
+    check()
+
+
+def test_incremental_agg_refresh_non_abelian_recompute(spark):
+    """VERDICT r15 #4 — the non-abelian escape hatch: MIN/MAX columns
+    are recomputed from new_snapshot for TOUCHED GROUPS only (delta
+    apply cannot see the next MIN after the current MIN row leaves);
+    untouched groups keep served values; the result equals a full
+    recompute bit-exactly, including the case that breaks naive IVM —
+    deleting a group's minimum row; a recompute column absent from
+    old_agg raises."""
+    import pytest as _pytest
+
+    gs, ss = ["grp"], ["cents"]
+    rec = {
+        "min_cents": F.min(F.col("cents").cast("long")).cast("long"),
+        "max_cents": F.max(F.col("cents").cast("long")).cast("long"),
+    }
+    old_s = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 5), (4, "b", 50)],
+        "id long, grp string, cents long",
+    )
+    # id=1 (group a's MIN) deleted; id=4 (group b's MAX) moves to c;
+    # group d appears; group b keeps one row
+    new_s = spark.createDataFrame(
+        [(2, "a", 20), (3, "b", 5), (4, "c", 50), (5, "d", 7)],
+        "id long, grp string, cents long",
+    )
+    old_agg = versioned.full_agg(old_s, gs, ss, recompute_exprs=rec)
+    got = versioned.incremental_agg_refresh(
+        old_agg, old_s, new_s, ["id"], gs, ss, recompute_exprs=rec
+    )
+    want = versioned.full_agg(new_s, gs, ss, recompute_exprs=rec)
+    assert sorted(got.columns) == sorted(want.columns)
+    assert _agg_rows(got.select(*want.columns)) == _agg_rows(want)
+    # group a's min moved 10→20 ONLY via the scoped recompute
+    a = {r.grp: (r.min_cents, r.max_cents) for r in got.collect()}
+    assert a["a"] == (20, 20)
+    assert a["b"] == (5, 5)       # touched (lost its max row)
+    assert a["c"] == (50, 50)
+    assert a["d"] == (7, 7)
+    with _pytest.raises(ValueError, match="recompute column"):
+        versioned.incremental_agg_refresh(
+            old_agg.drop("min_cents"), old_s, new_s, ["id"], gs, ss,
+            recompute_exprs=rec,
+        )

@@ -34,6 +34,12 @@ from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.sess
 BASE = "/root/testdata/sf0.1"
 ID_COLS = {
     "orders": ["o_orderkey", "o_custkey"],
+    # customer replicates WITH orders (ADVICE r15): o_custkey shifts by
+    # 1e5 per replica, so c_custkey must shift identically or replica
+    # orders reference custkeys absent from customer and any probed
+    # query joining orders⋈customer (q75 cohorts, q78/q81 seeds)
+    # silently loses replica rows and under-measures scaling
+    "customer": ["c_custkey"],
     "lineitem": ["l_orderkey"],
     "events": ["event_id", "user_id"],
     "documents": ["doc_id"],
@@ -46,13 +52,13 @@ SHIFT = 100_000_000
 # assertion existed, silently aliased replica customers into the
 # supplier band). 1e5 spacing keeps up to 99 replicas of sf0.1's 15k
 # customers distinct AND inside the band (shift only needs to exceed
-# the max base custkey).
-COLUMN_SHIFT = {"o_custkey": 100_000}
+# the max base custkey). c_custkey mirrors o_custkey (FK integrity).
+COLUMN_SHIFT = {"o_custkey": 100_000, "c_custkey": 100_000}
 
 
 def replicate(spark, n: int, out_dir: str) -> None:
     os.makedirs(out_dir, exist_ok=True)
-    for t in ["region", "nation", "customer", "supplier", "part"]:
+    for t in ["region", "nation", "supplier", "part"]:
         spark.read.parquet(f"{BASE}/{t}.parquet").write.mode("overwrite").parquet(
             f"{out_dir}/{t}.parquet"
         )
