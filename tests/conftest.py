@@ -82,7 +82,7 @@ _SLOW_TESTS = {
     "test_gated_streamed_sessions_structure",
     "test_parked_ingest_dedup_real_corpus",
     "test_pagerank_matches_reference_any_partitioning",
-    "test_parked_pagerank_real_corpus",
+    "test_gated_pagerank_structure",  # r16: the q33→q77 swap's rename
     "test_pagerank_personalized_matches_reference",
     "test_pagerank_weighted_matches_reference",
     "test_pagerank_converged_equals_fixed_iteration",
@@ -92,6 +92,9 @@ _SLOW_TESTS = {
     "test_parked_bfs_reach_real_corpus",
     "test_shortest_paths_matches_naive_and_duckdb",
     "test_incremental_agg_refresh_equals_full_recompute",
+    "test_refresh_served_agg_cdc_composition",  # r16 CDC→IVM e2e
+    "test_incremental_agg_refresh_non_abelian_recompute",
+    "test_refresh_served_agg_with_non_abelian_columns",
     "test_parked_ppr_segment_real_corpus",
     "test_fuzzy_matches_randomized_naive_sweep",
     "test_exact_close_e2e_bridge_matches_batch",

@@ -528,3 +528,54 @@ def test_incremental_agg_refresh_non_abelian_recompute(spark):
             old_agg.drop("min_cents"), old_s, new_s, ["id"], gs, ss,
             recompute_exprs=rec,
         )
+
+
+def test_refresh_served_agg_with_non_abelian_columns(spark, tmp_path):
+    """The CDC loop carries non-abelian columns end to end: bootstrap
+    publishes MIN/MAX via full_agg, every refresh maintains them via
+    the scoped recompute, and each generation equals the full recompute
+    bit-exactly — including a delete that removes a group's minimum."""
+    base = str(tmp_path / "base")
+    agg = str(tmp_path / "agg")
+    ks, gs, ss = ["id"], ["grp"], ["cents"]
+    rec = {"min_cents": F.min(F.col("cents").cast("long")).cast("long")}
+
+    def check():
+        got = _agg_rows(versioned.read_latest(spark, agg))
+        want = _agg_rows(
+            versioned.full_agg(
+                versioned.read_latest(spark, base), gs, ss,
+                recompute_exprs=rec,
+            )
+        )
+        assert got == want
+
+    versioned.merge_versioned(
+        spark, base,
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "a", 20), (3, "b", 30)],
+            "id long, grp string, cents long",
+        ),
+        ks,
+    )
+    versioned.refresh_served_agg(
+        spark, base, agg, ks, gs, ss, recompute_exprs=rec
+    )
+    check()
+    # delete group a's MIN row — the served min must rise 10→20, which
+    # only the scoped recompute can know
+    versioned.merge_versioned(
+        spark, base,
+        spark.createDataFrame(
+            [(1, "a", 0, True)], "id long, grp string, cents long, _d boolean"
+        ),
+        ks, delete_col="_d",
+    )
+    versioned.refresh_served_agg(
+        spark, base, agg, ks, gs, ss, recompute_exprs=rec
+    )
+    check()
+    row_a = [
+        r for r in versioned.read_latest(spark, agg).collect() if r.grp == "a"
+    ][0]
+    assert row_a.min_cents == 20 and row_a.n_rows == 1
