@@ -961,3 +961,130 @@ def distribution_drift_numeric(
         new.select(F.expr(expr).alias("bucket")),
         "bucket",
     )
+
+
+def distribution_drift_numeric_by_group(
+    old: DataFrame,
+    new: DataFrame,
+    group_col: str,
+    value_col: str,
+    n_buckets: int = 8,
+    k: int = 256,
+) -> DataFrame:
+    """Per-GROUP numeric PSI — the per-language/per-domain form of
+    :func:`distribution_drift_numeric` (the r12 per-lang tercile
+    pattern applied to drift): every group gets its OWN train-side
+    quantile edges (text.portable_bucket_thresholds_by_group — one
+    distributed pass, group-grain threshold table, broadcast EQUI-join
+    back on the group key), and PSI shares are computed within the
+    group (per-group totals), so a language whose length distribution
+    sits wholly above another's is monitored against ITS OWN train
+    profile — global edges would blind the monitor exactly like global
+    terciles would misbucket per-language perplexity.
+
+    Output grain: (group, bucket) for every pair present on either
+    side; columns (group_col, bucket, n_old, n_new, p_ppm, q_ppm,
+    psi_term_micro). Σ psi_term_micro per group = that group's PSI in
+    micro-bits. ONE-SIDED groups (no train rows, or no new rows) emit
+    their counts with NULL shares and NULL psi terms — they are
+    composition changes, not distribution drift; monitor them via the
+    counts (and a group with no train rows has no edges, so its new
+    rows bucket to 0). NULL groups are groups like any other
+    (eqNullSafe joins throughout); NULL values bucket to NULL.
+
+    Scale shape: threshold derivation is two group-keyed shuffles over
+    the distinct-values substrate; bucketing is a broadcast equi-join
+    (group-grain table); counts are map-side partials at (group,
+    bucket) grain; totals at group grain. Integer-exact end to end —
+    the division guards (CASE WHEN total > 0) keep ANSI mode safe."""
+    from .text import portable_bucket_thresholds_by_group
+
+    thr = portable_bucket_thresholds_by_group(
+        old.select(group_col, value_col), group_col, value_col, n_buckets, k
+    )
+    tcols = [f"t{j}" for j in range(1, n_buckets)]
+    thr_b = thr.select(
+        F.col(group_col).alias("_tg"), *[F.col(c) for c in tcols]
+    )
+
+    terms = " + ".join(
+        f"coalesce(CAST(({value_col}) > {c} AS INT), 0)" for c in tcols
+    )
+    bexpr = (
+        f"CASE WHEN ({value_col}) IS NULL THEN NULL"
+        f" ELSE CAST({terms} AS BIGINT) END"
+    )
+
+    def bucketize(df: DataFrame) -> DataFrame:
+        return (
+            df.join(
+                F.broadcast(thr_b),
+                F.col(group_col).eqNullSafe(F.col("_tg")),
+                "left",
+            )
+            .select(
+                F.col(group_col).alias("_g"),
+                F.expr(bexpr).alias("bucket"),
+            )
+        )
+
+    o = bucketize(old).groupBy(
+        F.col("_g").alias("_go"), F.col("bucket").alias("_bo")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_old"))
+    n = bucketize(new).groupBy(
+        F.col("_g").alias("_gn"), F.col("bucket").alias("_bn")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_new"))
+    to = old.groupBy(F.col(group_col).alias("_gto")).agg(
+        F.count(F.lit(1)).cast("long").alias("t_old")
+    )
+    tn = new.groupBy(F.col(group_col).alias("_gtn")).agg(
+        F.count(F.lit(1)).cast("long").alias("t_new")
+    )
+    merged = (
+        o.join(
+            n,
+            F.col("_go").eqNullSafe(F.col("_gn"))
+            & F.col("_bo").eqNullSafe(F.col("_bn")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce("_go", "_gn").alias("_g"),
+            F.coalesce("_bo", "_bn").alias("bucket"),
+            F.coalesce("n_old", F.lit(0).cast("long")).alias("n_old"),
+            F.coalesce("n_new", F.lit(0).cast("long")).alias("n_new"),
+        )
+        .join(F.broadcast(to), F.col("_g").eqNullSafe(F.col("_gto")), "left")
+        .join(F.broadcast(tn), F.col("_g").eqNullSafe(F.col("_gtn")), "left")
+    )
+    shares = merged.select(
+        F.col("_g").alias(group_col),
+        "bucket",
+        "n_old",
+        "n_new",
+        F.expr(
+            "CASE WHEN coalesce(t_old, CAST(0 AS BIGINT)) > 0 THEN"
+            " greatest(CAST(1 AS BIGINT),"
+            " n_old * CAST(1000000 AS BIGINT) div t_old) END"
+        ).alias("p_ppm"),
+        F.expr(
+            "CASE WHEN coalesce(t_new, CAST(0 AS BIGINT)) > 0 THEN"
+            " greatest(CAST(1 AS BIGINT),"
+            " n_new * CAST(1000000 AS BIGINT) div t_new) END"
+        ).alias("q_ppm"),
+    )
+    from ..functions.expressions import log2_interp_micro_sql
+
+    lp = log2_interp_micro_sql("p_ppm", "spark")
+    lq = log2_interp_micro_sql("q_ppm", "spark")
+    return shares.select(
+        group_col,
+        "bucket",
+        "n_old",
+        "n_new",
+        "p_ppm",
+        "q_ppm",
+        F.expr(
+            f"CAST(((q_ppm - p_ppm) * (({lq}) - ({lp}))) div 1000000"
+            " AS BIGINT)"
+        ).alias("psi_term_micro"),
+    )

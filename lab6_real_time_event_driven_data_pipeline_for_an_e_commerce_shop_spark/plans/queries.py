@@ -5844,3 +5844,122 @@ def q83_numeric_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
         n_buckets=_Q83_NB,
     )
+
+
+# ---------------------------------------------------------------------------
+# q84 (PARKED, r16) — PER-LANGUAGE numeric drift (group-scoped PSI)
+# ---------------------------------------------------------------------------
+
+
+def _q84_oracle() -> str:
+    from ..functions.expressions import log2_interp_micro_sql
+
+    lp = log2_interp_micro_sql("p_ppm", "duckdb")
+    lq = log2_interp_micro_sql("q_ppm", "duckdb")
+    nb = _Q83_NB
+    jvals = ", ".join(f"({j})" for j in range(1, nb))
+    return f"""
+WITH splits AS (
+    SELECT lang, CAST(length(text) AS BIGINT) AS v,
+           CASE WHEN {_PHASH_ID} % 100 < 10 THEN 'test'
+                WHEN {_PHASH_ID} % 100 < 20 THEN 'val'
+                ELSE 'train' END AS split
+    FROM documents
+),
+vd AS (SELECT DISTINCT lang, v FROM splits WHERE split = 'train'),
+samp AS (
+    SELECT lang, v FROM (
+        SELECT lang, v,
+               CAST(concat('0x', substr(md5(CAST(v AS VARCHAR)), 1, 12))
+                    AS BIGINT) AS hh
+        FROM vd)
+    QUALIFY row_number() OVER (PARTITION BY lang ORDER BY hh, v) <= 256
+),
+ranked AS (
+    SELECT lang, v,
+           row_number() OVER (PARTITION BY lang ORDER BY v) AS rn,
+           COUNT(*) OVER (PARTITION BY lang) AS n
+    FROM samp
+),
+thr AS (
+    SELECT r.lang, r.v AS t
+    FROM (SELECT * FROM (VALUES {jvals}) AS jt(jj)) j
+    JOIN ranked r ON r.rn = GREATEST(1, (j.jj * r.n + {nb - 1}) // {nb})
+),
+bucketed AS (
+    SELECT s.lang, s.split,
+           CASE WHEN s.v IS NULL THEN NULL
+                ELSE (SELECT CAST(COUNT(*) AS BIGINT) FROM thr
+                      WHERE thr.lang IS NOT DISTINCT FROM s.lang
+                        AND thr.t < s.v) END AS bucket
+    FROM splits s WHERE s.split IN ('train', 'val')
+),
+o AS (SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS n_old
+      FROM bucketed WHERE split = 'train' GROUP BY 1, 2),
+n AS (SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS n_new
+      FROM bucketed WHERE split = 'val' GROUP BY 1, 2),
+tot AS (
+    SELECT lang,
+           CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+               AS t_old,
+           CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT)
+               AS t_new
+    FROM bucketed GROUP BY 1
+),
+shares AS (
+    SELECT COALESCE(o.lang, n.lang) AS lang,
+           COALESCE(o.bucket, n.bucket) AS bucket,
+           COALESCE(n_old, 0) AS n_old,
+           COALESCE(n_new, 0) AS n_new,
+           CASE WHEN COALESCE(t.t_old, 0) > 0 THEN
+               GREATEST(CAST(1 AS BIGINT),
+                        COALESCE(n_old, 0) * CAST(1000000 AS BIGINT)
+                            // t.t_old) END AS p_ppm,
+           CASE WHEN COALESCE(t.t_new, 0) > 0 THEN
+               GREATEST(CAST(1 AS BIGINT),
+                        COALESCE(n_new, 0) * CAST(1000000 AS BIGINT)
+                            // t.t_new) END AS q_ppm
+    FROM o FULL OUTER JOIN n
+        ON o.lang IS NOT DISTINCT FROM n.lang
+       AND o.bucket IS NOT DISTINCT FROM n.bucket
+    LEFT JOIN tot t
+        ON COALESCE(o.lang, n.lang) IS NOT DISTINCT FROM t.lang
+)
+SELECT lang, bucket, n_old, n_new, p_ppm, q_ppm,
+       CAST(((q_ppm - p_ppm) * (({lq}) - ({lp}))) // 1000000 AS BIGINT)
+           AS psi_term_micro
+FROM shares
+"""
+
+
+@parked_query("q84_lang_numeric_drift", _q84_oracle())
+def q84_lang_numeric_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-LANGUAGE numeric drift — PARKED (r16): the group-scoped PSI
+    (curation.distribution_drift_numeric_by_group) of document length
+    between the train and val splits, each language bucketed by ITS
+    OWN train quantile edges (the r12 per-language-tercile pattern
+    applied to drift monitoring: a language whose lengths sit wholly
+    above another's is audited against its own profile — global edges
+    would blind the monitor). Oracle re-derives per-language edges
+    (q22's xlthr pattern), buckets via the threshold-row count,
+    per-language totals, shares, AND the log table — the whole
+    group-scoped pipeline under one hash match. One-sided languages
+    (possible at tiny SFs where a lang draws no val docs) emit counts
+    with NULL shares/terms on BOTH engines — drift is undefined, never
+    guessed."""
+    from ..operators.curation import (
+        assign_split,
+        distribution_drift_numeric_by_group,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.length("text").cast("long").alias("v")
+    )
+    s = assign_split(docs)
+    return distribution_drift_numeric_by_group(
+        s.filter(F.col("split") == "train").select("lang", "v"),
+        s.filter(F.col("split") == "val").select("lang", "v"),
+        "lang",
+        "v",
+        n_buckets=_Q83_NB,
+    )

@@ -1509,3 +1509,91 @@ def test_distribution_drift_numeric_semantics(spark):
     ).collect()
     nulls = [r for r in wn if r.bucket is None]
     assert len(nulls) == 1 and nulls[0].n_new == 1 and nulls[0].n_old == 0
+
+
+def test_distribution_drift_numeric_by_group_composition(spark):
+    """distribution_drift_numeric_by_group == the scalar
+    distribution_drift_numeric applied per filtered group (each group
+    against its OWN train edges) for every two-sided group — including
+    the NULL group (eqNullSafe throughout); one-sided groups emit
+    their counts with NULL shares and NULL psi terms; a group with no
+    train rows buckets its new rows to 0 (no edges)."""
+    from pyspark.sql import functions as F
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators.curation import (
+        distribution_drift_numeric,
+        distribution_drift_numeric_by_group,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "g string, v long")
+
+    # en: shifted distribution; fr: identical; NULL group: two-sided;
+    # old_only: train-only; new_only: no train rows
+    old = mk(
+        [("en", v) for v in range(1, 41)]
+        + [("fr", v) for v in [5, 10, 15, 20] * 5]
+        + [(None, v) for v in [1, 2, 3, 4, 5, 6]]
+        + [("old_only", v) for v in [7, 8, 9]]
+    )
+    new = mk(
+        [("en", v + 25) for v in range(1, 41)]
+        + [("fr", v) for v in [5, 10, 15, 20] * 5]
+        + [(None, v) for v in [1, 2, 3, 4, 5, 6]]
+        + [("new_only", v) for v in [100, 200]]
+    )
+    got = distribution_drift_numeric_by_group(old, new, "g", "v", n_buckets=4)
+    rows = got.collect()
+    by_g: dict = {}
+    for r in rows:
+        by_g.setdefault(r.g, []).append(r)
+
+    # two-sided groups equal the scalar per-group run
+    for g in ("en", "fr", None):
+        if g is None:
+            fo, fn = old.filter(F.col("g").isNull()), new.filter(
+                F.col("g").isNull()
+            )
+        else:
+            fo, fn = old.filter(F.col("g") == g), new.filter(F.col("g") == g)
+        want = sorted(
+            (r.bucket, r.n_old, r.n_new, r.p_ppm, r.q_ppm, r.psi_term_micro)
+            for r in distribution_drift_numeric(
+                fo.select("v"), fn.select("v"), "v", n_buckets=4
+            ).collect()
+        )
+        have = sorted(
+            (r.bucket, r.n_old, r.n_new, r.p_ppm, r.q_ppm, r.psi_term_micro)
+            for r in by_g[g]
+        )
+        assert have == want, f"group {g!r} diverges from the scalar run"
+
+    # en drifted, fr did not
+    assert sum(r.psi_term_micro for r in by_g["en"]) > 0
+    assert all(r.psi_term_micro == 0 for r in by_g["fr"])
+    # one-sided groups: counts present, shares/terms NULL
+    oo = by_g["old_only"]
+    assert all(r.n_new == 0 and r.q_ppm is None and r.psi_term_micro is None
+               for r in oo)
+    assert sum(r.n_old for r in oo) == 3
+    no = by_g["new_only"]
+    # no train rows -> no edges -> every new value buckets to 0
+    assert len(no) == 1 and no[0].bucket == 0 and no[0].n_new == 2
+    assert no[0].p_ppm is None and no[0].psi_term_micro is None
+
+
+def test_parked_lang_numeric_drift_real_corpus(spark):
+    """The parked q84 per-language numeric PSI matches its fully
+    relational oracle (per-lang edges, buckets, shares, log table all
+    re-derived in SQL). Structure: every language present, each with
+    multiple buckets, and each language's edges are its OWN (bucket
+    populations differ across languages)."""
+    con = _duck(SF_DIR)
+    got, cols = _run_parked(spark, "q84_lang_numeric_drift", SF_DIR, con)
+    i_g, i_b = cols.index("lang"), cols.index("bucket")
+    langs = {r[i_g] for r in got}
+    assert len(langs) >= 3
+    per_lang_buckets = {}
+    for r in got:
+        per_lang_buckets.setdefault(r[i_g], set()).add(r[i_b])
+    assert all(len(b) >= 4 for b in per_lang_buckets.values())
