@@ -625,3 +625,50 @@ def refresh_served_agg(
         recompute_exprs=recompute_exprs,
     )
     return publish(spark, agg_root, new_agg, meta={"base_gen": base_gen})
+
+
+def optimize(
+    spark: SparkSession,
+    root: str,
+    n_files: int = 4,
+    zorder_cols: list[str] | None = None,
+    bits: int = 16,
+) -> int:
+    """Compaction republish — Delta's OPTIMIZE (and OPTIMIZE ZORDER BY)
+    on the snapshot model: read the pointed generation, rewrite it as a
+    NEW generation with ``n_files`` files (plain repartition, or
+    Z-order clustering over ``zorder_cols`` via layout.zorder_key —
+    range-partitioned + sorted on the Morton key so every file's
+    footer stats bound a small hyper-rectangle), and flip the pointer.
+    Content is byte-for-byte the same ROWS (test-pinned); only layout
+    changes. Readers holding the old generation keep it (snapshot
+    isolation); vacuum sweeps it on schedule.
+
+    The generation's ``meta`` is CARRIED FORWARD (plus an
+    ``optimized_from`` marker): a served aggregate's ``base_gen`` must
+    survive compaction or the next refresh_served_agg would refuse the
+    table. Many-small-files is the natural end state of frequent
+    incremental refreshes — this is the maintenance step that bounds
+    file count without a full pipeline rerun."""
+    cur = current_version(root)
+    if cur is None:
+        raise FileNotFoundError(f"{root} has no published generation")
+    df = read_version(spark, root, cur)
+    if zorder_cols:
+        from . import layout
+
+        with_b, z = layout.zorder_key(df, zorder_cols, bits)
+        drop = [f"_zmin_{c}" for c in zorder_cols] + [
+            f"_zmax_{c}" for c in zorder_cols
+        ]
+        df = (
+            with_b.withColumn("_zkey", z)
+            .repartitionByRange(int(n_files), "_zkey")
+            .sortWithinPartitions("_zkey")
+            .drop("_zkey", *drop)
+        )
+    else:
+        df = df.repartition(int(n_files))
+    meta = read_meta(root, cur) or {}
+    meta = {**meta, "optimized_from": cur}
+    return publish(spark, root, df, meta=meta)

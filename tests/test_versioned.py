@@ -579,3 +579,68 @@ def test_refresh_served_agg_with_non_abelian_columns(spark, tmp_path):
         r for r in versioned.read_latest(spark, agg).collect() if r.grp == "a"
     ][0]
     assert row_a.min_cents == 20 and row_a.n_rows == 1
+
+
+def test_optimize_compacts_preserving_content_and_meta(spark, tmp_path):
+    """versioned.optimize republishes the pointed generation with fewer
+    files and identical rows; the generation meta (base_gen) carries
+    forward so refresh_served_agg keeps working after compacting the
+    AGG table; old readers keep their snapshot; z-order mode clusters
+    on the requested columns and preserves content too."""
+    base = str(tmp_path / "base")
+    agg = str(tmp_path / "agg")
+    ks, gs, ss = ["id"], ["grp"], ["cents"]
+    versioned.merge_versioned(
+        spark, base,
+        spark.range(2000).select(
+            F.col("id"),
+            F.concat(F.lit("g"), (F.col("id") % 7)).alias("grp"),
+            (F.col("id") % 100).cast("long").alias("cents"),
+        ).repartition(32),
+        ks,
+    )
+    versioned.refresh_served_agg(spark, base, agg, ks, gs, ss)
+    # file-count reduction on the 32-partition BASE table
+    files_before = versioned.history(base)[-1]["n_files"]
+    assert files_before > 4
+    base_reader = versioned.read_latest(spark, base)
+    base_before = _agg_rows(base_reader)
+    gb = versioned.optimize(spark, base, n_files=1)
+    bhist = {h["generation"]: h for h in versioned.history(base)}
+    assert bhist[gb]["is_current"] and bhist[gb]["n_files"] < files_before
+    assert _agg_rows(versioned.read_latest(spark, base)) == base_before
+    assert _agg_rows(base_reader) == base_before  # old snapshot serves
+
+    before = _agg_rows(versioned.read_latest(spark, agg))
+    g = versioned.optimize(spark, agg, n_files=1)
+    assert _agg_rows(versioned.read_latest(spark, agg)) == before
+    # meta carried forward: the compacted agg still records the base
+    # gen it REFLECTS (gen 0 — base's own optimize at gen 1 changed no
+    # rows, and the next refresh will prove that with an empty diff)
+    m = versioned.read_meta(agg, g)
+    assert m["base_gen"] == 0
+    assert m["optimized_from"] == g - 1
+    # and the CDC loop keeps working on the compacted table
+    versioned.merge_versioned(
+        spark, base,
+        spark.createDataFrame([(9999, "g0", 5)], "id long, grp string, cents long"),
+        ks,
+    )
+    versioned.refresh_served_agg(spark, base, agg, ks, gs, ss)
+    want = _agg_rows(
+        versioned.full_agg(versioned.read_latest(spark, base), gs, ss)
+    )
+    assert _agg_rows(versioned.read_latest(spark, agg)) == want
+
+    # z-order mode: content preserved, clustering applied
+    g2 = versioned.optimize(
+        spark, base, n_files=2, zorder_cols=["id", "cents"]
+    )
+    assert _agg_rows(versioned.read_latest(spark, base)) == _agg_rows(
+        versioned.read_version(spark, base, g2 - 1)
+    )
+    # optimize on an unborn table raises
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        versioned.optimize(spark, str(tmp_path / "nope"))
