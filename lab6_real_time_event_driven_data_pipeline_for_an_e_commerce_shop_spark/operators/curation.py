@@ -848,8 +848,6 @@ def distribution_drift(
     bucket-keyed outer join at BUCKET grain (tiny), totals as two
     bounded 1-row scalars (plan literals on both engines). NULL is a
     bucket like any other."""
-    from ..functions.expressions import log2_interp_micro_sql
-
     total_old = old.count()
     total_new = new.count()
     if total_old == 0 or total_new == 0:
@@ -860,6 +858,23 @@ def distribution_drift(
     n = new.groupBy(F.col(bucket_col).alias("_bn")).agg(
         F.count(F.lit(1)).cast("long").alias("n_new")
     )
+    return psi_from_counts(o, n, total_old, total_new)
+
+
+def psi_from_counts(
+    o: DataFrame,
+    n: DataFrame,
+    total_old: int,
+    total_new: int,
+) -> DataFrame:
+    """The counts→PSI core of :func:`distribution_drift`, factored out
+    (r16) so the streaming drift monitor applies the IDENTICAL share
+    and log arithmetic against a FROZEN baseline — one formula, two
+    callers, no drift between streamed and batch results. ``o`` is a
+    (_bo, n_old) bucket-count frame, ``n`` is (_bn, n_new); totals are
+    bounded scalars (plan literals)."""
+    from ..functions.expressions import log2_interp_micro_sql
+
     # NULL-SAFE outer merge: a name-based full-outer join matches keys
     # with plain equality, so a NULL bucket present on BOTH sides would
     # emit two half-rows instead of one merged row (found in the r15

@@ -96,6 +96,7 @@ _SLOW_TESTS = {
     "test_incremental_agg_refresh_non_abelian_recompute",
     "test_refresh_served_agg_with_non_abelian_columns",
     "test_optimize_compacts_preserving_content_and_meta",
+    "test_drift_monitor_streamed_equals_batch",
     "test_parked_ppr_segment_real_corpus",
     "test_fuzzy_matches_randomized_naive_sweep",
     "test_exact_close_e2e_bridge_matches_batch",

@@ -4249,3 +4249,110 @@ def test_eager_and_exact_close_agree_on_ordered_arrivals():
         )
 
     check()
+
+
+def test_drift_monitor_streamed_equals_batch(spark, tmp_path):
+    """Streaming drift monitor (r16): per-batch PSI rows against the
+    FROZEN baseline equal distribution_drift_numeric(baseline, wave,
+    thresholds=frozen) row-for-row (shared psi_from_counts — one
+    formula, two callers); replay with no new files is a no-op; a
+    re-sent wave into the crash window (log written, checkpoint not
+    committed) converges via the (batch_id, bucket)-keyed MERGE;
+    reopening the monitor LOADS the frozen artifact (the baseline arg
+    is ignored by design); NULL values log as bucket -1."""
+    import json as _json
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators.curation import (
+        distribution_drift_numeric,
+    )
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.drift import (
+        DriftMonitor,
+    )
+
+    root = str(tmp_path)
+    baseline = spark.createDataFrame(
+        [(v,) for v in range(1, 101)], "v long"
+    )
+    mon = DriftMonitor(
+        spark, root, schema="doc_id long, v long", value_col="v",
+        baseline=baseline, n_buckets=4,
+    )
+    thr = list(mon.thresholds)
+    assert len(thr) == 3
+
+    def _wave(name, vals):
+        with open(os.path.join(root, "landing", name), "w") as f:
+            for i, v in enumerate(vals):
+                f.write(_json.dumps({"doc_id": i, "v": v}) + "\n")
+
+    # wave 1: same distribution; wave 2: shifted high + one NULL
+    w1 = list(range(1, 101))
+    w2 = [v + 60 for v in range(1, 101)] + [None]
+    _wave("w1.json", w1)
+    mon.run_available()
+    _wave("w2.json", w2)
+    mon.run_available()
+
+    log = mon.drift_log().collect()
+    by_batch: dict = {}
+    for r in log:
+        by_batch.setdefault(r.batch_id, []).append(r)
+    assert len(by_batch) == 2
+
+    def batch_expected(vals):
+        nf = spark.createDataFrame([(v,) for v in vals], "v long")
+        rows = distribution_drift_numeric(
+            baseline, nf, "v", thresholds=thr
+        ).collect()
+        return sorted(
+            (r.bucket if r.bucket is not None else -1, r.n_old, r.n_new,
+             r.p_ppm, r.q_ppm, r.psi_term_micro)
+            for r in rows
+        )
+
+    got1 = sorted(
+        (r.bucket, r.n_old, r.n_new, r.p_ppm, r.q_ppm, r.psi_term_micro)
+        for r in by_batch[min(by_batch)]
+    )
+    got2 = sorted(
+        (r.bucket, r.n_old, r.n_new, r.p_ppm, r.q_ppm, r.psi_term_micro)
+        for r in by_batch[max(by_batch)]
+    )
+    assert got1 == batch_expected(w1)
+    assert got2 == batch_expected(w2)
+    # wave 1 matched the baseline: zero PSI; wave 2 drifted
+    psi = {r.batch_id: r.psi_micro for r in mon.batch_psi().collect()}
+    assert psi[min(psi)] == 0
+    assert psi[max(psi)] > 0
+    # NULL bucket encoded -1 in the log (wave 2 carried one NULL)
+    assert any(r.bucket == -1 for r in by_batch[max(by_batch)])
+
+    # replay with nothing new: no-op
+    before = sorted(map(tuple, mon.drift_log().collect()))
+    mon.run_available()
+    assert sorted(map(tuple, mon.drift_log().collect())) == before
+
+    # crash window: re-process an already-logged batch id directly (the
+    # replay Spark performs when the checkpoint commit was lost) — the
+    # keyed MERGE makes it idempotent
+    replay_frame = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(w2)], "doc_id long, v long"
+    )
+    mon._process(replay_frame, max(by_batch))
+    assert sorted(map(tuple, mon.drift_log().collect())) == before
+
+    # reopening loads the FROZEN artifact; a different baseline arg is
+    # deliberately ignored
+    mon2 = DriftMonitor(
+        spark, root, schema="doc_id long, v long", value_col="v",
+        baseline=spark.createDataFrame([(999,)], "v long"), n_buckets=4,
+    )
+    assert mon2.thresholds == thr and mon2.total_old == mon.total_old
+    # first creation without a baseline raises
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="needs a baseline"):
+        DriftMonitor(
+            spark, str(tmp_path / "fresh"), schema="doc_id long, v long",
+            value_col="v",
+        )

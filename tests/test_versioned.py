@@ -632,13 +632,23 @@ def test_optimize_compacts_preserving_content_and_meta(spark, tmp_path):
     )
     assert _agg_rows(versioned.read_latest(spark, agg)) == want
 
-    # z-order mode: content preserved, clustering applied
+    # z-order mode: content preserved AND clustering measurably applied
+    # (footer-stats span on the leading z-column shrinks well below the
+    # ~1.0 every-file-spans-everything baseline)
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        layout,
+    )
+
     g2 = versioned.optimize(
-        spark, base, n_files=2, zorder_cols=["id", "cents"]
+        spark, base, n_files=4, zorder_cols=["id", "cents"]
     )
     assert _agg_rows(versioned.read_latest(spark, base)) == _agg_rows(
         versioned.read_version(spark, base, g2 - 1)
     )
+    prof = layout.file_span_profile(
+        os.path.join(base, f"gen={g2}"), ["id"]
+    )
+    assert prof["id"] < 0.6
     # optimize on an unborn table raises
     import pytest as _pytest
 
