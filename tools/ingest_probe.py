@@ -362,6 +362,56 @@ def probe_embedding(spark, wave_vecs: int, n_waves: int, dup_pct: int,
     return out
 
 
+def probe_drift(spark, wave_rows: int, n_waves: int) -> dict:
+    """r16: the drift monitor at the landing edge. Per-wave cost must
+    stay FLAT as the drift log grows — each batch's work is one
+    grouped count to bucket grain + one bucket-grain join + a
+    batch-keyed MERGE of ≤ n_buckets+1 rows; nothing scales with
+    history. Waves alternate in-distribution and shifted so both the
+    zero-PSI and drifted paths are exercised; the summary asserts the
+    log holds every wave and shifted waves read positive PSI."""
+    import json as _json
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.drift import (  # noqa: E501
+        DriftMonitor,
+    )
+
+    root = tempfile.mkdtemp(prefix="drift_probe_")
+    baseline = spark.range(wave_rows).select(
+        (F.col("id") % 1000).cast("long").alias("v")
+    )
+    mon = DriftMonitor(
+        spark, root, schema="doc_id long, v long", value_col="v",
+        baseline=baseline, n_buckets=8,
+    )
+    wave_secs = []
+    for w in range(n_waves):
+        shift = 0 if w % 2 == 0 else 700
+        path = os.path.join(root, "landing", f"w{w}.json")
+        with open(path, "w") as f:
+            for i in range(wave_rows):
+                f.write(_json.dumps(
+                    {"doc_id": w * wave_rows + i,
+                     "v": (i % 1000) + shift}) + "\n")
+        t0 = time.time()
+        mon.run_available()
+        wave_secs.append(round(time.time() - t0, 2))
+    psi = {r.batch_id: r.psi_micro for r in mon.batch_psi().collect()}
+    n_batches = len(psi)
+    shifted_positive = all(
+        v > 0 for b, v in psi.items() if b % 2 == 1
+    )
+    inband_zero = all(v == 0 for b, v in psi.items() if b % 2 == 0)
+    shutil.rmtree(root, ignore_errors=True)
+    return {
+        "gate": "drift", "wave_rows": wave_rows, "wave_secs": wave_secs,
+        "n_batches_logged": n_batches,
+        "shifted_waves_positive_psi": shifted_positive,
+        "inband_waves_zero_psi": inband_zero,
+        "ok": n_batches == n_waves and shifted_positive and inband_zero,
+    }
+
+
 def main() -> None:
     wave_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
     n_waves = int(sys.argv[2]) if len(sys.argv) > 2 else 5
@@ -416,9 +466,15 @@ def main() -> None:
               order=("quality", "exact", "spans", "near")),
         # r13: the vector-side gate (SRP ring + cosine verify)
         probe_embedding(spark, max(wave_docs // 4, 1000), n_waves, dup_pct),
+        # r16: the drift monitor cell (flat per-wave, bucket-grain state)
+        probe_drift(spark, wave_docs, n_waves),
     ]
     for r in results:
-        ok = abs(r["kept_final"] - r["expected_kept"]) <= r["tolerance"]
+        # drift cell carries its own verdict; admission gates are judged
+        # on the kept-count arithmetic
+        ok = r["ok"] if "ok" in r else (
+            abs(r["kept_final"] - r["expected_kept"]) <= r["tolerance"]
+        )
         print(json.dumps({**r, "kept_matches_expected": ok}), flush=True)
         if not ok:
             raise SystemExit(f"FAIL: {r['gate']} kept mismatch")
