@@ -627,6 +627,215 @@ def refresh_served_agg(
     return publish(spark, agg_root, new_agg, meta={"base_gen": base_gen})
 
 
+def _keyed_cond(cols: list[str], prefix: str):
+    """NULL-SAFE equality over ``cols`` vs their ``prefix``-aliased
+    twins — every keyed semi/anti join here must decide NULL-key
+    semantics explicitly (the r15 name-join lesson: plain equality
+    silently chooses "never match")."""
+    cond = None
+    for c in cols:
+        term = F.col(c).eqNullSafe(F.col(f"{prefix}{c}"))
+        cond = term if cond is None else (cond & term)
+    return cond
+
+
+def full_join_view(a: DataFrame, b: DataFrame, join_on: list[str]) -> DataFrame:
+    """The FULL recompute twin of :func:`incremental_join_refresh` —
+    one inner equi-join of the current snapshots, the column shape
+    every incremental branch reproduces (join columns once, then A's
+    remaining columns, then B's)."""
+    return a.join(b, join_on, "inner")
+
+
+def incremental_join_refresh(
+    old_view: DataFrame,
+    old_a: DataFrame,
+    new_a: DataFrame,
+    old_b: DataFrame,
+    new_b: DataFrame,
+    keys_a: list[str],
+    keys_b: list[str],
+    join_on: list[str],
+    changed_keys_a: DataFrame | None = None,
+    changed_keys_b: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental VIEW MAINTENANCE for an INNER equi-join view: given
+    the served ``old_view = old_a ⋈ old_b`` (on ``join_on``), produce
+    ``new_a ⋈ new_b`` WITHOUT re-joining unchanged rows — the join-view
+    sibling of :func:`incremental_agg_refresh`.
+
+    Row-scoped delta rule (``keys_a`` / ``keys_b`` are the two bases'
+    row identities, the merge-key contract):
+
+    - PRUNE: drop every served row whose A-key is in the A change set
+      or whose B-key is in the B change set (eqNullSafe anti-joins).
+    - REJOIN: changed-A rows ⋈ all of new B, plus unchanged-A rows ⋈
+      changed-B rows — disjoint by construction, together exactly the
+      pairs with at least one changed side.
+
+    A pair with BOTH sides unchanged joins identically in old and new
+    snapshots (the join columns are part of the row), so the kept
+    served rows are still exact — the result equals a full recompute
+    ROW-FOR-ROW (test-pinned), including join-column moves (the moved
+    key is "changed" on its side) and deletes (pruned, nothing
+    rejoined). NULL join keys never match in either path (inner-join
+    equality), so the twins agree there too.
+
+    INNER ONLY, loudly: an outer join's null-extended rows belong to
+    UNCHANGED driving rows whose match set moved — an A row that loses
+    its last B match must gain a null row (and vice versa), which the
+    prune step cannot see. Callers needing an outer view recompute it
+    or restructure as inner + anti.
+
+    ``changed_keys_*``: frames holding exactly that side's key columns
+    (e.g. :func:`read_changes` output) skip the internal snapshot
+    diffs — the CDC wiring (:func:`refresh_served_join` composes the
+    end-to-end loop).
+
+    Scale shape: up to two keyed diffs (zero in the CDC regime), four
+    semi/anti prunes of base-sized frames by the change sets
+    (broadcastable when change sets are small), and two joins whose
+    smaller side is change-set-sized. Unchanged pairs are never
+    re-joined; the served view is touched only by two anti-joins."""
+    from .curation import snapshot_diff
+
+    overlap = (set(new_a.columns) & set(new_b.columns)) - set(join_on)
+    if overlap:
+        raise ValueError(
+            "incremental_join_refresh: non-join columns shared by both"
+            f" sides would be ambiguous in the view: {sorted(overlap)}"
+        )
+    if changed_keys_a is not None:
+        changed_a = changed_keys_a.select(*keys_a).distinct()
+    else:
+        changed_a = (
+            snapshot_diff(old_a, new_a, keys_a)
+            .filter(F.col("change_type") != "unchanged")
+            .select(*keys_a)
+        )
+    if changed_keys_b is not None:
+        changed_b = changed_keys_b.select(*keys_b).distinct()
+    else:
+        changed_b = (
+            snapshot_diff(old_b, new_b, keys_b)
+            .filter(F.col("change_type") != "unchanged")
+            .select(*keys_b)
+        )
+    ca = changed_a.select(
+        *[F.col(c).alias(f"_ca_{c}") for c in keys_a]
+    )
+    cb = changed_b.select(
+        *[F.col(c).alias(f"_cb_{c}") for c in keys_b]
+    )
+    kept = old_view.join(ca, _keyed_cond(keys_a, "_ca_"), "left_anti").join(
+        cb, _keyed_cond(keys_b, "_cb_"), "left_anti"
+    )
+    rejoin_a = new_a.join(ca, _keyed_cond(keys_a, "_ca_"), "left_semi").join(
+        new_b, join_on, "inner"
+    )
+    rejoin_b = new_a.join(ca, _keyed_cond(keys_a, "_ca_"), "left_anti").join(
+        new_b.join(cb, _keyed_cond(keys_b, "_cb_"), "left_semi"),
+        join_on,
+        "inner",
+    )
+    cols = full_join_view(new_a, new_b, join_on).columns
+    return (
+        kept.select(*cols)
+        .unionByName(rejoin_a.select(*cols))
+        .unionByName(rejoin_b.select(*cols))
+    )
+
+
+def refresh_served_join(
+    spark: SparkSession,
+    root_a: str,
+    root_b: str,
+    view_root: str,
+    keys_a: list[str],
+    keys_b: list[str],
+    join_on: list[str],
+) -> int | None:
+    """CDC-to-served-JOIN-view, end to end — the join sibling of
+    :func:`refresh_served_agg`: keep the versioned inner-join view at
+    ``view_root`` current with the two versioned base tables, via
+    :func:`read_changes` on each base → :func:`incremental_join_refresh`
+    → :func:`publish`, one idempotent call.
+
+    Each view generation records BOTH reflected base generations in its
+    ``_META.json`` (committed atomically with the snapshot). Replay
+    when both are current is a no-op (returns None); a crash before the
+    pointer flip recomputes the same delta from the same immutable
+    snapshots; a vacuumed reflected snapshot on EITHER side falls back
+    to a full re-join of the current snapshots — one rescan, never
+    wrong data. Returns the new view generation, or None."""
+    gen_a = current_version(root_a)
+    gen_b = current_version(root_b)
+    if gen_a is None or gen_b is None:
+        raise FileNotFoundError(
+            f"{root_a if gen_a is None else root_b} has no published"
+            " generation"
+        )
+
+    def _full() -> int:
+        view = full_join_view(
+            read_version(spark, root_a, gen_a),
+            read_version(spark, root_b, gen_b),
+            join_on,
+        )
+        return publish(
+            spark, view_root, view,
+            meta={"base_gen_a": gen_a, "base_gen_b": gen_b},
+        )
+
+    cur = current_version(view_root)
+    if cur is None:
+        return _full()
+    meta = read_meta(view_root, cur)
+    if meta is None or "base_gen_a" not in meta or "base_gen_b" not in meta:
+        raise ValueError(
+            f"{view_root} gen={cur} carries no base_gen_a/base_gen_b"
+            " metadata — it was not published by refresh_served_join"
+            " (refusing to guess which base snapshots it reflects)"
+        )
+    ref_a, ref_b = int(meta["base_gen_a"]), int(meta["base_gen_b"])
+    if ref_a == gen_a and ref_b == gen_b:
+        return None  # already current — replay is a no-op
+    try:
+        old_a = read_version(spark, root_a, ref_a)
+        old_b = read_version(spark, root_b, ref_b)
+    except FileNotFoundError:
+        return _full()
+    new_a = read_version(spark, root_a, gen_a)
+    new_b = read_version(spark, root_b, gen_b)
+    # an unchanged side's change feed is empty by definition — skip the
+    # diff join instead of diffing a snapshot against itself
+    changed_a = (
+        new_a.select(*keys_a).limit(0)
+        if ref_a == gen_a
+        else read_changes(
+            spark, root_a, keys_a, from_gen=ref_a, to_gen=gen_a
+        ).select(*keys_a)
+    )
+    changed_b = (
+        new_b.select(*keys_b).limit(0)
+        if ref_b == gen_b
+        else read_changes(
+            spark, root_b, keys_b, from_gen=ref_b, to_gen=gen_b
+        ).select(*keys_b)
+    )
+    view = incremental_join_refresh(
+        read_version(spark, view_root, cur),
+        old_a, new_a, old_b, new_b,
+        keys_a, keys_b, join_on,
+        changed_keys_a=changed_a,
+        changed_keys_b=changed_b,
+    )
+    return publish(
+        spark, view_root, view,
+        meta={"base_gen_a": gen_a, "base_gen_b": gen_b},
+    )
+
+
 def optimize(
     spark: SparkSession,
     root: str,

@@ -654,3 +654,215 @@ def test_optimize_compacts_preserving_content_and_meta(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         versioned.optimize(spark, str(tmp_path / "nope"))
+
+
+def _rows(df):
+    # repr-keyed sort: NULLs are unorderable under plain tuple compare
+    return sorted((tuple(r) for r in df.collect()), key=repr)
+
+
+def test_incremental_join_refresh_equals_full_rejoin(spark):
+    """Join-view IVM (r16): the incremental result must equal a full
+    re-join ROW-FOR-ROW across inserts, value updates, deletes,
+    JOIN-KEY MOVES on both sides, and NULL join keys (which never
+    match in either path)."""
+    a_old = spark.createDataFrame(
+        [
+            (1, "c1", 10),
+            (2, "c1", 20),
+            (3, "c2", 30),
+            (4, None, 40),   # NULL join key: matches nothing, both paths
+            (5, "c3", 50),
+        ],
+        "id long, cust string, amt long",
+    )
+    b_old = spark.createDataFrame(
+        [("c1", "gold"), ("c2", "silver"), ("c4", "bronze")],
+        "cust string, seg string",
+    )
+    # changes: A — update id=1 amt, MOVE id=3 c2→c4, delete id=5,
+    # insert id=6 (matching), id=4 keeps its NULL key;
+    # B — update c1 seg, delete c2, insert c5 (matched by nothing yet)
+    a_new = spark.createDataFrame(
+        [
+            (1, "c1", 11),
+            (2, "c1", 20),
+            (3, "c4", 30),
+            (4, None, 40),
+            (6, "c4", 60),
+        ],
+        "id long, cust string, amt long",
+    )
+    b_new = spark.createDataFrame(
+        [("c1", "plat"), ("c4", "bronze"), ("c5", "tin")],
+        "cust string, seg string",
+    )
+    old_view = versioned.full_join_view(a_old, b_old, ["cust"])
+    got = versioned.incremental_join_refresh(
+        old_view, a_old, a_new, b_old, b_new,
+        keys_a=["id"], keys_b=["cust"], join_on=["cust"],
+    )
+    want = versioned.full_join_view(a_new, b_new, ["cust"])
+    assert got.columns == want.columns
+    assert _rows(got) == _rows(want)
+    assert len(_rows(got)) > 0
+
+    # empty change sets: the served view passes through row-for-row
+    empty_a = a_new.select("id").limit(0)
+    empty_b = b_new.select("cust").limit(0)
+    same = versioned.incremental_join_refresh(
+        want, a_new, a_new, b_new, b_new,
+        keys_a=["id"], keys_b=["cust"], join_on=["cust"],
+        changed_keys_a=empty_a, changed_keys_b=empty_b,
+    )
+    assert _rows(same) == _rows(want)
+
+
+def test_incremental_join_refresh_null_pk_prunes(spark):
+    """A NULL row-identity key on either base must still prune its
+    served rows (eqNullSafe anti-joins — the r15 NULL-key-in-keyed-
+    merge rule). A plain-equality prune would leave the stale row in
+    the view forever."""
+    a_old = spark.createDataFrame(
+        [(None, "c1", 10), (2, "c1", 20)], "id long, cust string, amt long"
+    )
+    b = spark.createDataFrame([("c1", "gold")], "cust string, seg string")
+    # the NULL-id row changes its amount
+    a_new = spark.createDataFrame(
+        [(None, "c1", 99), (2, "c1", 20)], "id long, cust string, amt long"
+    )
+    old_view = versioned.full_join_view(a_old, b, ["cust"])
+    changed = spark.createDataFrame([(None,)], "id long")
+    got = versioned.incremental_join_refresh(
+        old_view, a_old, a_new, b, b,
+        keys_a=["id"], keys_b=["cust"], join_on=["cust"],
+        changed_keys_a=changed,
+        changed_keys_b=b.select("cust").limit(0),
+    )
+    want = versioned.full_join_view(a_new, b, ["cust"])
+    assert _rows(got) == _rows(want)
+    assert (99,) in {(r.amt,) for r in got.collect()}
+
+
+def test_incremental_join_refresh_rejects_ambiguous_columns(spark):
+    a = spark.createDataFrame([(1, "c1", 5)], "id long, cust string, v long")
+    b = spark.createDataFrame([("c1", 7)], "cust string, v long")
+    with pytest.raises(ValueError, match="ambiguous"):
+        versioned.incremental_join_refresh(
+            versioned.full_join_view(a, b, ["cust"]),
+            a, a, b, b, ["id"], ["cust"], ["cust"],
+        )
+
+
+def test_refresh_served_join_cdc_composition(spark, tmp_path):
+    """The CDC-to-served-JOIN loop as ONE call: read_changes on both
+    bases → incremental_join_refresh → publish; bit-exact vs a full
+    re-join across generations covering one-side and both-side
+    changes; replay no-ops; crash-before-flip converges; a vacuumed
+    reflected snapshot on either side falls back to a full re-join."""
+    ra, rb, rv = (
+        str(tmp_path / "a"), str(tmp_path / "b"), str(tmp_path / "view")
+    )
+    ka, kb, jn = ["id"], ["cust"], ["cust"]
+
+    def check():
+        got = _rows(versioned.read_latest(spark, rv))
+        want = _rows(
+            versioned.full_join_view(
+                versioned.read_latest(spark, ra),
+                versioned.read_latest(spark, rb),
+                jn,
+            )
+        )
+        assert got == want
+
+    versioned.merge_versioned(
+        spark, ra,
+        spark.createDataFrame(
+            [(1, "c1", 10), (2, "c2", 20)], "id long, cust string, amt long"
+        ),
+        ka,
+    )
+    versioned.merge_versioned(
+        spark, rb,
+        spark.createDataFrame(
+            [("c1", "gold"), ("c2", "silver")], "cust string, seg string"
+        ),
+        kb,
+    )
+    # bootstrap = full join
+    assert versioned.refresh_served_join(spark, ra, rb, rv, ka, kb, jn) == 0
+    check()
+    meta = versioned.read_meta(rv, 0)
+    assert meta["base_gen_a"] == versioned.current_version(ra)
+    assert meta["base_gen_b"] == versioned.current_version(rb)
+    # replay with no base change: no-op
+    assert versioned.refresh_served_join(spark, ra, rb, rv, ka, kb, jn) is None
+    assert versioned.current_version(rv) == 0
+
+    # one-side change (A only): update + join-key move + insert
+    versioned.merge_versioned(
+        spark, ra,
+        spark.createDataFrame(
+            [(1, "c2", 11), (3, "c1", 30)], "id long, cust string, amt long"
+        ),
+        ka,
+    )
+    assert versioned.refresh_served_join(spark, ra, rb, rv, ka, kb, jn) == 1
+    check()
+
+    # both-side change: A tombstone delete + B seg update and insert
+    versioned.merge_versioned(
+        spark, ra,
+        spark.createDataFrame(
+            [(2, "c2", 0, True)], "id long, cust string, amt long, _del boolean"
+        ),
+        ka, delete_col="_del",
+    )
+    versioned.merge_versioned(
+        spark, rb,
+        spark.createDataFrame(
+            [("c1", "plat"), ("c3", "tin")], "cust string, seg string"
+        ),
+        kb,
+    )
+    assert versioned.refresh_served_join(spark, ra, rb, rv, ka, kb, jn) == 2
+    check()
+
+    # crash window: bases advance, view gen dir written, pointer unmoved
+    versioned.merge_versioned(
+        spark, ra,
+        spark.createDataFrame(
+            [(4, "c3", 40)], "id long, cust string, amt long"
+        ),
+        ka,
+    )
+    cur = versioned.current_version(rv)
+    dangling = versioned.full_join_view(
+        versioned.read_latest(spark, ra), versioned.read_latest(spark, rb), jn
+    )
+    dangling.write.mode("overwrite").parquet(
+        os.path.join(rv, f"gen={cur + 1}")
+    )
+    assert versioned.current_version(rv) == cur
+    g = versioned.refresh_served_join(spark, ra, rb, rv, ka, kb, jn)
+    assert g == cur + 2  # dangling dir superseded, never re-served
+    check()
+
+    # vacuumed reflected base snapshot → full-re-join fallback
+    versioned.merge_versioned(
+        spark, ra,
+        spark.createDataFrame(
+            [(5, "c1", 50)], "id long, cust string, amt long"
+        ),
+        ka,
+    )
+    versioned.vacuum(ra, keep_last=1)
+    g2 = versioned.refresh_served_join(spark, ra, rb, rv, ka, kb, jn)
+    assert g2 is not None
+    check()
+
+    # a view generation without the dual base metadata is refused
+    versioned.publish(spark, rv, versioned.read_latest(spark, rv))
+    with pytest.raises(ValueError, match="base_gen"):
+        versioned.refresh_served_join(spark, ra, rb, rv, ka, kb, jn)
