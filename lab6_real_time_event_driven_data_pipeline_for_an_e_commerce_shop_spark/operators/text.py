@@ -1436,3 +1436,99 @@ def bigram_cross_entropy(
             ).alias("xent_micro_bits"),
         )
     )
+
+
+def textrank_edges(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 2,
+) -> DataFrame:
+    """The TextRank co-occurrence graph (Mihalcea & Tarau 2004): an
+    undirected edge between two DISTINCT words that co-occur within
+    ``window`` token positions in any document. Returned as a directed
+    (src, dst) string-node edge list carrying BOTH directions —
+    :func:`~..operators.graph.pagerank` collapses duplicates, so the
+    distinct pair set is the classic binary co-occurrence graph.
+
+    Plan shape: posexplode the token array once, then one lead() per
+    gap over the SAME (doc, pos) window — O(n_tokens × window) rows,
+    no self-join (the r7 bigram lesson: lead over the exploded
+    substrate, never transform() re-inlining split())."""
+    if int(window) < 2:
+        raise ValueError("textrank window must be >= 2 (adjacent words)")
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col).alias("_d"),
+        F.posexplode(tokens(F.col(text_col))).alias("_p", "_t"),
+    )
+    w = Window.partitionBy("_d").orderBy("_p")
+    pairs = None
+    for g in range(1, int(window)):
+        p = toks.select(
+            F.col("_t").alias("a"), F.lead("_t", g).over(w).alias("b")
+        ).filter(F.col("b").isNotNull() & (F.col("a") != F.col("b")))
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+
+
+def textrank_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 2,
+    n_iter: int = 4,
+    damping: tuple[int, int] = (85, 100),
+    scale: int = 10**12,
+) -> DataFrame:
+    """Corpus keyword scores = integer PageRank over the TextRank
+    co-occurrence graph — the graph×text composition: every word is a
+    node, mass flows along co-occurrence, and the top-mass words are
+    the corpus keywords. Returns (node, mass) with string word nodes
+    (graph._PRState is node-type-agnostic). Fully oracle-able: the
+    edge derivation is one SQL subquery (LATERAL position enumeration)
+    fed to graph.pagerank_oracle_sql's chained CTEs — an iterative
+    NLP algorithm under an exact cross-engine contract.
+
+    The co-occurrence graph is undirected, so every node has out-edges
+    and the dangling term is identically zero; damping still mixes in
+    the uniform teleport each round. Scale shape: the graph is
+    VOCABULARY-grain (nodes = distinct words, edges ≤ min(corpus
+    windows, |V|²)) — corpus size only affects the one edge-derivation
+    pass, never the iteration loop."""
+    from . import graph
+
+    return graph.pagerank(
+        textrank_edges(df, text_col, id_col, window),
+        n_iter=n_iter,
+        damping=damping,
+        scale=scale,
+    )
+
+
+def textrank_edges_sql(
+    docs_sql: str = "SELECT doc_id, text FROM documents",
+    window: int = 2,
+) -> str:
+    """DuckDB twin of :func:`textrank_edges` — a single subquery
+    (both directions via UNION ALL) suitable as
+    ``pagerank_oracle_sql(edges_sql=...)``."""
+    if int(window) < 2:
+        raise ValueError("textrank window must be >= 2 (adjacent words)")
+    pairs = f"""
+        SELECT t[i] AS a, t[i + g] AS b
+        FROM (SELECT string_split_regex(trim(text), '\\s+') AS t
+              FROM ({docs_sql})),
+             LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) gi,
+             LATERAL (SELECT unnest(generate_series(1, {int(window) - 1})) AS g) gg
+        WHERE len(t) >= 2 AND i + g <= len(t) AND t[i] <> t[i + g]
+    """
+    return (
+        f"SELECT a AS src, b AS dst FROM ({pairs}) "
+        f"UNION ALL SELECT b AS src, a AS dst FROM ({pairs})"
+    )

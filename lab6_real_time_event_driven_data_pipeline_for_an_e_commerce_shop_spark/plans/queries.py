@@ -5963,3 +5963,43 @@ def q84_lang_numeric_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
         n_buckets=_Q83_NB,
     )
+
+
+# ---------------------------------------------------------------------------
+# q85 (PARKED, r16) — TextRank corpus keywords (graph × text composition)
+# ---------------------------------------------------------------------------
+
+
+def _q85_oracle() -> str:
+    from ..operators.graph import pagerank_oracle_sql
+    from ..operators.text import textrank_edges_sql
+
+    return pagerank_oracle_sql(textrank_edges_sql(), n_iter=4)
+
+
+@parked_query("q85_textrank_keywords", _q85_oracle())
+def q85_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank corpus keywords — PARKED (r16): integer PageRank over
+    the word co-occurrence graph (Mihalcea & Tarau 2004; window=2 ⇒
+    adjacent distinct words, both directions), the first COMPOSITION of
+    two oracle-complete families (text edge derivation × graph
+    fixed-point loop) under one hash match. Word nodes are STRINGS —
+    graph._PRState is node-type-agnostic, and the oracle's chained CTEs
+    join on the same string nodes. The co-occurrence graph is
+    undirected by construction, so the dangling term is identically
+    zero and damping supplies the uniform teleport.
+
+    Scale note: the ITERATION runs at vocabulary grain (nodes =
+    distinct words — bounded by the language, not the corpus); only
+    the one edge-derivation pass (posexplode + lead, no self-join)
+    scans corpus rows. The shuffle-partition override follows the
+    q73/q77 rule: size state to key cardinality (a ~31-word graph at
+    gate SFs), scoped and restored in finally."""
+    from ..operators.text import textrank_scores
+
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "16")
+        return textrank_scores(_t(spark, sf_dir, "documents"))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)

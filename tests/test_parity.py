@@ -1597,3 +1597,72 @@ def test_parked_lang_numeric_drift_real_corpus(spark):
     for r in got:
         per_lang_buckets.setdefault(r[i_g], set()).add(r[i_b])
     assert all(len(b) >= 4 for b in per_lang_buckets.values())
+
+
+def _naive_cooc_edges(texts, window=2):
+    """Independent TextRank edge derivation: distinct-word pairs within
+    ``window`` positions, both directions."""
+    pairs = set()
+    for text in texts:
+        t = text.strip().split()
+        for i, a in enumerate(t):
+            for g in range(1, window):
+                if i + g < len(t):
+                    b = t[i + g]
+                    if a != b:
+                        pairs.add((a, b))
+                        pairs.add((b, a))
+    return sorted(pairs)
+
+
+def test_textrank_matches_reference_planted(spark):
+    """text.textrank_scores == pagerank_reference over an independently
+    derived co-occurrence edge set, on a planted corpus covering
+    repeated adjacent words (self-pairs dropped), single-token and
+    whitespace-only docs (no pairs), and window=3 (two gap lengths) —
+    at 1 and 7 partitions."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        graph, text as text_ops,
+    )
+
+    texts = [
+        "alpha beta gamma alpha",
+        "beta beta delta",      # adjacent repeat: no self-edge
+        "gamma delta alpha",
+        "solo",                  # single token: no pairs
+        "   ",                   # whitespace-only: no pairs
+    ]
+    rows = [(f"d{i}", t) for i, t in enumerate(texts)]
+    for window in (2, 3):
+        want = graph.pagerank_reference(
+            _naive_cooc_edges(texts, window), n_iter=4
+        )
+        for parts in (1, 7):
+            df = spark.createDataFrame(rows, "doc_id string, text string") \
+                .repartition(parts)
+            got = {
+                r.node: r.mass
+                for r in text_ops.textrank_scores(
+                    df, window=window
+                ).collect()
+            }
+            assert got == want, (window, parts)
+    with pytest.raises(ValueError, match="window"):
+        text_ops.textrank_edges(
+            spark.createDataFrame(rows, "doc_id string, text string"),
+            window=1,
+        )
+
+
+def test_parked_textrank_keywords_real_corpus(spark):
+    """The parked q85 TextRank keywords match the composed oracle
+    (textrank_edges_sql fed through pagerank_oracle_sql's chained
+    CTEs) on the real corpus — string word nodes under the same
+    bit-exact integer contract as q77. Structure: the full 31-word
+    generator vocabulary ranks, every word carries positive mass."""
+    con = _duck(SF_DIR)
+    got, cols = _run_parked(spark, "q85_textrank_keywords", SF_DIR, con)
+    i_n, i_m = cols.index("node"), cols.index("mass")
+    assert len(got) == 31  # the documents generator's fixed vocabulary
+    assert all(isinstance(r[i_n], str) for r in got)
+    assert all(r[i_m] > 0 for r in got)
