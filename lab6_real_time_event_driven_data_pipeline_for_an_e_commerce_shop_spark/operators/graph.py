@@ -688,3 +688,167 @@ walk(node, d, hops) AS (
 )
 SELECT node, CAST(MIN(d) AS BIGINT) AS dist FROM walk GROUP BY node
 """
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts + degree + local clustering coefficient
+    over the UNDIRECTED simple graph induced by ``edges`` (direction,
+    duplicates, self-loops, and NULL endpoints dropped). Returns
+    (node, n_triangles, degree, clust_micro) where clust_micro =
+    2·T·10⁶ DIV (deg·(deg−1)) in integer micro-units (0 when deg < 2)
+    — the graph family's LOCAL-STRUCTURE shape next to rank (q77),
+    components (q79), reach (q81), and distance.
+
+    DEGREE-ORDERED orientation (the MapReduce triangle-counting
+    discipline, Suri & Vassilvitskii 2011): each undirected edge is
+    oriented from its lower-(degree, node) endpoint to the higher, so
+    a triangle {x,y,z} with ranks rx<ry<rz is enumerated EXACTLY once
+    as the wedge (x→y, x→z) closed by the edge (y→z). Out-degrees
+    under this orientation are O(√m), which bounds the wedge join's
+    fanout on skewed (power-law) graphs — orienting by node id alone
+    would pivot every wedge through the hub. The rank comparison rides
+    IN the wedge join's condition (equi-join on the pivot node with a
+    residual tuple inequality); the closing check is a pure equi-join.
+
+    Deterministic and engine-portable: ranks are (degree, node) tuple
+    comparisons — no hashing, no floats — so the DuckDB oracle
+    (:func:`triangle_oracle_sql`) replicates the orientation exactly."""
+    e = (
+        edges.select(
+            F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
+        )
+        .filter(
+            F.col("_s").isNotNull()
+            & F.col("_d").isNotNull()
+            & (F.col("_s") != F.col("_d"))
+        )
+    )
+    und = e.select(
+        F.least("_s", "_d").alias("a"), F.greatest("_s", "_d").alias("b")
+    ).distinct()
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    nodes = deg.select("node", "degree")
+    da = deg.select(
+        F.col("node").alias("a"), F.col("degree").alias("_da")
+    )
+    db = deg.select(
+        F.col("node").alias("b"), F.col("degree").alias("_db")
+    )
+    lower_first = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+            F.when(lower_first, F.col("_db")).otherwise(F.col("_da"))
+            .alias("_dd"),
+        )
+    )
+    o1 = oriented.select(
+        F.col("src").alias("_x"), F.col("dst").alias("_y"),
+        F.col("_dd").alias("_dy"),
+    )
+    o2 = oriented.select(
+        F.col("src").alias("_x2"), F.col("dst").alias("_z"),
+        F.col("_dd").alias("_dz"),
+    )
+    o3 = oriented.select(
+        F.col("src").alias("_y3"), F.col("dst").alias("_z3")
+    )
+    wedge_cond = (F.col("_x") == F.col("_x2")) & (
+        (F.col("_dy") < F.col("_dz"))
+        | ((F.col("_dy") == F.col("_dz")) & (F.col("_y") < F.col("_z")))
+    )
+    tri = (
+        o1.join(o2, wedge_cond)
+        .join(
+            o3,
+            (F.col("_y3") == F.col("_y")) & (F.col("_z3") == F.col("_z")),
+            "left_semi",
+        )
+        .select("_x", "_y", "_z")
+    )
+    per_node = (
+        tri.select(F.col("_x").alias("node"))
+        .unionByName(tri.select(F.col("_y").alias("node")))
+        .unionByName(tri.select(F.col("_z").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("_t"))
+    )
+    return (
+        nodes.join(per_node, "node", "left")
+        .select(
+            "node",
+            F.coalesce("_t", F.lit(0)).cast("long").alias("n_triangles"),
+            "degree",
+            F.expr(
+                "CAST(CASE WHEN degree >= 2 THEN"
+                " (2 * coalesce(_t, 0) * 1000000)"
+                " DIV (degree * (degree - 1)) ELSE 0 END AS BIGINT)"
+            ).alias("clust_micro"),
+        )
+    )
+
+
+def triangle_oracle_sql(edges_sql: str) -> str:
+    """DuckDB twin of :func:`triangle_counts` — identical degree-ordered
+    orientation and integer clustering arithmetic over ``edges_sql``
+    (a query producing src, dst; direction/duplicates ignored)."""
+    return f"""
+WITH und AS (
+    SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+    FROM ({edges_sql})
+    WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst
+),
+deg AS (
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+    FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+    GROUP BY 1
+),
+oriented AS (
+    SELECT CASE WHEN (da.degree, und.a) < (db.degree, und.b)
+                THEN und.a ELSE und.b END AS src,
+           CASE WHEN (da.degree, und.a) < (db.degree, und.b)
+                THEN und.b ELSE und.a END AS dst,
+           CASE WHEN (da.degree, und.a) < (db.degree, und.b)
+                THEN db.degree ELSE da.degree END AS dd
+    FROM und
+    JOIN deg da ON da.node = und.a
+    JOIN deg db ON db.node = und.b
+),
+tri AS (
+    SELECT o1.src AS x, o1.dst AS y, o2.dst AS z
+    FROM oriented o1
+    JOIN oriented o2 ON o2.src = o1.src
+                    AND (o1.dd, o1.dst) < (o2.dd, o2.dst)
+    WHERE EXISTS (SELECT 1 FROM oriented o3
+                  WHERE o3.src = o1.dst AND o3.dst = o2.dst)
+),
+pn AS (
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS t
+    FROM (SELECT x AS node FROM tri
+          UNION ALL SELECT y FROM tri
+          UNION ALL SELECT z FROM tri)
+    GROUP BY 1
+)
+SELECT deg.node,
+       CAST(COALESCE(pn.t, 0) AS BIGINT) AS n_triangles,
+       deg.degree,
+       CAST(CASE WHEN deg.degree >= 2
+                 THEN (2 * COALESCE(pn.t, 0) * 1000000)
+                      // (deg.degree * (deg.degree - 1))
+                 ELSE 0 END AS BIGINT) AS clust_micro
+FROM deg LEFT JOIN pn USING (node)
+"""

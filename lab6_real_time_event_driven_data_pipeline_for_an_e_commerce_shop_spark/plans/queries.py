@@ -6003,3 +6003,40 @@ def q85_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         return textrank_scores(_t(spark, sf_dir, "documents"))
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+
+
+# ---------------------------------------------------------------------------
+# q86 (PARKED, r16) — per-word triangle counts over the co-occurrence graph
+# ---------------------------------------------------------------------------
+
+
+def _q86_oracle() -> str:
+    from ..operators.graph import triangle_oracle_sql
+    from ..operators.text import textrank_edges_sql
+
+    return triangle_oracle_sql(textrank_edges_sql())
+
+
+@parked_query("q86_word_triangles", _q86_oracle())
+def q86_word_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-word triangle counts + local clustering — PARKED (r16): the
+    graph family's LOCAL-STRUCTURE shape (next to rank q77, components
+    q79, reach q81, distance) over the same word co-occurrence graph
+    as q85. Degree-ordered orientation (Suri & Vassilvitskii 2011)
+    enumerates each triangle exactly once with O(√m)-bounded wedge
+    fanout; the oracle replicates the orientation via identical
+    (degree, node) tuple comparisons, and the clustering coefficient
+    is integer micro-units (2·T·10⁶ DIV deg·(deg−1)) — no float ever.
+    Informative on the driver corpus TODAY: ~400 triangles per word at
+    sf0.001 (the 31-word vocabulary co-occurs densely)."""
+    from ..operators.graph import triangle_counts
+    from ..operators.text import textrank_edges
+
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "16")
+        return triangle_counts(
+            textrank_edges(_t(spark, sf_dir, "documents"))
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
