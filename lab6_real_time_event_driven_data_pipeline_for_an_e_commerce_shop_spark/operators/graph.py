@@ -852,3 +852,123 @@ SELECT deg.node,
                  ELSE 0 END AS BIGINT) AS clust_micro
 FROM deg LEFT JOIN pn USING (node)
 """
+
+
+def link_scores(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Link prediction by Adamic–Adar common-neighbor scoring over the
+    undirected simple graph: for every NON-ADJACENT pair (a, b) with at
+    least one common neighbor, ``aa_micro = Σ_z 10¹² DIV
+    log2_interp_micro(deg(z))`` over the common neighbors z — the
+    classic 1/log(deg) weighting made integer-exact and
+    engine-portable (log2 ∝ ln, so rankings are identical; the log
+    table + interpolation is the published-constant discipline).
+    Returns (a, b, n_common, aa_micro) with a < b canonical.
+
+    ``max_degree`` is the HUB knob (honest-lossy, the q24 df-cut
+    pattern): a pivot z of degree d contributes (d choose 2) wedges —
+    quadratic in the hottest node — while its per-pair weight
+    1/log2(d) is the SMALLEST of any pivot, so dropping pivots above
+    ``max_degree`` bounds the wedge join at the cost of the
+    least-informative contributions. The oracle replicates the
+    identical integer cut. On bipartite graphs the knob doubles as a
+    mode selector: cutting above the dense side's degree floor leaves
+    only sparse-side pivots (e.g. supplier–supplier links through
+    shared customers, never the customer–customer explosion).
+
+    A pivot needs two distinct neighbors to form a wedge, so deg(z) ≥ 2
+    on every scored row and the log divisor is never zero."""
+    from ..functions.expressions import log2_interp_micro_sql
+
+    e = (
+        edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
+        .filter(
+            F.col("_s").isNotNull()
+            & F.col("_d").isNotNull()
+            & (F.col("_s") != F.col("_d"))
+        )
+    )
+    und = e.select(
+        F.least("_s", "_d").alias("a"), F.greatest("_s", "_d").alias("b")
+    ).distinct()
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    piv = (
+        und.select(F.col("a").alias("_z"), F.col("b").alias("_n"))
+        .unionByName(und.select(F.col("b").alias("_z"), F.col("a").alias("_n")))
+        .join(deg.select(F.col("node").alias("_z"), "degree"), "_z")
+        # a degree-1 pivot cannot form a wedge, and its log2 is ZERO —
+        # filtering it here is semantics-neutral AND keeps the weight
+        # division away from the /0 path (ANSI would raise)
+        .filter(F.col("degree") >= 2)
+    )
+    if max_degree is not None:
+        piv = piv.filter(F.col("degree") <= int(max_degree))
+    w_expr = (
+        f"CAST(1000000000000 DIV {log2_interp_micro_sql('degree')}"
+        " AS BIGINT)"
+    )
+    piv = piv.withColumn("_w", F.expr(w_expr))
+    p1 = piv.select("_z", F.col("_n").alias("_x"), "_w")
+    p2 = piv.select(F.col("_z").alias("_z2"), F.col("_n").alias("_y"))
+    wedges = p1.join(
+        p2, (F.col("_z") == F.col("_z2")) & (F.col("_x") < F.col("_y"))
+    )
+    scored = wedges.groupBy(
+        F.col("_x").alias("a"), F.col("_y").alias("b")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_common"),
+        F.sum("_w").cast("long").alias("aa_micro"),
+    )
+    return scored.join(und, ["a", "b"], "left_anti")
+
+
+def link_oracle_sql(edges_sql: str, max_degree: int | None = None) -> str:
+    """DuckDB twin of :func:`link_scores` — identical canonicalization,
+    degree cut, integer log weights, and existing-edge exclusion."""
+    from ..functions.expressions import log2_interp_micro_sql
+
+    # degree >= 2 mirrors the Spark side: wedge-incapable pivots are
+    # dropped before the zero-log division can be evaluated
+    cut = "WHERE degree >= 2" + (
+        f" AND degree <= {int(max_degree)}" if max_degree is not None else ""
+    )
+    w = f"(1000000000000 // {log2_interp_micro_sql('degree', 'duckdb')})"
+    return f"""
+WITH und AS (
+    SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+    FROM ({edges_sql})
+    WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst
+),
+deg AS (
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+    FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+    GROUP BY 1
+),
+piv AS (
+    SELECT _z, _n, CAST({w} AS BIGINT) AS _w
+    FROM (SELECT p.node AS _z, p.nbr AS _n, deg.degree
+          FROM (SELECT a AS node, b AS nbr FROM und
+                UNION ALL SELECT b, a FROM und) p
+          JOIN deg ON deg.node = p.node
+          {cut})
+),
+scored AS (
+    SELECT p1._n AS a, p2._n AS b,
+           CAST(COUNT(*) AS BIGINT) AS n_common,
+           CAST(SUM(p1._w) AS BIGINT) AS aa_micro
+    FROM piv p1 JOIN piv p2 ON p2._z = p1._z AND p1._n < p2._n
+    GROUP BY 1, 2
+)
+SELECT a, b, n_common, aa_micro FROM scored
+WHERE NOT EXISTS (SELECT 1 FROM und
+                  WHERE und.a = scored.a AND und.b = scored.b)
+"""

@@ -6040,3 +6040,65 @@ def q86_word_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+
+
+# ---------------------------------------------------------------------------
+# q87 (PARKED, r16) — Adamic–Adar link prediction on the trade graph
+# ---------------------------------------------------------------------------
+
+_Q87_EDGES_SQL = """
+SELECT CAST(o_custkey AS BIGINT) AS src,
+       CAST(10000000 + l_suppkey AS BIGINT) AS dst
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+"""
+# customer pivots only: customer degree is bounded by TPC-H construction
+# (~10 orders × ≤4 distinct suppliers each ⇒ ≤ ~40 < 64 at EVERY SF,
+# non-empty by construction — the r15 seed rule), while supplier degree
+# grows with the customer count (≫ 64 from sf0.001 up) — so the hub cut
+# doubles as the bipartite mode selector: supplier–supplier links
+# through shared customers, never the customer–customer explosion.
+_Q87_MAX_DEGREE = 64
+_Q87_TOP = 100
+
+
+def _q87_oracle() -> str:
+    from ..operators.graph import link_oracle_sql
+
+    inner = link_oracle_sql(_Q87_EDGES_SQL, max_degree=_Q87_MAX_DEGREE)
+    return (
+        f"SELECT a, b, n_common, aa_micro FROM ({inner})"
+        " QUALIFY ROW_NUMBER() OVER (ORDER BY aa_micro DESC, a, b)"
+        f" <= {_Q87_TOP}"
+    )
+
+
+@parked_query("q87_link_prediction", _q87_oracle())
+def q87_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link prediction — PARKED (r16): top-100 predicted
+    supplier–supplier links through shared customers on the bipartite
+    trade graph (graph.link_scores; q77's node bands). Weights are
+    integer-portable (10¹² DIV interpolated-log2 of pivot degree — the
+    published-log-table discipline), the hub knob cuts supplier pivots
+    (degree > 64) exactly as the oracle's QUALIFY-free WHERE replicates,
+    and ranking is exact integers with the (a, b) id tie-break. Suppliers
+    are never adjacent in a bipartite graph, so every scored pair is a
+    genuine prediction; informative from sf0.001 up (45 pairs there,
+    capped at 100 beyond)."""
+    from ..operators.graph import link_scores
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_custkey").cast("long").alias("src"),
+        (F.lit(10_000_000) + F.col("l_suppkey")).cast("long").alias("dst"),
+    )
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "16")
+        return (
+            link_scores(e, max_degree=_Q87_MAX_DEGREE)
+            .orderBy(F.col("aa_micro").desc(), "a", "b")
+            .limit(_Q87_TOP)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)

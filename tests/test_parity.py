@@ -1754,3 +1754,85 @@ def test_parked_word_triangles_real_corpus(spark):
     assert len(got) == 31
     assert all(r[i_t] > 0 for r in got)  # informative, not degenerate
     assert all(0 <= r[i_c] <= 1_000_000 for r in got)
+
+
+def _naive_adamic_adar(pairs, max_degree=None):
+    """Independent AA reference: adjacency sets + the shared integer
+    log weights, degree-1 and over-cut pivots dropped."""
+    import itertools
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.functions.expressions import (  # noqa: E501
+        log2_interp_micro_int,
+    )
+
+    adj = {}
+    for s, d in pairs:
+        if s is None or d is None or s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    out = {}
+    for z, nbrs in adj.items():
+        if len(nbrs) < 2:
+            continue
+        if max_degree is not None and len(nbrs) > max_degree:
+            continue
+        w = 10**12 // log2_interp_micro_int(len(nbrs))
+        for x, y in itertools.combinations(sorted(nbrs), 2):
+            if y in adj.get(x, set()):
+                continue
+            c, s2 = out.get((x, y), (0, 0))
+            out[(x, y)] = (c + 1, s2 + w)
+    return out
+
+
+def test_link_scores_matches_naive_reference(spark):
+    """graph.link_scores == the adjacency-set AA reference on 5 seeded
+    random graphs (with degree-1 nodes — the zero-log pivot path) ×
+    {no cut, max_degree=3} × {1, 7} partitions; adjacent pairs are
+    excluded, canonical a < b."""
+    import random
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        graph,
+    )
+
+    for seed in range(5):
+        rng = random.Random(seed)
+        clean = [
+            (s, d)
+            for s, d in (
+                (rng.randrange(14), rng.randrange(14)) for _ in range(30)
+            )
+            if s != d
+        ] + [(100, 101)]  # guaranteed degree-1 pivot pair
+        for md in (None, 3):
+            want = _naive_adamic_adar(clean, md)
+            for parts in (1, 7):
+                df = spark.createDataFrame(
+                    clean, "src long, dst long"
+                ).repartition(parts)
+                got = {
+                    (r.a, r.b): (r.n_common, r.aa_micro)
+                    for r in graph.link_scores(df, max_degree=md).collect()
+                }
+                assert got == want, (seed, md, parts)
+
+
+def test_parked_link_prediction_real_corpus(spark):
+    """The parked q87 top-100 AA supplier–supplier predictions match
+    the composed oracle (hub cut + integer log weights + exact-rank
+    QUALIFY). Structure: bipartite ⇒ every pair is supplier-band on
+    both sides, common-neighbor counts positive, and the emitted list
+    is ordered by the exact (aa_micro DESC, a, b) rank."""
+    con = _duck(SF_DIR)
+    got, cols = _run_parked(spark, "q87_link_prediction", SF_DIR, con)
+    i_a, i_b = cols.index("a"), cols.index("b")
+    i_c, i_m = cols.index("n_common"), cols.index("aa_micro")
+    assert 1 <= len(got) <= 100
+    assert all(
+        r[i_a] >= 10_000_000 and r[i_b] >= 10_000_000 for r in got
+    )
+    assert all(r[i_c] > 0 and r[i_m] > 0 for r in got)
+    ranked = sorted(got, key=lambda r: (-r[i_m], r[i_a], r[i_b]))
+    assert got == ranked
