@@ -135,6 +135,74 @@ def main() -> None:
             "snapshot_match": got == full_rows,
             "logfed_match": log_rows == full_rows,
         }), flush=True)
+    # join-view cells (r16): refresh_served_join with a changing fact
+    # side against a full re-join — the view is FACT-sized, so the
+    # incremental path's win is never re-joining (or re-WRITING)
+    # unchanged pairs; the full path rewrites the whole view every
+    # generation. Dim side also changes (both change feeds exercised).
+    dim_rows = 100_000
+    for changes in (1_000, 10_000, 100_000):
+        ra = os.path.join(out, f"jfact_{changes}")
+        rb = os.path.join(out, f"jdim_{changes}")
+        rv = os.path.join(out, f"jview_{changes}")
+        fact = spark.range(base_rows).select(
+            F.col("id"),
+            (F.col("id") % dim_rows).alias("cust"),
+            ((F.col("id") * 13) % 100_000).cast("long").alias("amt"),
+        )
+        dim = spark.range(dim_rows).select(
+            F.col("id").alias("cust"),
+            F.concat(F.lit("s"), (F.col("id") % 7)).alias("seg"),
+        )
+        versioned.publish(spark, ra, fact)
+        versioned.publish(spark, rb, dim)
+        assert versioned.refresh_served_join(
+            spark, ra, rb, rv, ["id"], ["cust"], ["cust"]
+        ) == 0
+        fupd = spark.range(changes).select(
+            F.col("id"),
+            ((F.col("id") + 3) % dim_rows).alias("cust"),  # key moves
+            F.lit(999).cast("long").alias("amt"),
+        )
+        dupd = spark.range(changes // 10).select(
+            F.col("id").alias("cust"), F.lit("sX").alias("seg")
+        )
+        versioned.merge_versioned(spark, ra, fupd, ["id"])
+        versioned.merge_versioned(spark, rb, dupd, ["cust"])
+        t0 = time.time()
+        versioned.refresh_served_join(
+            spark, ra, rb, rv, ["id"], ["cust"], ["cust"]
+        )
+        incr_sec = time.time() - t0
+        # the full path PUBLISHES too — both cells pay the view write,
+        # so the delta is purely join-work avoided
+        rf = os.path.join(out, f"jfull_{changes}")
+        t0 = time.time()
+        versioned.publish(
+            spark,
+            rf,
+            versioned.full_join_view(
+                versioned.read_latest(spark, ra),
+                versioned.read_latest(spark, rb),
+                ["cust"],
+            ),
+        )
+        full_sec = time.time() - t0
+        full_cnt, full_sum = versioned.read_latest(spark, rf).agg(
+            F.count(F.lit(1)), F.sum(F.col("amt") * F.length("seg"))
+        ).collect()[0]
+        got_cnt, got_sum = versioned.read_latest(spark, rv).agg(
+            F.count(F.lit(1)), F.sum(F.col("amt") * F.length("seg"))
+        ).collect()[0]
+        print(json.dumps({
+            "mode": "join_view",
+            "base": base_rows,
+            "dim": dim_rows,
+            "changes": changes,
+            "incr_sec": round(incr_sec, 2),
+            "full_sec": round(full_sec, 2),
+            "match": (got_cnt, got_sum) == (full_cnt, full_sum),
+        }), flush=True)
     shutil.rmtree(out, ignore_errors=True)
 
 
