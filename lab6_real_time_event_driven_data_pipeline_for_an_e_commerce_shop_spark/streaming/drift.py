@@ -58,12 +58,16 @@ class DriftMonitor:
         n_buckets: int = 8,
         k: int = 256,
         fmt: str = "json",
+        mode: str = "numeric",
     ):
+        if mode not in ("numeric", "categorical"):
+            raise ValueError(f"DriftMonitor: unknown mode {mode!r}")
         self.spark = spark
         self.root = root
         self.schema = schema
         self.value_col = value_col
         self.fmt = fmt
+        self.mode = mode
         os.makedirs(self.landing(), exist_ok=True)
         art = self._path("baseline")
         meta_path = os.path.join(art, "_ARTIFACT.json")
@@ -72,7 +76,18 @@ class DriftMonitor:
             # by design — restarts must not move the reference point)
             with open(meta_path) as f:
                 m = json.load(f)
-            self.thresholds = [int(t) for t in m["thresholds"]]
+            stored_mode = m.get("mode", "numeric")
+            if stored_mode != mode:
+                raise ValueError(
+                    f"DriftMonitor: artifact at {art} was created in"
+                    f" mode={stored_mode!r}, reopened as {mode!r} — the"
+                    " frozen reference point cannot change meaning"
+                )
+            self.thresholds = (
+                [int(t) for t in m["thresholds"]]
+                if m.get("thresholds") is not None
+                else None
+            )
             self.total_old = int(m["total_old"])
         else:
             if baseline is None:
@@ -80,17 +95,23 @@ class DriftMonitor:
                     "DriftMonitor: first creation needs a baseline frame"
                     f" (no artifact at {art})"
                 )
-            from ..operators.text import portable_bucket_thresholds
+            if mode == "numeric":
+                from ..operators.text import portable_bucket_thresholds
 
-            self.thresholds = portable_bucket_thresholds(
-                baseline.select(value_col), value_col, n_buckets, k
-            )
+                self.thresholds = portable_bucket_thresholds(
+                    baseline.select(value_col), value_col, n_buckets, k
+                )
+            else:
+                # categorical: the value IS the bucket — no edges to
+                # derive; a landing category the baseline never saw
+                # joins as a batch-only bucket and its baseline share
+                # clamps to 1 ppm (the PSI convention for novel mass)
+                self.thresholds = None
             self.total_old = baseline.count()
             if self.total_old == 0:
                 raise ValueError("DriftMonitor: baseline must be non-empty")
-            bexpr = numeric_bucket_expr(self.thresholds, value_col)
             counts = (
-                baseline.select(F.expr(bexpr).alias("_bo"))
+                baseline.select(self._bucket_col().alias("_bo"))
                 .groupBy("_bo")
                 .agg(F.count(F.lit(1)).cast("long").alias("n_old"))
             )
@@ -104,6 +125,7 @@ class DriftMonitor:
             with open(tmp, "w") as f:
                 json.dump(
                     {
+                        "mode": mode,
                         "thresholds": self.thresholds,
                         "total_old": self.total_old,
                         "value_col": value_col,
@@ -121,14 +143,28 @@ class DriftMonitor:
     def _path(self, *parts: str) -> str:
         return os.path.join(self.root, *parts)
 
+    def _bucket_col(self):
+        """The bucketing expression: train-quantile integer buckets in
+        numeric mode; the raw value in categorical mode."""
+        if self.mode == "numeric":
+            return F.expr(numeric_bucket_expr(self.thresholds, self.value_col))
+        return F.col(self.value_col)
+
+    def _null_bucket(self):
+        """The NULL-bucket MERGE-key encoding (the r15 NULL-key lesson):
+        -1 for 0-based numeric buckets, a reserved string for raw
+        categorical values."""
+        if self.mode == "numeric":
+            return F.lit(-1).cast("long")
+        return F.lit("__null__")
+
     # -- per-batch ----------------------------------------------------------
     def _process(self, batch: DataFrame, batch_id: int) -> None:
         total_new = batch.count()
         if total_new == 0:
             return  # drift over zero rows is undefined, not zero
-        bexpr = numeric_bucket_expr(self.thresholds, self.value_col)
         n = (
-            batch.select(F.expr(bexpr).alias("_bn"))
+            batch.select(self._bucket_col().alias("_bn"))
             .groupBy("_bn")
             .agg(F.count(F.lit(1)).cast("long").alias("n_new"))
         )
@@ -138,12 +174,9 @@ class DriftMonitor:
             )
             # the log is a MERGE-keyed table and keyed merges match with
             # plain equality (the r15 NULL-key lesson): encode the NULL
-            # bucket as -1 (0-based bucket indices leave it free) so a
-            # replayed batch's NULL-bucket row UPDATES instead of
-            # duplicating
-            .withColumn(
-                "bucket", F.coalesce("bucket", F.lit(-1).cast("long"))
-            )
+            # bucket so a replayed batch's NULL-bucket row UPDATES
+            # instead of duplicating
+            .withColumn("bucket", F.coalesce("bucket", self._null_bucket()))
             .withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
         )
         # MERGE by (batch_id, bucket): a replayed batch recomputes the

@@ -4356,3 +4356,86 @@ def test_drift_monitor_streamed_equals_batch(spark, tmp_path):
             spark, str(tmp_path / "fresh"), schema="doc_id long, v long",
             value_col="v",
         )
+
+
+def test_drift_monitor_categorical_mode(spark, tmp_path):
+    """DriftMonitor mode='categorical' (r16): the raw value is the
+    bucket — per-batch PSI rows equal the batch categorical operator
+    (curation.distribution_drift) row-for-row against the frozen
+    baseline, including an UNSEEN landing category (batch-only bucket,
+    baseline share clamped to 1 ppm) and NULL values (logged under the
+    reserved '__null__' MERGE key). Reopening in the other mode
+    RAISES — the frozen reference point cannot change meaning."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators.curation import (  # noqa: E501
+        distribution_drift,
+    )
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.drift import (  # noqa: E501
+        DriftMonitor,
+    )
+
+    root = str(tmp_path)
+    baseline = spark.createDataFrame(
+        [("en",)] * 60 + [("de",)] * 30 + [("fr",)] * 10, "lang string"
+    )
+    mon = DriftMonitor(
+        spark, root, schema="doc_id long, lang string", value_col="lang",
+        baseline=baseline, mode="categorical",
+    )
+    assert mon.thresholds is None
+
+    def _wave(name, vals):
+        with open(os.path.join(root, "landing", name), "w") as f:
+            for i, v in enumerate(vals):
+                f.write(_json.dumps({"doc_id": i, "lang": v}) + "\n")
+
+    w1 = ["en"] * 60 + ["de"] * 30 + ["fr"] * 10       # in-distribution
+    w2 = ["en"] * 20 + ["zh"] * 70 + ["fr"] * 9 + [None]  # unseen + NULL
+    _wave("w1.json", w1)
+    mon.run_available()
+    _wave("w2.json", w2)
+    mon.run_available()
+
+    log = mon.drift_log().collect()
+    by_batch: dict = {}
+    for r in log:
+        by_batch.setdefault(r.batch_id, []).append(r)
+    assert len(by_batch) == 2
+
+    def batch_expected(vals):
+        nf = spark.createDataFrame([(v,) for v in vals], "lang string")
+        rows = distribution_drift(baseline, nf, "lang").collect()
+        return sorted(
+            (r.bucket if r.bucket is not None else "__null__", r.n_old,
+             r.n_new, r.p_ppm, r.q_ppm, r.psi_term_micro)
+            for r in rows
+        )
+
+    for bid, want in ((min(by_batch), batch_expected(w1)),
+                      (max(by_batch), batch_expected(w2))):
+        got = sorted(
+            (r.bucket, r.n_old, r.n_new, r.p_ppm, r.q_ppm, r.psi_term_micro)
+            for r in by_batch[bid]
+        )
+        assert got == want, bid
+
+    psi = {r.batch_id: r.psi_micro for r in mon.batch_psi().collect()}
+    assert psi[min(psi)] == 0          # identical distribution
+    assert psi[max(psi)] > 144_000     # unseen-category mass drifts hard
+    buckets2 = {r.bucket for r in by_batch[max(by_batch)]}
+    assert "zh" in buckets2 and "__null__" in buckets2
+
+    # reopening categorical LOADS; reopening as numeric RAISES
+    mon2 = DriftMonitor(
+        spark, root, schema="doc_id long, lang string", value_col="lang",
+        mode="categorical",
+    )
+    assert mon2.total_old == 100
+    with _pytest.raises(ValueError, match="mode"):
+        DriftMonitor(
+            spark, root, schema="doc_id long, lang string",
+            value_col="lang", mode="numeric",
+        )
