@@ -534,3 +534,44 @@ def test_q77_pagerank_iteration_plan_shape(spark):
     # text would count setup work — the join-type pins above are the
     # per-iteration guards)
     assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_parked_graph_composition_plan_shapes(spark):
+    """The r16 parked graph compositions hold the gated plan bar:
+    q86's wedge/closing joins and q87's pivot/wedge joins are genuine
+    hash joins (equi keys with residual rank inequalities riding IN
+    the condition — never a loop join), no Cartesian/BNLJ/Python
+    anywhere. q85's pagerank loop is lineage-truncated (its end-state
+    plan is a Scan ExistingRDD; the per-iteration shape is pinned by
+    test_q77_pagerank_iteration_plan_shape on the SAME _PRState), so
+    its pin targets the EDGE-DERIVATION substrate: one posexplode +
+    window-lead pass, no join at all."""
+    import os
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators.text import (
+        textrank_edges,
+    )
+
+    parked = q.parked()
+    plans = {
+        name: _formatted(parked[name].fn(spark, SF_DIR))
+        for name in ("q86_word_triangles", "q87_link_prediction")
+    }
+    for name, plan in plans.items():
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "EvalPython" not in plan, name
+        assert (
+            _nodes(plan, "BroadcastHashJoin")
+            + _nodes(plan, "SortMergeJoin")
+            + _nodes(plan, "ShuffledHashJoin")
+            >= 2
+        ), name
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    eplan = _formatted(textrank_edges(docs))
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                "EvalPython", "SortMergeJoin", "BroadcastHashJoin",
+                "ShuffledHashJoin"):
+        assert bad not in eplan, bad
+    assert "Window" in eplan  # the lead() gap pass
+    assert "Generate" in eplan  # posexplode of the token array
