@@ -62,6 +62,26 @@ class DriftMonitor:
     ):
         if mode not in ("numeric", "categorical"):
             raise ValueError(f"DriftMonitor: unknown mode {mode!r}")
+        if mode == "categorical":
+            # the NULL-bucket MERGE key is the reserved string
+            # '__null__' — a sentinel must sit outside the value
+            # domain, which only the string type offers generically;
+            # integer-coded categories should monitor as strings
+            from pyspark.sql.types import StringType, StructType
+
+            st = (
+                StructType.fromDDL(schema)
+                if isinstance(schema, str)
+                else schema
+            )
+            vtype = st[value_col].dataType
+            if not isinstance(vtype, StringType):
+                raise ValueError(
+                    "DriftMonitor: categorical mode needs a STRING"
+                    f" value column (got {vtype.simpleString()} for"
+                    f" {value_col!r}) — cast integer-coded categories"
+                    " to string in the landing schema"
+                )
         self.spark = spark
         self.root = root
         self.schema = schema

@@ -4439,3 +4439,22 @@ def test_drift_monitor_categorical_mode(spark, tmp_path):
             spark, root, schema="doc_id long, lang string",
             value_col="lang", mode="numeric",
         )
+
+
+def test_drift_monitor_categorical_requires_string_values(spark, tmp_path):
+    """The categorical NULL sentinel is a reserved STRING — a non-string
+    value column would hit a coalesce type clash at merge time, so the
+    contract is enforced loudly at creation."""
+    import pytest as _pytest
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.drift import (  # noqa: E501
+        DriftMonitor,
+    )
+
+    with _pytest.raises(ValueError, match="STRING"):
+        DriftMonitor(
+            spark, str(tmp_path), schema="doc_id long, code long",
+            value_col="code",
+            baseline=spark.createDataFrame([(1,)], "code long"),
+            mode="categorical",
+        )
