@@ -972,3 +972,143 @@ SELECT a, b, n_common, aa_micro FROM scored
 WHERE NOT EXISTS (SELECT 1 FROM und
                   WHERE und.a = scored.a AND und.b = scored.b)
 """
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    n_rounds: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """k-core decomposition by iterative peeling over the undirected
+    simple graph: each round removes every still-active node whose
+    ACTIVE degree (neighbors not yet removed) is below ``k`` — the
+    SHRINKING-fixpoint sibling of the PageRank/BFS loops. Returns
+    (node, removed_round, in_core) where removed_round is the 1-based
+    peeling round (−1 for survivors) and in_core ∈ {0, 1}.
+
+    The shared cross-engine semantic is "state after ``n_rounds``
+    peeling rounds" (the q81 hop-cap lesson: the cap, not
+    convergence, is what both engines replicate —
+    :func:`kcore_oracle_sql` unrolls the same rounds as chained CTEs).
+    Removal is MONOTONE — peeling only lowers other nodes' active
+    degrees — so an empty round is empty forever and the loop may
+    exit early with results IDENTICAL to running every round (the
+    bounded one-scalar-per-round early-stop proof from
+    pagerank_converged). A node whose every neighbor was peeled has no
+    surviving adjacency row: its active degree is COALESCE(0), removed
+    that round, never silently kept.
+
+    Scale shape: per round one semi-joined adjacency filter + one
+    node-keyed count + one anti-join, lineage truncated per round
+    (localCheckpoint — the _PRState discipline); state is one
+    (node, round) row per REMOVED node, monotone and bounded by n."""
+    if int(k) < 1:
+        raise ValueError("kcore: k must be >= 1")
+    e = (
+        edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
+        .filter(
+            F.col("_s").isNotNull()
+            & F.col("_d").isNotNull()
+            & (F.col("_s") != F.col("_d"))
+        )
+    )
+    und = e.select(
+        F.least("_s", "_d").alias("a"), F.greatest("_s", "_d").alias("b")
+    ).distinct()
+    adj = (
+        und.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+        .unionByName(
+            und.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+        )
+        .persist()
+    )
+    nodes = adj.select("node").distinct().persist()
+    nodes.count()
+    removed = nodes.select(
+        "node", F.lit(0).cast("long").alias("removed_round")
+    ).limit(0).localCheckpoint(True)
+    for rnd in range(1, int(n_rounds) + 1):
+        active = nodes.join(removed.select("node"), "node", "left_anti")
+        live = adj.join(removed.select("node"), "node", "left_anti").join(
+            removed.select(F.col("node").alias("nbr")), "nbr", "left_anti"
+        )
+        deg = live.groupBy("node").agg(
+            F.count(F.lit(1)).cast("long").alias("_deg")
+        )
+        newly = (
+            active.join(deg, "node", "left")
+            .filter(F.coalesce("_deg", F.lit(0)) < int(k))
+            .select("node", F.lit(rnd).cast("long").alias("removed_round"))
+        )
+        removed = removed.unionByName(newly).localCheckpoint(True)
+        # monotone: an empty round is empty forever (one bounded scalar)
+        if newly.count() == 0:
+            break
+    adj.unpersist()
+    out = nodes.join(removed, "node", "left").select(
+        "node",
+        F.coalesce("removed_round", F.lit(-1).cast("long")).alias(
+            "removed_round"
+        ),
+        F.when(F.col("removed_round").isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("in_core"),
+    )
+    nodes.unpersist()
+    return out
+
+
+def kcore_oracle_sql(edges_sql: str, k: int, n_rounds: int = 8) -> str:
+    """DuckDB twin of :func:`kcore` — the peeling rounds unrolled as
+    chained CTEs (the pagerank_oracle_sql pattern applied to a
+    SHRINKING fixpoint): round i's removed set = round i−1's plus every
+    active node whose active degree is below k.
+
+    Every chained CTE is ``AS MATERIALIZED``: round i references round
+    i−1 THREE times (the active filter, the live-adjacency filter, and
+    the carry-forward union), and DuckDB inlines un-materialized CTEs
+    per reference — 3^rounds evaluations, measured EXPONENTIAL (0.6 s
+    at 4 rounds, 6.7 s at 5, hung at 6 on a 40-edge graph). The
+    pagerank oracle survives un-materialized only because its rounds
+    reference the previous mass twice; materialization makes this one
+    linear in rounds, matching the Spark loop's checkpoints."""
+    parts = [
+        f"""WITH und AS MATERIALIZED (
+    SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+    FROM ({edges_sql})
+    WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst
+)""",
+        "adj AS MATERIALIZED (SELECT a AS node, b AS nbr FROM und"
+        " UNION ALL SELECT b, a FROM und)",
+        "nodes AS MATERIALIZED (SELECT DISTINCT node FROM adj)",
+        "r0 AS MATERIALIZED"
+        " (SELECT node, CAST(0 AS BIGINT) AS rnd FROM nodes WHERE 1=0)",
+    ]
+    for i in range(1, int(n_rounds) + 1):
+        p = i - 1
+        parts.append(
+            f"""r{i} AS MATERIALIZED (
+    SELECT node, rnd FROM r{p}
+    UNION ALL
+    SELECT act.node, CAST({i} AS BIGINT) AS rnd
+    FROM (SELECT node FROM nodes
+          WHERE node NOT IN (SELECT node FROM r{p})) act
+    LEFT JOIN (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+               FROM adj
+               WHERE node NOT IN (SELECT node FROM r{p})
+                 AND nbr NOT IN (SELECT node FROM r{p})
+               GROUP BY 1) d USING (node)
+    WHERE COALESCE(d.deg, 0) < {int(k)}
+)"""
+        )
+    last = f"r{int(n_rounds)}"
+    return ",\n".join(parts) + f"""
+SELECT nodes.node,
+       CAST(COALESCE({last}.rnd, -1) AS BIGINT) AS removed_round,
+       CAST(CASE WHEN {last}.rnd IS NULL THEN 1 ELSE 0 END AS BIGINT)
+           AS in_core
+FROM nodes LEFT JOIN {last} USING (node)
+"""

@@ -6102,3 +6102,46 @@ def q87_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+
+
+# ---------------------------------------------------------------------------
+# q88 (PARKED, r16) — k-core peeling on the trade graph
+# ---------------------------------------------------------------------------
+
+_Q88_K = 5
+_Q88_ROUNDS = 8
+
+
+def _q88_oracle() -> str:
+    from ..operators.graph import kcore_oracle_sql
+
+    return kcore_oracle_sql(_Q87_EDGES_SQL, k=_Q88_K, n_rounds=_Q88_ROUNDS)
+
+
+@parked_query("q88_trade_kcore", _q88_oracle())
+def q88_trade_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling — PARKED (r16): the SHRINKING-fixpoint loop
+    (graph.kcore, k=5) on the bipartite trade graph, under the same
+    chained-CTE oracle pattern as q77's growing fixpoint — the shared
+    semantic is "state after 8 peeling rounds" (the q81 hop-cap
+    lesson), and the Spark loop's monotone early-exit cannot diverge
+    from the unrolled SQL (an empty round is empty forever).
+    Informative at every SF BY CONSTRUCTION: TPC-H's order-per-
+    customer distribution always yields single-order customers whose
+    ≤4 distinct line suppliers peel in round 1, while ~10-order
+    customers and every supplier (degree ≫ 5 from the customer count)
+    survive — a genuine mixed outcome, never slice-lucky."""
+    from ..operators.graph import kcore
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_custkey").cast("long").alias("src"),
+        (F.lit(10_000_000) + F.col("l_suppkey")).cast("long").alias("dst"),
+    )
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "16")
+        return kcore(e, k=_Q88_K, n_rounds=_Q88_ROUNDS)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)

@@ -1836,3 +1836,103 @@ def test_parked_link_prediction_real_corpus(spark):
     assert all(r[i_c] > 0 and r[i_m] > 0 for r in got)
     ranked = sorted(got, key=lambda r: (-r[i_m], r[i_a], r[i_b]))
     assert got == ranked
+
+
+def _naive_kcore(pairs, k, n_rounds=8):
+    """Independent k-core peeler: adjacency sets, remove active nodes
+    with active degree < k per round."""
+    adj = {}
+    for s, d in pairs:
+        if s is None or d is None or s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    removed: dict = {}
+    for rnd in range(1, n_rounds + 1):
+        active = set(adj) - set(removed)
+        newly = [v for v in active if len(adj[v] & active) < k]
+        if not newly:
+            break
+        for v in newly:
+            removed[v] = rnd
+    return {
+        v: (removed.get(v, -1), 0 if v in removed else 1) for v in adj
+    }
+
+
+def test_kcore_matches_naive_reference_and_oracle(spark):
+    """graph.kcore == the adjacency-set peeler on seeded random graphs
+    (k ∈ {2, 3} — cascades included), and kcore_oracle_sql's unrolled
+    CTEs agree on the same cases; the cascade case (a chain hanging
+    off a clique peels one node per round) pins multi-round removal
+    and the zero-active-degree COALESCE path."""
+    import random
+
+    import duckdb as _duck_mod
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        graph,
+    )
+
+    # chain off a K4: peels outermost-first, one per round
+    chain = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+             (3, 4), (4, 5), (5, 6)]
+    want = _naive_kcore(chain, 2)
+    assert want[6][0] == 1 and want[5][0] == 2 and want[4][0] == 3
+    got = {
+        r.node: (r.removed_round, r.in_core)
+        for r in graph.kcore(
+            spark.createDataFrame(chain, "src long, dst long"), 2
+        ).collect()
+    }
+    assert got == want
+    rng = random.Random(3)
+    clean = [
+        (s, d)
+        for s, d in ((rng.randrange(16), rng.randrange(16))
+                     for _ in range(40))
+        if s != d
+    ]
+    for k in (2, 3):
+        want = _naive_kcore(clean, k)
+        got = {
+            r.node: (r.removed_round, r.in_core)
+            for r in graph.kcore(
+                spark.createDataFrame(clean, "src long, dst long"), k
+            ).collect()
+        }
+        assert got == want, k
+        con = _duck_mod.connect()
+        con.sql("CREATE TABLE e (src BIGINT, dst BIGINT)")
+        con.executemany("INSERT INTO e VALUES (?, ?)", clean)
+        orc = {
+            r[0]: (r[1], r[2])
+            for r in con.sql(
+                graph.kcore_oracle_sql("SELECT src, dst FROM e", k)
+            ).fetchall()
+        }
+        assert orc == want, ("oracle", k)
+    with pytest.raises(ValueError, match="k must be"):
+        graph.kcore(
+            spark.createDataFrame(chain, "src long, dst long"), 0
+        )
+
+
+def test_parked_trade_kcore_real_corpus(spark):
+    """The parked q88 k-core peeling matches its unrolled-CTE oracle on
+    the trade graph. Structure: a genuinely mixed outcome — some
+    customers peel (single-order customers have ≤4 distinct suppliers
+    < k=5), suppliers all survive (degree ≫ 5), and at least one
+    node carries removed_round ≥ 1."""
+    con = _duck(SF_DIR)
+    got, cols = _run_parked(spark, "q88_trade_kcore", SF_DIR, con)
+    i_n, i_r, i_c = (
+        cols.index("node"), cols.index("removed_round"), cols.index("in_core")
+    )
+    peeled = [r for r in got if r[i_c] == 0]
+    kept = [r for r in got if r[i_c] == 1]
+    assert peeled and kept
+    assert all(r[i_r] >= 1 for r in peeled)
+    assert all(r[i_r] == -1 for r in kept)
+    # every supplier-band node survives at k=5
+    assert all(r[i_c] == 1 for r in got if r[i_n] >= 10_000_000)
