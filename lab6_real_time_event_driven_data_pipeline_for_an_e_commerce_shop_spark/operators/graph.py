@@ -1029,6 +1029,7 @@ def kcore(
     removed = nodes.select(
         "node", F.lit(0).cast("long").alias("removed_round")
     ).limit(0).localCheckpoint(True)
+    n_removed = 0
     for rnd in range(1, int(n_rounds) + 1):
         active = nodes.join(removed.select("node"), "node", "left_anti")
         live = adj.join(removed.select("node"), "node", "left_anti").join(
@@ -1043,9 +1044,14 @@ def kcore(
             .select("node", F.lit(rnd).cast("long").alias("removed_round"))
         )
         removed = removed.unionByName(newly).localCheckpoint(True)
-        # monotone: an empty round is empty forever (one bounded scalar)
-        if newly.count() == 0:
+        # monotone: an empty round is empty forever. Count the
+        # CHECKPOINTED union (already materialized) rather than the
+        # lazy `newly` frame — counting newly would re-evaluate its
+        # whole join plan a second time.
+        cur = removed.count()
+        if cur == n_removed:
             break
+        n_removed = cur
     adj.unpersist()
     out = nodes.join(removed, "node", "left").select(
         "node",
