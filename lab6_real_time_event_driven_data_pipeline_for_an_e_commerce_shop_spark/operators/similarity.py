@@ -1284,3 +1284,142 @@ def hard_negatives(
             "cosine_sim",
         )
     )
+
+
+def _d2_to_center_sql(center: list[int], qv_expr: str = "_qv") -> str:
+    """Generated-SQL integer L2² from a quantized vector column to an
+    INLINE literal center (the q42 model-artifact pattern: one F.expr
+    string, never dim×k lit() py4j round-trips). |q| ≤ 2^21 ⇒ squared
+    diffs ≤ 2^44, × dim 64 ≪ 2^63."""
+    lits = ", ".join(str(int(v)) for v in center)
+    return (
+        f"aggregate(zip_with({qv_expr}, array({lits}),"
+        " (a, b) -> (a - b) * (a - b)),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+
+
+def coreset_kcenter(
+    df: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Greedy k-center CORESET selection (the farthest-point heuristic
+    of Gonzalez 1985, used for training-data diversity subsets à la
+    Sener & Savarese 2018): start from the lowest-id point, then
+    repeatedly select the point FARTHEST from the chosen set
+    (integer-quantized L2², ties to the lowest id). Returns every
+    input row as (id_col, sel_round, d2_to_coreset): sel_round =
+    1-based selection order (−1 for unselected points), d2_to_coreset
+    = the final min-distance to the selected set (0 for members; its
+    MAX over unselected rows is the classic coverage radius).
+
+    Fully deterministic and oracle-able: quantize_vec's floor(x·2²⁰)
+    makes every distance an exact int64, the argmax rank is
+    (d2 DESC, id), and :func:`coreset_oracle_sql` unrolls the same
+    rounds as MATERIALIZED chained CTEs (the kcore lesson). If the
+    corpus is covered early (max min-distance 0 — duplicates), the
+    argmax re-picks the lowest-id covered point; the sel_round CASE
+    marks its FIRST round on both engines — consistent, documented.
+
+    Scale shape: quantization once (persisted), then per round ONE
+    column update against an inline literal center + one bounded 1-row
+    argmax collect (the model-artifact pattern); the frame is
+    localCheckpoint'ed per round (_PRState discipline — constant plan
+    depth). NULL ids/vectors are dropped up front: NULL distances
+    would hit engine-divergent NULL ordering in the argmax."""
+    if int(k) < 1:
+        raise ValueError("coreset_kcenter: k must be >= 1")
+    q = (
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .filter(F.col("_id").isNotNull() & F.col("_v").isNotNull())
+        .select("_id", quantize_vec(F.col("_v")).alias("_qv"))
+        .persist()
+    )
+    n = q.count()
+    if int(k) > n:
+        q.unpersist()
+        raise ValueError(f"coreset_kcenter: k={k} exceeds {n} usable rows")
+    first = q.orderBy("_id").limit(1).collect()[0]
+    sel_ids = [first["_id"]]
+    cur = q.withColumn(
+        "_d2", F.expr(_d2_to_center_sql([int(v) for v in first["_qv"]]))
+    ).localCheckpoint(True)
+    for _ in range(2, int(k) + 1):
+        # cur keeps _qv alongside _d2, so the argmax row carries the
+        # next center's quantized vector directly (bounded 1-row
+        # collect — the model-artifact pattern)
+        row = cur.orderBy(F.desc("_d2"), "_id").limit(1).collect()[0]
+        sel_ids.append(row["_id"])
+        cur = cur.withColumn(
+            "_d2",
+            F.least(
+                "_d2",
+                F.expr(_d2_to_center_sql([int(v) for v in row["_qv"]])),
+            ),
+        ).localCheckpoint(True)
+    q.unpersist()
+    sel = F.lit(-1).cast("long")
+    for rnd in range(len(sel_ids), 0, -1):
+        sel = F.when(
+            F.col("_id") == F.lit(sel_ids[rnd - 1]), F.lit(rnd)
+        ).otherwise(sel)
+    return cur.select(
+        F.col("_id").alias(id_col),
+        sel.cast("long").alias("sel_round"),
+        F.col("_d2").cast("long").alias("d2_to_coreset"),
+    )
+
+
+def coreset_oracle_sql(
+    embeddings_sql: str = "SELECT vec_id, embedding FROM embeddings",
+    k: int = 8,
+    vec_expr: str = "embedding",
+    id_expr: str = "vec_id",
+) -> str:
+    """DuckDB twin of :func:`coreset_kcenter` — the greedy rounds
+    unrolled as chained CTEs, ALL MATERIALIZED (round i references
+    round i−1 multiple times; the kcore exponential-inlining lesson).
+    Distances index the center CTE's list column inside the lambda —
+    no literal centers needed SQL-side."""
+
+    def d2(c: str) -> str:
+        return (
+            "CAST(list_sum(list_transform(p.qv,"
+            f" (x, i) -> (x - {c}.qv[i]) * (x - {c}.qv[i]))) AS BIGINT)"
+        )
+
+    parts = [
+        f"""WITH ex AS MATERIALIZED (
+    SELECT {id_expr} AS vec_id, {quantize_vec_sql(vec_expr)} AS qv
+    FROM ({embeddings_sql})
+    WHERE {id_expr} IS NOT NULL AND {vec_expr} IS NOT NULL
+)""",
+        "c1 AS MATERIALIZED"
+        " (SELECT vec_id, qv FROM ex ORDER BY vec_id LIMIT 1)",
+        f"m1 AS MATERIALIZED (SELECT p.vec_id, {d2('c')} AS d2"
+        " FROM ex p, c1 c)",
+    ]
+    for i in range(2, int(k) + 1):
+        p = i - 1
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT e.vec_id, e.qv FROM ex e"
+            f" JOIN m{p} ON m{p}.vec_id = e.vec_id"
+            f" ORDER BY m{p}.d2 DESC, e.vec_id LIMIT 1)"
+        )
+        parts.append(
+            f"m{i} AS MATERIALIZED (SELECT p.vec_id,"
+            f" LEAST(m{p}.d2, {d2('c')}) AS d2"
+            f" FROM ex p JOIN m{p} ON m{p}.vec_id = p.vec_id, c{i} c)"
+        )
+    case = " ".join(
+        f"WHEN p.vec_id = (SELECT vec_id FROM c{i}) THEN {i}"
+        for i in range(1, int(k) + 1)
+    )
+    return ",\n".join(parts) + f"""
+SELECT p.vec_id,
+       CAST(CASE {case} ELSE -1 END AS BIGINT) AS sel_round,
+       CAST(m{int(k)}.d2 AS BIGINT) AS d2_to_coreset
+FROM ex p JOIN m{int(k)} ON m{int(k)}.vec_id = p.vec_id
+"""

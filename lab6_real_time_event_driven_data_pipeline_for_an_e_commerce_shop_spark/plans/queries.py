@@ -6145,3 +6145,42 @@ def q88_trade_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         return kcore(e, k=_Q88_K, n_rounds=_Q88_ROUNDS)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+
+
+# ---------------------------------------------------------------------------
+# q89 (PARKED, r16) — greedy k-center coreset selection over embeddings
+# ---------------------------------------------------------------------------
+
+_Q89_K = 8
+
+
+def _q89_oracle() -> str:
+    from ..operators.similarity import coreset_oracle_sql
+
+    return coreset_oracle_sql(k=_Q89_K)
+
+
+@parked_query("q89_coreset_selection", _q89_oracle())
+def q89_coreset_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset — PARKED (r16): training-data DIVERSITY
+    selection (Gonzalez farthest-point, the Sener & Savarese coreset
+    heuristic) over the embeddings table, integer-quantized L2² with
+    (d2 DESC, id) argmax ranking, k=8. Every row is emitted with its
+    selection round (−1 unselected) and final distance-to-coreset —
+    the max over unselected rows IS the coverage radius. Oracle =
+    unrolled MATERIALIZED CTE rounds (the kcore lesson) indexing the
+    center CTE's list column inside the distance lambda; the Spark
+    loop inlines each collected center as one generated-SQL literal
+    array (the q42 model-artifact pattern). The third iterative family
+    under an exact oracle: growing fixpoint (q77), shrinking fixpoint
+    (q88), greedy argmax selection (this)."""
+    from ..operators.similarity import coreset_kcenter
+
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "16")
+        return coreset_kcenter(
+            _t(spark, sf_dir, "embeddings"), k=_Q89_K
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)

@@ -1936,3 +1936,88 @@ def test_parked_trade_kcore_real_corpus(spark):
     assert all(r[i_r] == -1 for r in kept)
     # every supplier-band node survives at k=5
     assert all(r[i_c] == 1 for r in got if r[i_n] >= 10_000_000)
+
+
+def _naive_kcenter(vec_rows, k):
+    """Independent greedy k-center: integer-quantized L2², lowest-id
+    start, (max d2, lowest id) selection, duplicate re-pick allowed."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators.similarity import (  # noqa: E501
+        quantize_floats,
+    )
+
+    pts = {i: quantize_floats(v) for i, v in vec_rows}
+    first = min(pts)
+    sel = [first]
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    dist = {i: d2(q, pts[first]) for i, q in pts.items()}
+    for _ in range(k - 1):
+        nxt = min(pts, key=lambda i: (-dist[i], i))
+        sel.append(nxt)
+        for i, q in pts.items():
+            dist[i] = min(dist[i], d2(q, pts[nxt]))
+    rounds = {}
+    for rnd, i in enumerate(sel, 1):
+        rounds.setdefault(i, rnd)
+    return {i: (rounds.get(i, -1), dist[i]) for i in pts}
+
+
+def test_coreset_kcenter_matches_naive_reference(spark):
+    """similarity.coreset_kcenter == the pure-Python greedy on seeded
+    random float vectors INCLUDING exact duplicates (covered-corpus
+    re-pick path: k exceeds the distinct count, so a selected point
+    repeats and keeps its FIRST round — pinned on both engines), at 1
+    and 7 partitions; k > n raises."""
+    import random
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        similarity as S,
+    )
+
+    rng = random.Random(7)
+    vecs = [
+        (i, [round(rng.uniform(-1, 1), 3) for _ in range(4)])
+        for i in range(10)
+    ]
+    vecs.append((10, list(vecs[3][1])))  # exact duplicate
+    want = _naive_kcenter(vecs, 6)
+    for parts in (1, 7):
+        df = spark.createDataFrame(
+            vecs, "vec_id long, embedding array<float>"
+        ).repartition(parts)
+        got = {
+            r.vec_id: (r.sel_round, r.d2_to_coreset)
+            for r in S.coreset_kcenter(df, 6).collect()
+        }
+        assert got == want, parts
+    # duplicate-only corpus: every point covered after round 1; the
+    # argmax re-picks the lowest id and sel_round keeps its first round
+    dup = spark.createDataFrame(
+        [(i, [0.5, 0.5]) for i in range(3)],
+        "vec_id long, embedding array<float>",
+    )
+    res = {r.vec_id: r.sel_round for r in S.coreset_kcenter(dup, 3).collect()}
+    # every round's argmax sees all-zero distances and re-picks the
+    # LOWEST id (the already-selected first point) — the documented
+    # covered-corpus behavior; later ids are never selected
+    assert res[0] == 1 and res[1] == -1 and res[2] == -1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="exceeds"):
+        S.coreset_kcenter(dup, 99)
+
+
+def test_parked_coreset_selection_real_corpus(spark):
+    """The parked q89 greedy k-center coreset matches its unrolled
+    MATERIALIZED-CTE oracle on the real embeddings. Structure: exactly
+    8 distinct selection rounds, members at distance 0, and a positive
+    coverage radius over unselected rows."""
+    con = _duck(SF_DIR)
+    got, cols = _run_parked(spark, "q89_coreset_selection", SF_DIR, con)
+    i_r, i_d = cols.index("sel_round"), cols.index("d2_to_coreset")
+    sel = sorted(r[i_r] for r in got if r[i_r] > 0)
+    assert sel == list(range(1, 9))
+    assert all(r[i_d] == 0 for r in got if r[i_r] > 0)
+    assert max(r[i_d] for r in got if r[i_r] < 0) > 0
