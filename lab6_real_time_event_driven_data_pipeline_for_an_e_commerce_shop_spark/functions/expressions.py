@@ -34,23 +34,47 @@ def exact_avg(col: Column | str) -> Column:
     return exact_sum(c) / F.count(c)
 
 
+def cents(col: Column | str, decimals: int = 2) -> Column:
+    """Exact integer minor units (cents) of a money double with a KNOWN
+    decimal scale — the engine's per-row integerizer (r17).
+
+    Implementation: ``trunc(x·scale ± 0.5)`` via a long cast instead of
+    ``F.round`` or a decimal cast. All three produce the identical
+    integer under the money contract, but Spark's ``round`` on doubles
+    allocates a ``java.math.BigDecimal`` PER VALUE and the decimal cast
+    allocates a ``Decimal`` per value — measured 2× the whole-stage
+    time on a 600k-row scan-agg (q01 962→495 ms; guide §1.2 "per-task
+    work"). The branch-and-truncate form is pure primitive codegen.
+
+    Exactness argument (why this equals HALF_UP round bit-for-bit):
+    a true ``decimals``-decimal value k/scale stored as double makes
+    x·scale land within a few ulps of the integer k, and for
+    |x·scale| < 2^52 the ±0.5 addition is EXACT in IEEE double, so the
+    truncation-toward-zero returns exactly k for either sign (negative
+    values mirror: HALF_UP rounds away from zero, and trunc(v − 0.5)
+    does too). Out-of-contract inputs (|x·scale| ≥ 2^52, or data with
+    more fractional digits than declared) are where the forms could
+    diverge — both are outside every caller's data contract.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    scaled = c * (10**decimals)
+    return (
+        F.when(scaled >= 0, scaled + 0.5).otherwise(scaled - 0.5).cast("long")
+    )
+
+
 def cents_sum(col: Column | str, decimals: int = 2) -> Column:
     """Fast exact SUM for money columns with a KNOWN decimal scale:
-    scale to integer minor units (cents), accumulate as LONG (~2× faster
-    than the int128 decimal accumulator; measured 0.60s vs 1.15s per
-    600k-row scan), divide once at the end. Emits the identical double
-    ``exact_sum`` would (both are the nearest-double of the same exact
-    rational).
+    scale to integer minor units (:func:`cents`), accumulate as LONG,
+    divide once at the end. Emits the identical double ``exact_sum``
+    would (both are the nearest-double of the same exact rational).
 
     Overflow bound: |Σ| < 2^63 minor units — at 2 decimals that is
     ~9.2e16 currency units PER GROUP, far beyond any daily/category
     aggregate. For ungrouped planet-scale totals or unknown-scale data
     use :func:`exact_sum` (decimal accumulator, no practical bound).
     """
-    c = F.col(col) if isinstance(col, str) else col
-    scale = 10**decimals
-    cents = (c.cast(f"decimal(18,{decimals})") * scale).cast("long")
-    return F.sum(cents) / float(scale)
+    return F.sum(cents(col, decimals)) / float(10**decimals)
 
 
 def portable_hash(col: Column, hex_chars: int = 12) -> Column:

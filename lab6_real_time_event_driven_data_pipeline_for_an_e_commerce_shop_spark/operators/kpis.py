@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.expressions import cents_sum, returned_flag
+from ..functions.expressions import cents, cents_sum, returned_flag
 
 # Money sums accumulate exact integer cents (functions.expressions.
 # cents_sum), never raw doubles: double addition is not associative, so
@@ -63,7 +63,7 @@ def order_kpis_daily(enriched: DataFrame) -> DataFrame:
     item-level sums compose exactly because the partials are exact
     integer cents. Identical results, cheaper plan (A4)."""
     per_order = enriched.groupBy("order_date", "order_id", "user_id").agg(
-        F.sum((F.col("sale_price").cast("decimal(18,2)") * 100).cast("long")).alias("_rev"),
+        F.sum(cents("sale_price")).alias("_rev"),
         F.count("product_id").alias("_items"),
         F.sum(returned_flag()).alias("_returned"),
     )

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.cache import bounded_cache
+from ..functions.expressions import cents as _cents
 from ..operators import kpis, setops
 from ..operators import enrich as enrich_op
 
@@ -203,12 +204,14 @@ def _sdsum(col: F.Column) -> F.Column:
     the testdata money columns are 2-decimal (verified), so integer
     minor-unit accumulation is exact and ~2x faster than the int128
     decimal accumulator — and emits the identical nearest-double.
-    round(x*100) integerizes without any per-row BigDecimal: for a true
-    2-decimal value k/100 the double x*100 lands within 1e-6 of k, so
-    HALF_UP round returns exactly k (~20% faster than the decimal-cast
-    route, same integers). Cents ≤1e7/row keep the LONG total under
+    r17: integerization goes through functions.expressions.cents
+    (trunc(x·100 ± 0.5) cast long) instead of F.round — Spark's round
+    on doubles allocates a BigDecimal PER VALUE; the branch-and-trunc
+    form is pure primitive codegen and produces the identical integer
+    for any 2-decimal value (see cents' exactness argument). Measured:
+    q01 962→495 ms warm. Cents ≤1e7/row keep the LONG total under
     2^63 beyond sf 100k."""
-    return F.sum(F.round(col * 100).cast("long")) / 100.0
+    return F.sum(_cents(col)) / 100.0
 
 
 @query(
@@ -250,9 +253,9 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sum would wrap around at 100 TB scale while int128 never does;
     # the final emit (int -> double -> /scale) matches the oracle's
     # CAST(SUM(BIGINT) AS DOUBLE)/scale two-rounding sequence.
-    pc = F.round(F.col("l_extendedprice") * 100).cast("long")
-    du = F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
-    tu = F.lit(100) + F.round(F.col("l_tax") * 100).cast("long")
+    pc = _cents(F.col("l_extendedprice"))
+    du = F.lit(100) - _cents(F.col("l_discount"))
+    tu = F.lit(100) + _cents(F.col("l_tax"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -676,7 +679,7 @@ def q16_top_brands_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy(F.col("p_brand").alias("brand"))
-        .agg(F.sum(F.round(F.col("l_extendedprice") * 100).cast("decimal(25,0)")).alias("_cents"))
+        .agg(F.sum(_cents(F.col("l_extendedprice")).cast("decimal(25,0)")).alias("_cents"))
     )
     w = Window.orderBy(F.col("_cents").desc(), F.col("brand"))
     return (
@@ -2609,8 +2612,8 @@ def q38_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # integer minor-unit product (see q01): cents*(100-disc_units) ≡
     # price*(1-disc)*10^4 exactly; int128 accumulation is overflow-proof
-    disc_rev_u = F.round(F.col("l_extendedprice") * 100).cast("long") * (
-        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    disc_rev_u = _cents(F.col("l_extendedprice")) * (
+        F.lit(100) - _cents(F.col("l_discount"))
     )
     agg = (
         li.join(o, li.l_orderkey == o.o_orderkey)
@@ -2661,8 +2664,8 @@ def q39_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
     # integer minor-unit product + int128 accumulation (see q01)
-    disc_rev_u = F.round(F.col("l_extendedprice") * 100).cast("long") * (
-        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    disc_rev_u = _cents(F.col("l_extendedprice")) * (
+        F.lit(100) - _cents(F.col("l_discount"))
     )
     joined = (
         li.join(o, li.l_orderkey == o.o_orderkey)
@@ -3154,7 +3157,7 @@ def q48_customer_order_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     without an extra shuffle."""
     o = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    cents = _cents(F.col("o_totalprice"))
     prev = F.lag("o_orderdate").over(w)
     frame3 = w.rowsBetween(-2, Window.currentRow)
     day_num = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
@@ -3956,7 +3959,7 @@ def q55_customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = _t(spark, sf_dir, "orders")
     spend = o.groupBy(F.col("o_custkey").alias("cust_key")).agg(
-        F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")).alias("cents")
+        F.sum(_cents(F.col("o_totalprice"))).alias("cents")
     )
     with_b, z = zorder_key(spend, ["cents", "cust_key"], bits=16)
     w = Window.orderBy(F.col("cents").desc(), F.col("cust_key"))
@@ -5416,15 +5419,18 @@ def q77_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
 
 
-def _q77_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The q77/q78 trade graph (one builder for both slots — the
-    _bm25_cte_sql sharing rule).
+def _trade_band_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer→supplier trade edges with the LOUD node-band check —
+    the one builder every banded trade-graph slot (q77/q78/q87/q88)
+    must route through (r16 ADVICE: q87/q88 built these inline and
+    bypassed the check).
 
-    Node-id bands: customers raw [0, 10M), suppliers +10M, nations
-    +20M. A custkey or suppkey ≥ 10M (TPC-H sf ≳ 67) would silently
-    ALIAS nodes across bands and merge their masses with no error —
-    so the bands are asserted loudly here (two 1-row max aggregates,
-    the bounded-collect pattern) before any edge is built."""
+    Node-id bands: customers raw [0, 10M), suppliers +10M (nations,
+    where used, +20M). A custkey or suppkey ≥ 10M (TPC-H sf ≳ 67)
+    would silently ALIAS nodes across bands and merge their masses
+    with no error — so the bands are asserted loudly here (two 1-row
+    max aggregates, the bounded-collect pattern) before any edge is
+    built."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     mx = (
@@ -5434,19 +5440,25 @@ def _q77_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name, v in zip(("o_custkey", "s_suppkey"), mx):
         if v is not None and v >= 10_000_000:
             raise ValueError(
-                f"q77/q78 node-id bands overflow: max({name}) = {v} >= 1e7"
+                f"trade-graph node-id bands overflow: max({name}) = {v} >= 1e7"
                 " — widen the band offsets before running at this SF"
             )
-    e1 = li.join(o, li.l_orderkey == o.o_orderkey).select(
+    return li.join(o, li.l_orderkey == o.o_orderkey).select(
         F.col("o_custkey").cast("long").alias("src"),
         (F.lit(10_000_000) + F.col("l_suppkey")).cast("long").alias("dst"),
     )
+
+
+def _q77_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q77/q78 trade graph (one builder for both slots — the
+    _bm25_cte_sql sharing rule): band-checked customer→supplier edges
+    plus supplier→nation edges."""
     sup = _t(spark, sf_dir, "supplier")
     e2 = sup.select(
         (F.lit(10_000_000) + F.col("s_suppkey")).cast("long").alias("src"),
         (F.lit(20_000_000) + F.col("s_nationkey")).cast("long").alias("dst"),
     )
-    return e1.unionByName(e2)
+    return _trade_band_edges(spark, sf_dir).unionByName(e2)
 
 
 # ---------------------------------------------------------------------------
@@ -6032,14 +6044,10 @@ def q86_word_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import triangle_counts
     from ..operators.text import textrank_edges
 
-    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", "16")
-        return triangle_counts(
-            textrank_edges(_t(spark, sf_dir, "documents"))
-        )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+    # fully LAZY frame: a scoped shuffle.partitions override here would
+    # be restored before execution and never apply (r16 ADVICE) —
+    # shuffle sizing is the executing session's concern.
+    return triangle_counts(textrank_edges(_t(spark, sf_dir, "documents")))
 
 
 # ---------------------------------------------------------------------------
@@ -6086,22 +6094,17 @@ def q87_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped at 100 beyond)."""
     from ..operators.graph import link_scores
 
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    e = li.join(o, li.l_orderkey == o.o_orderkey).select(
-        F.col("o_custkey").cast("long").alias("src"),
-        (F.lit(10_000_000) + F.col("l_suppkey")).cast("long").alias("dst"),
+    # band-checked shared builder (r16 ADVICE: the inline edge build
+    # bypassed the custkey/suppkey < 1e7 assert). The returned frame is
+    # fully LAZY, so a scoped shuffle.partitions override here would be
+    # restored before execution and never apply — shuffle sizing is the
+    # executing session's concern (the r16 ADVICE dead-override fix).
+    e = _trade_band_edges(spark, sf_dir)
+    return (
+        link_scores(e, max_degree=_Q87_MAX_DEGREE)
+        .orderBy(F.col("aa_micro").desc(), "a", "b")
+        .limit(_Q87_TOP)
     )
-    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", "16")
-        return (
-            link_scores(e, max_degree=_Q87_MAX_DEGREE)
-            .orderBy(F.col("aa_micro").desc(), "a", "b")
-            .limit(_Q87_TOP)
-        )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
 
 
 # ---------------------------------------------------------------------------
@@ -6133,12 +6136,10 @@ def q88_trade_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     survive — a genuine mixed outcome, never slice-lucky."""
     from ..operators.graph import kcore
 
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    e = li.join(o, li.l_orderkey == o.o_orderkey).select(
-        F.col("o_custkey").cast("long").alias("src"),
-        (F.lit(10_000_000) + F.col("l_suppkey")).cast("long").alias("dst"),
-    )
+    # band-checked shared builder (r16 ADVICE); kcore's peeling loop
+    # materializes eagerly inside the try, so the scoped override below
+    # genuinely applies (unlike the lazy q86/q87 frames).
+    e = _trade_band_edges(spark, sf_dir)
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "16")
