@@ -92,9 +92,15 @@ def order_completeness(
         .groupBy("order_id")
         .agg(F.min(F.col("_p").isNotNull()).alias("_all_products"))
     )
+    # NO distinct on the orders side (r17): order_id is the orders PK,
+    # and the relational spec ("one flag row per orders row") keeps
+    # duplicate input rows anyway — the old .distinct() paid a full
+    # extra shuffle to enforce a grain the oracle does not have. With
+    # the bare projection the left side is a narrow scan, so AQE can
+    # broadcast it and the per-order aggregation's exchange is the
+    # plan's ONLY shuffle.
     return (
         orders.select("order_id")
-        .distinct()
         .join(per_order, "order_id", "left")
         .select(
             "order_id",

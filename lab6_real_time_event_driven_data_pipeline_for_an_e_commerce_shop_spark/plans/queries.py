@@ -116,8 +116,33 @@ def oracles(sf_dir: str | None = None) -> dict[str, str]:
 # ---------------------------------------------------------------------------
 
 
+# Source-relation registry (r17): ``spark.read.parquet`` re-lists the
+# directory and re-reads the footer schema on EVERY call (~100 ms of
+# driver work per table per query build, measured) — a real deployment
+# registers tables in a catalog once and reuses the resolved relation.
+# The memo holds only the UNRESOLVED scan descriptor (schema + file
+# list), never data: every execution still scans parquet. Keyed per
+# (session, sf_dir, table); a superseded session's entries are dropped
+# on first miss (the liveness check below), so a stopped-and-recreated
+# session re-resolves cleanly. Static-testdata contract: files under a
+# registered sf_dir must not be swapped mid-session (true for every
+# driver/test corpus; temp dirs that ARE rewritten go through
+# spark.read directly, not _t).
+_TABLE_MEMO: dict[tuple[str, str], tuple[object, DataFrame]] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    key = (sf_dir, name)
+    hit = _TABLE_MEMO.get(key)
+    if (
+        hit is not None
+        and hit[0] is spark
+        and not spark.sparkContext._jsc.sc().isStopped()
+    ):
+        return hit[1]
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    _TABLE_MEMO[key] = (spark, df)
+    return df
 
 
 def _orders(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -103,6 +103,17 @@ class DriftMonitor:
                     f" mode={stored_mode!r}, reopened as {mode!r} — the"
                     " frozen reference point cannot change meaning"
                 )
+            stored_col = m.get("value_col", value_col)
+            if stored_col != value_col:
+                # r16 ADVICE: silently bucketing a DIFFERENT column
+                # against the frozen thresholds/baseline counts would
+                # produce a meaningless drift log with no error
+                raise ValueError(
+                    f"DriftMonitor: artifact at {art} monitors"
+                    f" {stored_col!r}, reopened with value_col="
+                    f"{value_col!r} — the frozen reference point cannot"
+                    " change meaning"
+                )
             self.thresholds = (
                 [int(t) for t in m["thresholds"]]
                 if m.get("thresholds") is not None

@@ -1511,6 +1511,21 @@ def test_distribution_drift_numeric_semantics(spark):
     assert len(nulls) == 1 and nulls[0].n_new == 1 and nulls[0].n_old == 0
 
 
+def test_distribution_drift_numeric_by_group_rejects_one_bucket(spark):
+    """r16 ADVICE: n_buckets=1 yields an empty threshold list and the
+    generated bucket expression would be a runtime SQL parse error —
+    the by-group path must refuse loudly like the scalar path guards."""
+    import pytest as _pytest
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators.curation import (
+        distribution_drift_numeric_by_group,
+    )
+
+    df = spark.createDataFrame([("en", 1)], "g string, v long")
+    with _pytest.raises(ValueError, match="n_buckets"):
+        distribution_drift_numeric_by_group(df, df, "g", "v", n_buckets=1)
+
+
 def test_distribution_drift_numeric_by_group_composition(spark):
     """distribution_drift_numeric_by_group == the scalar
     distribution_drift_numeric applied per filtered group (each group

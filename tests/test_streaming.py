@@ -4458,3 +4458,29 @@ def test_drift_monitor_categorical_requires_string_values(spark, tmp_path):
             baseline=spark.createDataFrame([(1,)], "code long"),
             mode="categorical",
         )
+
+
+def test_drift_monitor_reopen_rejects_different_value_col(spark, tmp_path):
+    """r16 ADVICE: value_col is part of the frozen artifact's meaning —
+    reopening an existing root with a DIFFERENT value column must raise
+    (it would silently bucket another column against the frozen
+    thresholds/baseline counts), exactly like the mode check."""
+    import pytest as _pytest
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.streaming.drift import (  # noqa: E501
+        DriftMonitor,
+    )
+
+    root = str(tmp_path)
+    schema = "doc_id long, n_tokens long, n_chars long"
+    DriftMonitor(
+        spark, root, schema=schema, value_col="n_tokens",
+        baseline=spark.createDataFrame(
+            [(i,) for i in range(64)], "n_tokens long"
+        ),
+    )
+    with _pytest.raises(ValueError, match="value_col"):
+        DriftMonitor(spark, root, schema=schema, value_col="n_chars")
+    # same column reopens fine (baseline ignored — frozen artifact)
+    mon = DriftMonitor(spark, root, schema=schema, value_col="n_tokens")
+    assert mon.thresholds is not None
