@@ -91,6 +91,7 @@ def curate(
         ngram_jaccard_pairs(
             exact_kept, threshold=near_dup_threshold, k=3,
             text_col=text_col, id_col=id_col, max_df_pct=max_df_pct,
+            cache_slot="curation.near",
         ),
     )
     # drop every doc with a ≥threshold partner of LOWER id (id_a < id_b

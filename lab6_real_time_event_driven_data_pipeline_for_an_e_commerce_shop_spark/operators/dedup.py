@@ -89,8 +89,18 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     block_col: str | None = None,
     max_df_pct: int | None = None,
+    cache_slot: str = "dedup",
 ) -> DataFrame:
     """Near-duplicate pairs by k-word-shingle Jaccard ≥ threshold.
+
+    ``cache_slot`` names the substrate-cache slots (r17): two
+    CONCURRENT consumers with different corpora (q24 over raw
+    documents, curate over its quality-filtered subset) previously
+    shared one slot and evicted each other's substrate AND n_docs memo
+    on every alternation — each q24/q53 build re-paid the corpus count
+    job twice (measured: 2 Spark jobs per warm rebuild). Distinct
+    slots let both substrates stay live; each slot still holds at most
+    one cache (the bounded contract).
 
     explode → (optionally blocked) self-equi-join on shingle hash →
     shared count → |A∪B| = |A|+|B|−shared. Output: (id_a, id_b,
@@ -131,7 +141,7 @@ def ngram_jaccard_pairs(
         # job each — same session-scoped slot semantics as the shingle
         # substrate cache right below
         n_docs = bounded_scalar(
-            "dedup.ngram_n_docs", df, lambda: df.count()
+            f"{cache_slot}.ngram_n_docs", df, lambda: df.count()
         )
         pairs_src = (
             pairs_src.withColumn(
@@ -145,7 +155,7 @@ def ngram_jaccard_pairs(
     # on the 500-doc corpus). Bounded, not leaked (r1 ADVICE): see
     # functions/cache.bounded_cache — identical re-invocations stay
     # warm, a different input releases the previous blocks.
-    pairs_src = bounded_cache("dedup.shingle_substrate", pairs_src)
+    pairs_src = bounded_cache(f"{cache_slot}.shingle_substrate", pairs_src)
 
     sizes = pairs_src.groupBy("_id").agg(F.count("*").alias("_n"))
 

@@ -25,6 +25,7 @@ products→part; ``returned_at IS NOT NULL`` ⇔ ``l_returnflag = 'R'``.
 
 from __future__ import annotations
 
+import functools
 import os
 import shutil
 from collections.abc import Callable
@@ -49,10 +50,75 @@ class Query:
 _REGISTRY: dict[str, Query] = {}
 
 
-def query(name: str, oracle: str | None):
-    def deco(fn):
+# Catalog frame memo (r17, §5 driver overhead): a PURE catalog query is
+# a deterministic function (sf_dir → lazy plan) whose build costs
+# 0.1-0.6 s of py4j round trips (measured: ~2.2 s of the 7.1 s bench
+# total was identical-plan reconstruction). Registering the built frame
+# per (session, sf_dir) is catalog-view semantics — the analyzed plan
+# is held, NEVER results: every action on the frame still executes the
+# full plan from parquet, and a fresh process (the driver's gate shape)
+# always builds cold.
+#
+# Eligibility is strict and test-pinned
+# (tests/test_plans.py::test_memoized_query_builds_are_pure): a query
+# is memoizable ONLY if a warm rebuild runs ZERO Spark jobs — i.e. the
+# build is pure plan construction. Queries whose build executes work
+# (streaming ingest q37/q73, iterative checkpoint loops q77,
+# data-derived artifact collects q22/q26/q29/q42/q52/q71, footer/count
+# probes q05) are EXCLUDED: memoizing those would skip real
+# computation on repeat invocation — result caching, not plan reuse.
+_EAGER_BUILD_QUERIES = {
+    "q05_validation_counts",
+    "q22_doc_quality",
+    "q26_minhash_lsh_candidates",
+    "q29_ann_lsh_topk",
+    "q37_stream_medallion_gold",
+    "q42_ann_ivf_topk",
+    "q52_train_val_test_split",
+    "q71_bm25_retrieval",
+    "q73_streamed_sessions",
+    "q77_pagerank",
+}
+
+_FRAME_MEMO: dict[tuple[str, str], tuple[str, DataFrame]] = {}
+
+
+def _memo_frame(name: str, fn, spark: SparkSession, sf_dir: str) -> DataFrame:
+    try:
+        sc = spark.sparkContext
+        if sc._jsc.sc().isStopped():
+            return fn(spark, sf_dir)
+        app = sc.applicationId
+    except Exception:  # py4j surface moved — degrade to always-build
+        return fn(spark, sf_dir)
+    key = (sf_dir, name)
+    hit = _FRAME_MEMO.get(key)
+    if hit is not None and hit[0] == app:
+        return hit[1]
+    df = fn(spark, sf_dir)
+    _FRAME_MEMO[key] = (app, df)
+    return df
+
+
+def _register(name: str, fn, oracle: str | None):
+    """Register a gated query, wrapping pure-build queries in the
+    frame memo (direct `_REGISTRY[...] = Query(...)` sites route here
+    too, so eligibility is decided in exactly one place)."""
+    if name in _EAGER_BUILD_QUERIES:
         _REGISTRY[name] = Query(name, fn, oracle)
         return fn
+
+    @functools.wraps(fn)
+    def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _memo_frame(name, fn, spark, sf_dir)
+
+    _REGISTRY[name] = Query(name, wrapper, oracle)
+    return wrapper
+
+
+def query(name: str, oracle: str | None):
+    def deco(fn):
+        return _register(name, fn, oracle)
 
     return deco
 
@@ -1408,9 +1474,7 @@ def _q22_oracle() -> str:
     """
 
 
-_REGISTRY["q22_doc_quality"] = Query(
-    "q22_doc_quality", q22_doc_quality, _q22_oracle()
-)
+_register("q22_doc_quality", q22_doc_quality, _q22_oracle())
 
 
 # ---------------------------------------------------------------------------
@@ -1833,9 +1897,7 @@ def q28_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_REGISTRY["q28_embedding_near_dups"] = Query(
-    "q28_embedding_near_dups", q28_embedding_near_dups, _q28_oracle()
-)
+_register("q28_embedding_near_dups", q28_embedding_near_dups, _q28_oracle())
 
 
 def _q29_oracle(n_planes: int = 4, dim: int = 64, probe_hamming: int = 2) -> str:
@@ -1936,7 +1998,7 @@ def q29_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_REGISTRY["q29_ann_lsh_topk"] = Query("q29_ann_lsh_topk", q29_ann_lsh_topk, _q29_oracle())
+_register("q29_ann_lsh_topk", q29_ann_lsh_topk, _q29_oracle())
 
 
 # ---------------------------------------------------------------------------
@@ -2241,9 +2303,7 @@ def q35_approx_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_REGISTRY["q35_approx_distinct_daily"] = Query(
-    "q35_approx_distinct_daily", q35_approx_distinct_daily, _q35_oracle()
-)
+_register("q35_approx_distinct_daily", q35_approx_distinct_daily, _q35_oracle())
 
 
 @parked_query(
@@ -2835,7 +2895,7 @@ def q42_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_REGISTRY["q42_ann_ivf_topk"] = Query("q42_ann_ivf_topk", q42_ann_ivf_topk, _q42_oracle())
+_register("q42_ann_ivf_topk", q42_ann_ivf_topk, _q42_oracle())
 
 
 # ---------------------------------------------------------------------------

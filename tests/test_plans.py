@@ -575,3 +575,39 @@ def test_parked_graph_composition_plan_shapes(spark):
         assert bad not in eplan, bad
     assert "Window" in eplan  # the lead() gap pass
     assert "Generate" in eplan  # posexplode of the token array
+
+
+def test_memoized_query_builds_are_pure(spark):
+    """r17 catalog frame memo contract (plans.queries._memo_frame):
+    a gated query's built frame may be held per (session, sf_dir) ONLY
+    if the build is pure plan construction — a warm second build runs
+    ZERO Spark jobs. Queries whose build executes work (streaming
+    ingest, checkpoint loops, artifact collects, footer/count probes)
+    must be listed in _EAGER_BUILD_QUERIES and stay unmemoized:
+    memoizing those would skip real computation on repeat invocation
+    (result caching, not plan reuse)."""
+    from tests.conftest import SF_SMOKE
+
+    reg = q._REGISTRY
+    # typo guard: every excluded name is a real gated query, and every
+    # excluded query is served by the RAW builder (no memo wrapper)
+    assert q._EAGER_BUILD_QUERIES <= set(reg)
+    for name in q._EAGER_BUILD_QUERIES:
+        assert not hasattr(reg[name].fn, "__wrapped__"), name
+
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    for name, entry in sorted(reg.items()):
+        if name in q._EAGER_BUILD_QUERIES:
+            continue
+        fn = entry.fn.__wrapped__  # raw builder, bypassing the memo
+        fn(spark, SF_SMOKE)  # cold build: may warm substrate caches
+        group = f"memo-purity-{name}"
+        sc.setJobGroup(group, "frame-memo purity check")
+        try:
+            fn(spark, SF_SMOKE)  # warm build must schedule no jobs
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        assert list(tracker.getJobIdsForGroup(group)) == [], name
+        # and the wrapper holds exactly one frame per (session, sf_dir)
+        assert entry.fn(spark, SF_SMOKE) is entry.fn(spark, SF_SMOKE), name
