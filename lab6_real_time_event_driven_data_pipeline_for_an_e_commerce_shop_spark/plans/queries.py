@@ -2451,7 +2451,27 @@ def q37_stream_medallion_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
     an already-released (order, product) pair, so the quarantine gate
     is exercised ON THE LATE PATH too — a gate that only validated
     first-arrival data would route it through the silver-attribute
-    re-enrich and corrupt gold."""
+    re-enrich and corrupt gold.
+
+    r17 — scoped shuffle-partition override (guide §2, the r15/r16
+    state-store/checkpoint-loop lesson applied to the medallion's many
+    small batch jobs): the ingested slice is 40 orders BY CONSTRUCTION
+    at every SF, yet every MERGE join, dedup window and gold refresh
+    inside the cycles shuffled at the session default (200) — paying
+    ~200 near-empty tasks per exchange across dozens of jobs. The
+    override is sized to the slice's bounded key cardinality (not to
+    local core count) and restored in ``finally``; results are
+    partitioning-invariant (local[2] hostile cell)."""
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        return _q37_build(spark, sf_dir)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+
+
+def _q37_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q37 pipeline run proper (see the gated wrapper's docstring)."""
     import tempfile
 
     from ..streaming.pipeline import MedallionPipeline

@@ -611,3 +611,17 @@ def test_memoized_query_builds_are_pure(spark):
         assert list(tracker.getJobIdsForGroup(group)) == [], name
         # and the wrapper holds exactly one frame per (session, sf_dir)
         assert entry.fn(spark, SF_SMOKE) is entry.fn(spark, SF_SMOKE), name
+
+
+def test_q37_scoped_shuffle_override_restores_on_failure(spark):
+    """r17: q37 runs its bounded 40-order pipeline under a scoped
+    spark.sql.shuffle.partitions override (the r15/r16 state-store /
+    checkpoint-loop lesson). The session value must be restored even
+    when the build dies — here, on a nonexistent sf_dir."""
+    import pytest as _pytest
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    with _pytest.raises(Exception):
+        q.q37_stream_medallion_gold(spark, "/nonexistent/sf_dir")
+    assert spark.conf.get(key) == before
