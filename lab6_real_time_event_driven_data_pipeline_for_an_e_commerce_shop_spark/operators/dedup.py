@@ -69,13 +69,61 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def _substrate_partitions(df: DataFrame) -> int:
+    """Scale-adaptive shuffle width for shingle-substrate builds
+    (r17, guide §2): derived from the INPUT's optimizer size estimate
+    (parquet footer bytes — no job), floored at the cluster's default
+    parallelism — never the session's static ``shuffle.partitions``,
+    which is a constant tuned for neither this corpus nor local mode.
+    Substrates are cached, and a cached plan's shuffles bypass AQE
+    coalescing (its output partitioning is frozen), so an oversized
+    static width pays its full task count — and one task-deser of the
+    large shingle expression tree per task — on EVERY materialization
+    (measured: 200-task window/distinct stages at 60 ms/task on a
+    500-doc corpus)."""
+    sc = df.sparkSession.sparkContext
+    floor = sc.defaultParallelism
+    try:
+        # Sum the LEAF relations' sizes, not the plan root's estimate:
+        # Catalyst's join-output estimates MULTIPLY cardinalities, so a
+        # join-derived corpus frame can report petabytes for kilobytes
+        # of input (observed: a 32k-task repartition from one such
+        # estimate). Leaf stats are file/local-relation bytes — exact.
+        plan = df._jdf.queryExecution().optimizedPlan()
+        leaves = plan.collectLeaves()
+        sizes = [
+            int(leaves.apply(i).stats().sizeInBytes())
+            for i in range(leaves.size())
+        ]
+        # A leaf with no real stats (e.g. a parallelized LogicalRDD
+        # from createDataFrame) reports the spark.sql.defaultSizeInBytes
+        # sentinel (Long.MaxValue) — "unknown", not "huge". Any such
+        # leaf makes the estimate meaningless: use the floor.
+        if any(s >= 1 << 60 for s in sizes):
+            return floor
+        size = sum(sizes)
+    except Exception:  # py4j surface moved — fall back to the floor
+        return floor
+    # ~32 MB of scanned bytes per task (the exploded hash substrate is
+    # a small multiple of the text it came from)
+    return max(floor, min(size // (32 << 20), 1 << 15))
+
+
 def _doc_shingle_hashes(
     df: DataFrame, text_col: str, id_col: str, k: int
 ) -> DataFrame:
     """(id, shingle_hash) distinct pairs — the common substrate for
-    Jaccard, MinHash and SimHash."""
+    Jaccard, MinHash and SimHash.
+
+    The explicit repartition by ``_id`` does double duty (r17): its
+    scale-adaptive width replaces the session-static shuffle the
+    ``distinct`` would otherwise insert, and hash-by-_id satisfies
+    BOTH the distinct's clustering requirement and the doc-grain
+    groupBy every consumer (MinHash signatures, SimHash folds, winnow)
+    applies next — one exchange where there were two."""
     return (
-        df.select(F.col(id_col).alias("_id"), F.explode(shingles(F.col(text_col), k)).alias("_sh"))
+        df.repartition(_substrate_partitions(df), F.col(id_col))
+        .select(F.col(id_col).alias("_id"), F.explode(shingles(F.col(text_col), k)).alias("_sh"))
         .select("_id", portable_hash(F.col("_sh")).alias("_h"))
         .distinct()
     )
@@ -124,11 +172,19 @@ def ngram_jaccard_pairs(
     substrate build and the three downstream consumers (sizes + both
     join sides) ride the already-cut cache.
     """
+    # The explicit repartition by ``_h`` (scale-adaptive width, r17)
+    # replaces the session-static shuffle the ``distinct`` would insert
+    # AND pre-satisfies the df-cut window's partitionBy(_h) and the
+    # self-join's _h clustering: hash-by-_h colocates every (_id, _h)
+    # duplicate and every _h window group, so distinct + window ride
+    # this single exchange instead of adding their own.
     pairs_src = df.select(
         F.col(id_col).alias("_id"),
         *( [F.col(block_col).alias("_blk")] if block_col else [] ),
         F.explode(shingles(F.col(text_col), k)).alias("_sh"),
-    ).select("_id", *(["_blk"] if block_col else []), portable_hash(F.col("_sh")).alias("_h")).distinct()
+    ).select("_id", *(["_blk"] if block_col else []), portable_hash(F.col("_sh")).alias("_h")).repartition(
+        _substrate_partitions(df), "_h"
+    ).distinct()
     if max_df_pct is not None:
         from pyspark.sql import Window
 
@@ -451,7 +507,17 @@ def winnow_fingerprints(
 
     norm = F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]", "")
     n = F.length("_t")
-    base = df.select(F.col(id_col), norm.alias("_t")).filter(n >= k)
+    # Scale-adaptive pre-partition by doc id (r17, guide §2): one
+    # exchange of the NARROW text rows, taken before the gram explode,
+    # satisfies the window's partitionBy(id) AND the final distinct's
+    # clustering — replacing two session-static shuffles of the ~w×
+    # larger exploded gram relation — and spreads the per-gram md5
+    # work across the adaptive width.
+    base = (
+        df.repartition(_substrate_partitions(df), F.col(id_col))
+        .select(F.col(id_col), norm.alias("_t"))
+        .filter(n >= k)
+    )
     hashes = F.transform(
         F.sequence(F.lit(1), n - (k - 1)),
         lambda i: portable_hash(F.col("_t").substr(i, F.lit(k))),

@@ -1702,7 +1702,25 @@ def q26_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction — engine-portable bit-for-bit. And ``canonical_id`` —
     the KEEP document of the pair's cluster (dedup.canonical_docs:
     max n_chars, id tie-break), closing the pipeline's last step
-    (pairs → clusters → keeper) under the same gate."""
+    (pairs → clusters → keeper) under the same gate.
+
+    r17 — scoped shuffle-partition override around the build (the
+    r15/r16 state-store/checkpoint-loop lesson): duplicate_clusters is
+    an iterative localCheckpoint loop whose every round materializes
+    its joins at the session shuffle width; the edge list is the
+    RESULT-BOUNDED candidate-pair set (25 pairs at the gate SF), so
+    the width is sized to that bounded cardinality, not local cores.
+    Restored in ``finally``; the returned frame executes later at the
+    caller's width."""
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        return _q26_build(spark, sf_dir)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+
+
+def _q26_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.cache import bounded_cache
     from ..operators import dedup
 

@@ -39,6 +39,13 @@ def build_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # r17: let AQE size the shuffles INSIDE cached-plan
+        # materialization too (off by default for exchange-reuse
+        # conservatism). Substrate caches are this engine's central
+        # pattern, and with the flag off every shuffle under a cache
+        # runs at the static session width on every materialization —
+        # the one place AQE's runtime statistics were not applied.
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")

@@ -3301,3 +3301,28 @@ def test_log2_interp_micro_three_way_and_aes_proportionality(spark):
     for w in range(1, 6):
         theo = 80 * w / W
         assert 0.75 * theo <= wins[w] / trials <= 1.25 * theo, (w, wins)
+
+
+def test_substrate_partitions_scale_adaptive_and_estimate_safe(spark, sf_dir):
+    """r17: the shingle-substrate shuffle width derives from LEAF scan
+    bytes (~32 MB/task) floored at defaultParallelism — never from the
+    plan-root estimate (join estimates multiply cardinalities) and
+    never from an unknown-size leaf (parallelized LogicalRDDs report
+    the Long.MaxValue sentinel; one such leaf sent a test corpus to a
+    32k-task repartition before the guard)."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators.dedup import (
+        _substrate_partitions,
+    )
+
+    floor = spark.sparkContext.defaultParallelism
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert _substrate_partitions(docs) == floor  # ~100 KB << 32 MB/task
+
+    local = spark.createDataFrame([(i, "x" * 50) for i in range(500)], ["doc_id", "text"])
+    assert _substrate_partitions(local) == floor  # unknown-size leaf -> floor
+
+    # a join-derived frame must price by its LEAVES, not the join output
+    j = docs.alias("a").join(
+        docs.selectExpr("doc_id").alias("b"), "doc_id"
+    )
+    assert _substrate_partitions(j) == floor
