@@ -91,16 +91,23 @@ def _substrate_partitions(df: DataFrame) -> int:
         # estimate). Leaf stats are file/local-relation bytes — exact.
         plan = df._jdf.queryExecution().optimizedPlan()
         leaves = plan.collectLeaves()
-        sizes = [
-            int(leaves.apply(i).stats().sizeInBytes())
-            for i in range(leaves.size())
-        ]
-        # A leaf with no real stats (e.g. a parallelized LogicalRDD
-        # from createDataFrame) reports the spark.sql.defaultSizeInBytes
-        # sentinel (Long.MaxValue) — "unknown", not "huge". Any such
-        # leaf makes the estimate meaningless: use the floor.
-        if any(s >= 1 << 60 for s in sizes):
-            return floor
+        sizes = []
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            name = leaf.getClass().getSimpleName()
+            # Trust only leaves whose size statistic is REAL bytes:
+            # file scans (LogicalRelation over parquet/orc/...) and
+            # literal LocalRelations. Everything else lies: a
+            # parallelized LogicalRDD reports the Long.MaxValue
+            # "unknown" sentinel, and an InMemoryRelation that is not
+            # yet materialized reports its CHILD PLAN's estimate —
+            # join estimates multiply cardinalities (observed: a
+            # candidate-pair cache leaf priced a 2 MB corpus at 20 GB
+            # → a 655-partition substrate whose cache scans then paid
+            # 655 tasks on every warm read).
+            if name not in ("LogicalRelation", "LocalRelation"):
+                return floor
+            sizes.append(int(leaf.stats().sizeInBytes()))
         size = sum(sizes)
     except Exception:  # py4j surface moved — fall back to the floor
         return floor

@@ -3326,3 +3326,15 @@ def test_substrate_partitions_scale_adaptive_and_estimate_safe(spark, sf_dir):
         docs.selectExpr("doc_id").alias("b"), "doc_id"
     )
     assert _substrate_partitions(j) == floor
+
+    # an InMemoryRelation leaf reports its CHILD PLAN's (join-
+    # multiplied) estimate, not real bytes — must fall to the floor
+    # (observed: a candidate-pair cache leaf priced a 2 MB corpus at
+    # 20 GB -> 655-partition substrate caches)
+    cached = docs.select("doc_id", "text").persist()
+    try:
+        cached.count()
+        semi = docs.join(cached.select("doc_id"), "doc_id", "left_semi")
+        assert _substrate_partitions(semi) == floor
+    finally:
+        cached.unpersist()
