@@ -8,10 +8,25 @@ from __future__ import annotations
 
 import re
 
+import pytest
+
 from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.plans import (
     queries as q,
 )
 from tests.conftest import SF_DIR
+
+
+@pytest.fixture(autouse=True)
+def _cold_frames():
+    """Plan pins assert the COLD plan a fresh driver process builds.
+    The r17 catalog frame memo (plans.queries._memo_frame) hands back
+    the SAME DataFrame object across calls within a session — and once
+    an earlier test (e.g. parity) has executed it, explain() prints the
+    adaptive FINAL plan plus an 'Initial Plan' section, double-counting
+    every Exchange. Clearing the memo restores cold builds here; the
+    memo itself is pinned by test_memoized_query_builds_are_pure."""
+    q._FRAME_MEMO.clear()
+    yield
 
 
 def _formatted(df) -> str:
