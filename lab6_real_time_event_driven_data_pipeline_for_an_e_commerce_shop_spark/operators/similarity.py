@@ -135,6 +135,34 @@ def lsh_bucket_int(vec: Column, planes: list[list[int]]) -> Column:
     return bucket
 
 
+def lsh_bucket_int_expr(planes: list[list[int]], vec_col: str) -> Column:
+    """:func:`lsh_bucket_int` as ONE generated Spark-SQL string — the
+    r10 ivf_assign pattern, applied here after an r17 profile: the
+    Column-tree form costs ~n_planes·dim py4j round trips to build
+    (~2.5 s at 4×64 — plan CONSTRUCTION, not execution, dominated the
+    gated q29), where a generated string is a single F.expr call. The
+    quantized vector is let-bound via the transform(array(x), v -> …)
+    idiom so it is computed once per row, not once per plane; all
+    arithmetic is the same int64 chain, so bucket ids are
+    bit-identical to the Column form (property-pinned)."""
+    qv = (
+        f"transform(`{vec_col}`, x -> CAST(floor(CAST(x AS DOUBLE)"
+        f" * {float(QUANT)!r}D) AS BIGINT))"
+    )
+    terms = []
+    for p, plane in enumerate(planes):
+        ws = ", ".join(f"{int(w)}L" for w in plane)
+        terms.append(
+            f"(CASE WHEN aggregate(zip_with(qv, array({ws}),"
+            " (a, b) -> a * b), 0L, (acc, v) -> acc + v) > 0"
+            f" THEN {2 ** p}L ELSE 0L END)"
+        )
+    body = " + ".join(terms)
+    return F.expr(
+        f"element_at(transform(array({qv}), qv -> {body}), 1)"
+    )
+
+
 def lsh_bucket_int_sql(planes: list[list[int]], qv_expr: str = "qv") -> str:
     """DuckDB SQL computing the SAME bucket id from a quantized
     BIGINT[] column expression (see quantize_vec_sql)."""
@@ -211,16 +239,35 @@ def ann_lsh_topk(
     bucket column is computed once at ingest and the probe is a
     partition-pruned equi-join."""
     planes = hyperplanes_int(n_planes, dim)
-    bucketed = df.withColumn("_bkt", lsh_bucket_int(F.col(vec_col), planes))
-    qsig = lsh_bucket_int(F.col(vec_col), planes)
+    # r17 (the r7/r10 expression-cost class, now with a profile): the
+    # bucket expression is a ~n_planes·dim-literal tree costing real
+    # py4j time to BUILD, and the probe list used to embed ONE COPY OF
+    # IT PER HAMMING MASK (11 copies at n_planes=4, r=2) — plan
+    # construction, not execution, was the dominant cost of the whole
+    # operator (measured 3.3 s of gated q29's 5.9 s sim wall; 0.9 s
+    # after). Build the tree ONCE, bucket both sides with the same
+    # unresolved Column, and let the probe ring XOR a column REFERENCE
+    # to the computed signature — CollapseProject leaves a non-cheap
+    # attribute referenced more than once un-inlined, so the analyzed
+    # and optimized plans carry one bucket tree per side.
+    bkt_expr = lsh_bucket_int_expr(planes, vec_col)
+    bucketed = df.withColumn("_bkt", bkt_expr)
     masks = probe_masks(n_planes, probe_hamming)
-    probes = [qsig.bitwiseXOR(F.lit(m)) for m in masks]
     qb = F.broadcast(
         query_df.select(
             F.col(id_col).alias("_qid"),
             F.col(vec_col).alias("_qvec"),
             norm(F.col(vec_col)).alias("_qnrm"),
-            F.explode(F.array(*probes)).alias("_bkt"),
+            bkt_expr.alias("_qsig"),
+        ).select(
+            "_qid",
+            "_qvec",
+            "_qnrm",
+            F.explode(
+                F.array(
+                    *[F.col("_qsig").bitwiseXOR(F.lit(m)) for m in masks]
+                )
+            ).alias("_bkt"),
         )
     )
     # no dedup needed: probe bucket ids are distinct XORs, and a corpus
@@ -288,7 +335,7 @@ def embedding_near_dups(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
         norm(F.col(vec_col)).alias("_nrm"),
-        lsh_bucket_int(F.col(vec_col), planes).alias("_bkt"),
+        lsh_bucket_int_expr(planes, vec_col).alias("_bkt"),
     )
     masks = probe_masks(n_planes, probe_hamming)
     a = b.select(
@@ -408,7 +455,7 @@ def embedding_near_dups_banded(
         *[
             F.struct(
                 F.lit(t).alias("tbl"),
-                lsh_bucket_int(F.col(vec_col), planes).alias("bkt"),
+                lsh_bucket_int_expr(planes, vec_col).alias("bkt"),
             )
             for t, planes in enumerate(tables)
         ]

@@ -752,6 +752,7 @@ def bm25_topk(
     pre_topk_buckets: int = 32,
     max_df_ppm: int | None = None,
     shingle_k: int | None = None,
+    cache_slot: str = "bm25",
 ) -> DataFrame:
     """Quantized BM25 retrieval: top-``k`` documents per query,
     integer-exact end to end (the curation stage that selects
@@ -806,7 +807,7 @@ def bm25_topk(
     qdf = spark.createDataFrame(qterms, "query_id long, term string")
     return _bm25_rank(
         df, F.broadcast(qdf), k, text_col, id_col, pre_topk_buckets,
-        max_df_ppm, shingle_k,
+        max_df_ppm, shingle_k, cache_slot,
     )
 
 
@@ -821,6 +822,7 @@ def bm25_topk_df(
     pre_topk_buckets: int = 32,
     max_df_ppm: int | None = None,
     shingle_k: int | None = None,
+    cache_slot: str = "bm25",
 ) -> DataFrame:
     """DataFrame-native :func:`bm25_topk` — the query SET is a
     DataFrame, so retrieval scales to corpus-sized query sets with no
@@ -842,7 +844,7 @@ def bm25_topk_df(
     )
     return _bm25_rank(
         df, qterms, k, text_col, id_col, pre_topk_buckets, max_df_ppm,
-        shingle_k,
+        shingle_k, cache_slot,
     )
 
 
@@ -855,6 +857,7 @@ def _bm25_rank(
     pre_topk_buckets: int,
     max_df_ppm: int | None = None,
     shingle_k: int | None = None,
+    cache_slot: str = "bm25",
 ) -> DataFrame:
     """Shared BM25 core: (query_id, term) frame → ranked top-k.
 
@@ -875,15 +878,61 @@ def _bm25_rank(
     (df·10⁶ ≤ ppm·N) and replicated verbatim in oracles — both engines
     drop the identical term set. The cut is applied to the PRUNED
     query-term frame joined FIRST (qterms ⋈ dfreq before ⋈ tf), so the
-    quadratic join never materializes."""
+    quadratic join never materializes.
+
+    ``cache_slot`` names the tf-substrate cache slot (r17): two
+    concurrent consumers over different corpora/term-units (q71's
+    unigram retrieval, q52's shingle decon) would otherwise evict each
+    other's substrate and totals memo on every alternation — the q24/
+    q53 cache_slot convention."""
     from pyspark.sql.window import Window as _W
+
+    from ..functions.cache import bounded_cache, bounded_scalar
+    from .dedup import _substrate_partitions
 
     if shingle_k is None:
         dl, tf = _doc_terms(df, text_col, id_col)
     else:
         dl, tf = _doc_shingle_terms(df, text_col, id_col, shingle_k)
-    n_docs = int(dl.count())
-    total_tokens = int(dl.agg(F.sum("dl")).collect()[0][0] or 0)
+    # r17 (guide §2 "shuffle fewer bytes" / §5 substrate reuse): tf
+    # feeds BOTH dfreq and the contrib join, and Spark does not CSE
+    # identical subtrees across join branches (the r12 maxscore
+    # lesson) — uncached, the tokenize+explode+groupBy pass ran TWICE
+    # per action. dl is Σ tf per doc, value-identical to the old
+    # size(token_array) pass for EVERY doc (tokens()/shingles() emit
+    # ≥1 element even for empty text — the phantom-token fact pinned
+    # in r13 — so no doc row is lost and n_docs == dl.count()), which
+    # lets the dl pass ride the same cache instead of re-tokenizing
+    # the corpus. The two plan-literal scalars collapse to ONE
+    # memoized job over that dl (was: two jobs, each a full tokenize).
+    # The explicit repartition before the cache is NOT optional: a
+    # cached plan's OUTPUT partitioning is frozen (AQE cannot coalesce
+    # it even with canChangeCachedPlanOutputPartitioning, and a vanilla
+    # session never coalesces it), so caching the groupBy's raw
+    # 200-partition output made every consumer scan pay 200 tasks —
+    # measured SLOWER than the uncached double-build. Width is
+    # scale-adaptive from the corpus scan's footer bytes (§2), and
+    # hash-by-_id pre-satisfies dl's doc-grain groupBy below — the
+    # repartition's exchange carries post-aggregation rows, so the
+    # map-side partial agg of the (_id, term) groupBy is kept.
+    tf = bounded_cache(
+        f"{cache_slot}.bm25_tf",
+        tf.repartition(_substrate_partitions(df), "_id"),
+    )
+    dl = tf.groupBy("_id").agg(F.sum("tf").cast("long").alias("dl"))
+    n_docs, total_tokens = (
+        int(x)
+        for x in bounded_scalar(
+            f"{cache_slot}.bm25_totals",
+            tf,
+            lambda: tuple(
+                dl.agg(
+                    F.count(F.lit(1)),
+                    F.coalesce(F.sum("dl"), F.lit(0)),
+                ).collect()[0]
+            ),
+        )
+    )
     if n_docs == 0 or total_tokens == 0:
         raise ValueError("bm25_topk: empty corpus")
     avgdl_micro = (1_000_000 * total_tokens) // n_docs

@@ -3802,7 +3802,8 @@ def q52_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     decon = (
         text_ops.bm25_topk_df(
-            docs, val_queries, k=10, max_df_ppm=100_000, shingle_k=3
+            docs, val_queries, k=10, max_df_ppm=100_000, shingle_k=3,
+            cache_slot="decon",
         )
         .filter(F.col("query_id") != F.col("doc_id"))
         .groupBy("doc_id")

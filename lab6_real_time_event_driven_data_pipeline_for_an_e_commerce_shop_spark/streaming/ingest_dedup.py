@@ -1158,14 +1158,14 @@ class EmbeddingDedupIngest:
 
     def _tagged(self, df: DataFrame) -> DataFrame:
         from ..operators import similarity
-        from ..operators.similarity import lsh_bucket_int, norm
+        from ..operators.similarity import lsh_bucket_int_expr, norm
 
         planes = similarity.hyperplanes_int(self.n_planes, self.dim)
         return df.select(
             F.col(self.id_col).alias("_id"),
             F.col(self.vec_col).alias("_v"),
             norm(F.col(self.vec_col)).alias("_nrm"),
-            lsh_bucket_int(F.col(self.vec_col), planes).alias("_bkt"),
+            lsh_bucket_int_expr(planes, self.vec_col).alias("_bkt"),
         )
 
     def _verified_pairs(

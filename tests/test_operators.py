@@ -1559,6 +1559,33 @@ def test_band_buckets_expr_matches_per_table_lsh_bucket(spark):
     assert combined == per_table and len(combined) > 0
 
 
+def test_lsh_bucket_int_expr_matches_column_form(spark):
+    """r17: lsh_bucket_int_expr (ONE generated SQL string — the
+    ivf_assign expression-cost pattern, adopted after plan BUILD time
+    was measured dominating gated q29) must equal the Column-tree
+    lsh_bucket_int bit-for-bit on real vectors, across plane counts —
+    bucket ids are part of the declared results (candidate sets), so
+    the two forms may never drift."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        similarity as sim,
+    )
+    import pyspark.sql.functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    for n_planes in (4, 6, 16):
+        planes = sim.hyperplanes_int(n_planes, 64)
+        mism = (
+            emb.select(
+                "vec_id",
+                sim.lsh_bucket_int(F.col("embedding"), planes).alias("old"),
+                sim.lsh_bucket_int_expr(planes, "embedding").alias("new"),
+            )
+            .filter(F.col("old") != F.col("new"))
+            .count()
+        )
+        assert mism == 0, f"n_planes={n_planes}: {mism} bucket mismatches"
+
+
 def test_pq_adc_expr_equals_encode_plus_topk(spark):
     """pq_adc_expr (the single-projection IVF-PQ cell-scan shape gated
     in q42) must produce the identical integer ADC distance as the
