@@ -424,17 +424,25 @@ def duplicate_clusters(
         )
         # shortcut: follow the label pointer once (label of my label)
         ptr = hop.select(F.col("id").alias("_pid"), F.col("label").alias("_plabel"))
+        # r17: the changed-count used to be a SEPARATE job re-joining
+        # the checkpointed frame against the previous labels — one full
+        # join stage per round spent on a scalar. The flag now rides
+        # the checkpointed round frame itself (labels decrease
+        # monotonically, so "new < old" IS "changed"), and the count is
+        # a scan of already-materialized local blocks. Counting the
+        # CHECKPOINTED frame, never the lazy one, is the r16 kcore rule.
         jumped = (
             hop.join(ptr, hop.label == ptr._pid, "left")
-            .select("id", F.least("label", "_plabel").alias("label"))
+            .join(labels.select("id", F.col("label").alias("_old")), "id")
+            .select(
+                "id",
+                F.least("label", "_plabel").alias("label"),
+                (F.least("label", "_plabel") < F.col("_old")).alias("_chg"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            jumped.join(labels.withColumnRenamed("label", "_old"), "id")
-            .filter(F.col("label") != F.col("_old"))
-            .count()
-        )
-        labels = jumped
+        changed = jumped.filter(F.col("_chg")).count()
+        labels = jumped.select("id", "label")
         if changed == 0:
             break
     else:

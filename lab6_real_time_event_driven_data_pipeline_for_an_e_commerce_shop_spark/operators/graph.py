@@ -370,9 +370,13 @@ def pagerank_oracle_sql(
     form; None = uniform (seeds = all nodes — the same reduction the
     Spark side uses). ``weighted=True`` mirrors pagerank(weight_col=):
     duplicate (src,dst) pairs SUM weights, out-degree is the weight
-    sum, each edge carries mass·w // W_u. The unweighted branch emits
-    byte-identical SQL to the pre-r15 generator (q77/q78 oracles
-    unchanged)."""
+    sum, each edge carries mass·w // W_u.
+
+    r17: every chained CTE is ``AS MATERIALIZED`` — iteration k
+    references m(k−1) TWICE (contrib join + dangling scalar subquery),
+    so DuckDB's per-reference inlining evaluated the mass chain 2^N
+    times (the r16 kcore lesson at base 2). Materialization is
+    evaluation strategy only — masses are bit-identical."""
     num, den = int(damping[0]), int(damping[1])
     seeds_src = (
         "SELECT node FROM base_nodes"
@@ -382,41 +386,41 @@ def pagerank_oracle_sql(
     )
     if weighted:
         e_cte = (
-            f"WITH e AS (SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w"
+            f"WITH e AS MATERIALIZED (SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w"
             f" FROM ({edges_sql}) WHERE src IS NOT NULL AND dst IS NOT NULL"
             " AND w IS NOT NULL GROUP BY 1, 2)"
         )
         deg_cte = (
-            "deg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS outdeg"
+            "deg AS MATERIALIZED (SELECT src, CAST(SUM(w) AS BIGINT) AS outdeg"
             " FROM e GROUP BY 1)"
         )
         contrib_sum = "SUM((m{p}.mass * e.w) // deg.outdeg)"
     else:
         e_cte = (
-            f"WITH e AS (SELECT DISTINCT src, dst FROM ({edges_sql})"
+            f"WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_sql})"
             " WHERE src IS NOT NULL AND dst IS NOT NULL)"
         )
         deg_cte = (
-            "deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg"
+            "deg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg"
             " FROM e GROUP BY 1)"
         )
         contrib_sum = "SUM(m{p}.mass // deg.outdeg)"
     parts = [
         e_cte,
-        "base_nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
-        f"seeds AS (SELECT DISTINCT node FROM ({seeds_src}))",
-        "nodes AS (SELECT base_nodes.node,"
+        "base_nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        f"seeds AS MATERIALIZED (SELECT DISTINCT node FROM ({seeds_src}))",
+        "nodes AS MATERIALIZED (SELECT base_nodes.node,"
         " CASE WHEN EXISTS (SELECT 1 FROM seeds WHERE seeds.node ="
         " base_nodes.node) THEN 1 ELSE 0 END AS is_seed FROM base_nodes)",
         deg_cte,
-        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS ns FROM seeds)",
-        f"m0 AS (SELECT node, CAST(({int(scale)} // (SELECT ns FROM nn))"
+        "nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS ns FROM seeds)",
+        f"m0 AS MATERIALIZED (SELECT node, CAST(({int(scale)} // (SELECT ns FROM nn))"
         " * is_seed AS BIGINT) AS mass FROM nodes)",
     ]
     for k in range(1, int(n_iter) + 1):
         p = k - 1
         parts.append(
-            f"""m{k} AS (
+            f"""m{k} AS MATERIALIZED (
         SELECT nodes.node,
                CAST((({den - num}) * ({int(scale)} // (SELECT ns FROM nn))
                        * nodes.is_seed

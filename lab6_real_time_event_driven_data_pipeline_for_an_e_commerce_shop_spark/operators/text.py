@@ -602,7 +602,13 @@ def corpus_bigram_coverage(
     bgpos = df.select(
         F.col(id_col), F.explode(bigrams(F.col(text_col))).alias("_bg")
     )
-    total = bgpos.count()  # one scalar to the driver, never a row set
+    from ..functions.cache import bounded_scalar
+
+    # r17: memoized per corpus plan (the q24 ngram_n_docs pattern) —
+    # repeat builds in one session stop paying a corpus-pass job each
+    total = bounded_scalar(
+        "text.coverage_total", bgpos, lambda: bgpos.count()
+    )
     counted = bgpos.withColumn(
         "_cc", F.count(F.lit(1)).over(_W.partitionBy("_bg"))
     )
@@ -1462,7 +1468,14 @@ def bigram_cross_entropy(
     uni = df.select(
         F.col(id_col).alias("_id"), F.explode(tokens(F.col(text_col))).alias("_t")
     )
-    vocab = int(uni.select("_t").distinct().count())
+    from ..functions.cache import bounded_scalar
+
+    # r17: memoized per corpus plan (the q24 ngram_n_docs pattern)
+    vocab = bounded_scalar(
+        "text.xent_vocab",
+        uni,
+        lambda: int(uni.select("_t").distinct().count()),
+    )
     uni_c = (
         uni.groupBy(F.col("_t").alias("_a"))
         .agg(F.count(F.lit(1)).cast("long").alias("_ca"))

@@ -1213,10 +1213,27 @@ def q22_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_covered_bigrams", "bigram_cov_micro"
     )
     ent = text_ops.token_entropy(docs)
-    xent = text_ops.bigram_cross_entropy(docs).select(
-        "doc_id",
-        "n_bigrams",
-        F.col("xent_micro_bits").alias("xent_micro"),
+    # r17 (§5 substrate reuse): the xent frame feeds THREE independent
+    # plan branches — the global-tercile collect, the per-language
+    # threshold table's broadcast build, and the main output stream —
+    # and Spark does not CSE across them, so the whole bigram-LM
+    # pipeline (two corpus groupBys + two stat joins) ran three times
+    # per invocation. One bounded-cache slot; the explicit doc-keyed
+    # scale-adaptive repartition keeps the cached plan's frozen output
+    # partitioning off the session-static width (the r17 bm25-tf
+    # lesson) and pre-satisfies nothing downstream needs re-keyed
+    # (consumers join/filter at doc grain).
+    from ..operators.dedup import _substrate_partitions
+
+    xent = bounded_cache(
+        "q22.xent",
+        text_ops.bigram_cross_entropy(docs)
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.col("xent_micro_bits").alias("xent_micro"),
+        )
+        .repartition(_substrate_partitions(docs), "doc_id"),
     )
     thr = text_ops.portable_bucket_thresholds(
         xent.filter(F.col("n_bigrams") > 0), "xent_micro", n_buckets=3
