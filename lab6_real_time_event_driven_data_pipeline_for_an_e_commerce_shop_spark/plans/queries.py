@@ -1851,12 +1851,12 @@ def _q28_oracle(n_planes: int = 4, dim: int = 64, probe_hamming: int = 2) -> str
         f"({similarity.lsh_bucket_int_sql(t)})" for t in tables
     )
     return f"""
-    WITH quant AS (
+    WITH quant AS MATERIALIZED (
         SELECT vec_id, {similarity.quantize_vec_sql("embedding")} AS qv
         FROM embeddings
     ),
-    sig AS (SELECT vec_id, {similarity.lsh_bucket_int_sql(planes)} AS bkt FROM quant),
-    cand AS (
+    sig AS MATERIALIZED (SELECT vec_id, {similarity.lsh_bucket_int_sql(planes)} AS bkt FROM quant),
+    cand AS MATERIALIZED (
         SELECT sa.vec_id AS a_id, sb.vec_id AS b_id
         FROM sig sa JOIN sig sb
           ON sa.vec_id < sb.vec_id
@@ -1950,11 +1950,11 @@ def _q29_oracle(n_planes: int = 4, dim: int = 64, probe_hamming: int = 2) -> str
     )
     return f"""
     WITH qid AS (SELECT MIN(vec_id) AS qid FROM embeddings),
-    quant AS (
+    quant AS MATERIALIZED (
         SELECT vec_id, {similarity.quantize_vec_sql("embedding")} AS qv
         FROM embeddings
     ),
-    sig AS (SELECT vec_id, {similarity.lsh_bucket_int_sql(planes)} AS bkt FROM quant),
+    sig AS MATERIALIZED (SELECT vec_id, {similarity.lsh_bucket_int_sql(planes)} AS bkt FROM quant),
     probes AS (
         SELECT xor(s.bkt, m.m) AS bkt
         FROM sig s, qid, (SELECT unnest([{masks}]) AS m) m
