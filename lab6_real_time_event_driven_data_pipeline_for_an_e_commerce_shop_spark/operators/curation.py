@@ -786,14 +786,35 @@ def dsir_logweights(
     Scale: two feature passes (raw + target) each one hash-groupBy;
     the stats join is bucket-grain (≤ n_buckets rows, broadcast); no
     window, no collect beyond four scalars."""
+    from ..functions.cache import bounded_cache, bounded_scalar
     from ..functions.expressions import log2_micro_int, log2_micro_sql
+    from .dedup import _substrate_partitions
 
-    fr = dsir_features(raw, n_buckets, text_col, id_col)
-    ft = dsir_features(target, n_buckets, text_col, id_col)
+    # r17: fr feeds THREE subplans (bucket stats, the N_r scalar, the
+    # per-doc fold) and ft two — each reference re-ran the hashed-ngram
+    # explode+groupBy uncached. Doc-keyed adaptive repartition before
+    # the cache (the frozen-width rule) pre-satisfies the final
+    # per-doc groupBy; the corpus-total scalars are memoized per plan.
+    fr = bounded_cache(
+        "curation.dsir_fr",
+        dsir_features(raw, n_buckets, text_col, id_col).repartition(
+            _substrate_partitions(raw), "_id"
+        ),
+    )
+    ft = bounded_cache(
+        "curation.dsir_ft",
+        dsir_features(target, n_buckets, text_col, id_col).repartition(
+            _substrate_partitions(target), "_id"
+        ),
+    )
     cr = fr.groupBy("bucket").agg(F.sum("cnt").cast("long").alias("c_r"))
     ct = ft.groupBy("bucket").agg(F.sum("cnt").cast("long").alias("c_t"))
-    n_r = int(fr.agg(F.sum("cnt")).collect()[0][0] or 0)
-    n_t = int(ft.agg(F.sum("cnt")).collect()[0][0] or 0)
+    n_r = bounded_scalar(
+        "curation.dsir_nr", fr, lambda: int(fr.agg(F.sum("cnt")).collect()[0][0] or 0)
+    )
+    n_t = bounded_scalar(
+        "curation.dsir_nt", ft, lambda: int(ft.agg(F.sum("cnt")).collect()[0][0] or 0)
+    )
     if n_r == 0 or n_t == 0:
         raise ValueError("dsir_logweights: empty raw or target corpus")
     const_micro = log2_micro_int(n_r + n_buckets) - log2_micro_int(
