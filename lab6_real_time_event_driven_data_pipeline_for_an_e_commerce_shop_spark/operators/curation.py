@@ -785,7 +785,16 @@ def dsir_logweights(
 
     Scale: two feature passes (raw + target) each one hash-groupBy;
     the stats join is bucket-grain (≤ n_buckets rows, broadcast); no
-    window, no collect beyond four scalars."""
+    window, no collect beyond four scalars.
+
+    STALENESS (r18, ADVICE r17): the feature frames and corpus totals
+    memoize in fixed slots keyed on the SEMANTIC PLAN hash
+    (curation.dsir_fr/dsir_ft/dsir_nr/dsir_nt) — the r14
+    functions/cache.py contract. A caller whose input path's FILES
+    were swapped underneath an identical plan (compaction, staging
+    swap, versioned-table rewrite) must ``release()``/
+    ``release_scalar()`` those slots first, or this op serves the
+    pre-swap statistics."""
     from ..functions.cache import bounded_cache, bounded_scalar
     from ..functions.expressions import log2_micro_int, log2_micro_sql
     from .dedup import _substrate_partitions

@@ -52,8 +52,35 @@ classic iterative graph shapes: rank (pagerank), components
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+@contextmanager
+def _scoped_loop_width(st: "_PRState"):
+    """Scope the session shuffle width to the MEASURED graph size for
+    the duration of an eager iteration loop (r18, VERDICT r17 #3): the
+    per-round checkpoint materializations otherwise run at the session
+    static width — 200 store/exchange cycles per iteration for a
+    ~1.7k-node gate-SF graph (the r15/r16 lesson), or 16 serializing a
+    billion-edge production graph if a constant were baked in. The
+    edge frame is persisted, so this count materializes the persist
+    the first iteration would otherwise pay, and loop_width sizes the
+    rounds from that result-bounded cardinality. Restored in finally;
+    the caller's width is untouched outside the loop."""
+    from .dedup import loop_width
+
+    spark = st.ed.sparkSession
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(loop_width(st.ed.count()))
+    )
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
 
 
 class _PRState:
@@ -244,8 +271,9 @@ def pagerank(
     scale*max_weight int64 envelope is enforced loudly at setup."""
     st = _PRState(edges, damping, scale, src_col, dst_col, seeds, weight_col)
     m = st.m0
-    for _ in range(int(n_iter)):
-        m = st.step(m)
+    with _scoped_loop_width(st):
+        for _ in range(int(n_iter)):
+            m = st.step(m)
     st.release()
     return m
 
@@ -277,21 +305,22 @@ def pagerank_converged(
     st = _PRState(edges, damping, scale, src_col, dst_col, seeds, weight_col)
     m = st.m0
     n_run, delta = 0, None
-    for _ in range(int(max_iter)):
-        nxt = st.step(m)
-        n_run += 1
-        delta = int(
-            nxt.join(m.withColumnRenamed("mass", "_prev"), "node")
-            .agg(
-                F.coalesce(
-                    F.sum(F.abs(F.col("mass") - F.col("_prev"))), F.lit(0)
-                ).cast("long")
+    with _scoped_loop_width(st):
+        for _ in range(int(max_iter)):
+            nxt = st.step(m)
+            n_run += 1
+            delta = int(
+                nxt.join(m.withColumnRenamed("mass", "_prev"), "node")
+                .agg(
+                    F.coalesce(
+                        F.sum(F.abs(F.col("mass") - F.col("_prev"))), F.lit(0)
+                    ).cast("long")
+                )
+                .collect()[0][0]
             )
-            .collect()[0][0]
-        )
-        m = nxt
-        if delta <= int(tol_units):
-            break
+            m = nxt
+            if delta <= int(tol_units):
+                break
     st.release()
     return m, n_run, int(delta if delta is not None else 0)
 
@@ -1034,28 +1063,42 @@ def kcore(
         "node", F.lit(0).cast("long").alias("removed_round")
     ).limit(0).localCheckpoint(True)
     n_removed = 0
-    for rnd in range(1, int(n_rounds) + 1):
-        active = nodes.join(removed.select("node"), "node", "left_anti")
-        live = adj.join(removed.select("node"), "node", "left_anti").join(
-            removed.select(F.col("node").alias("nbr")), "nbr", "left_anti"
-        )
-        deg = live.groupBy("node").agg(
-            F.count(F.lit(1)).cast("long").alias("_deg")
-        )
-        newly = (
-            active.join(deg, "node", "left")
-            .filter(F.coalesce("_deg", F.lit(0)) < int(k))
-            .select("node", F.lit(rnd).cast("long").alias("removed_round"))
-        )
-        removed = removed.unionByName(newly).localCheckpoint(True)
-        # monotone: an empty round is empty forever. Count the
-        # CHECKPOINTED union (already materialized) rather than the
-        # lazy `newly` frame — counting newly would re-evaluate its
-        # whole join plan a second time.
-        cur = removed.count()
-        if cur == n_removed:
-            break
-        n_removed = cur
+    # r18 (VERDICT r17 #3): peeling rounds run at a width derived from
+    # the MEASURED adjacency cardinality (persisted; this count
+    # materializes what round 1 would), not the session static width
+    # and not a caller-side constant. Restored in finally.
+    from .dedup import loop_width
+
+    spark = adj.sparkSession
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(loop_width(adj.count()))
+    )
+    try:
+        for rnd in range(1, int(n_rounds) + 1):
+            active = nodes.join(removed.select("node"), "node", "left_anti")
+            live = adj.join(removed.select("node"), "node", "left_anti").join(
+                removed.select(F.col("node").alias("nbr")), "nbr", "left_anti"
+            )
+            deg = live.groupBy("node").agg(
+                F.count(F.lit(1)).cast("long").alias("_deg")
+            )
+            newly = (
+                active.join(deg, "node", "left")
+                .filter(F.coalesce("_deg", F.lit(0)) < int(k))
+                .select("node", F.lit(rnd).cast("long").alias("removed_round"))
+            )
+            removed = removed.unionByName(newly).localCheckpoint(True)
+            # monotone: an empty round is empty forever. Count the
+            # CHECKPOINTED union (already materialized) rather than the
+            # lazy `newly` frame — counting newly would re-evaluate its
+            # whole join plan a second time.
+            cur = removed.count()
+            if cur == n_removed:
+                break
+            n_removed = cur
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
     adj.unpersist()
     out = nodes.join(removed, "node", "left").select(
         "node",

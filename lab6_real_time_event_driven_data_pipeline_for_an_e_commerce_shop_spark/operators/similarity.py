@@ -145,8 +145,12 @@ def lsh_bucket_int_expr(planes: list[list[int]], vec_col: str) -> Column:
     idiom so it is computed once per row, not once per plane; all
     arithmetic is the same int64 chain, so bucket ids are
     bit-identical to the Column form (property-pinned)."""
+    # Backticks in the column name are doubled (Spark's quoting rule) —
+    # the generated string must accept any name the Column form does
+    # (r18, ADVICE r17)
+    quoted = vec_col.replace("`", "``")
     qv = (
-        f"transform(`{vec_col}`, x -> CAST(floor(CAST(x AS DOUBLE)"
+        f"transform(`{quoted}`, x -> CAST(floor(CAST(x AS DOUBLE)"
         f" * {float(QUANT)!r}D) AS BIGINT))"
     )
     terms = []

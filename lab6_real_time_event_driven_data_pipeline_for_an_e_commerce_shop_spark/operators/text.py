@@ -596,7 +596,12 @@ def corpus_bigram_coverage(
     carries only (id, bigram) rows through a sort-free COUNT), one
     groupBy back to doc grain. The corpus total is a single bounded
     driver read (the q24 n_docs pattern) inlined as a literal so the
-    coverage predicate stays a pure integer comparison."""
+    coverage predicate stays a pure integer comparison.
+
+    STALENESS (r18, ADVICE r17): the corpus total memoizes in the
+    plan-hash-keyed slot ``text.coverage_total`` — callers re-scoring
+    after the input path's files were swapped underneath an identical
+    plan must ``release_scalar()`` it first (functions/cache.py)."""
     from pyspark.sql.window import Window as _W
 
     bgpos = df.select(
@@ -649,9 +654,19 @@ def _doc_terms(
     One tokenize per doc (let-bound array — the array is built once,
     never re-inlined per element), one explode, one (id, term) groupBy
     for term frequencies. Both frames stay at bounded grain: dl at doc
-    grain, tf at doc×distinct-term grain."""
+    grain, tf at doc×distinct-term grain.
+
+    NULL text coalesces to '' BEFORE tokenizing (r18, ADVICE r17):
+    tokens(NULL) is a NULL array, which explode drops — a NULL-text
+    doc would vanish from tf (and so from a sum(tf)-derived dl) while
+    a size(array)-derived dl still counted it, silently forking the
+    two dl derivations' n_docs on any corpus containing NULLs. With
+    the coalesce, a NULL doc is an EMPTY doc (one phantom token, the
+    pinned r13 fact) on every path — the derivations are
+    value-identical by construction."""
     toks = df.select(
-        F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_t")
+        F.col(id_col).alias("_id"),
+        tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("_t"),
     )
     dl = toks.select("_id", F.size("_t").cast("long").alias("dl"))
     tf = (
@@ -678,9 +693,11 @@ def _doc_shingle_terms(
     shingle df IS discriminative and candidate generation touches only
     docs sharing an exact k-gram — the same sparsity leak_shingles
     exploits."""
+    # NULL → '' for the same reason as _doc_terms (r18, ADVICE r17):
+    # shingles(NULL) is a NULL array and explode would drop the doc
     arr = df.select(
         F.col(id_col).alias("_id"),
-        shingles(F.col(text_col), k).alias("_t"),
+        shingles(F.coalesce(F.col(text_col), F.lit("")), k).alias("_t"),
     )
     dl = arr.select("_id", F.size("_t").cast("long").alias("dl"))
     tf = (
@@ -907,7 +924,9 @@ def _bm25_rank(
     # per action. dl is Σ tf per doc, value-identical to the old
     # size(token_array) pass for EVERY doc (tokens()/shingles() emit
     # ≥1 element even for empty text — the phantom-token fact pinned
-    # in r13 — so no doc row is lost and n_docs == dl.count()), which
+    # in r13 — and NULL text coalesces to '' inside _doc_terms/
+    # _doc_shingle_terms (r18, ADVICE r17), so no doc row is lost on
+    # ANY corpus and n_docs == dl.count() exactly), which
     # lets the dl pass ride the same cache instead of re-tokenizing
     # the corpus. The two plan-literal scalars collapse to ONE
     # memoized job over that dl (was: two jobs, each a full tokenize).

@@ -1724,13 +1724,21 @@ def q26_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     r17 — scoped shuffle-partition override around the build (the
     r15/r16 state-store/checkpoint-loop lesson): duplicate_clusters is
     an iterative localCheckpoint loop whose every round materializes
-    its joins at the session shuffle width; the edge list is the
-    RESULT-BOUNDED candidate-pair set (25 pairs at the gate SF), so
-    the width is sized to that bounded cardinality, not local cores.
-    Restored in ``finally``; the returned frame executes later at the
-    caller's width."""
+    its joins at the session shuffle width. r18 (VERDICT r17 #3): the
+    constant 16 — sized to gate-SF facts — is gone. The loop now
+    self-sizes inside duplicate_clusters from the MEASURED edge count
+    (dedup.loop_width), and this build-scoped override covers the
+    eager pair materialization feeding it, derived from the corpus'
+    footer-byte estimate (_substrate_partitions — scale-adaptive, no
+    job). Restored in ``finally``; the returned frame executes later
+    at the caller's width."""
+    from ..operators.dedup import _substrate_partitions
+
+    docs = _t(spark, sf_dir, "documents")
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(_substrate_partitions(docs))
+    )
     try:
         return _q26_build(spark, sf_dir)
     finally:
@@ -5223,13 +5231,29 @@ def q73_streamed_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of STATE-STORE partitions = spark.sql.shuffle.partitions at query
     # start, and a vanilla driver session's 200 means 200 store
     # init/snapshot/commit cycles + Python-worker churn PER BATCH for a
-    # ~1.5k-key state — measured 41 s at the gate; 16 partitions is the
+    # ~1.5k-key state — measured 41 s at the gate; a small width is the
     # same result (results are partitioning-invariant, swept by the
     # hostile matrix local[2] cell) at a fraction of the overhead.
+    # r18 (VERDICT r17 #3): the width is DERIVED from the slice just
+    # written — footer num_rows, a driver-side metadata read, no job.
+    # State keys are distinct users (≤ rows; ~1 user per ~70 events on
+    # this generator), so ~1M rows per store partition keeps each
+    # store at a comfortable tens-of-thousands-of-keys bound; floor 16
+    # keeps gate SFs at the r15-measured width, cap 4096 bounds the
+    # per-batch store-commit count at any scale.
     # Restored in finally — the gate runs queries sequentially.
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    slice_rows = sum(
+        _pq.ParquetFile(f).metadata.num_rows
+        for f in _glob.glob(os.path.join(src, "w0", "*.parquet"))
+    )
+    state_width = max(16, min(slice_rows // 1_000_000, 4096))
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     try:
-        spark.conf.set("spark.sql.shuffle.partitions", "16")
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_width))
         q = (
             tracked_sessions_gs(
                 stream, gap_minutes=_Q73_GAP_MIN, watermark="1 hour"
@@ -5549,13 +5573,22 @@ def q77_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     every iteration for a ~1.7k-node graph — scope the override to the
     loop (restored in finally; the gate runs queries sequentially).
     At real scale the knob goes UP with graph size — it is scoped to
-    the query, never baked into the session."""
+    the query, never baked into the session. r18 (VERDICT r17 #3): no
+    constant — the ITERATION width is derived inside graph.pagerank
+    from the measured persisted edge count (dedup.loop_width), and
+    this build-scoped override (covering _PRState's setup distinct +
+    degree aggregate) derives from the edge frame's footer-byte
+    estimate (_substrate_partitions, no job)."""
     from ..operators import graph
+    from ..operators.dedup import _substrate_partitions
 
+    edges = _q77_edges(spark, sf_dir)
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     try:
-        spark.conf.set("spark.sql.shuffle.partitions", "16")
-        return graph.pagerank(_q77_edges(spark, sf_dir), n_iter=4)
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(_substrate_partitions(edges))
+        )
+        return graph.pagerank(edges, n_iter=4)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
 
@@ -6148,12 +6181,18 @@ def q85_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     scans corpus rows. The shuffle-partition override follows the
     q73/q77 rule: size state to key cardinality (a ~31-word graph at
     gate SFs), scoped and restored in finally."""
+    from ..operators.dedup import _substrate_partitions
     from ..operators.text import textrank_scores
 
+    docs = _t(spark, sf_dir, "documents")
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     try:
-        spark.conf.set("spark.sql.shuffle.partitions", "16")
-        return textrank_scores(_t(spark, sf_dir, "documents"))
+        # r18: width derived from the corpus footer-byte estimate (the
+        # iteration inside pagerank self-sizes from measured edges)
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(_substrate_partitions(docs))
+        )
+        return textrank_scores(docs)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
 
@@ -6283,7 +6322,14 @@ def q88_trade_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _trade_band_edges(spark, sf_dir)
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     try:
-        spark.conf.set("spark.sql.shuffle.partitions", "16")
+        # r18: build width derived from the edge frame's footer-byte
+        # estimate (the peeling rounds self-size inside kcore from the
+        # measured adjacency count)
+        from ..operators.dedup import _substrate_partitions
+
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(_substrate_partitions(e))
+        )
         return kcore(e, k=_Q88_K, n_rounds=_Q88_ROUNDS)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)

@@ -1585,6 +1585,24 @@ def test_lsh_bucket_int_expr_matches_column_form(spark):
         )
         assert mism == 0, f"n_planes={n_planes}: {mism} bucket mismatches"
 
+    # r18 (ADVICE r17): a backtick in the column name must be escaped
+    # in the generated SQL exactly as the Column form handles it
+    planes = sim.hyperplanes_int(4, 64)
+    weird = emb.select(
+        "vec_id", F.col("embedding").alias("ve`c"),
+    )
+    mism = (
+        weird.select(
+            # F.col parses backticks: escape by doubling inside quotes
+            sim.lsh_bucket_int(F.col("`ve``c`"), planes).alias("old"),
+            # lsh_bucket_int_expr takes the RAW name and quotes it itself
+            sim.lsh_bucket_int_expr(planes, "ve`c").alias("new"),
+        )
+        .filter(F.col("old") != F.col("new"))
+        .count()
+    )
+    assert mism == 0
+
 
 def test_pq_adc_expr_equals_encode_plus_topk(spark):
     """pq_adc_expr (the single-projection IVF-PQ cell-scan shape gated
@@ -3365,3 +3383,51 @@ def test_substrate_partitions_scale_adaptive_and_estimate_safe(spark, sf_dir):
         assert _substrate_partitions(semi) == floor
     finally:
         cached.unpersist()
+
+
+def test_loop_width_derivation_pinned():
+    """r18 (VERDICT r17 #3): the iterative-loop shuffle width derives
+    from the MEASURED bounded state cardinality — floor 16 keeps tiny
+    gate-SF graphs at the r17-measured width, ~2M rows/partition in
+    the scaling regime, hard cap 2^15 — no constant tied to gate-SF
+    facts anywhere in the loop family."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators.dedup import (
+        loop_width,
+    )
+
+    assert loop_width(0) == 16
+    assert loop_width(25) == 16  # q26's gate-SF candidate-pair set
+    assert loop_width(32_000_000) == 16  # exactly 16 partitions' worth
+    assert loop_width(64_000_000) == 32  # scales with measured rows
+    assert loop_width(65_000_000) == 33  # ceil, not floor
+    assert loop_width(10**12) == 1 << 15  # capped
+    assert loop_width(100, floor=4) == 4  # floor is a parameter
+
+
+def test_iterative_loops_scope_and_restore_session_width(spark):
+    """r18: duplicate_clusters / pagerank / kcore derive their loop
+    width internally (from the measured edge cardinality) and RESTORE
+    the session width afterwards — callers no longer carry a
+    constant-16 override."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        dedup,
+        graph,
+    )
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"]
+    )
+    clusters = {
+        (r.node_id, r.cluster_id)
+        for r in dedup.duplicate_clusters(pairs).collect()
+    }
+    assert clusters == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+    assert spark.conf.get("spark.sql.shuffle.partitions") == old
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+    assert graph.pagerank(edges, n_iter=2).count() == 3
+    assert spark.conf.get("spark.sql.shuffle.partitions") == old
+
+    assert graph.kcore(edges, k=1, n_rounds=2).count() == 3
+    assert spark.conf.get("spark.sql.shuffle.partitions") == old

@@ -1260,3 +1260,48 @@ def test_bm25_maxscore_list_equals_df(spark):
             df, queries, k=4, shingle_k=sk
         ).collect()))
         assert got == exact, f"shingle_k={sk} vs unpruned"
+
+
+def test_bm25_null_text_docs_counted_and_paths_identical(spark):
+    """r18 (ADVICE r17): NULL text coalesces to '' inside the term
+    substrates, so a NULL-text doc behaves as an EMPTY doc (phantom
+    token, dl=1) on EVERY dl derivation — bm25_topk (sum(tf) dl) and
+    bm25_topk_maxscore (size-array dl) stay bit-identical on corpora
+    containing NULLs, and n_docs counts the NULL doc on both paths."""
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.functions.cache import (
+        release,
+        release_scalar,
+    )
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        text as text_ops,
+    )
+
+    rows = [
+        (1, "spark shuffle join broadcast"),
+        (2, "spark window rank"),
+        (3, None),  # the doc the two derivations used to disagree on
+        (4, "join shuffle join"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    queries = [(10, "spark join"), (20, "shuffle")]
+    # fresh substrate state for this synthetic corpus
+    release("nulltext.bm25_tf")
+    release_scalar("nulltext.bm25_totals")
+    plain = sorted(
+        map(
+            tuple,
+            text_ops.bm25_topk(
+                df, queries, k=4, cache_slot="nulltext"
+            ).collect(),
+        )
+    )
+    maxs = sorted(
+        map(tuple, text_ops.bm25_topk_maxscore(df, queries, k=4).collect())
+    )
+    assert plain == maxs
+    assert len(plain) > 0
+    # the NULL doc never ranks (it has no real terms) but it must be
+    # COUNTED: n_docs=4 changes every idf numerator vs n_docs=3, so
+    # parity across the two paths above is only possible if both saw it
+    release("nulltext.bm25_tf")
+    release_scalar("nulltext.bm25_totals")
