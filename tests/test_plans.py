@@ -337,8 +337,13 @@ def test_q64_duplicate_spans_plan_shape(spark):
     ]
     assert semi_blocks, "dup-hash back-join is not a broadcast LeftSemi"
     # shuffle budget: hash groupBy + window partitioning + the
-    # provenance join/aggregate — bounded, never per-pair
-    assert _nodes(plan, "Exchange") <= 5
+    # provenance join/aggregate — bounded, never per-pair. r18: +1 for
+    # the explicit ADAPTIVE substrate repartition (hash-by-_h) that the
+    # occurrence groupBy, semi-join and sharing join all ride — it
+    # replaced session-static exchanges inside the no-AQE cache bodies
+    # (VERDICT r17 #4); the budget stays bounded and width is
+    # input-derived, never 200
+    assert _nodes(plan, "Exchange") <= 6
     assert _nodes(plan, "Window") <= 2
     # the substrates are cached: the corpus is scanned at most twice
     # (InMemoryTableScan serves the other consumers)
