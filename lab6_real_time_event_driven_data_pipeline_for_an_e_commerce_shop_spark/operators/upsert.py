@@ -133,13 +133,15 @@ def merge_parquet(
     ``on_duplicate_source``: "error" (default) raises on a source with
     more than one row per key — see :func:`check_source_unique`;
     "dedupe" keeps the pre-r9 nondeterministic dropDuplicates collapse
-    for callers that explicitly want last-writer-undefined semantics.
+    for callers that explicitly want last-writer-undefined semantics;
+    "unique_by_construction" skips the check job for sources that are
+    key-unique by PLAN SHAPE (see :func:`merge`).
     """
     if on_duplicate_source == "error":
         check_source_unique(source, keys)
     elif on_duplicate_source == "dedupe":
         source = source.dropDuplicates(keys)
-    else:
+    elif on_duplicate_source != "unique_by_construction":
         raise ValueError(f"unknown on_duplicate_source={on_duplicate_source!r}")
     if not os.path.exists(target_path):
         writer = source.write.mode("overwrite")
@@ -266,13 +268,21 @@ def merge(
     ``on_duplicate_source='dedupe'`` (explicit opt-in) collapses
     duplicate-key sources via dropDuplicates on either branch — callers
     keep the Delta path instead of having to call merge_parquet directly
-    (r9 ADVICE)."""
+    (r9 ADVICE).
+
+    ``on_duplicate_source='unique_by_construction'`` (r18, explicit
+    opt-in) SKIPS the uniqueness-check job: only for sources that are
+    key-unique by PLAN SHAPE — an aggregation whose groupBy keys are
+    exactly the merge keys (gold KPI refreshes, audit counts). The
+    caller is asserting a structural fact, not hoping; anything
+    weaker keeps the default check (the r8 q37 lesson: 'happens to be
+    unique at this SF' is not by-construction)."""
     if delta_available():
         if on_duplicate_source == "error":
             check_source_unique(source, keys)
         elif on_duplicate_source == "dedupe":
             source = source.dropDuplicates(keys)
-        else:
+        elif on_duplicate_source != "unique_by_construction":
             raise ValueError(
                 f"unknown on_duplicate_source={on_duplicate_source!r}"
             )

@@ -2525,9 +2525,23 @@ def _q37_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming.pipeline import MedallionPipeline
 
-    # deterministic slice: 40 lowest orderkeys + their items + all parts
+    # deterministic slice: 40 lowest orderkeys + their items + all parts.
+    # r18 (VERDICT r17 #6): the key set is COLLECTED once (40 ints, a
+    # bounded driver read by construction) and re-enters every plan as
+    # a local relation — the three key consumers (orders semi-join,
+    # items semi-join, min-key scalar) previously re-ran the orders
+    # scan + top-40 sort each, and the min-key scalar was its own job.
     orders = _t(spark, sf_dir, "orders")
-    keys = orders.orderBy("o_orderkey").limit(40).select("o_orderkey")
+    key_vals = sorted(
+        r[0]
+        for r in orders.orderBy("o_orderkey")
+        .limit(40)
+        .select("o_orderkey")
+        .collect()
+    )
+    keys = spark.createDataFrame(
+        [(int(k),) for k in key_vals], "o_orderkey long"
+    )
     o = _orders(spark, sf_dir).join(
         F.broadcast(keys.withColumnRenamed("o_orderkey", "order_id")), "order_id", "left_semi"
     )
@@ -2569,6 +2583,10 @@ def _q37_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+    # r18: li feeds THREE actions below (wave-1 write, the poison-pair
+    # scalar, wave-2 write) — persist so the lineitem scan + dedup
+    # window run once, not three times
+    li = li.persist()
     prod = _products(spark, sf_dir)
 
     root = tempfile.mkdtemp(prefix="medallion_q37_")
@@ -2613,7 +2631,7 @@ def _q37_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     # -999 and shift every gold total, failing the hash gate. The two
     # .first() calls fetch single scalar values (bounded driver reads).
     wave1 = li_csv.filter(F.col("_pid") % 2 == 0).drop("_pid")
-    o1_key = keys.agg(F.min("o_orderkey")).first()[0]
+    o1_key = key_vals[0]  # r18: already collected — no extra agg job
     px = (
         prod.join(
             li.filter(F.col("order_id") == o1_key)
@@ -2702,6 +2720,7 @@ def _q37_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mode("append")
         .csv(pipe.landing("order_items"))
     )
+    li.unpersist()  # every li consumer has run its action
     pipe.run_cycle()
     # r9/r10 — the LATE-DATA CONTRACT under the hash gate: gold/late_audit
     # counts rows absorbed via the late-release path per date. In this

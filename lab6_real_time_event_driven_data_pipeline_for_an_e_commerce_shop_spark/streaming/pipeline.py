@@ -232,12 +232,20 @@ class MedallionPipeline:
             # glob before read instead of leaning on reader tolerance
             import glob as _glob
 
-            has_files = bool(
-                _glob.glob(os.path.join(late_tmp, "*.parquet"))
-                or _glob.glob(os.path.join(late_tmp, "part-*"))
+            late_files = _glob.glob(os.path.join(late_tmp, "*.parquet")) or _glob.glob(
+                os.path.join(late_tmp, "part-*")
             )
-            late = self.spark.read.parquet(late_tmp) if has_files else None
-            if late is not None and late.count() > 0:
+            # r18 (VERDICT r17 #6): row count from the just-written
+            # files' parquet FOOTERS — a driver-side metadata read
+            # replaces the late.count() Spark job each cycle (the same
+            # fact, from the same files)
+            import pyarrow.parquet as _pq
+
+            late_rows = sum(
+                _pq.ParquetFile(f).metadata.num_rows for f in late_files
+            )
+            late = self.spark.read.parquet(late_tmp) if late_files else None
+            if late is not None and late_rows > 0:
                 # first-item-per-pair (silver PK contract): two late
                 # items for the SAME (order_id, product_id) in one wave
                 # would be an ambiguous multi-source MERGE — keep the
@@ -361,7 +369,12 @@ class MedallionPipeline:
                     + F.coalesce(F.col("_prev"), F.lit(0))
                 ).cast("long").alias("late_items_absorbed"),
             )
-        upsert.merge(self.spark, path, counts, keys=["order_date"])
+        # counts is a groupBy(order_date) aggregate — key-unique by
+        # plan shape (r18; see upsert.merge)
+        upsert.merge(
+            self.spark, path, counts, keys=["order_date"],
+            on_duplicate_source="unique_by_construction",
+        )
 
     def _swap(self, path: str) -> None:
         """3-step swap mirroring upsert.merge_parquet: the old directory
@@ -408,13 +421,19 @@ class MedallionPipeline:
                 keys=["order_date"],
             )
         else:
+            # r18: both KPI frames are aggregations whose groupBy keys
+            # ARE the merge keys — key-unique by plan shape, so the
+            # per-merge uniqueness-check job is skipped (explicit
+            # opt-in; see upsert.merge)
             upsert.merge(
                 self.spark, self._path("gold", "category_kpis"), cat,
                 keys=["category", "order_date"],
+                on_duplicate_source="unique_by_construction",
             )
             upsert.merge(
                 self.spark, self._path("gold", "order_kpis_daily"), daily,
                 keys=["order_date"],
+                on_duplicate_source="unique_by_construction",
             )
         silver.unpersist()
 

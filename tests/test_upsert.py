@@ -189,3 +189,46 @@ def test_merge_preserves_column_order_across_generations(spark, tmp_path):
     upsert.merge(spark, path, df3, keys=["k"])
     got = spark.read.parquet(path).columns
     assert got[: len(cols0)] == cols0 and got[len(cols0):] == ["extra"]
+
+
+def test_merge_unique_by_construction_skips_check_same_result(spark, tmp_path):
+    """r18: on_duplicate_source='unique_by_construction' skips the
+    uniqueness-check JOB for sources key-unique by plan shape (a
+    groupBy on the merge keys) — the merged table is identical to the
+    default-checked path, and unknown modes still raise."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from lab6_real_time_event_driven_data_pipeline_for_an_e_commerce_shop_spark.operators import (
+        upsert,
+    )
+
+    rows = [(1, "a", 2.0), (1, "a", 3.0), (2, "b", 5.0)]
+    base = spark.createDataFrame(rows, "k long, s string, v double")
+    agg = base.groupBy("k").agg(F.sum("v").alias("v"))  # unique by shape
+
+    p1, p2 = str(tmp_path / "checked"), str(tmp_path / "unchecked")
+    upsert.merge(spark, p1, agg, keys=["k"])
+    upsert.merge(
+        spark, p2, agg, keys=["k"],
+        on_duplicate_source="unique_by_construction",
+    )
+    assert sorted(map(tuple, spark.read.parquet(p1).collect())) == sorted(
+        map(tuple, spark.read.parquet(p2).collect())
+    )
+
+    # a second merge generation behaves identically too
+    agg2 = base.filter("k = 1").groupBy("k").agg(F.sum("v").alias("v"))
+    upsert.merge(spark, p1, agg2, keys=["k"])
+    upsert.merge(
+        spark, p2, agg2, keys=["k"],
+        on_duplicate_source="unique_by_construction",
+    )
+    assert sorted(map(tuple, spark.read.parquet(p1).collect())) == sorted(
+        map(tuple, spark.read.parquet(p2).collect())
+    )
+
+    with pytest.raises(ValueError, match="unknown on_duplicate_source"):
+        upsert.merge(
+            spark, p2, agg, keys=["k"], on_duplicate_source="nonsense"
+        )
