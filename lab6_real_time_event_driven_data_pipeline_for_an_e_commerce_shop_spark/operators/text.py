@@ -907,7 +907,14 @@ def _bm25_rank(
     concurrent consumers over different corpora/term-units (q71's
     unigram retrieval, q52's shingle decon) would otherwise evict each
     other's substrate and totals memo on every alternation — the q24/
-    q53 cache_slot convention."""
+    q53 cache_slot convention.
+
+    STALENESS (r18, ADVICE r17): the tf substrate and the n_docs/
+    total_tokens scalars memoize in plan-hash-keyed slots
+    (``<cache_slot>.bm25_tf`` / ``<cache_slot>.bm25_totals``) —
+    callers whose corpus path's FILES were swapped underneath an
+    identical plan (compaction, staging swap) must ``release()`` /
+    ``release_scalar()`` those slots first (functions/cache.py)."""
     from pyspark.sql.window import Window as _W
 
     from ..functions.cache import bounded_cache, bounded_scalar
@@ -1478,7 +1485,12 @@ def bigram_cross_entropy(
     bigram occurrences to the two stat tables by gram key (hash
     equi-joins; a hot transition is count-carrying, not pair-
     exploding) and folds integer sums. Headroom: per-bigram cost
-    ≤ 63·10⁶, so Σ is int64-safe to ~10¹¹ bigrams per doc."""
+    ≤ 63·10⁶, so Σ is int64-safe to ~10¹¹ bigrams per doc.
+
+    STALENESS (r18, ADVICE r17): the vocabulary size memoizes in the
+    plan-hash-keyed slot ``text.xent_vocab`` — callers re-scoring
+    after the input path's files were swapped underneath an identical
+    plan must ``release_scalar()`` it first (functions/cache.py)."""
     from ..functions.expressions import log2_micro_sql
 
     bg = df.select(
